@@ -1,0 +1,31 @@
+"""Query registry: every engine capability as a named, oracle-checked query.
+
+Each module in this package registers Query objects via
+``queries.registry.query``. ``load_all()`` imports them all so the
+registry is fully populated (used by __spark_entry__, tests, bench).
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = (
+    "parquet_to_sql_spark.queries.relational",
+    "parquet_to_sql_spark.queries.joins",
+    "parquet_to_sql_spark.queries.windows",
+    "parquet_to_sql_spark.queries.functions",
+    "parquet_to_sql_spark.queries.events",
+    "parquet_to_sql_spark.queries.importing",
+    "parquet_to_sql_spark.queries.dedup",
+    "parquet_to_sql_spark.queries.simsearch",
+    "parquet_to_sql_spark.queries.text",
+)
+
+
+def load_all() -> None:
+    for m in _MODULES:
+        try:
+            importlib.import_module(m)
+        except ModuleNotFoundError:
+            # module not written yet (incremental build)
+            pass
