@@ -1,0 +1,139 @@
+"""Event-time windowing over the `events` table (batch form).
+
+These are the batch equivalents of the Structured Streaming pipeline
+in parquet_to_sql_spark/streaming/ — same window semantics
+(epoch-aligned tumbling/sliding windows, gap-based session windows),
+checked against a pure-SQL DuckDB oracle. The streaming versions add
+watermarks; the window assignment logic is identical, which is what
+these oracles pin down.
+
+DuckDB reads events.ts as TIMESTAMP_NS while the engine truncates to
+microseconds (catalog.py), so every oracle casts ts first — the cast
+truncates identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import query
+
+VALUE_DEC = "CAST(value AS DECIMAL(12,2))"
+
+
+@query(
+    "ev_tumbling_hourly",
+    headline=True,
+    tags=("events", "window-agg", "streaming-equivalent"),
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({VALUE_DEC}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(VALUE_DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "ev_sliding_windows",
+    tags=("events", "window-agg", "streaming-equivalent"),
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b30, event_type
+      FROM events
+    ), cand AS (
+      SELECT b30 AS window_start, event_type FROM b
+      UNION ALL
+      SELECT b30 - INTERVAL '30 minutes', event_type FROM b
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM cand
+    GROUP BY window_start, event_type
+    """,
+)
+def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in
+    two windows. The oracle materializes the same two epoch-aligned
+    window starts per event."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query(
+    "ev_session_windows",
+    tags=("events", "session-window", "streaming-equivalent"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min inactivity gap) per user.
+    Spark's session_window closes a session when the next event is >=
+    gap after the previous one; the oracle reproduces that with a
+    gaps-and-islands window construction."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@query(
+    "ev_dedup_first_per_key",
+    tags=("events", "dedup", "streaming-equivalent"),
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+           CAST(MIN_BY(event_id, CAST(ts AS TIMESTAMP)) AS BIGINT) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def ev_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user, type) — the batch analogue of
+    streaming dropDuplicates on a key with event-time ordering.
+
+    (Timestamps are unique per key at µs precision in this dataset, so
+    min_by on ts alone is deterministic in both engines.)"""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+    )

@@ -1,0 +1,214 @@
+"""Scalar-function coverage: string / date / math / JSON / array /
+conditional expressions.
+
+The reference's entire scalar library is six value conversions
+(/root/reference/src/ParquetImporter.php:151-202); the rebuild exposes
+the full pyspark.sql.functions surface. Each query exercises a family
+JVM-side (whole-stage codegen — no Python UDFs in any of these).
+
+Functions whose last-ulp behavior differs across libm implementations
+(ln, exp, pow) are kept out of oracle-compared outputs; sqrt and
+arithmetic are IEEE-defined and safe.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import query
+
+
+@query(
+    "fn_string_part",
+    tags=("functions", "string"),
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_type)                                   AS type_upper,
+           LOWER(p_brand)                                  AS brand_lower,
+           SUBSTRING(p_name, 1, 12)                        AS name_prefix,
+           CAST(LENGTH(p_name) AS BIGINT)                  AS name_len,
+           CONCAT(p_brand, '/', p_type)                    AS brand_type,
+           REPLACE(p_brand, 'Brand#', 'B')                 AS brand_short,
+           CAST(REGEXP_EXTRACT(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+           TRIM(CONCAT(' ', p_name, ' '))                  AS name_trimmed
+    FROM part
+    """,
+)
+def fn_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+    )
+
+
+@query(
+    "fn_date_orders",
+    tags=("functions", "date"),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year  FROM o_orderdate) AS INT)    AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT)    AS order_month,
+           CAST(EXTRACT(day   FROM o_orderdate) AS INT)    AS order_day,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT)  AS order_quarter,
+           DATE_TRUNC('month', o_orderdate)                AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+                                                           AS days_since_epoch_start,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def fn_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        # cast: DATE-typed outputs render differently in the two engines'
+        # pandas bridges; timestamps compare identically
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )
+
+
+@query(
+    "fn_math_customer",
+    tags=("functions", "math"),
+    oracle="""
+    SELECT c_custkey,
+           ABS(c_acctbal)                       AS abs_bal,
+           ROUND(c_acctbal)                     AS round_bal,
+           FLOOR(c_acctbal)                     AS floor_bal,
+           CEIL(c_acctbal)                      AS ceil_bal,
+           CAST(SIGN(c_acctbal) AS INT)         AS sign_bal,
+           SQRT(ABS(c_acctbal))                 AS sqrt_bal,
+           c_acctbal * c_acctbal                AS bal_squared,
+           CAST(c_custkey % 7 AS BIGINT)        AS bucket
+    FROM customer
+    """,
+)
+def fn_math_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (IEEE-deterministic subset)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.round("c_acctbal").alias("round_bal"),
+        F.floor("c_acctbal").cast("double").alias("floor_bal"),
+        F.ceil("c_acctbal").cast("double").alias("ceil_bal"),
+        # int cast: DuckDB SIGN yields tinyint, Spark signum a double
+        F.signum("c_acctbal").cast("int").alias("sign_bal"),
+        F.sqrt(F.abs("c_acctbal")).alias("sqrt_bal"),
+        (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_squared"),
+        (F.col("c_custkey") % 7).alias("bucket"),
+    )
+
+
+@query(
+    "fn_json_events",
+    tags=("functions", "json"),
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def fn_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@query(
+    "fn_array_documents",
+    tags=("functions", "array"),
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(string_split(text, ' ')) AS INT)                AS n_words,
+           CAST(LENGTH(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+           string_split(text, ' ')[1]                                  AS first_word,
+           CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN) AS has_spark,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+                                                                       AS first3_sorted
+    FROM documents
+    """,
+)
+def fn_array_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family: split/size/distinct/contains/sort/slice/join,
+    all JVM-side higher-order operations (no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(words)), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+    )
+
+
+@query(
+    "fn_conditional",
+    tags=("functions", "conditional"),
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+                WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >=  50000 THEN 'medium'
+                ELSE 'small' END                          AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')   AS status_label,
+           GREATEST(o_totalprice, 100000.0)               AS floor_100k,
+           LEAST(o_totalprice, 100000.0)                  AS cap_100k,
+           (o_orderstatus = 'F' AND o_totalprice > 200000) AS is_big_final
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/GREATEST/LEAST/boolean expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floor_100k"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("cap_100k"),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)).alias(
+            "is_big_final"
+        ),
+    )

@@ -1,0 +1,345 @@
+"""Join coverage: every join type, plus range and as-of joins.
+
+Absent from the reference (SURVEY.md §2.B — no joins anywhere in
+/root/reference/src). Expressed with the DataFrame API so Catalyst
+picks the physical strategy; tiny dimensions are explicitly
+broadcast() so the 100 TB plan never shuffles the fact table for them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import query
+
+DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+
+@query(
+    "q3_shipping_priority",
+    headline=True,
+    tags=("join", "aggregation", "topk", "tpch"),
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, filtered, aggregated, top-10.
+
+    customer is small relative to lineitem at every SF -> broadcast;
+    orders⋈lineitem shuffles on orderkey once. Top-k plans as
+    TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    headline=True,
+    tags=("join", "aggregation", "tpch"),
+    oracle=f"""
+    SELECT n_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join. region/nation/supplier broadcast;
+    the only big shuffle is lineitem⋈orders on orderkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    headline=True,
+    tags=("join", "aggregation", "topk", "tpch"),
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+           n_name, CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: who returned the most revenue."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name", "n_items")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "join_left_outer",
+    tags=("join",),
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with an extra join-side predicate (kept in the ON
+    clause, not WHERE — classic outer-join semantics trap)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F"),
+        "left",
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
+
+
+@query(
+    "join_full_outer",
+    tags=("join",),
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER between two aggregates (nations with customers
+    and/or suppliers)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = cust.join(supp, "k", "full_outer")
+    return j.select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    tags=("join",),
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having at least one big order."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    tags=("join",),
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    tags=("join",),
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN of the two tiny dims (125 rows total output)."""
+    region = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    nation = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return region.crossJoin(nation)
+
+
+@query(
+    "join_range_bands",
+    tags=("join", "range-join"),
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 20000.0),
+             ('medium', 20000.0, 60000.0),
+             ('large', 60000.0, 1e18)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny in-memory band table.
+
+    The band table is broadcast, so the theta-join is a map-side
+    BroadcastNestedLoopJoin — no shuffle of lineitem at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 20000.0), ("medium", 20000.0, 60000.0), ("large", 60000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_asof_purchases",
+    tags=("join", "asof-join"),
+    oracle="""
+    SELECT e.event_id,
+           p.event_id AS purchase_event_id,
+           CAST(e.ts AS TIMESTAMP) AS ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+    """,
+)
+def join_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for every event, the most
+    recent purchase by the same user at-or-before it.
+
+    Implemented scalably as the union-and-window pattern: tag both
+    sides, union, one window sorted by (ts, side) per user carrying the
+    last purchase forward. One shuffle on user_id, no range explosion —
+    this is the 100 TB-safe formulation of an as-of join."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id", "ts", F.col("event_id"), F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"), F.lit(1).alias("side"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"),
+        F.lit(0).alias("side"),
+    )
+    # side=0 sorts before side=1 at equal ts => "at-or-before" inclusive
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "event_id",
+        F.last("p_id", ignorenulls=True).over(w).alias("purchase_event_id"),
+        "ts",
+        F.last("p_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+        "side",
+    )
+    return merged.filter(
+        (F.col("side") == 1) & F.col("purchase_event_id").isNotNull()
+    ).drop("side")

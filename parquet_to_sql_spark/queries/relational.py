@@ -30,6 +30,13 @@ DISC_PRICE = f"{DP} * (CAST(1 AS DECIMAL(3,2)) - {DD})"
 CHARGE = f"({DISC_PRICE}) * (CAST(1 AS DECIMAL(3,2)) + {DT})"
 
 
+def _sql(spark: SparkSession, sf_dir: str, text: str, tables: tuple[str, ...]) -> DataFrame:
+    """Run a SQL query after registering just the views it needs."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(text)
+
+
 @query(
     "q1_pricing_summary",
     headline=True,
@@ -75,3 +82,364 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    headline=True,
+    tags=("filter", "aggregation", "tpch"),
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: highly selective conjunctive filter + global agg.
+
+    All four predicates push into the Parquet scan (min/max row-group
+    pruning on shipdate); the aggregate is a single partial+final pass,
+    shuffling one row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    tags=("subquery", "exists", "aggregation", "tpch"),
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style correlated EXISTS, written declaratively so
+    Catalyst rewrites it into a left-semi join (no per-row subquery)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """,
+        ("orders", "lineitem"),
+    )
+
+
+@query(
+    "sub_scalar_above_avg_price",
+    tags=("subquery", "scalar-subquery"),
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice >
+      (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+       FROM part)
+    """,
+)
+def sub_scalar_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts priced above the mean retail price."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice >
+          (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           FROM part)
+        """,
+        ("part",),
+    )
+
+
+@query(
+    "sub_in_top_nations",
+    tags=("subquery", "in-subquery"),
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('EUROPE', 'ASIA'))
+    """,
+)
+def sub_in_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over a dimension chain (rewritten to semi join)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name IN ('EUROPE', 'ASIA'))
+        """,
+        ("customer", "nation", "region"),
+    )
+
+
+@query(
+    "agg_distinct_suppliers",
+    tags=("aggregation", "distinct"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (plans as expand +
+    two-phase aggregation — no driver-side distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_stats_dispersion",
+    tags=("aggregation", "statistics"),
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+           SQRT(
+             (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)) AS stddev_bal,
+           COUNT(*) AS n_cust
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev per segment. Stddev is computed from exact
+    decimal sums (sum, sum-of-squares) so both engines produce the
+    identical IEEE double, unlike their native streaming stddevs."""
+    c = "CAST(c_acctbal AS DECIMAL(12,2))"
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = F.count(F.lit(1))
+    sum_d = F.sum(F.expr(c)).cast("double")
+    sumsq_d = F.sum(F.expr(f"{c} * {c}")).cast("double")
+    return cust.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        (sum_d / cnt).alias("avg_bal"),
+        F.sqrt((sumsq_d - sum_d * sum_d / cnt) / (cnt - F.lit(1))).alias("stddev_bal"),
+        cnt.alias("n_cust"),
+    )
+
+
+@query(
+    "agg_having",
+    tags=("aggregation", "having"),
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (post-aggregation filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))")).cast("double").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_rollup_geo",
+    tags=("aggregation", "rollup"),
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the geo hierarchy with GROUPING flags."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+    )
+
+
+@query(
+    "agg_cube_orders",
+    tags=("aggregation", "cube"),
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    tags=("aggregation", "grouping-sets"),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """,
+        ("lineitem",),
+    )
+
+
+@query(
+    "topk_expensive_orders",
+    tags=("topk", "sort"),
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: plans as TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a full sort at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "setop_union_all",
+    tags=("setop",),
+    oracle="""
+    SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    ) u
+    GROUP BY nationkey
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL then aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "setop_intersect",
+    tags=("setop",),
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations with both customers and
+    suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@query(
+    "setop_except",
+    tags=("setop",),
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): nations with customers but no
+    suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)

@@ -1,0 +1,130 @@
+"""Window-function coverage: ranking, analytic, and frame clauses.
+
+Absent from the reference (SURVEY.md §2.B). Written via spark.sql with
+SQL text shared verbatim with the DuckDB oracle where the dialects
+agree — the window spec is identical ANSI SQL in both engines, so the
+two sides cannot drift.
+
+Every ORDER BY inside a window carries a unique tie-breaker column so
+results are total-ordered and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str, tables: tuple[str, ...]) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(text)
+
+
+_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+@query("window_topn_per_customer", tags=("window", "ranking"), oracle=_TOPN_SQL)
+def window_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ROW_NUMBER — the scalable
+    per-group top-k (one shuffle on the partition key; Spark pushes a
+    per-partition rank limit before the final filter)."""
+    return _sql(spark, sf_dir, _TOPN_SQL, ("orders",))
+
+
+_RANKS_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+       NTILE(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+"""
+
+
+@query("window_rank_dense_ntile", tags=("window", "ranking"), oracle=_RANKS_SQL)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE over segment partitions."""
+    return _sql(spark, sf_dir, _RANKS_SQL, ("customer",))
+
+
+_LAG_SQL_SPARK = """
+SELECT event_id, user_id, value,
+       LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+"""
+# DuckDB view has ts as TIMESTAMP_NS; ordering is identical so no cast
+# is needed (same ordering key, value columns are ns-independent).
+_LAG_SQL_ORACLE = _LAG_SQL_SPARK
+
+
+@query("window_lag_lead_events", tags=("window", "analytic"), oracle=_LAG_SQL_ORACLE)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD per user ordered by event time (IEEE subtraction of
+    raw doubles is engine-deterministic)."""
+    return _sql(spark, sf_dir, _LAG_SQL_SPARK, ("events",))
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+@query("window_running_sum", tags=("window", "frame"), oracle=_RUNNING_SQL)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (ROWS UNBOUNDED PRECEDING frame),
+    decimal-exact then cast to double."""
+    return _sql(spark, sf_dir, _RUNNING_SQL, ("orders",))
+
+
+_MOVING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg_price,
+       COUNT(*) OVER w AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window_moving_avg", tags=("window", "frame"), oracle=_MOVING_SQL)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average via a named WINDOW clause with a bounded
+    ROWS frame (exact decimal sum / count)."""
+    return _sql(spark, sf_dir, _MOVING_SQL, ("orders",))
+
+
+_FIRST_LAST_SQL = """
+SELECT DISTINCT o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+       LAST_VALUE(o_orderkey)  OVER w AS last_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice)  OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("window_first_last", tags=("window", "analytic"), oracle=_FIRST_LAST_SQL)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE with an explicit full-partition frame
+    (the default frame would make LAST_VALUE the current row)."""
+    return _sql(spark, sf_dir, _FIRST_LAST_SQL, ("orders",))

@@ -44,9 +44,15 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    import datetime
+
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("datetime64[ns]")
+        elif pdf[c].dtype == object and pdf[c].map(
+            lambda v: v is None or isinstance(v, datetime.date)
+        ).all() and pdf[c].notna().any():
+            pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[ns]")
     if len(pdf.columns):
         pdf = pdf.sort_values(
             by=list(pdf.columns), kind="mergesort", na_position="last"
@@ -66,3 +72,9 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # Stricter, driver-style check: identical string rendering of every
+    # value (catches int-vs-float dtype drift that pandas forgives).
+    got_s = sorted(tuple(map(str, r)) for r in got.itertuples(index=False))
+    want_s = sorted(tuple(map(str, r)) for r in want.itertuples(index=False))
+    mismatches = [(a, b) for a, b in zip(got_s, want_s) if a != b][:3]
+    assert got_s == want_s, f"string-render mismatch, first diffs: {mismatches}"
