@@ -1,0 +1,91 @@
+"""Value-normalization semantics of the reference, as Column expressions.
+
+The reference normalizes row values twice (ParquetImporter.php):
+  * normalizeValue (:181-202, INSERT path): DateTime -> 'Y-m-d
+    H:i:s.uP' string (microseconds + UTC offset), nested array/object
+    -> JSON string (unescaped unicode/slashes), resource -> null,
+    scalars passthrough.
+  * formatCopyValue (:151-179, COPY path): same plus null -> \\N,
+    bool -> 1/0, and escaping of backslash/TAB/CR/LF for the COPY
+    text protocol.
+
+Here both become vectorized Column expressions (JVM-side, codegen —
+never per-row Python), applied by the Importer before a sink.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+# PHP 'Y-m-d H:i:s.uP' with a UTC session: microseconds + '+00:00'
+# (ParquetImporter.php:161-163; pinned by tests/ParquetImporterTest.php:112-118)
+TIMESTAMP_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSSxxx"
+COPY_NULL = r"\N"
+
+
+def _is_nested(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.StructType, T.ArrayType, T.MapType))
+
+
+def _is_timestamp(dt: T.DataType) -> bool:
+    # Parquet timestamps read as TIMESTAMP or (when not UTC-adjusted,
+    # Spark 4 default inference) TIMESTAMP_NTZ; normalize both.
+    return isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+
+
+def normalize_column(col: Column, dt: T.DataType) -> Column:
+    """INSERT-path normalization of one column (normalizeValue parity)."""
+    if _is_nested(dt):
+        # PHP json_encode(JSON_UNESCAPED_UNICODE|JSON_UNESCAPED_SLASHES):
+        # Spark's to_json leaves unicode and slashes unescaped too.
+        return F.to_json(col)
+    if _is_timestamp(dt):
+        return F.date_format(col.cast("timestamp"), TIMESTAMP_FMT)
+    return col
+
+
+def normalize_for_insert(df: DataFrame) -> DataFrame:
+    """Apply INSERT-path normalization to every column."""
+    return df.select(
+        *[normalize_column(F.col(f.name), f.dataType).alias(f.name) for f in df.schema.fields]
+    )
+
+
+def copy_escape(col: Column) -> Column:
+    r"""Escape a string for the COPY text protocol: \ -> \\, TAB -> \t,
+    CR -> \r, LF -> \n (ParquetImporter.php:173-178). Backslash first,
+    so escapes are not double-escaped."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return F.replace(c, F.lit("\n"), F.lit("\\n"))
+
+
+def copy_value(col: Column, dt: T.DataType) -> Column:
+    """COPY-path rendering of one column to its text-protocol form
+    (formatCopyValue parity): null -> \\N, bool -> 1/0, timestamp ->
+    formatted, nested -> JSON, strings escaped."""
+    if isinstance(dt, T.BooleanType):
+        # two-branch when: a null bool stays null -> coalesced to \N
+        rendered = F.when(col, F.lit("1")).when(~col, F.lit("0"))
+    elif _is_timestamp(dt):
+        rendered = F.date_format(col.cast("timestamp"), TIMESTAMP_FMT)
+    elif _is_nested(dt):
+        rendered = copy_escape(F.to_json(col))
+    elif isinstance(dt, T.StringType):
+        rendered = copy_escape(col)
+    else:
+        rendered = col.cast("string")
+    return F.coalesce(rendered, F.lit(COPY_NULL))
+
+
+def copy_lines(df: DataFrame) -> DataFrame:
+    """Render a DataFrame to single-column COPY text lines
+    (TAB-joined, buildCopyLines parity — ParquetImporter.php:136-149).
+
+    Stays fully vectorized in the JVM; the COPY sink just streams the
+    resulting strings, so Python touches bytes only at the socket."""
+    parts = [copy_value(F.col(f.name), f.dataType) for f in df.schema.fields]
+    return df.select(F.concat_ws("\t", *parts).alias("line"))

@@ -35,6 +35,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp rendering (reference formats 'Y-m-d
+    # H:i:s.uP' in the value's own zone; ours is pinned to UTC).
+    "spark.sql.session.timeZone": "UTC",
 }
 
 

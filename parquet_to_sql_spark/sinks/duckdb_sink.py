@@ -1,0 +1,56 @@
+"""DuckDB sink: a real, hermetically-testable SQL target.
+
+Plays the role of the reference's INSERT fallback
+(ParquetImporter.php:123-125) against an embedded database, so the
+whole import surface — projection/rename, normalization, batching,
+truncate, identifier checks — runs end-to-end in tests without a
+Postgres server.
+
+DuckDB is single-writer, so rows stream through the driver via
+toLocalIterator (bounded memory: one partition at a time). That makes
+this sink a correctness harness, not the scale path — CopySink and
+JdbcSink are the cluster sinks; this one exists so the reference's
+"fallback INSERT" behaviors (tests/ParquetImporterTest.php:78-119)
+stay pinned by executable tests.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import DataFrame
+
+from parquet_to_sql_spark.identifiers import (
+    assert_safe_column_names,
+    assert_safe_table_name,
+    quote_identifier,
+)
+from parquet_to_sql_spark.normalize import normalize_for_insert
+
+
+class DuckDbSink:
+    def __init__(self, database: str, batch_size: int = 5000):
+        self.database = database
+        self.batch_size = batch_size
+
+    def write(self, df: DataFrame, table: str, truncate: bool = False) -> None:
+        assert_safe_table_name(table)
+        assert_safe_column_names(df.columns)
+        normalized = normalize_for_insert(df)
+        quoted = quote_identifier(table)
+        col_list = ", ".join(quote_identifier(c) for c in normalized.columns)
+        placeholders = ", ".join("?" for _ in normalized.columns)
+        insert = f"INSERT INTO {quoted} ({col_list}) VALUES ({placeholders})"
+        con = duckdb.connect(self.database)
+        try:
+            if truncate:
+                con.execute(f"TRUNCATE {quoted}")
+            batch: list[tuple] = []
+            for row in normalized.toLocalIterator():
+                batch.append(tuple(row))
+                if len(batch) >= self.batch_size:
+                    con.executemany(insert, batch)
+                    batch = []
+            if batch:
+                con.executemany(insert, batch)
+        finally:
+            con.close()

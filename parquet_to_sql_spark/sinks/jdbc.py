@@ -1,0 +1,46 @@
+"""JDBC INSERT sink — the portable fallback path.
+
+Parity with the reference's bulk-INSERT fallback
+(ParquetImporter.php:123-125, chosen when COPY is unavailable —
+:98). Spark's JDBC writer already batches multi-row inserts
+(`batchsize`) and runs one connection per partition, so the
+reference's single-threaded 5000-row loop becomes N parallel writers
+for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from parquet_to_sql_spark.identifiers import assert_safe_table_name
+
+
+class JdbcSink:
+    def __init__(
+        self,
+        url: str,
+        properties: dict | None = None,
+        batch_size: int = 5000,  # reference default: config/parquet-to-sql.php:8
+        num_writers: int | None = None,
+    ):
+        self.url = url
+        self.properties = {str(k): str(v) for k, v in (properties or {}).items()}
+        self.batch_size = batch_size
+        self.num_writers = num_writers
+
+    def write(self, df: DataFrame, table: str, truncate: bool = False) -> None:
+        assert_safe_table_name(table)
+        if self.num_writers:
+            df = df.repartition(self.num_writers)
+        props = dict(self.properties)
+        props["batchsize"] = str(self.batch_size)
+        if truncate:
+            # TRUNCATE-then-append (ParquetImporter.php:50-52) maps to
+            # Spark's overwrite+truncate: keeps the table, empties it.
+            (
+                df.write.mode("overwrite")
+                .option("truncate", "true")
+                .jdbc(self.url, table, properties=props)
+            )
+        else:
+            df.write.mode("append").jdbc(self.url, table, properties=props)

@@ -26,6 +26,12 @@ SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Python workers (foreachPartition/UDFs) unpickle classes defined in
+    # test modules; they inherit PYTHONPATH, not the driver's sys.path.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = f"{repo}:{os.path.join(repo, 'tests')}"
+    prev = os.environ.get("PYTHONPATH")
+    os.environ["PYTHONPATH"] = f"{extra}:{prev}" if prev else extra
     s = get_spark(app_name="pytest", shuffle_partitions=8)
     yield s
     s.stop()

@@ -1,0 +1,344 @@
+"""Import-surface tests mirroring the reference's pinned behaviors
+(SURVEY.md §5): COPY wire protocol, rollback on failure, fallback
+INSERT normalization, identifier rejection, source validation."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_to_sql_spark.cli import parse_column_map
+from parquet_to_sql_spark.identifiers import (
+    assert_safe_column_name,
+    assert_safe_table_name,
+    quote_identifier,
+)
+from parquet_to_sql_spark.importer import Importer, project_rename
+from parquet_to_sql_spark.normalize import copy_lines
+from parquet_to_sql_spark.sinks.copy_pg import CopySink, copy_partition
+from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
+from parquet_to_sql_spark.sources.parquet import ParquetSource
+
+
+# ---------------------------------------------------------------- fakes
+class FakeCopy:
+    def __init__(self, log):
+        self.log = log
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def write(self, data):
+        self.log.append(("copy_write", data))
+
+
+class FakeCursor:
+    def __init__(self, log, fail_copy=False):
+        self.log = log
+        self.fail_copy = fail_copy
+
+    def execute(self, sql):
+        self.log.append(("execute", sql))
+
+    def copy(self, sql):
+        self.log.append(("copy", sql))
+        if self.fail_copy:
+            raise RuntimeError("boom")
+        return FakeCopy(self.log)
+
+
+class FakeConn:
+    def __init__(self, log, fail_copy=False):
+        self.log = log
+        self.fail_copy = fail_copy
+
+    def cursor(self):
+        return FakeCursor(self.log, self.fail_copy)
+
+    def commit(self):
+        self.log.append(("commit", None))
+
+    def rollback(self):
+        self.log.append(("rollback", None))
+
+    def close(self):
+        self.log.append(("close", None))
+
+
+# ---------------------------------------------- 1. COPY wire protocol
+def test_copy_protocol_exact_wire_format():
+    """Parity with tests/ParquetImporterTest.php:11-49: exact COPY
+    lines, TAB delimiter, \\N nulls, quoted identifiers, one
+    transaction per batch, statement timeout, commit."""
+    log = []
+    copy_partition(
+        iter(["1\talice", "2\tbob"]),
+        dsn="postgres://x",
+        table="public.users",
+        columns=["id", "name"],
+        batch_size=5000,
+        timeout_s=5,
+        connection_factory=lambda dsn: FakeConn(log),
+    )
+    assert ("execute", "SET LOCAL statement_timeout = 5000") in log
+    assert ("copy", 'COPY "public"."users" ("id", "name") FROM STDIN') in log
+    assert ("copy_write", "1\talice\n") in log
+    assert ("copy_write", "2\tbob\n") in log
+    assert log.count(("commit", None)) == 1
+    assert ("rollback", None) not in log
+    assert log[-1] == ("close", None)
+
+
+def test_copy_batching_one_txn_per_batch():
+    log = []
+    copy_partition(
+        iter(str(i) for i in range(12)),
+        dsn="d",
+        table="t",
+        columns=["v"],
+        batch_size=5,
+        timeout_s=300,
+        connection_factory=lambda dsn: FakeConn(log),
+    )
+    # 12 rows / batch 5 -> 3 COPY transactions (5,5,2)
+    assert log.count(("commit", None)) == 3
+    assert sum(1 for e in log if e[0] == "copy") == 3
+
+
+# ------------------------------------------------- 2. rollback path
+def test_copy_failure_rolls_back_and_wraps():
+    """Parity with tests/ParquetImporterTest.php:51-76."""
+    log = []
+    with pytest.raises(RuntimeError, match="COPY command failed: boom"):
+        copy_partition(
+            iter(["1\talice"]),
+            dsn="d",
+            table="users",
+            columns=["id", "name"],
+            batch_size=10,
+            timeout_s=5,
+            connection_factory=lambda dsn: FakeConn(log, fail_copy=True),
+        )
+    assert ("rollback", None) in log
+    assert ("commit", None) not in log
+    assert log[-1] == ("close", None)
+
+
+# --------------------------------- 3. normalization (INSERT fallback)
+@pytest.fixture()
+def mixed_parquet(tmp_path):
+    """The reference's mixed_types fixture (FIXTURES.md §A2)."""
+    table = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "flag": pa.array([True, None], pa.bool_()),
+            "meta": pa.array([{"foo": "bar"}, None],
+                             pa.struct([pa.field("foo", pa.string())])),
+            "tags": pa.array([["a", "b"], None], pa.list_(pa.string())),
+            "created_at": pa.array(
+                [datetime.datetime(2023, 1, 2, 3, 4, 5), None], pa.timestamp("us")
+            ),
+            "maybe_null": pa.array(["x", None], pa.string()),
+            "score": pa.array([1.5, None], pa.float64()),
+        }
+    )
+    path = str(tmp_path / "mixed.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+def test_insert_normalization_duckdb_end_to_end(spark, mixed_parquet, tmp_path):
+    """Parity with tests/ParquetImporterTest.php:78-119: nested values
+    JSON-encoded, timestamps rendered 'Y-m-d H:i:s.uP'."""
+    db = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE mixed (id BIGINT, flag BOOLEAN, meta VARCHAR, tags VARCHAR,"
+        " created_at VARCHAR, maybe_null VARCHAR, score DOUBLE)"
+    )
+    con.close()
+
+    importer = Importer(spark, DuckDbSink(db, batch_size=1))
+    result = importer.import_(mixed_parquet, "mixed")
+    assert result.rows_imported == 2
+    assert result.table == "mixed"
+
+    con = duckdb.connect(db)
+    rows = con.execute("SELECT * FROM mixed ORDER BY id").fetchall()
+    con.close()
+    assert rows[0] == (
+        1, True, '{"foo":"bar"}', '["a","b"]',
+        "2023-01-02 03:04:05.000000+00:00", "x", 1.5,
+    )
+    assert rows[1] == (2, None, None, None, None, None, None)
+
+
+def test_copy_lines_rendering(spark, mixed_parquet):
+    """COPY text protocol: \\N nulls, bool as 1/0, JSON-encoded
+    nested, escaped control characters (ParquetImporter.php:151-179)."""
+    df = spark.read.parquet(mixed_parquet)
+    lines = sorted(r.line for r in copy_lines(df).collect())
+    assert lines[0] == (
+        '1\t1\t{"foo":"bar"}\t["a","b"]\t2023-01-02 03:04:05.000000+00:00\tx\t1.5'
+    )
+    assert lines[1] == "2\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N"
+
+
+def test_copy_escaping(spark):
+    df = spark.createDataFrame(
+        [("a\tb", "c\nd"), ("back\\slash", "cr\rhere")], "x string, y string"
+    )
+    lines = sorted(r.line for r in copy_lines(df).collect())
+    assert lines == ["a\\tb\tc\\nd", "back\\\\slash\tcr\\rhere"]
+
+
+def test_truncate_then_import(spark, mixed_parquet, tmp_path):
+    db = str(tmp_path / "t2.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE only_ids (user_id BIGINT)")
+    con.execute("INSERT INTO only_ids VALUES (999)")
+    con.close()
+
+    src = spark.read.parquet(mixed_parquet).select("id")
+    importer = Importer(spark, DuckDbSink(db))
+    importer.import_(None, "only_ids", column_map={"id": "user_id"},
+                     reader=src, truncate=True)
+    con = duckdb.connect(db)
+    assert con.execute("SELECT * FROM only_ids ORDER BY user_id").fetchall() == [(1,), (2,)]
+    con.close()
+
+
+# ------------------------------------------- 4. identifier rejection
+def test_identifier_rejection():
+    """Parity with tests/ParquetImporterTest.php:121-137."""
+    for bad in ["bad.column", "x;drop", 'a"b', "a b", ""]:
+        with pytest.raises(ValueError):
+            assert_safe_column_name(bad)
+    for bad in ["users; DROP", 'a"b', "a.b.c", "", "sch ema.t"]:
+        with pytest.raises(ValueError):
+            assert_safe_table_name(bad)
+    assert_safe_table_name("public.users")
+    assert_safe_table_name("users")
+    assert quote_identifier("public.users") == '"public"."users"'
+    assert quote_identifier('we"ird') == '"we""ird"'
+
+
+def test_rename_to_unsafe_target_rejected(spark, mixed_parquet, tmp_path):
+    importer = Importer(spark, DuckDbSink(str(tmp_path / "x.duckdb")))
+    with pytest.raises(ValueError, match="Unsafe column name"):
+        importer.import_(mixed_parquet, "t", column_map={"id": "bad.column"})
+
+
+# ------------------------------------ 5. source + CLI-map behaviors
+def test_missing_path_raises(spark):
+    with pytest.raises(FileNotFoundError):
+        ParquetSource(spark, "/nonexistent/nope.parquet")
+
+
+def test_project_rename_keeps_unmapped_columns(spark):
+    df = spark.createDataFrame([(1, "a", "e@x")], "id long, name string, email string")
+    out = project_rename(df, {"email": "email_address"})
+    assert out.columns == ["id", "name", "email_address"]
+
+
+def test_parse_column_map_warns_and_skips(capsys):
+    """Parity with ImportParquetCommand.php:52-66."""
+    m = parse_column_map(["a=b", "malformed", "c=d", "=x", "e="])
+    assert m == {"a": "b", "c": "d"}
+    err = capsys.readouterr().err
+    assert "malformed" in err
+
+
+def test_import_result_shape(spark, mixed_parquet, tmp_path):
+    db = str(tmp_path / "t3.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE m2 (id BIGINT, flag BOOLEAN, meta VARCHAR, tags VARCHAR,"
+                " created_at VARCHAR, maybe_null VARCHAR, score DOUBLE)")
+    con.close()
+    r = Importer(spark, DuckDbSink(db)).import_(mixed_parquet, "m2")
+    d = r.to_dict()
+    assert set(d) == {"source_path", "table", "rows_imported", "duration_seconds"}
+    assert d["rows_imported"] == 2 and d["duration_seconds"] >= 0
+
+
+def test_copysink_write_end_to_end_with_fake_factory(spark, tmp_path):
+    """CopySink.write through real foreachPartition: the fake factory
+    appends wire events to files (executors are separate processes)."""
+    logdir = str(tmp_path / "copylog")
+    os.makedirs(logdir, exist_ok=True)
+
+    df = spark.createDataFrame([(1, "alice"), (2, None)], "id long, name string").coalesce(1)
+    sink = CopySink("dsn://fake", batch_size=5000, timeout_s=5,
+                    connection_factory=_file_logging_factory(logdir))
+    sink.write(df, "public.users")
+
+    events = []
+    for fn in os.listdir(logdir):
+        with open(os.path.join(logdir, fn)) as f:
+            events.extend(json.loads(line) for line in f)
+    kinds = [e[0] for e in events]
+    assert "copy" in kinds and "commit" in kinds
+    writes = sorted(e[1] for e in events if e[0] == "copy_write")
+    assert writes == ["1\talice\n", "2\t\\N\n"]
+
+
+def _file_logging_factory(logdir):
+    def factory(dsn):
+        return _FileLogConn(logdir)
+
+    return factory
+
+
+class _FileLogConn:
+    """Picklable fake connection that logs wire events to a file."""
+
+    def __init__(self, logdir):
+        import threading
+
+        self.path = os.path.join(logdir, f"{os.getpid()}_{threading.get_ident()}.jsonl")
+
+    def _log(self, kind, data=None):
+        with open(self.path, "a") as f:
+            f.write(json.dumps([kind, data]) + "\n")
+
+    def cursor(self):
+        conn = self
+
+        class Cur:
+            def execute(self, sql):
+                conn._log("execute", sql)
+
+            def copy(self, sql):
+                conn._log("copy", sql)
+
+                class Cp:
+                    def __enter__(self):
+                        return self
+
+                    def __exit__(self, *a):
+                        return False
+
+                    def write(self, data):
+                        conn._log("copy_write", data)
+
+                return Cp()
+
+        return Cur()
+
+    def commit(self):
+        self._log("commit")
+
+    def rollback(self):
+        self._log("rollback")
+
+    def close(self):
+        self._log("close")
