@@ -1,0 +1,8 @@
+from parquet_to_sql_spark.functions.hashing import (
+    FOLD_MOD,
+    char_fold_hash,
+    minhash_constants,
+    word_shingles,
+)
+
+__all__ = ["FOLD_MOD", "char_fold_hash", "word_shingles", "minhash_constants"]

@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 100 TB):
+  * exact dedup: hash -> groupBy -> min(id). One shuffle on the hash,
+    partial aggregation map-side. Never a pairwise comparison.
+  * n-gram Jaccard: explode distinct shingles, self-join ON shingle
+    equality — candidate generation is inverted-index style, so cost
+    is sum over shingles of (docs-per-shingle choose 2), not n².
+    A frequency cap (`max_doc_freq`) drops degenerate hub shingles,
+    the classic skew guard for this join.
+  * MinHash LSH: k=8 signature, 4 bands × 2 rows. Candidates join on
+    (band_index, band_hash) — equality join, shuffle-partitionable,
+    with collision probability tuned by banding, then exact-verified.
+  * SimHash: near-dup bucket = identical 16-bit sketch (for tighter
+    radius, join on sketch XOR popcount <= r over band rotations).
+  * embedding near-dup: cosine >= tau via block-broadcast pairing at
+    small n; at scale swap the pair generator for the IVF/LSH bucketer
+    in operators.simsearch (same verify stage).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from parquet_to_sql_spark.functions.hashing import (
+    FOLD_MOD,
+    char_fold_hash,
+    minhash_constants,
+    word_shingles,
+)
+from parquet_to_sql_spark.operators.text import simhash16, ws_tokens
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on content hash: keep the minimum id per distinct
+    text; returns (kept id, group size)."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col).cast("binary"), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — the inverted-index input for Jaccard/LSH."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard >= threshold.
+    `max_doc_freq` drops shingles appearing in more than that many docs
+    (skew guard; exactness trade documented at call sites).
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle").drop("df")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc").alias("doc2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per document: for each (a,b),
+    min over shingles of (a*fold(shingle)+b) mod (2^31-1). Documents
+    with no shingles (< n words) are dropped."""
+    sh = shingle_sets(df, id_col, text_col, n).withColumn(
+        "x", char_fold_hash(F.col("shingle"))
+    )
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(FOLD_MOD)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_constants(k))
+    ]
+    return sh.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any (band_index, band_hash)
+    bucket, scored by fraction of matching minhashes (estimated
+    Jaccard). Returns (doc1, doc2, est_jaccard).
+
+    The banding join is an equality join on the bucket key — the scale
+    path: no O(n²) candidate generation, and skewed buckets split by
+    AQE."""
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n)
+    buckets = []
+    for bi in range(bands):
+        cols = [F.col(f"m{bi * rows + r}") for r in range(rows)]
+        buckets.append(
+            sig.select(
+                F.col(id_col).alias("doc"),
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
+                *[F.col(f"m{i}") for i in range(k)],
+            )
+        )
+    exploded = buckets[0]
+    for b in buckets[1:]:
+        exploded = exploded.unionByName(b)
+    left = exploded.select(
+        F.col("doc").alias("doc1"), "band", "bucket",
+        *[F.col(f"m{i}").alias(f"l{i}") for i in range(k)],
+    )
+    right = exploded.select(
+        F.col("doc").alias("doc2"), "band", "bucket",
+        *[F.col(f"m{i}").alias(f"r{i}") for i in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"l{i}") == F.col(f"r{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", matches.alias("n_match"))
+        .groupBy("doc1", "doc2")
+        .agg(F.max("n_match").alias("n_match"))
+        .withColumn("est_jaccard", F.col("n_match").cast("double") / F.lit(float(k)))
+        .select("doc1", "doc2", "est_jaccard")
+    )
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash dedup clusters: documents sharing an identical 16-bit
+    sketch; returns buckets with >1 member."""
+    sig = simhash16(df, id_col, text_col)
+    return (
+        sig.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine >= threshold.
+
+    Pair generation here is the exact all-pairs join (fine to ~10^4
+    rows per block); the 100 TB path generates candidates with
+    simsearch.ivf_assign buckets and reuses this scoring expression.
+    """
+    from parquet_to_sql_spark.operators.simsearch import cosine_expr, with_norm
+
+    a = with_norm(df, id_col, vec_col, prefix="a")
+    b = with_norm(df, id_col, vec_col, prefix="b")
+    return (
+        a.join(b, F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .withColumn("cosine", cosine_expr("a_vec", "b_vec", "a_norm", "b_norm"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a_{id_col}").alias("id1"),
+            F.col(f"b_{id_col}").alias("id2"),
+            "cosine",
+        )
+    )

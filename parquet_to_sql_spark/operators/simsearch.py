@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN is actually deployed:
+  * brute-force cosine top-k — the exactness baseline. Query set is
+    broadcast; every (query, candidate) score is one JVM-side
+    fold (zip_with + aggregate in double precision, no UDF); top-k via
+    ROW_NUMBER per query. Cost O(nq * n) — right when nq is small.
+  * IVF (inverted-file) — the scale path: pick deterministic
+    centroids, assign every vector to its nearest centroid (one
+    broadcast join against <=K centroids), then probe only the
+    `nprobe` centroids nearest the query. Search cost drops by
+    ~K/nprobe; the coarse quantizer is a tiny broadcast table at any
+    data size.
+
+All arithmetic is float->double then IEEE-deterministic, so results
+hash-match the DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-fold dot product in double (deterministic)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(v: Column | str) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_{id_col}"),
+        F.col(vec_col).alias(f"{prefix}_vec"),
+        norm_expr(vec_col).alias(f"{prefix}_norm"),
+    )
+
+
+def cosine_expr(a_vec: str, b_vec: str, a_norm: str, b_norm: str) -> Column:
+    return dot_expr(a_vec, b_vec) / (F.col(a_norm) * F.col(b_norm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query row (same schema),
+    the k nearest non-identical vectors. Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    q = with_norm(queries, id_col, vec_col, prefix="q")
+    c = with_norm(df, id_col, vec_col, prefix="c")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(f"q_{id_col}") != F.col(f"c_{id_col}"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec", "q_norm", "c_norm"))
+    )
+    w = Window.partitionBy(f"q_{id_col}").orderBy(
+        F.desc("cosine"), F.col(f"c_{id_col}")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(f"q_{id_col}").alias("query_id"),
+            F.col(f"c_{id_col}").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (ties ->
+    smallest centroid id). One broadcast join; adds `centroid_id`."""
+    c = with_norm(centroids, id_col, vec_col, prefix="cent")
+    v = with_norm(df, id_col, vec_col, prefix="v")
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "sim", cosine_expr("v_vec", "cent_vec", "v_norm", "cent_norm")
+    )
+    w = Window.partitionBy(f"v_{id_col}").orderBy(F.desc("sim"), F.col(f"cent_{id_col}"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(f"v_{id_col}").alias(id_col),
+            F.col("v_vec").alias(vec_col),
+            F.col(f"cent_{id_col}").alias("centroid_id"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF search: probe the nprobe nearest centroids per query, then
+    brute-force only inside those buckets. Returns
+    (query_id, neighbor_id, cosine, rank). Approximate: recall < 1
+    when a true neighbor lives in an unprobed bucket."""
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    # which buckets each query probes
+    q_probe = (
+        ivf_topk_probes(queries, id_col, vec_col, centroids, nprobe)
+    )
+    q = with_norm(queries, id_col, vec_col, prefix="q").join(
+        q_probe, F.col(f"q_{id_col}") == F.col("query_id")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid_id",
+    ).withColumn("c_norm", norm_expr("c_vec"))
+    scored = (
+        q.join(c, "centroid_id")
+        .filter(F.col(f"q_{id_col}") != F.col("c_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec", "q_norm", "c_norm"))
+    )
+    w = Window.partitionBy(f"q_{id_col}").orderBy(F.desc("cosine"), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(f"q_{id_col}").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def ivf_topk_probes(
+    queries: DataFrame, id_col: str, vec_col: str, centroids: DataFrame, nprobe: int
+) -> DataFrame:
+    """(query_id, centroid_id) rows for the nprobe nearest centroids."""
+    c = with_norm(centroids, id_col, vec_col, prefix="cent")
+    q = with_norm(queries, id_col, vec_col, prefix="qq")
+    scored = q.crossJoin(F.broadcast(c)).withColumn(
+        "sim", cosine_expr("qq_vec", "cent_vec", "qq_norm", "cent_norm")
+    )
+    w = Window.partitionBy(f"qq_{id_col}").orderBy(F.desc("sim"), F.col(f"cent_{id_col}"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col(f"qq_{id_col}").alias("query_id"),
+            F.col(f"cent_{id_col}").alias("centroid_id"),
+        )
+    )

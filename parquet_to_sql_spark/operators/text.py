@@ -1,0 +1,136 @@
+"""Text-analysis operators over a document column.
+
+All pure Column expressions (JVM codegen, zero Python UDFs):
+  * token counting — whitespace tokens and a BPE-ish regex token count
+  * language ID — stopword-lexicon hit counts + deterministic argmax
+  * quality scoring — length/punctuation/stopword-ratio features
+  * document fingerprint — polynomial rolling hash (functions.hashing)
+  * simhash — 16-bit majority-vote sketch over token hashes
+
+Designed for 100 TB: every operator is a narrow projection or a
+single explode+groupBy; nothing collects, nothing is quadratic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from parquet_to_sql_spark.functions.hashing import FOLD_MOD, char_fold_hash
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lexicons (deterministic heuristic).
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "les", "des", "et", "une", "est"),
+    "zh": ("的", "是", "了", "在"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")  # argmax tie-break order
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    return {
+        "n_ws_tokens": F.size(ws_tokens(text)),
+        "n_bpe_tokens": F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)),
+        "n_chars": F.length(text),
+    }
+
+
+def lang_hits(text: Column) -> dict[str, Column]:
+    """Stopword hits per language (distinct lexicon words present)."""
+    words = ws_tokens(F.lower(text))
+    return {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in lex])))
+        for lang, lex in LANG_LEXICONS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic argmax over lexicon hits, ties broken by
+    LANG_PRIORITY; no hits at all -> 'unknown'."""
+    hits = lang_hits(text)
+    expr = F.lit("unknown")
+    for lang in reversed(LANG_PRIORITY):
+        others = [hits[o] for o in LANG_PRIORITY if o != lang]
+        cond = (hits[lang] > 0) & (hits[lang] >= F.greatest(*others))
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards reasonable length and
+    stopword presence, penalizes punctuation soup.
+
+    score = 0.4*min(len/500, 1) + 0.4*min(stop_ratio*8, 1)
+          + 0.2*(1 - min(punct_ratio*4, 1))
+    """
+    n_chars = F.length(text).cast("double")
+    words = ws_tokens(F.lower(text))
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+    all_stop = sorted({w for lex in LANG_LEXICONS.values() for w in lex})
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*all_stop))
+    ).cast("double")
+    punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double")
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / n_words * F.lit(8.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct / F.greatest(n_chars, F.lit(1.0)) * F.lit(4.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_score + F.lit(0.4) * stop_score + F.lit(0.2) * punct_penalty
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling-hash document fingerprint in [0, 2^31-1)."""
+    return char_fold_hash(text)
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit simhash per document: hash each token, take the majority
+    of each of the low 16 bits (+1/-1 votes), reassemble.
+
+    One explode + one groupBy — shuffles (id, token_hash) pairs once;
+    at 100 TB the aggregate is partial map-side first.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", char_fold_hash(F.col("tok")))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    voted = tokens.groupBy(id_col).agg(*bit_votes)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return voted.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass text-analysis profile: token counts, language, quality,
+    fingerprint."""
+    t = F.col(text_col)
+    counts = token_counts(t)
+    return df.select(
+        F.col(id_col),
+        counts["n_chars"].alias("n_chars"),
+        counts["n_ws_tokens"].alias("n_ws_tokens"),
+        counts["n_bpe_tokens"].alias("n_bpe_tokens"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -19,6 +19,7 @@ _MODULES = (
     "parquet_to_sql_spark.queries.dedup",
     "parquet_to_sql_spark.queries.simsearch",
     "parquet_to_sql_spark.queries.text",
+    "parquet_to_sql_spark.queries.multimodal",
 )
 
 

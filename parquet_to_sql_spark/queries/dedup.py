@@ -1,0 +1,197 @@
+"""Deduplication queries over `documents` / `embeddings`, oracle-checked.
+
+Every dedup variant — exact, n-gram Jaccard, MinHash LSH, SimHash,
+embedding-cosine — has a full value-exact DuckDB oracle: the oracle
+SQL re-runs the identical algorithm (same fold hash, same minhash
+constants, same banding) rather than approximating it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.functions.hashing import FOLD_MOD, minhash_constants
+from parquet_to_sql_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from parquet_to_sql_spark.queries.registry import query
+from parquet_to_sql_spark.queries.text import DUCK_FOLD, DUCK_WORDS
+
+# distinct 3-word shingles of the ws-token array, DuckDB side
+DUCK_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({DUCK_WORDS})-1), "
+    f"i -> {DUCK_WORDS}[i] || ' ' || {DUCK_WORDS}[i+1] || ' ' || {DUCK_WORDS}[i+2]))"
+)
+
+
+@query(
+    "dedup_exact_sha256",
+    tags=("dedup", "llm-pipeline"),
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy, keep min id. One shuffle on
+    the 256-bit hash; at 100 TB this is the canonical first dedup pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    headline=True,
+    tags=("dedup", "llm-pipeline"),
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({DUCK_SHINGLES}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+    ), common AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes s1 ON doc1 = s1.doc
+    JOIN sizes s2 ON doc2 = s2.doc
+    WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 via inverted-index
+    self-join (cost ~ sum of per-shingle doc-frequency², never n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _duck_minhash_cols(k: int = 8) -> str:
+    return ",\n      ".join(
+        f"MIN((x * {a} + {b}) % {FOLD_MOD}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_constants(k))
+    )
+
+
+_DUCK_SIG = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, {DUCK_FOLD.format(s="shingle")} AS x FROM sh
+    ), sig AS (
+      SELECT doc_id,
+      {_duck_minhash_cols(8)}
+      FROM hashed GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_minhash_signatures",
+    tags=("dedup", "minhash", "llm-pipeline"),
+    oracle=_DUCK_SIG + "SELECT * FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signature per document (explode + one
+    groupBy with 8 MIN aggregates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", k=8, n=3)
+
+
+_MATCH_SUM = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+_BANDS = ["m0 || '_' || m1", "m2 || '_' || m3", "m4 || '_' || m5", "m6 || '_' || m7"]
+_DUCK_BUCKETS = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, {expr} AS bucket FROM sig"
+    for bi, expr in enumerate(_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    tags=("dedup", "minhash", "lsh", "llm-pipeline"),
+    oracle=_DUCK_SIG
+    + f""",
+    buckets AS ({_DUCK_BUCKETS}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+      FROM buckets l JOIN buckets r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT doc1, doc2, CAST(({_MATCH_SUM}) AS DOUBLE) / 8.0 AS est_jaccard
+    FROM cand
+    JOIN sig a ON a.doc_id = doc1
+    JOIN sig b ON b.doc_id = doc2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates: 4 bands × 2 rows; candidates
+    share a band bucket, scored by matching-minhash fraction.
+
+    The banding join is the 100 TB path: an equality join on
+    (band, bucket) — shuffle-partitioned, AQE-splittable — instead of
+    any all-pairs comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4, n=3)
+
+
+from parquet_to_sql_spark.queries.text import _recombine, _votes  # noqa: E402
+
+
+@query(
+    "dedup_simhash_buckets",
+    tags=("dedup", "simhash", "llm-pipeline"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({DUCK_WORDS}) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, {DUCK_FOLD.format(s="tok")} AS h FROM tok
+    ), votes AS (
+      SELECT doc_id, {_votes} FROM hashed GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({_recombine} AS BIGINT) AS simhash FROM votes
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM sig GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: buckets of >1 docs sharing the 16-bit sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_buckets(docs, "doc_id", "text")
+
+
+_DUCK_COS = """
+  list_reduce(list_transform(range(1, len(a.ve)+1), k -> a.ve[k]*b.ve[k]), (x,y) -> x+y)
+  / (sqrt(list_reduce(list_transform(a.ve, x -> x*x), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform(b.ve, x -> x*x), (x,y) -> x+y)))
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    tags=("dedup", "embeddings", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2, {_DUCK_COS} AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.35; the fixtures have no
+    true dup clusters, so the threshold targets the random-similarity
+    tail). Left-fold double arithmetic matches the oracle bit-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)

@@ -1,0 +1,142 @@
+"""Similarity-search queries over `embeddings`, oracle-checked.
+
+Brute-force cosine top-k is the exactness baseline; IVF is the scale
+path (probe nprobe coarse buckets only). Both oracles re-run the
+identical algorithm in DuckDB — same left-fold double arithmetic,
+same deterministic centroid choice, same tie-breaks — so results
+hash-match exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.operators.simsearch import cosine_topk, ivf_topk
+from parquet_to_sql_spark.queries.registry import query
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_K = 5
+_NPROBE = 3
+_CENTROID_MOD = 50  # vec_id % 50 == 0 -> deterministic centroids
+
+_DUCK_COS_AB = """
+  list_reduce(list_transform(range(1, len({a})+1), k -> {a}[k]*{b}[k]), (x,y) -> x+y)
+  / (sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform({b}, x -> x*x), (x,y) -> x+y)))
+"""
+
+
+@query(
+    "simsearch_cosine_topk",
+    headline=True,
+    tags=("simsearch", "embeddings", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT qid, vec_id AS cid,
+             {_DUCK_COS_AB.format(a="qv", b="ve")} AS cosine
+      FROM q JOIN v ON vec_id <> qid
+    ), ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
+def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a small broadcast query set —
+    exact kNN baseline; scales linearly in corpus size with zero
+    shuffle of the corpus (queries are broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(emb, "vec_id", "embedding", queries, k=_K)
+
+
+@query(
+    "simsearch_ivf_topk",
+    tags=("simsearch", "embeddings", "ann", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, ve, cent_id AS centroid_id FROM (
+        SELECT v.vec_id, v.ve, cent.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, cent.cent_id
+               ) AS rn
+        FROM v CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT qid, cent_id AS centroid_id FROM (
+        SELECT q.qid, cent.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="cv")} DESC, cent.cent_id
+               ) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+      SELECT q.qid, a.vec_id AS cid,
+             {_DUCK_COS_AB.format(a="qv", b="a.ve")} AS cosine
+      FROM q
+      JOIN probes ON probes.qid = q.qid
+      JOIN assigned a ON a.centroid_id = probes.centroid_id
+      WHERE a.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: deterministic centroids
+    (vec_id % {mod} == 0), assign once, probe 3 buckets per query.
+
+    The scale story: the centroid table stays tiny and broadcast at
+    any corpus size; per-query work drops from O(n) to O(n * nprobe /
+    n_centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    centroids = emb.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+    return ivf_topk(
+        emb, "vec_id", "embedding", queries, centroids, k=_K, nprobe=_NPROBE
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    tags=("embeddings", "llm-pipeline"),
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                                (a,b) -> a+b))) AS min_norm,
+           MAX(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                                (a,b) -> a+b))) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column hygiene stats: L2 norm range per label (min/max
+    are order-independent, so doubles compare exactly)."""
+    from parquet_to_sql_spark.operators.simsearch import norm_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min(norm_expr("embedding")).alias("min_norm"),
+        F.max(norm_expr("embedding")).alias("max_norm"),
+    )

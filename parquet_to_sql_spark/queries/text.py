@@ -1,0 +1,145 @@
+"""Text-analysis queries over `documents`, oracle-checked.
+
+The oracle SQL re-implements the exact same algorithms in DuckDB
+(same codepoint fold, same lexicons, same arithmetic order), so these
+are checked value-exactly like every relational query — no weaker
+rows-only fallback needed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.operators.text import (
+    LANG_LEXICONS,
+    LANG_PRIORITY,
+    TOKEN_REGEX,
+    simhash16,
+    text_profile,
+)
+from parquet_to_sql_spark.queries.registry import query
+
+# ---- shared DuckDB fragments -------------------------------------------
+DUCK_FOLD = (
+    "list_reduce(list_transform(string_split({s}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % 2147483647)"
+)
+DUCK_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _lex_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang]) + "]"
+
+
+def _duck_hits(lang: str) -> str:
+    return (
+        f"len(list_filter({_lex_list(lang)}, "
+        f"w -> list_contains(string_split_regex(trim(lower(text)), '\\s+'), w)))"
+    )
+
+
+def _duck_lang_case() -> str:
+    clauses = []
+    for lang in LANG_PRIORITY:
+        others = ", ".join(_duck_hits(o) for o in LANG_PRIORITY if o != lang)
+        clauses.append(
+            f"WHEN {_duck_hits(lang)} > 0 AND {_duck_hits(lang)} >= greatest({others}) "
+            f"THEN '{lang}'"
+        )
+    return "CASE " + " ".join(clauses) + " ELSE 'unknown' END"
+
+
+_ALL_STOP = sorted({w for lex in LANG_LEXICONS.values() for w in lex})
+_ALL_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _ALL_STOP) + "]"
+
+_DUCK_QUALITY = f"""
+    CAST(0.4 AS DOUBLE) * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+  + CAST(0.4 AS DOUBLE) * least(
+        CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains({_ALL_STOP_LIST}, w))) AS DOUBLE)
+        / greatest(CAST(len({DUCK_WORDS}) AS DOUBLE), 1.0) * 8.0, 1.0)
+  + CAST(0.2 AS DOUBLE) * (1.0 - least(
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0))
+"""
+
+
+@query(
+    "text_profile_documents",
+    headline=True,
+    tags=("text-analysis", "llm-pipeline"),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT)                       AS n_chars,
+           CAST(len({DUCK_WORDS}) AS INT)                  AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS n_bpe_tokens,
+           {_duck_lang_case()}                             AS lang_pred,
+           {_DUCK_QUALITY}                                 AS quality,
+           {DUCK_FOLD.format(s="text")}                    AS fingerprint
+    FROM documents
+    """,
+)
+def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-analysis profile: counts, language ID, quality score,
+    rolling-hash fingerprint — one narrow projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text")
+
+
+_SIMHASH_BITS = 16
+_votes = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_recombine = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "text_simhash",
+    tags=("text-analysis", "dedup", "llm-pipeline"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({DUCK_WORDS}) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, {DUCK_FOLD.format(s="tok")} AS h FROM tok
+    ), votes AS (
+      SELECT doc_id,
+           {_votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_recombine} AS BIGINT) AS simhash FROM votes
+    """,
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash sketch per document (explode + one groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs, "doc_id", "text")
+
+
+@query(
+    "text_lang_distribution",
+    tags=("text-analysis",),
+    oracle=f"""
+    SELECT {_duck_lang_case()} AS lang_pred, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang_pred
+    """,
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID rollup (heuristic lang vs corpus size)."""
+    from parquet_to_sql_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"), "n_chars")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Unit tests for the LLM-pipeline operators: behaviors that the
+oracle gate can't see (recall properties, stub decode values,
+constructed duplicate handling)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.operators.dedup import (
+    dedup_exact,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from parquet_to_sql_spark.operators.multimodal import (
+    decode_image_features,
+    pack_binary,
+)
+from parquet_to_sql_spark.operators.simsearch import cosine_topk, ivf_topk
+from parquet_to_sql_spark.operators.text import lang_id, quality_score
+from tests.conftest import SF_SMOKE
+
+
+def test_dedup_exact_collapses_constructed_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.n_copies for r in dedup_exact(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_finds_near_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    assert [(p.doc1, p.doc2) for p in pairs] == [(1, 2)]
+    assert 0.3 <= pairs[0].jaccard < 1.0
+
+
+def test_identical_docs_have_identical_minhash(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_ivf_recall_against_brute_force(spark):
+    """IVF with nprobe=3 of 10 buckets should recover most of the
+    exact top-5 (sanity floor; exact recall depends on data)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, "vec_id", "embedding", queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, "vec_id", "embedding", queries, centroids, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    assert len(approx) == len(exact) == 25
+
+
+def test_lang_id_on_real_phrases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "el perro y la casa de los gatos"),
+            (3, "der Hund und die Katze ist ein Tier"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "unknown"}
+
+
+def test_quality_score_orders_sensibly(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the hills " * 5),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.q for r in df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert scores[1] > scores[2]
+    assert 0.0 <= scores[2] < scores[1] <= 1.0
+
+
+def test_multimodal_pack_and_decode_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    packed = pack_binary(
+        df,
+        data=F.encode(F.col("text"), "utf-8"),
+        uri=F.concat(F.lit("doc://"), F.col("doc_id").cast("string")),
+        media_type="text/plain",
+    )
+    feats = {r.uri: r for r in decode_image_features(packed, fake=True).collect()}
+    assert feats["doc://1"].n_bytes == 5
+    assert feats["doc://1"].width == 16 + 5 and feats["doc://1"].channels == 3
+    assert feats["doc://2"].n_bytes == 0 and feats["doc://2"].mean_luma == 0.0
+    assert set(decode_image_features(packed).columns) == {
+        "uri", "n_bytes", "width", "height", "channels", "mean_luma",
+    }
+
+
+def test_multimodal_real_decoder_is_explicitly_stubbed(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    packed = pack_binary(df, F.encode(F.col("text"), "utf-8"),
+                         F.lit("doc://1"), "image/png")
+    with pytest.raises(NotImplementedError, match="decoder"):
+        decode_image_features(packed, fake=False)
