@@ -1,0 +1,21 @@
+from parquet_to_sql_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_import,
+    tumbling_counts,
+    user_running_totals,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "dedup_within_watermark",
+    "user_running_totals",
+    "run_to_memory",
+    "stream_import",
+]

@@ -1,0 +1,169 @@
+"""Structured Streaming pipeline over the `events` table.
+
+The reference has no streaming at all (SURVEY.md §2.B); this module
+gives the engine the standard event-time toolkit:
+
+  * file-source stream of events parquet (same ns-timestamp handling
+    as the batch catalog — nanos read as long, truncated to µs)
+  * watermarked tumbling / sliding / session window aggregations —
+    identical window semantics to the batch queries in
+    queries/events.py, which is what their DuckDB oracles pin down
+  * dropDuplicatesWithinWatermark for streaming dedup
+  * a custom stateful operator (running per-user totals) via
+    applyInPandasWithState — the pattern for anything the built-in
+    operators can't express
+  * foreachBatch sink that reuses the batch Importer sinks, so a
+    stream lands in a SQL table through the exact same COPY/INSERT
+    path as a batch import
+
+Scale posture: all aggregations are keyed on (window, type) or
+user_id — state is bounded by watermark horizon × key cardinality;
+file source scales by splitting input files across executors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from parquet_to_sql_spark.session import apply_runtime_confs
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events parquet files under `path`.
+
+    ts arrives as TIMESTAMP(NANOS) -> long (nanosAsLong), truncated to
+    microseconds exactly like catalog.load_table, so streaming and
+    batch agree on event time.
+    """
+    apply_runtime_confs(spark)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type (streaming
+    twin of the oracle-checked ev_tumbling_hourly)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(12,2))")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (streaming twin of
+    ev_session_windows)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup: first event per key wins; state is purged once
+    the watermark passes (bounded memory, unlike a global distinct)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+_RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _running_totals_fn(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+
+def user_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event count and
+    value, maintained across micro-batches via applyInPandasWithState
+    (Arrow-batched; the escape hatch for semantics the built-in
+    windowed aggregations can't express)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory table `name`; returns after all input is processed."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_import(
+    stream: DataFrame, sink, table: str, output_mode: str = "append"
+) -> None:
+    """Land a stream in a SQL table through a batch sink (foreachBatch
+    reuses the same COPY/INSERT machinery as Importer)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write(batch_df, table, truncate=False)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,190 @@
+"""Structured Streaming tests: batch-equivalence (streaming windows
+must produce exactly the batch oracle-checked results), streaming
+dedup, custom stateful operator, late-data watermark behavior, and
+the foreachBatch -> SQL-sink path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
+from parquet_to_sql_spark.streaming import (
+    dedup_within_watermark,
+    events_stream,
+    run_to_memory,
+    session_counts,
+    stream_import,
+    tumbling_counts,
+    user_running_totals,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = str(tmp_path / "events_in")
+    os.makedirs(d)
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), os.path.join(d, "part0.parquet"))
+    return d
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    stream = events_stream(spark, events_dir)
+    run_to_memory(tumbling_counts(stream), "tumbling_out", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            _batch_events(spark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("CAST(value AS DECIMAL(12,2))")).cast("double").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sessions_match_batch(spark, events_dir):
+    stream = events_stream(spark, events_dir)
+    run_to_memory(session_counts(stream), "sessions_out", "complete")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    want = {
+        (r.user_id, r.w.start): r["count"]
+        for r in (
+            _batch_events(spark)
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .count()
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir, tmp_path):
+    # duplicate the input file -> every event arrives twice
+    shutil.copy(
+        os.path.join(events_dir, "part0.parquet"), os.path.join(events_dir, "part1.parquet")
+    )
+    stream = events_stream(spark, events_dir)
+    deduped = dedup_within_watermark(stream, ["event_id"])
+    run_to_memory(deduped.select("event_id"), "dedup_out", "append")
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) AS n, COUNT(*) AS total FROM dedup_out").collect()[0]
+    n_src = _batch_events(spark).count()
+    assert n.total == n.n == n_src
+
+
+def test_user_running_totals_stateful(spark, events_dir):
+    stream = events_stream(spark, events_dir)
+    run_to_memory(user_running_totals(stream), "running_out", "update")
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM running_out").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in (
+            _batch_events(spark)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Two micro-batches: batch 2 carries an event far older than the
+    watermark after batch 1 -> append-mode window output never counts
+    it; an in-watermark late event is counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "late_in")
+    os.makedirs(d)
+    base = 1_704_067_200_000_000_000  # 2024-01-01 00:00 in ns
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([base + r[1] * 10**9 for r in rows], pa.timestamp("ns")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows), pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            os.path.join(d, name),
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run():
+        stream = events_stream(spark, d)
+        windowed = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def emitted():
+        return {r.ws.hour: r.n for r in spark.read.parquet(out).collect()}
+
+    # run 1: events at t=0h and t=6h -> watermark persists at 5h;
+    # window [0h,1h) finalizes and is emitted.
+    write("b1.parquet", [(1, 0), (2, 6 * 3600)])
+    run()
+    rows1 = emitted()
+    assert rows1.get(0) == 1
+
+    # run 2 (same checkpoint): a LATE event at t=0h30 (before the 5h
+    # watermark -> must be dropped, its window already closed), an
+    # in-watermark event at t=5h30, and a t=8h event that advances the
+    # watermark to 7h so window [5h,6h) finalizes this run.
+    write("b2.parquet", [(3, 1800), (4, 5 * 3600 + 1800), (5, 8 * 3600)])
+    run()
+    rows2 = emitted()
+    assert rows2.get(0) == 1, "late event beyond watermark re-opened a closed window"
+    assert rows2.get(5) == 1, "in-watermark event lost"
+
+
+def test_stream_import_foreachbatch_to_duckdb(spark, events_dir, tmp_path):
+    db = str(tmp_path / "stream.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR)")
+    con.close()
+    stream = events_stream(spark, events_dir).select("event_id", "user_id", "event_type")
+    stream_import(stream, DuckDbSink(db), "ev")
+    con = duckdb.connect(db)
+    n = con.execute("SELECT COUNT(*), COUNT(DISTINCT event_id) FROM ev").fetchone()
+    con.close()
+    assert n[0] == n[1] == _batch_events(spark).count()
