@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Methodology (BASELINE.md): warm SparkSession, one warmup execution,
+then one timed .collect() per headline query (build + execute +
+materialize). An import-path throughput probe (COPY text rendering of
+lineitem, the reference's core workload) is included as
+`import_render_lineitem`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_to_sql_spark.catalog import load_table  # noqa: E402
+from parquet_to_sql_spark.normalize import copy_lines  # noqa: E402
+from parquet_to_sql_spark.queries.registry import all_queries  # noqa: E402
+from parquet_to_sql_spark.session import get_spark  # noqa: E402
+
+
+def import_render_lineitem(spark, sf_dir):
+    """Import-path stand-in: render every lineitem row to COPY text
+    (the reference's whole job, minus the Postgres socket)."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    return copy_lines(rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("line")).alias("total_bytes"),
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    headline = {n: q.build for n, q in sorted(all_queries().items()) if q.headline}
+    headline["import_render_lineitem"] = import_render_lineitem
+
+    # warmup: JVM/codegen/file-listing paths
+    headline["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, build in headline.items():
+        t0 = time.monotonic()
+        build(spark, sf_dir).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

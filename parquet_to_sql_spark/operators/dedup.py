@@ -45,8 +45,11 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs — the inverted-index input for Jaccard/LSH."""
-    return df.select(
+    """(id, shingle) pairs — the inverted-index input for Jaccard/LSH.
+    Rebalanced first: shingling costs far more than the scan."""
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    return rebalance_for_compute(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("shingle"),
     )
@@ -66,7 +69,9 @@ def ngram_jaccard_pairs(
     `max_doc_freq` drops shingles appearing in more than that many docs
     (skew guard; exactness trade documented at call sites).
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    # cached: this relation feeds the sizes aggregate AND both sides of
+    # the self-join; recomputing the shingle explode 3x dominates cost
+    sh = shingle_sets(df, id_col, text_col, n).cache()
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle").drop("df")

@@ -40,7 +40,13 @@ def norm_expr(v: Column | str) -> Column:
     )
 
 
-def with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+def with_norm(
+    df: DataFrame, id_col: str, vec_col: str, prefix: str, rebalance: bool = False
+) -> DataFrame:
+    if rebalance:
+        from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+        df = rebalance_for_compute(df.select(id_col, vec_col))
     return df.select(
         F.col(id_col).alias(f"{prefix}_{id_col}"),
         F.col(vec_col).alias(f"{prefix}_vec"),
@@ -63,7 +69,8 @@ def cosine_topk(
     the k nearest non-identical vectors. Returns
     (query_id, neighbor_id, cosine, rank)."""
     q = with_norm(queries, id_col, vec_col, prefix="q")
-    c = with_norm(df, id_col, vec_col, prefix="c")
+    # corpus side: the per-row dot-product folds dominate, spread them
+    c = with_norm(df, id_col, vec_col, prefix="c", rebalance=True)
     scored = (
         F.broadcast(q)
         .crossJoin(c)

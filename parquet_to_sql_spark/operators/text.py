@@ -37,6 +37,23 @@ def ws_tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def rebalance_for_compute(df: DataFrame) -> DataFrame:
+    """Spread expression-heavy per-row work across all cores.
+
+    A Parquet scan parallelizes at row-group granularity; when the
+    input has few row groups relative to cores (always true for the
+    local fixtures, and true on clusters whenever compute cost per row
+    dwarfs scan cost), the heavy projection inherits the scan's
+    parallelism. One cheap round-robin shuffle of the narrow input
+    fixes that. No semantic effect — downstream results are identical.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_counts(text: Column) -> dict[str, Column]:
     return {
         "n_ws_tokens": F.size(ws_tokens(text)),
@@ -45,19 +62,23 @@ def token_counts(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_hits(text: Column) -> dict[str, Column]:
-    """Stopword hits per language (distinct lexicon words present)."""
-    words = ws_tokens(F.lower(text))
+def _lang_hits_from(lower_words: Column) -> dict[str, Column]:
+    """Stopword hits per language (lexicon words present in the doc)."""
     return {
-        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in lex])))
+        lang: F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in lex]),
+                lambda w: F.array_contains(lower_words, w),
+            )
+        )
         for lang, lex in LANG_LEXICONS.items()
     }
 
 
-def lang_id(text: Column) -> Column:
+def _lang_id_from(lower_words: Column) -> Column:
     """Deterministic argmax over lexicon hits, ties broken by
     LANG_PRIORITY; no hits at all -> 'unknown'."""
-    hits = lang_hits(text)
+    hits = _lang_hits_from(lower_words)
     expr = F.lit("unknown")
     for lang in reversed(LANG_PRIORITY):
         others = [hits[o] for o in LANG_PRIORITY if o != lang]
@@ -66,7 +87,14 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
-def quality_score(text: Column) -> Column:
+def lang_id(text: Column) -> Column:
+    return _lang_id_from(ws_tokens(F.lower(text)))
+
+
+_ALL_STOPWORDS = tuple(sorted({w for lex in LANG_LEXICONS.values() for w in lex}))
+
+
+def _quality_from(text: Column, lower_words: Column) -> Column:
     """Heuristic quality in [0,1]: rewards reasonable length and
     stopword presence, penalizes punctuation soup.
 
@@ -74,11 +102,9 @@ def quality_score(text: Column) -> Column:
           + 0.2*(1 - min(punct_ratio*4, 1))
     """
     n_chars = F.length(text).cast("double")
-    words = ws_tokens(F.lower(text))
-    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
-    all_stop = sorted({w for lex in LANG_LEXICONS.values() for w in lex})
+    n_words = F.greatest(F.size(lower_words), F.lit(1)).cast("double")
     stop_hits = F.size(
-        F.filter(words, lambda w: w.isin(*all_stop))
+        F.filter(lower_words, lambda w: w.isin(*_ALL_STOPWORDS))
     ).cast("double")
     punct = F.size(
         F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0)
@@ -89,6 +115,10 @@ def quality_score(text: Column) -> Column:
     return (
         F.lit(0.4) * length_score + F.lit(0.4) * stop_score + F.lit(0.2) * punct_penalty
     )
+
+
+def quality_score(text: Column) -> Column:
+    return _quality_from(text, ws_tokens(F.lower(text)))
 
 
 def fingerprint(text: Column) -> Column:
@@ -103,7 +133,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     One explode + one groupBy — shuffles (id, token_hash) pairs once;
     at 100 TB the aggregate is partial map-side first.
     """
-    tokens = df.select(
+    tokens = rebalance_for_compute(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", char_fold_hash(F.col("tok")))
     bit_votes = [
@@ -122,15 +152,25 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass text-analysis profile: token counts, language, quality,
-    fingerprint."""
+    fingerprint.
+
+    The tokenizations are staged as intermediate columns so each runs
+    once per row (CollapseProject keeps non-cheap aliases shared), and
+    the whole projection is rebalanced across cores first — it costs
+    far more than the scan."""
     t = F.col(text_col)
-    counts = token_counts(t)
-    return df.select(
+    staged = rebalance_for_compute(df.select(id_col, text_col)).select(
         F.col(id_col),
-        counts["n_chars"].alias("n_chars"),
-        counts["n_ws_tokens"].alias("n_ws_tokens"),
-        counts["n_bpe_tokens"].alias("n_bpe_tokens"),
-        lang_id(t).alias("lang_pred"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
+        t.alias("_t"),
+        ws_tokens(t).alias("_w"),
+        ws_tokens(F.lower(t)).alias("_lw"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.length("_t").alias("n_chars"),
+        F.size("_w").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("_t", F.lit(TOKEN_REGEX), 0)).alias("n_bpe_tokens"),
+        _lang_id_from(F.col("_lw")).alias("lang_pred"),
+        _quality_from(F.col("_t"), F.col("_lw")).alias("quality"),
+        fingerprint(F.col("_t")).alias("fingerprint"),
     )
