@@ -1,0 +1,182 @@
+"""Advanced aggregation surface: pivot/unpivot, exact percentiles,
+ordered string aggregation, deterministic sampling, salted two-phase
+aggregation, and sketch aggregates.
+
+The salted aggregation is the skew playbook made executable: its
+oracle is the PLAIN single-phase GROUP BY — proving the two-phase
+rewrite is semantics-preserving is exactly what the gate checks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import query
+
+
+@query(
+    "agg_pivot_status",
+    tags=("aggregation", "pivot"),
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per nation × status. Explicit pivot values
+    keep the plan a single pass (no distinct-collect of keys)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "agg_unpivot_part_measures",
+    tags=("aggregation", "unpivot"),
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def agg_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide part measures to long (measure, value)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
+    ).unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "value")
+
+
+@query(
+    "agg_percentiles",
+    tags=("aggregation", "percentile"),
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.5)  AS median_bal,
+           quantile_cont(c_acctbal, 0.9)  AS p90
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` and DuckDB
+    `quantile_cont` share the (n-1)p interpolation — verified
+    bit-exact)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("p25"),
+        F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
+        F.expr("percentile(c_acctbal, 0.9)").alias("p90"),
+    )
+
+
+@query(
+    "agg_string_collect",
+    tags=("aggregation", "collect"),
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list -> sort -> join gives
+    a deterministic LISTAGG regardless of shuffle order."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "sample_deterministic",
+    tags=("sampling",),
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 100 < 5
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% systematic sample via multiplicative hashing
+    of the key — reproducible across engines and runs, unlike
+    TABLESAMPLE. The filter pushes to the scan as a deterministic
+    predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter((F.col("o_orderkey") * 2654435761) % 100 < 5).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "agg_salted_two_phase",
+    tags=("aggregation", "skew", "salting"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: phase 1 groups by (key, salt) to
+    spread a hot key over 16 reducers, phase 2 merges partials.
+
+    The oracle is the PLAIN single-phase GROUP BY — the gate proves
+    the rewrite is exactly semantics-preserving. (With only 3 distinct
+    return flags, every key is 'hot': the unsalted plan puts each on
+    one reducer.) Decimal partials keep the merge order-insensitive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_sq").cast("double").alias("sum_qty"),
+        F.sum("_n").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_approx_sketches",
+    tags=("aggregation", "sketch", "approx"),
+    oracle=None,  # HLL/KLL sketches are engine-specific; rows-only check
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for cardinality/quantiles at scale:
+    approx_count_distinct (HyperLogLog++) and approx_percentile
+    (KLL-style) — the O(1)-memory versions of the exact operators
+    above. Values are engine-specific by nature (no oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

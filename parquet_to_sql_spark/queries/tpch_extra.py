@@ -1,0 +1,215 @@
+"""Additional TPC-H-pattern queries adapted to the fixture schema
+(the fixtures omit some TPC-H columns — commitdate, shipmode, mfgr —
+so each query keeps the PATTERN that matters for the optimizer:
+nation-pair volume, market share, disjunctive predicates, correlated
+average subqueries, large-order IN+HAVING, absent-relation checks).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import query
+
+DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str, tables: tuple[str, ...]) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(text)
+
+
+_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         {DISC_PRICE} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_nation_volume", tags=("tpch", "join", "aggregation"), oracle=_Q7)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 pattern: bidirectional nation-pair trade volume by
+    year. Both nation joins broadcast; the OR-of-pairs predicate is
+    evaluated post-join on broadcast rows, never shuffling lineitem."""
+    return _sql(spark, sf_dir, _Q7,
+                ("supplier", "lineitem", "orders", "customer", "nation"))
+
+
+_Q8 = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         {DISC_PRICE} AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                        AND TIMESTAMP '1996-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("q8_market_share", tags=("tpch", "join", "aggregation"), oracle=_Q8)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 pattern: one nation's revenue share of a filtered
+    market, per year — conditional aggregation over an 8-way join.
+    The decimal volumes keep both SUMs exact, so the final double
+    division is engine-identical."""
+    return _sql(spark, sf_dir, _Q8,
+                ("part", "lineitem", "orders", "customer", "nation", "region", "supplier"))
+
+
+_Q12 = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@query("q12_priority_shipping", tags=("tpch", "join", "conditional-agg"), oracle=_Q12)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 pattern: CASE-conditional counting inside a join
+    aggregate."""
+    return _sql(spark, sf_dir, _Q12, ("orders", "lineitem"))
+
+
+_Q14 = f"""
+SELECT CAST(100.00 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE}
+                       ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+       / CAST(SUM({DISC_PRICE}) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@query("q14_promo_effect", tags=("tpch", "join", "conditional-agg"), oracle=_Q14)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 pattern: promo revenue share (conditional decimal sums
+    -> one double division)."""
+    return _sql(spark, sf_dir, _Q14, ("lineitem", "part"))
+
+
+_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+@query("q17_small_quantity", tags=("tpch", "correlated-subquery"), oracle=_Q17)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: correlated average subquery (lines below 20%
+    of the part's mean quantity). Catalyst decorrelates it into an
+    aggregate+join — no per-row subquery execution."""
+    return _sql(spark, sf_dir, _Q17, ("lineitem", "part"))
+
+
+_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, o_orderdate,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice, o_orderdate
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@query("q18_large_orders", tags=("tpch", "in-subquery", "having"), oracle=_Q18)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 pattern: IN over a HAVING aggregate (large-volume
+    orders), rewritten by Catalyst to a semi join on the aggregate."""
+    return _sql(spark, sf_dir, _Q18, ("customer", "orders", "lineitem"))
+
+
+_Q19 = f"""
+SELECT CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@query("q19_disjunctive", tags=("tpch", "disjunctive-filter"), oracle=_Q19)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 pattern: OR-of-conjunct predicates across the join —
+    the classic test that the optimizer pushes the common join key and
+    keeps the disjunction as a post-join filter."""
+    return _sql(spark, sf_dir, _Q19, ("lineitem", "part"))
+
+
+_Q22 = """
+SELECT SUBSTRING(c_name, 10, 2) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+"""
+
+
+@query("q22_global_sales", tags=("tpch", "anti-join", "scalar-subquery"), oracle=_Q22)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern: above-average customers with no orders
+    (scalar subquery + anti join)."""
+    return _sql(spark, sf_dir, _Q22, ("customer", "orders"))

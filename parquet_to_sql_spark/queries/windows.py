@@ -128,3 +128,38 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIRST_VALUE/LAST_VALUE with an explicit full-partition frame
     (the default frame would make LAST_VALUE the current row)."""
     return _sql(spark, sf_dir, _FIRST_LAST_SQL, ("orders",))
+
+
+_PCT_SQL = """
+SELECT c_custkey, c_mktsegment,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume,
+       NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS second_richest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("window_pct_cume_nth", tags=("window", "ranking"), oracle=_PCT_SQL)
+def window_pct_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST / NTH_VALUE (full-partition frame)."""
+    return _sql(spark, sf_dir, _PCT_SQL, ("customer",))
+
+
+_RANGE_SQL = """
+SELECT o_orderkey, o_totalprice,
+       COUNT(*) OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+         AS n_similar_priced
+FROM orders
+"""
+
+
+@query("window_range_frame", tags=("window", "frame", "range"), oracle=_RANGE_SQL)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: peers within ±1000 of each order's price
+    (value-based frame, not row-based)."""
+    return _sql(spark, sf_dir, _RANGE_SQL, ("orders",))

@@ -77,6 +77,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Bound per-task input so huge files split into parallel scans.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/parquet_to_sql_spark_warehouse"
+            ),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

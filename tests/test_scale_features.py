@@ -1,0 +1,85 @@
+"""Scale-mechanics tests: the physical-layout features a 100 TB
+deployment depends on — partitioned writes with partition pruning,
+bucketed tables with shuffle-free joins, and broadcast behavior.
+These assert on the PLAN, not just results."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_to_sql_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    out = str(tmp_path / "li_parted")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.write.partitionBy("l_returnflag").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = _formatted_plan(back)
+    assert "PartitionFilters" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters")[1].split("\n")[0]
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == want
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key co-locate: the sort-merge
+    join runs with ZERO Exchange operators — the bucketing payoff that
+    matters when both sides are 10s of TB."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _formatted_plan(j)
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_broadcast_join_in_headline_plan(spark):
+    """q5's fact table must never shuffle: every dim joins via
+    BroadcastHashJoin and the only Exchange is the final aggregate's."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    df = all_queries()["q5_local_supplier_volume"].build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    # formatted mode prints each operator twice (tree + details)
+    assert plan.count("BroadcastHashJoin") == 10
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2, f"expected only the final-aggregate shuffle, got {shuffles // 2}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_shipdate") > "1999-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _formatted_plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # column pruning: the scan must read only the 3 referenced columns
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
