@@ -137,3 +137,86 @@ def ev_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.min_by("event_id", "ts").alias("first_event_id"),
     )
+
+
+@query(
+    "ev_funnel_signup_purchase",
+    tags=("events", "funnel"),
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM firsts
+    """,
+)
+def ev_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users who signed up, and of those, purchased
+    AFTER their first signup — one conditional-MIN aggregate per user,
+    then one global rollup. Two shuffles total at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+@query(
+    "ev_retention_day1",
+    tags=("events", "retention"),
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(d) AS first_day FROM days GROUP BY user_id
+    )
+    SELECT cohort.first_day AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS cohort_size,
+           CAST(SUM(CASE WHEN ret.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS retained_day1
+    FROM cohort
+    LEFT JOIN days ret
+      ON ret.user_id = cohort.user_id
+     AND ret.d = cohort.first_day + INTERVAL 1 DAY
+    GROUP BY cohort.first_day
+    """,
+)
+def ev_retention_day1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-1 retention cohorts: users grouped by first active day,
+    counted if active again the next day. distinct-days -> cohort ->
+    self left-join on (user, day+1)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    ret = days.select(
+        F.col("user_id").alias("r_user"), F.col("d").alias("r_d")
+    )
+    joined = cohort.join(
+        ret,
+        (F.col("r_user") == F.col("user_id"))
+        & (F.col("r_d") == F.col("first_day") + F.expr("INTERVAL 1 DAY")),
+        "left",
+    )
+    return joined.groupBy(F.col("first_day").alias("cohort_day")).agg(
+        F.count(F.lit(1)).alias("cohort_size"),
+        F.sum(F.when(F.col("r_user").isNotNull(), 1).otherwise(0)).alias("retained_day1"),
+    )

@@ -143,3 +143,30 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "text_word_counts_top20",
+    tags=("text-analysis", "explode"),
+    oracle=f"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({DUCK_WORDS}) AS word FROM documents) t
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def text_word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode-groupBy-topk word count (LATERAL VIEW
+    pattern); partial aggregation keeps the shuffle at vocabulary
+    size, not token count."""
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )

@@ -138,6 +138,45 @@ class CopySink:
 
         rendered.foreachPartition(run)
 
+    def write_atomic(self, df: DataFrame, table: str) -> None:
+        """All-or-nothing load via staging table + atomic swap.
+
+        The per-batch commits of write() mean a mid-load failure leaves
+        a partial table (the reference's own contract —
+        ParquetImporter.php:102-113 commits per batch). When a load
+        must be atomic: COPY everything into `<table>_staging`, then
+        swap names in ONE transaction. Readers see the old table until
+        the swap commits; a failure anywhere leaves the target
+        untouched."""
+        assert_safe_table_name(table)
+        staging = f"{table}_staging"
+        assert_safe_table_name(staging)
+        qt, qs = quote_identifier(table), quote_identifier(staging)
+        # unqualified name for RENAME (Postgres renames within schema)
+        bare_table = table.split(".")[-1]
+        conn = self.connection_factory(self.dsn)
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DROP TABLE IF EXISTS {qs}")
+            cur.execute(f"CREATE TABLE {qs} (LIKE {qt} INCLUDING ALL)")
+            conn.commit()
+        finally:
+            conn.close()
+        self.write(df, staging, truncate=False)
+        conn = self.connection_factory(self.dsn)
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DROP TABLE {qt}")
+            cur.execute(
+                f"ALTER TABLE {qs} RENAME TO {quote_identifier(bare_table)}"
+            )
+            conn.commit()
+        except Exception as exc:
+            conn.rollback()
+            raise RuntimeError(f"atomic swap failed: {exc}") from exc
+        finally:
+            conn.close()
+
     def _execute_truncate(self, table: str) -> None:
         # Driver-side, once, before any writer starts
         # (ParquetImporter.php:50-52).

@@ -1,0 +1,93 @@
+"""Edge-case behaviors: atomic staging swap, empty inputs/results,
+and zero-row imports."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import all_queries
+from parquet_to_sql_spark.sinks.copy_pg import CopySink
+from tests.conftest import SF_SMOKE
+from tests.test_importer import _file_logging_factory
+
+
+def test_copy_write_atomic_swap_sequence(spark, tmp_path):
+    """write_atomic: staging created from target, data COPYed into
+    staging, then DROP+RENAME in one final transaction."""
+    logdir = str(tmp_path / "atomic_log")
+    os.makedirs(logdir)
+    df = spark.createDataFrame([(1, "a")], "id long, name string").coalesce(1)
+    sink = CopySink("dsn://fake", connection_factory=_file_logging_factory(logdir))
+    sink.write_atomic(df, "public.users")
+
+    events = []
+    for fn in sorted(os.listdir(logdir)):
+        with open(os.path.join(logdir, fn)) as f:
+            events.extend(json.loads(line) for line in f)
+    events.sort(key=lambda e: e[2])  # wall-clock order across processes
+    sqls = [e[1] for e in events if e[0] == "execute"]
+    assert 'CREATE TABLE "public"."users_staging" (LIKE "public"."users" INCLUDING ALL)' in sqls
+    assert 'DROP TABLE "public"."users"' in sqls
+    assert 'ALTER TABLE "public"."users_staging" RENAME TO "users"' in sqls
+    copies = [e[1] for e in events if e[0] == "copy"]
+    assert copies == ['COPY "public"."users_staging" ("id", "name") FROM STDIN']
+    # swap happens strictly after the COPY
+    order = [e[0] if e[0] != "execute" else e[1] for e in events]
+    assert order.index('DROP TABLE "public"."users"') > order.index("copy")
+
+
+def test_queries_survive_empty_results(spark):
+    """A query whose filter matches nothing must return an empty frame
+    with an intact schema (not error)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = (
+        li.filter(F.col("l_shipdate") > F.lit("2999-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert out.count() == 0
+    assert out.columns == ["l_returnflag", "n"]
+
+
+def test_empty_dataframe_import(spark, tmp_path):
+    """Zero-row source: import succeeds with rows_imported == 0 and an
+    empty (but existing) target."""
+    import duckdb
+
+    from parquet_to_sql_spark.importer import Importer
+    from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
+
+    db = str(tmp_path / "empty.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t (id BIGINT)")
+    con.close()
+    empty = spark.createDataFrame([], "id long")
+    r = Importer(spark, DuckDbSink(db)).import_(None, "t", reader=empty)
+    assert r.rows_imported == 0
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 0
+    con.close()
+
+
+def test_short_documents_produce_no_shingles(spark):
+    """Documents shorter than the shingle width drop out of minhash
+    (guarded sequence) instead of erroring."""
+    from parquet_to_sql_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, "doc_id", "text")
+    assert [r.doc_id for r in sigs.collect()] == [2]
+
+
+def test_all_queries_have_docstrings_and_unique_columns():
+    """Registry hygiene: every query documents itself, and no query
+    emits duplicate column names (the oracle compare would garble)."""
+    for name, q in all_queries().items():
+        assert q.doc, f"{name} has no docstring"

@@ -307,8 +307,10 @@ class _FileLogConn:
         self.path = os.path.join(logdir, f"{os.getpid()}_{threading.get_ident()}.jsonl")
 
     def _log(self, kind, data=None):
+        import time
+
         with open(self.path, "a") as f:
-            f.write(json.dumps([kind, data]) + "\n")
+            f.write(json.dumps([kind, data, time.time()]) + "\n")
 
     def cursor(self):
         conn = self
