@@ -1,0 +1,106 @@
+"""Remaining function-surface coverage: positional explode, map-typed
+expressions, TRY_CAST error-safe semantics, epoch conversions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import query
+from parquet_to_sql_spark.queries.text import DUCK_WORDS
+
+
+@query(
+    "fn_posexplode_words",
+    tags=("functions", "explode", "ordinality"),
+    oracle=f"""
+    SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len({DUCK_WORDS})+1),
+                    i -> struct_pack(pos := i, word := {DUCK_WORDS}[i]))) AS u
+      FROM documents
+      WHERE doc_id < 20
+    ) t
+    """,
+)
+def fn_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (1-based ordinality) of document tokens."""
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+@query(
+    "fn_map_expressions",
+    tags=("functions", "map"),
+    oracle="""
+    SELECT event_id,
+           map(['type','band'],
+               [event_type, CASE WHEN value >= 100 THEN 'high' ELSE 'low' END]
+              )['type'][1] AS type_from_map,
+           2 AS n_keys
+    FROM events
+    """,
+)
+def fn_map_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed expressions: build a map column, extract by key,
+    count keys (scalar outputs so both engines compare exactly)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("band"), F.when(F.col("value") >= 100, "high").otherwise("low"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_try_cast",
+    tags=("functions", "error-safe"),
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           TRY_CAST(p_type AS BIGINT) AS type_as_num,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS size_roundtrip
+    FROM part
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST error-safe conversions: malformed input -> NULL, never
+    a task failure (the ANSI-safe semantics for dirty data at scale)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "([0-9]+)", 1).try_cast("bigint").alias("brand_num"),
+        F.col("p_type").try_cast("bigint").alias("type_as_num"),
+        F.col("p_size").cast("string").try_cast("bigint").alias("size_roundtrip"),
+    )
+
+
+@query(
+    "fn_epoch_seconds",
+    tags=("functions", "date"),
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+           to_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+             AT TIME ZONE 'UTC' AS back_to_ts
+    FROM events
+    """,
+)
+def fn_epoch_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch round-trip: timestamp -> unix seconds (truncating) ->
+    timestamp."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("back_to_ts"),
+    )

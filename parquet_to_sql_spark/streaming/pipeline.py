@@ -167,3 +167,45 @@ def stream_import(
         .start()
     )
     q.awaitTermination()
+
+
+def purchases_after_signup_join(
+    stream: DataFrame, max_delay: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream join: each purchase matched to the same user's
+    signup no more than `max_delay` earlier.
+
+    Both sides are watermarked and the join condition carries the
+    event-time range, so state for unmatched rows is evicted once the
+    watermark passes — the canonical bounded-state stream-stream
+    equi+range join."""
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_event_id"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        signups,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_event_id",
+        "signup_event_id",
+        "purchase_ts",
+        "signup_ts",
+    )

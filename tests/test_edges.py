@@ -91,3 +91,36 @@ def test_all_queries_have_docstrings_and_unique_columns():
     emits duplicate column names (the oracle compare would garble)."""
     for name, q in all_queries().items():
         assert q.doc, f"{name} has no docstring"
+
+
+def test_engine_sql_surface(spark, tmp_path):
+    """Engine: register fixtures + ad-hoc parquet, query via SQL,
+    land a result through a sink."""
+    import duckdb
+
+    from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(SF_SMOKE)
+    df = eng.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    assert {r.l_returnflag for r in df.collect()} == {"A", "N", "R"}
+
+    eng.register("li2", os.path.join(SF_SMOKE, "lineitem.parquet"))
+    assert eng.sql("SELECT COUNT(*) AS n FROM li2").collect()[0].n == 6000
+
+    db = str(tmp_path / "eng.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE flags (l_returnflag VARCHAR, n BIGINT)")
+    con.close()
+    eng.import_to(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+        "flags",
+        DuckDbSink(db),
+    )
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM flags").fetchone()[0] == 3
+    con.close()
+    assert "lineitem" in eng.tables() and "li2" in eng.tables()

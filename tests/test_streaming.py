@@ -188,3 +188,31 @@ def test_stream_import_foreachbatch_to_duckdb(spark, events_dir, tmp_path):
     n = con.execute("SELECT COUNT(*), COUNT(DISTINCT event_id) FROM ev").fetchone()
     con.close()
     assert n[0] == n[1] == _batch_events(spark).count()
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from parquet_to_sql_spark.streaming.pipeline import purchases_after_signup_join
+
+    stream = events_stream(spark, events_dir)
+    run_to_memory(purchases_after_signup_join(stream), "ssj_out", "append")
+    got = {
+        (r.purchase_event_id, r.signup_event_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    ev = _batch_events(spark)
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("sts"), F.col("event_id").alias("sid")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    want = {
+        (r.pid, r.sid)
+        for r in p.join(
+            s,
+            (F.col("pu") == F.col("su"))
+            & (F.col("pts") >= F.col("sts"))
+            & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
