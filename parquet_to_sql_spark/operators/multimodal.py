@@ -82,3 +82,45 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
     flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
     return flat.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = "uri string, frame_index int, offset_bytes long, frame_sha256 string"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Frame-sampling for video-ish payloads: emit `n_frames` evenly
+    spaced "frames" per asset (a 1->N mapInPandas expansion — the
+    plumbing shape of real video decode, where output rows outnumber
+    input rows and each carries a slice of the payload).
+
+    The fake decoder slices the byte stream at even offsets and
+    fingerprints each slice; a real one would seek keyframes.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame extraction requires a video decoder on executors; "
+            "this environment ships the deterministic fake only"
+        )
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for uri, data in zip(pdf["uri"], pdf["data"]):
+                payload = bytes(data) if data is not None else b""
+                if not payload:
+                    continue
+                step = max(len(payload) // n_frames, 1)
+                for i in range(min(n_frames, len(payload))):
+                    off = i * step
+                    chunk = payload[off : off + step]
+                    rows.append(
+                        (uri, i, off, hashlib.sha256(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["uri", "frame_index", "offset_bytes", "frame_sha256"]
+            )
+
+    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    return flat.mapInPandas(explode_frames, schema=FRAME_SCHEMA)

@@ -15,5 +15,6 @@ Here:
 from parquet_to_sql_spark.sinks.jdbc import JdbcSink
 from parquet_to_sql_spark.sinks.copy_pg import CopySink
 from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
+from parquet_to_sql_spark.sinks.files import FileSink
 
-__all__ = ["JdbcSink", "CopySink", "DuckDbSink"]
+__all__ = ["JdbcSink", "CopySink", "DuckDbSink", "FileSink"]

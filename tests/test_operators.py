@@ -122,3 +122,26 @@ def test_multimodal_real_decoder_is_explicitly_stubbed(spark):
                          F.lit("doc://1"), "image/png")
     with pytest.raises(NotImplementedError, match="decoder"):
         decode_image_features(packed, fake=False)
+
+
+def test_multimodal_frame_sampling(spark):
+    from parquet_to_sql_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "0123456789abcdef"), (2, "xy")], "doc_id long, text string"
+    )
+    packed = pack_binary(
+        df,
+        data=F.encode(F.col("text"), "utf-8"),
+        uri=F.concat(F.lit("vid://"), F.col("doc_id").cast("string")),
+        media_type="video/fake",
+    )
+    frames = sample_frames(packed, n_frames=4).collect()
+    by_uri = {}
+    for r in frames:
+        by_uri.setdefault(r.uri, []).append(r)
+    assert len(by_uri["vid://1"]) == 4
+    assert [r.offset_bytes for r in sorted(by_uri["vid://1"], key=lambda r: r.frame_index)] == [0, 4, 8, 12]
+    assert len(by_uri["vid://2"]) == 2  # payload shorter than n_frames
+    import hashlib
+    assert by_uri["vid://1"][0].frame_sha256 == hashlib.sha256(b"0123").hexdigest()

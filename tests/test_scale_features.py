@@ -83,3 +83,34 @@ def test_filter_pushdown_reaches_scan(spark):
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "l_extendedprice" not in read_schema
     assert "l_orderkey" in read_schema
+
+def test_file_sink_partitioned_layout(spark, tmp_path):
+    """FileSink writes a partitioned lake layout; reading a single
+    partition back prunes to that directory."""
+    import os
+
+    from parquet_to_sql_spark.sinks.files import FileSink
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    sink = FileSink(str(tmp_path), format="parquet",
+                    partition_by=["l_returnflag"], max_records_per_file=5000)
+    sink.write(li, "li_lake", truncate=True)
+    root = tmp_path / "li_lake"
+    parts = {p.name for p in root.iterdir() if p.is_dir()}
+    assert parts == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+    back = spark.read.parquet(str(root))
+    assert back.count() == li.count()
+    only_r = spark.read.parquet(str(root)).filter(F.col("l_returnflag") == "R")
+    assert only_r.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_file_sink_csv_json(spark, tmp_path):
+    from parquet_to_sql_spark.sinks.files import FileSink
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    FileSink(str(tmp_path), format="csv", options={"header": "true"}).write(
+        nation, "nation_csv", truncate=True
+    )
+    FileSink(str(tmp_path), format="json").write(nation, "nation_json", truncate=True)
+    assert spark.read.option("header", "true").csv(str(tmp_path / "nation_csv")).count() == 25
+    assert spark.read.json(str(tmp_path / "nation_json")).count() == 25
