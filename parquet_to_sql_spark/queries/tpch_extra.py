@@ -213,3 +213,64 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 pattern: above-average customers with no orders
     (scalar subquery + anti join)."""
     return _sql(spark, sf_dir, _Q22, ("customer", "orders"))
+
+
+_Q2 = """
+SELECT p_size, p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_size = part.p_size)
+ORDER BY p_size, p_partkey
+"""
+
+
+@query("q2_min_per_group", tags=("tpch", "correlated-subquery"), oracle=_Q2)
+def q2_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern: rows matching a correlated per-group minimum
+    (cheapest part per size). Catalyst decorrelates to an aggregate
+    joined back — one pass over part, no per-row subquery."""
+    return _sql(spark, sf_dir, _Q2, ("part",))
+
+
+_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({DISC_PRICE}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", tags=("tpch", "cte", "scalar-subquery"), oracle=_Q15)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 pattern: CTE revenue view + scalar MAX subquery over
+    it (the CTE is evaluated once; decimal-exact revenue makes the
+    MAX comparison engine-identical)."""
+    return _sql(spark, sf_dir, _Q15, ("lineitem", "supplier"))
+
+
+_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_cnt", tags=("tpch", "not-in-subquery", "distinct"), oracle=_Q16)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 pattern: NOT IN exclusion subquery + COUNT(DISTINCT)
+    over a filtered join (null-aware anti join in the plan)."""
+    return _sql(spark, sf_dir, _Q16, ("lineitem", "part", "supplier"))
