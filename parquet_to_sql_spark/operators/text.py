@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from parquet_to_sql_spark.functions.hashing import FOLD_MOD, char_fold_hash
+from parquet_to_sql_spark.functions.hashing import char_fold_hash
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -75,16 +75,19 @@ def _lang_hits_from(lower_words: Column) -> dict[str, Column]:
     }
 
 
-def _lang_id_from(lower_words: Column) -> Column:
-    """Deterministic argmax over lexicon hits, ties broken by
-    LANG_PRIORITY; no hits at all -> 'unknown'."""
-    hits = _lang_hits_from(lower_words)
+def _lang_case_over(hits: dict[str, Column]) -> Column:
+    """Deterministic argmax over precomputed hit columns, ties broken
+    by LANG_PRIORITY; no hits at all -> 'unknown'."""
     expr = F.lit("unknown")
     for lang in reversed(LANG_PRIORITY):
         others = [hits[o] for o in LANG_PRIORITY if o != lang]
         cond = (hits[lang] > 0) & (hits[lang] >= F.greatest(*others))
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def _lang_id_from(lower_words: Column) -> Column:
+    return _lang_case_over(_lang_hits_from(lower_words))
 
 
 def lang_id(text: Column) -> Column:
@@ -165,12 +168,22 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ws_tokens(t).alias("_w"),
         ws_tokens(F.lower(t)).alias("_lw"),
     )
-    return staged.select(
+    # second stage: every lexicon scan runs exactly once per row (the
+    # lang CASE chain references each hit count up to 6 times)
+    hit_cols = {
+        lang: c.alias(f"_hit_{lang}")
+        for lang, c in _lang_hits_from(F.col("_lw")).items()
+    }
+    staged2 = staged.select(
+        F.col(id_col), "_t", "_w", "_lw", *hit_cols.values()
+    )
+    hits = {lang: F.col(f"_hit_{lang}") for lang in LANG_LEXICONS}
+    return staged2.select(
         F.col(id_col),
         F.length("_t").alias("n_chars"),
         F.size("_w").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all("_t", F.lit(TOKEN_REGEX), 0)).alias("n_bpe_tokens"),
-        _lang_id_from(F.col("_lw")).alias("lang_pred"),
+        _lang_case_over(hits).alias("lang_pred"),
         _quality_from(F.col("_t"), F.col("_lw")).alias("quality"),
         fingerprint(F.col("_t")).alias("fingerprint"),
     )

@@ -8,7 +8,6 @@ constants, same banding) rather than approximating it.
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_to_sql_spark.catalog import load_table

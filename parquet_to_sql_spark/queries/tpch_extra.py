@@ -7,7 +7,6 @@ average subqueries, large-order IN+HAVING, absent-relation checks).
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_to_sql_spark.catalog import load_table

@@ -23,8 +23,6 @@ file source scales by splitting input files across executors.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession

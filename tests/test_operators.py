@@ -145,3 +145,22 @@ def test_multimodal_frame_sampling(spark):
     assert len(by_uri["vid://2"]) == 2  # payload shorter than n_frames
     import hashlib
     assert by_uri["vid://1"][0].frame_sha256 == hashlib.sha256(b"0123").hexdigest()
+
+
+def test_salted_join_equals_plain_join(spark):
+    from parquet_to_sql_spark.operators.relational import salted_join
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    plain = li.join(part, li.l_partkey == part.p_partkey).count()
+    salted = salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"),
+        part,
+        key="p_partkey",
+        salt_from="l_orderkey",
+        buckets=8,
+    )
+    assert salted.count() == plain
+    assert "_salt" not in salted.columns
