@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the pure-Python pieces and
+the Column-expression contracts that must hold for ALL inputs, not
+just fixture data: COPY escaping, identifier validation, fold-hash
+range/determinism, column-map parsing."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from parquet_to_sql_spark.cli import parse_column_map
+from parquet_to_sql_spark.identifiers import (
+    _COLUMN_RE,
+    assert_safe_column_name,
+    quote_identifier,
+)
+
+# ---------------------------------------------------------------- pure
+
+
+@given(st.text(max_size=40))
+def test_column_validation_accepts_iff_regex(name):
+    ok = bool(_COLUMN_RE.match(name))
+    if ok:
+        assert_safe_column_name(name)
+    else:
+        with pytest.raises(ValueError):
+            assert_safe_column_name(name)
+
+
+@given(st.text(max_size=30))
+def test_quote_identifier_roundtrip_shape(name):
+    q = quote_identifier(name)
+    # always fully quoted, embedded quotes doubled
+    assert q.startswith('"') and q.endswith('"')
+    for seg in name.split("."):
+        assert '"' + seg.replace('"', '""') + '"' in q
+
+
+@given(st.lists(st.text(max_size=20), max_size=10))
+def test_parse_column_map_never_crashes(pairs):
+    m = parse_column_map(pairs)
+    for src, dst in m.items():
+        assert src and dst and "=" in f"{src}={dst}"
+
+
+# ------------------------------------------------- spark expressions
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+COPY_CONTROL = {"\t": "\\t", "\r": "\\r", "\n": "\\n", "\\": "\\\\"}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_copy_escape_property(spark, values):
+    """For arbitrary strings: escaped output contains no raw TAB/CR/LF
+    and unescaping recovers the original exactly."""
+    from parquet_to_sql_spark.normalize import copy_lines
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    lines = [r.line for r in copy_lines(df).collect()]
+    for line in lines:
+        assert "\t" not in line and "\r" not in line and "\n" not in line
+
+    def unescape(s: str) -> str:
+        out, i = [], 0
+        while i < len(s):
+            if s[i] == "\\" and i + 1 < len(s):
+                nxt = s[i + 1]
+                out.append({"t": "\t", "r": "\r", "n": "\n", "\\": "\\"}.get(nxt, "\\" + nxt))
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+
+    got = sorted(unescape(line) for line in lines)
+    want = sorted(v if v != "" else "" for v in values)
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=50))
+def test_fold_hash_range_and_determinism(spark, s):
+    """fold hash is always in [0, 2^31-1) and equals a pure-Python
+    reimplementation (the cross-engine contract)."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.functions.hashing import FOLD_MOD, char_fold_hash
+
+    df = spark.createDataFrame([(s,)], "s string")
+    h = df.select(char_fold_hash(F.col("s")).alias("h")).collect()[0].h
+    assert 0 <= h < FOLD_MOD
+    expect = 0
+    for ch in s:
+        expect = (expect * 31 + ord(ch)) % FOLD_MOD
+    assert h == expect, f"fold mismatch for {s!r}"
