@@ -14,6 +14,7 @@ _MODULES = (
     "parquet_to_sql_spark.queries.tpch_extra",
     "parquet_to_sql_spark.queries.advanced_agg",
     "parquet_to_sql_spark.queries.misc_fns",
+    "parquet_to_sql_spark.queries.python_udfs",
     "parquet_to_sql_spark.queries.joins",
     "parquet_to_sql_spark.queries.windows",
     "parquet_to_sql_spark.queries.functions",

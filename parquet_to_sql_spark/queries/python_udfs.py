@@ -1,0 +1,132 @@
+"""Python UDF-family coverage: UDTF (table function) and Pandas
+grouped-aggregate UDAF.
+
+The engine's stance is JVM-expressions-first (every other query in
+the registry avoids Python in the hot path); these two queries pin
+the ESCAPE HATCHES — the supported way to run custom Python logic
+when expressions genuinely can't express it:
+
+  * Python UDTF (Spark 3.5+): one input row -> many output rows with
+    schema, lateral-joined against the source.
+  * Pandas grouped-agg UDAF: Arrow-batched per-group aggregation.
+
+Both are written to be bit-deterministic (integer arithmetic inside
+the Python side) so they still carry value-exact oracles.
+
+(The udtf/pandas_udf decorators parse their schemas against an active
+SparkSession, so they are applied lazily inside the build functions.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401  (type hints drive pandas_udf inference)
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.queries.registry import query
+
+
+class ChunkDocument:
+    """UDTF: split a document into fixed-size word chunks (the
+    LLM-pipeline 'document chunking' primitive) — one input row
+    expands to ceil(n_words/chunk) output rows."""
+
+    def eval(self, text: str, chunk_size: int):
+        words = text.split()
+        for i in range(0, len(words), chunk_size):
+            piece = words[i : i + chunk_size]
+            yield i // chunk_size, " ".join(piece), len(piece)
+
+
+def _weighted_price_cents_fn(price: "pd.Series", qty: "pd.Series") -> int:  # pragma: no cover
+    # exact integer arithmetic: 2-decimal prices as cents x integer qty.
+    # Series -> scalar type hints make pandas_udf infer GROUPED_AGG.
+    cents = (price * 100).round().astype("int64")
+    q = qty.round().astype("int64")
+    return int((cents * q).sum())
+
+
+def _total_qty_fn(qty: "pd.Series") -> int:  # pragma: no cover - executors
+    return int(qty.round().astype("int64").sum())
+
+
+@query(
+    "udtf_chunk_documents",
+    tags=("udtf", "python", "llm-pipeline"),
+    oracle="""
+    SELECT doc_id, u.chunk_index, u.chunk, u.n_words
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1),
+               i -> struct_pack(
+                 chunk_index := CAST(i - 1 AS INT),
+                 chunk := array_to_string(w[(i-1)*20 + 1 : i*20], ' '),
+                 n_words := CAST(len(w[(i-1)*20 + 1 : i*20]) AS INT))))
+               AS u
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id < 50) d
+    ) t
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a Python UDTF (20-word chunks), lateral-
+    joined to keep doc_id. Deterministic pure-Python split, so the
+    oracle reproduces it with list slicing."""
+    from pyspark.sql.functions import udtf
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_docs_to_chunk")
+    spark.udtf.register(
+        "chunk_document",
+        udtf(ChunkDocument, returnType="chunk_index int, chunk string, n_words int"),
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_index, c.chunk, c.n_words
+        FROM _docs_to_chunk, LATERAL chunk_document(text, 20) AS c
+        """
+    )
+
+
+@query(
+    "udaf_pandas_weighted_avg",
+    tags=("udaf", "pandas-udf", "python"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+             AS weighted_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag via a Pandas
+    grouped-aggregate UDAF. Integer (cents x qty) arithmetic inside
+    the UDF keeps partial sums exact, so the result is independent of
+    row order and matches the pure-SQL oracle bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    weighted = pandas_udf(_weighted_price_cents_fn, "long")
+    total_qty = pandas_udf(_total_qty_fn, "long")
+    li = load_table(spark, sf_dir, "lineitem")
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one agg(), so both aggregates are pandas UDAFs
+    agg = li.groupBy("l_returnflag").agg(
+        weighted(F.col("l_extendedprice"), F.col("l_quantity")).alias("weighted_cents"),
+        total_qty(F.col("l_quantity")).alias("total_qty"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "weighted_cents",
+        "total_qty",
+        (
+            F.col("weighted_cents").cast("double")
+            / F.col("total_qty").cast("double")
+            / F.lit(100.0)
+        ).alias("weighted_avg_price"),
+    )
