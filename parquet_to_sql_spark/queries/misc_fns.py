@@ -104,3 +104,36 @@ def fn_epoch_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("epoch_s"),
         F.timestamp_seconds(F.unix_timestamp("ts")).alias("back_to_ts"),
     )
+
+
+@query(
+    "sort_nulls_explicit",
+    tags=("sort", "null-ordering"),
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           o_totalprice
+    FROM orders
+    ORDER BY status_or_null ASC NULLS LAST, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering with tie-breaks. Spark defaults to
+    nulls-first on ASC while DuckDB defaults to nulls-last — any
+    nullable sort key in a LIMIT query MUST pin null placement
+    explicitly, or the two engines return different row sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_last(),
+            F.desc("o_totalprice"),
+            "o_orderkey",
+        )
+        .limit(50)
+    )

@@ -1,0 +1,84 @@
+"""Custom Python Data Source (Spark 4 DataSource API).
+
+The reference's extension point is a duck-typed row reader
+(Contracts/ParquetRowReader.php:5-20 — anything with rows()/columns()
+can feed the importer). Spark's native generalization is the
+DataSource V2 Python API: a source declares a schema and a set of
+partitions, and executors pull each partition independently — so a
+custom source is partition-parallel from day one instead of a
+single-threaded iterator.
+
+`SyntheticEventsDataSource` is a deterministic seeded event generator
+(the shape used to smoke-test streaming/event pipelines at arbitrary
+scale without any input files): N partitions × rows_per_partition,
+reproducible from (seed, partition_index) alone, so a 100 TB synth
+load is just more partitions.
+
+Usage:
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("partitions", 8).option("rows_per_partition", 1000)
+          .option("seed", 42).load())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+_EPOCH_2024 = 1_704_067_200  # 2024-01-01 00:00:00 UTC in seconds
+
+
+class _LCG:
+    """Tiny deterministic PRNG (numerical-recipes LCG) — no global
+    random state, reproducible per (seed, partition)."""
+
+    def __init__(self, seed: int):
+        self.state = (seed * 6364136223846793005 + 1442695040888963407) % 2**64
+
+    def next(self) -> int:
+        self.state = (self.state * 6364136223846793005 + 1442695040888963407) % 2**64
+        return self.state >> 33
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_partitions = int(options.get("partitions", 4))
+        self.rows_per_partition = int(options.get("rows_per_partition", 1000))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("users", 50))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_partitions)]
+
+    def read(self, partition: InputPartition):
+        import datetime
+
+        pid = partition.value
+        rng = _LCG(self.seed * 1_000_003 + pid)
+        base_id = pid * self.rows_per_partition
+        ts_cursor = _EPOCH_2024 + pid * 86_400  # one day per partition
+        for i in range(self.rows_per_partition):
+            ts_cursor += rng.next() % 120  # 0-2 min gaps
+            yield (
+                base_id + i,
+                datetime.datetime.utcfromtimestamp(ts_cursor),
+                rng.next() % self.n_users,
+                EVENT_TYPES[rng.next() % len(EVENT_TYPES)],
+                (rng.next() % 20_000) / 100.0,
+            )

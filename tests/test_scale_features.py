@@ -114,3 +114,35 @@ def test_file_sink_csv_json(spark, tmp_path):
     FileSink(str(tmp_path), format="json").write(nation, "nation_json", truncate=True)
     assert spark.read.option("header", "true").csv(str(tmp_path / "nation_csv")).count() == 25
     assert spark.read.json(str(tmp_path / "nation_json")).count() == 25
+
+
+def test_python_datasource_partition_parallel(spark):
+    """Custom Python DataSource: deterministic, partition-parallel,
+    schema-declared (the Spark-native pluggable-reader contract)."""
+    from parquet_to_sql_spark.sources.pydatasource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 4)
+        .option("rows_per_partition", 500)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.count() == 2000
+    assert df.rdd.getNumPartitions() == 4
+    assert dict(df.dtypes) == {
+        "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+        "event_type": "string", "value": "double",
+    }
+    # deterministic: same options -> identical contents
+    df2 = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 4)
+        .option("rows_per_partition", 500)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.subtract(df2).count() == 0 and df2.subtract(df).count() == 0
+    # event_ids unique across partitions
+    assert df.select("event_id").distinct().count() == 2000
