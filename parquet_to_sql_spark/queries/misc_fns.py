@@ -137,3 +137,86 @@ def sort_nulls_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "profile_orders_columns",
+    tags=("profiling", "statistics"),
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(COUNT(o_orderkey) AS BIGINT)       AS orderkey_nonnull,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+      CAST(MIN(o_totalprice) AS DOUBLE)       AS price_min,
+      CAST(MAX(o_totalprice) AS DOUBLE)       AS price_max,
+      MIN(o_orderdate)                        AS date_min,
+      MAX(o_orderdate)                        AS date_max,
+      CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_cardinality,
+      CAST(MIN(LENGTH(o_orderpriority)) AS INT) AS prio_minlen,
+      CAST(MAX(LENGTH(o_orderpriority)) AS INT) AS prio_maxlen
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (the data-quality primitive every
+    ingest pipeline runs first): counts, null counts, distincts,
+    min/max per column — a single aggregate, no per-column passes."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("orderkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.min("o_totalprice").cast("double").alias("price_min"),
+        F.max("o_totalprice").cast("double").alias("price_max"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+        F.countDistinct("o_orderstatus").alias("status_cardinality"),
+        F.min(F.length("o_orderpriority")).alias("prio_minlen"),
+        F.max(F.length("o_orderpriority")).alias("prio_maxlen"),
+    )
+
+
+@query(
+    "fn_regexp_replace_backref",
+    tags=("functions", "regex"),
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_replace(p_brand, 'Brand#([0-9]+)', 'B-\1') AS brand_short,
+           regexp_replace(p_name, '[aeiou]', '', 'g')        AS name_novowels
+    FROM part
+    """,
+)
+def fn_regexp_replace_backref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""regexp_replace with a capture-group backreference (Spark uses
+    $1, DuckDB \1 — same semantics, dialect-specific syntax) and a
+    global character-class strip."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_brand", r"Brand#([0-9]+)", r"B-$1").alias("brand_short"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+    )
+
+
+@query(
+    "fn_from_json_struct",
+    tags=("functions", "json"),
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL)
+             AS parse_ok
+    FROM events
+    """,
+)
+def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct then field access (schema-on-read
+    JSON parsing, vs the string-path get_json_object in
+    fn_json_events)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        parsed.getField("k").isNotNull().alias("parse_ok"),
+    )

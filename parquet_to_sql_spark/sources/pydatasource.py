@@ -23,7 +23,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 _SCHEMA = (
@@ -55,6 +60,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict):
@@ -82,3 +90,47 @@ class SyntheticEventsReader(DataSourceReader):
                 EVENT_TYPES[rng.next() % len(EVENT_TYPES)],
                 (rng.next() % 20_000) / 100.0,
             )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: each micro-batch emits `batch_rows` events;
+    the offset is just the global row counter, so replay from any
+    checkpointed offset regenerates identical rows (exactly-once
+    semantics come free from determinism)."""
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("users", 50))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        start_row = start["row"]
+        end = {"row": start_row + self.batch_rows}
+        return self._rows(start_row, end["row"]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery
+        return self._rows(start["row"], end["row"])
+
+    def _rows(self, start_row: int, end_row: int) -> list:
+        # a LIST, not a generator: the returned batch crosses the
+        # driver/worker boundary by pickling
+        import datetime
+
+        out = []
+        for rid in range(start_row, end_row):
+            rng = _LCG(self.seed * 1_000_003 + rid)
+            ts = _EPOCH_2024 + rid * (rng.next() % 120)
+            out.append(
+                (
+                    rid,
+                    datetime.datetime.utcfromtimestamp(ts),
+                    rng.next() % self.n_users,
+                    EVENT_TYPES[rng.next() % len(EVENT_TYPES)],
+                    (rng.next() % 20_000) / 100.0,
+                )
+            )
+        return out

@@ -216,3 +216,37 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_python_datasource_streaming(spark, tmp_path):
+    """Custom Python streaming source: two availableNow runs over a
+    shared checkpoint continue from the stored offset with no overlap
+    (deterministic offsets -> exactly-once)."""
+    from parquet_to_sql_spark.sources.pydatasource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    out = str(tmp_path / "synth_out")
+    ckpt = str(tmp_path / "synth_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("batch_rows", 100)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()
+    df = spark.read.parquet(out)
+    n2 = df.count()
+    assert n2 > n1 >= 100
+    # no duplicated offsets across restarts
+    assert df.select("event_id").distinct().count() == n2
