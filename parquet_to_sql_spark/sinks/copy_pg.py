@@ -116,7 +116,9 @@ class CopySink:
     def write(self, df: DataFrame, table: str, truncate: bool = False) -> None:
         assert_safe_table_name(table)
         columns = list(df.columns)
-        assert_safe_column_names([c.split(".")[-1] for c in columns])
+        # raw names: a column literally named "a.b" must be rejected
+        # (ParquetImporter.php:204-216), not treated as qualified
+        assert_safe_column_names(columns)
         if truncate:
             self._execute_truncate(table)
         rendered = copy_lines(df)
