@@ -343,3 +343,29 @@ def join_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(
         (F.col("side") == 1) & F.col("purchase_event_id").isNotNull()
     ).drop("side")
+
+
+@query(
+    "join_asof_tolerance",
+    tags=("join", "asof-join", "tolerance"),
+    oracle="""
+    SELECT * FROM (
+      SELECT e.event_id,
+             p.event_id AS purchase_event_id,
+             CAST(e.ts AS TIMESTAMP) AS ts,
+             CAST(p.ts AS TIMESTAMP) AS purchase_ts
+      FROM events e
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+    ) m
+    WHERE ts - purchase_ts <= INTERVAL '6 hours'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance: matches older than 6 hours are
+    dropped (the sensor-fusion/trade-matching semantics — 'most recent
+    reading, but only if fresh')."""
+    base = join_asof_purchases(spark, sf_dir)
+    return base.filter(
+        F.col("ts") - F.col("purchase_ts") <= F.expr("INTERVAL 6 HOURS")
+    )

@@ -273,3 +273,24 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 pattern: NOT IN exclusion subquery + COUNT(DISTINCT)
     over a filtered join (null-aware anti join in the plan)."""
     return _sql(spark, sf_dir, _Q16, ("lineitem", "part", "supplier"))
+
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("q13_customer_distribution", tags=("tpch", "double-aggregation"), oracle=_Q13)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 pattern: count-of-counts histogram (outer join ->
+    per-customer aggregate -> distribution aggregate). Two cascaded
+    aggregations, the second over a tiny domain."""
+    return _sql(spark, sf_dir, _Q13, ("customer", "orders"))

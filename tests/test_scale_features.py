@@ -146,3 +146,12 @@ def test_python_datasource_partition_parallel(spark):
     assert df.subtract(df2).count() == 0 and df2.subtract(df).count() == 0
     # event_ids unique across partitions
     assert df.select("event_id").distinct().count() == 2000
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A full ORDER BY plans as a range-partitioned exchange (sampled
+    bounds, parallel sort) — not a single-reducer sort."""
+    o = load_table(spark, SF_SMOKE, "orders").orderBy("o_orderdate", "o_orderkey")
+    plan = _formatted_plan(o)
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
