@@ -176,3 +176,42 @@ def ivf_topk_probes(
             F.col(f"cent_{id_col}").alias("centroid_id"),
         )
     )
+
+
+def hyperplane_weight(p: int, d) -> Column:
+    """Deterministic pseudo-random plane weight for (plane p, dim d):
+    centered 31-bit LCG value, identical formula in the SQL oracle."""
+    # long arithmetic: 1103515245 * idx overflows 32-bit int silently
+    idx = (F.lit(p * 64).cast("long") + d.cast("long"))
+    return (
+        (F.lit(1103515245).cast("long") * idx + F.lit(12345)) % F.lit(2147483648)
+        - F.lit(1073741824)
+    ).cast("double")
+
+
+def hyperplane_bucket(vec: Column | str, planes: int = 8, dims: int = 64) -> Column:
+    """Random-hyperplane LSH bucket (cosine-space SimHash): bit p is
+    the sign of <vec, plane_p>; vectors with small angles collide.
+
+    The planes are derived from an integer LCG, so bucket assignment
+    is reproducible anywhere — including the DuckDB oracle — with no
+    shipped side data. All JVM expressions; no UDF."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+
+    # NOTE: a two-parameter lambda would be treated by PySpark as the
+    # (element, index) transform variant — bind the plane index via a
+    # closure factory, never a default argument.
+    def term(p: int):
+        return lambda d: (
+            F.element_at(vec, d.cast("int")).cast("double") * hyperplane_weight(p, d)
+        )
+
+    bucket = F.lit(0)
+    for p in range(planes):
+        dot = F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(dims)), term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("long")

@@ -140,3 +140,50 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(norm_expr("embedding")).alias("min_norm"),
         F.max(norm_expr("embedding")).alias("max_norm"),
     )
+
+
+_PLANES = 8
+_DIMS = 64
+
+
+def _duck_hyperplane_dot(p: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_DIMS + 1}), "
+        f"d -> ve[d] * CAST(((CAST(1103515245 AS BIGINT)*({p * 64} + d) + 12345) "
+        f"% 2147483648) - 1073741824 AS DOUBLE)), (a, b) -> a + b)"
+    )
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN {_duck_hyperplane_dot(p)} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_PLANES)
+)
+
+
+@query(
+    "simsearch_hyperplane_lsh",
+    tags=("simsearch", "embeddings", "lsh", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    bucketed AS (SELECT vec_id, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket FROM v)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def simsearch_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing over embeddings (8 sign bits ->
+    256 buckets): the cosine-space analogue of MinHash banding.
+    Candidate near-dup pairs share a bucket, so pair generation is an
+    equality join on `bucket` — the 100 TB-safe path for embedding
+    dedup, feeding the exact cosine verifier."""
+    from parquet_to_sql_spark.operators.simsearch import hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), _PLANES, _DIMS).alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
