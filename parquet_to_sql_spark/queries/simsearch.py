@@ -187,3 +187,60 @@ def simsearch_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+@query(
+    "dedup_embedding_lsh_verified",
+    tags=("dedup", "embeddings", "lsh", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    bucketed AS (SELECT vec_id, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket, ve FROM v),
+    cand AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, a.ve AS ave, b.ve AS bve
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id1, id2,
+           {_DUCK_COS_AB.format(a="ave", b="bve")} AS cosine
+    FROM cand
+    WHERE {_DUCK_COS_AB.format(a="ave", b="bve")} >= 0.2
+    """,
+)
+def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, scale path end-to-end: hyperplane-LSH
+    bucket join generates candidates (equality join, no n² pairing),
+    then exact cosine verifies each candidate. Recall is bounded by
+    bucket collisions (similar vectors share all 8 sign bits with high
+    probability); precision is exact because every emitted pair is
+    re-scored."""
+    from parquet_to_sql_spark.operators.simsearch import (
+        cosine_expr,
+        hyperplane_bucket,
+        norm_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        hyperplane_bucket(F.col("embedding"), _PLANES, _DIMS).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("a_vec"),
+        norm_expr(F.col("embedding")).alias("a_norm"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b_vec_id"), F.col("embedding").alias("b_vec"),
+        norm_expr(F.col("embedding")).alias("b_norm"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_vec_id") < F.col("b_vec_id"))
+        .withColumn("cosine", cosine_expr("a_vec", "b_vec", "a_norm", "b_norm"))
+        .filter(F.col("cosine") >= 0.2)
+        .select(
+            F.col("a_vec_id").alias("id1"),
+            F.col("b_vec_id").alias("id2"),
+            "cosine",
+        )
+    )
