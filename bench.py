@@ -56,6 +56,10 @@ def main() -> int:
         t0 = time.monotonic()
         build(spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
+        # operators may cache intermediates (e.g. the dedup shingle
+        # relation); release between queries so a long bench loop
+        # doesn't accumulate executor memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

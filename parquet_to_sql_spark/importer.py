@@ -70,11 +70,17 @@ class Importer:
         projected = project_rename(df, column_map)
         assert_safe_column_names(projected.columns)
 
-        self.sink.write(projected, table, truncate=truncate)
-
-        # Row count from the source scan; cheap for Parquet (footer
-        # statistics), and never a collect().
-        rows = df.count()
+        # Sinks report rows ACTUALLY written (CopySink: accumulator in
+        # the foreachPartition action; DuckDbSink: insert count;
+        # JdbcSink: Observation on the write) — no second source scan,
+        # and the count reflects what landed, not what the source holds.
+        written = self.sink.write(projected, table, truncate=truncate)
+        if written is not None:
+            rows = int(written)
+        else:
+            # legacy/user sink without row accounting: fall back to a
+            # source count (cheap for Parquet — footer statistics)
+            rows = df.count()
         return ImportResult(
             source_path=path or "<dataframe>",
             table=table,

@@ -76,8 +76,24 @@ def copy_value(col: Column, dt: T.DataType) -> Column:
         rendered = copy_escape(F.to_json(col))
     elif isinstance(dt, T.StringType):
         rendered = copy_escape(col)
-    else:
+    elif isinstance(dt, T.BinaryType):
+        # Postgres bytea hex-input form: \x<hex>. A UTF-8 cast would
+        # mangle arbitrary bytes and raw tab/newline bytes would split
+        # the COPY line; hex is lossless and contains no specials.
+        # (The leading backslash itself must be escaped on the wire,
+        # hence the literal \\x.)
+        rendered = F.concat(F.lit("\\\\x"), F.lower(F.hex(col)))
+    elif isinstance(
+        dt, (T.NumericType, T.DateType, T.DayTimeIntervalType, T.YearMonthIntervalType)
+    ):
+        # provably no COPY specials in their string forms; skipping the
+        # escape keeps the hot render path one expression per column
         rendered = col.cast("string")
+    else:
+        # exotic/unknown types: escape defensively after stringifying
+        # (reference escapes EVERY stringified value,
+        # ParquetImporter.php:173-176)
+        rendered = copy_escape(col.cast("string"))
     return F.coalesce(rendered, F.lit(COPY_NULL))
 
 

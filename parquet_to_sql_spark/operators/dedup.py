@@ -32,6 +32,14 @@ from parquet_to_sql_spark.functions.hashing import (
 )
 from parquet_to_sql_spark.operators.text import simhash16, ws_tokens
 
+# Default skew guard for the inverted-index Jaccard join: drop shingles
+# appearing in more than this many documents.  Join cost per shingle is
+# O(doc_freq^2), so a FIXED absolute cap (not a corpus fraction) is what
+# keeps the total linear in corpus size — at 1B docs, even a 0.1% cap
+# would still allow a 10^12-pair bucket.  256 caps any single shingle's
+# contribution at ~32k candidate pairs.
+DEFAULT_MAX_DOC_FREQ = 256
+
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on content hash: keep the minimum id per distinct
@@ -61,20 +69,32 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     hashed: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
     Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard >= threshold.
     `max_doc_freq` drops shingles appearing in more than that many docs
-    (skew guard; exactness trade documented at call sites).
+    — ON BY DEFAULT (``DEFAULT_MAX_DOC_FREQ``): without it one hub
+    shingle ("the the the") makes the self-join quadratic at scale.
+    Pass ``None`` only for an explicit exactness baseline.  The guard
+    is a BROADCAST ANTI-JOIN against the over-cap shingle list: that
+    list is tiny by construction (at most total-occurrences/cap
+    entries, Zipf makes it far smaller), so the big shingle relation is
+    filtered map-side with no extra shuffle.  Jaccard is then measured
+    over the capped shingle sets on both engines.
 
     `hashed=True` joins on the 31-bit fold hash of each shingle instead
     of the string — ~3x faster (narrow join key, smaller shuffle) and
     the right default at scale. The measure becomes "Jaccard over
     hashed shingles": deterministic, identical in both engines, and a
     collision merely merges two shingles (negligible at 2^31 space).
+
+    Cache lifecycle: the shingle relation is cached because it feeds
+    the sizes aggregate AND both sides of the self-join; the caller
+    owns release (``spark.catalog.clearCache()`` between queries in a
+    long-lived session — bench.py does this).
     """
     sh = shingle_sets(df, id_col, text_col, n)
     if hashed:
@@ -83,8 +103,13 @@ def ngram_jaccard_pairs(
     # the self-join; recomputing the shingle explode 3x dominates cost
     sh = sh.cache()
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle").drop("df")
+        hubs = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hubs), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("doc1"), "shingle")
     b = sh.select(F.col("doc").alias("doc2"), "shingle")

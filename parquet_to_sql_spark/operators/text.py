@@ -49,9 +49,12 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Unconditional: checking the current partition count via
+    # df.rdd.getNumPartitions() costs an RDD conversion + driver
+    # round-trip per call; for a compute-bound projection the
+    # round-robin exchange is cheap insurance either way, and AQE
+    # coalesces it when the input is already wide.
+    return df.repartition(target)
 
 
 def token_counts(text: Column) -> dict[str, Column]:

@@ -69,9 +69,14 @@ def dedup_exact_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard >= 0.5 via inverted-index
-    self-join (cost ~ sum of per-shingle doc-frequency², never n²)."""
+    self-join (cost ~ sum of per-shingle doc-frequency², never n²).
+
+    max_doc_freq=None DELIBERATELY: this is the exactness baseline; the
+    capped scale path is dedup_ngram_jaccard_hashed."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=None
+    )
 
 
 def _duck_minhash_cols(k: int = 8) -> str:
@@ -207,7 +212,11 @@ _DUCK_HASHED_SH = (
     headline=True,
     tags=("dedup", "llm-pipeline", "scale-path"),
     oracle=f"""
-    WITH sh AS ({_DUCK_HASHED_SH}),
+    WITH sh0 AS ({_DUCK_HASHED_SH}),
+    sh AS (
+      SELECT doc, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 256
+    ),
     sizes AS (
       SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
     ), common AS (
@@ -226,7 +235,10 @@ _DUCK_HASHED_SH = (
 def dedup_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by Jaccard over HASHED 3-gram shingles — the
     scale path: the inverted-index self-join keys on a 31-bit fold
-    hash instead of the shingle string (~3x faster; narrow shuffle).
-    Same algorithm in the oracle, so still value-exact."""
+    hash instead of the shingle string (~3x faster; narrow shuffle),
+    and the default max_doc_freq=256 skew cap is ON (mirrored in the
+    oracle's QUALIFY clause, so still value-exact).  The fixtures' max
+    shingle doc-frequency is 25, so the cap provably changes nothing
+    at test scale while bounding any hub shingle at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, hashed=True)

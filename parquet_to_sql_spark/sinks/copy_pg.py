@@ -60,23 +60,26 @@ def copy_partition(
     batch_size: int,
     timeout_s: int,
     connection_factory: Callable[[str], object],
-) -> None:
+) -> int:
     """Stream one partition's COPY lines in batch_size transactions.
 
     Runs on an executor. One connection per partition; one
     transaction + one COPY statement per batch (reference parity:
-    ParquetImporter.php:102-113).
+    ParquetImporter.php:102-113). Returns the number of lines COMMITTED
+    (a failed batch raises after rollback, so its lines are not
+    counted).
     """
     quoted_table = quote_identifier(table)
     col_list = ", ".join(quote_identifier(c) for c in columns)
     sql = f"COPY {quoted_table} ({col_list}) FROM STDIN"
     conn = connection_factory(dsn)
+    written = 0
     try:
         batch: list[str] = []
 
-        def flush(b: list[str]) -> None:
+        def flush(b: list[str]) -> int:
             if not b:
-                return
+                return 0
             cur = conn.cursor()
             try:
                 cur.execute(f"SET LOCAL statement_timeout = {int(timeout_s * 1000)}")
@@ -84,6 +87,7 @@ def copy_partition(
                     for line in b:
                         cp.write(line + "\n")
                 conn.commit()
+                return len(b)
             except Exception as exc:
                 conn.rollback()
                 raise RuntimeError(f"COPY command failed: {exc}") from exc
@@ -91,9 +95,10 @@ def copy_partition(
         for line in lines:
             batch.append(line)
             if len(batch) >= batch_size:
-                flush(batch)
+                written += flush(batch)
                 batch = []
-        flush(batch)
+        written += flush(batch)
+        return written
     finally:
         conn.close()
 
@@ -113,7 +118,14 @@ class CopySink:
         self.num_writers = num_writers
         self.connection_factory = connection_factory or _default_connection_factory
 
-    def write(self, df: DataFrame, table: str, truncate: bool = False) -> None:
+    def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
+        """Write and return the number of rows actually COPYed.
+
+        Counted by an accumulator updated per-partition inside the
+        foreachPartition action — accumulator updates in ACTIONS are
+        applied exactly once per task, so retried tasks don't double
+        count. No second source scan.
+        """
         assert_safe_table_name(table)
         columns = list(df.columns)
         # raw names: a column literally named "a.b" must be rejected
@@ -126,32 +138,44 @@ class CopySink:
             rendered = rendered.repartition(self.num_writers)
         dsn, batch_size, timeout_s = self.dsn, self.batch_size, self.timeout_s
         factory = self.connection_factory
+        rows_acc = df.sparkSession.sparkContext.accumulator(0)
 
         def run(partition) -> None:
-            copy_partition(
-                (row.line for row in partition),
-                dsn=dsn,
-                table=table,
-                columns=columns,
-                batch_size=batch_size,
-                timeout_s=timeout_s,
-                connection_factory=factory,
+            rows_acc.add(
+                copy_partition(
+                    (row.line for row in partition),
+                    dsn=dsn,
+                    table=table,
+                    columns=columns,
+                    batch_size=batch_size,
+                    timeout_s=timeout_s,
+                    connection_factory=factory,
+                )
             )
 
         rendered.foreachPartition(run)
+        return int(rows_acc.value)
 
-    def write_atomic(self, df: DataFrame, table: str) -> None:
+    def write_atomic(self, df: DataFrame, table: str, suffix: str | None = None) -> int:
         """All-or-nothing load via staging table + atomic swap.
 
         The per-batch commits of write() mean a mid-load failure leaves
         a partial table (the reference's own contract —
         ParquetImporter.php:102-113 commits per batch). When a load
-        must be atomic: COPY everything into `<table>_staging`, then
+        must be atomic: COPY everything into a staging table, then
         swap names in ONE transaction. Readers see the old table until
         the swap commits; a failure anywhere leaves the target
-        untouched."""
+        untouched and best-effort drops the staging table.
+
+        ``suffix`` names the staging table ``<table>_staging_<suffix>``
+        so two concurrent atomic loads into the same target don't race
+        on one staging name — pass e.g. a job id. Default (None) keeps
+        the fixed ``<table>_staging`` name: predictable, and leftover
+        staging from a crash is reclaimed by the next run's
+        DROP IF EXISTS. Returns rows written.
+        """
         assert_safe_table_name(table)
-        staging = f"{table}_staging"
+        staging = f"{table}_staging" if suffix is None else f"{table}_staging_{suffix}"
         assert_safe_table_name(staging)
         qt, qs = quote_identifier(table), quote_identifier(staging)
         # unqualified name for RENAME (Postgres renames within schema)
@@ -164,7 +188,11 @@ class CopySink:
             conn.commit()
         finally:
             conn.close()
-        self.write(df, staging, truncate=False)
+        try:
+            rows = self.write(df, staging, truncate=False)
+        except Exception:
+            self._drop_staging(qs)
+            raise
         conn = self.connection_factory(self.dsn)
         try:
             cur = conn.cursor()
@@ -175,7 +203,24 @@ class CopySink:
             conn.commit()
         except Exception as exc:
             conn.rollback()
+            self._drop_staging(qs)
             raise RuntimeError(f"atomic swap failed: {exc}") from exc
+        finally:
+            conn.close()
+        return rows
+
+    def _drop_staging(self, quoted_staging: str) -> None:
+        """Best-effort staging cleanup after a failed atomic load."""
+        try:
+            conn = self.connection_factory(self.dsn)
+        except Exception:
+            return
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DROP TABLE IF EXISTS {quoted_staging}")
+            conn.commit()
+        except Exception:
+            pass
         finally:
             conn.close()
 

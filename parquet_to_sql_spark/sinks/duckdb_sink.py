@@ -32,7 +32,8 @@ class DuckDbSink:
         self.database = database
         self.batch_size = batch_size
 
-    def write(self, df: DataFrame, table: str, truncate: bool = False) -> None:
+    def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
+        """Write and return the number of rows actually inserted."""
         assert_safe_table_name(table)
         assert_safe_column_names(df.columns)
         normalized = normalize_for_insert(df)
@@ -41,6 +42,7 @@ class DuckDbSink:
         placeholders = ", ".join("?" for _ in normalized.columns)
         insert = f"INSERT INTO {quoted} ({col_list}) VALUES ({placeholders})"
         con = duckdb.connect(self.database)
+        written = 0
         try:
             if truncate:
                 con.execute(f"TRUNCATE {quoted}")
@@ -49,8 +51,11 @@ class DuckDbSink:
                 batch.append(tuple(row))
                 if len(batch) >= self.batch_size:
                     con.executemany(insert, batch)
+                    written += len(batch)
                     batch = []
             if batch:
                 con.executemany(insert, batch)
+                written += len(batch)
         finally:
             con.close()
+        return written

@@ -10,9 +10,11 @@ for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation
 
 from parquet_to_sql_spark.identifiers import assert_safe_table_name
+from parquet_to_sql_spark.normalize import normalize_for_insert
 
 
 class JdbcSink:
@@ -28,10 +30,20 @@ class JdbcSink:
         self.batch_size = batch_size
         self.num_writers = num_writers
 
-    def write(self, df: DataFrame, table: str, truncate: bool = False) -> None:
+    def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
+        """Write and return the number of rows actually written.
+
+        Nested array/struct/map columns are JSON-encoded first
+        (normalizeValue parity, ParquetImporter.php:187-195) — Spark's
+        JDBC writer throws on them raw.  The row count comes from an
+        Observation on the write action itself, not a second scan.
+        """
         assert_safe_table_name(table)
+        df = normalize_for_insert(df)
         if self.num_writers:
             df = df.repartition(self.num_writers)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         props = dict(self.properties)
         props["batchsize"] = str(self.batch_size)
         if truncate:
@@ -44,3 +56,4 @@ class JdbcSink:
             )
         else:
             df.write.mode("append").jdbc(self.url, table, properties=props)
+        return int(obs.get["rows"])

@@ -100,7 +100,7 @@ def test_copy_protocol_exact_wire_format():
 
 def test_copy_batching_one_txn_per_batch():
     log = []
-    copy_partition(
+    written = copy_partition(
         iter(str(i) for i in range(12)),
         dsn="d",
         table="t",
@@ -112,6 +112,7 @@ def test_copy_batching_one_txn_per_batch():
     # 12 rows / batch 5 -> 3 COPY transactions (5,5,2)
     assert log.count(("commit", None)) == 3
     assert sum(1 for e in log if e[0] == "copy") == 3
+    assert written == 12
 
 
 # ------------------------------------------------- 2. rollback path
@@ -289,6 +290,97 @@ def test_copysink_write_end_to_end_with_fake_factory(spark, tmp_path):
     assert "copy" in kinds and "commit" in kinds
     writes = sorted(e[1] for e in events if e[0] == "copy_write")
     assert writes == ["1\talice\n", "2\t\\N\n"]
+
+
+# ------------------------------------------ 6. sink-side row accounting
+class _CountingStubSink:
+    """Sink that reports writing a count unrelated to the source size,
+    proving ImportResult uses the SINK's number, not a source rescan."""
+
+    def __init__(self, report):
+        self.report = report
+        self.seen_rows = None
+
+    def write(self, df, table, truncate=False):
+        self.seen_rows = df.count()
+        return self.report
+
+
+class _LegacySink:
+    """Sink without row accounting (returns None) — importer falls back
+    to the source count."""
+
+    def write(self, df, table, truncate=False):
+        df.count()
+        return None
+
+
+def test_rows_imported_comes_from_sink_not_source(spark, mixed_parquet):
+    sink = _CountingStubSink(report=7)
+    r = Importer(spark, sink).import_(mixed_parquet, "t")
+    assert sink.seen_rows == 2  # source really had 2 rows
+    assert r.rows_imported == 7  # but the result reports what LANDED
+
+
+def test_rows_imported_fallback_for_legacy_sink(spark, mixed_parquet):
+    r = Importer(spark, _LegacySink()).import_(mixed_parquet, "t")
+    assert r.rows_imported == 2
+
+
+def test_copysink_write_returns_rows_landed(spark, tmp_path):
+    logdir = str(tmp_path / "copylog_count")
+    os.makedirs(logdir, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "id long, name string"
+    ).repartition(3)
+    sink = CopySink("dsn://fake", batch_size=4, timeout_s=5,
+                    connection_factory=_file_logging_factory(logdir))
+    assert sink.write(df, "users") == 10
+
+
+def test_copysink_failing_partition_raises_not_overreports(spark):
+    """A failed COPY surfaces as an error — the accumulator never turns
+    a partial load into a clean ImportResult."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    sink = CopySink("dsn://fake", batch_size=1, timeout_s=5,
+                    connection_factory=_failing_factory)
+    with pytest.raises(Exception, match="COPY command failed"):
+        sink.write(df, "users")
+
+
+def _failing_factory(dsn):
+    class Cur:
+        def execute(self, sql):
+            pass
+
+        def copy(self, sql):
+            raise RuntimeError("copy refused")
+
+    class Conn:
+        def cursor(self):
+            return Cur()
+
+        def commit(self):
+            pass
+
+        def rollback(self):
+            pass
+
+        def close(self):
+            pass
+
+    return Conn()
+
+
+# ----------------------------------------- 7. binary COPY rendering
+def test_copy_binary_rendered_as_bytea_hex(spark):
+    """BinaryType renders as Postgres bytea hex input (\\x...), never a
+    lossy UTF-8 cast; raw tab/newline bytes can't split the line."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\xff\t\n")), (2, None)], "id long, blob binary"
+    )
+    lines = sorted(r.line for r in copy_lines(df).collect())
+    assert lines == ["1\t\\\\x00ff090a", "2\t\\N"]
 
 
 def _file_logging_factory(logdir):
