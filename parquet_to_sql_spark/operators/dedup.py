@@ -96,9 +96,27 @@ def ngram_jaccard_pairs(
     owns release (``spark.catalog.clearCache()`` between queries in a
     long-lived session — bench.py does this).
     """
-    sh = shingle_sets(df, id_col, text_col, n)
     if hashed:
-        sh = sh.select("doc", char_fold_hash(F.col("shingle")).alias("shingle")).distinct()
+        # Hash INSIDE the per-doc shingle array, then array_distinct
+        # before exploding: per-doc distinctness is all the algorithm
+        # needs (doc is part of the pair key), so no global .distinct()
+        # shuffle — the only effect of a 31-bit collision is two
+        # shingles merging, and the oracle dedups post-hash the same
+        # way (list_distinct(list_transform(...))).
+        from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+        sh = rebalance_for_compute(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(ws_tokens(F.col(text_col)), n), char_fold_hash
+                    )
+                )
+            ).alias("shingle"),
+        )
+    else:
+        sh = shingle_sets(df, id_col, text_col, n)
     # cached: this relation feeds the sizes aggregate AND both sides of
     # the self-join; recomputing the shingle explode 3x dominates cost
     sh = sh.cache()

@@ -201,8 +201,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_HASHED_SH = (
-    f"SELECT DISTINCT doc_id AS doc, "
-    f"unnest(list_transform({DUCK_SHINGLES}, s -> {DUCK_FOLD.format(s='s')})) AS shingle "
+    f"SELECT doc_id AS doc, "
+    f"unnest(list_distinct(list_transform({DUCK_SHINGLES}, s -> {DUCK_FOLD.format(s='s')}))) AS shingle "
     f"FROM documents"
 )
 

@@ -76,6 +76,56 @@ def import_copy_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "import_job_spec_roundtrip",
+    tags=("import", "job", "queued-entry"),
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name AS region_name
+    FROM region
+    """,
+)
+def import_job_spec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queued-entry parity (ImportParquetJob.php:15-41): an ImportJob is
+    serialized to its JSON wire form, deserialized as a worker would,
+    executed against an embedded DuckDB sink, and the landed table is
+    read back — so the whole serialize -> execute -> result path sits
+    inside the correctness gate. Rows-landed accounting is asserted
+    in-query."""
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from parquet_to_sql_spark.job import ImportJob
+
+    with tempfile.TemporaryDirectory() as tmp:
+        db = f"{tmp}/job.duckdb"
+        con = duckdb.connect(db)
+        con.execute(
+            "CREATE TABLE region_import (r_regionkey BIGINT, region_name VARCHAR)"
+        )
+        con.close()
+        wire = ImportJob(
+            path=f"{sf_dir}/region.parquet",
+            table="region_import",
+            column_map={"r_name": "region_name"},
+            connection=db,
+            sink="duckdb",
+        ).to_json()
+        result = ImportJob.from_json(wire).handle(spark=spark)
+        con = duckdb.connect(db)
+        pdf: pd.DataFrame = con.execute(
+            "SELECT r_regionkey, region_name FROM region_import"
+        ).df()
+        con.close()
+        if result.rows_imported != len(pdf):
+            raise RuntimeError(
+                f"job accounting drift: result says {result.rows_imported}, "
+                f"table holds {len(pdf)}"
+            )
+    return spark.createDataFrame(pdf)
+
+
+@query(
     "import_bool_null_render",
     tags=("import", "copy-protocol"),
     oracle="""

@@ -33,6 +33,43 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     assert back.count() == want
 
 
+def test_bench_bucketed_twin_is_shuffle_free(spark):
+    """The bench probe pair: the bucketed variant's static plan has
+    at most the single-row final-rollup exchange, while the raw-parquet
+    variant shuffles both join sides. This is the BENCH_r{N} layout
+    story asserted as a plan property."""
+    from parquet_to_sql_spark.plans.bucketing import (
+        materialize_bucketed,
+        order_revenue_join,
+        shuffle_exchange_count,
+    )
+
+    tables = materialize_bucketed(spark, SF_SMOKE, buckets=4, prefix="t_bkt")
+    try:
+        bucketed = order_revenue_join(
+            spark.table(tables["orders"]), spark.table(tables["lineitem"])
+        )
+        shuffled = order_revenue_join(
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "lineitem"),
+        )
+        n_bucketed = shuffle_exchange_count(bucketed)
+        n_shuffled = shuffle_exchange_count(shuffled)
+        # bucketed: only the final single-row rollup may exchange
+        assert n_bucketed <= 1, f"bucketed join shuffles ({n_bucketed} exchanges)"
+        assert n_shuffled >= n_bucketed + 2, (
+            f"raw layout should add two join-side shuffles "
+            f"(got {n_shuffled} vs {n_bucketed})"
+        )
+        # identical results either way
+        assert bucketed.collect() == shuffled.collect()
+        # idempotence: second call reuses via marker, no rewrite
+        assert materialize_bucketed(spark, SF_SMOKE, buckets=4, prefix="t_bkt") == tables
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the join key co-locate: the sort-merge
     join runs with ZERO Exchange operators — the bucketing payoff that
