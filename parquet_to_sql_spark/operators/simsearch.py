@@ -114,6 +114,70 @@ def ivf_assign(
     )
 
 
+KMEANS_QUANT = 1 << 30  # power of two: x * 2^30 is EXACT for float32 inputs
+
+
+def kmeans_refine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    iterations: int = 2,
+) -> DataFrame:
+    """Seeded Lloyd refinement of IVF centroids, cross-engine exact.
+
+    Each iteration: assign every vector to its nearest centroid by
+    cosine (broadcast join against <=K centroids), then recompute each
+    centroid as the element-wise mean of its cluster. Distributed
+    shape: posexplode to (centroid, dim, value) and ONE groupBy — never
+    a per-cluster collect.
+
+    Determinism (the oracle re-runs this in SQL and must hash-match):
+    float means are order-sensitive, and decimal casts of long-tail
+    doubles round differently across engines — so values are quantized
+    to integers first: q = floor(x * 2^30). The multiply is exact
+    (power of two, float32 mantissa), floor is exact, integer SUM is
+    exact (decimal accumulator, overflow-proof at any cluster size),
+    and the final CAST(sum)/(count * 2^30) is one IEEE double division
+    — bit-identical everywhere. Quantization error (2^-30 per value)
+    is far below any clustering signal.
+
+    Empty clusters drop out (both engines' GROUP BY agree). Returns
+    (id_col, vec_col) like the input centroid frame.
+    """
+    cent = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign(df, id_col, vec_col, cent)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .select(
+                "centroid_id",
+                "dim",
+                F.floor(F.col("val").cast("double") * F.lit(float(KMEANS_QUANT)))
+                .cast("decimal(28,0)")
+                .alias("q"),
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(
+                (
+                    F.sum("q").cast("double")
+                    / (F.count(F.lit(1)).cast("double") * F.lit(float(KMEANS_QUANT)))
+                ).alias("m")
+            )
+        )
+        cent = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("centroid_id").alias(id_col),
+                F.transform("dm", lambda s: s["m"]).alias(vec_col),
+            )
+        )
+    return cent
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

@@ -173,10 +173,33 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for cardinality/quantiles at scale:
     approx_count_distinct (HyperLogLog++) and approx_percentile
     (KLL-style) — the O(1)-memory versions of the exact operators
-    above. Values are engine-specific by nature (no oracle)."""
+    above. Sketch VALUES are engine-specific (no oracle), so the query
+    is SELF-verifying instead: each row carries the exact answer, the
+    sketch's relative error, and a bounds flag — hll_ok requires the
+    HLL++ estimate within 3x its configured 5% rsd, median_ok requires
+    the approx median to land inside the exact p45..p55 band.
+    tests/test_operators.py asserts every flag is true."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("price_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("price_p55"),
+    )
+    hll_err = F.abs(
+        F.col("approx_parts").cast("double") / F.col("exact_parts").cast("double")
+        - F.lit(1.0)
+    )
+    return agg.select(
+        "l_returnflag",
+        "approx_parts",
+        "exact_parts",
+        hll_err.alias("hll_rel_err"),
+        (hll_err <= F.lit(0.15)).alias("hll_ok"),
+        "approx_median_price",
+        (
+            (F.col("approx_median_price") >= F.col("price_p45"))
+            & (F.col("approx_median_price") <= F.col("price_p55"))
+        ).alias("median_ok"),
     )

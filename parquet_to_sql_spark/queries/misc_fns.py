@@ -220,3 +220,85 @@ def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_typed"),
         parsed.getField("k").isNotNull().alias("parse_ok"),
     )
+
+
+@query(
+    "fn_interval_arithmetic",
+    tags=("functions", "datetime", "interval"),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 DAY AS due_ts,
+           CAST(o_orderdate AS TIMESTAMP) - INTERVAL 90 MINUTE AS cutoff_ts,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 2 MONTH AS review_ts,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                AS INTEGER) AS days_to_98,
+           CAST(o_orderdate AS TIMESTAMP)
+             + to_days(CAST(o_custkey % 30 AS INTEGER)) AS staggered_ts
+    FROM orders
+    """,
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic family: timestamp +/- day/minute/month
+    intervals, day differences against a fixed date, and a
+    column-driven (make_interval-style) dynamic day offset. Calendar
+    month addition is end-of-month clamped identically in both engines;
+    outputs stay TIMESTAMP-typed (never DATE — pandas rendering of
+    DATE differs between engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        (ts + F.expr("INTERVAL 3 DAY")).alias("due_ts"),
+        (ts - F.expr("INTERVAL 90 MINUTE")).alias("cutoff_ts"),
+        (ts + F.expr("INTERVAL 2 MONTH")).alias("review_ts"),
+        F.datediff(F.lit("1998-01-01").cast("date"), ts.cast("date")).alias(
+            "days_to_98"
+        ),
+        (
+            ts
+            + F.make_interval(days=(F.col("o_custkey") % F.lit(30)).cast("int"))
+        ).alias("staggered_ts"),
+    )
+
+
+@query(
+    "fn_try_arithmetic",
+    tags=("functions", "ansi", "error-handling"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(l_extendedprice / (l_linenumber - 1) AS DOUBLE)
+           END AS price_per_extra_line,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(CAST(l_quantity AS BIGINT) % (l_linenumber - 1) AS BIGINT)
+           END AS qty_mod,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           CASE WHEN l_linenumber <= 3 THEN CAST(l_linenumber AS BIGINT)
+                ELSE NULL END AS small_line
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-mode discipline beyond try_cast: the engine runs with
+    spark.sql.ansi.enabled=true (Spark 4 default), where 1/0 and bad
+    casts RAISE — so every fallible expression in user queries uses the
+    try_* family, which yields NULL instead. The oracle mirrors each
+    NULL-producing condition with explicit CASE guards.
+    tests/test_edges.py pins the raise-vs-null contrast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    denom = F.col("l_linenumber") - F.lit(1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), denom)
+        .cast("double")
+        .alias("price_per_extra_line"),
+        F.try_mod(F.col("l_quantity").cast("bigint"), denom)
+        .cast("bigint")
+        .alias("qty_mod"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.try_element_at(
+            F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<bigint>"),
+            F.col("l_linenumber").cast("int"),
+        ).alias("small_line"),
+    )

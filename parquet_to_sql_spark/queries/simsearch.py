@@ -20,6 +20,8 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _K = 5
 _NPROBE = 3
 _CENTROID_MOD = 50  # vec_id % 50 == 0 -> deterministic centroids
+_PLANES = 8
+_DIMS = 64
 
 _DUCK_COS_AB = """
   list_reduce(list_transform(range(1, len({a})+1), k -> {a}[k]*{b}[k]), (x,y) -> x+y)
@@ -115,6 +117,121 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_ITERS = 2
+_KMEANS_QUANT = 1 << 30
+
+
+def _duck_ivf_tail(cent: str) -> str:
+    """The IVF search tail (assign → probe → score → rank) against a
+    centroid CTE exposing (cent_id, cv) — shared by the seeded and the
+    k-means-refined variants."""
+    return f"""
+    assigned AS (
+      SELECT vec_id, ve, cent_id AS centroid_id FROM (
+        SELECT v.vec_id, v.ve, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, c.cent_id
+               ) AS rn
+        FROM v CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT qid, cent_id AS centroid_id FROM (
+        SELECT q.qid, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="cv")} DESC, c.cent_id
+               ) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+      SELECT q.qid, a.vec_id AS cid,
+             {_DUCK_COS_AB.format(a="qv", b="a.ve")} AS cosine
+      FROM q
+      JOIN probes ON probes.qid = q.qid
+      JOIN assigned a ON a.centroid_id = probes.centroid_id
+      WHERE a.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {_K}
+    """
+
+
+def _duck_kmeans_ctes(iterations: int) -> str:
+    """Unrolled Lloyd iterations: assign → integer-quantized
+    dimension means → rebuild centroid lists. Mirrors
+    operators.simsearch.kmeans_refine exactly (floor(x*2^30) BIGINT
+    sums; one IEEE division at the end)."""
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cent_id, ve AS cv FROM v "
+        f"WHERE vec_id % {_CENTROID_MOD} = 0)"
+    ]
+    for i in range(iterations):
+        prev = f"cent{i}"
+        parts.append(f"""
+    a{i} AS (
+      SELECT vec_id, ve, cent_id AS centroid_id FROM (
+        SELECT v.vec_id, v.ve, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, c.cent_id
+               ) AS rn
+        FROM v CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""
+    m{i} AS (
+      SELECT centroid_id, d,
+             CAST(SUM(CAST(FLOOR(ve[d] * {float(_KMEANS_QUANT)}) AS BIGINT)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * {float(_KMEANS_QUANT)}) AS m
+      FROM a{i} CROSS JOIN (SELECT unnest(range(1, {_DIMS + 1})) AS d) dims
+      GROUP BY centroid_id, d
+    )""")
+        parts.append(f"""
+    cent{i + 1} AS (
+      SELECT centroid_id AS cent_id, list(m ORDER BY d) AS cv
+      FROM m{i} GROUP BY centroid_id
+    )""")
+    return ",\n".join(parts)
+
+
+@query(
+    "simsearch_ivf_kmeans_topk",
+    tags=("simsearch", "embeddings", "ann", "kmeans", "llm-pipeline", "scale-path"),
+    oracle=(
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),\n"
+        + _duck_kmeans_ctes(_KMEANS_ITERS)
+        + ",\n"
+        + _duck_ivf_tail(f"cent{_KMEANS_ITERS}")
+    ),
+)
+def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with LEARNED centroids: the seeded picks are refined
+    by 2 distributed Lloyd iterations (posexplode + one groupBy per
+    step — never a per-cluster collect), then searched with the same
+    probe plan as simsearch_ivf_topk. Quantized integer means keep the
+    whole refinement bit-identical to the SQL oracle; see
+    operators.simsearch.kmeans_refine."""
+    from parquet_to_sql_spark.operators.simsearch import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    seeds = emb.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+    # cache: the refined centroid table is tiny and feeds both the
+    # corpus assignment and the query probes
+    cent = kmeans_refine(
+        emb, "vec_id", "embedding", seeds, iterations=_KMEANS_ITERS
+    ).cache()
+    return ivf_topk(emb, "vec_id", "embedding", queries, cent, k=_K, nprobe=_NPROBE)
+
+
 @query(
     "embedding_norm_stats",
     tags=("embeddings", "llm-pipeline"),
@@ -140,10 +257,6 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(norm_expr("embedding")).alias("min_norm"),
         F.max(norm_expr("embedding")).alias("max_norm"),
     )
-
-
-_PLANES = 8
-_DIMS = 64
 
 
 def _duck_hyperplane_dot(p: int) -> str:

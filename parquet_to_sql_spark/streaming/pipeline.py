@@ -134,6 +134,76 @@ def user_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+_SPEND_OUTPUT = "user_id long, n_events long, total_value double, max_value double"
+
+
+def _make_spend_processor():
+    """StatefulProcessor for transformWithStateInPandas — the
+    Spark-4 arbitrary-stateful API (typed value state, timers, TTL)
+    superseding applyInPandasWithState. Tracks per-user count / total
+    / max across micro-batches."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserSpendProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, total double, max_v double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total, max_v = self._agg.get()
+            else:
+                n, total, max_v = 0, 0.0, float("-inf")
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n += len(pdf)
+                total += float(vals.sum())
+                if len(vals):
+                    max_v = max(max_v, float(vals.max()))
+            self._agg.update((n, total, max_v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [max_v],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserSpendProcessor()
+
+
+def user_spend_profile(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API:
+    cumulative per-user (count, total, max) maintained in typed value
+    state across micro-batches. State is one fixed-width row per user
+    — bounded by key cardinality, shuffled once on user_id.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) and, in PySpark,
+    the google.protobuf package for the state-server protocol — absent
+    in this container, so the equivalence test self-skips; the
+    applyInPandasWithState twin (user_running_totals) covers the
+    stateful semantics in CI."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_spend_processor(),
+            outputStructType=_SPEND_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -124,3 +124,24 @@ def test_engine_sql_surface(spark, tmp_path):
     assert con.execute("SELECT COUNT(*) FROM flags").fetchone()[0] == 3
     con.close()
     assert "lineitem" in eng.tables() and "li2" in eng.tables()
+
+
+def test_ansi_mode_raises_where_try_family_nulls(spark):
+    """The engine runs under ANSI semantics (Spark 4 default): fallible
+    expressions RAISE, and the try_* family is the sanctioned
+    NULL-on-error escape — the contract fn_try_arithmetic builds on."""
+    import pytest as _pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql("SELECT 1/0 AS x").collect()
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        spark.sql("SELECT CAST('xyz' AS INT) AS x").collect()
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        spark.sql("SELECT 9223372036854775807 + CAST(1 AS BIGINT) AS x").collect()
+    row = spark.sql(
+        "SELECT try_divide(1, 0) AS a, try_cast('xyz' AS INT) AS b, "
+        "try_add(9223372036854775807, CAST(1 AS BIGINT)) AS c, "
+        "try_element_at(array(1), 5) AS d"
+    ).collect()[0]
+    assert row.a is None and row.b is None and row.c is None and row.d is None

@@ -164,3 +164,17 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert salted.count() == plain
     assert "_salt" not in salted.columns
+
+
+def test_approx_sketches_self_verify(spark):
+    """agg_approx_sketches carries its own error bounds; every row's
+    hll_ok and median_ok flags must hold (sketch estimates within eps
+    of the exact answers computed in the same query)."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    rows = all_queries()["agg_approx_sketches"].build(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_ok, f"HLL estimate out of bounds: {r}"
+        assert r.median_ok, f"approx median outside exact p45..p55: {r}"

@@ -109,6 +109,60 @@ def test_user_running_totals_stateful(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (PySpark's "
+    "state-server protocol); not installed in this container",
+)
+def test_user_spend_profile_transform_with_state(spark, events_dir):
+    """transformWithStateInPandas (the Spark-4 typed-state API): final
+    per-user (count, total, max) from the stream equals the batch
+    aggregate. Update mode may emit a row per micro-batch; the LAST
+    row per user is the final state."""
+    from parquet_to_sql_spark.streaming.pipeline import user_spend_profile
+
+    stream = events_stream(spark, events_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    # transformWithState requires the RocksDB state store
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(user_spend_profile(stream), "spend_out", "update")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2), round(r.max_value, 2))
+        for r in spark.sql("SELECT * FROM spend_out").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 2), round(r.max_v, 2))
+        for r in (
+            _batch_events(spark)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+                F.max("value").alias("max_v"),
+            )
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     """Two micro-batches: batch 2 carries an event far older than the
     watermark after batch 1 -> append-mode window output never counts
