@@ -24,6 +24,7 @@ _MODULES = (
     "parquet_to_sql_spark.queries.simsearch",
     "parquet_to_sql_spark.queries.text",
     "parquet_to_sql_spark.queries.multimodal",
+    "parquet_to_sql_spark.queries.sql_surface",
 )
 
 

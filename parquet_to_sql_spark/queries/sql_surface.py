@@ -1,0 +1,90 @@
+"""The user-facing SQL surface (sql.Engine) exercised inside the gate.
+
+Every other gate query drives the DataFrame API; these go through
+`Engine.register_fixtures` + `Engine.sql(...)` — plain SQL text in,
+DataFrame out — pinning the path a user of the reference would
+actually adopt (register parquet once, query with SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_sql_spark.queries.registry import query
+
+
+@query(
+    "sql_engine_nation_revenue",
+    tags=("sql-surface", "joins", "aggregation"),
+    oracle="""
+    SELECT n_name,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, order_year
+    """,
+)
+def sql_engine_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders revenue per (nation, year), computed from SQL TEXT via
+    the Engine surface — parsing/planning is all Catalyst; the engine
+    contributes table registration (incl. the events ns-timestamp
+    shim) and the sink hookup. Decimal-sum float discipline as
+    everywhere."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, order_year
+        """
+    )
+
+
+@query(
+    "sql_engine_window_qualify",
+    tags=("sql-surface", "window"),
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey,
+             o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def sql_engine_window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via SQL text on the Engine surface —
+    the SQL twin of window_topn_per_customer, proving the registered
+    views + spark.sql path plans windows identically to the DataFrame
+    API."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT * FROM (
+          SELECT o_custkey,
+                 o_orderkey,
+                 CAST(o_totalprice AS DOUBLE) AS totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rn
+          FROM orders
+        ) WHERE rn <= 2
+        """
+    )

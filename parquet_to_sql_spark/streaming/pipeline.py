@@ -238,7 +238,10 @@ def stream_import(
 
 
 def purchases_after_signup_join(
-    stream: DataFrame, max_delay: str = "1 hour", watermark: str = "2 hours"
+    stream: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join: each purchase matched to the same user's
     signup no more than `max_delay` earlier.
@@ -246,30 +249,34 @@ def purchases_after_signup_join(
     Both sides are watermarked and the join condition carries the
     event-time range, so state for unmatched rows is evicted once the
     watermark passes — the canonical bounded-state stream-stream
-    equi+range join."""
-    signups = (
-        stream.filter(F.col("event_type") == "signup")
-        .select(
-            F.col("user_id").alias("s_user"),
-            F.col("ts").alias("signup_ts"),
-            F.col("event_id").alias("signup_event_id"),
-        )
-        .withWatermark("signup_ts", watermark)
+    equi+range join.
+
+    ``how="left_outer"`` emits purchases with NO qualifying signup
+    (null signup columns) — but only once the watermark has passed
+    their match window, because until then a matching signup could
+    still arrive. Bounded state either way."""
+    # Watermark BEFORE the type filter: the query watermark is the MIN
+    # across both sides, and each side must advance from ALL events'
+    # time, not only its own type's — otherwise one quiet side (no new
+    # signups) stalls the global watermark and outer/unmatched rows
+    # never flush.
+    wm = stream.withWatermark("ts", watermark)
+    signups = wm.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event_id"),
     )
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_event_id"),
-        )
-        .withWatermark("purchase_ts", watermark)
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
     )
     return purchases.join(
         signups,
         (F.col("p_user") == F.col("s_user"))
         & (F.col("purchase_ts") >= F.col("signup_ts"))
         & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {max_delay}")),
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_event_id",

@@ -178,3 +178,35 @@ def test_approx_sketches_self_verify(spark):
     for r in rows:
         assert r.hll_ok, f"HLL estimate out of bounds: {r}"
         assert r.median_ok, f"approx median outside exact p45..p55: {r}"
+
+
+def test_binaryfile_source_to_multimodal_pipeline(spark, tmp_path):
+    """Ingestion edge for multimodal corpora: binaryFile scan -> asset
+    struct -> Arrow-batched fake decode. The glob filter bounds the
+    listing; metadata (n_bytes, sha256) matches the real file bytes."""
+    import hashlib
+
+    from parquet_to_sql_spark.operators.multimodal import decode_image_features
+    from parquet_to_sql_spark.sources.files import binary_assets
+
+    payloads = {
+        f"img_{i}.bin": bytes(range(1, (i * 7) % 250 + 2)) * (i + 1) for i in range(5)
+    }
+    (tmp_path / "skip.txt").write_text("not matched by glob")
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    assets = binary_assets(spark, str(tmp_path), glob="*.bin")
+    rows = assets.select(
+        "asset.uri", "asset.media_type", "asset.meta.n_bytes", "asset.meta.sha256"
+    ).collect()
+    assert len(rows) == 5  # glob excluded skip.txt
+    by_name = {r.uri.rsplit("/", 1)[-1]: r for r in rows}
+    for name, data in payloads.items():
+        assert by_name[name].n_bytes == len(data)
+        assert by_name[name].sha256 == hashlib.sha256(data).hexdigest()
+        assert by_name[name].media_type == "image"
+
+    feats = decode_image_features(assets).collect()
+    assert len(feats) == 5
+    assert all(f.width >= 16 and f.channels == 3 for f in feats)

@@ -192,3 +192,28 @@ def test_global_sort_uses_range_partitioning(spark):
     plan = _formatted_plan(o)
     assert "rangepartitioning" in plan.lower()
     assert "Sort" in plan
+
+
+def test_text_and_avro_sources(spark, tmp_path):
+    """TextSource reads line-per-row; AvroSource works iff the external
+    spark-avro module is deployed (it is not in this container — the
+    wrapper must surface Spark's actionable error, not swallow it)."""
+    import pytest as _pytest
+
+    from parquet_to_sql_spark.sources.files import AvroSource, TextSource
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    got = sorted(r.value for r in TextSource(spark, str(p)).load().collect())
+    assert got == ["alpha", "beta", "gamma"]
+
+    probe = tmp_path / "probe.avro"
+    probe.write_bytes(b"Obj\x01")  # only to satisfy path validation
+    try:
+        spark.read.format("avro")
+        has_avro = True
+    except Exception:
+        has_avro = False
+    if not has_avro:
+        with _pytest.raises(Exception, match="avro"):
+            AvroSource(spark, str(probe)).load().collect()

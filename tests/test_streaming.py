@@ -231,6 +231,60 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     assert rows2.get(5) == 1, "in-watermark event lost"
 
 
+def test_stream_stream_left_outer_emits_unmatched(spark, events_dir):
+    """LEFT OUTER stream-stream join: purchases with no qualifying
+    signup are emitted with null signup columns — but only after the
+    watermark passes their match window (until then a matching signup
+    could still arrive). A far-future sentinel event pushes the final
+    watermark beyond all real data so every outer row flushes, making
+    the stream result comparable to the batch left join."""
+    from parquet_to_sql_spark.streaming.pipeline import purchases_after_signup_join
+
+    ev = _batch_events(spark)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_id = 10**9
+    sentinel_ns = int((max_ts.timestamp() + 30 * 24 * 3600) * 1e6) * 1000
+    spark.createDataFrame(
+        [(sentinel_id, sentinel_ns, -1, "purchase", 0.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    stream = events_stream(spark, events_dir)
+    run_to_memory(
+        purchases_after_signup_join(stream, how="left_outer"), "ssjo_out", "append"
+    )
+    rows = spark.sql("SELECT * FROM ssjo_out").collect()
+    got_matched = {
+        (r.purchase_event_id, r.signup_event_id)
+        for r in rows
+        if r.signup_event_id is not None
+    }
+    got_unmatched = {
+        r.purchase_event_id for r in rows if r.signup_event_id is None
+    } - {sentinel_id}
+
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("sts"),
+        F.col("event_id").alias("sid"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    matched_batch = p.join(
+        s,
+        (F.col("pu") == F.col("su"))
+        & (F.col("pts") >= F.col("sts"))
+        & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 1 HOUR")),
+    ).collect()
+    want_matched = {(r.pid, r.sid) for r in matched_batch}
+    want_unmatched = {r.pid for r in p.collect()} - {m[0] for m in want_matched}
+
+    assert got_matched == want_matched
+    assert got_unmatched == want_unmatched and len(want_unmatched) > 0
+
+
 def test_stream_import_foreachbatch_to_duckdb(spark, events_dir, tmp_path):
     db = str(tmp_path / "stream.duckdb")
     con = duckdb.connect(db)
