@@ -129,14 +129,39 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hubs), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc").alias("doc1"), "shingle")
-    b = sh.select(F.col("doc").alias("doc2"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if max_doc_freq is not None:
+        # Capped path: every surviving shingle has <= max_doc_freq docs,
+        # so collecting its posting list is bounded-safe — ONE shuffle
+        # on shingle replaces the two-sided self-join, and the pairs
+        # explode from each posting list in place (cost per shingle
+        # <= cap^2/2, same candidates as the join, generated map-side).
+        postings = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc")).alias("docs")
+        )
+        # docs sorted ascending -> pairing each element with its tail
+        # slice yields exactly the doc1 < doc2 pairs, no n^2 buffer
+        common = (
+            postings.select(
+                F.posexplode("docs").alias("i", "doc1"), F.col("docs")
+            )
+            .select(
+                "doc1",
+                F.explode(
+                    F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+                ).alias("doc2"),
+            )
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = sh.select(F.col("doc").alias("doc1"), "shingle")
+        b = sh.select(F.col("doc").alias("doc2"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc1") < F.col("doc2"))
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
     return (

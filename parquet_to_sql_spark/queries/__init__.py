@@ -25,6 +25,7 @@ _MODULES = (
     "parquet_to_sql_spark.queries.text",
     "parquet_to_sql_spark.queries.multimodal",
     "parquet_to_sql_spark.queries.sql_surface",
+    "parquet_to_sql_spark.queries.pipelines",
 )
 
 
