@@ -294,3 +294,132 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer aggregate -> distribution aggregate). Two cascaded
     aggregations, the second over a tiny domain."""
     return _sql(spark, sf_dir, _Q13, ("customer", "orders"))
+
+
+_Q9 = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         {DISC_PRICE}
+           - CAST(0.10 AS DECIMAL(3,2))
+             * CAST(p_retailprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("q9_product_profit", tags=("tpch", "join", "aggregation"), oracle=_Q9)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 pattern: profit per (supplier nation, year) for parts
+    matching a LIKE filter. The fixtures have no partsupp, so supply
+    cost is surrogated as 10% of p_retailprice — the JOIN SHAPE (part
+    LIKE-filter fans a 5-way join grouped by nation x year) is what
+    the pattern pins. part/supplier/nation broadcast; lineitem never
+    shuffles before the final group-by."""
+    return _sql(spark, sf_dir, _Q9,
+                ("part", "lineitem", "supplier", "orders", "nation"))
+
+
+_Q11 = """
+SELECT l_partkey AS ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+FROM (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_quantity AS DECIMAL(12,2)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+) x
+GROUP BY l_partkey
+HAVING SUM(val) > (
+  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2)))
+         * CAST(0.001 AS DECIMAL(6,4))
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+"""
+
+
+@query("q11_value_concentration", tags=("tpch", "subquery", "having"), oracle=_Q11)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 pattern: per-part traded value inside one nation,
+    HAVING-filtered against a SCALAR SUBQUERY (0.1% of the nation's
+    total) — the fraction-of-global-aggregate shape. The subquery
+    plans as its own tiny aggregate broadcast into the HAVING filter;
+    exact decimal sums on both engines make the threshold comparison
+    bit-stable."""
+    return _sql(spark, sf_dir, _Q11, ("lineitem", "supplier", "nation"))
+
+
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%rod%'
+      )
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2))
+  )
+"""
+
+
+@query("q20_excess_shippers", tags=("tpch", "subquery", "nested-in"), oracle=_Q20)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 pattern: nested IN subqueries — suppliers (in one
+    nation) whose shipped volume of LIKE-matched parts since a date
+    exceeds a threshold. Plans as two semi-joins: part-list broadcast
+    into the lineitem aggregate, then the qualifying supplier set
+    semi-joined against the (broadcast) supplier dimension."""
+    return _sql(spark, sf_dir, _Q20, ("supplier", "nation", "lineitem", "part"))
+
+
+_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+"""
+
+
+@query("q21_waiting_suppliers", tags=("tpch", "exists", "correlated"), oracle=_Q21)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 pattern: the hardest correlation shape — for each
+    late line, EXISTS another supplier's line in the same order AND
+    NOT EXISTS another supplier's line that was ALSO late (fixtures
+    lack commit/receipt dates, so 'late' = shipped >90 days after the
+    order date, correlated through the outer order). Spark plans the
+    pair as a left-semi plus a left-anti join on l_orderkey — both
+    shuffle-partitioned on the same key as the main join, so AQE
+    stacks them without extra exchanges."""
+    return _sql(spark, sf_dir, _Q21, ("supplier", "lineitem", "orders", "nation"))
