@@ -203,3 +203,36 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("approx_median_price") <= F.col("price_p55"))
         ).alias("median_ok"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    tags=("aggregation", "rollup", "grouping-id"),
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers: distinguishes a real NULL group
+    key from a rollup subtotal row — the standard way downstream
+    consumers tell aggregation levels apart. COALESCE labels make the
+    output self-describing on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """
+    )

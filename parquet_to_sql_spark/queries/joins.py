@@ -369,3 +369,37 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.filter(
         F.col("ts") - F.col("purchase_ts") <= F.expr("INTERVAL 6 HOURS")
     )
+
+
+@query(
+    "join_lateral_top_order",
+    tags=("join", "lateral", "correlated"),
+    oracle="""
+    SELECT c_custkey, o.o_orderkey, o.top_price
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS top_price
+      FROM orders WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) o
+    """,
+)
+def join_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer paired with their
+    single most expensive order (ORDER BY ... LIMIT 1 inside the
+    lateral body; deterministic tie-break on orderkey). Identical SQL
+    text runs on both engines; Spark decorrelates the per-row subquery
+    into a window-style plan rather than executing it N times."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, o.o_orderkey, o.top_price
+        FROM customer,
+        LATERAL (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS top_price
+          FROM orders WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) o
+        """
+    )

@@ -443,3 +443,38 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.subtract(supp)
+
+
+@query(
+    "setop_union_by_name",
+    tags=("setop", "schema-evolution"),
+    oracle="""
+    SELECT c_custkey AS ent_id, c_name AS name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           c_mktsegment AS segment, 'customer' AS kind
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS ent_id, s_name AS name,
+           CAST(s_acctbal AS DOUBLE) AS acctbal, 'supplier' AS kind
+    FROM supplier
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-resolved union over MISMATCHED schemas (supplier has no
+    market segment -> null-filled): unionByName(allowMissingColumns)
+    is the schema-evolution-tolerant union a long-lived lake needs;
+    mirrored by DuckDB's UNION ALL BY NAME."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ent_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("ent_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)

@@ -163,3 +163,46 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric RANGE frame: peers within ±1000 of each order's price
     (value-based frame, not row-based)."""
     return _sql(spark, sf_dir, _RANGE_SQL, ("orders",))
+
+
+_IGNORE_NULLS_BODY = """
+FROM (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE) END AS v
+  FROM events
+) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+# Same semantics, dialect-split syntax: Spark puts IGNORE NULLS after
+# the call, DuckDB 1.0 inside the argument list.
+_IGNORE_NULLS_SPARK = f"""
+SELECT event_id, user_id,
+       LAG(v, 1) IGNORE NULLS OVER w AS prev_value,
+       LAST_VALUE(v) IGNORE NULLS OVER wf AS last_seen_value
+{_IGNORE_NULLS_BODY}
+"""
+
+_IGNORE_NULLS_DUCK = f"""
+SELECT event_id, user_id,
+       LAG(v, 1 IGNORE NULLS) OVER w AS prev_value,
+       LAST_VALUE(v IGNORE NULLS) OVER wf AS last_seen_value
+{_IGNORE_NULLS_BODY}
+"""
+
+
+@query(
+    "window_ignore_nulls",
+    tags=("window", "analytic", "ignore-nulls"),
+    oracle=_IGNORE_NULLS_DUCK,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytic functions: per user, the previous and the
+    most recent non-null purchase value carried forward over a sparse
+    column (nulls for non-purchase events) — the gap-filling /
+    last-observation-carried-forward primitive. Unique (ts, event_id)
+    tie-break keeps it total-ordered; only the IGNORE NULLS placement
+    differs between the dialects."""
+    return _sql(spark, sf_dir, _IGNORE_NULLS_SPARK, ("events",))

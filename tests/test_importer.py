@@ -436,3 +436,30 @@ class _FileLogConn:
 
     def close(self):
         self._log("close")
+
+
+def test_import_from_csv_source_pluggable_reader(spark, tmp_path):
+    """Pluggable scan contract: the Importer accepts any Source (here
+    CsvSource) interchangeably with ParquetSource — projection/rename,
+    normalization, and row accounting all run identically."""
+    from parquet_to_sql_spark.sources.files import CsvSource
+
+    csv_dir = tmp_path / "in_csv"
+    csv_dir.mkdir()
+    (csv_dir / "part0.csv").write_text("id,name,score\n1,alice,9.5\n2,bob,\n")
+    db = str(tmp_path / "csv.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE people (person_id BIGINT, name VARCHAR, score DOUBLE)")
+    con.close()
+
+    importer = Importer(spark, DuckDbSink(db))
+    result = importer.import_(
+        None, "people", column_map={"id": "person_id"},
+        reader=CsvSource(spark, str(csv_dir)),
+    )
+    assert result.rows_imported == 2
+
+    con = duckdb.connect(db)
+    rows = con.execute("SELECT * FROM people ORDER BY person_id").fetchall()
+    con.close()
+    assert rows == [(1, "alice", 9.5), (2, "bob", None)]
