@@ -217,3 +217,50 @@ def test_text_and_avro_sources(spark, tmp_path):
     if not has_avro:
         with _pytest.raises(Exception, match="avro"):
             AvroSource(spark, str(probe)).load().collect()
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The 100 TB skew story without manual salting: one hot key holds
+    ~90% of the left side; with AQE skew-join enabled (engine default)
+    the runtime re-plan splits the oversized partition — the final
+    adaptive plan carries SortMergeJoin(skew=true) — and results are
+    unchanged. Thresholds are lowered so fixture-sized data exhibits
+    what a 256 MB default partition would at scale."""
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "262144",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(200000).select(
+            F.lit(0).alias("k"), F.concat(F.lit("x" * 100), F.col("id")).alias("v")
+        )
+        uniform = spark.range(20000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").cast("string").alias("v")
+        )
+        left = hot.union(uniform)
+        right = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        ).repartition(4)
+        j = left.hint("merge").join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            # keep the payload column alive so pruning doesn't shrink
+            # the shuffled partition below the (lowered) skew threshold
+            F.sum(F.length("v")).alias("payload_bytes"),
+        )
+        row = j.collect()[0]
+        assert row.n == 220000  # every row matched exactly once
+        assert row.payload_bytes > 200000 * 100
+        plan = j._jdf.queryExecution().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
