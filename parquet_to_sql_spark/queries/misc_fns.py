@@ -302,3 +302,57 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("int"),
         ).alias("small_line"),
     )
+
+
+@query(
+    "fn_bitwise",
+    tags=("functions", "bitwise"),
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey & 255 AS BIGINT)  AS low_byte,
+           CAST(p_partkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(p_partkey, p_size) AS BIGINT) AS mixed,
+           CAST(p_size << 3 AS BIGINT)      AS size_x8,
+           CAST(p_partkey >> 4 AS BIGINT)   AS bucket16
+    FROM part
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (& | xor << >>) — integer-exact on both
+    engines; the building blocks the engine's own simhash/banding
+    machinery uses, exposed as user-level functions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("p_partkey & 255").cast("bigint").alias("low_byte"),
+        F.expr("p_partkey | 4096").cast("bigint").alias("with_flag"),
+        F.expr("p_partkey ^ p_size").cast("bigint").alias("mixed"),
+        F.expr("shiftleft(p_size, 3)").cast("bigint").alias("size_x8"),
+        F.expr("shiftright(p_partkey, 4)").cast("bigint").alias("bucket16"),
+    )
+
+
+@query(
+    "fn_edit_distance",
+    tags=("functions", "string", "fuzzy"),
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS INTEGER) AS name_type_dist,
+           CAST(levenshtein(p_brand, 'BRAND_1') AS INTEGER) AS brand_dist
+    FROM part
+    """,
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance (integer-exact cross-engine) — the
+    scalar companion to the set-based near-dup operators: cheap fuzzy
+    key matching without any candidate machinery."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_name"), F.col("p_type")).cast("int").alias(
+            "name_type_dist"
+        ),
+        F.levenshtein(F.col("p_brand"), F.lit("BRAND_1")).cast("int").alias(
+            "brand_dist"
+        ),
+    )

@@ -264,3 +264,15 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q20_plans_nested_in_as_semi_joins(spark):
+    """q20's nested IN subqueries must plan as semi-joins (never a
+    distinct + inner join materializing the subquery)."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    df = all_queries()["q20_excess_shippers"].build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "LeftSemi" in plan
+    # the smallest fixture has no qualifying suppliers; row coverage is
+    # the oracle-parity test's job (sf0.01) — this test pins the PLAN
