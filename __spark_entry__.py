@@ -56,10 +56,31 @@ _R01_DRIVER_VERIFIED = frozenset(
 )
 
 
+# 65 queries lack r01 evidence but the checked window holds only ~50.
+# These 15 yield their slot (machinery already covered by r01-green
+# rows or by an in-window sibling, or trivial single-operator queries);
+# their aliases get the `a9_` prefix, sorting after every `a2_` alias
+# but still ahead of the canonical names.
+_LOW_PRIORITY_ROTATION = frozenset(
+    {
+        "fn_bitwise", "fn_edit_distance", "sample_deterministic",
+        "sample_stratified_hash", "sort_nulls_explicit",
+        "profile_orders_columns", "setop_except", "setop_union_all",
+        "join_semi", "multimodal_decode_features",
+        "simsearch_hyperplane_lsh", "agg_grouping_id",
+        "sql_engine_window_qualify", "text_lang_distribution",
+        "topk_expensive_orders", "window_first_last",
+        "window_topn_per_customer",
+    }
+)
+
+
 def _alias(name: str) -> str | None:
     """Driver-window rotation alias for queries without r01 evidence."""
     if name in _R01_DRIVER_VERIFIED:
         return None
+    if name in _LOW_PRIORITY_ROTATION:
+        return f"a9_{name}"
     return f"a2_{name}"
 
 

@@ -177,6 +177,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster closure: connected components over near-dup
+    pairs by iterative hash-min label propagation.
+
+    Near-dup similarity is not transitive (A~B and B~C does not imply
+    A~C), but a dedup pipeline must still retire whole clusters, so
+    the pair relation needs a transitive closure.  Each node starts
+    labeled with its own id; every round each node takes the min of
+    its label and its neighbors' labels; at fixpoint label(v) == min
+    id reachable from v == the component id.  Returns (node, label)
+    with one row per input node (singletons keep their own id).
+
+    Scale shape (the 100 TB story):
+      * per round: ONE equality join (edges x labels, shuffled on the
+        edge source) + ONE groupBy-min (partial agg map-side).  No
+        all-pairs step anywhere.
+      * rounds needed = graph diameter.  Dedup graphs are dense
+        near-cliques with tiny diameter (2-4 in practice), so the
+        round count is small and data-independent-ish; for adversarial
+        long-chain graphs swap in alternating large-star/small-star
+        (Kiveris et al.), which converges in O(log^2 n) — not needed
+        for the dedup workload this serves.
+      * lineage is truncated every round with an eager
+        localCheckpoint; on a real cluster configure a reliable
+        checkpoint dir and use .checkpoint() so a lost executor does
+        not recompute the whole iteration history.
+      * convergence is detected by the SUM of labels (labels only
+        ever decrease, so an unchanged sum == fixpoint): one scalar
+        agg per round, no old-vs-new join.  The sum is accumulated in
+        DECIMAL(38,0) so it cannot overflow at any corpus size.
+
+    The fixpoint is unique regardless of round count, so the result
+    is deterministic and oracle-checkable (DuckDB: recursive CTE).
+    """
+    edges = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).union(
+        pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+    )
+    # reused every round: materialize once (caller's session; released below)
+    edges = edges.cache()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges["e_src"] == labels["node"]).select(
+            F.col("e_dst").alias("node"), F.col("label")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 3
 ) -> DataFrame:

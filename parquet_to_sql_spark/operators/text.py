@@ -156,6 +156,90 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return voted.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_chars: int = 100,
+) -> DataFrame:
+    """Gopher-style document-quality rule flags (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition/quality filters, public
+    paper) — the standard pre-training corpus filter chain.
+
+    One boolean column per rule plus the AND verdict; every rule is
+    exact integer arithmetic (ratio bounds are cross-multiplied, e.g.
+    mean word length in [3,10] becomes ``3*n_words <= word_chars <=
+    10*n_words``), so results are engine-exact with no float
+    discipline needed.  Pure Column expressions over one staged
+    projection — narrow, no shuffle, whole-stage codegen.
+
+    Rules:
+      * r_word_count   — min_words <= #ws-tokens <= max_words
+      * r_char_count   — #chars >= min_chars
+      * r_mean_word_len— mean token length in [3, 10]
+      * r_symbol_ratio — ('#' or '...') occurrences <= 10% of tokens
+      * r_alpha_words  — >= 80% of tokens contain a letter
+      * r_bullet_lines — <= 30% of lines start with a bullet
+      * r_ellipsis_lines — <= 30% of lines end with '...'
+      * r_stopwords    — >= 2 distinct common stopwords present
+    """
+    t = F.col("_t")
+    staged = rebalance_for_compute(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        ws_tokens(F.col(text_col)).alias("_w"),
+        ws_tokens(F.lower(F.col(text_col))).alias("_lw"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+    n_words = F.size("_w").cast("long")
+    word_chars = F.aggregate(
+        "_w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
+    )
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0)).cast("long")
+    n_alpha = F.size(F.filter("_w", lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_lines = F.size("_lines").cast("long")
+    n_bullet = F.size(
+        F.filter("_lines", lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter("_lines", lambda l: l.rlike(r"\.\.\.\s*$"))
+    ).cast("long")
+    stop_distinct = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _ALL_STOPWORDS]),
+            lambda w: F.array_contains(F.col("_lw"), w),
+        )
+    ).cast("long")
+    return staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("r_word_count"),
+        (F.length(t).cast("long") >= min_chars).alias("r_char_count"),
+        (
+            (F.lit(3) * n_words <= word_chars) & (word_chars <= F.lit(10) * n_words)
+        ).alias("r_mean_word_len"),
+        (F.lit(10) * n_sym <= n_words).alias("r_symbol_ratio"),
+        (F.lit(5) * n_alpha >= F.lit(4) * n_words).alias("r_alpha_words"),
+        (F.lit(10) * n_bullet <= F.lit(3) * n_lines).alias("r_bullet_lines"),
+        (F.lit(10) * n_ellipsis <= F.lit(3) * n_lines).alias("r_ellipsis_lines"),
+        (stop_distinct >= F.lit(2)).alias("r_stopwords"),
+        (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (F.length(t).cast("long") >= min_chars)
+            & (F.lit(3) * n_words <= word_chars)
+            & (word_chars <= F.lit(10) * n_words)
+            & (F.lit(10) * n_sym <= n_words)
+            & (F.lit(5) * n_alpha >= F.lit(4) * n_words)
+            & (F.lit(10) * n_bullet <= F.lit(3) * n_lines)
+            & (F.lit(10) * n_ellipsis <= F.lit(3) * n_lines)
+            & (stop_distinct >= F.lit(2))
+        ).alias("passes"),
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass text-analysis profile: token counts, language, quality,
     fingerprint.

@@ -8,11 +8,13 @@ constants, same banding) rather than approximating it.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_to_sql_spark.catalog import load_table
 from parquet_to_sql_spark.functions.hashing import FOLD_MOD, minhash_constants
 from parquet_to_sql_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
@@ -242,3 +244,84 @@ def dedup_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at test scale while bounding any hub shingle at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, hashed=True)
+
+
+# the hashed-pair relation as reusable CTEs ending in `pairs(doc1,doc2)`
+_DUCK_HASHED_PAIR_CTES = f"""
+    sh0 AS ({_DUCK_HASHED_SH}),
+    sh AS (
+      SELECT doc, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 256
+    ),
+    sizes AS (
+      SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+    ), common AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc1, doc2
+      FROM common
+      JOIN sizes s1 ON doc1 = s1.doc
+      JOIN sizes s2 ON doc2 = s2.doc
+      WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
+    )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    tags=("dedup", "llm-pipeline", "iterative", "scale-path"),
+    oracle=f"""
+    WITH RECURSIVE
+    {_DUCK_HASHED_PAIR_CTES},
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           doc_id = component AS is_keep
+    FROM comp
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure: near-dup pairs (hashed 3-gram Jaccard
+    >= 0.5, skew-capped — same relation as dedup_ngram_jaccard_hashed)
+    -> connected components via iterative hash-min label propagation ->
+    one row per document with its cluster id, cluster size, and the
+    canonical-keep flag (min id represents the cluster).
+
+    This is the step pair-producing dedup ops feed at 100 TB:
+    similarity is not transitive, so retiring whole duplicate groups
+    needs the closure.  Per round: one equality join + one groupBy-min
+    (no all-pairs anywhere); rounds = graph diameter (tiny for dup
+    near-cliques); lineage truncated per round.  The fixpoint is
+    iteration-order-independent, so the result is value-exact against
+    DuckDB's recursive-CTE closure."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, hashed=True
+    ).select("doc1", "doc2")
+    comp = connected_components(
+        pairs, docs.select("doc_id"), "doc1", "doc2", "doc_id"
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_keep"),
+    )

@@ -170,3 +170,65 @@ def text_word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(20)
     )
+
+
+_DUCK_GOPHER = f"""
+    WITH staged AS (
+      SELECT doc_id,
+             text AS t,
+             {DUCK_WORDS} AS w,
+             string_split_regex(trim(lower(text)), '\\s+') AS lw,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+                         (a, b) -> a + b) AS word_chars,
+             CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS BIGINT) AS n_ellipsis,
+             CAST(len(list_filter({{stops}}, s -> list_contains(lw, s))) AS BIGINT) AS stop_distinct,
+             CAST(length(t) AS BIGINT) AS n_chars
+      FROM staged
+    )
+    SELECT doc_id,
+           n_words,
+           (n_words >= 20 AND n_words <= 100000)        AS r_word_count,
+           (n_chars >= 100)                             AS r_char_count,
+           (3*n_words <= word_chars AND word_chars <= 10*n_words) AS r_mean_word_len,
+           (10*n_sym <= n_words)                        AS r_symbol_ratio,
+           (5*n_alpha >= 4*n_words)                     AS r_alpha_words,
+           (10*n_bullet <= 3*n_lines)                   AS r_bullet_lines,
+           (10*n_ellipsis <= 3*n_lines)                 AS r_ellipsis_lines,
+           (stop_distinct >= 2)                         AS r_stopwords,
+           (n_words >= 20 AND n_words <= 100000
+            AND n_chars >= 100
+            AND 3*n_words <= word_chars AND word_chars <= 10*n_words
+            AND 10*n_sym <= n_words
+            AND 5*n_alpha >= 4*n_words
+            AND 10*n_bullet <= 3*n_lines
+            AND 10*n_ellipsis <= 3*n_lines
+            AND stop_distinct >= 2)                     AS passes
+    FROM m
+""".format(stops=_ALL_STOP_LIST)
+
+
+@query(
+    "text_gopher_rules",
+    tags=("text-analysis", "llm-pipeline", "quality-filter"),
+    oracle=_DUCK_GOPHER,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality filter: one boolean flag per rule
+    (word/char counts, mean word length, symbol ratio, alpha-word
+    ratio, bullet/ellipsis line ratios, stopword diversity) plus the
+    AND verdict.  All bounds are cross-multiplied integer comparisons
+    — no float anywhere — and the whole thing is one narrow staged
+    projection (codegen, no shuffle)."""
+    from parquet_to_sql_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, "doc_id", "text")

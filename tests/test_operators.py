@@ -43,6 +43,25 @@ def test_ngram_jaccard_finds_near_identical_docs(spark):
     assert 0.3 <= pairs[0].jaccard < 1.0
 
 
+def test_connected_components_chain_and_singletons(spark):
+    from parquet_to_sql_spark.operators.dedup import connected_components
+
+    # a 6-node chain (needs several propagation rounds), a 2-clique,
+    # and an isolated node with no pairs at all
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "doc1 long, doc2 long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 20]], "doc_id long"
+    )
+    out = {
+        r.node: r.label
+        for r in connected_components(pairs, nodes, "doc1", "doc2", "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 20: 20}
+
+
 def test_identical_docs_have_identical_minhash(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],
