@@ -1,0 +1,70 @@
+"""Layout operators: compaction and range-clustered writes, verified
+by reading the physical result back."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from parquet_to_sql_spark.catalog import load_table
+from parquet_to_sql_spark.plans.layout import (
+    compaction_partitions,
+    input_bytes,
+    per_file_ranges,
+    write_compacted,
+    write_range_clustered,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def test_compaction_collapses_small_files(spark, tmp_path):
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compact")
+    lineitem = load_table(spark, SF_CORRECT, "lineitem")
+    lineitem.repartition(64).write.parquet(src)
+    assert len(_parquet_files(src)) == 64
+
+    small = spark.read.parquet(src)
+    total = input_bytes(small)
+    target = max(1, total // 4)  # aim for ~4 output files
+    planned = write_compacted(small, out, target_file_bytes=target)
+    assert planned == compaction_partitions(small, target) <= 8
+    assert len(_parquet_files(out)) == planned
+    assert spark.read.parquet(out).count() == lineitem.count()
+
+
+def test_compaction_aqe_rebalance_path(spark, tmp_path):
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "rebal")
+    orders = load_table(spark, SF_CORRECT, "orders")
+    orders.repartition(32).write.parquet(src)
+    planned = write_compacted(spark.read.parquet(src), out, use_aqe_rebalance=True)
+    assert planned == 0
+    # AQE coalesces the 32 tiny shuffle blocks into far fewer files
+    assert len(_parquet_files(out)) < 32
+    assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_range_clustered_files_are_disjoint_and_sorted(spark, tmp_path):
+    out = str(tmp_path / "clustered")
+    orders = load_table(spark, SF_CORRECT, "orders")
+    n = write_range_clustered(orders, out, ["o_orderkey"], num_files=6)
+    assert n == 6 and len(_parquet_files(out)) == 6
+
+    ranges = per_file_ranges(spark.read, out, "o_orderkey")
+    # every file owns a disjoint o_orderkey range (this is what makes
+    # min/max pruning skip whole files on a selective filter)
+    spans = sorted((lo, hi) for _, lo, hi in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next
+    # and the rewrite lost nothing
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert back.agg(F.sum("o_orderkey")).first()[0] == orders.agg(
+        F.sum("o_orderkey")
+    ).first()[0]
