@@ -212,3 +212,66 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_big_final"
         ),
     )
+
+
+@query(
+    "fn_variant_json",
+    tags=("functions", "json", "variant", "spark4"),
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_value,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_value,
+           CAST(json(props) AS VARCHAR)                       AS canonical_json,
+           (json_type(json(props)) = 'NULL')                  AS is_json_null
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type surface: parse_json into a variant,
+    typed variant_get extraction, try_variant_get on a missing path
+    (null, no error), canonical re-serialization via to_json, and
+    is_variant_null.  Variant is the semi-structured scale path —
+    parsed once at ingest, binary-encoded, fields extracted without
+    re-tokenizing the JSON text per query."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_value"),
+        F.to_json(v).alias("canonical_json"),
+        F.is_variant_null(v).alias("is_json_null"),
+    )
+
+
+@query(
+    "fn_xml_roundtrip",
+    tags=("functions", "xml", "spark4"),
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey    AS xml_key,
+           o_orderstatus AS xml_status,
+           o_orderkey    AS xpath_key
+    FROM orders
+    """,
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (built-in since Spark 4): encode each order as an
+    XML fragment, parse it back with from_xml (typed struct) and with
+    an xpath expression.  The oracle is the identity projection —
+    encode->parse->extract must reproduce the source columns exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s></o>"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, s STRING")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("k").alias("xml_key"),
+        parsed.getField("s").alias("xml_status"),
+        F.xpath_long(xml, F.lit("/o/k/text()")).alias("xpath_key"),
+    )
