@@ -202,11 +202,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
 
 
-_DUCK_HASHED_SH = (
-    f"SELECT doc_id AS doc, "
-    f"unnest(list_distinct(list_transform({DUCK_SHINGLES}, s -> {DUCK_FOLD.format(s='s')}))) AS shingle "
-    f"FROM documents"
-)
+def duck_hashed_sh(source: str = "documents") -> str:
+    """Hashed-shingle relation (doc, shingle) over any source relation
+    with (doc_id, text) columns — DuckDB side."""
+    return (
+        f"SELECT doc_id AS doc, "
+        f"unnest(list_distinct(list_transform({DUCK_SHINGLES}, s -> {DUCK_FOLD.format(s='s')}))) AS shingle "
+        f"FROM {source}"
+    )
+
+
+_DUCK_HASHED_SH = duck_hashed_sh()
 
 
 @query(
@@ -246,9 +252,11 @@ def dedup_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, hashed=True)
 
 
-# the hashed-pair relation as reusable CTEs ending in `pairs(doc1,doc2)`
-_DUCK_HASHED_PAIR_CTES = f"""
-    sh0 AS ({_DUCK_HASHED_SH}),
+def duck_hashed_pair_ctes(source: str = "documents") -> str:
+    """The hashed-ngram near-dup pair relation as reusable CTEs ending
+    in ``pairs(doc1, doc2)``, over any (doc_id, text) source."""
+    return f"""
+    sh0 AS ({duck_hashed_sh(source)}),
     sh AS (
       SELECT doc, shingle FROM sh0
       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 256
@@ -267,6 +275,10 @@ _DUCK_HASHED_PAIR_CTES = f"""
       WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
     )
 """
+
+
+# the hashed-pair relation as reusable CTEs ending in `pairs(doc1,doc2)`
+_DUCK_HASHED_PAIR_CTES = duck_hashed_pair_ctes()
 
 
 @query(

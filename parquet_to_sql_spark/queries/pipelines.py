@@ -88,3 +88,87 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+def _curation_oracle() -> str:
+    from parquet_to_sql_spark.queries.dedup import duck_hashed_pair_ctes
+    from parquet_to_sql_spark.queries.text import _DUCK_GOPHER
+
+    return f"""
+    WITH RECURSIVE
+    gq AS (SELECT doc_id, passes FROM ({_DUCK_GOPHER})),
+    fdocs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN gq ON d.doc_id = gq.doc_id WHERE gq.passes
+    ),
+    {duck_hashed_pair_ctes("fdocs").lstrip()},
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM fdocs
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT g.doc_id,
+           g.passes,
+           COALESCE(c.component, -1) AS component,
+           CASE WHEN NOT g.passes THEN 'failed_quality'
+                WHEN COALESCE(c.component, -1) <> g.doc_id THEN 'duplicate'
+                ELSE 'kept' END AS decision
+    FROM gq g LEFT JOIN comp c ON g.doc_id = c.doc_id
+    """
+
+
+
+@query(
+    "pipeline_corpus_curation",
+    tags=("pipeline", "dedup", "quality-filter", "iterative", "llm-pipeline"),
+    oracle=_curation_oracle(),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation decision per document, end to end in one
+    oracle-exact query: Gopher-rule quality filter -> hashed-ngram
+    near-dup pairs AMONG SURVIVORS -> connected-component closure ->
+    per-doc verdict ('failed_quality' | 'duplicate' | 'kept', keeping
+    the min-id representative of each duplicate cluster).
+
+    Filter-then-dedup is the production order (dedup is the expensive
+    stage; the quality filter shrinks its input for free), and every
+    stage is the same scale-shaped operator the standalone queries
+    use — nothing is recomputed differently for the composition."""
+    from parquet_to_sql_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from parquet_to_sql_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    verdict = gopher_rules(docs, "doc_id", "text").select("doc_id", "passes")
+    fdocs = (
+        docs.join(verdict.filter(F.col("passes")), "doc_id")
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(
+        fdocs, "doc_id", "text", n=3, threshold=0.5, hashed=True
+    ).select("doc1", "doc2")
+    comp = connected_components(
+        pairs, fdocs.select("doc_id"), "doc1", "doc2", "doc_id"
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    return (
+        verdict.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "passes",
+            F.coalesce("component", F.lit(-1).cast("long")).alias("component"),
+            F.when(~F.col("passes"), F.lit("failed_quality"))
+            .when(F.col("component") != F.col("doc_id"), F.lit("duplicate"))
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+        )
+    )
