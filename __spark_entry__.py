@@ -70,7 +70,9 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "simsearch_hyperplane_lsh", "agg_grouping_id",
         "sql_engine_window_qualify", "text_lang_distribution",
         "topk_expensive_orders", "window_first_last",
-        "window_topn_per_customer",
+        "window_topn_per_customer", "window_moving_avg",
+        "text_word_counts_top20", "sub_in_top_nations",
+        "sub_scalar_above_avg_price",
     }
 )
 

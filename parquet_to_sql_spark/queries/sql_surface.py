@@ -88,3 +88,58 @@ def sql_engine_window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn <= 2
         """
     )
+
+
+def _recursive_reach_oracle() -> str:
+    from parquet_to_sql_spark.queries.dedup import duck_hashed_pair_ctes
+
+    return f"""
+    WITH RECURSIVE
+    {duck_hashed_pair_ctes("documents").lstrip()},
+    reach(src, dst) AS (
+      SELECT doc1, doc2 FROM pairs
+      UNION ALL
+      SELECT r.src, p.doc2 FROM reach r JOIN pairs p ON p.doc1 = r.dst
+    )
+    SELECT src AS doc_id, COUNT(DISTINCT dst) AS n_reachable
+    FROM reach GROUP BY src
+    """
+
+
+@query(
+    "sql_engine_recursive_reach",
+    tags=("sql-surface", "recursive-cte", "dedup", "spark4"),
+    oracle=_recursive_reach_oracle(),
+)
+def sql_engine_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (WITH RECURSIVE, new in Spark 4): walk the
+    near-dup pair DAG (doc1 < doc2 edges from the hashed-ngram
+    relation) and count reachable descendants per source doc.  The
+    pair relation is built with the DataFrame operator and registered
+    as a temp view — the documented mixed-API pattern — and the
+    recursion itself is plain SQL text executed by Catalyst.
+
+    Spark's recursive CTEs support UNION ALL only, so this walks an
+    ACYCLIC (ordered-pair) graph; the cyclic closure lives in
+    dedup_connected_components as an iterative DataFrame loop —
+    between them both engine surfaces for transitive queries are
+    pinned."""
+    from parquet_to_sql_spark.catalog import load_table
+    from parquet_to_sql_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, hashed=True
+    ).select("doc1", "doc2")
+    pairs.createOrReplaceTempView("nd_pairs_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(src, dst) AS (
+          SELECT doc1, doc2 FROM nd_pairs_v
+          UNION ALL
+          SELECT r.src, p.doc2 FROM reach r JOIN nd_pairs_v p ON p.doc1 = r.dst
+        )
+        SELECT src AS doc_id, COUNT(DISTINCT dst) AS n_reachable
+        FROM reach GROUP BY src
+        """
+    )
