@@ -130,3 +130,57 @@ def udaf_pandas_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("weighted_avg_price"),
     )
+
+
+@query(
+    "cogroup_customer_orders",
+    tags=("python", "cogroup", "applyInPandas"),
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents,
+           COALESCE(MAX(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS max_order_cents
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (FlatMapCoGroupsInPandas): customer and
+    orders groups arrive as two aligned pandas frames per custkey —
+    the API for genuinely imperative two-sided per-key logic (sequence
+    alignment, model scoring, reconciliation).  Money is handled as
+    integer cents inside Python so the result is bit-exact against
+    the SQL oracle: the Arrow cogroup path itself is what's under
+    test, not float summation luck.
+
+    Scale shape: both sides shuffle once on the key (same cost as a
+    join) and stream through Arrow batches; anything SQL-expressible
+    should stay a join — this exists to pin the escape hatch."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def reconcile(key, cust_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cust_pdf.empty:  # order for unknown customer: not in output
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_cents", "max_order_cents"]
+            )
+        cents = (ord_pdf["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            [
+                {
+                    "c_custkey": key[0],
+                    "n_orders": len(ord_pdf),
+                    "total_cents": int(cents.sum()) if len(cents) else 0,
+                    "max_order_cents": int(cents.max()) if len(cents) else 0,
+                }
+            ]
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            "c_custkey long, n_orders long, total_cents long, max_order_cents long",
+        )
+    )
