@@ -109,6 +109,54 @@ def write_range_clustered(
     return num_files
 
 
+def scale_to_bits(c, lo, hi, bits: int = 16):
+    """Normalize an integer column from [lo, hi] onto [0, 2^bits):
+    the required pre-step for Z-ordering, because interleaving RAW
+    values lets the wider-ranged dimension own all the high bits and
+    the key degenerates to single-column clustering.  lo/hi are
+    Columns (broadcast a 1-row min/max aggregate alongside).
+
+    Arithmetic is exact-in-double then floor (products stay far below
+    2^53), so any engine reproduces it bit-identically."""
+    import pyspark.sql.functions as F
+
+    span = (hi - lo).cast("double")
+    scaled = F.floor(
+        (c - lo).cast("double") * F.lit(float((1 << bits) - 1)) / span
+    ).cast("long")
+    return F.when(span == 0.0, F.lit(0).cast("long")).otherwise(scaled)
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — c1 in even positions, c2 in odd.
+
+    Pure Column arithmetic (shifts + masks, whole-stage codegen), so
+    it runs JVM-side at scan speed.  Sorting/range-partitioning on
+    this key clusters BOTH dimensions at once: a rewrite via
+    ``write_range_clustered(df, path, [zkey])`` gives min/max file
+    pruning for predicates on either column, the standard multi-dim
+    layout trick (public Delta/Iceberg OPTIMIZE ZORDER semantics).
+    Inputs MUST be pre-normalized onto [0, 2^bits) with
+    ``scale_to_bits`` — raw values with unequal ranges hand every
+    high bit to the wider dimension and the key degenerates to a
+    single-column sort.  Truncation to ``bits`` trades key width for
+    codegen size; colliding keys only share a file, so correctness is
+    unaffected."""
+    import pyspark.sql.functions as F
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return out
+
+
 def per_file_ranges(
     df_reader, path: str, col: str
 ) -> list[tuple[str, object, object]]:

@@ -275,3 +275,62 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("s").alias("xml_status"),
         F.xpath_long(xml, F.lit("/o/k/text()")).alias("xpath_key"),
     )
+
+
+def _duck_zorder(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _duck_scale(col: str, tbl: str, bits: int = 16) -> str:
+    m = (1 << bits) - 1
+    return (
+        f"CAST(floor((CAST({col} - (SELECT MIN({col}) FROM {tbl}) AS DOUBLE))"
+        f" * {m}.0 / (CAST((SELECT MAX({col}) FROM {tbl}) - (SELECT MIN({col}) FROM {tbl}) AS DOUBLE)))"
+        f" AS BIGINT)"
+    )
+
+
+@query(
+    "fn_zorder_key",
+    tags=("functions", "layout", "zorder", "scale-path"),
+    oracle=f"""
+    WITH scaled AS (
+      SELECT o_orderkey, o_custkey,
+             {_duck_scale("o_custkey", "orders")} AS cn,
+             {_duck_scale("o_orderkey", "orders")} AS kn
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, {_duck_zorder("cn", "kn")} AS zkey
+    FROM scaled
+    """,
+)
+def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (custkey, orderkey): each dimension
+    min/max-normalized onto 16 bits (a broadcast 1-row aggregate — the
+    same pre-pass public OPTIMIZE ZORDER implementations do; without
+    it the wider-ranged column owns all high bits and the key
+    degenerates to a single-column sort), then bit-interleaved as
+    pure JVM Column arithmetic.  Feed the key to
+    plans.layout.write_range_clustered for two-dimensional file-level
+    min/max pruning; the layout effect is asserted in
+    tests/test_layout.py."""
+    from parquet_to_sql_spark.plans.layout import scale_to_bits, zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_custkey").alias("c_lo"),
+        F.max("o_custkey").alias("c_hi"),
+        F.min("o_orderkey").alias("k_lo"),
+        F.max("o_orderkey").alias("k_hi"),
+    )
+    cn = scale_to_bits(F.col("o_custkey"), F.col("c_lo"), F.col("c_hi"))
+    kn = scale_to_bits(F.col("o_orderkey"), F.col("k_lo"), F.col("k_hi"))
+    return o.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey",
+        "o_custkey",
+        zorder_key(cn, kn).alias("zkey"),
+    )

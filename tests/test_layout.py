@@ -68,3 +68,39 @@ def test_range_clustered_files_are_disjoint_and_sorted(spark, tmp_path):
     assert back.agg(F.sum("o_orderkey")).first()[0] == orders.agg(
         F.sum("o_orderkey")
     ).first()[0]
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    from parquet_to_sql_spark.plans.layout import scale_to_bits, zorder_key
+
+    out = str(tmp_path / "zordered")
+    orders = load_table(spark, SF_CORRECT, "orders")
+    rng = orders.agg(
+        F.min("o_custkey").alias("c_lo"),
+        F.max("o_custkey").alias("c_hi"),
+        F.min("o_orderkey").alias("k_lo"),
+        F.max("o_orderkey").alias("k_hi"),
+    )
+    zed = orders.crossJoin(F.broadcast(rng)).withColumn(
+        "zkey",
+        zorder_key(
+            scale_to_bits(F.col("o_custkey"), F.col("c_lo"), F.col("c_hi")),
+            scale_to_bits(F.col("o_orderkey"), F.col("k_lo"), F.col("k_hi")),
+        ),
+    ).drop("c_lo", "c_hi", "k_lo", "k_hi")
+    write_range_clustered(zed, out, ["zkey"], num_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    # per-file spans of BOTH underlying dimensions must be far below
+    # "every file covers the whole range" (which a random or
+    # single-column layout would give for the other column)
+    for col in ["o_custkey", "o_orderkey"]:
+        ranges = per_file_ranges(spark.read, out, col)
+        lo = min(r[1] for r in ranges)
+        hi = max(r[2] for r in ranges)
+        global_span = hi - lo
+        sum_spans = sum(r[2] - r[1] for r in ranges)
+        # random layout: sum_spans ~= nfiles * global_span
+        assert sum_spans < 0.75 * len(ranges) * global_span, (col, sum_spans, global_span)
