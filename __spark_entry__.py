@@ -72,7 +72,8 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "topk_expensive_orders", "window_first_last",
         "window_topn_per_customer", "window_moving_avg",
         "text_word_counts_top20", "sub_in_top_nations",
-        "sub_scalar_above_avg_price",
+        "sub_scalar_above_avg_price", "pipeline_corpus_clean",
+        "window_pct_cume_nth",
     }
 )
 
