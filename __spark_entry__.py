@@ -66,7 +66,7 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "fn_bitwise", "fn_edit_distance", "sample_deterministic",
         "sample_stratified_hash", "sort_nulls_explicit",
         "profile_orders_columns", "setop_except", "setop_union_all",
-        "join_semi", "multimodal_decode_features",
+        "join_semi", "multimodal_pack_metadata",
         "simsearch_hyperplane_lsh", "agg_grouping_id",
         "sql_engine_window_qualify", "text_lang_distribution",
         "topk_expensive_orders", "window_first_last",

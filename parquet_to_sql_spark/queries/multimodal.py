@@ -2,10 +2,11 @@
 (text bytes stand in for image payloads — the container has no real
 decoders, by design).
 
-The metadata path (n_bytes, sha256) is fully oracle-checked; the
-mapInPandas decode path is a custom Python-batch operator, i.e.
-genuinely non-SQL-expressible, so it carries no oracle (rows-only
-check) — its values are pinned by unit tests instead.
+Both paths are fully oracle-checked: the metadata path as plain
+expressions, and the mapInPandas decode path because the fake decoder
+is deterministic byte arithmetic the oracle reproduces in SQL
+(hex-pair byte decoding) — so the Arrow batching machinery itself is
+value-verified, not just row counts.
 """
 
 from __future__ import annotations
@@ -52,14 +53,42 @@ def multimodal_pack_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the fake decoder's features are pure byte arithmetic, so the oracle
+# recomputes them from the payload bytes: hex-pair decoding gives
+# DuckDB each byte value (first 256 bytes feed mean_luma, exactly as
+# operators/multimodal._fake_decode sums payload[:256])
+_DUCK_BYTESUM_256 = """
+    list_reduce(
+      list_transform(
+        range(1, least(octet_length(encode(text)), 256) + 1),
+        i -> CAST(('0x' || substr(hex(encode(text)), 2*i - 1, 2)) AS INT)),
+      (a, b) -> a + b)
+"""
+
+
 @query(
     "multimodal_decode_features",
     tags=("multimodal", "mapInPandas", "llm-pipeline"),
-    oracle=None,  # custom Arrow-batched Python operator (mapInPandas)
+    oracle=f"""
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(({_DUCK_BYTESUM_256} % 255) AS DOUBLE) / 255.0 AS mean_luma
+    FROM documents
+    """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads
-    (deterministic fake decoder; real decoder is the same plumbing
-    with PIL/libvips on executors)."""
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas — the plumbing of real image decode (one Python worker
+    per partition, bytes over Arrow, never row-at-a-time pickling).
+
+    The decoder here is the deterministic byte-arithmetic fake (no
+    PIL/libvips in this environment; fake=False raises), which makes
+    the whole Python path VALUE-EXACT checkable: the oracle recomputes
+    width/height/luma from the same bytes (hex-pair decoding in SQL),
+    so what's verified is the mapInPandas machinery itself — batching,
+    schema, null handling — not just row counts."""
     packed = _packed_docs(spark, sf_dir)
     return decode_image_features(packed, fake=True)
