@@ -334,3 +334,74 @@ def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         zorder_key(cn, kn).alias("zkey"),
     )
+
+
+@query(
+    "fn_url_parse",
+    tags=("functions", "url"),
+    oracle="""
+    SELECT doc_id,
+           'example.com' AS host,
+           '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+           'k=' || CAST(n_chars AS VARCHAR) AS query,
+           CAST(n_chars AS VARCHAR) AS k_param,
+           replace(substr(text, 1, 20), ' ', '+') AS encoded_prefix
+    FROM documents
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function surface: build a URL from columns, then parse_url
+    back out HOST / PATH / QUERY / a single query parameter, plus
+    url_encode of a text prefix.  The oracle is the identity
+    reconstruction from the source columns (encode is exact because
+    fixture text is [a-z ] only, where url-encoding == space->'+')."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?k="),
+        F.col("n_chars").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("k")).alias("k_param"),
+        F.url_encode(F.substring("text", 1, 20)).alias("encoded_prefix"),
+    )
+
+
+@query(
+    "agg_price_histogram",
+    tags=("aggregation", "histogram", "profiling"),
+    oracle="""
+    SELECT CAST(least(floor((o_totalprice - 0.0) * 12.0 / 600000.0), 11) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (12 buckets over
+    [0, 600k)) — the data-profiling primitive, computed with explicit
+    floor arithmetic identical in both engines (built-in width_bucket
+    implementations may round differently; this formula is pinned
+    IEEE-exact).  One partial-aggregated groupBy on a 12-value key."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(0.0)) * F.lit(12.0) / F.lit(600000.0)),
+        F.lit(11),
+    ).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bucket_total"),
+        )
+    )

@@ -172,3 +172,52 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@query(
+    "pipeline_cdc_upsert",
+    headline=True,
+    tags=("pipeline", "cdc", "upsert", "window"),
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, CAST(1 AS INT) AS version FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, CAST(2 AS INT) AS version
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderkey, o_orderstatus, version
+    FROM merged
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+    """,
+)
+def pipeline_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert as a batch rewrite (the MERGE INTO pattern without a
+    table format): base ∪ updates, keep the highest version per key
+    via one window.  At scale this is a single shuffle on the key —
+    the standard compaction step of a changelog ingest; with a
+    bucketed base table the shuffle disappears entirely (see
+    plans/bucketing).  The simulated update stream flips every 10th
+    order's status at version 2."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", F.lit(1).cast("int").alias("version")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.lit(2).cast("int").alias("version"),
+        )
+    )
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -218,6 +218,7 @@ _DUCK_GOPHER = f"""
 
 @query(
     "text_gopher_rules",
+    headline=True,
     tags=("text-analysis", "llm-pipeline", "quality-filter"),
     oracle=_DUCK_GOPHER,
 )
