@@ -84,6 +84,52 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return flat.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "uri string, n_bytes long, sample_rate int, channels int, "
+    "duration_ms long, peak_amp int"
+)
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for an audio decoder: plausible stream
+    parameters derived from the byte content."""
+    n = len(payload)
+    sample_rate = 8000 + (n % 8) * 1000
+    channels = 1 + (n % 2)
+    duration_ms = n * 1000 // sample_rate
+    peak_amp = max(payload[:256]) if n else 0
+    return sample_rate, channels, duration_ms, peak_amp
+
+
+def decode_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio-stream feature extraction via mapInPandas — same Arrow
+    plumbing as image decode; real decoders (soundfile/ffmpeg) are
+    absent here by design, so fake=False raises."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding requires soundfile/ffmpeg on executors; "
+            "this environment ships the deterministic fake decoder only"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, data in zip(pdf["uri"], pdf["data"]):
+                payload = bytes(data) if data is not None else b""
+                sr, ch, dur, peak = _fake_decode_audio(payload)
+                rows.append((uri, len(payload), sr, ch, dur, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "uri", "n_bytes", "sample_rate", "channels",
+                    "duration_ms", "peak_amp",
+                ],
+            )
+
+    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    return flat.mapInPandas(decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = "uri string, frame_index int, offset_bytes long, frame_sha256 string"
 
 

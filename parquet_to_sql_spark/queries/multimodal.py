@@ -92,3 +92,67 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, null handling — not just row counts."""
     packed = _packed_docs(spark, sf_dir)
     return decode_image_features(packed, fake=True)
+
+
+_DUCK_BYTEMAX_256 = """
+    list_reduce(
+      list_transform(
+        range(1, least(octet_length(encode(text)), 256) + 1),
+        i -> CAST(('0x' || substr(hex(encode(text)), 2*i - 1, 2)) AS INT)),
+      (a, b) -> greatest(a, b))
+"""
+
+
+@query(
+    "multimodal_audio_features",
+    tags=("multimodal", "mapInPandas", "llm-pipeline"),
+    oracle=f"""
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(8000 + (octet_length(encode(text)) % 8) * 1000 AS INT) AS sample_rate,
+           CAST(1 + octet_length(encode(text)) % 2 AS INT) AS channels,
+           CAST(octet_length(encode(text)) * 1000
+                // (8000 + (octet_length(encode(text)) % 8) * 1000) AS BIGINT) AS duration_ms,
+           CAST({_DUCK_BYTEMAX_256} AS INT) AS peak_amp
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-stream features via the same Arrow mapInPandas plumbing
+    as image decode (deterministic fake; real decoder = same shape
+    with soundfile/ffmpeg on executors).  Value-exact: the oracle
+    recomputes sample-rate/channels/duration/peak from the same
+    bytes."""
+    from parquet_to_sql_spark.operators.multimodal import decode_audio_features
+
+    packed = _packed_docs(spark, sf_dir)
+    return decode_audio_features(packed, fake=True)
+
+
+@query(
+    "multimodal_frame_samples",
+    tags=("multimodal", "mapInPandas", "llm-pipeline"),
+    oracle="""
+    WITH f AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+             text,
+             octet_length(encode(text)) AS n,
+             greatest(octet_length(encode(text)) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT uri,
+           CAST(i AS INT) AS frame_index,
+           CAST(i * step AS BIGINT) AS offset_bytes,
+           sha256(substring(text, i * step + 1, step)) AS frame_sha256
+    FROM f CROSS JOIN unnest(range(0, least(4, n))) AS t(i)
+    """,
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped 1->N frame sampling via mapInPandas: four evenly
+    spaced payload slices per asset, each fingerprinted.  Value-exact
+    because fixture payloads are ASCII, so the oracle's string slices
+    hash identically to the Python byte slices."""
+    from parquet_to_sql_spark.operators.multimodal import sample_frames
+
+    packed = _packed_docs(spark, sf_dir)
+    return sample_frames(packed, n_frames=4, fake=True)
