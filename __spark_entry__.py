@@ -73,7 +73,9 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "window_topn_per_customer", "window_moving_avg",
         "text_word_counts_top20", "sub_in_top_nations",
         "sub_scalar_above_avg_price", "pipeline_corpus_clean",
-        "window_pct_cume_nth",
+        "window_pct_cume_nth", "text_simhash", "simsearch_ivf_topk",
+        "window_running_sum", "multimodal_audio_features",
+        "multimodal_frame_samples",
     }
 )
 

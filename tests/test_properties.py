@@ -110,3 +110,52 @@ def test_fold_hash_range_and_determinism(spark, s):
     for ch in s:
         expect = (expect * 31 + ord(ch)) % FOLD_MOD
     assert h == expect, f"fold mismatch for {s!r}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative hash-min operator must agree with a sequential
+    union-find on arbitrary random graphs (self-loops, parallel edges,
+    multiple components, isolated nodes)."""
+    from parquet_to_sql_spark.operators.dedup import connected_components
+
+    nodes = sorted({0, 30} | {v for e in edges for v in e})
+
+    # reference: plain union-find
+    parent = {v: v for v in nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp_of = {}
+    for v in nodes:
+        r = find(v)
+        comp_of.setdefault(r, []).append(v)
+    want = {v: min(vs) for r, vs in comp_of.items() for v in vs}
+
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc1 long, doc2 long"
+    )
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+    got = {
+        r.node: r.label
+        for r in connected_components(
+            pairs_df, nodes_df, "doc1", "doc2", "doc_id"
+        ).collect()
+    }
+    assert got == want

@@ -276,3 +276,28 @@ def test_q20_plans_nested_in_as_semi_joins(spark):
     assert "LeftSemi" in plan
     # the smallest fixture has no qualifying suppliers; row coverage is
     # the oracle-parity test's job (sf0.01) — this test pins the PLAN
+
+
+def test_cdc_upsert_single_shuffle(spark):
+    """The CDC upsert plan must be ONE shuffle on the key: base and
+    updates both derive from the same scan, the union is shuffle-free,
+    and the latest-version window is the only exchange."""
+    from parquet_to_sql_spark.plans.bucketing import shuffle_exchange_count
+    from parquet_to_sql_spark.queries.registry import get
+
+    df = get("pipeline_cdc_upsert").build(spark, SF_SMOKE)
+    assert shuffle_exchange_count(df) == 1
+
+
+def test_zorder_key_plan_is_broadcast_only(spark):
+    """fn_zorder_key's min/max pre-pass joins as a broadcast of a
+    1-row aggregate: the only shuffle Exchange in the plan is the
+    ~num-partition-row final-aggregate reduction on the BUILD side;
+    the full probe-side scan joins via broadcast, never shuffled."""
+    from parquet_to_sql_spark.plans.bucketing import formatted_plan, shuffle_exchange_count
+    from parquet_to_sql_spark.queries.registry import get
+
+    df = get("fn_zorder_key").build(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert shuffle_exchange_count(df) <= 1  # 1-row agg reduction only
