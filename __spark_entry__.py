@@ -75,7 +75,7 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "sub_scalar_above_avg_price", "pipeline_corpus_clean",
         "window_pct_cume_nth", "text_simhash", "simsearch_ivf_topk",
         "window_running_sum", "multimodal_audio_features",
-        "multimodal_frame_samples",
+        "multimodal_frame_samples", "fn_higher_order_arrays",
     }
 )
 

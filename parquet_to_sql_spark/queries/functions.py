@@ -405,3 +405,57 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket_total"),
         )
     )
+
+
+@query(
+    "fn_higher_order_arrays",
+    tags=("functions", "array", "higher-order"),
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+    )
+    SELECT doc_id,
+           list_bool_or(list_transform(words, x -> length(x) > 6))  AS has_long_word,
+           list_bool_and(list_transform(words, x -> length(x) > 0)) AS all_nonempty,
+           CAST(len(list_filter(words, x -> length(x) > 4)) AS INT) AS n_longish,
+           CAST(list_reduce(list_transform(words, x -> CAST(length(x) AS BIGINT)),
+                            (a, b) -> a + b) AS BIGINT)             AS total_chars,
+           CAST(list_reduce(list_transform(range(1, len(words) + 1),
+                                           i -> CAST(length(words[i]) * i AS BIGINT)),
+                            (a, b) -> a + b) AS BIGINT)             AS pos_weighted_len,
+           array_to_string(list_transform(words[1:3], x -> upper(x)), '-') AS first3_upper
+    FROM w
+    """,
+)
+def fn_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions end to end — exists / forall /
+    filter / aggregate / zip_with / transform+slice — all JVM lambda
+    expressions (no Python), the idiomatic replacement for per-row
+    UDF loops over array columns at scale."""
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = ws_tokens(F.col("text"))
+    staged = docs.select("doc_id", words.alias("w"))
+    wcol = F.col("w")
+    return staged.select(
+        "doc_id",
+        F.exists(wcol, lambda x: F.length(x) > 6).alias("has_long_word"),
+        F.forall(wcol, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.size(F.filter(wcol, lambda x: F.length(x) > 4)).alias("n_longish"),
+        F.aggregate(
+            wcol, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("total_chars"),
+        F.aggregate(
+            F.zip_with(
+                wcol,
+                F.sequence(F.lit(1), F.size(wcol)),
+                lambda x, i: F.length(x).cast("long") * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pos_weighted_len"),
+        F.concat_ws("-", F.transform(F.slice(wcol, 1, 3), F.upper)).alias(
+            "first3_upper"
+        ),
+    )
