@@ -358,3 +358,32 @@ def test_python_datasource_streaming(spark, tmp_path):
     assert n2 > n1 >= 100
     # no duplicated offsets across restarts
     assert df.select("event_id").distinct().count() == n2
+
+
+def test_streaming_gopher_filter_matches_batch(spark, tmp_path):
+    """The corpus quality filter is a stateless projection, so it runs
+    unchanged on a file STREAM — the shape of a continuous ingest
+    filtering documents before they land (filter-at-the-edge; only
+    survivors pay downstream dedup cost)."""
+    from parquet_to_sql_spark.operators.text import gopher_rules
+
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"), os.path.join(d, "part0.parquet")
+    )
+    batch_docs = load_table(spark, SF_SMOKE, "documents")
+    stream = spark.readStream.schema(batch_docs.schema).parquet(d)
+
+    run_to_memory(
+        gopher_rules(stream, "doc_id", "text"), "gopher_stream_out", "append"
+    )
+    got = {
+        r.doc_id: (r.passes, r.n_words)
+        for r in spark.sql("SELECT * FROM gopher_stream_out").collect()
+    }
+    want = {
+        r.doc_id: (r.passes, r.n_words)
+        for r in gopher_rules(batch_docs, "doc_id", "text").collect()
+    }
+    assert got == want and len(got) > 0
