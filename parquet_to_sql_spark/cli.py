@@ -7,7 +7,10 @@ Reference signature (ImportParquetCommand.php:10-17):
 Here:
   python -m parquet_to_sql_spark.cli PATH TABLE [--map src=dst ...]
       [--connection URL] [--batch N] [--timeout S] [--truncate]
-      [--sink {jdbc,copy,duckdb}]
+      [--sink {jdbc,copy,duckdb,file}] [--format {parquet,csv,json,orc}]
+
+For --sink file, --connection is the base DIRECTORY of the lake; the
+import lands at <connection>/<table> in --format.
 
 Malformed --map pairs (no '=') warn and are skipped, matching
 ImportParquetCommand.php:55-59.
@@ -47,6 +50,10 @@ def build_sink(args):
         from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
 
         return DuckDbSink(args.connection, batch_size=args.batch)
+    if args.sink == "file":
+        from parquet_to_sql_spark.sinks.files import FileSink
+
+        return FileSink(args.connection, format=args.format)
     if args.sink == "copy":
         from parquet_to_sql_spark.sinks.copy_pg import CopySink
 
@@ -67,7 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch", type=int, default=5000)
     ap.add_argument("--timeout", type=int, default=300)
     ap.add_argument("--truncate", action="store_true")
-    ap.add_argument("--sink", choices=["jdbc", "copy", "duckdb"], default="jdbc")
+    ap.add_argument("--sink", choices=["jdbc", "copy", "duckdb", "file"], default="jdbc")
+    ap.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                    default="parquet", help="output format for --sink file")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="parquet-import")

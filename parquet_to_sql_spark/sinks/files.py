@@ -10,7 +10,8 @@ bucketing goes through saveAsTable (see tests/test_scale_features.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation
 
 
 class FileSink:
@@ -35,7 +36,11 @@ class FileSink:
         self.max_records_per_file = max_records_per_file
         self.options = dict(options or {})
 
-    def write(self, df: DataFrame, table: str, truncate: bool = False) -> None:
+    def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
+        """Write and return rows actually written (Observation on the
+        write action — same accounting contract as the SQL sinks)."""
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.format(self.format).mode(
             "overwrite" if truncate else "append"
         )
@@ -46,3 +51,4 @@ class FileSink:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.save(f"{self.base_path}/{table}")
+        return int(obs.get["rows"])

@@ -463,3 +463,33 @@ def test_import_from_csv_source_pluggable_reader(spark, tmp_path):
     rows = con.execute("SELECT * FROM people ORDER BY person_id").fetchall()
     con.close()
     assert rows == [(1, "alice", 9.5), (2, "bob", None)]
+
+
+def test_cli_file_sink_lands_parquet_lake(spark, tmp_path, monkeypatch):
+    """--sink file: the import lands at <base>/<table> in the chosen
+    format, with rename applied and rows_imported from the write
+    action's Observation (not a source re-scan)."""
+    import json
+
+    from parquet_to_sql_spark import cli
+
+    out = []
+    monkeypatch.setattr("builtins.print", lambda *a, **k: out.append(a[0] if a else ""))
+    # reuse the session fixture: cli calls get_spark() which returns
+    # the active session
+    rc = cli.main(
+        [
+            "/root/testdata/sf0.001/customer.parquet",
+            "users",
+            "--map", "c_custkey=user_id",
+            "--connection", str(tmp_path / "lake"),
+            "--sink", "file",
+            "--format", "parquet",
+            "--truncate",
+        ]
+    )
+    assert rc == 0
+    result = json.loads(out[-1])
+    back = spark.read.parquet(str(tmp_path / "lake" / "users"))
+    assert result["rows_imported"] == back.count() == 150
+    assert "user_id" in back.columns and "c_custkey" not in back.columns
