@@ -478,3 +478,47 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "profile_constraints",
+    tags=("profiling", "data-quality"),
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders) AS BIGINT)                       AS n_orders,
+      CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS dup_orderkeys,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)      AS null_custkeys,
+      CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT) AS orphan_lineitems,
+      CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT)    AS orphan_orders
+    """,
+)
+def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit in one pass: row count, key
+    uniqueness violations, null foreign keys, and referential
+    integrity (orphan children via LEFT ANTI joins).  The validation
+    step every ingest runs before promoting a partition; each check is
+    a count aggregate or an anti-join — all shuffle-partitioned,
+    nothing driver-side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    # ONE declarative plan, zero driver-side actions: the three audit
+    # relations reduce to 1-row aggregates and cross-join back together
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "dup_orderkeys"
+        ),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkeys"),
+    )
+    orphan_li = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    return base.crossJoin(orphan_li).crossJoin(orphan_o)
