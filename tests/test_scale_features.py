@@ -5,6 +5,7 @@ These assert on the PLAN, not just results."""
 
 from __future__ import annotations
 
+import re
 import pyspark.sql.functions as F
 import pytest
 
@@ -301,3 +302,58 @@ def test_zorder_key_plan_is_broadcast_only(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert shuffle_exchange_count(df) <= 1  # 1-row agg reduction only
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection over the 16-column lineitem must scan
+    only the referenced columns (ReadSchema pruning) — reading all
+    columns for a narrow query is the classic 100 TB waste."""
+    from parquet_to_sql_spark.plans.bucketing import formatted_plan
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = formatted_plan(get("q6_forecast_revenue").build(spark, SF_SMOKE))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {
+        "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"
+    }, cols
+
+
+def test_runtime_bloom_filter_on_selective_join(spark):
+    """With runtime bloom-filter join enabled, a selective dimension
+    filter is pushed to the fact side as a bloom probe — runtime row
+    skipping before the shuffle (the scale lever for selective joins).
+    Thresholds are lowered to fire on the small fixture."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.catalog import load_table
+    from parquet_to_sql_spark.plans.bucketing import formatted_plan
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy().agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = formatted_plan(joined)
+        assert "bloom" in plan.lower(), plan[:3000]
+        assert joined.first().n > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
