@@ -76,7 +76,8 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "window_pct_cume_nth", "text_simhash", "simsearch_ivf_topk",
         "window_running_sum", "multimodal_audio_features",
         "multimodal_frame_samples", "fn_higher_order_arrays",
-        "profile_constraints",
+        "profile_constraints", "setop_intersect_except_all",
+        "sql_engine_group_by_all",
     }
 )
 

@@ -522,3 +522,49 @@ def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("orphan_orders"))
     )
     return base.crossJoin(orphan_li).crossJoin(orphan_o)
+
+
+@query(
+    "setop_intersect_except_all",
+    tags=("setop", "bag-semantics"),
+    oracle="""
+    WITH i AS (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    ), x AS (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    SELECT 'intersect_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM i GROUP BY nationkey
+    UNION ALL
+    SELECT 'except_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM x GROUP BY nationkey
+    """,
+)
+def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): per-key
+    multiplicities min(m,n) and m-n — the variants that matter when
+    rows legitimately repeat.  intersectAll/exceptAll plan as a single
+    count-compare aggregate per side, no join explosion."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    i = (
+        cust.intersectAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "multiplicity")
+    )
+    x = (
+        cust.exceptAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "multiplicity")
+    )
+    return i.unionByName(x)

@@ -143,3 +143,32 @@ def sql_engine_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY src
         """
     )
+
+
+@query(
+    "sql_engine_group_by_all",
+    tags=("sql-surface", "aggregation", "spark4"),
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_engine_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (modern SQL ergonomics, supported by both engines):
+    every non-aggregate select item becomes a grouping key."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ALL
+        """
+    )
