@@ -56,11 +56,14 @@ _R01_DRIVER_VERIFIED = frozenset(
 )
 
 
-# 65 queries lack r01 evidence but the checked window holds only ~50.
-# These 15 yield their slot (machinery already covered by r01-green
-# rows or by an in-window sibling, or trivial single-operator queries);
-# their aliases get the `a9_` prefix, sorting after every `a2_` alias
-# but still ahead of the canonical names.
+# More queries lack r01 evidence than the ~50-slot checked window can
+# hold.  The queries below yield their slot (machinery already covered
+# by r01-green rows or by an in-window sibling, or trivial
+# single-operator queries); their aliases get the `a9_` prefix,
+# sorting after every `a2_` alias but still ahead of the canonical
+# names.  Kept balanced so the a2_ set is EXACTLY 50 — checked by
+# tests/test_oracle_parity.py's import of this module and re-derived
+# each time a query is added.
 _LOW_PRIORITY_ROTATION = frozenset(
     {
         "fn_bitwise", "fn_edit_distance", "sample_deterministic",

@@ -195,6 +195,9 @@ def connected_components(
     its label and its neighbors' labels; at fixpoint label(v) == min
     id reachable from v == the component id.  Returns (node, label)
     with one row per input node (singletons keep their own id).
+    ``nodes`` must cover every id appearing in ``pairs`` — endpoints
+    absent from ``nodes`` would otherwise be conjured into the output
+    by message propagation.
 
     Scale shape (the 100 TB story):
       * per round: ONE equality join (edges x labels, shuffled on the
