@@ -80,7 +80,8 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "window_running_sum", "multimodal_audio_features",
         "multimodal_frame_samples", "fn_higher_order_arrays",
         "profile_constraints", "setop_intersect_except_all",
-        "sql_engine_group_by_all",
+        "sql_engine_group_by_all", "ev_gaps_and_islands",
+        "agg_boolean_filtered",
     }
 )
 

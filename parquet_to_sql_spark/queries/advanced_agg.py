@@ -236,3 +236,27 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """
     )
+
+
+@query(
+    "agg_boolean_filtered",
+    tags=("aggregation", "boolean", "filtered"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_jumbo,
+           bool_or(o_orderstatus = 'F')  AS any_finished,
+           bool_and(o_totalprice > 1000) AS all_above_1k
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/filtered aggregates: count_if + bool_or/bool_and (ANY/
+    EVERY) — predicate rollups as single map-side-combinable
+    aggregates instead of self-joins or case-sum chains."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_jumbo"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+    )

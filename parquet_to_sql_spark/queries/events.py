@@ -220,3 +220,65 @@ def ev_retention_day1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cohort_size"),
         F.sum(F.when(F.col("r_user").isNotNull(), 1).otherwise(0)).alias("retained_day1"),
     )
+
+
+@query(
+    "ev_gaps_and_islands",
+    tags=("events", "window", "sessionization"),
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    )
+    SELECT user_id,
+           CAST(island AS BIGINT)                       AS island,
+           CAST(MIN(epoch_us(ts)) AS BIGINT)            AS start_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT)            AS end_us,
+           CAST(COUNT(*) AS BIGINT)                     AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM isl
+    GROUP BY user_id, island
+    """,
+)
+def ev_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual gaps-and-islands sessionization — the batch-side window
+    construction (lag -> new-island flag -> running sum) users need
+    when gap logic is custom and the built-in session_window can't
+    express it (ev_session_windows pins the built-in).  Two window
+    passes over the same (user, ts) ordering, so Catalyst reuses ONE
+    shuffle+sort for both."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) >= gap_us),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("island", F.sum("is_new").over(run).cast("long"))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
