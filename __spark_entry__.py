@@ -81,7 +81,8 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "multimodal_frame_samples", "fn_higher_order_arrays",
         "profile_constraints", "setop_intersect_except_all",
         "sql_engine_group_by_all", "ev_gaps_and_islands",
-        "agg_boolean_filtered",
+        "agg_boolean_filtered", "dedup_simhash_hamming",
+        "text_top_terms_per_doc", "embedding_quantize_int8",
     }
 )
 

@@ -333,6 +333,72 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 24,
+    radius: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs within a SimHash Hamming radius, by
+    bit-band pigeonhole (the fingerprint-dedup shape of Manku et al.,
+    WWW'07, on public record): two sketches differing in <= `radius`
+    bits must agree EXACTLY on at least one of `radius + 1` disjoint
+    bit bands, so candidates are generated by an equality join on
+    (band_index, band_value) and then exact-verified with
+    bit_count(xor) — never an all-pairs comparison.
+
+    Returns (doc1, doc2, hamming) with doc1 < doc2, hamming <= radius.
+    `bits` must be divisible by `radius + 1`.
+
+    Scale shape: candidate volume per band is sum over buckets of
+    occupancy², so band width must grow with the corpus — 2^width
+    buckets should be >= O(n) for constant occupancy (at 10^9 docs use
+    a 64-bit sketch with 4x16-bit bands; here 24 bits / 2x12 fits the
+    31-bit fold hash).  The verify step is integer xor+popcount, exact
+    and engine-neutral, so the whole operator carries a value-exact
+    oracle.
+    """
+    from parquet_to_sql_spark.operators.text import simhash_sketch
+
+    bands = radius + 1
+    if bits % bands:
+        raise ValueError("bits must be divisible by radius + 1")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash_sketch(df, id_col, text_col, bits=bits)
+    slices = [
+        sig.select(
+            F.col(id_col).alias("doc"),
+            F.col("simhash"),
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bval"),
+        )
+        for bi in range(bands)
+    ]
+    exploded = slices[0]
+    for s in slices[1:]:
+        exploded = exploded.unionByName(s)
+    a = exploded.select(
+        F.col("doc").alias("doc1"), F.col("simhash").alias("sh1"), "band", "bval"
+    )
+    b = exploded.select(
+        F.col("doc").alias("doc2"), F.col("simhash").alias("sh2"), "band", "bval"
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
+        )
+        .filter(F.col("hamming") <= radius)
+        .select("doc1", "doc2", "hamming")
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

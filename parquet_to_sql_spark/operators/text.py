@@ -132,13 +132,18 @@ def fingerprint(text: Column) -> Column:
     return char_fold_hash(text)
 
 
-def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit simhash per document: hash each token, take the majority
-    of each of the low 16 bits (+1/-1 votes), reassemble.
+def simhash_sketch(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """n-bit simhash per document: hash each token, take the majority
+    of each of the low `bits` bits (+1/-1 votes), reassemble.  The
+    token hash is the 31-bit codepoint fold, so bits <= 31.
 
     One explode + one groupBy — shuffles (id, token_hash) pairs once;
     at 100 TB the aggregate is partial map-side first.
     """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31 (token hash is 31-bit)")
     tokens = rebalance_for_compute(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", char_fold_hash(F.col("tok")))
@@ -146,14 +151,19 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(16)
+        for i in range(bits)
     ]
     voted = tokens.groupBy(id_col).agg(*bit_votes)
     sim = None
-    for i in range(16):
+    for i in range(bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return voted.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit simhash (the bucket-dedup default); see simhash_sketch."""
+    return simhash_sketch(df, id_col, text_col, bits=16)
 
 
 def gopher_rules(

@@ -21,6 +21,7 @@ from parquet_to_sql_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_buckets,
+    simhash_hamming_pairs,
 )
 from parquet_to_sql_spark.queries.registry import query
 from parquet_to_sql_spark.queries.text import DUCK_FOLD, DUCK_WORDS
@@ -337,3 +338,56 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster_size"),
         (F.col("node") == F.col("label")).alias("is_keep"),
     )
+
+
+def _duck_simhash_cte(bits: int) -> str:
+    """DuckDB CTE chain computing the n-bit simhash per document —
+    identical fold hash, votes, and recombination as
+    operators.text.simhash_sketch."""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest({DUCK_WORDS}) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, {DUCK_FOLD.format(s="tok")} AS h FROM tok
+    ), votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM hashed GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM votes
+    )"""
+
+
+@query(
+    "dedup_simhash_hamming",
+    tags=("dedup", "simhash", "lsh", "llm-pipeline"),
+    oracle=f"""
+    WITH {_duck_simhash_cte(24)},
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band, simhash % 4096 AS bval FROM sh
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash // 4096) % 4096 FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                             AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 1 on a 24-bit
+    sketch, candidates via 2x12-bit band pigeonhole join (exact
+    equality-bucket generation, never all-pairs), exact-verified with
+    bit_count(xor).  Complements dedup_simhash_buckets (radius 0 /
+    identical sketch): this is the fingerprint-dedup shape that
+    tolerates single-bit drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)

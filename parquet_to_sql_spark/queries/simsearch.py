@@ -357,3 +357,54 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    tags=("embeddings", "quantization", "llm-pipeline"),
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    m AS (SELECT vec_id, ve,
+                 list_max(list_transform(ve, x -> abs(x))) AS maxabs FROM v),
+    q AS (SELECT vec_id,
+                 CASE WHEN maxabs = 0
+                      THEN list_transform(ve, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(ve, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+                 END AS qv
+          FROM m)
+    SELECT vec_id,
+           CAST(len(qv) AS INT)            AS n_dims,
+           CAST(list_min(qv) AS BIGINT)    AS q_min,
+           CAST(list_max(qv) AS BIGINT)    AS q_max,
+           CAST(list_sum(qv) AS BIGINT)    AS q_sum,
+           CAST(len(list_filter(qv, x -> x >= 127 OR x <= -127)) AS INT) AS n_clip
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit — the vector-compression step
+    an ANN serving path runs before building IVF/LSH indexes (4x less
+    memory and shuffle bandwidth than float32; scale factor = per-
+    vector max-abs kept as metadata).  Quantizer is floor(x*127/maxabs)
+    rather than round() because floor of an IEEE division is bit-exact
+    across engines (round-half modes differ).  All outputs are
+    integers; the whole thing is JVM array expressions — no UDF, no
+    shuffle (narrow map over the scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    qv = F.when(
+        maxabs == F.lit(0.0), F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / maxabs))
+    )
+    return emb.select("vec_id", qv.alias("qv")).select(
+        "vec_id",
+        F.size("qv").alias("n_dims"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.size(
+            F.filter("qv", lambda x: (x >= 127) | (x <= -127))
+        ).alias("n_clip"),
+    )

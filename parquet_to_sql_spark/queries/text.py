@@ -18,6 +18,7 @@ from parquet_to_sql_spark.operators.text import (
     TOKEN_REGEX,
     simhash16,
     text_profile,
+    ws_tokens,
 )
 from parquet_to_sql_spark.queries.registry import query
 
@@ -233,3 +234,51 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_rules(docs, "doc_id", "text")
+
+
+@query(
+    "text_top_terms_per_doc",
+    tags=("text-analysis", "tfidf", "llm-pipeline"),
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({DUCK_WORDS}) AS word FROM documents) t
+      GROUP BY doc_id, word
+    ), wdf AS (
+      SELECT doc_id, word, tf,
+             CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT) AS df
+      FROM tf
+    )
+    SELECT doc_id, word, tf, df, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, df ASC, word) AS rk
+      FROM wdf
+    ) WHERE rk <= 3
+    """,
+)
+def text_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document — the TF-IDF shape with
+    an EXACT ranking: order by (tf DESC, df ASC, word) instead of
+    tf*log(N/df), which sorts identically for fixed tf (log is
+    monotone in 1/df) while keeping every output an integer, hence
+    value-exact cross-engine (float idf scores differ in last-ulp
+    libm).  Plan: one explode + (doc,word) groupBy, then df via a
+    word-partitioned window ON THE AGGREGATED relation (vocabulary-
+    sized, not token-stream-sized), then a doc-partitioned top-k
+    window.  No joins, no driver-side vocabulary."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wdf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("tf").desc(), F.col("df").asc(), F.col("word")
+        )
+    )
+    return wdf.withColumn("rk", rk).filter(F.col("rk") <= 3)

@@ -387,3 +387,99 @@ def test_streaming_gopher_filter_matches_batch(spark, tmp_path):
         for r in gopher_rules(batch_docs, "doc_id", "text").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_state_eviction_metrics(spark, tmp_path):
+    """The bounded-state claim of the watermarked stream-stream join,
+    asserted from the engine's own state-store metrics across two
+    sequential availableNow runs on one checkpoint:
+
+      run 1 (t~1h): matched signup+purchase pair, plus a purchase with
+          no signup.  Watermark stays 0 -> nothing evicted, no outer
+          rows.
+      run 2 (t=12h): one signup advances the watermark to 10h, and the
+          availableNow run finalizes with an extra batch under the new
+          watermark -> all three run-1 rows are past their match
+          windows: state drops from 4 rows to 1 (numRowsTotal — the
+          bounded-state evidence; numRowsRemoved only counts the
+          outer-flush path), the unmatched purchase finally flushes
+          as an outer row (null signup columns), and total state
+          keeps only the still-matchable new signup.
+    """
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_sql_spark.streaming.pipeline import purchases_after_signup_join
+
+    d = str(tmp_path / "evict_in")
+    os.makedirs(d)
+    base = 1_704_067_200_000_000_000  # 2024-01-01 00:00 in ns
+
+    def write(name, rows):  # rows: (event_id, t_seconds, user_id, type)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [base + r[1] * 10**9 for r in rows], pa.timestamp("ns")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            os.path.join(d, name),
+        )
+
+    ckpt = str(tmp_path / "evict_ckpt")
+    out = str(tmp_path / "evict_out")
+
+    def run():
+        stream = events_stream(spark, d)
+        q = (
+            purchases_after_signup_join(stream, how="left_outer")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [json.loads(p.json) for p in q.recentProgress]
+
+    def outer_rows():
+        df = spark.read.parquet(out)
+        return [r for r in df.collect() if r.signup_event_id is None]
+
+    def state(progresses, key):
+        return sum(
+            op[key]
+            for p in progresses
+            if p.get("stateOperators")
+            for op in p["stateOperators"]
+        )
+
+    write("b1.parquet", [(1, 3600, 1, "signup"), (2, 5400, 1, "purchase"),
+                         (3, 3600, 2, "purchase")])
+    p1 = run()
+    assert state(p1, "numRowsRemoved") == 0
+    assert outer_rows() == [], "outer row emitted before watermark passed its window"
+
+    write("b2.parquet", [(4, 12 * 3600, 3, "signup")])
+    p2 = run()
+
+    assert state(p2, "numRowsRemoved") >= 1, "outer flush not counted as removal"
+    totals = [
+        op["numRowsTotal"]
+        for p in p2
+        if p.get("stateOperators")
+        for op in p["stateOperators"]
+    ]
+    assert max(totals) >= 4, f"state never held all rows: {totals}"
+    assert totals[-1] == 1, f"state retained beyond watermark: {totals}"
+    flushed = outer_rows()
+    assert [r.purchase_event_id for r in flushed] == [3], flushed
