@@ -83,6 +83,8 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "sql_engine_group_by_all", "ev_gaps_and_islands",
         "agg_boolean_filtered", "dedup_simhash_hamming",
         "text_top_terms_per_doc", "embedding_quantize_int8",
+        "text_contamination_check", "text_repetition_ratios",
+        "dedup_canonical_by_priority",
     }
 )
 

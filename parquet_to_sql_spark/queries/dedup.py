@@ -391,3 +391,61 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerates single-bit drift."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
+
+
+@query(
+    "dedup_canonical_by_priority",
+    tags=("dedup", "simhash", "policy", "llm-pipeline"),
+    oracle=f"""
+    WITH {_duck_simhash_cte(16)},
+    joined AS (
+      SELECT d.doc_id, d.source, sh.simhash,
+             CAST(substr(d.source, 4) AS INT) % 3 AS tier
+      FROM sh JOIN documents d USING (doc_id)
+    ), ranked AS (
+      SELECT simhash, doc_id, source, tier,
+             COUNT(*) OVER (PARTITION BY simhash) AS n_docs,
+             row_number() OVER (PARTITION BY simhash
+                                ORDER BY tier, doc_id) AS rn
+      FROM joined
+    )
+    SELECT simhash, CAST(n_docs AS BIGINT) AS n_docs,
+           doc_id AS keep_id, source AS keep_source,
+           CAST(tier AS INT) AS keep_tier
+    FROM ranked WHERE rn = 1 AND n_docs > 1
+    """,
+)
+def dedup_canonical_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven canonical selection: within each duplicate group
+    (identical 16-bit simhash, >1 member) keep the copy from the most
+    trusted source TIER (source number mod 3 stands in for a
+    curated/web/crawl ranking), tie-broken by min doc_id — the
+    'which copy survives' step real dedup pipelines layer on top of
+    group detection, where provenance outranks arrival order.
+
+    The arg-min is ONE aggregate — min(struct(tier, doc_id, source))
+    picks the lexicographically least member per group map-side — not
+    a rank-window over the whole corpus: at 100 TB the struct-min
+    needs no second shuffle and no full sort of every group."""
+    from parquet_to_sql_spark.operators.text import simhash16
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash16(docs, "doc_id", "text")
+    joined = sig.join(docs.select("doc_id", "source"), "doc_id").withColumn(
+        "tier", (F.substring("source", 4, 10).cast("int") % 3).cast("int")
+    )
+    return (
+        joined.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.struct("tier", "doc_id", "source")).alias("k"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "simhash",
+            "n_docs",
+            F.col("k.doc_id").alias("keep_id"),
+            F.col("k.source").alias("keep_source"),
+            F.col("k.tier").alias("keep_tier"),
+        )
+    )

@@ -282,3 +282,117 @@ def text_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wdf.withColumn("rk", rk).filter(F.col("rk") <= 3)
+
+
+_DUCK_WORDS_VAR = "string_split_regex(trim(text), '\\s+')"
+_DUCK_5GRAMS = (
+    "list_distinct(list_transform(range(1, len(w) - 3), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))"
+)
+_DUCK_FOLD_S = (
+    "list_reduce(list_transform(string_split(s, ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % 2147483647)"
+)
+
+
+@query(
+    "text_contamination_check",
+    tags=("text-analysis", "decontamination", "llm-pipeline"),
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS_VAR} AS w FROM documents),
+    g AS (SELECT doc_id, {_DUCK_5GRAMS} AS grams FROM w),
+    sh AS (SELECT doc_id, CAST(len(grams) AS INT) AS n_shingles,
+                  unnest(list_transform(grams, s -> {_DUCK_FOLD_S})) AS h
+           FROM g),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 7 = 0)
+    SELECT sh.doc_id, n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           (COUNT(*) * 10 >= n_shingles) AS heavy
+    FROM sh JOIN bench USING (h)
+    WHERE sh.doc_id % 7 <> 0
+    GROUP BY sh.doc_id, n_shingles
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with a held-out benchmark set (here the doc_id % 7 == 0
+    slice stands in for the benchmark corpus).  The standard
+    train-set hygiene pass before an eval: overlap is computed on
+    HASHED shingles (narrow join key), candidates via one equality
+    join on the hash — inverted-index shape, same scale story as the
+    n-gram dedup join, and the benchmark side is the small relation
+    (broadcastable when the benchmark is a real eval set instead of
+    1/7 of the corpus).  Output: contaminated doc, its shingle count,
+    overlapping-shingle count, and a cross-multiplied >=10% flag (no
+    float division)."""
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.transform(
+            word_shingles(ws_tokens(F.col("text")), 5), char_fold_hash
+        ).alias("hs"),
+    ).select(
+        "doc_id",
+        F.size("hs").cast("int").alias("n_shingles"),
+        F.explode("hs").alias("h"),
+    )
+    bench = sh.filter(F.col("doc_id") % 7 == 0).select("h").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 7 != 0)
+        .join(bench, "h")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumn("heavy", F.col("n_overlap") * 10 >= F.col("n_shingles"))
+    )
+
+
+@query(
+    "text_repetition_ratios",
+    tags=("text-analysis", "quality", "llm-pipeline"),
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS_VAR} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+          FROM w WHERE len(w) >= 2),
+    cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)   AS n_2grams,
+           CAST(MAX(c) AS BIGINT)   AS top_2gram_n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+           (MAX(c) * 5 > SUM(c))    AS repetitive
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen: per-document 2-gram totals, the
+    most-repeated 2-gram's count, distinct-2-gram count, and a
+    cross-multiplied >20% top-2-gram-fraction flag (integer compare,
+    no float ratio).  Raw (non-distinct) 2-grams on purpose —
+    repetition is exactly what array_distinct would erase.  Explode ->
+    (doc, gram) count -> per-doc aggregate; both aggregations combine
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = ws_tokens(F.col("text"))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+            ),
+        ),
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_2grams"),
+        F.max("c").alias("top_2gram_n"),
+        F.count(F.lit(1)).alias("n_distinct_2grams"),
+        (F.max("c") * 5 > F.sum("c")).alias("repetitive"),
+    )

@@ -59,3 +59,54 @@ class DuckDbSink:
         finally:
             con.close()
         return written
+
+    def write_idempotent(self, df: DataFrame, table: str, batch_id: int) -> int:
+        """Write one streaming micro-batch EXACTLY ONCE: the rows and a
+        `<table>_applied_batches` ledger row commit in a single
+        transaction, so a batch replayed after a crash (Structured
+        Streaming re-runs the last uncommitted batch with the SAME
+        batch_id and offsets) either fully landed — ledger hit, the
+        whole batch is skipped — or fully rolled back and is re-applied.
+        This is the transactional-sink half of the foreachBatch
+        exactly-once contract; the source half is the stream's
+        checkpoint.  Returns rows written (0 for a skipped replay)."""
+        assert_safe_table_name(table)
+        assert_safe_column_names(df.columns)
+        normalized = normalize_for_insert(df)
+        quoted = quote_identifier(table)
+        ledger = quote_identifier(f"{table}_applied_batches")
+        col_list = ", ".join(quote_identifier(c) for c in normalized.columns)
+        placeholders = ", ".join("?" for _ in normalized.columns)
+        insert = f"INSERT INTO {quoted} ({col_list}) VALUES ({placeholders})"
+        con = duckdb.connect(self.database)
+        try:
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {ledger} (batch_id BIGINT PRIMARY KEY)"
+            )
+            con.execute("BEGIN TRANSACTION")
+            try:
+                already = con.execute(
+                    f"SELECT 1 FROM {ledger} WHERE batch_id = ?", [batch_id]
+                ).fetchone()
+                if already:
+                    con.execute("ROLLBACK")
+                    return 0
+                written = 0
+                batch: list[tuple] = []
+                for row in normalized.toLocalIterator():
+                    batch.append(tuple(row))
+                    if len(batch) >= self.batch_size:
+                        con.executemany(insert, batch)
+                        written += len(batch)
+                        batch = []
+                if batch:
+                    con.executemany(insert, batch)
+                    written += len(batch)
+                con.execute(f"INSERT INTO {ledger} VALUES (?)", [batch_id])
+                con.execute("COMMIT")
+            except Exception:
+                con.execute("ROLLBACK")
+                raise
+        finally:
+            con.close()
+        return written

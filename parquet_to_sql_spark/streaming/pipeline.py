@@ -220,20 +220,39 @@ def run_to_memory(
 
 
 def stream_import(
-    stream: DataFrame, sink, table: str, output_mode: str = "append"
+    stream: DataFrame,
+    sink,
+    table: str,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+    exactly_once: bool = False,
 ) -> None:
     """Land a stream in a SQL table through a batch sink (foreachBatch
-    reuses the same COPY/INSERT machinery as Importer)."""
+    reuses the same COPY/INSERT machinery as Importer).
+
+    ``exactly_once=True`` routes each micro-batch through the sink's
+    ``write_idempotent(df, table, batch_id)``: rows plus a batch-id
+    ledger row commit atomically, so a batch replayed after a crash
+    (same batch_id from the checkpoint) is skipped instead of applied
+    twice.  Requires ``checkpoint`` — batch ids are only stable within
+    one checkpoint lineage."""
+    if exactly_once and not checkpoint:
+        raise ValueError("exactly_once requires a checkpoint location")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sink.write(batch_df, table, truncate=False)
+        if exactly_once:
+            sink.write_idempotent(batch_df, table, batch_id)
+        else:
+            sink.write(batch_df, table, truncate=False)
 
-    q = (
+    writer = (
         stream.writeStream.foreachBatch(write_batch)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     q.awaitTermination()
 
 

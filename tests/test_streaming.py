@@ -483,3 +483,74 @@ def test_stream_stream_left_outer_state_eviction_metrics(spark, tmp_path):
     assert totals[-1] == 1, f"state retained beyond watermark: {totals}"
     flushed = outer_rows()
     assert [r.purchase_event_id for r in flushed] == [3], flushed
+
+
+def test_stream_import_exactly_once_survives_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once by itself: if the driver dies
+    after the sink write but before the streaming commit, the batch is
+    RE-RUN with the same batch_id on restart.  write_idempotent makes
+    the pair (rows, ledger row) one sink transaction, so the replay is
+    skipped.  Simulated here by deleting the last checkpoint commit
+    file — Spark then replays the final batch from its recorded
+    offsets against a sink that already applied it."""
+    import glob
+
+    d = str(tmp_path / "eo_in")
+    os.makedirs(d)
+    db = str(tmp_path / "eo.duckdb")
+    ckpt = str(tmp_path / "eo_ckpt")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR)")
+    con.close()
+
+    def run():
+        stream = events_stream(spark, d).select("event_id", "user_id", "event_type")
+        stream_import(
+            stream, DuckDbSink(db), "ev", checkpoint=ckpt, exactly_once=True
+        )
+
+    def counts():
+        con = duckdb.connect(db)
+        n = con.execute("SELECT COUNT(*), COUNT(DISTINCT event_id) FROM ev").fetchone()
+        con.close()
+        return n
+
+    shutil.copy(
+        os.path.join(SF_SMOKE, "events.parquet"), os.path.join(d, "b1.parquet")
+    )
+    run()
+    n1, d1 = counts()
+    assert n1 == d1 > 0
+
+    # a second file -> batch 1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_704_067_200_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10**9 + i for i in range(7)], pa.int64()),
+                "ts": pa.array([base] * 7, pa.timestamp("ns")),
+                "user_id": pa.array(list(range(7)), pa.int64()),
+                "event_type": pa.array(["click"] * 7, pa.string()),
+                "value": pa.array([1.0] * 7, pa.float64()),
+                "props": pa.array(["{}"] * 7, pa.string()),
+            }
+        ),
+        os.path.join(d, "b2.parquet"),
+    )
+    run()
+    n2, d2 = counts()
+    assert n2 == d2 == n1 + 7
+
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "*")))
+    os.remove(commits[-1])  # forget the last commit -> forces replay
+    crc = os.path.join(  # and its checksum sidecar, or the rewrite
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )  # is flagged as a concurrent checkpoint modification
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    n3, d3 = counts()
+    assert (n3, d3) == (n2, d2), "replayed batch was applied twice"
