@@ -84,7 +84,8 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "agg_boolean_filtered", "dedup_simhash_hamming",
         "text_top_terms_per_doc", "embedding_quantize_int8",
         "text_contamination_check", "text_repetition_ratios",
-        "dedup_canonical_by_priority",
+        "dedup_canonical_by_priority", "pipeline_train_split_manifest",
+        "pipeline_pack_sequences",
     }
 )
 

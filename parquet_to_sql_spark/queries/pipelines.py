@@ -221,3 +221,80 @@ def pipeline_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "pipeline_train_split_manifest",
+    tags=("sampling", "split", "llm-pipeline"),
+    oracle="""
+    SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END                     AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT)              AS min_doc_id
+    FROM documents
+    GROUP BY split, lang
+    """,
+)
+def pipeline_train_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by
+    multiplicative key hashing — reproducible across engines, runs,
+    and re-partitions (unlike randomSplit, whose assignment depends on
+    partitioning), so a row's split never changes when the corpus is
+    re-laid-out.  Output is the per-(split, language) manifest a
+    training pipeline records next to the data.  One map-side
+    expression + one aggregate; the split column could equally be a
+    partitionBy key on write."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    tags=("packing", "window", "llm-pipeline"),
+    oracle="""
+    SELECT doc_id, source,
+           CAST(cum AS BIGINT) AS cum_chars,
+           CAST((cum - n_chars) // 2000 AS BIGINT) AS bin
+    FROM (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing shard assignment: within each source, docs in
+    doc_id order are packed into ~2000-char bins via an exclusive
+    prefix sum (bin = prefix_chars // budget) — the distributed
+    approximation of greedy context-window packing (a doc may straddle
+    a boundary; the downstream writer splits or pads).  The window is
+    PARTITIONED BY source, so packing parallelizes across sources/
+    shards instead of serializing the corpus through one partition —
+    at 100 TB the partition key would be (source, day)-grained."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        cum.alias("cum_chars"),
+        F.floor((cum - F.col("n_chars")) / 2000).alias("bin"),
+    )

@@ -357,3 +357,28 @@ def test_runtime_bloom_filter_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_simhash_hamming_plan_has_no_nested_loop(spark):
+    """The Hamming-radius candidate join must be the band-bucket
+    EQUALITY join (shuffle- or broadcast-hash), never a nested-loop
+    all-pairs comparison — that is the whole point of the pigeonhole
+    construction."""
+    from parquet_to_sql_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _formatted_plan(simhash_hamming_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_plan_joins_on_hash_equality(spark):
+    """Decontamination overlap is an equality join on the shingle
+    hash (inverted-index shape); no nested loop, and the benchmark
+    modulus filters reach both scan sides."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    df = all_queries()["text_contamination_check"].build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
