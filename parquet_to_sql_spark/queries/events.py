@@ -282,3 +282,108 @@ def ev_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ev_gapfill_daily",
+    tags=("events", "timeseries", "gapfill"),
+    oracle="""
+    WITH p AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(value AS DECIMAL(12,2)) AS v0
+      FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+      SELECT user_id, d, SUM(v0) AS v FROM p GROUP BY user_id, d
+    ), span AS (
+      SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.d, daily.v
+      FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+    )
+    SELECT user_id,
+           CAST(epoch_us(d) AS BIGINT) AS day_us,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS filled_value,
+           (v IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def ev_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — the hypertable-style densify+locf:
+    per user, a complete daily grid over their active span
+    (sequence + explode), daily purchase totals left-joined on, and
+    missing days forward-filled with last(ignorenulls) (LOCF).  Sums
+    stay DECIMAL through the fill and cast to double once at the
+    output, so the fill copies exact values.  The grid explode is
+    map-side (one row per user expands in place); the only shuffles
+    are the daily aggregate and the per-user window — both on the
+    same user key."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    j = grid.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.unix_micros("d").alias("day_us"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "ev_scd2_intervals",
+    tags=("events", "scd2", "cdc"),
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           value
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval construction from a change stream: each
+    change row becomes a validity interval [ts, next change ts) via
+    lead(), the open interval marked current — how a CDC feed turns
+    into a slowly-changing-dimension table.  ONE window over (user,
+    ts) produces valid_to, is_current, and version together: Catalyst
+    computes all three in a single sort+shuffle.  value passes
+    through untouched (exact), interval bounds are epoch micros."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
+        "value",
+    )

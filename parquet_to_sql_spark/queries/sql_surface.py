@@ -172,3 +172,62 @@ def sql_engine_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "sql_engine_pivot_syntax",
+    tags=("sql-surface", "pivot"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (o_orderstatus = 'O'), 0) AS DOUBLE)     AS o_total,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (o_orderstatus = 'F'), 0) AS DOUBLE)     AS f_total,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (o_orderstatus = 'P'), 0) AS DOUBLE)     AS p_total,
+           CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+                                                                 AS other_n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_engine_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (Spark SQL syntax, distinct from the
+    DataFrame .pivot() path pinned by agg_pivot_status): rotate order
+    status into columns with two aggregates per status.  Plans as the
+    same single-pass conditional aggregation the oracle spells out
+    with FILTER clauses — one shuffle on the GROUP BY key, pivoted
+    columns are map-side CASE aggregates, no join and no second pass.
+    Status values are enumerated IN (...) as PIVOT requires: at scale
+    that list is the (small, known) domain, never data-derived on the
+    driver."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT o_orderpriority,
+               COALESCE(o_n, 0)                        AS o_n,
+               CAST(COALESCE(o_total, 0) AS DOUBLE)    AS o_total,
+               COALESCE(f_n, 0)                        AS f_n,
+               CAST(COALESCE(f_total, 0) AS DOUBLE)    AS f_total,
+               COALESCE(p_n, 0)                        AS p_n,
+               CAST(COALESCE(p_total, 0) AS DOUBLE)    AS p_total,
+               n_all - COALESCE(o_n,0) - COALESCE(f_n,0) - COALESCE(p_n,0)
+                                                       AS other_n
+        FROM (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_all
+          FROM orders
+        )
+        PIVOT (
+          COUNT(*) AS n, SUM(price) AS total
+          FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)
+        )
+        """
+    )

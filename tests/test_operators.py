@@ -229,3 +229,55 @@ def test_binaryfile_source_to_multimodal_pipeline(spark, tmp_path):
     feats = decode_image_features(assets).collect()
     assert len(feats) == 5
     assert all(f.width >= 16 and f.channels == 3 for f in feats)
+
+
+def test_simhash_hamming_banding_is_complete(spark):
+    """Pigeonhole guarantee: the banded candidate join must find
+    EVERY pair within the Hamming radius — compare against the
+    brute-force all-pairs distance on a small corpus with seeded
+    near-duplicates (docs differing by one word usually flip only a
+    few sketch bits, so both radius hits and misses occur)."""
+    import itertools
+
+    from parquet_to_sql_spark.operators.dedup import simhash_hamming_pairs
+    from parquet_to_sql_spark.operators.text import simhash_sketch
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base.replace("the", w)) for i, w in enumerate(
+        ["the", "a", "an", "one", "that", "this", "some", "each"]
+    )]
+    rows += [(100 + i, f"totally different text number {i} with unrelated words")
+             for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc1, r.doc2): r.hamming
+        for r in simhash_hamming_pairs(df, "doc_id", "text", bits=24, radius=1).collect()
+    }
+    sk = {r.doc_id: r.simhash for r in simhash_sketch(df, "doc_id", "text", 24).collect()}
+    want = {
+        (a, b): bin(sk[a] ^ sk[b]).count("1")
+        for a, b in itertools.combinations(sorted(sk), 2)
+        if bin(sk[a] ^ sk[b]).count("1") <= 1
+    }
+    assert got == want
+    assert len(want) > 0, "fixture produced no in-radius pairs; weaken the docs"
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
+    """Every bin holds a contiguous doc_id run per source; a bin's
+    total never exceeds budget + its last doc (a doc may straddle the
+    boundary, nothing else)."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    out = all_queries()["pipeline_pack_sequences"].build(spark, SF_SMOKE).collect()
+    by_src: dict = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert [r.bin for r in rs] == sorted(r.bin for r in rs), src
+        prev_cum = 0
+        for r in rs:
+            n_chars = r.cum_chars - prev_cum
+            assert r.bin == prev_cum // 2000, (src, r.doc_id)
+            prev_cum = r.cum_chars
