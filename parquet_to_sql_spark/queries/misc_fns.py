@@ -356,3 +356,48 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_dist"
         ),
     )
+
+
+@query(
+    "fn_inline_generators",
+    tags=("functions", "generator", "explode-outer"),
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey, CAST(p_size AS BIGINT) AS size_v,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ), e AS (
+      SELECT p_partkey, 'size' AS metric, size_v AS val
+      FROM m WHERE size_v > 25
+      UNION ALL
+      SELECT p_partkey, 'retail_cents' AS metric, cents AS val
+      FROM m WHERE cents > 150000
+    )
+    SELECT m.p_partkey, e.metric, e.val
+    FROM m LEFT JOIN e ON m.p_partkey = e.p_partkey
+    """,
+)
+def fn_inline_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-function surface: build an array of (metric, val)
+    structs per part, filter it with a higher-order lambda, and expand
+    with inline_outer — the OUTER variant keeps parts whose array
+    filtered to empty as a single null row (the unpivot-with-
+    provenance shape; plain inline would silently drop them).  All
+    generators run map-side in whole-stage codegen; the oracle is the
+    equivalent UNION ALL + left join."""
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    entries = F.filter(
+        F.array(
+            F.struct(
+                F.lit("size").alias("metric"),
+                F.col("p_size").cast("long").alias("val"),
+            ),
+            F.struct(F.lit("retail_cents").alias("metric"), cents.alias("val")),
+        ),
+        lambda v: ((v.metric == "size") & (v.val > 25))
+        | ((v.metric == "retail_cents") & (v.val > 150000)),
+    )
+    return part.select("p_partkey", entries.alias("e")).select(
+        "p_partkey", F.inline_outer("e")
+    )

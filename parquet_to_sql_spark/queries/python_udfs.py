@@ -184,3 +184,66 @@ def cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey long, n_orders long, total_cents long, max_order_cents long",
         )
     )
+
+
+@query(
+    "groupedmap_spend_share",
+    tags=("python", "grouped-map", "applyInPandas"),
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_id, cents,
+             SUM(cents) OVER (PARTITION BY user_id) AS total_cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cents DESC, event_id) AS spend_rank
+      FROM p
+    )
+    SELECT user_id, event_id, cents,
+           CAST(CASE WHEN total_cents > 0
+                     THEN (cents * 10000) // total_cents ELSE 0 END AS BIGINT)
+             AS share_bp,
+           CAST(spend_rank AS BIGINT) AS spend_rank
+    FROM t
+    """,
+)
+def groupedmap_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (FlatMapGroupsInPandas): each user's
+    purchases arrive as one pandas frame; Python computes each
+    purchase's share of the user's total in integer basis points and
+    its spend rank — the single-sided escape hatch for imperative
+    per-group logic (the two-sided variant is cogroup_customer_orders).
+    Integer cents end-to-end, so the Arrow path is tested bit-exactly
+    against a plain window-SQL oracle.
+
+    Scale shape: one shuffle on user_id, groups stream through Arrow
+    batches; a group must fit in one worker's memory — fine for
+    per-user purchase lists, and exactly the constraint that makes
+    window functions the better plan when the logic IS SQL-expressible
+    (as here, deliberately, so it can be oracle-checked)."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def shares(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cents", "event_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        total = int(pdf["cents"].sum())
+        pdf["share_bp"] = (
+            (pdf["cents"] * 10000) // total if total > 0 else 0
+        ).astype("int64")
+        pdf["spend_rank"] = (pdf.index + 1).astype("int64")
+        return pdf
+
+    return p.groupBy("user_id").applyInPandas(
+        shares,
+        "user_id long, event_id long, cents long, share_bp long, spend_rank long",
+    )

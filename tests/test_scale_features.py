@@ -382,3 +382,40 @@ def test_contamination_plan_joins_on_hash_equality(spark):
     plan = _formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Strategy hints override the planner's default pick — the knob
+    for forcing a shuffle-hash join when the build side fits executor
+    memory but exceeds the broadcast threshold, or a sort-merge join
+    for spill-safety.  Customer would normally broadcast at this SF;
+    the hints must win."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in _formatted_plan(merged)
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in _formatted_plan(hashed)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partition-pruned scans from a JOIN filter (DPP): the fact side
+    is partitioned on the join key; a selective dim filter must turn
+    into a runtime partition filter on the fact scan (the mechanism
+    that keeps a 100 TB fact table from being fully scanned when the
+    dim filter implies a handful of partitions)."""
+    fact_dir = str(tmp_path / "lineitem_by_flag")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.select("l_orderkey", "l_quantity", "l_returnflag").write.partitionBy(
+        "l_returnflag"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the selective filter is on a NON-join column, so only a runtime
+    # (DPP) filter — not static constraint propagation — can prune
+    dim = spark.createDataFrame(
+        [("A", "archived"), ("N", "normal"), ("R", "returned")],
+        "l_returnflag string, label string",
+    ).filter(F.col("label") == "returned")
+    j = fact.join(dim, "l_returnflag")
+    plan = _formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
