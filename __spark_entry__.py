@@ -85,7 +85,11 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "text_top_terms_per_doc", "embedding_quantize_int8",
         "text_contamination_check", "text_repetition_ratios",
         "dedup_canonical_by_priority", "pipeline_train_split_manifest",
-        "pipeline_pack_sequences", "ev_gapfill_daily", "ev_scd2_intervals", "sql_engine_pivot_syntax", "groupedmap_spend_share", "fn_inline_generators",
+        "pipeline_pack_sequences", "ev_gapfill_daily", "ev_scd2_intervals",
+        "sql_engine_pivot_syntax", "groupedmap_spend_share",
+        "fn_inline_generators", "join_skew_salted",
+        "pipeline_mixture_sample", "pipeline_curriculum_bins",
+        "text_pii_redaction",
     }
 )
 

@@ -403,3 +403,48 @@ def join_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o
         """
     )
+
+
+@query(
+    "join_skew_salted",
+    tags=("join", "skew", "salting", "scale-path"),
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the manual mitigation for a hot join key that
+    AQE's skew-split cannot always save (e.g. one orderkey holding 1%
+    of a 100 TB fact table).  The fact side gets a deterministic salt
+    in [0, S) from a hash of its non-key columns; the other side is
+    replicated S times via explode, and the join key becomes
+    (key, salt) — the hot key's rows now spread over S reducers
+    instead of one.  The result is provably identical to the unsalted
+    join (each fact row matches exactly one replica), so the oracle is
+    the plain join; salting trades S× replication of the build side
+    for an even shuffle, which is the right trade whenever the build
+    side is the small one."""
+    S = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(S))
+    )
+    o_rep = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(S)])))
+    )
+    return (
+        li.join(
+            o_rep,
+            (li.l_orderkey == o_rep.o_orderkey) & (li.salt == o_rep.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"),
+        )
+    )

@@ -298,3 +298,109 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.alias("cum_chars"),
         F.floor((cum - F.col("n_chars")) / 2000).alias("bin"),
     )
+
+
+@query(
+    "pipeline_mixture_sample",
+    tags=("sampling", "mixture", "llm-pipeline"),
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), rated AS (
+      SELECT source, n_docs,
+             CAST(LEAST(10000, (CAST(SUM(n_docs) OVER () AS BIGINT) * 4000)
+                          // (COUNT(*) OVER () * n_docs)) AS BIGINT) AS rate_bp
+      FROM counts
+    )
+    SELECT d.source, r.n_docs, r.rate_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS chars_kept
+    FROM documents d
+    JOIN rated r ON d.source = r.source
+    WHERE (d.doc_id * 2654435761) % 10000 < r.rate_bp
+    GROUP BY d.source, r.n_docs, r.rate_bp
+    """,
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: pick per-source keep rates so each
+    source contributes an equal share of a 40%-of-corpus budget (the
+    'rebalance web-heavy corpora toward rare domains' step of training
+    -data prep), then keep documents by deterministic hash threshold.
+
+    All arithmetic is integer (basis points via BIGINT floor division)
+    and the per-doc decision is the same multiplicative hash as the
+    train-split manifest — reproducible across engines and layouts.
+    Scale shape: the window runs over the K-row per-source counts
+    relation (not the corpus), the rates join back as a broadcast, and
+    the keep decision is a map-side filter — one aggregate over the
+    corpus plus one map pass, no corpus-wide shuffle beyond the final
+    manifest groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rated = counts.select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.expr(
+                "(sum(n_docs) OVER () * 4000) DIV (count(*) OVER () * n_docs)"
+            ),
+        ).alias("rate_bp"),
+    )
+    kept = docs.join(F.broadcast(rated), "source").filter(
+        (F.col("doc_id") * F.lit(2654435761)) % 10000 < F.col("rate_bp")
+    )
+    return kept.groupBy("source", "n_docs", "rate_bp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@query(
+    "pipeline_curriculum_bins",
+    tags=("curriculum", "window", "llm-pipeline"),
+    oracle="""
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM (
+      SELECT source, n_chars,
+             ntile(4) OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS bin
+      FROM documents
+    )
+    GROUP BY source, bin
+    """,
+)
+def pipeline_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum binning: within each source, documents are
+    ranked short-to-long and cut into 4 equal-count stages with ntile
+    (the short->long curriculum schedule), then summarized per
+    (source, stage).  Ordering is (n_chars, doc_id) — all-integer and
+    totally ordered, so bin assignment is deterministic on any engine.
+
+    Scale shape: the window partitions by source, so each source sorts
+    independently (no global total order, no single-partition window);
+    at 100 TB the partition key would be (source, shard) with per-shard
+    quantile boundaries from approx_percentile instead of exact ntile
+    — exact per-source ntile is kept here because it is oracle-exact
+    and the fixtures' sources are balanced."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "source", "n_chars", F.ntile(4).over(w).alias("bin")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

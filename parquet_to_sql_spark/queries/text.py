@@ -396,3 +396,73 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_2grams"),
         (F.max("c") * 5 > F.sum("c")).alias("repetitive"),
     )
+
+
+# Redaction patterns: character classes + bounded quantifiers only, so
+# the same pattern text is valid and identical in Java regex (Spark)
+# and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redaction",
+    tags=("text-analysis", "pii", "regex", "llm-pipeline"),
+    oracle=f"""
+    WITH contaminated AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com or +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ' || text AS raw
+      FROM documents
+    ), redacted AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+      FROM contaminated
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(len(clean) AS BIGINT) AS clean_len,
+           substring(clean, 1, 40) AS clean_head
+    FROM redacted
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the compliance pass every training corpus runs
+    before anything else: redact emails and phone numbers with anchored
+    regexes and count what was removed per document.  The fixtures'
+    synthetic text carries no PII, so a deterministic contaminated
+    column (id-derived e-mail + phone prepended to the text) is built
+    first — both engines build and then redact the identical string,
+    making the whole redact-and-count path value-exact rather than
+    vacuously zero.
+
+    Everything is map-side JVM regex (regexp_count / regexp_replace,
+    no UDF), so at 100 TB this is a pure scan-transform with full
+    pushdown of any upstream filters; patterns are restricted to the
+    Java∩RE2 common subset so one pattern string serves both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.substring(clean, 1, 40).alias("clean_head"),
+    )

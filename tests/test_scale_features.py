@@ -419,3 +419,28 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     j = fact.join(dim, "l_returnflag")
     plan = _formatted_plan(j)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_salted_join_shuffles_on_composite_key(spark):
+    """The skew-salted join must actually join on (orderkey, salt) —
+    i.e. the exchanges hash-partition on BOTH keys so a hot orderkey
+    spreads across S reducers — and must not degrade to a nested-loop
+    or pure-salt join."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    # At fixture SF the planner would broadcast the exploded orders
+    # side (making salting moot); salting targets the shuffle-join
+    # regime, so pin that regime for the plan assertion.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = get("join_skew_salted").build(spark, SF_SMOKE)
+        plan = _formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("salt" in p and "orderkey" in p for p in parts), parts
