@@ -3,11 +3,17 @@
 The reference discovers schema at runtime from the Parquet footer
 (Readers/CodercatParquetRowReader.php:28-47); Spark does the same but
 typed, via spark.read.parquet. The one impedance mismatch is the
-`events` table: its `ts` column is Parquet TIMESTAMP(NANOS), which
-Spark has no native type for. With spark.sql.legacy.parquet.nanosAsLong
-we read raw nanos and convert to TimestampType by truncating to
-microseconds — identical semantics to DuckDB's TIMESTAMP_NS -> TIMESTAMP
-cast, so oracle comparisons line up.
+`events` table's `ts` column, which the driver has generated in two
+shapes across rounds:
+  * TIMESTAMP(NANOS) — no native Spark type; with
+    spark.sql.legacy.parquet.nanosAsLong we read raw nanos and
+    truncate to microseconds;
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark infers
+    TIMESTAMP_NTZ; we cast to TimestampType (session tz is pinned
+    UTC, so the naive wall-clock maps to the same epoch micros).
+Both normalize to a session-UTC TimestampType identical to DuckDB's
+TIMESTAMP view of the same file, so oracle comparisons line up and
+epoch-extraction functions (unix_micros) resolve.
 """
 
 from __future__ import annotations
@@ -50,9 +56,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     apply_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos -> micros truncation (matches DuckDB CAST(ts AS TIMESTAMP))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos -> micros truncation (matches DuckDB CAST(ts AS TIMESTAMP))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # micros NTZ -> session-UTC timestamp (same epoch value)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -3,8 +3,9 @@
 The reference has no streaming at all (SURVEY.md §2.B); this module
 gives the engine the standard event-time toolkit:
 
-  * file-source stream of events parquet (same ns-timestamp handling
-    as the batch catalog — nanos read as long, truncated to µs)
+  * file-source stream of events parquet (same ts normalization as
+    the batch catalog — any micros-annotated file reads straight into
+    a session-UTC TimestampType column)
   * watermarked tumbling / sliding / session window aggregations —
     identical window semantics to the batch queries in
     queries/events.py, which is what their DuckDB oracles pin down
@@ -31,7 +32,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from parquet_to_sql_spark.session import apply_runtime_confs
 
 EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -39,13 +40,15 @@ EVENTS_RAW_SCHEMA = (
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of events parquet files under `path`.
 
-    ts arrives as TIMESTAMP(NANOS) -> long (nanosAsLong), truncated to
-    microseconds exactly like catalog.load_table, so streaming and
-    batch agree on event time.
+    The declared TimestampType schema reads micros-annotated parquet
+    timestamps whether or not they are UTC-adjusted (the driver
+    fixture is NTZ-annotated; Spark-written batches are UTC-adjusted);
+    with the session tz pinned UTC both decode to the same epoch
+    micros as catalog.load_table, so streaming and batch agree on
+    event time.
     """
     apply_runtime_confs(spark)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
 
 
 def tumbling_counts(

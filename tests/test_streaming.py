@@ -5,6 +5,7 @@ the foreachBatch -> SQL-sink path."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 
@@ -179,7 +180,9 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
             pa.table(
                 {
                     "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                    "ts": pa.array([base + r[1] * 10**9 for r in rows], pa.timestamp("ns")),
+                    "ts": pa.array(
+                        [(base + r[1] * 10**9) // 1000 for r in rows], pa.timestamp("us")
+                    ),
                     "user_id": pa.array([1] * len(rows), pa.int64()),
                     "event_type": pa.array(["click"] * len(rows), pa.string()),
                     "value": pa.array([1.0] * len(rows), pa.float64()),
@@ -243,10 +246,10 @@ def test_stream_stream_left_outer_emits_unmatched(spark, events_dir):
     ev = _batch_events(spark)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     sentinel_id = 10**9
-    sentinel_ns = int((max_ts.timestamp() + 30 * 24 * 3600) * 1e6) * 1000
+    sentinel_ts = max_ts + datetime.timedelta(days=30)
     spark.createDataFrame(
-        [(sentinel_id, sentinel_ns, -1, "purchase", 0.0, "{}")],
-        "event_id long, ts long, user_id long, event_type string, "
+        [(sentinel_id, sentinel_ts, -1, "purchase", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     ).coalesce(1).write.mode("append").parquet(events_dir)
 
@@ -423,7 +426,8 @@ def test_stream_stream_left_outer_state_eviction_metrics(spark, tmp_path):
                 {
                     "event_id": pa.array([r[0] for r in rows], pa.int64()),
                     "ts": pa.array(
-                        [base + r[1] * 10**9 for r in rows], pa.timestamp("ns")
+                        [(base + r[1] * 10**9) // 1000 for r in rows],
+                        pa.timestamp("us"),
                     ),
                     "user_id": pa.array([r[2] for r in rows], pa.int64()),
                     "event_type": pa.array([r[3] for r in rows], pa.string()),
@@ -531,7 +535,7 @@ def test_stream_import_exactly_once_survives_batch_replay(spark, tmp_path):
         pa.table(
             {
                 "event_id": pa.array([10**9 + i for i in range(7)], pa.int64()),
-                "ts": pa.array([base] * 7, pa.timestamp("ns")),
+                "ts": pa.array([base // 1000] * 7, pa.timestamp("us")),
                 "user_id": pa.array(list(range(7)), pa.int64()),
                 "event_type": pa.array(["click"] * 7, pa.string()),
                 "value": pa.array([1.0] * 7, pa.float64()),
