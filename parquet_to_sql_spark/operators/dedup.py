@@ -91,10 +91,12 @@ def ngram_jaccard_pairs(
     hashed shingles": deterministic, identical in both engines, and a
     collision merely merges two shingles (negligible at 2^31 space).
 
-    Cache lifecycle: the shingle relation is cached because it feeds
-    the sizes aggregate AND both sides of the self-join; the caller
-    owns release (``spark.catalog.clearCache()`` between queries in a
-    long-lived session — bench.py does this).
+    Cache lifecycle: the shingle relation is cached (it feeds the
+    hub-count pass and the postings/self-join pass), and on the capped
+    path the much smaller postings relation too (it feeds the sizes
+    aggregate and the pair generator); the caller owns release
+    (``spark.catalog.clearCache()`` between queries in a long-lived
+    session — bench.py does this).
     """
     if hashed:
         # Hash INSIDE the per-doc shingle array, then array_distinct
@@ -117,26 +119,42 @@ def ngram_jaccard_pairs(
         )
     else:
         sh = shingle_sets(df, id_col, text_col, n)
-    # cached: this relation feeds the sizes aggregate AND both sides of
-    # the self-join; recomputing the shingle explode 3x dominates cost
+    # cached: this relation feeds the hub-count aggregate AND the
+    # postings pass (capped path) or the sizes aggregate and both
+    # self-join sides (baseline path); recomputing the shingle explode
+    # per consumer dominates cost
     sh = sh.cache()
     if max_doc_freq is not None:
+        # Pass 1 — doc-frequency counts. Counts partial-aggregate
+        # map-side, so a hub shingle costs one combiner row per map
+        # task, never a wide buffer; the over-cap list is tiny by
+        # construction and broadcasts.
         hubs = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .filter(F.col("n_docs") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hubs), "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_doc_freq is not None:
-        # Capped path: every surviving shingle has <= max_doc_freq docs,
-        # so collecting its posting list is bounded-safe — ONE shuffle
+        kept = sh.join(F.broadcast(hubs), "shingle", "left_anti")
+        # Pass 2 — every surviving shingle has <= max_doc_freq docs, so
+        # collecting its posting list is bounded-safe (the anti-join
+        # upstream is what makes the collect_list buffer safe — never
+        # collect postings without the cap filter first). ONE shuffle
         # on shingle replaces the two-sided self-join, and the pairs
         # explode from each posting list in place (cost per shingle
         # <= cap^2/2, same candidates as the join, generated map-side).
-        postings = sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_list("doc")).alias("docs")
+        postings = (
+            kept.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+            .cache()
+        )
+        # Per-doc set sizes come from the capped postings (same rows as
+        # the anti-joined relation, but orders of magnitude smaller to
+        # shuffle than re-aggregating the raw shingle relation on doc).
+        sizes = (
+            postings.select(F.explode("docs").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
         )
         # docs sorted ascending -> pairing each element with its tail
         # slice yields exactly the doc1 < doc2 pairs, no n^2 buffer
@@ -154,6 +172,7 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
         a = sh.select(F.col("doc").alias("doc1"), "shingle")
         b = sh.select(F.col("doc").alias("doc2"), "shingle")
         common = (
