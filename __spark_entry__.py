@@ -89,7 +89,8 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "sql_engine_pivot_syntax", "groupedmap_spend_share",
         "fn_inline_generators", "join_skew_salted",
         "pipeline_mixture_sample", "pipeline_curriculum_bins",
-        "text_pii_redaction",
+        "text_pii_redaction", "window_time_range_frame",
+        "fn_collated_match",
     }
 )
 

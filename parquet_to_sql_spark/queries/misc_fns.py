@@ -401,3 +401,42 @@ def fn_inline_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select("p_partkey", entries.alias("e")).select(
         "p_partkey", F.inline_outer("e")
     )
+
+
+@query(
+    "fn_collated_match",
+    tags=("functions", "collation", "spark4"),
+    oracle="""
+    WITH dims AS (SELECT DISTINCT upper(c_mktsegment) AS seg_uc FROM customer)
+    SELECT d.seg_uc,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c.c_custkey) AS BIGINT) AS min_custkey
+    FROM dims d
+    JOIN customer c ON lower(c.c_mktsegment) = lower(d.seg_uc)
+    GROUP BY d.seg_uc
+    """,
+)
+def fn_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware matching (Spark 4 COLLATE surface): an
+    UPPERCASED dimension of segment names joins back to the
+    mixed-case fact column under UTF8_LCASE collation — the
+    case-insensitive-join shape without wrapping both sides in
+    lower() by hand.  The oracle IS the lower()-join rewrite, which
+    is exactly equivalent for ASCII; aggregates (count, min key) are
+    integer-exact.  Collated comparisons stay JVM-side expressions,
+    so the join is still a plain shuffled equi-join on the collated
+    key at scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH dims AS (SELECT DISTINCT upper(c_mktsegment) AS seg_uc FROM customer)
+        SELECT d.seg_uc,
+               COUNT(*) AS n_customers,
+               MIN(c.c_custkey) AS min_custkey
+        FROM dims d
+        JOIN customer c
+          ON collate(c.c_mktsegment, 'UTF8_LCASE') = collate(d.seg_uc, 'UTF8_LCASE')
+        GROUP BY d.seg_uc
+        """
+    )

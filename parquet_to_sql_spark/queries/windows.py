@@ -165,6 +165,46 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _RANGE_SQL, ("orders",))
 
 
+_TIME_RANGE_BODY = """
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+_TIME_RANGE_SPARK = f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       SUM(CAST(FLOOR(value * 64) AS BIGINT)) OVER w AS qsum_trailing_1h
+{_TIME_RANGE_BODY}
+"""
+
+# identical query; the windowed SUM(BIGINT) is re-CAST because DuckDB
+# widens it to HUGEINT (pandas float64, which str-renders differently)
+_TIME_RANGE_DUCK = f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(FLOOR(value * 64) AS BIGINT)) OVER w AS BIGINT) AS qsum_trailing_1h
+{_TIME_RANGE_BODY}
+"""
+
+
+@query(
+    "window_time_range_frame",
+    tags=("window", "frame", "range", "event-time"),
+    oracle=_TIME_RANGE_DUCK,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, activity in the trailing hour
+    of each event (interval-bounded value frame over the timestamp
+    ordering — the sliding-window-per-row shape; `window_range_frame`
+    covers the numeric-bounds variant).  RANGE frames include peers,
+    so duplicate timestamps don't need a tie-break to stay
+    deterministic.  The double `value` is quantized floor(x*2^6) ->
+    BIGINT before summing (exact, order-independent on both
+    engines)."""
+    return _sql(spark, sf_dir, _TIME_RANGE_SPARK, ("events",))
+
+
 _IGNORE_NULLS_BODY = """
 FROM (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
