@@ -90,7 +90,8 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "fn_inline_generators", "join_skew_salted",
         "pipeline_mixture_sample", "pipeline_curriculum_bins",
         "text_pii_redaction", "window_time_range_frame",
-        "fn_collated_match",
+        "fn_collated_match", "dedup_embedding_ivf_blocked",
+        "sql_engine_distribute_by",
     }
 )
 

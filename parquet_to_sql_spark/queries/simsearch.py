@@ -408,3 +408,77 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("qv", lambda x: (x >= 127) | (x <= -127))
         ).alias("n_clip"),
     )
+
+
+@query(
+    "dedup_embedding_ivf_blocked",
+    tags=("dedup", "embeddings", "ann", "kmeans", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, ve, cent_id AS centroid_id FROM (
+        SELECT v.vec_id, v.ve, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, c.cent_id
+               ) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.centroid_id, a.vec_id AS id1, b.vec_id AS id2,
+             a.ve AS ave, b.ve AS bve
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT centroid_id, id1, id2,
+           {_DUCK_COS_AB.format(a="ave", b="bve")} AS cosine
+    FROM cand
+    WHERE {_DUCK_COS_AB.format(a="ave", b="bve")} >= 0.2
+    """,
+)
+def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, public):
+    cluster the embedding space (IVF cells from the deterministic
+    seeds), then compare pairs ONLY within a cell — the k-means-
+    blocked alternative to the hyperplane-LSH candidate generator in
+    `dedup_embedding_lsh_verified`, preferred when the corpus has
+    real cluster structure (cells adapt to density; fixed hyperplane
+    buckets don't).
+
+    Scale shape: assignment is one broadcast join against <=K
+    centroids; pair cost is sum over cells of occupancy^2, bounded by
+    growing K with the corpus (K ~ n/target_cell_size keeps occupancy
+    constant — the knob the LSH variant lacks).  Every candidate is
+    exact-verified with the same IEEE left-fold cosine, so precision
+    is exact and the oracle hash-matches."""
+    from parquet_to_sql_spark.operators.simsearch import (
+        cosine_expr,
+        ivf_assign,
+        norm_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+    # cached: the assigned relation feeds BOTH sides of the cell join
+    assigned = ivf_assign(emb, "vec_id", "embedding", seeds).cache()
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("ave"),
+        norm_expr("embedding").alias("a_norm"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("bve"),
+        norm_expr("embedding").alias("b_norm"),
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_expr("ave", "bve", "a_norm", "b_norm"))
+        .filter(F.col("cosine") >= 0.2)
+        .select("centroid_id", "id1", "id2", "cosine")
+    )

@@ -231,3 +231,36 @@ def sql_engine_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "sql_engine_distribute_by",
+    tags=("sql-surface", "partitioning", "scale-path"),
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 300000
+    """,
+)
+def sql_engine_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-control SQL surface: DISTRIBUTE BY hash-partitions
+    the output on the named key and SORT BY orders rows within each
+    partition — the layout knob for writing co-located, sorted output
+    a downstream co-partitioned join can consume shuffle-free (CLUSTER
+    BY = both at once).  Row CONTENT is unchanged — the oracle is the
+    bare SELECT, and the plan-shape test
+    (tests/test_scale_features.py::test_distribute_by_controls_partitioning)
+    asserts the hashpartitioning exchange + partition-local sort
+    actually appear."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 300000
+        DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
+        """
+    )

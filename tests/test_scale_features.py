@@ -444,3 +444,19 @@ def test_salted_join_shuffles_on_composite_key(spark):
 
     parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert any("salt" in p and "orderkey" in p for p in parts), parts
+
+
+def test_distribute_by_controls_partitioning(spark):
+    """DISTRIBUTE BY ... SORT BY plans as a hash-partitioned exchange
+    on the named key plus a partition-LOCAL sort (global=false) — the
+    SQL-surface control over physical layout; a global sort here would
+    mean the clause was silently ignored."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    df = all_queries()["sql_engine_distribute_by"].build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    low = plan.lower()
+    assert "hashpartitioning(o_custkey" in low
+    assert "repartition_by_col" in low
+    # Sort arguments end "..., false, 0" -> partition-local, not global
+    assert "], false, 0" in plan
