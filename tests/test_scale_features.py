@@ -460,3 +460,57 @@ def test_distribute_by_controls_partitioning(spark):
     assert "repartition_by_col" in low
     # Sort arguments end "..., false, 0" -> partition-local, not global
     assert "], false, 0" in plan
+
+
+def test_cbo_stats_enable_broadcast_of_filtered_dim(spark):
+    """Cost-based optimization evidence: a filtered dimension whose
+    FILES are over the broadcast threshold is sort-merge-joined when
+    the planner only has size-on-disk, but broadcast once ANALYZE
+    TABLE column statistics let the filter's selectivity shrink the
+    estimate — the stats-driven join planning that matters when dims
+    are big but predicates are selective.  On a real cluster this is
+    ANALYZE after load (or auto-collected stats in a lakehouse
+    catalog); the conf dance here just pins the mechanism."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.planStats.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+
+    def joined_plan():
+        dim = spark.table("cbo_dim").filter(F.col("k") < 50)
+        j = spark.table("cbo_fact").join(dim, "k")
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+        spark.range(0, 200_000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        ).write.mode("overwrite").saveAsTable("cbo_dim")
+        spark.range(0, 500_000).select(
+            (F.col("id") % 200_000).alias("k"), F.col("id").alias("v")
+        ).write.mode("overwrite").saveAsTable("cbo_fact")
+
+        before = joined_plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+
+        spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR COLUMNS k")
+        spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS")
+        after = joined_plan()
+        assert "BroadcastHashJoin" in after
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_dim")
+        spark.sql("DROP TABLE IF EXISTS cbo_fact")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
