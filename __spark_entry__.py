@@ -91,7 +91,7 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "pipeline_mixture_sample", "pipeline_curriculum_bins",
         "text_pii_redaction", "window_time_range_frame",
         "fn_collated_match", "dedup_embedding_ivf_blocked",
-        "sql_engine_distribute_by",
+        "sql_engine_distribute_by", "agg_sketch_rollup_union",
     }
 )
 

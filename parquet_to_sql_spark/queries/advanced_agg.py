@@ -176,13 +176,20 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     above. Sketch VALUES are engine-specific (no oracle), so the query
     is SELF-verifying instead: each row carries the exact answer, the
     sketch's relative error, and a bounds flag — hll_ok requires the
-    HLL++ estimate within 3x its configured 5% rsd, median_ok requires
-    the approx median to land inside the exact p45..p55 band.
-    tests/test_operators.py asserts every flag is true."""
+    HLL++ estimate within 3x its configured 5% rsd, ds_hll_ok bounds
+    the Apache DataSketches HLL estimate (hll_sketch_agg →
+    hll_sketch_estimate; unlike HLL++, the binary sketch itself is a
+    mergeable column — the shape that lets 100 TB of per-partition /
+    per-day sketches roll up without rescanning), and median_ok
+    requires the approx median to land inside the exact p45..p55
+    band. tests/test_operators.py asserts every flag is true."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").alias(
+            "ds_hll_parts"
+        ),
         F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
         F.expr("percentile(l_extendedprice, 0.45)").alias("price_p45"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("price_p55"),
@@ -191,12 +198,18 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_parts").cast("double") / F.col("exact_parts").cast("double")
         - F.lit(1.0)
     )
+    ds_err = F.abs(
+        F.col("ds_hll_parts").cast("double") / F.col("exact_parts").cast("double")
+        - F.lit(1.0)
+    )
     return agg.select(
         "l_returnflag",
         "approx_parts",
         "exact_parts",
         hll_err.alias("hll_rel_err"),
         (hll_err <= F.lit(0.15)).alias("hll_ok"),
+        "ds_hll_parts",
+        (ds_err <= F.lit(0.15)).alias("ds_hll_ok"),
         "approx_median_price",
         (
             (F.col("approx_median_price") >= F.col("price_p45"))
@@ -259,4 +272,49 @@ def agg_boolean_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 200000).alias("n_jumbo"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+    )
+
+
+@query(
+    "agg_sketch_rollup_union",
+    tags=("aggregation", "sketch", "mergeable", "scale-path"),
+    oracle=None,  # sketch binaries are engine-specific; self-verifying
+)
+def agg_sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the incremental-aggregation pattern
+    behind every 100 TB distinct-count dashboard: build one
+    DataSketches HLL per group (here: order status), then merge the
+    BINARY sketches with hll_union_agg to answer the global question
+    WITHOUT rescanning rows.  At scale the per-group sketches are
+    what you persist (per day / per shard); any rollup — weekly,
+    all-time, cross-shard — is a sketch union over kilobytes.
+
+    Self-verifying like agg_approx_sketches: the merged estimate must
+    land within 15% of the exact global distinct count computed in
+    the same query (test asserts the flag)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH per_group AS (
+          SELECT o_orderstatus,
+                 hll_sketch_agg(o_custkey, 12) AS sk,
+                 COUNT(DISTINCT o_custkey) AS exact_custs
+          FROM orders
+          GROUP BY o_orderstatus
+        ),
+        merged AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk, true)) AS est_total
+          FROM per_group
+        ),
+        exact AS (SELECT COUNT(DISTINCT o_custkey) AS exact_total FROM orders)
+        SELECT g.o_orderstatus,
+               g.exact_custs,
+               CAST(hll_sketch_estimate(g.sk) AS DOUBLE) AS est_custs,
+               m.est_total,
+               e.exact_total,
+               ABS(m.est_total / CAST(e.exact_total AS DOUBLE) - 1.0) <= 0.15
+                 AS union_ok
+        FROM per_group g CROSS JOIN merged m CROSS JOIN exact e
+        """
     )

@@ -196,6 +196,7 @@ def test_approx_sketches_self_verify(spark):
     assert rows
     for r in rows:
         assert r.hll_ok, f"HLL estimate out of bounds: {r}"
+        assert r.ds_hll_ok, f"DataSketches HLL estimate out of bounds: {r}"
         assert r.median_ok, f"approx median outside exact p45..p55: {r}"
 
 
@@ -281,3 +282,15 @@ def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
             n_chars = r.cum_chars - prev_cum
             assert r.bin == prev_cum // 2000, (src, r.doc_id)
             prev_cum = r.cum_chars
+
+
+def test_sketch_rollup_union_self_verify(spark):
+    """The merged-sketch global estimate must bound-match the exact
+    global distinct count (union_ok flag on every row)."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    rows = all_queries()["agg_sketch_rollup_union"].build(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.union_ok, f"sketch union estimate out of bounds: {r}"
