@@ -92,6 +92,7 @@ _LOW_PRIORITY_ROTATION = frozenset(
         "text_pii_redaction", "window_time_range_frame",
         "fn_collated_match", "dedup_embedding_ivf_blocked",
         "sql_engine_distribute_by", "agg_sketch_rollup_union",
+        "udf_iter_quantized_norm",
     }
 )
 

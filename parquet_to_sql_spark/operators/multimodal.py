@@ -170,3 +170,53 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
 
     flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
     return flat.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+
+
+def decode_image_features_arrow(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInArrow twin of `decode_image_features`: the same per-asset
+    feature extraction consuming pyarrow RecordBatches directly — no
+    Arrow->pandas conversion at all, the lowest-overhead Python batch
+    path (right when the payload is large binary and the pandas
+    object-dtype copy would dominate).  Output is bit-identical to the
+    mapInPandas variant (tests assert it), so either can back the
+    gate query."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decoding requires PIL/libvips on executors; "
+            "this environment ships the deterministic fake decoder only"
+        )
+
+    def decode(batches):
+        import pyarrow as pa
+
+        # the Arrow schema must match the declared Spark schema
+        # exactly (from_pydict would infer int64 where Spark's reader
+        # expects int32 for the `int` columns)
+        out_schema = pa.schema(
+            [
+                ("uri", pa.string()),
+                ("n_bytes", pa.int64()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("channels", pa.int32()),
+                ("mean_luma", pa.float64()),
+            ]
+        )
+        for batch in batches:
+            uris = batch.column("uri").to_pylist()
+            datas = batch.column("data").to_pylist()
+            cols = {"uri": [], "n_bytes": [], "width": [], "height": [],
+                    "channels": [], "mean_luma": []}
+            for uri, data in zip(uris, datas):
+                payload = bytes(data) if data is not None else b""
+                w, h, c, luma = _fake_decode(payload)
+                cols["uri"].append(uri)
+                cols["n_bytes"].append(len(payload))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["channels"].append(c)
+                cols["mean_luma"].append(luma)
+            yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+
+    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    return flat.mapInArrow(decode, schema=IMAGE_FEATURES_SCHEMA)

@@ -247,3 +247,64 @@ def groupedmap_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         shares,
         "user_id long, event_id long, cents long, share_bp long, spend_rank long",
     )
+
+
+_ITER_QUANT = 1 << 20
+
+
+def _qnorm_batches(it):
+    """Iterator-of-series body for the SCALAR_ITER pandas UDF below.
+
+    The one-time setup (here: just the quantization constant; in a
+    real inference pipeline: loading the model/tokenizer) runs ONCE
+    per partition, then every Arrow batch streams through — the
+    batching shape that makes per-partition model loading amortized
+    instead of per-row.  Integer arithmetic (floor(x * 2^20) summed
+    in int64) keeps the result bit-deterministic and oracle-exact.
+    """
+    import numpy as np
+
+    quant = float(_ITER_QUANT)  # per-partition setup
+    for series in it:
+        yield series.map(
+            lambda v: int(np.floor(np.asarray(v, dtype=np.float64) * quant)
+                          .astype(np.int64).sum())
+        )
+
+
+@query(
+    "udf_iter_quantized_norm",
+    tags=("udf", "pandas-udf", "iterator", "python", "llm-pipeline"),
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1048576.0) AS BIGINT))) AS BIGINT) AS qsum
+    FROM embeddings
+    """,
+)
+def udf_iter_quantized_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form Pandas UDF (SCALAR_ITER) — the batch-inference
+    escape hatch: per-partition setup runs once (where a real
+    pipeline loads the embedding/scoring model), then Arrow batches
+    stream through.  Computes a quantized element sum per embedding
+    vector, bit-exact in both engines (floor(x*2^20) -> int64 sums),
+    so even the Python path carries a value-exact oracle.  At scale
+    this is the shape for GPU/model UDFs: no per-row Python overhead,
+    no per-batch model reload, Arrow transfer both ways."""
+    from typing import Iterator
+
+    from pyspark.sql.functions import pandas_udf
+
+    def body(it):
+        yield from _qnorm_batches(it)
+
+    # module uses postponed annotations (PEP 563), which leaves hints
+    # as unresolvable strings for pandas_udf's eval-type inference —
+    # attach real objects so it infers SQL_SCALAR_PANDAS_ITER_UDF
+    body.__annotations__ = {
+        "it": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    qsum = pandas_udf(body, "long")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", qsum(F.col("embedding")).alias("qsum"))

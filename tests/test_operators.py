@@ -294,3 +294,30 @@ def test_sketch_rollup_union_self_verify(spark):
     assert rows
     for r in rows:
         assert r.union_ok, f"sketch union estimate out of bounds: {r}"
+
+
+def test_mapinarrow_decode_matches_mapinpandas(spark):
+    """The mapInArrow decoder (RecordBatch-level, no pandas
+    conversion) must produce bit-identical output to the mapInPandas
+    one — same fake decoder, different Python batch transport."""
+    from parquet_to_sql_spark.operators.multimodal import (
+        decode_image_features,
+        decode_image_features_arrow,
+        pack_binary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "binary\tish\npayload")],
+        "doc_id long, text string",
+    )
+    packed = pack_binary(
+        df,
+        data=F.encode(F.col("text"), "utf-8"),
+        uri=F.concat(F.lit("doc://"), F.col("doc_id").cast("string")),
+        media_type="image/fake",
+    )
+    via_pandas = sorted(decode_image_features(packed).collect())
+    via_arrow = sorted(decode_image_features_arrow(packed).collect())
+    assert via_pandas == via_arrow
+    with pytest.raises(NotImplementedError):
+        decode_image_features_arrow(packed, fake=False)
