@@ -67,3 +67,25 @@ def test_corrupt_json_dropmalformed_keeps_only_good(spark, corrupt_jsonl):
         corrupt_jsonl
     )
     assert {(r.id, r.v) for r in df.collect()} == {(1, "ok"), (3, "fine")}
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Lake schema evolution: files written before a column existed
+    coexist with newer files; mergeSchema=true reads the union schema
+    with nulls for the missing column (per-file footers differ — the
+    default fast path would pick one footer and silently drop the new
+    column for old files or fail)."""
+    import pyspark.sql.functions as F
+
+    old = spark.range(0, 5).select(F.col("id").alias("k"))
+    new = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+    )
+    old.write.parquet(str(tmp_path / "t" / "batch=1"))
+    new.write.parquet(str(tmp_path / "t" / "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"k", "extra", "batch"}
+    rows = {r.k: r.extra for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0] is None and rows[7] == 70
