@@ -91,10 +91,15 @@ def ngram_jaccard_pairs(
     hashed shingles": deterministic, identical in both engines, and a
     collision merely merges two shingles (negligible at 2^31 space).
 
-    Cache lifecycle: the shingle relation is cached (it feeds the
-    hub-count pass and the postings/self-join pass), and on the capped
-    path the much smaller postings relation too (it feeds the sizes
-    aggregate and the pair generator); the caller owns release
+    Cache lifecycle: on the capped path only the (grouped, far
+    smaller) postings relation is cached — it feeds the sizes
+    aggregate and the pair generator.  The raw shingle relation is
+    deliberately NOT cached there: it has two consumers (hub count,
+    anti-join input) but materializing the full exploded relation
+    costs more than recomputing the narrow explode twice (measured 2x
+    on cold runs at sf0.1), and at cluster scale it pressures storage
+    memory for no win.  The uncapped baseline path caches it (three
+    consumers, two of them join sides).  The caller owns release
     (``spark.catalog.clearCache()`` between queries in a long-lived
     session — bench.py does this).
     """
@@ -119,11 +124,6 @@ def ngram_jaccard_pairs(
         )
     else:
         sh = shingle_sets(df, id_col, text_col, n)
-    # cached: this relation feeds the hub-count aggregate AND the
-    # postings pass (capped path) or the sizes aggregate and both
-    # self-join sides (baseline path); recomputing the shingle explode
-    # per consumer dominates cost
-    sh = sh.cache()
     if max_doc_freq is not None:
         # Pass 1 — doc-frequency counts. Counts partial-aggregate
         # map-side, so a hub shingle costs one combiner row per map
@@ -172,6 +172,9 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
+        # cached: three consumers (sizes + both self-join sides); here
+        # recomputing the explode per consumer WOULD dominate
+        sh = sh.cache()
         sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
         a = sh.select(F.col("doc").alias("doc1"), "shingle")
         b = sh.select(F.col("doc").alias("doc2"), "shingle")
