@@ -514,3 +514,17 @@ def test_cbo_stats_enable_broadcast_of_filtered_dim(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_collated_join_stays_equi_join(spark):
+    """The UTF8_LCASE collated join must plan as a hash/sort-merge
+    EQUI-join on the collated key — if Catalyst ever stopped treating
+    collated equality as a join key it would degrade to a nested-loop
+    cartesian, which is the difference between shuffle-partitionable
+    and impossible at scale."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    df = all_queries()["fn_collated_match"].build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
