@@ -261,15 +261,29 @@ def _qnorm_batches(it):
     batching shape that makes per-partition model loading amortized
     instead of per-row.  Integer arithmetic (floor(x * 2^20) summed
     in int64) keeps the result bit-deterministic and oracle-exact.
+
+    NULL and empty vectors yield NULL, matching DuckDB's NULL
+    propagation (list_sum([]) and list_sum(NULL) are both NULL) —
+    without the guard a NULL embedding would go through
+    np.asarray(None) -> nan -> undefined int64.
     """
     import numpy as np
 
     quant = float(_ITER_QUANT)  # per-partition setup
-    for series in it:
-        yield series.map(
-            lambda v: int(np.floor(np.asarray(v, dtype=np.float64) * quant)
-                          .astype(np.int64).sum())
+
+    def qsum(v):
+        if v is None or len(v) == 0:
+            return None
+        return int(
+            np.floor(np.asarray(v, dtype=np.float64) * quant)
+            .astype(np.int64).sum()
         )
+
+    for series in it:
+        # object dtype keeps Python ints exact and None as a true null;
+        # Series.map would coerce a None-containing result to float64
+        # (None -> NaN, and int64 sums past 2^53 would lose precision)
+        yield pd.Series([qsum(v) for v in series], dtype="object")
 
 
 @query(

@@ -31,24 +31,36 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from parquet_to_sql_spark.session import apply_runtime_confs
 
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
-)
+def _events_schema(ts_sql_type: str) -> str:
+    return (
+        f"event_id long, ts {ts_sql_type}, user_id long, "
+        "event_type string, value double, props string"
+    )
 
 
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of events parquet files under `path`.
 
-    The declared TimestampType schema reads micros-annotated parquet
-    timestamps whether or not they are UTC-adjusted (the driver
-    fixture is NTZ-annotated; Spark-written batches are UTC-adjusted);
-    with the session tz pinned UTC both decode to the same epoch
-    micros as catalog.load_table, so streaming and batch agree on
-    event time.
+    The events fixture's `ts` has varied across driver rounds:
+    TIMESTAMP(NANOS), TIMESTAMP(MICROS, NTZ), and Spark-written
+    UTC-adjusted micros.  A streaming source needs a declared schema,
+    so probe the footer with a zero-cost batch schema read (no data
+    scan) and declare whatever shape is on disk, then normalize to the
+    same session-UTC TimestampType as catalog.load_table:
+      * nanos (+ nanosAsLong conf) surfaces as bigint -> truncate to
+        micros, identical to the batch path;
+      * micros NTZ -> cast to timestamp (session tz pinned UTC);
+      * adjusted micros -> already TimestampType.
+    Batch and streaming therefore agree on event time for every shape.
     """
     apply_runtime_confs(spark)
-    return spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    stream = spark.readStream.schema(_events_schema(ts_type)).parquet(path)
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(

@@ -145,3 +145,18 @@ def test_ansi_mode_raises_where_try_family_nulls(spark):
         "try_element_at(array(1), 5) AS d"
     ).collect()[0]
     assert row.a is None and row.b is None and row.c is None and row.d is None
+
+
+def test_udf_iter_quantized_norm_null_and_empty_vectors(spark):
+    """NULL and empty embeddings must yield NULL from the SCALAR_ITER
+    UDF, matching DuckDB's list_sum NULL propagation (ADVICE r02) —
+    the fixture has no such rows today, but a regeneration could."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from parquet_to_sql_spark.queries.python_udfs import _qnorm_batches
+
+    out = list(_qnorm_batches(iter([pd.Series([None, [], [1.0, 2.5]])])))[0]
+    assert out.iloc[0] is None
+    assert out.iloc[1] is None
+    assert out.iloc[2] == (1 << 20) + int(2.5 * (1 << 20))

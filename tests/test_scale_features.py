@@ -458,8 +458,22 @@ def test_distribute_by_controls_partitioning(spark):
     low = plan.lower()
     assert "hashpartitioning(o_custkey" in low
     assert "repartition_by_col" in low
-    # Sort arguments end "..., false, 0" -> partition-local, not global
-    assert "], false, 0" in plan
+    # The Sort operator's second argument is the global flag; anchor
+    # the partition-local assertion (false) to the Sort node's own
+    # Arguments line so a rendering change can't let a global sort
+    # slip through.  Formatted explain renders each operator as
+    # "(N) Sort" followed by "Arguments: [keys...], <global>, 0".
+    import re
+
+    sorts = [
+        m.group(1)
+        for section in plan.split("\n\n")
+        if re.match(r"\(\d+\) Sort\b", section)
+        for m in [re.search(r"Arguments: \[[^\]]*\], (true|false),", section)]
+        if m
+    ]
+    assert sorts, f"no Sort node found in plan:\n{plan}"
+    assert all(flag == "false" for flag in sorts), sorts
 
 
 def test_cbo_stats_enable_broadcast_of_filtered_dim(spark):
