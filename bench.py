@@ -28,12 +28,15 @@ from parquet_to_sql_spark.session import get_spark  # noqa: E402
 
 def import_render_lineitem(spark, sf_dir):
     """Import-path stand-in: render every lineitem row to COPY text
-    (the reference's whole job, minus the Postgres socket)."""
+    (the reference's whole job, minus the Postgres socket).
+
+    No repartition: rendering pipelines with the scan in one stage.
+    At scale, parallelism comes from file/row-group splits; on the
+    single-row-group fixture a REBALANCE was measured strictly slower
+    (full-width row shuffle ~0.5 s > the parallel-render gain)."""
     import pyspark.sql.functions as F
 
-    from parquet_to_sql_spark.operators.text import rebalance_for_compute
-
-    return copy_lines(rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))).agg(
+    return copy_lines(load_table(spark, sf_dir, "lineitem")).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("line")).alias("total_bytes"),
     )

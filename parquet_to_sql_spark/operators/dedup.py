@@ -91,18 +91,21 @@ def ngram_jaccard_pairs(
     hashed shingles": deterministic, identical in both engines, and a
     collision merely merges two shingles (negligible at 2^31 space).
 
-    Cache lifecycle: on the capped path only the (grouped, far
-    smaller) postings relation is cached — it feeds the sizes
-    aggregate and the pair generator.  The raw shingle relation is
-    deliberately NOT cached there: it has two consumers (hub count,
-    anti-join input) but materializing the full exploded relation
-    costs more than recomputing the narrow explode twice (measured 2x
-    on cold runs at sf0.1), and at cluster scale it pressures storage
-    memory for no win.  The uncapped baseline path caches it (three
+    Cache lifecycle: tokenizing/shingling is the expensive map work,
+    so the capped path caches the PER-DOC SHINGLE ARRAYS (one compact
+    row per doc, pre-explode) and explodes twice from that cache for
+    its two consumers (hub count, anti-join input) — tokenization
+    runs once, and the cached relation is orders of magnitude smaller
+    than the exploded one (which round 2 measured as a 2x loss to
+    cache).  The (grouped, small) postings relation is also cached —
+    it feeds the sizes aggregate and the pair generator.  The
+    uncapped baseline path caches the exploded relation (three
     consumers, two of them join sides).  The caller owns release
     (``spark.catalog.clearCache()`` between queries in a long-lived
     session — bench.py does this).
     """
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
     if hashed:
         # Hash INSIDE the per-doc shingle array, then array_distinct
         # before exploding: per-doc distinctness is all the algorithm
@@ -110,20 +113,17 @@ def ngram_jaccard_pairs(
         # shuffle — the only effect of a 31-bit collision is two
         # shingles merging, and the oracle dedups post-hash the same
         # way (list_distinct(list_transform(...))).
-        from parquet_to_sql_spark.operators.text import rebalance_for_compute
-
-        sh = rebalance_for_compute(df.select(id_col, text_col)).select(
-            F.col(id_col).alias("doc"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        word_shingles(ws_tokens(F.col(text_col)), n), char_fold_hash
-                    )
-                )
-            ).alias("shingle"),
+        shs_col = F.array_distinct(
+            F.transform(word_shingles(ws_tokens(F.col(text_col)), n), char_fold_hash)
         )
     else:
-        sh = shingle_sets(df, id_col, text_col, n)
+        shs_col = word_shingles(ws_tokens(F.col(text_col)), n)
+    arrays = rebalance_for_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), shs_col.alias("shs")
+    )
+    if max_doc_freq is not None:
+        arrays = arrays.cache()
+    sh = arrays.select("doc", F.explode("shs").alias("shingle"))
     if max_doc_freq is not None:
         # Pass 1 — doc-frequency counts. Counts partial-aggregate
         # map-side, so a hub shingle costs one combiner row per map
@@ -422,16 +422,29 @@ def simhash_hamming_pairs(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_limit: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine >= threshold.
 
     Pair generation here is the exact all-pairs join (fine to ~10^4
     rows per block); the 100 TB path generates candidates with
     simsearch.ivf_assign buckets and reuses this scoring expression.
+
+    ``block_limit`` quarantines the quadratic plan to the labeled
+    block ``id < block_limit`` — with it set, the join is O(limit^2)
+    by construction no matter how large the corpus grows, which is
+    the only shape in which an exact all-pairs baseline may appear in
+    a gate query (VERDICT r02 #5).  Production near-dup at full scale
+    uses embedding_neardup_lsh / embedding_neardup_ivf instead.
     """
     from parquet_to_sql_spark.operators.simsearch import cosine_expr, with_norm
 
+    if block_limit is not None:
+        df = df.filter(F.col(id_col) < block_limit)
     a = with_norm(df, id_col, vec_col, prefix="a")
     b = with_norm(df, id_col, vec_col, prefix="b")
     return (

