@@ -22,7 +22,7 @@ Scale design notes (the part that matters at 100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from parquet_to_sql_spark.functions.hashing import (
     FOLD_MOD,
@@ -419,6 +419,128 @@ def simhash_hamming_pairs(
         .select("doc1", "doc2", "hamming")
         .distinct()
     )
+
+
+def simhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 24,
+    radius: int = 1,
+) -> DataFrame:
+    """Static corpus side of the incremental near-dup screen: one
+    (doc, simhash, band, bval) row per band per document, sketched
+    with the same fold-hash/majority-vote as simhash_hamming_pairs.
+
+    At scale this index is written once (bucketed by (band, bval) for
+    a co-located probe join) and re-used by every ingest batch — the
+    corpus is NOT re-sketched per arriving batch.
+    """
+    bands = radius + 1
+    if bits % bands:
+        raise ValueError("bits must be divisible by radius + 1")
+    width = bits // bands
+    mask = (1 << width) - 1
+    from parquet_to_sql_spark.operators.text import simhash_sketch
+
+    sig = simhash_sketch(df, id_col, text_col, bits=bits)
+    slices = [
+        sig.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col("simhash").alias("sh_corpus"),
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bval"),
+        )
+        for bi in range(bands)
+    ]
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def simhash_screen_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 24,
+    radius: int = 1,
+) -> DataFrame:
+    """Near-dup screen of ARRIVING documents against a static banded
+    corpus index (simhash_band_index) — the daily-ingest / streaming
+    dedup shape: sketch only the new rows, probe the index band-wise,
+    exact-verify with bit_count(xor).
+
+    Returns (new_id, corpus_id, hamming), one row per matching pair.
+
+    Every step on the new side is a stateless row-local projection
+    (simhash_col + a band explode), so ``new_docs`` may be a STREAMING
+    DataFrame: the probe is then a stream-static equi-join on
+    (band, bval) — no watermark, no state store.  Pair uniqueness is
+    also stateless: a pair matching in several bands keeps only its
+    FIRST matching band's row (lower-bands-differ predicate) instead
+    of a stateful distinct.
+
+    The index side is left to the optimizer: a small index broadcasts
+    automatically; a corpus-scale index sort-merges, co-located if it
+    was bucketed by (band, bval) as simhash_band_index recommends.
+    """
+    from parquet_to_sql_spark.operators.text import simhash_col, ws_tokens
+
+    bands = radius + 1
+    if bits % bands:
+        raise ValueError("bits must be divisible by radius + 1")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sketched = (
+        new_docs.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("new_id"),
+            simhash_col(F.col(text_col), bits).alias("sh_new"),
+        )
+    )
+    banded = sketched.select(
+        "new_id",
+        "sh_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("sh_new"), bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("new_id", "sh_new", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    joined = (
+        banded.join(index, ["band", "bval"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_new").bitwiseXOR(F.col("sh_corpus"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= radius)
+    )
+    # keep only the first matching band: for a row tagged band=b, every
+    # lower band must differ (else that lower band's row represents
+    # the pair) — row-local, so it works unchanged on a stream
+    def _slice(col: str, bi: int) -> Column:
+        return F.shiftright(F.col(col), bi * width).bitwiseAND(F.lit(mask))
+
+    keep = F.lit(True)
+    for lb in range(bands - 1):
+        keep = keep & (
+            (F.col("band") <= F.lit(lb))
+            | (_slice("sh_new", lb) != _slice("sh_corpus", lb))
+        )
+    return joined.filter(keep).select("new_id", "corpus_id", "hamming")
 
 
 def embedding_neardup_pairs(

@@ -166,6 +166,43 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return simhash_sketch(df, id_col, text_col, bits=16)
 
 
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """Row-local n-bit simhash as ONE Column expression — identical
+    votes/recombination to simhash_sketch, but folded over the token
+    array with higher-order functions instead of explode + groupBy.
+
+    No shuffle and no aggregation state, so it is legal on a STREAMING
+    DataFrame (stateless projection) and composes into any projection
+    on the batch side.  Prefer simhash_sketch when sketching a whole
+    static corpus (the shuffle is partial-aggregated map-side and the
+    per-bit fold here costs `bits` passes over each token array);
+    prefer this for incremental/streaming sketching of arriving rows.
+
+    Returns NULL for token-less text (explode+groupBy drops such rows;
+    callers filter on ``F.size(ws_tokens(text)) > 0`` for parity).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31 (token hash is 31-bit)")
+    hashes = F.transform(ws_tokens(text), char_fold_hash)
+
+    def _vote(i: int):
+        # factory (not a default arg) because pyspark introspects the
+        # lambda's arity to type the higher-order function
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    sim = None
+    for i in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), _vote(i))
+        bit = F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return F.when(F.size(ws_tokens(text)) > 0, sim.cast("long"))
+
+
 def gopher_rules(
     df: DataFrame,
     id_col: str,

@@ -402,6 +402,57 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_incremental",
+    tags=("dedup", "simhash", "incremental", "streaming-equivalent", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {_duck_simhash_cte(24)},
+    corpus AS (
+      SELECT doc_id, simhash, 0 AS band, simhash % 4096 AS bval
+      FROM sh WHERE doc_id % 5 != 0
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash // 4096) % 4096
+      FROM sh WHERE doc_id % 5 != 0
+    ),
+    arriving AS (
+      SELECT doc_id, simhash, 0 AS band, simhash % 4096 AS bval
+      FROM sh WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash // 4096) % 4096
+      FROM sh WHERE doc_id % 5 = 0
+    )
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(n.simhash, c.simhash)) AS INT) AS hamming
+    FROM arriving n JOIN corpus c ON n.band = c.band AND n.bval = c.bval
+    WHERE bit_count(xor(n.simhash, c.simhash)) <= 1
+    """,
+)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen — the daily-ingest/streaming dedup
+    shape: the corpus slice (doc_id % 5 != 0) is sketched ONCE into a
+    static banded index (simhash_band_index), and only the arriving
+    slice (doc_id % 5 = 0) is sketched — with the row-local
+    simhash_col expression (no shuffle, no aggregation state) — then
+    probed band-wise and exact-verified with bit_count(xor).  Every
+    new-side step is a stateless projection, so the identical operator
+    runs on a STREAMING DataFrame as a stream-static join
+    (streaming.pipeline.neardup_screen_stream; equivalence pinned by
+    tests/test_streaming.py)."""
+    from parquet_to_sql_spark.operators.dedup import (
+        simhash_band_index,
+        simhash_screen_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = simhash_band_index(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", bits=24, radius=1
+    )
+    return simhash_screen_against_index(
+        docs.filter(F.col("doc_id") % 5 == 0), index, "doc_id", "text",
+        bits=24, radius=1,
+    )
+
+
+@query(
     "dedup_canonical_by_priority",
     tags=("dedup", "simhash", "policy", "llm-pipeline"),
     oracle=f"""

@@ -1,6 +1,8 @@
 from parquet_to_sql_spark.streaming.pipeline import (
     dedup_within_watermark,
+    documents_stream,
     events_stream,
+    neardup_screen_stream,
     run_to_memory,
     session_counts,
     sliding_counts,
@@ -11,6 +13,8 @@ from parquet_to_sql_spark.streaming.pipeline import (
 
 __all__ = [
     "events_stream",
+    "documents_stream",
+    "neardup_screen_stream",
     "tumbling_counts",
     "sliding_counts",
     "session_counts",

@@ -271,6 +271,37 @@ def stream_import(
     q.awaitTermination()
 
 
+def documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of documents parquet files under `path`
+    (schema probed from the footer with a zero-cost batch read)."""
+    apply_runtime_confs(spark)
+    return spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+
+
+def neardup_screen_stream(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    bits: int = 24,
+    radius: int = 1,
+) -> DataFrame:
+    """Streaming near-dup screen: arriving documents are sketched with
+    the row-local simhash expression (stateless projection) and probed
+    against a STATIC banded corpus index — a stream-static equi-join
+    on (band, bval), so no watermark and no state store.  The batch
+    twin is the oracle-checked gate query dedup_simhash_incremental;
+    the operator is literally the same function.
+
+    Scale: the static index joins by whatever strategy the optimizer
+    picks per micro-batch (broadcast when small, sort-merge when
+    corpus-scale); the stream side only ever holds the current batch.
+    """
+    from parquet_to_sql_spark.operators.dedup import simhash_screen_against_index
+
+    return simhash_screen_against_index(
+        stream_docs, index, "doc_id", "text", bits=bits, radius=radius
+    )
+
+
 def purchases_after_signup_join(
     stream: DataFrame,
     max_delay: str = "1 hour",

@@ -321,3 +321,24 @@ def test_mapinarrow_decode_matches_mapinpandas(spark):
     assert via_pandas == via_arrow
     with pytest.raises(NotImplementedError):
         decode_image_features_arrow(packed, fake=False)
+
+
+def test_simhash_col_matches_simhash_sketch(spark):
+    """The row-local (streaming-safe) simhash expression must agree
+    with the explode+groupBy sketch on every fixture document."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.catalog import load_table
+    from parquet_to_sql_spark.operators.text import simhash_col, simhash_sketch
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    local = docs.select("doc_id", simhash_col(F.col("text"), 24).alias("s_local"))
+    grouped = simhash_sketch(docs, "doc_id", "text", bits=24).withColumnRenamed(
+        "simhash", "s_grouped"
+    )
+    joined = local.join(grouped, "doc_id", "full_outer")
+    assert joined.filter(
+        ~F.col("s_local").eqNullSafe(F.col("s_grouped"))
+    ).count() == 0
+    assert joined.count() > 0

@@ -558,3 +558,40 @@ def test_stream_import_exactly_once_survives_batch_replay(spark, tmp_path):
     run()
     n3, d3 = counts()
     assert (n3, d3) == (n2, d2), "replayed batch was applied twice"
+
+
+def test_streaming_neardup_screen_matches_batch(spark, tmp_path):
+    """Stream-static near-dup screen: streaming the arriving slice of
+    documents against a static banded simhash index must produce
+    exactly the rows of the batch gate query dedup_simhash_incremental
+    (same operator, stream-static join, no state store)."""
+    import shutil as _sh
+
+    from parquet_to_sql_spark.operators.dedup import simhash_band_index
+    from parquet_to_sql_spark.streaming import (
+        documents_stream,
+        neardup_screen_stream,
+    )
+
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    _sh.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"), os.path.join(d, "part0.parquet")
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    index = simhash_band_index(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", bits=24, radius=1
+    )
+    stream = documents_stream(spark, d).filter(F.col("doc_id") % 5 == 0)
+    run_to_memory(neardup_screen_stream(stream, index), "neardup_out", "append")
+    got = sorted(
+        (r.new_id, r.corpus_id, r.hamming)
+        for r in spark.sql("SELECT * FROM neardup_out").collect()
+    )
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    want = sorted(
+        (r.new_id, r.corpus_id, r.hamming)
+        for r in all_queries()["dedup_simhash_incremental"].build(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
