@@ -104,6 +104,35 @@ def ngram_jaccard_pairs(
     (``spark.catalog.clearCache()`` between queries in a long-lived
     session — bench.py does this).
     """
+    counts = _shingle_overlap_counts(
+        df, id_col, text_col, n=n, max_doc_freq=max_doc_freq, hashed=hashed
+    )
+    return (
+        counts.withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def _shingle_overlap_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    hashed: bool = False,
+) -> DataFrame:
+    """Shared candidate-pair machinery for the shingle-set similarity
+    family: returns (doc1, doc2, common, n1, n2) with doc1 < doc2 for
+    every document pair sharing at least one (optionally hashed,
+    optionally doc-frequency-capped) n-gram shingle.  Jaccard,
+    containment, and overlap coefficients are all scoring functions
+    over this one relation; see ngram_jaccard_pairs for the skew-cap /
+    cache-lifecycle rationale."""
     from parquet_to_sql_spark.operators.text import rebalance_for_compute
 
     if hashed:
@@ -186,16 +215,49 @@ def ngram_jaccard_pairs(
         )
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
+    return common.join(s1, "doc1").join(s2, "doc2")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 80,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    hashed: bool = True,
+) -> DataFrame:
+    """Directed near-duplicate CONTAINMENT pairs: flag documents whose
+    shingle set is (mostly) a subset of another document's — the case
+    symmetric Jaccard systematically misses.  A 200-word article pasted
+    into a 10,000-word page has Jaccard ~2% but containment ~100%; for
+    training-data curation the short copy is still a duplicate and
+    keeping both still leaks the same text twice.
+
+    Containment(A in B) = |A∩B| / |A| (Broder 1997, "On the
+    resemblance and containment of documents", public).  Scoring stays
+    ENTIRELY in integers: the threshold test is cross-multiplied
+    (``100*common >= pct*n1``), so the output is value-exact across
+    engines with no float discipline at all.
+
+    Returns (doc1, doc2, common, n1, n2, doc1_in_doc2, doc2_in_doc1)
+    with doc1 < doc2, keeping rows where either direction passes.
+    Same single-shuffle capped posting-list machinery (and the same
+    100 TB skew story) as ngram_jaccard_pairs — only the scoring
+    differs."""
+    counts = _shingle_overlap_counts(
+        df, id_col, text_col, n=n, max_doc_freq=max_doc_freq, hashed=hashed
+    )
+    pct = F.lit(threshold_pct)
+    a_in_b = F.lit(100) * F.col("common") >= pct * F.col("n1")
+    b_in_a = F.lit(100) * F.col("common") >= pct * F.col("n2")
     return (
-        common.join(s1, "doc1")
-        .join(s2, "doc2")
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+        counts.withColumn("doc1_in_doc2", a_in_b)
+        .withColumn("doc2_in_doc1", b_in_a)
+        .filter(F.col("doc1_in_doc2") | F.col("doc2_in_doc1"))
+        .select(
+            "doc1", "doc2", "common", "n1", "n2", "doc1_in_doc2", "doc2_in_doc1"
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
     )
 
 

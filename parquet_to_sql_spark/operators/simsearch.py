@@ -58,6 +58,89 @@ def cosine_expr(a_vec: str, b_vec: str, a_norm: str, b_norm: str) -> Column:
     return dot_expr(a_vec, b_vec) / (F.col(a_norm) * F.col(b_norm))
 
 
+def l2sq_expr(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance as a sequential left-fold in double
+    (monotone in the true distance, so rankings need no sqrt)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    d = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def rrf_fuse_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank-fusion top-k (Cormack, Clarke, Büttcher, SIGIR
+    2009, public): fuse a cosine-similarity ranking and a Euclidean-
+    distance ranking of the same candidate set, score each candidate
+    ``sum over rankings of floor(1e6 / (rrf_k + rank))`` counting only
+    top-``pool`` appearances, and return the ``k`` best fused.
+
+    The production retrieval pattern: ensembling rankers needs only
+    RANKS, never score calibration — so the fused score here is pure
+    integer arithmetic (floor of one IEEE division), value-exact
+    across engines with zero float discipline.
+
+    Plan shape: ONE broadcast-queries × corpus scored relation feeds
+    both rankings (two window functions over the same qid
+    partitioning — one exchange, two sorts), so fusion costs no
+    second scan and no outer join.  Returns (query_id, neighbor_id,
+    rrf_score, fused_rank)."""
+    qid, cid = f"q_{id_col}", f"c_{id_col}"
+    q = with_norm(queries, id_col, vec_col, prefix="q")
+    c = with_norm(df, id_col, vec_col, prefix="c", rebalance=True)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(qid) != F.col(cid))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec", "q_norm", "c_norm"))
+        .withColumn("l2sq", l2sq_expr("q_vec", "c_vec"))
+    )
+    w_cos = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
+    w_l2 = Window.partitionBy(qid).orderBy(F.asc("l2sq"), F.col(cid))
+    ranked = scored.select(
+        F.col(qid),
+        F.col(cid),
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_l2).alias("r_l2"),
+    )
+
+    def _contrib(rank: Column) -> Column:
+        return F.when(
+            rank <= pool,
+            F.floor(F.lit(1_000_000.0) / (F.lit(rrf_k) + rank)),
+        ).otherwise(F.lit(0).cast("long"))
+
+    fused = ranked.select(
+        F.col(qid),
+        F.col(cid),
+        (_contrib(F.col("r_cos")) + _contrib(F.col("r_l2")))
+        .cast("long")
+        .alias("rrf_score"),
+    ).filter(F.col("rrf_score") > 0)
+    w_f = Window.partitionBy(qid).orderBy(F.desc("rrf_score"), F.col(cid))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            F.col(qid).alias("query_id"),
+            F.col(cid).alias("neighbor_id"),
+            "rrf_score",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,

@@ -261,6 +261,50 @@ def dedup_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, hashed=True)
 
 
+@query(
+    "dedup_containment_ngram",
+    tags=("dedup", "containment", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH sh0 AS ({_DUCK_HASHED_SH}),
+    sh AS (
+      SELECT doc, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 256
+    ),
+    sizes AS (
+      SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+    ), common AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(common AS BIGINT)  AS common,
+           CAST(s1.n_sh AS BIGINT) AS n1,
+           CAST(s2.n_sh AS BIGINT) AS n2,
+           (100*common >= 80*s1.n_sh) AS doc1_in_doc2,
+           (100*common >= 80*s2.n_sh) AS doc2_in_doc1
+    FROM common
+    JOIN sizes s1 ON doc1 = s1.doc
+    JOIN sizes s2 ON doc2 = s2.doc
+    WHERE 100*common >= 80*s1.n_sh OR 100*common >= 80*s2.n_sh
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup pairs (Broder 1997): flag docs
+    whose hashed-3-gram set is >= 80% inside another doc's — the
+    short-copy-pasted-into-long-page case symmetric Jaccard misses
+    (a 200-word article inside a 10k-word page is ~2% Jaccard but
+    ~100% contained).  Scoring is cross-multiplied integer compares —
+    no float anywhere — over the SAME capped single-shuffle posting
+    machinery as dedup_ngram_jaccard_hashed."""
+    from parquet_to_sql_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold_pct=80, hashed=True
+    )
+
+
 def duck_hashed_pair_ctes(source: str = "documents") -> str:
     """The hashed-ngram near-dup pair relation as reusable CTEs ending
     in ``pairs(doc1, doc2)``, over any (doc_id, text) source."""

@@ -448,3 +448,45 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    tags=("join", "null-semantics"),
+    oracle="""
+    WITH keyed AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'MACHINERY') AS seg,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ), seg_stats AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS seg_n,
+             CAST(SUM(bal_cents) AS BIGINT) AS seg_bal_cents
+      FROM keyed GROUP BY seg
+    )
+    SELECT k.c_custkey, k.seg, s.seg_n, s.seg_bal_cents
+    FROM keyed k JOIN seg_stats s ON k.seg IS NOT DISTINCT FROM s.seg
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): enrich
+    each customer with its segment-group stats where the key is
+    NULLABLE (the 'MACHINERY' segment is nulled out) — under plain
+    equality every NULL-keyed row silently drops; `<=>` matches the
+    NULL group like a value.  EqualNullSafe is a hashable equi-join
+    key, so the tiny aggregate side still broadcasts — no fallback to
+    nested-loop.  Balances are summed as floor-cents BIGINTs (exact
+    cross-engine)."""
+    cust = load_table(spark, sf_dir, "customer")
+    keyed = cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"),
+        F.floor(F.col("c_acctbal") * F.lit(100)).cast("long").alias("bal_cents"),
+    )
+    seg_stats = keyed.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("seg_n"),
+        F.sum("bal_cents").alias("seg_bal_cents"),
+    )
+    return keyed.join(
+        F.broadcast(seg_stats.withColumnRenamed("seg", "s_seg")),
+        keyed["seg"].eqNullSafe(F.col("s_seg")),
+    ).select("c_custkey", "seg", "seg_n", "seg_bal_cents")

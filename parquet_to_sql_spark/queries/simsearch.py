@@ -117,6 +117,69 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_POOL = 20
+_RRF_K = 60
+
+_DUCK_L2SQ = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "k -> ({a}[k]-{b}[k])*({a}[k]-{b}[k])), (x,y) -> x+y)"
+)
+
+
+@query(
+    "simsearch_rrf_fusion",
+    tags=("simsearch", "embeddings", "rank-fusion", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT qid, vec_id AS cid,
+             {_DUCK_COS_AB.format(a="qv", b="ve")} AS cosine,
+             {_DUCK_L2SQ.format(a="qv", b="ve")} AS l2sq
+      FROM q JOIN v ON vec_id <> qid
+    ), ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r_cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2sq ASC, cid) AS r_l2
+      FROM scored
+    ), fused AS (
+      SELECT qid, cid,
+             CAST(
+               (CASE WHEN r_cos <= {_RRF_POOL}
+                     THEN CAST(floor(1000000.0/({_RRF_K}+r_cos)) AS BIGINT)
+                     ELSE 0 END)
+             + (CASE WHEN r_l2 <= {_RRF_POOL}
+                     THEN CAST(floor(1000000.0/({_RRF_K}+r_l2)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS rrf_score
+      FROM ranked
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, rrf_score,
+           CAST(rk AS INT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY rrf_score DESC, cid) AS rk
+      FROM fused WHERE rrf_score > 0
+    ) WHERE rk <= {_K}
+    """,
+)
+def simsearch_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers (cosine ranking +
+    Euclidean ranking) over the same broadcast query set — the
+    standard ensemble step in production retrieval, needing only
+    ranks, never score calibration.  Fused scores are pure integer
+    arithmetic (floor of one IEEE division), so the result is
+    value-exact cross-engine; one scored relation feeds both rankings
+    (one exchange, two sorts — no second corpus scan, no outer
+    join)."""
+    from parquet_to_sql_spark.operators.simsearch import rrf_fuse_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return rrf_fuse_topk(
+        emb, "vec_id", "embedding", queries, k=_K, pool=_RRF_POOL, rrf_k=_RRF_K
+    )
+
+
 _KMEANS_ITERS = 2
 _KMEANS_QUANT = 1 << 30
 

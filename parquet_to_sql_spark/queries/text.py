@@ -398,6 +398,59 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 3  # words per shingle
+_WINNOW_W = 4  # hashes per winnowing window
+
+# positional (non-distinct) k-word shingles, DuckDB side
+_DUCK_POS_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+@query(
+    "text_winnowing_fingerprints",
+    tags=("text-analysis", "fingerprint", "dedup", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {DUCK_WORDS} AS w FROM documents),
+    shp AS (SELECT doc_id, {_DUCK_POS_SHINGLES} AS sh FROM w),
+    hsx AS (SELECT doc_id,
+                   list_transform(sh, s -> {DUCK_FOLD.format(s="s")}) AS hs
+            FROM shp),
+    sel AS (
+      SELECT doc_id, hs,
+        list_distinct(list_transform(
+          range(0, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+          i -> list_max(list_transform(
+                 range(1, least({_WINNOW_W}, len(hs)) + 1),
+                 j -> CASE WHEN hs[i+j] = list_aggregate(
+                        list_slice(hs, i+1, i + least({_WINNOW_W}, len(hs))),
+                        'min')
+                      THEN i+j ELSE 0 END))
+        )) AS poss
+      FROM hsx WHERE len(hs) >= 1
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos, hs[pos] AS fp
+    FROM (SELECT doc_id, hs, unnest(poss) AS pos FROM sel)
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-similarity sketch) per
+    document: hash positional 3-word shingles, slide a 4-hash window,
+    keep each window's rightmost minimum.  Guarantees any shared run
+    of >= 6 words yields an identical selected fingerprint — the
+    passage-level overlap primitive whole-document sketches miss.
+    Selection is entirely row-local Column arithmetic: ZERO shuffles,
+    no UDFs; see operators.text.winnow_fingerprints."""
+    from parquet_to_sql_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
 # Redaction patterns: character classes + bounded quantifiers only, so
 # the same pattern text is valid and identical in Java regex (Spark)
 # and RE2 (DuckDB).

@@ -342,3 +342,106 @@ def test_simhash_col_matches_simhash_sketch(spark):
         ~F.col("s_local").eqNullSafe(F.col("s_grouped"))
     ).count() == 0
     assert joined.count() > 0
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Schleimer et al.'s core guarantee: two documents sharing a run
+    of >= w+k-1 words (here 4+3-1 = 6) must share at least one selected
+    fingerprint; and selection density is well below 1 (that's the
+    point of winnowing vs keeping every shingle hash)."""
+    from parquet_to_sql_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-word shared run
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "totally unrelated words with nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: strictly fewer fingerprints than shingles (12-word docs
+    # have 10 shingles; w=4 selects ~2 per 5)
+    n_shingles_doc1 = 12 - 2
+    assert len(by_doc[1]) < n_shingles_doc1
+
+
+def test_winnowing_short_and_empty_docs(spark):
+    """Docs shorter than k words emit nothing; docs with fewer than w
+    shingles emit exactly one fingerprint (the global min, rightmost)."""
+    from parquet_to_sql_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "exactly three words"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    got = {r.doc_id: r for r in fp.collect()}
+    assert 1 not in got and 2 not in got  # < k words -> no shingles
+    assert got[3].pos >= 1  # 1 shingle -> exactly one fingerprint
+    rows = fp.filter(F.col("doc_id").isin(3, 4)).groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in rows} == {3: 1, 4: 1}
+
+
+def test_containment_detects_asymmetric_subset(spark):
+    """A short doc pasted inside a long one: low Jaccard (invisible to
+    the symmetric threshold) but near-total containment — the directed
+    flags must say doc1_in_doc2 and not the reverse."""
+    from parquet_to_sql_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short} {filler}")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold_pct=80, hashed=True
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc1, p.doc2) == (1, 2)
+    assert p.doc1_in_doc2 and not p.doc2_in_doc1
+    assert p.n1 < p.n2
+    # and symmetric Jaccard at the usual 0.5 threshold misses it
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, hashed=True
+    ).collect()
+    assert jac == []
+
+
+def test_rrf_fusion_rewards_agreement(spark):
+    """A candidate ranked #1 by both rankers must out-score one ranked
+    #1 by a single ranker only; scores are exact integers."""
+    from parquet_to_sql_spark.operators.simsearch import rrf_fuse_topk
+
+    # query q=(1,0); c1 near-identical direction AND near-zero distance;
+    # c2 same direction but far away (cosine #1-tier, l2 poor);
+    # c3 close in l2 but orthogonal-ish direction
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.01]),     # both-ranker winner
+        (2, [100.0, 0.0]),    # cosine-only winner (l2 terrible)
+        (3, [0.6, 0.6]),      # middling
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = rrf_fuse_topk(
+        df, "vec_id", "embedding", df.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    by_id = {r.neighbor_id: r for r in out}
+    assert by_id[1].fused_rank == 1
+    assert by_id[1].rrf_score > by_id[2].rrf_score
+    # c2 is cosine rank 1 (exactly collinear), c1 is cosine rank 2 but
+    # l2 rank 1 — agreement across rankers still wins the fusion
+    assert by_id[1].rrf_score == (1_000_000 // 62) + (1_000_000 // 61)
