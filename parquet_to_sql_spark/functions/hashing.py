@@ -51,6 +51,63 @@ def word_shingles(words: Column, n: int = 3) -> Column:
     return F.array_distinct(joined)
 
 
+def word_hashes(words: Column) -> Column:
+    """Codepoint-fold hash of every word in a words array.  STAGE THIS
+    AS A REAL COLUMN (``.select(... .alias("hw"))``) before feeding it
+    to shingle_hashes_from: a Column expression referenced k times is
+    inlined (and recomputed) k times by codegen — only a named
+    intermediate column guarantees one evaluation per row."""
+    return F.transform(words, char_fold_hash)
+
+
+def shingle_hashes_from(hw: Column, n: int = 3) -> Column:
+    """Positional n-word shingle HASHES from a staged word-hash array:
+    combine the n word-hashes of each window with the same 31-ary fold
+    (``h = (h*31 + hw_i) mod (2^31-1)``, h0 = 0).
+
+    Versus ``char_fold_hash(concat_ws(' ', w1..wn))`` this does the
+    per-character work ONCE per word instead of once per shingle
+    occurrence (each word sits in up to n shingles) and allocates no
+    shingle strings — ~3x less map CPU at n=3, the dominant cost of
+    the hashed-shingle dedup family.  Values differ from the
+    string-fold variant (no space chars in the fold), which is fine:
+    the measure is "similarity over hashed shingles" and both engines
+    use this same composition.  acc < 2^31 and hw_i < 2^31, so
+    acc*31 + hw_i < 2^36 — overflow-safe in BIGINT.
+    """
+    idx = F.when(
+        F.size(hw) >= n, F.sequence(F.lit(1), F.size(hw) - (n - 1))
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+
+    def combine(i: Column) -> Column:
+        acc = F.element_at(hw, i.cast("int"))
+        for off in range(1, n):
+            acc = (acc * F.lit(31) + F.element_at(hw, (i + off).cast("int"))) % F.lit(
+                FOLD_MOD
+            )
+        return acc
+
+    return F.transform(idx, combine)
+
+
+DUCK_WORD_HASHES = (
+    "list_transform({words}, w -> "
+    "list_reduce(list_transform(string_split(w, ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % 2147483647))"
+)
+
+
+def duck_hashed_word_shingles(n: int = 3) -> str:
+    """The DuckDB mirror of hashed_word_shingles as an expression over
+    a staged word-hash array column named ``hw`` (stage it with
+    ``DUCK_WORD_HASHES.format(words=...) AS hw`` in a subquery) —
+    identical window combination as the Spark side."""
+    acc = "hw[i]"
+    for off in range(1, n):
+        acc = f"((({acc}) * 31 + hw[i+{off}]) % 2147483647)"
+    return f"list_transform(range(1, len(hw) - {n - 2}), i -> {acc})"
+
+
 def minhash_constants(k: int = 8) -> list[tuple[int, int]]:
     """Fixed (a, b) pairs for the k permutation hashes
     h_i(x) = (a_i*x + b_i) mod (2^31-1). a_i*x < 2^36 — overflow-safe."""

@@ -28,6 +28,8 @@ from parquet_to_sql_spark.functions.hashing import (
     FOLD_MOD,
     char_fold_hash,
     minhash_constants,
+    shingle_hashes_from,
+    word_hashes,
     word_shingles,
 )
 from parquet_to_sql_spark.operators.text import simhash16, ws_tokens
@@ -136,20 +138,41 @@ def _shingle_overlap_counts(
     from parquet_to_sql_spark.operators.text import rebalance_for_compute
 
     if hashed:
-        # Hash INSIDE the per-doc shingle array, then array_distinct
-        # before exploding: per-doc distinctness is all the algorithm
-        # needs (doc is part of the pair key), so no global .distinct()
-        # shuffle — the only effect of a 31-bit collision is two
-        # shingles merging, and the oracle dedups post-hash the same
-        # way (list_distinct(list_transform(...))).
-        shs_col = F.array_distinct(
-            F.transform(word_shingles(ws_tokens(F.col(text_col)), n), char_fold_hash)
+        # Hash per WORD once (staged as a real column so codegen
+        # evaluates it once per row), combine word-hashes per shingle
+        # (see shingle_hashes_from — ~3x less map CPU than folding
+        # each shingle string), then array_distinct before exploding:
+        # per-doc distinctness is all the algorithm needs (doc is part
+        # of the pair key), so no global .distinct() shuffle — the
+        # only effect of a 31-bit collision is two shingles merging,
+        # and the oracle composes hashes identically.
+        arrays = (
+            rebalance_for_compute(df.select(id_col, text_col))
+            .select(
+                F.col(id_col).alias("doc"),
+                word_hashes(ws_tokens(F.col(text_col))).alias("_hw"),
+            )
+            .select(
+                "doc",
+                F.array_distinct(shingle_hashes_from(F.col("_hw"), n)).alias("shs"),
+            )
         )
     else:
         shs_col = word_shingles(ws_tokens(F.col(text_col)), n)
-    arrays = rebalance_for_compute(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"), shs_col.alias("shs")
-    )
+        arrays = rebalance_for_compute(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc"), shs_col.alias("shs")
+        )
+    return _array_overlap_counts(arrays, max_doc_freq=max_doc_freq)
+
+
+def _array_overlap_counts(
+    arrays: DataFrame, max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ
+) -> DataFrame:
+    """(doc1, doc2, common, n1, n2) pairs for any (doc, shs) relation
+    holding per-document key ARRAYS (pre-explode; keys distinct per
+    doc) — the set-overlap candidate machinery shared by n-gram
+    shingles and winnowing fingerprints.  See ngram_jaccard_pairs for
+    the cap/cache rationale."""
     if max_doc_freq is not None:
         arrays = arrays.cache()
     sh = arrays.select("doc", F.explode("shs").alias("shingle"))
@@ -216,6 +239,37 @@ def _shingle_overlap_counts(
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
     return common.join(s1, "doc1").join(s2, "doc2")
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_common: int = 2,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Passage-overlap candidate pairs from winnowing fingerprints
+    (the MOSS detection step): documents sharing >= ``min_common``
+    selected fingerprints.  Because winnowing guarantees any shared
+    run of >= w+k-1 words yields an identical fingerprint, this finds
+    LOCAL plagiarism/quotation — a sketch-size-bounded alternative to
+    joining all shingles (the fingerprint density is ~2/(w+1), so the
+    inverted index is ~60% smaller at the defaults, and the same
+    doc-frequency cap bounds hub fingerprints).
+
+    Returns (doc1, doc2, common, n1, n2): shared-fingerprint count and
+    each side's fingerprint-set size — all integers, value-exact."""
+    from parquet_to_sql_spark.operators.text import winnow_fingerprint_sets
+
+    arrays = winnow_fingerprint_sets(df, id_col, text_col, k=k, w=w).select(
+        F.col(id_col).alias("doc"), F.col("fps").alias("shs")
+    )
+    counts = _array_overlap_counts(arrays, max_doc_freq=max_doc_freq)
+    return counts.filter(F.col("common") >= min_common).select(
+        "doc1", "doc2", "common", "n1", "n2"
+    )
 
 
 def ngram_containment_pairs(

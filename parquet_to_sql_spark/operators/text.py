@@ -245,15 +245,54 @@ def winnow_fingerprints(
     one expression instead of materializing an exploded (doc, pos,
     hash) relation and paying a doc-partitioned window shuffle.
     """
-    if k < 1 or w < 1:
-        raise ValueError("k and w must be >= 1")
+    staged = _winnow_staged(df, id_col, text_col, k)
+    poss = _winnow_poss(F.col("_hs"), w)
+    return (
+        staged.select(F.col(id_col), F.col("_hs"), F.explode(poss).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("pos"),
+            F.element_at("_hs", F.col("pos")).alias("fp"),
+        )
+    )
+
+
+def winnow_fingerprint_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Per-document DISTINCT winnowing fingerprint sets as one array
+    column (doc, fps) — still entirely row-local (zero shuffles); the
+    pre-explode input shape the set-overlap pair machinery wants."""
+    staged = _winnow_staged(df, id_col, text_col, k)
+    hs = F.col("_hs")
+    fps = F.array_distinct(
+        F.transform(
+            _winnow_poss(hs, w), lambda p: F.element_at(hs, p.cast("int"))
+        )
+    )
+    return staged.select(
+        F.col(id_col), F.coalesce(fps, F.expr("CAST(array() AS ARRAY<BIGINT>)")).alias("fps")
+    )
+
+
+def _winnow_staged(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, _hs): positional shingle hashes staged as a real column so
+    codegen evaluates the tokenize+hash work once per row."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
     hs_col = F.transform(
         positional_shingles(ws_tokens(F.col(text_col)), k), char_fold_hash
     )
-    staged = rebalance_for_compute(df.select(id_col, text_col)).select(
+    return rebalance_for_compute(df.select(id_col, text_col)).select(
         F.col(id_col), hs_col.alias("_hs")
     )
-    hs = F.col("_hs")
+
+
+def _winnow_poss(hs: Column, w: int) -> Column:
+    """Distinct selected positions (1-based) of the winnowing scheme
+    over a STAGED hash-array column; NULL for empty arrays."""
+    if w < 1:
+        raise ValueError("w must be >= 1")
     n = F.size(hs)
     m = F.greatest(n - F.lit(w - 1), F.lit(1))  # number of windows
     ln = F.least(F.lit(w), n)  # window length (short docs: one window)
@@ -273,16 +312,8 @@ def winnow_fingerprints(
             ),
         )
 
-    poss = F.array_distinct(
+    return F.array_distinct(
         F.transform(F.when(n >= 1, F.sequence(F.lit(0), m - 1)), _sel)
-    )
-    return (
-        staged.select(F.col(id_col), F.col("_hs"), F.explode(poss).alias("pos"))
-        .select(
-            F.col(id_col),
-            F.col("pos").cast("int").alias("pos"),
-            F.element_at("_hs", F.col("pos")).alias("fp"),
-        )
     )
 
 

@@ -24,7 +24,11 @@ from parquet_to_sql_spark.operators.dedup import (
     simhash_hamming_pairs,
 )
 from parquet_to_sql_spark.queries.registry import query
-from parquet_to_sql_spark.queries.text import DUCK_FOLD, DUCK_WORDS
+from parquet_to_sql_spark.queries.text import (
+    DUCK_FOLD,
+    DUCK_WORDS,
+    duck_winnow_sel_ctes,
+)
 
 # distinct 3-word shingles of the ws-token array, DuckDB side
 DUCK_SHINGLES = (
@@ -211,13 +215,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_winnow_overlap",
+    tags=("dedup", "fingerprint", "containment", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {duck_winnow_sel_ctes()},
+    fps AS (
+      SELECT doc_id, list_distinct(list_transform(poss, p -> hs[p])) AS fps
+      FROM sel
+    ),
+    sh0 AS (SELECT doc_id AS doc, unnest(fps) AS shingle FROM fps),
+    sh AS (
+      SELECT doc, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 256
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(common AS BIGINT)  AS common,
+           CAST(s1.n_sh AS BIGINT) AS n1,
+           CAST(s2.n_sh AS BIGINT) AS n2
+    FROM common
+    JOIN sizes s1 ON doc1 = s1.doc
+    JOIN sizes s2 ON doc2 = s2.doc
+    WHERE common >= 2
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-overlap pairs from winnowing fingerprints — the MOSS
+    detection step: docs sharing >= 2 selected fingerprints (any
+    shared >= 6-word run guarantees one).  The inverted index joins a
+    ~60%-smaller sketch than the full shingle relation, with the same
+    doc-frequency cap bounding hub fingerprints; every output is an
+    integer count."""
+    from parquet_to_sql_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, "doc_id", "text", k=3, w=4, min_common=2)
+
+
 def duck_hashed_sh(source: str = "documents") -> str:
     """Hashed-shingle relation (doc, shingle) over any source relation
-    with (doc_id, text) columns — DuckDB side."""
+    with (doc_id, text) columns — DuckDB side.  Mirrors
+    hashed_word_shingles: per-word fold once, 31-ary combination per
+    3-word window, distinct per doc."""
+    from parquet_to_sql_spark.functions.hashing import (
+        DUCK_WORD_HASHES,
+        duck_hashed_word_shingles,
+    )
+
+    hw = DUCK_WORD_HASHES.format(words=DUCK_WORDS)
     return (
         f"SELECT doc_id AS doc, "
-        f"unnest(list_distinct(list_transform({DUCK_SHINGLES}, s -> {DUCK_FOLD.format(s='s')}))) AS shingle "
-        f"FROM {source}"
+        f"unnest(list_distinct({duck_hashed_word_shingles(3)})) AS shingle "
+        f"FROM (SELECT doc_id, {hw} AS hw FROM {source})"
     )
 
 

@@ -409,11 +409,13 @@ _DUCK_POS_SHINGLES = (
 )
 
 
-@query(
-    "text_winnowing_fingerprints",
-    tags=("text-analysis", "fingerprint", "dedup", "llm-pipeline", "scale-path"),
-    oracle=f"""
-    WITH w AS (SELECT doc_id, {DUCK_WORDS} AS w FROM documents),
+def duck_winnow_sel_ctes(source: str = "documents") -> str:
+    """Winnowing CTE chain ending in ``sel(doc_id, hs, poss)`` — the
+    per-document positional shingle hashes and the distinct selected
+    positions — over any (doc_id, text) source; shared by the
+    fingerprint listing and the overlap-pair oracles."""
+    return f"""
+    w AS (SELECT doc_id, {DUCK_WORDS} AS w FROM {source}),
     shp AS (SELECT doc_id, {_DUCK_POS_SHINGLES} AS sh FROM w),
     hsx AS (SELECT doc_id,
                    list_transform(sh, s -> {DUCK_FOLD.format(s="s")}) AS hs
@@ -430,7 +432,14 @@ _DUCK_POS_SHINGLES = (
                       THEN i+j ELSE 0 END))
         )) AS poss
       FROM hsx WHERE len(hs) >= 1
-    )
+    )"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    tags=("text-analysis", "fingerprint", "dedup", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {duck_winnow_sel_ctes()}
     SELECT doc_id, CAST(pos AS INT) AS pos, hs[pos] AS fp
     FROM (SELECT doc_id, hs, unnest(poss) AS pos FROM sel)
     """,

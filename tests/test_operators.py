@@ -445,3 +445,23 @@ def test_rrf_fusion_rewards_agreement(spark):
     # c2 is cosine rank 1 (exactly collinear), c1 is cosine rank 2 but
     # l2 rank 1 — agreement across rankers still wins the fusion
     assert by_id[1].rrf_score == (1_000_000 // 62) + (1_000_000 // 61)
+
+
+def test_winnow_overlap_pairs_find_shared_passage(spark):
+    """Two docs sharing a long passage must form an overlap pair; the
+    unrelated doc must not appear in any pair."""
+    from parquet_to_sql_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {passage} closing remarks"),
+            (2, f"other beginning {passage} and a different tail part"),
+            (3, "completely unrelated filler text goes right here today"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_overlap_pairs(df, "doc_id", "text", k=3, w=4, min_common=2).collect()
+    assert [(p.doc1, p.doc2) for p in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert p.common >= 2 and p.n1 >= p.common and p.n2 >= p.common
