@@ -159,3 +159,62 @@ def test_connected_components_matches_union_find(spark, edges):
         ).collect()
     }
     assert got == want
+
+
+def _winnow_reference(words: list[str], k: int = 3, w: int = 4):
+    """Sequential reference implementation of Schleimer et al.'s
+    winnowing over word k-grams with the 31-ary fold hash: returns the
+    {(pos, hash)} fingerprint set (1-based positions, rightmost-min
+    selection)."""
+    M = 2_147_483_647
+
+    def fold(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % M
+        return h
+
+    hs = [fold(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)]
+    if not hs:
+        return set()
+    L = min(w, len(hs))
+    out = set()
+    for i in range(max(len(hs) - w + 1, 1)):
+        win = hs[i : i + L]
+        mn = min(win)
+        # rightmost occurrence of the minimum
+        j = max(idx for idx, v in enumerate(win) if v == mn)
+        out.add((i + j + 1, hs[i + j]))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh word1 word2".split()),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_winnowing_matches_sequential_reference(spark, docs):
+    """The row-local Column-expression winnowing must agree with the
+    sequential reference on arbitrary word sequences (duplicate words,
+    ties between equal hashes, docs shorter than k or w)."""
+    from parquet_to_sql_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    want = {
+        i: _winnow_reference(ws)
+        for i, ws in enumerate(docs)
+        if _winnow_reference(ws)
+    }
+    assert got == want

@@ -542,3 +542,61 @@ def test_collated_join_stays_equi_join(spark):
     plan = _formatted_plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_winnowing_plan_has_no_key_shuffle(spark):
+    """The winnowing selection is row-local by design: the ONLY
+    Exchange in the plan must be the round-robin compute rebalance —
+    never a hashpartitioning (key) shuffle, and no Window/Sort
+    operators (the rightmost-min is an order-free max-fold, not a
+    window function)."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    import re
+
+    df = all_queries()["text_winnowing_fingerprints"].build(spark, SF_CORRECT)
+    plan = _formatted_plan(df)
+    assert "hashpartitioning" not in plan, "winnowing must not key-shuffle"
+    assert "Window" not in plan
+    # formatted explain lists each node twice (tree + detail section)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, "only the compute rebalance expected"
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_null_safe_join_is_broadcast_hash(spark):
+    """EqualNullSafe is a hashable join key: the null-safe enrich join
+    must plan as BroadcastHashJoin (the tiny aggregate side
+    broadcasts), never BroadcastNestedLoopJoin."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    df = all_queries()["join_null_safe"].build(spark, SF_CORRECT)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_rrf_fusion_single_scored_relation(spark):
+    """Both RRF rankings must come from ONE scored relation: exactly
+    one hashpartitioning exchange (the shared qid window partitioning)
+    and no join after the rankings (no outer join to fuse the lists)."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    import re
+
+    df = all_queries()["simsearch_rrf_fusion"].build(spark, SF_CORRECT)
+    plan = _formatted_plan(df)
+    # two scans total (broadcast query side + corpus): the corpus is
+    # NOT re-scanned per ranking
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 2, "corpus must not be re-scanned per ranking"
+    # all three windows (r_cos, r_l2, fused rank) share ONE
+    # hashpartitioning exchange on the query id
+    n_hash = len(re.findall(r"\(\d+\) Exchange", plan)) - plan.count(
+        "RoundRobinPartitioning("
+    )
+    assert n_hash == 1, "rankings must share one qid exchange"
+    assert "SortMergeJoin" not in plan
