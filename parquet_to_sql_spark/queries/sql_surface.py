@@ -264,3 +264,40 @@ def sql_engine_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
         """
     )
+
+
+@query(
+    "sql_engine_pipe_syntax",
+    tags=("sql-surface", "spark4", "aggregation"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_engine_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (`|>`, Spark 4 / GoogleSQL 'Pipe Syntax in SQL'
+    VLDB 2024, public): the same filtered aggregate written as a
+    linear operator chain — the surface a user migrating from
+    dataframe-style tools expects.  Catalyst lowers pipes to the
+    identical logical plan as the nested form (the oracle is standard
+    SQL), so parsing is the ONLY new code path being pinned."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return eng.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus <> 'P'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, revenue, n_customers
+        """
+    )
