@@ -387,3 +387,54 @@ def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version"),
         "value",
     )
+
+
+@query(
+    "ev_ewma_user_value",
+    tags=("events", "time-series", "stateful-fold"),
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(
+             list_transform(
+               list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+               v -> CAST(v AS DOUBLE)),
+             (acc, v) -> 0.25 * v + 0.75 * acc
+           ) AS ewma_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ev_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha = 0.25), ordered by
+    (ts, event_id): the recursive smoothing fold NO standard window
+    function can express (each output depends on the previous output,
+    not a frame aggregate) — the canonical per-entity time-series
+    state shape.
+
+    Implementation: one shuffle on user_id, sort_array over the
+    collected (ts, event_id, value) structs (event_id breaks ts ties,
+    so the order is total), then a left fold seeded by the FIRST value
+    — exactly DuckDB list_reduce's first-element-as-init semantics, so
+    with alpha/1-alpha both exact binary fractions (0.25/0.75) the
+    IEEE fold is bit-identical cross-engine.
+
+    100 TB story: state per group is the user's event list — the same
+    per-entity boundedness assumption applyInPandasWithState makes; at
+    unbounded history, fold per (user, day) and chain daily states.
+    All JVM expressions, no UDF, map-side partial collect."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "_seq"
+        ),
+    )
+    ewma = F.aggregate(
+        F.col("_seq"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"].cast("double")).otherwise(
+            F.lit(0.25) * x["value"].cast("double") + F.lit(0.75) * acc
+        ),
+    )
+    return seq.select("user_id", "n_events", ewma.alias("ewma_value"))

@@ -528,3 +528,64 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("bigint").alias("clean_len"),
         F.substring(clean, 1, 40).alias("clean_head"),
     )
+
+
+@query(
+    "text_vocab_coverage",
+    tags=("text-analysis", "tokenizer", "llm-pipeline"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 1000
+      )
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_vocab,
+           CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           (10 * SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) > COUNT(*))
+             AS oov_heavy
+    FROM tok LEFT JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit — the tokenizer-prep step before
+    training: build the corpus top-1000 token vocabulary
+    (deterministic rank: count DESC, token), then measure each
+    document's in-vocab / out-of-vocab token counts and a
+    cross-multiplied >10%-OOV flag.  All integers, value-exact.
+
+    Scale shape: vocabulary build is one token-count shuffle
+    (map-side combined, vocabulary-sized output) + TakeOrdered; the
+    coverage pass joins the token stream against the BROADCAST
+    1000-row vocab — no second wide shuffle, and the per-doc aggregate
+    combines map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("_iv"))
+    )
+    joined = tok.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_iv").isNotNull(), 1).otherwise(0)).alias("n_in_vocab"),
+        F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.lit(10) * F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0))
+            > F.count(F.lit(1))
+        ).alias("oov_heavy"),
+    )
