@@ -9,6 +9,7 @@ from parquet_to_sql_spark.streaming.pipeline import (
     stream_import,
     tumbling_counts,
     user_running_totals,
+    user_value_ewma,
 )
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "user_running_totals",
+    "user_value_ewma",
     "run_to_memory",
     "stream_import",
 ]

@@ -149,6 +149,65 @@ def user_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+_EWMA_OUTPUT = "user_id long, n_events long, ewma_value double"
+_EWMA_STATE = "n long, ewma double"
+_EWMA_ALPHA = 0.25  # exact binary fraction — fold is IEEE-identical
+
+
+def _ewma_fn(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        n, ewma = state.get
+        have = True
+    else:
+        n, ewma, have = 0, 0.0, False
+    batches = [pdf for pdf in pdf_iter if len(pdf)]
+    if batches:
+        rows = pd.concat(batches, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for v in rows["value"]:
+            v = float(v)
+            if not have:
+                ewma, have = v, True
+            else:
+                ewma = _EWMA_ALPHA * v + (1.0 - _EWMA_ALPHA) * ewma
+        n += len(rows)
+    state.update((n, ewma))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ewma_value": [ewma]}
+    )
+
+
+def user_value_ewma(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `ev_ewma_user_value` query: per-user
+    exponentially-weighted moving average (alpha = 0.25) maintained
+    across micro-batches via applyInPandasWithState — the recursive
+    per-entity fold that built-in windowed aggregations cannot
+    express; state is ONE (count, ewma) pair per user regardless of
+    history length.
+
+    Within each micro-batch, rows are sorted by (ts, event_id) before
+    folding — the same total order as the batch fold, and Python float
+    arithmetic IS IEEE double, so on in-order arrival the streaming
+    result is bit-identical to the batch query (equivalence pinned in
+    tests).  Cross-batch order is the source's responsibility
+    (log-structured / time-partitioned input); out-of-order arrivals
+    would need a watermark-delayed buffer, the same caveat as any
+    sequence-dependent streaming state."""
+    return (
+        stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=_EWMA_OUTPUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _SPEND_OUTPUT = "user_id long, n_events long, total_value double, max_value double"
 
 

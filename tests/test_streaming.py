@@ -595,3 +595,80 @@ def test_streaming_neardup_screen_matches_batch(spark, tmp_path):
         for r in all_queries()["dedup_simhash_incremental"].build(spark, SF_SMOKE).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_ewma_bit_exact_vs_batch(spark, events_dir):
+    """The stateful streaming EWMA must be BIT-IDENTICAL to the batch
+    ev_ewma_user_value fold (same (ts, event_id) order, Python float
+    is IEEE double, alpha 0.25/0.75 exact binary fractions)."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from parquet_to_sql_spark.streaming import user_value_ewma
+
+    stream = events_stream(spark, events_dir)
+    run_to_memory(user_value_ewma(stream), "ewma_out", "update")
+    got = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in all_queries()["ev_ewma_user_value"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_ewma_state_carries_across_batches(spark, events_dir, tmp_path):
+    """Two availableNow runs over one checkpoint: the second run folds
+    NEW events on top of the saved (n, ewma) state — counts add up and
+    the ewma changes, proving state is the scalar pair, not a replay
+    of history."""
+    import pandas as pd
+
+    from parquet_to_sql_spark.streaming import user_value_ewma
+
+    ckpt = str(tmp_path / "ewma_ckpt")
+
+    def run_once():
+        # memory sink can't recover a checkpoint; foreachBatch can
+        out: dict = {}
+
+        def collect_batch(batch_df, batch_id):
+            for r in batch_df.collect():
+                out[r.user_id] = (r.n_events, r.ewma_value)
+
+        stream = events_stream(spark, events_dir)
+        q = (
+            user_value_ewma(stream)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return out
+
+    r1 = run_once()
+    # second file: one late event per known user, far in the future
+    users = sorted(r1)[:3]
+    newer = pd.DataFrame(
+        {
+            "event_id": [10_000_001 + i for i in range(len(users))],
+            "ts": pd.to_datetime("2031-01-01 00:00:00"),
+            "user_id": users,
+            "event_type": "purchase",
+            "value": 100.0,
+            "props": "{}",
+        }
+    )
+    batch = load_table(spark, SF_SMOKE, "events")
+    spark.createDataFrame(newer, schema=batch.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    r2 = run_once()
+    assert set(r2) == set(users), "run 2 must update only users with new events"
+    for u in users:
+        n1, e1 = r1[u]
+        n2, e2 = r2[u]
+        assert n2 == n1 + 1
+        assert e2 == 0.25 * 100.0 + 0.75 * e1  # one more fold step
