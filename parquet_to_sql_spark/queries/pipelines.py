@@ -404,3 +404,110 @@ def pipeline_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "pipeline_merge_into_semantics",
+    tags=("pipeline", "merge", "cdc", "llm-pipeline"),
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    source AS (
+      SELECT o_orderkey, 'U' AS op,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 10000 AS new_cents
+      FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, 'D', CAST(NULL AS BIGINT)
+      FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I',
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    merged AS (
+      SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             t.o_orderstatus,
+             t.price_cents, s.op, s.new_cents,
+             CASE
+               WHEN s.op = 'D' AND t.o_orderkey IS NOT NULL THEN 'delete'
+               WHEN s.op = 'U' AND t.o_orderkey IS NOT NULL THEN 'update'
+               WHEN s.op = 'I' AND t.o_orderkey IS NULL     THEN 'insert'
+               ELSE 'keep'
+             END AS action
+      FROM target t FULL OUTER JOIN source s USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           coalesce(o_orderstatus, 'O')  AS o_orderstatus,
+           CASE WHEN action = 'update' THEN new_cents
+                WHEN action = 'insert' THEN new_cents
+                ELSE price_cents END     AS price_cents,
+           action
+    FROM merged
+    WHERE action <> 'delete'
+      AND NOT (action = 'keep' AND price_cents IS NULL)
+    """,
+)
+def pipeline_merge_into_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one declarative relation — WHEN MATCHED
+    UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT — over a
+    deterministic change feed derived from `orders` (updates for open
+    %10 keys, deletes for filled %10 keys, inserts at shifted keys).
+    The container ships no v2 table format, so the SQL `MERGE INTO`
+    statement path has no target to bind to; this pins the exact merge
+    RESULT a lakehouse writer would commit, which is the part that is
+    engine logic rather than table-format plumbing (the write itself
+    is pipeline_cdc_upsert's dynamic-partition-overwrite story).
+
+    Prices are floor-cents BIGINTs (integer-exact); the join is one
+    full-outer shuffle on the merge key — at 100 TB this is the same
+    single co-partitioned join MERGE compiles to, and the source side
+    (a CDC batch) is typically broadcastable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    target = orders.select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_cents")
+    )
+    src_u = (
+        orders.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderstatus") == "O"))
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("op"),
+            (cents + 10000).alias("new_cents"),
+        )
+    )
+    src_d = (
+        orders.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderstatus") == "F"))
+        .select(
+            "o_orderkey", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_cents")
+        )
+    )
+    src_i = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        cents.alias("new_cents"),
+    )
+    source = src_u.unionAll(src_d).unionAll(src_i)
+    merged = target.join(source, "o_orderkey", "full_outer")
+    action = (
+        F.when(
+            (F.col("op") == "D") & F.col("price_cents").isNotNull(), "delete"
+        )
+        .when((F.col("op") == "U") & F.col("price_cents").isNotNull(), "update")
+        .when((F.col("op") == "I") & F.col("price_cents").isNull(), "insert")
+        .otherwise("keep")
+    )
+    out = merged.withColumn("action", action).filter(
+        (F.col("action") != "delete")
+        & ~((F.col("action") == "keep") & F.col("price_cents").isNull())
+    )
+    return out.select(
+        "o_orderkey",
+        F.coalesce("o_orderstatus", F.lit("O")).alias("o_orderstatus"),
+        F.when(F.col("action").isin("update", "insert"), F.col("new_cents"))
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+        "action",
+    )
