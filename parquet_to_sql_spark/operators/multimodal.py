@@ -220,3 +220,82 @@ def decode_image_features_arrow(df: DataFrame, fake: bool = True) -> DataFrame:
 
     flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
     return flat.mapInArrow(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_FEATURES_SCHEMA = (
+    "uri string, n_bytes long, src_width int, src_height int, "
+    "out_width int, out_height int, sampled_sum long, sampled_sha256 string"
+)
+
+
+def _fake_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic stand-in for nearest-neighbor image resize: treat
+    the payload as the fake image of _fake_decode's dimensions and
+    sample out_w x out_h byte positions with the standard
+    nearest-neighbor index map ((r*h)//out_h row, (c*w)//out_w col),
+    wrapped modulo the payload length."""
+    n = len(payload)
+    if n == 0:
+        return b""
+    w = 16 + (n % 64)
+    h = 16 + ((n // 64) % 64)
+    return bytes(
+        payload[(((r * h) // out_h) * w + ((c * w) // out_w)) % n]
+        for r in range(out_h)
+        for c in range(out_w)
+    )
+
+
+def resize_image_features(
+    df: DataFrame, out_w: int = 8, out_h: int = 8, fake: bool = True
+) -> DataFrame:
+    """Resize every binary image asset to (out_w, out_h) via
+    mapInPandas and fingerprint the result — the thumbnail /
+    normalization step a vision-training pipeline runs before feature
+    extraction.  `fake=False` is the production path (PIL/libvips on
+    executors — unavailable here by design); the fake is the
+    deterministic nearest-neighbor byte sampler above, which keeps the
+    whole Arrow path value-exact checkable: the oracle recomputes the
+    sampled byte sum and the sha256 of the resampled bytes in SQL.
+
+    Scale shape: narrow map over the asset column, Arrow-batched, no
+    shuffle; output is out_w*out_h bytes per row regardless of input
+    size — the bandwidth-bounding property real resize has."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires PIL/libvips on executors; "
+            "this environment ships the deterministic fake resizer only"
+        )
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, data in zip(pdf["uri"], pdf["data"]):
+                payload = bytes(data) if data is not None else b""
+                n = len(payload)
+                sw = 16 + (n % 64)
+                sh = 16 + ((n // 64) % 64)
+                sampled = _fake_resize(payload, out_w, out_h)
+                rows.append(
+                    (
+                        uri,
+                        n,
+                        sw,
+                        sh,
+                        out_w,
+                        out_h,
+                        sum(sampled),
+                        hashlib.sha256(sampled).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "uri", "n_bytes", "src_width", "src_height",
+                    "out_width", "out_height", "sampled_sum", "sampled_sha256",
+                ],
+            )
+
+    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    return flat.mapInPandas(resize, schema=RESIZE_FEATURES_SCHEMA)

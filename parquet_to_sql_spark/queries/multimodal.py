@@ -156,3 +156,53 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     packed = _packed_docs(spark, sf_dir)
     return sample_frames(packed, n_frames=4, fake=True)
+
+
+@query(
+    "multimodal_resize_thumbnail",
+    tags=("multimodal", "mapInPandas", "llm-pipeline"),
+    oracle="""
+    WITH f AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri, text,
+             octet_length(encode(text)) AS n,
+             16 + octet_length(encode(text)) % 64 AS w,
+             16 + (octet_length(encode(text)) // 64) % 64 AS h
+      FROM documents
+    ), s AS (
+      SELECT uri, n, w, h,
+             CASE WHEN n = 0 THEN '' ELSE
+               list_aggregate(
+                 list_transform(range(0, 64),
+                   i -> substr(text,
+                         ((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) % n + 1,
+                         1)),
+                 'string_agg', '')
+             END AS sampled
+      FROM f
+    )
+    SELECT uri, CAST(n AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS src_width, CAST(h AS INT) AS src_height,
+           CAST(8 AS INT) AS out_width, CAST(8 AS INT) AS out_height,
+           CASE WHEN n = 0 THEN 0 ELSE
+             CAST(list_reduce(
+               list_transform(range(1, 65),
+                 j -> CAST(ascii(substr(sampled, j, 1)) AS BIGINT)),
+               (a, b) -> a + b) AS BIGINT)
+           END AS sampled_sum,
+           sha256(sampled) AS sampled_sha256
+    FROM s
+    """,
+)
+def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x8 nearest-neighbor thumbnail resize over binary assets via
+    Arrow-batched mapInPandas — the normalization step before vision
+    feature extraction; output bytes are CONSTANT per row regardless
+    of input size (the bandwidth-bounding property real resize has).
+    The deterministic byte-sampling fake keeps the whole Python path
+    value-exact: the oracle rebuilds the identical resampled byte
+    string in SQL (ASCII fixture payloads, so string slices == byte
+    slices) and matches both the byte sum and the sha256."""
+    from parquet_to_sql_spark.operators.multimodal import resize_image_features
+
+    packed = _packed_docs(spark, sf_dir)
+    return resize_image_features(packed, out_w=8, out_h=8, fake=True)

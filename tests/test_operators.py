@@ -465,3 +465,24 @@ def test_winnow_overlap_pairs_find_shared_passage(spark):
     assert [(p.doc1, p.doc2) for p in pairs] == [(1, 2)]
     p = pairs[0]
     assert p.common >= 2 and p.n1 >= p.common and p.n2 >= p.common
+
+
+def test_multimodal_resize_real_path_is_stubbed_and_fake_is_bounded(spark):
+    """fake=False must raise (no decoder libs here by design); the
+    fake path emits exactly out_w*out_h sampled bytes per asset."""
+    from parquet_to_sql_spark.operators.multimodal import (
+        _fake_resize,
+        resize_image_features,
+    )
+
+    df = spark.createDataFrame([(1, "0123456789abcdef")], "doc_id long, text string")
+    packed = pack_binary(
+        df, F.encode(F.col("text"), "utf-8"), F.lit("img://1"), "image/png"
+    )
+    with pytest.raises(NotImplementedError, match="resize"):
+        resize_image_features(packed, fake=False)
+    assert len(_fake_resize(b"0123456789abcdef", 8, 8)) == 64
+    assert _fake_resize(b"", 8, 8) == b""
+    r = resize_image_features(packed, out_w=8, out_h=8, fake=True).collect()[0]
+    assert (r.out_width, r.out_height) == (8, 8)
+    assert r.sampled_sum == sum(_fake_resize(b"0123456789abcdef", 8, 8))
