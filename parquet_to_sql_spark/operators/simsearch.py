@@ -362,3 +362,135 @@ def hyperplane_bucket(vec: Column | str, planes: int = 8, dims: int = 64) -> Col
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("long")
+
+
+# --- Product quantization (Jégou, Douze, Schmid, TPAMI 2011, public) --
+
+PQ_SUBS = 8      # subspaces
+PQ_SUBDIM = 8    # dims per subspace (8*8 = the fixture's 64 dims)
+
+
+def l2sq_sub_expr(a: Column | str, b: Column | str, s: int) -> Column:
+    """Squared L2 distance restricted to subspace ``s`` (dims
+    s*PQ_SUBDIM+1 .. (s+1)*PQ_SUBDIM), as the usual deterministic
+    left fold."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    asub = F.slice(a, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+    bsub = F.slice(b, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+    d = F.zip_with(
+        asub,
+        bsub,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codes: DataFrame
+) -> DataFrame:
+    """Product-quantization encoding: per subspace, replace each
+    vector's subvector with the id of its nearest codebook entry
+    (L2, ties to the lower code id) — compressing each vector to
+    PQ_SUBS small ints (8 bytes here vs 256 float bytes, the memory
+    bound that makes billion-vector ANN serviceable).
+
+    ``codes`` is a (code_id, vector) relation; it is TINY by
+    construction, so encoding is ONE broadcast cross join + ONE
+    groupBy with PQ_SUBS min(struct(dist, code)) aggregates — the
+    arg-min runs map-side, no per-subspace shuffle.  Returns
+    (id, c0..c{PQ_SUBS-1})."""
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    v = rebalance_for_compute(df.select(id_col, vec_col))
+    pairs = v.crossJoin(
+        F.broadcast(
+            codes.select(
+                F.col(codes.columns[0]).alias("_code_id"),
+                F.col(codes.columns[1]).alias("_cv"),
+            )
+        )
+    )
+    aggs = [
+        F.min(
+            F.struct(
+                l2sq_sub_expr(vec_col, "_cv", s).alias("d"),
+                F.col("_code_id").alias("c"),
+            )
+        ).alias(f"_k{s}")
+        for s in range(PQ_SUBS)
+    ]
+    enc = pairs.groupBy(id_col).agg(*aggs)
+    return enc.select(
+        F.col(id_col), *[F.col(f"_k{s}.c").alias(f"c{s}") for s in range(PQ_SUBS)]
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision, each candidate is its PQ code, and the approximate
+    distance is the sum over subspaces of a PRECOMPUTED
+    (query, code) distance table — so scoring a candidate reads
+    PQ_SUBS table entries instead of touching any float vector.
+
+    Plan shape: the distance table is queries x codebook
+    (tiny: nq * |codes| rows) and is broadcast; the corpus joins it
+    once per subspace on (query, code_s) — PQ_SUBS broadcast hash
+    joins, zero corpus shuffles — and the final sum is one
+    fixed-order expression (d0 + d1 + ... ), keeping the float result
+    deterministic and cross-engine exact.  Top-k per query by
+    (approx_l2sq ASC, candidate id).  Returns
+    (query_id, neighbor_id, approx_l2sq, rank)."""
+    qid_c, cid_c = f"q_{id_col}", id_col
+    enc = pq_encode(df, id_col, vec_col, codes)
+    q = queries.select(F.col(id_col).alias(qid_c), F.col(vec_col).alias("_qv"))
+    dt = q.crossJoin(
+        F.broadcast(
+            codes.select(
+                F.col(codes.columns[0]).alias("_code_id"),
+                F.col(codes.columns[1]).alias("_cv"),
+            )
+        )
+    ).select(
+        F.col(qid_c),
+        F.col("_code_id"),
+        *[l2sq_sub_expr("_qv", "_cv", s).alias(f"d{s}") for s in range(PQ_SUBS)],
+    )
+    cur = enc
+    for s in range(PQ_SUBS):
+        dts = dt.select(
+            F.col(qid_c).alias(f"_q{s}"),
+            F.col("_code_id").alias(f"_code{s}"),
+            F.col(f"d{s}").alias(f"_d{s}"),
+        )
+        cond = F.col(f"c{s}") == F.col(f"_code{s}")
+        if s > 0:
+            cond = cond & (F.col("_q0") == F.col(f"_q{s}"))
+        cur = cur.join(F.broadcast(dts), cond)
+    approx = F.col("_d0")
+    for s in range(1, PQ_SUBS):
+        approx = approx + F.col(f"_d{s}")
+    scored = cur.select(
+        F.col("_q0").alias("query_id"),
+        F.col(cid_c).alias("neighbor_id"),
+        approx.alias("approx_l2sq"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_l2sq"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "approx_l2sq",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -545,3 +545,100 @@ def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.2)
         .select("centroid_id", "id1", "id2", "cosine")
     )
+
+
+# --- Product quantization (ADC) -----------------------------------------
+
+_PQ_SUBS = 8
+_PQ_SUBDIM = 8
+_PQ_CODE_LO, _PQ_CODE_HI = 100, 116  # 16 deterministic codebook seeds
+
+
+def _duck_sub_l2(a: str, b: str, s: int) -> str:
+    lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM + 1
+    return (
+        f"list_reduce(list_transform(range({lo}, {hi}), "
+        f"d -> ({a}[d]-{b}[d])*({a}[d]-{b}[d])), (x,y) -> x+y)"
+    )
+
+
+def _duck_pq_oracle() -> str:
+    pair_d = ",\n             ".join(
+        f"{_duck_sub_l2('v.ve', 'c.cv', s)} AS d{s}" for s in range(_PQ_SUBS)
+    )
+    encs = ",\n    ".join(
+        f"enc{s} AS (SELECT vec_id, code_id AS c{s} FROM pairs "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{s}, code_id) = 1)"
+        for s in range(_PQ_SUBS)
+    )
+    enc_join = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, _PQ_SUBS))
+    dt_d = ",\n             ".join(
+        f"{_duck_sub_l2('q.ve', 'c.cv', s)} AS d{s}" for s in range(_PQ_SUBS)
+    )
+    # one correlated scalar lookup per subspace: DuckDB unnests each
+    # into a clean equi-join (an explicit 8-way join chain sent its
+    # join-order planner into a cross-product search that never
+    # finished); the + chain keeps the float sum order identical to
+    # the Spark expression
+    approx = " + ".join(
+        f"(SELECT d{s} FROM dt WHERE dt.qid = q.qid AND dt.code_id = e.c{s})"
+        for s in range(_PQ_SUBS)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    codes AS (SELECT vec_id AS code_id, ve AS cv FROM v
+              WHERE vec_id >= {_PQ_CODE_LO} AND vec_id < {_PQ_CODE_HI}),
+    pairs AS (
+      SELECT v.vec_id, c.code_id,
+             {pair_d}
+      FROM v CROSS JOIN codes c
+    ),
+    {encs},
+    enc AS (SELECT * FROM enc0 {enc_join}),
+    dt AS (
+      SELECT q.vec_id AS qid, c.code_id,
+             {dt_d}
+      FROM v q CROSS JOIN codes c WHERE q.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             {approx} AS approx_l2sq
+      FROM enc e CROSS JOIN (SELECT DISTINCT qid FROM dt) q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, approx_l2sq, CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_l2sq ASC, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= {_K}
+    """
+
+
+@query(
+    "simsearch_pq_adc_topk",
+    tags=("simsearch", "embeddings", "ann", "quantization", "llm-pipeline", "scale-path"),
+    oracle=_duck_pq_oracle(),
+)
+def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring
+    (Jégou et al., TPAMI 2011, public): vectors are compressed to 8
+    one-byte-scale code ids (8 bytes vs 256 float bytes — the memory
+    bound that makes billion-vector serving feasible), queries stay
+    full-precision, and candidate distances are sums of 8 entries
+    from a broadcast (query, code) distance table — no float vector is
+    touched per candidate.  Codebooks are the deterministic seed
+    slice vec_id in [100, 116).  The subspace arg-min uses the
+    min(struct) trick (ties to lower code id) and the ADC sum is one
+    fixed-order expression, so the whole pipeline is value-exact
+    against the SQL oracle.  Plan: one broadcast cross join + one
+    groupBy to encode, then 8 broadcast hash joins to score — the
+    corpus is never shuffled."""
+    from parquet_to_sql_spark.operators.simsearch import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    codes = emb.filter(
+        (F.col("vec_id") >= _PQ_CODE_LO) & (F.col("vec_id") < _PQ_CODE_HI)
+    ).select("vec_id", "embedding")
+    return pq_adc_topk(emb, "vec_id", "embedding", queries, codes, k=_K)

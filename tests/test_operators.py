@@ -486,3 +486,47 @@ def test_multimodal_resize_real_path_is_stubbed_and_fake_is_bounded(spark):
     r = resize_image_features(packed, out_w=8, out_h=8, fake=True).collect()[0]
     assert (r.out_width, r.out_height) == (8, 8)
     assert r.sampled_sum == sum(_fake_resize(b"0123456789abcdef", 8, 8))
+
+
+def test_pq_adc_structure_and_recall_floor(spark):
+    """PQ-ADC returns a full ranked top-5 per query; approximate
+    distances are non-decreasing within a query; and the compressed
+    search still recovers part of the exact-L2 top-5 (fixtures are
+    isotropic random — a modest floor, same caveat as IVF recall)."""
+    from parquet_to_sql_spark.operators.simsearch import l2sq_expr, pq_adc_topk
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    codes = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        "vec_id", "embedding"
+    )
+    got = pq_adc_topk(emb, "vec_id", "embedding", queries, codes, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    for q, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        dists = [r.approx_l2sq for r in rows]
+        assert dists == sorted(dists)
+
+    # exact L2 top-5 for recall
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("d", l2sq_expr("qv", "cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.col("cid"))
+    exact = {
+        (r.qid, r.cid)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.0, "PQ-ADC recovered nothing from the exact top-5"
