@@ -617,6 +617,7 @@ def _duck_pq_oracle() -> str:
 
 @query(
     "simsearch_pq_adc_topk",
+    headline=True,
     tags=("simsearch", "embeddings", "ann", "quantization", "llm-pipeline", "scale-path"),
     oracle=_duck_pq_oracle(),
 )

@@ -437,6 +437,7 @@ def duck_winnow_sel_ctes(source: str = "documents") -> str:
 
 @query(
     "text_winnowing_fingerprints",
+    headline=True,
     tags=("text-analysis", "fingerprint", "dedup", "llm-pipeline", "scale-path"),
     oracle=f"""
     WITH {duck_winnow_sel_ctes()}
