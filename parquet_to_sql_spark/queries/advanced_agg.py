@@ -318,3 +318,94 @@ def agg_sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_group g CROSS JOIN merged m CROSS JOIN exact e
         """
     )
+
+
+@query(
+    "agg_listagg_within_group",
+    tags=("aggregation", "spark4", "ansi"),
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4): ordered string
+    aggregation — deterministic because the order is part of the
+    syntax (unordered collect_list is the classic nondeterminism trap
+    this function exists to fix).  DuckDB's string_agg with ORDER BY
+    is the same operator.  Each listagg runs over a pre-deduplicated
+    (group, value) relation instead of using two DISTINCT listaggs in
+    one aggregate: Spark 4.1's RewriteDistinctAggregates throws a
+    ClassCastException (SortOrder patching) on multiple distinct
+    listaggs — and the dedup-first shape is also the plan you want at
+    scale (tiny distinct relations, map-side combined)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    st = (
+        j.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "listagg(l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)"
+            ).alias("statuses")
+        )
+    )
+    pr = (
+        j.select("l_returnflag", "o_orderpriority")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "listagg(o_orderpriority, '|') WITHIN GROUP (ORDER BY o_orderpriority)"
+            ).alias("priorities")
+        )
+    )
+    return st.join(pr, "l_returnflag")
+
+
+@query(
+    "agg_bitmap_distinct",
+    tags=("aggregation", "spark4", "scale-path"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (Spark 4
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_count) — the scalable exact-distinct pattern: each
+    (group, 32k-bucket) pair aggregates to one fixed-size bitmap
+    map-side, buckets merge associatively, and the final count is a
+    sum of popcounts.  Unlike approx_count_distinct this is EXACT, so
+    the oracle is plain COUNT(DISTINCT); unlike COUNT(DISTINCT) the
+    shuffle carries fixed-size bitmaps instead of every distinct
+    value — the 100 TB distinct-count shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bitmap_nd(key: str, out: str):
+        # one bucketed bitmap aggregation PER KEY — bucketing two keys
+        # in the same groupBy would fragment each key space across the
+        # other key's buckets and over-count
+        per_bucket = li.groupBy(
+            "l_returnflag", F.expr(f"bitmap_bucket_number({key})").alias("_b")
+        ).agg(
+            F.expr(f"bitmap_construct_agg(bitmap_bit_position({key}))").alias("_m")
+        )
+        return per_bucket.groupBy("l_returnflag").agg(
+            F.expr("sum(bitmap_count(_m))").alias(out)
+        )
+
+    return bitmap_nd("l_partkey", "nd_parts").join(
+        bitmap_nd("l_suppkey", "nd_supps"), "l_returnflag"
+    )
