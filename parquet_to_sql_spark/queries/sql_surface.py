@@ -301,3 +301,39 @@ def sql_engine_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, revenue, n_customers
         """
     )
+
+
+@query(
+    "sql_engine_parameterized",
+    tags=("sql-surface", "parameterized"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_engine_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named ``:param`` markers bound server-side,
+    Spark 3.4+): the injection-safe templating surface an application
+    uses instead of string interpolation.  Binding happens in the
+    parser, so the plan is identical to the literal form — the oracle
+    is the same query with the parameters inlined."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderdate >= :since AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"since": "1997-01-01 00:00:00", "status": "O"},
+    )

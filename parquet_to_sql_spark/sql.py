@@ -43,11 +43,13 @@ class Engine:
             load_table(self.spark, sf_dir, t).createOrReplaceTempView(t)
             self._tables[t] = sf_dir
 
-    def sql(self, q: str) -> DataFrame:
+    def sql(self, q: str, args: dict | None = None) -> DataFrame:
         """Run Spark SQL against the registered tables. Parsing,
         analysis, optimization, and physical planning are Catalyst's —
-        the engine's job is the surface, sources, and sinks."""
-        return self.spark.sql(q)
+        the engine's job is the surface, sources, and sinks.  ``args``
+        binds named parameters (``:name`` markers) — parameterized
+        SQL, the injection-safe way to template queries."""
+        return self.spark.sql(q, args=args) if args else self.spark.sql(q)
 
     def tables(self) -> dict[str, str]:
         return dict(self._tables)

@@ -600,3 +600,28 @@ def test_rrf_fusion_single_scored_relation(spark):
     )
     assert n_hash == 1, "rankings must share one qid exchange"
     assert "SortMergeJoin" not in plan
+
+
+def test_xml_source_roundtrip(spark, tmp_path):
+    """Spark 4 ships a native XML source (spark-xml merged upstream):
+    write an orders slice as XML, read it back with an explicit
+    schema, and compare values exactly."""
+    from parquet_to_sql_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+    path = str(tmp_path / "orders_xml")
+    src.write.format("xml").option("rowTag", "order").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderstatus string, o_orderpriority string")
+        .load(path)
+    )
+    want = {tuple(r) for r in src.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want and len(got) > 0
