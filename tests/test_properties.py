@@ -218,3 +218,71 @@ def test_winnowing_matches_sequential_reference(spark, docs):
         if _winnow_reference(ws)
     }
     assert got == want
+
+
+def _containment_reference(docs: dict[int, list[str]], n: int = 3, pct: int = 80):
+    """Sequential reference for ngram_containment_pairs (hashed=True):
+    per-doc distinct shingle-hash sets via the word-hash composition,
+    directed 80% containment flags, doc1 < doc2."""
+    M = 2_147_483_647
+
+    def fold(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % M
+        return h
+
+    sets = {}
+    for d, words in docs.items():
+        hw = [fold(w) for w in words]
+        hs = set()
+        for i in range(len(hw) - n + 1):
+            acc = hw[i]
+            for off in range(1, n):
+                acc = (acc * 31 + hw[i + off]) % M
+            hs.add(acc)
+        sets[d] = hs
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sets[a] & sets[b])
+            if common == 0:
+                continue
+            a_in_b = 100 * common >= pct * len(sets[a])
+            b_in_a = 100 * common >= pct * len(sets[b])
+            if a_in_b or b_in_a:
+                out[(a, b)] = (common, len(sets[a]), len(sets[b]), a_in_b, b_in_a)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("tok1 tok2 tok3 tok4 tok5 tok6".split()),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_containment_matches_sequential_reference(spark, docs):
+    """The distributed containment operator must agree with a
+    sequential set-arithmetic reference on arbitrary small corpora
+    (duplicate words, empty docs, full-overlap cases)."""
+    from parquet_to_sql_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc1, r.doc2): (r.common, r.n1, r.n2, r.doc1_in_doc2, r.doc2_in_doc1)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold_pct=80, hashed=True
+        ).collect()
+    }
+    want = _containment_reference({i: ws for i, ws in enumerate(docs)})
+    assert got == want
