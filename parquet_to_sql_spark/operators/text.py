@@ -435,3 +435,49 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         _quality_from(F.col("_t"), F.col("_lw")).alias("quality"),
         fingerprint(F.col("_t")).alias("fingerprint"),
     )
+
+
+def contamination_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Static decontamination index: the DISTINCT hashed n-gram
+    shingles of a benchmark/eval corpus, one narrow (h) relation.
+    Built once; small relative to the training corpus (eval sets are),
+    so the screen join broadcasts it."""
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash, word_shingles
+
+    return (
+        df.select(
+            F.explode(
+                F.transform(
+                    word_shingles(ws_tokens(F.col(text_col)), n), char_fold_hash
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+
+
+def contamination_screen(
+    docs: DataFrame, index: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Decontamination screen: every (arriving doc, benchmark shingle
+    hash) hit — the join stage of text_contamination_check, kept
+    PRE-AGGREGATION so it is a stateless projection + stream-static
+    equi-join, legal on a STREAMING DataFrame with no watermark and
+    no state store (the per-doc overlap rollup is the batch
+    consumer's one extra groupBy).  Emits (id, n_shingles, h)."""
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash, word_shingles
+
+    staged = docs.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(ws_tokens(F.col(text_col)), n), char_fold_hash
+        ).alias("_hs"),
+    )
+    sh = staged.select(
+        F.col(id_col),
+        F.size("_hs").cast("int").alias("n_shingles"),
+        F.explode("_hs").alias("h"),
+    )
+    return sh.join(index, "h").select(id_col, "n_shingles", "h")

@@ -1,4 +1,5 @@
 from parquet_to_sql_spark.streaming.pipeline import (
+    contamination_screen_stream,
     dedup_within_watermark,
     documents_stream,
     events_stream,
@@ -13,6 +14,7 @@ from parquet_to_sql_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "contamination_screen_stream",
     "events_stream",
     "documents_stream",
     "neardup_screen_stream",

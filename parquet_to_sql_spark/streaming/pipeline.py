@@ -408,3 +408,19 @@ def purchases_after_signup_join(
         "purchase_ts",
         "signup_ts",
     )
+
+
+def contamination_screen_stream(
+    stream_docs: DataFrame, bench_index: DataFrame, n: int = 5
+) -> DataFrame:
+    """Streaming decontamination-at-ingest: arriving documents'
+    hashed n-gram shingles (row-local projection) probed against the
+    STATIC benchmark shingle index — a stream-static equi-join on the
+    hash, so no watermark and no state store; pre-aggregation rows
+    (doc, n_shingles, h) append out, and the per-doc overlap rollup
+    is the consumer's one groupBy.  Batch twin: the join stage of the
+    oracle-checked text_contamination_check (same operator function).
+    """
+    from parquet_to_sql_spark.operators.text import contamination_screen
+
+    return contamination_screen(stream_docs, bench_index, "doc_id", "text", n=n)

@@ -672,3 +672,63 @@ def test_streaming_ewma_state_carries_across_batches(spark, events_dir, tmp_path
         n2, e2 = r2[u]
         assert n2 == n1 + 1
         assert e2 == 0.25 * 100.0 + 0.75 * e1  # one more fold step
+
+
+def test_streaming_contamination_screen_matches_batch(spark, tmp_path):
+    """Stream-static decontamination: streaming the training slice
+    against the static benchmark shingle index must produce exactly
+    the batch screen's hit rows, and rolling the streamed hits up per
+    doc must reproduce the oracle-checked text_contamination_check
+    result."""
+    import shutil as _sh
+
+    from parquet_to_sql_spark.operators.text import (
+        contamination_index,
+        contamination_screen,
+    )
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from parquet_to_sql_spark.streaming import (
+        contamination_screen_stream,
+        documents_stream,
+    )
+
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    _sh.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"), os.path.join(d, "part0.parquet")
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    index = contamination_index(
+        docs.filter(F.col("doc_id") % 7 == 0), "doc_id", "text", n=5
+    )
+    stream = documents_stream(spark, d).filter(F.col("doc_id") % 7 != 0)
+    run_to_memory(
+        contamination_screen_stream(stream, index), "contam_out", "append"
+    )
+    got = sorted(
+        (r.doc_id, r.n_shingles, r.h)
+        for r in spark.sql("SELECT * FROM contam_out").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_shingles, r.h)
+        for r in contamination_screen(
+            docs.filter(F.col("doc_id") % 7 != 0), index, "doc_id", "text", n=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # per-doc rollup of streamed hits == the oracle-checked gate query
+    rolled = {
+        (r.doc_id, r.n_shingles, r.n_overlap)
+        for r in spark.sql(
+            "SELECT doc_id, n_shingles, COUNT(*) AS n_overlap "
+            "FROM contam_out GROUP BY doc_id, n_shingles"
+        ).collect()
+    }
+    gate = {
+        (r.doc_id, r.n_shingles, r.n_overlap)
+        for r in all_queries()["text_contamination_check"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert rolled == gate
