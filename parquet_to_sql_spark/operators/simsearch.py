@@ -427,6 +427,163 @@ def pq_encode(
     )
 
 
+def residual_expr(vec: Column | str, cent_vec: Column | str) -> Column:
+    """Element-wise residual (vec - centroid) in double.  Exact:
+    float32 inputs cast to double exactly, and a single subtraction is
+    IEEE-deterministic — so residuals are bit-identical cross-engine."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    cent_vec = F.col(cent_vec) if isinstance(cent_vec, str) else cent_vec
+    return F.zip_with(
+        vec, cent_vec, lambda x, y: x.cast("double") - y.cast("double")
+    )
+
+
+def ivfpq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codes_filter: Column,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-PQ with asymmetric-distance scoring — the production ANN
+    index shape (Jégou et al., TPAMI 2011; the FAISS ``IVFPQ`` index,
+    public): a coarse quantizer routes each vector to an inverted
+    list, product quantization compresses the RESIDUAL
+    (vector - centroid) to PQ_SUBS one-byte codes, and queries score
+    candidates by summing entries of a per-(query, probed-centroid)
+    distance table — touching no full-precision corpus vector.
+
+    Quantizing residuals instead of raw vectors is what makes the
+    combination work: residual magnitudes are much smaller than vector
+    magnitudes, so the same codebook budget yields far less
+    quantization error.  The codebook here is the deterministic seed
+    slice selected by ``codes_filter`` (a predicate over the id
+    column) taken AFTER residualization, shared across cells (the
+    single-shared-codebook variant FAISS defaults to).
+
+    Plan shape (corpus is never shuffled):
+      1. coarse assign — one broadcast join against <=K centroids;
+      2. residuals — a narrow map (zip_with) over the scan;
+      3. encode — one broadcast cross join against the tiny codebook
+         + one groupBy with PQ_SUBS min(struct) arg-mins (map-side);
+      4. probes + distance table — queries x nprobe x |codes| rows,
+         tiny, broadcast;
+      5. score — PQ_SUBS broadcast hash joins on
+         (centroid, code); candidates in unprobed cells are pruned by
+         the first join.
+
+    Determinism: residual subtraction is exact, subspace L2 folds are
+    sequential left-folds, the ADC sum is one fixed-order expression,
+    and arg-min ties break to the lower code id via min(struct) — so
+    the result hash-matches the SQL oracle exactly.  Returns
+    (query_id, neighbor_id, approx_l2sq, rank).
+    """
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    # 1. coarse assignment, then residuals against the assigned centroid
+    cent_b = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_vec")
+        )
+    )
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    res = (
+        rebalance_for_compute(assigned)
+        .join(cent_b, F.col("centroid_id") == F.col("_cent_id"))
+        .select(
+            id_col,
+            "centroid_id",
+            residual_expr(vec_col, "_cent_vec").alias("_rvec"),
+        )
+    )
+    # 2. shared residual codebook from the deterministic seed slice
+    codes = F.broadcast(
+        res.filter(codes_filter).select(
+            F.col(id_col).alias("_code_id"), F.col("_rvec").alias("_cv")
+        )
+    )
+    # 3. encode: arg-min code per subspace, centroid carried through
+    enc = (
+        res.crossJoin(codes)
+        .groupBy(id_col, "centroid_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        l2sq_sub_expr("_rvec", "_cv", s).alias("d"),
+                        F.col("_code_id").alias("c"),
+                    )
+                ).alias(f"_k{s}")
+                for s in range(PQ_SUBS)
+            ]
+        )
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            *[F.col(f"_k{s}.c").alias(f"c{s}") for s in range(PQ_SUBS)],
+        )
+    )
+    # 4. probes + per-(query, centroid) residual distance table
+    probes = ivf_topk_probes(queries, id_col, vec_col, centroids, nprobe)
+    qres = (
+        probes.join(
+            queries.select(
+                F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+            ),
+            F.col("query_id") == F.col("_qid"),
+        )
+        .join(cent_b, F.col("centroid_id") == F.col("_cent_id"))
+        .select(
+            "query_id",
+            "centroid_id",
+            residual_expr("_qv", "_cent_vec").alias("_rq"),
+        )
+    )
+    dt = qres.crossJoin(codes).select(
+        "query_id",
+        F.col("centroid_id").alias("_dt_cent"),
+        "_code_id",
+        *[l2sq_sub_expr("_rq", "_cv", s).alias(f"d{s}") for s in range(PQ_SUBS)],
+    )
+    # 5. ADC scoring: PQ_SUBS broadcast joins on (centroid, code)
+    cur = enc
+    for s in range(PQ_SUBS):
+        dts = dt.select(
+            F.col("query_id").alias(f"_q{s}"),
+            F.col("_dt_cent").alias(f"_cent{s}"),
+            F.col("_code_id").alias(f"_code{s}"),
+            F.col(f"d{s}").alias(f"_d{s}"),
+        )
+        cond = (F.col("centroid_id") == F.col(f"_cent{s}")) & (
+            F.col(f"c{s}") == F.col(f"_code{s}")
+        )
+        if s > 0:
+            cond = cond & (F.col("_q0") == F.col(f"_q{s}"))
+        cur = cur.join(F.broadcast(dts), cond)
+    approx = F.col("_d0")
+    for s in range(1, PQ_SUBS):
+        approx = approx + F.col(f"_d{s}")
+    scored = cur.select(
+        F.col("_q0").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        approx.alias("approx_l2sq"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_l2sq"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "approx_l2sq",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     id_col: str,

@@ -615,6 +615,127 @@ def _duck_pq_oracle() -> str:
     """
 
 
+def _duck_ivfpq_oracle() -> str:
+    """IVF-PQ mirror: coarse assign -> residuals -> shared residual
+    codebook -> per-subspace arg-min encode -> probes -> per-(query,
+    centroid) distance table -> correlated-lookup ADC sum."""
+    pair_d = ",\n             ".join(
+        f"{_duck_sub_l2('r.rve', 'c.cv', s)} AS d{s}" for s in range(_PQ_SUBS)
+    )
+    encs = ",\n    ".join(
+        f"enc{s} AS (SELECT vec_id, centroid_id, code_id AS c{s} FROM pairs "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{s}, code_id) = 1)"
+        for s in range(_PQ_SUBS)
+    )
+    enc_join = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, _PQ_SUBS))
+    dt_d = ",\n             ".join(
+        f"{_duck_sub_l2('qr.rq', 'c.cv', s)} AS d{s}" for s in range(_PQ_SUBS)
+    )
+    approx = " + ".join(
+        f"(SELECT d{s} FROM dt WHERE dt.qid = p.qid"
+        f" AND dt.centroid_id = e.centroid_id AND dt.code_id = e.c{s})"
+        for s in range(_PQ_SUBS)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, ve, cent_id AS centroid_id, cv AS centv FROM (
+        SELECT v.vec_id, v.ve, c.cent_id, c.cv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, c.cent_id
+               ) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT vec_id, centroid_id,
+             list_transform(range(1, {_DIMS + 1}), d -> ve[d] - centv[d]) AS rve
+      FROM assigned
+    ),
+    codes AS (SELECT vec_id AS code_id, rve AS cv FROM res
+              WHERE vec_id >= {_PQ_CODE_LO} AND vec_id < {_PQ_CODE_HI}),
+    pairs AS (
+      SELECT r.vec_id, r.centroid_id, c.code_id,
+             {pair_d}
+      FROM res r CROSS JOIN codes c
+    ),
+    {encs},
+    enc AS (SELECT enc0.vec_id, enc0.centroid_id,
+                   c0{"".join(f", c{s}" for s in range(1, _PQ_SUBS))}
+            FROM enc0 {enc_join}),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT qid, cent_id AS centroid_id FROM (
+        SELECT q.qid, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="cv")} DESC, c.cent_id
+               ) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= {_NPROBE}
+    ),
+    qres AS (
+      SELECT p.qid, p.centroid_id,
+             list_transform(range(1, {_DIMS + 1}), d -> qv[d] - cv[d]) AS rq
+      FROM probes p
+      JOIN q ON q.qid = p.qid
+      JOIN cent ON cent.cent_id = p.centroid_id
+    ),
+    dt AS (
+      SELECT qr.qid, qr.centroid_id, c.code_id,
+             {dt_d}
+      FROM qres qr CROSS JOIN codes c
+    ),
+    adc AS (
+      SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+             {approx} AS approx_l2sq
+      FROM enc e JOIN probes p ON p.centroid_id = e.centroid_id
+      WHERE e.vec_id <> p.qid
+    )
+    SELECT query_id, neighbor_id, approx_l2sq, CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_l2sq ASC, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= {_K}
+    """
+
+
+@query(
+    "simsearch_ivfpq_adc_topk",
+    tags=("simsearch", "embeddings", "ann", "quantization", "llm-pipeline", "scale-path"),
+    oracle=_duck_ivfpq_oracle(),
+)
+def simsearch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the production index shape (FAISS ``IVFPQ``;
+    Jégou et al., TPAMI 2011, public): a coarse quantizer routes
+    vectors to inverted lists, PQ compresses the RESIDUAL
+    (vector - centroid) to 8 code bytes, and ADC scores candidates in
+    probed cells only, from a per-(query, probed-centroid) distance
+    table.  Combines the two scale levers demonstrated separately by
+    `simsearch_ivf_topk` (probe pruning: search cost ~ nprobe/K) and
+    `simsearch_pq_adc_topk` (memory: 8 bytes/vector): at 100 TB both
+    are mandatory.  Corpus is never shuffled — coarse assign is a
+    broadcast join, residuals a narrow map, encode one broadcast cross
+    join + groupBy arg-min, scoring 8 broadcast joins; candidates in
+    unprobed cells are pruned by the first join.  Residual arithmetic
+    and fixed-order ADC sums keep the result hash-exact vs the SQL
+    oracle."""
+    from parquet_to_sql_spark.operators.simsearch import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    centroids = emb.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+    return ivfpq_adc_topk(
+        emb, "vec_id", "embedding", queries, centroids,
+        codes_filter=(F.col("vec_id") >= _PQ_CODE_LO)
+        & (F.col("vec_id") < _PQ_CODE_HI),
+        k=_K, nprobe=_NPROBE,
+    )
+
+
 @query(
     "simsearch_pq_adc_topk",
     headline=True,
