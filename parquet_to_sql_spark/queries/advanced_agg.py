@@ -409,3 +409,42 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_nd("l_partkey", "nd_parts").join(
         bitmap_nd("l_suppkey", "nd_supps"), "l_returnflag"
     )
+
+
+_MG_CAPACITY = 31  # heavy hitter = token count > n_total / 32
+
+
+@query(
+    "agg_heavy_hitters_mg",
+    tags=("aggregation", "sketches", "text-analysis", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           (SELECT n_total FROM tot) AS n_total
+    FROM toks GROUP BY tok
+    HAVING CAST(COUNT(*) AS BIGINT) * {_MG_CAPACITY + 1} > (SELECT n_total FROM tot)
+    """,
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with count > n/32) via a Misra-Gries
+    candidate pass + exact broadcast-semi-join recount — the bounded-
+    memory alternative to groupBy().count() when the distinct-key
+    universe exceeds executor memory (at 100 TB of text, corpus
+    vocabulary does).  Pass 1 reduces each partition to <= 31 counter
+    rows REGARDLESS of vocabulary size (mergeable-summaries decrement
+    rule); pass 2 recounts only the tiny candidate set, whose superset
+    guarantee makes the final output exactly the true heavy-hitter
+    set — deterministic under any partitioning, hence oracle-exact.
+    See operators/summaries.py for the guarantee arithmetic."""
+    from parquet_to_sql_spark.operators.summaries import heavy_hitters_exact
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute, ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = rebalance_for_compute(docs.select("text")).select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return heavy_hitters_exact(tokens, "tok", capacity=_MG_CAPACITY)

@@ -530,3 +530,39 @@ def test_pq_adc_structure_and_recall_floor(spark):
     approx = {(r.query_id, r.neighbor_id) for r in got}
     recall = len(exact & approx) / len(exact)
     assert recall > 0.0, "PQ-ADC recovered nothing from the exact top-5"
+
+
+def test_misra_gries_bounded_candidates_and_exact_recovery(spark):
+    """Adversarial heavy-hitter input: 2,000 distinct keys (far above
+    the 15-counter capacity) with 3 true heavy hitters, deliberately
+    laid out so every partition also sees a long tail.  The candidate
+    pass must stay within its per-partition bound and the recounted
+    output must be EXACTLY the true heavy-hitter set."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.summaries import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    cap = 15
+    rows = []
+    # heavy: 3 keys at 1200 each; tail: 2000 keys at 1 each
+    for h in ("alpha", "beta", "gamma"):
+        rows += [(h,)] * 1200
+    rows += [(f"tail{i}",) for i in range(2000)]
+    # deterministic interleave so heavies and tail mix in every partition
+    rows.sort(key=lambda r: hash(r[0]) % 97)
+    df = spark.createDataFrame(rows, "k string").repartition(8).cache()
+    n = df.count()  # 5600; threshold n/(cap+1) = 350
+
+    cands = misra_gries_candidates(df, "k", cap)
+    n_parts = df.rdd.getNumPartitions()
+    assert cands.count() <= cap * n_parts
+
+    got = {
+        (r.k, r.cnt, r.n_total)
+        for r in heavy_hitters_exact(df, "k", cap).collect()
+    }
+    df.unpersist()
+    assert got == {("alpha", 1200, n), ("beta", 1200, n), ("gamma", 1200, n)}
