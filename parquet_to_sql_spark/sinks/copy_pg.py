@@ -19,8 +19,11 @@ all-or-nothing loads, stage into a temp table and swap — see
 Importer(staging=...) docstring.
 
 psycopg is not assumed installed: the connection factory is
-injectable (tests use fakes), and the default factory import-fails
-with a clear message only when the sink is actually used.
+injectable (tests use fakes), and the default factory prefers psycopg
+when importable but falls back to the pure-stdlib wire-protocol
+client in sinks/pg_wire.py (simple query + COPY FROM STDIN over a
+socket — enough for this sink's whole surface), so the COPY path
+works on executors with no driver installed.
 """
 
 from __future__ import annotations
@@ -43,12 +46,12 @@ DEFAULT_TIMEOUT_S = 300  # config/parquet-to-sql.php:11
 def _default_connection_factory(dsn: str):
     try:
         import psycopg  # type: ignore
-    except ImportError as exc:  # pragma: no cover
-        raise RuntimeError(
-            "CopySink needs the 'psycopg' package on executors; install it "
-            "or use JdbcSink (the INSERT fallback) instead"
-        ) from exc
-    return psycopg.connect(dsn)
+
+        return psycopg.connect(dsn)
+    except ImportError:
+        from parquet_to_sql_spark.sinks import pg_wire
+
+        return pg_wire.connect(dsn)
 
 
 def copy_partition(

@@ -1,0 +1,215 @@
+r"""LIVE PostgreSQL integration for the COPY sink — the reference's
+core claim ("import Parquet into PostgreSQL using COPY for speed",
+composer.json:3) finally crossing a real Postgres socket.
+
+Earlier rounds pinned the COPY wire format, transactions, rollback
+and atomic swap with fake connections because the container had no
+server; this round it ships one (initdb/pg_ctl/postgres).  These
+tests boot a throwaway cluster (unix socket only — no TCP port to
+collide on), run the REAL sink through Spark executors using the
+pure-stdlib wire client (sinks/pg_wire.py), and verify server-side
+state: value round-trips for every rendering branch of
+normalize.copy_value, per-batch commit semantics on a failed COPY,
+TRUNCATE, the staging atomic swap, and the Importer end-to-end from
+a driver-generated parquet fixture.
+
+The cluster runs as the unprivileged ``postgres`` user (the server
+refuses root) via runuser; everything is skipped cleanly when the
+server binaries or user are absent.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import subprocess
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from parquet_to_sql_spark.importer import Importer
+from parquet_to_sql_spark.sinks import pg_wire
+from parquet_to_sql_spark.sinks.copy_pg import CopySink
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def _have_pg() -> bool:
+    if not (shutil.which("initdb") and shutil.which("pg_ctl") and shutil.which("runuser")):
+        return False
+    try:
+        subprocess.run(["id", "postgres"], check=True, capture_output=True)
+    except Exception:
+        return False
+    return True
+
+
+pytestmark = pytest.mark.skipif(
+    not _have_pg(), reason="no postgres server binaries / postgres user"
+)
+
+
+@pytest.fixture(scope="module")
+def pg_dsn(tmp_path_factory):
+    base = tmp_path_factory.mktemp("pglive")
+    data, sock = base / "data", base / "sock"
+    data.mkdir(), sock.mkdir()
+    # the server refuses to run as root; hand the dirs to `postgres`
+    subprocess.run(["chown", "-R", "postgres", str(base)], check=True)
+    # parents created by pytest are 0700-root; the unix socket path
+    # must be traversable by the postgres user
+    for p in (base, *base.parents[:2]):
+        p.chmod(0o711)
+
+    def as_pg(*argv: str) -> None:
+        subprocess.run(
+            ["runuser", "-u", "postgres", "--", *argv],
+            check=True, capture_output=True,
+        )
+
+    as_pg("initdb", "-D", str(data), "-U", "postgres", "--auth=trust", "-E", "UTF8")
+    as_pg(
+        "pg_ctl", "-D", str(data), "-w", "-l", str(base / "log"),
+        "-o", f"-c listen_addresses='' -k {sock}", "start",
+    )
+    try:
+        yield f"host={sock} port=5432 user=postgres dbname=postgres"
+    finally:
+        as_pg("pg_ctl", "-D", str(data), "-m", "immediate", "stop")
+
+
+def _exec(dsn: str, *stmts: str) -> list[tuple]:
+    conn = pg_wire.connect(dsn)
+    try:
+        cur = conn.cursor()
+        rows: list[tuple] = []
+        for s in stmts:
+            cur.execute(s)
+            rows = cur.fetchall()
+        conn.commit()
+        return rows
+    finally:
+        conn.close()
+
+
+def test_copy_sink_roundtrips_every_rendering_branch(spark, pg_dsn):
+    """One row per rendering branch of normalize.copy_value, verified
+    by reading the live table back: strings with COPY specials, null,
+    bool -> 1/0, timestamp micro+offset format, nested -> JSON(B),
+    binary -> bytea hex, decimal/double passthrough."""
+    df = spark.createDataFrame(
+        [
+            (
+                1, "plain", True,
+                "2024-01-02 03:04:05.123456",
+                {"k": "v"}, [1, 2, 3], bytearray(b"\x00\xffA"),
+                "12345.67", 2.5,
+            ),
+            (
+                2, "tab\there nl\nthere back\\slash é", False,
+                None, None, None, None, None, None,
+            ),
+        ],
+        "id int, s string, flag boolean, ts string, meta map<string,string>, "
+        "tags array<int>, payload binary, d string, n double",
+    ).select(
+        "id", "s", "flag",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "meta", "tags", "payload",
+        F.col("d").cast("decimal(10,2)").alias("d"),
+        "n",
+    )
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS roundtrip",
+        """CREATE TABLE roundtrip (
+             id int, s text, flag boolean, ts timestamptz, meta jsonb,
+             tags jsonb, payload bytea, d numeric(10,2), n float8)""",
+    )
+    written = CopySink(pg_dsn).write(df, "roundtrip")
+    assert written == 2
+
+    rows = _exec(
+        pg_dsn,
+        """SELECT id::text, s, flag::text,
+                  to_char(ts AT TIME ZONE 'UTC', 'YYYY-MM-DD HH24:MI:SS.US'),
+                  meta::text, tags::text, encode(payload, 'hex'),
+                  d::text, n::text
+           FROM roundtrip ORDER BY id""",
+    )
+    assert rows[0] == (
+        "1", "plain", "true", "2024-01-02 03:04:05.123456",
+        '{"k": "v"}', "[1, 2, 3]", "00ff41", "12345.67", "2.5",
+    )
+    assert rows[1] == (
+        "2", "tab\there nl\nthere back\\slash é", "false",
+        None, None, None, None, None, None,
+    )
+
+
+def test_copy_failed_batch_commits_prior_batches(spark, pg_dsn):
+    """Reference contract (ParquetImporter.php:102-118): each batch is
+    its own transaction; a failing batch rolls back and raises, prior
+    batches stay committed.  4 rows, batch_size=2, row 3 breaks the
+    int column server-side -> exactly batch 1 (2 rows) lands."""
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS partial",
+        "CREATE TABLE partial (k int, v text)",
+    )
+    df = spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("boom", "c"), ("4", "d")], "k string, v string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="COPY command failed"):
+        CopySink(pg_dsn, batch_size=2).write(df, "partial")
+    rows = _exec(pg_dsn, "SELECT k::text, v FROM partial ORDER BY k")
+    assert rows == [("1", "a"), ("2", "b")]
+
+
+def test_truncate_and_atomic_swap_live(spark, pg_dsn):
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS swapt",
+        "CREATE TABLE swapt (k int)",
+        "INSERT INTO swapt VALUES (999)",
+    )
+    df1 = spark.createDataFrame([(1,), (2,)], "k int")
+    # truncate=True drops the marker row before writing
+    assert CopySink(pg_dsn).write(df1, "swapt", truncate=True) == 2
+    assert _exec(pg_dsn, "SELECT count(*), min(k)::text FROM swapt") == [("2", "1")]
+
+    # atomic swap: readers see old data until the swap; staging gone after
+    df2 = spark.createDataFrame([(10,), (11,), (12,)], "k int")
+    assert CopySink(pg_dsn).write_atomic(df2, "swapt") == 3
+    assert _exec(pg_dsn, "SELECT count(*), min(k)::text FROM swapt") == [("3", "10")]
+    left = _exec(
+        pg_dsn,
+        "SELECT count(*) FROM pg_tables WHERE tablename LIKE 'swapt_staging%'",
+    )
+    assert left == [("0",)]
+
+
+def test_importer_parquet_to_live_postgres_end_to_end(spark, pg_dsn):
+    """The reference's whole use case on a real server: parquet file ->
+    rename map -> COPY -> row-accurate ImportResult."""
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS regions",
+        "CREATE TABLE regions (region_id int, region_name text)",
+    )
+    src = str(pathlib.Path(SF_TINY) / "region.parquet")
+    result = Importer(spark, CopySink(pg_dsn)).import_(
+        src,
+        "regions",
+        column_map={"r_regionkey": "region_id", "r_name": "region_name"},
+    )
+    import duckdb
+
+    expect = duckdb.sql(
+        f"SELECT r_regionkey::text, r_name FROM read_parquet('{src}') ORDER BY 1"
+    ).fetchall()
+    got = _exec(pg_dsn, "SELECT region_id::text, region_name FROM regions ORDER BY 1")
+    assert got == [tuple(r) for r in expect]
+    assert result.rows_imported == len(expect)
+    assert result.table == "regions"
