@@ -213,3 +213,23 @@ def test_importer_parquet_to_live_postgres_end_to_end(spark, pg_dsn):
     assert got == [tuple(r) for r in expect]
     assert result.rows_imported == len(expect)
     assert result.table == "regions"
+
+
+def test_ddl_helper_creates_loadable_table(spark, pg_dsn):
+    """create_table_sql's type mapping must accept the COPY rendering
+    of every Spark type it maps — proven by loading into a table the
+    helper itself created."""
+    from parquet_to_sql_spark.sinks.ddl import create_table_sql
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5, True, {"a": 1}, bytearray(b"\x01"), "2.50")],
+        "k bigint, s string, f double, b boolean, m map<string,int>, "
+        "bin binary, d string",
+    ).select("k", "s", "f", "b", "m", "bin", F.col("d").cast("decimal(6,2)").alias("d"))
+    _exec(pg_dsn, "DROP TABLE IF EXISTS ddlgen")
+    ddl = create_table_sql("ddlgen", df.schema)
+    assert '"k" bigint' in ddl and '"m" jsonb' in ddl and '"d" numeric(6,2)' in ddl
+    _exec(pg_dsn, ddl)
+    assert CopySink(pg_dsn).write(df, "ddlgen") == 1
+    rows = _exec(pg_dsn, "SELECT k::text, m::text, encode(bin,'hex'), d::text FROM ddlgen")
+    assert rows == [("1", '{"a": 1}', "01", "2.50")]
