@@ -159,6 +159,93 @@ class CopySink:
         rendered.foreachPartition(run)
         return int(rows_acc.value)
 
+    def write_idempotent(self, df: DataFrame, table: str, batch_id: int) -> int:
+        """Exactly-once streaming micro-batch ingest, DISTRIBUTED: each
+        partition commits its COPY and a ``(batch_id, partition_id)``
+        ledger row in ONE transaction against
+        ``<table>_applied_batches``.  A replayed batch (Structured
+        Streaming re-runs the last uncommitted batch with the same
+        batch_id) or a retried task finds its ledger row and skips; two
+        racing attempts for the same partition serialize on the ledger
+        primary key — the loser's unique-violation rolls its COPY back
+        and is swallowed.  This is the transactional-sink half of the
+        foreachBatch exactly-once contract (the source half is the
+        stream checkpoint), scaled out: no driver-side row iteration,
+        one writer per partition, bounded ledger (one row per
+        partition per batch).
+
+        Caveats, by design: partitions become visible as they commit
+        (readers wanting whole-batch atomicity should join the ledger);
+        replay idempotency relies on the replayed batch reproducing its
+        partitioning, which file/Kafka sources re-reading checkpointed
+        offsets do — don't inject nondeterministic repartitioning
+        upstream.  Returns rows written (0 for a fully-replayed batch).
+        """
+        assert_safe_table_name(table)
+        assert_safe_column_names(df.columns)
+        ledger_name = f"{table}_applied_batches"
+        assert_safe_table_name(ledger_name)
+        quoted_table = quote_identifier(table)
+        ledger = quote_identifier(ledger_name)
+        col_list = ", ".join(quote_identifier(c) for c in df.columns)
+        copy_sql = f"COPY {quoted_table} ({col_list}) FROM STDIN"
+        conn = self.connection_factory(self.dsn)
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {ledger} ("
+                "batch_id bigint, partition_id int, n_rows bigint, "
+                "PRIMARY KEY (batch_id, partition_id))"
+            )
+            conn.commit()
+        finally:
+            conn.close()
+        rendered = copy_lines(df)
+        dsn, timeout_s, factory = self.dsn, self.timeout_s, self.connection_factory
+        bid = int(batch_id)
+
+        def run(pid: int, it):
+            conn = factory(dsn)
+            try:
+                cur = conn.cursor()
+                cur.execute(
+                    f"SELECT 1 FROM {ledger} WHERE batch_id = {bid} "
+                    f"AND partition_id = {int(pid)}"
+                )
+                if cur.fetchone():
+                    conn.rollback()
+                    yield 0
+                    return
+                try:
+                    cur.execute(
+                        f"SET LOCAL statement_timeout = {int(timeout_s * 1000)}"
+                    )
+                    n = 0
+                    with cur.copy(copy_sql) as cp:
+                        for row in it:
+                            cp.write(row.line + "\n")
+                            n += 1
+                    cur.execute(
+                        f"INSERT INTO {ledger} VALUES ({bid}, {int(pid)}, {n})"
+                    )
+                    conn.commit()
+                    yield n
+                except Exception as exc:
+                    conn.rollback()
+                    # a racing attempt landed first: its commit stands,
+                    # ours rolled back — exactly-once preserved
+                    if getattr(exc, "fields", {}).get("C") == "23505" or (
+                        "duplicate key" in str(exc)
+                    ):
+                        yield 0
+                    else:
+                        raise RuntimeError(f"COPY command failed: {exc}") from exc
+            finally:
+                conn.close()
+
+        counts = rendered.rdd.mapPartitionsWithIndex(run).collect()
+        return int(sum(counts))
+
     def write_atomic(self, df: DataFrame, table: str, suffix: str | None = None) -> int:
         """All-or-nothing load via staging table + atomic swap.
 

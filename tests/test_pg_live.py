@@ -233,3 +233,71 @@ def test_ddl_helper_creates_loadable_table(spark, pg_dsn):
     assert CopySink(pg_dsn).write(df, "ddlgen") == 1
     rows = _exec(pg_dsn, "SELECT k::text, m::text, encode(bin,'hex'), d::text FROM ddlgen")
     assert rows == [("1", '{"a": 1}', "01", "2.50")]
+
+
+def test_copy_write_idempotent_replay_and_task_retry(spark, pg_dsn):
+    """Distributed exactly-once: per-partition (batch, partition)
+    ledger transactions.  A full batch replay lands 0 rows; a
+    partition whose ledger row already exists (simulated task retry /
+    partial crash) is skipped while the data stays consistent."""
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS eo",
+        "DROP TABLE IF EXISTS eo_applied_batches",
+        "CREATE TABLE eo (k int)",
+    )
+    sink = CopySink(pg_dsn)
+    df = spark.createDataFrame([(i,) for i in range(8)], "k int").repartition(2)
+    assert sink.write_idempotent(df, "eo", 1) == 8
+    # replay of the same batch: every partition finds its ledger row
+    assert sink.write_idempotent(df, "eo", 1) == 0
+    assert _exec(pg_dsn, "SELECT count(*), sum(k)::text FROM eo") == [("8", "28")]
+    # new batch id writes again
+    assert sink.write_idempotent(df, "eo", 2) == 8
+    ledger = _exec(
+        pg_dsn,
+        "SELECT batch_id::text, count(*)::text, sum(n_rows)::text "
+        "FROM eo_applied_batches GROUP BY batch_id ORDER BY batch_id",
+    )
+    assert ledger == [("1", "2", "8"), ("2", "2", "8")]
+    # simulated partial crash: partition 0 of batch 3 already committed
+    _exec(pg_dsn, "INSERT INTO eo_applied_batches VALUES (3, 0, 0)")
+    one = spark.createDataFrame([(99,)], "k int").coalesce(1)
+    assert sink.write_idempotent(one, "eo", 3) == 0
+    assert _exec(pg_dsn, "SELECT count(*) FROM eo WHERE k = 99") == [("0",)]
+
+
+def test_stream_import_exactly_once_into_live_postgres(spark, pg_dsn, tmp_path):
+    """The full streaming-ingest contract on a real server: file
+    stream -> foreachBatch -> per-partition ledgered COPY; a second
+    run over the same checkpoint (no new data) adds nothing."""
+    from parquet_to_sql_spark.streaming.pipeline import stream_import
+
+    src = str(pathlib.Path(SF_TINY) / "region.parquet")
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    shutil.copy(src, sdir / "part-0.parquet")
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(sdir)).schema
+    ).parquet(str(sdir))
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS regions_stream",
+        "DROP TABLE IF EXISTS regions_stream_applied_batches",
+        "CREATE TABLE regions_stream (r_regionkey int, r_name text)",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    sink = CopySink(pg_dsn)
+    stream_import(
+        stream, sink, "regions_stream", checkpoint=ckpt, exactly_once=True
+    )
+    n = spark.read.parquet(str(sdir)).count()
+    assert _exec(pg_dsn, "SELECT count(*) FROM regions_stream") == [(str(n),)]
+    # second run over the same checkpoint: no new input, no duplicates
+    stream2 = spark.readStream.schema(
+        spark.read.parquet(str(sdir)).schema
+    ).parquet(str(sdir))
+    stream_import(
+        stream2, sink, "regions_stream", checkpoint=ckpt, exactly_once=True
+    )
+    assert _exec(pg_dsn, "SELECT count(*) FROM regions_stream") == [(str(n),)]
