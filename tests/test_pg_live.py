@@ -301,3 +301,27 @@ def test_stream_import_exactly_once_into_live_postgres(spark, pg_dsn, tmp_path):
         stream2, sink, "regions_stream", checkpoint=ckpt, exactly_once=True
     )
     assert _exec(pg_dsn, "SELECT count(*) FROM regions_stream") == [(str(n),)]
+
+
+def test_cli_copy_sink_live(spark, pg_dsn, capsys):
+    """The reference's CLI use case (`php artisan parquet:import`)
+    against a real server: `parquet-import <file> <table> --sink copy
+    --connection <dsn>` — the full argparse -> Importer -> COPY path,
+    result JSON on stdout."""
+    import json
+
+    from parquet_to_sql_spark.cli import main
+
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS nations_cli",
+        "CREATE TABLE nations_cli (n_nationkey int, n_name text, "
+        "n_regionkey int)",
+    )
+    src = str(pathlib.Path(SF_TINY) / "nation.parquet")
+    rc = main([src, "nations_cli", "--sink", "copy", "--connection", pg_dsn])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n = spark.read.parquet(src).count()
+    assert out["rows_imported"] == n and out["table"] == "nations_cli"
+    assert _exec(pg_dsn, "SELECT count(*) FROM nations_cli") == [(str(n),)]
