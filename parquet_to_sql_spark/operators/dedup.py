@@ -388,6 +388,112 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    id_col: str = "doc_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — public algorithm) — the adversarial-diameter
+    complement to :func:`connected_components`.
+
+    Hash-min label propagation needs rounds == graph diameter; on a
+    pathological duplicate CHAIN (a->b->c->... from incremental crawl
+    snapshots) that is O(n) rounds.  The star algorithm rewrites the
+    edge set itself each round and converges in O(log^2 n) rounds on
+    ANY graph, at the price of two shuffles per round instead of one:
+
+      * large-star(u): with m = min(neighbors(u) + {u}), re-point every
+        neighbor v > u at m   (emit (v, m));
+      * small-star(u): orienting each edge high->low, with m = min of
+        u's smaller neighbors, re-point u and all its smaller
+        neighbors at m        (emit (u, m) and (v, m), v != m).
+
+    Both steps preserve connectivity and only ever decrease the
+    pointed-at id, so the fixpoint is the disjoint union of stars
+    centered on each component's minimum id — exactly the (node,
+    label) closure, checkable against the same recursive-CTE oracle.
+
+    Scale shape: each step is one groupBy-min plus one equi-join back
+    (both shuffle on the star center; partial agg map-side), then a
+    distinct() that bounds the edge set by the input edge count.  No
+    posting-list buffers, no all-pairs anywhere; lineage is truncated
+    per round with an eager localCheckpoint (swap for reliable
+    .checkpoint() on a real cluster).  Convergence = edge set
+    unchanged over a full round, detected with one anti-join count.
+
+    Returns (node, label), one row per input node; singletons keep
+    their own id.  ``nodes`` must cover every endpoint in ``pairs``.
+    """
+    # normalize: undirected edge set as (hi, lo), self-loops dropped
+    a, b = F.col(src), F.col(dst)
+    edges = (
+        pairs.select(
+            F.greatest(a, b).alias("hi"), F.least(a, b).alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # --- large-star: per node u over its full neighborhood ---
+        bidir = edges.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        lmins = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # emit (v, m) for v > u; v > u >= m so hi=v, lo=m already
+        large = (
+            bidir.filter(F.col("v") > F.col("u"))
+            .join(lmins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # --- small-star: per node u over its SMALLER neighbors ---
+        # `large` is already oriented hi->lo (hi > lo)
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(
+                smins.select(F.col("hi"), F.col("m").alias("lo"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the full round changed nothing (set equality;
+        # both sides are distinct, so one anti-join each way suffices —
+        # cheap scalar jobs against checkpointed inputs)
+        if (
+            small.join(edges, ["hi", "lo"], "left_anti").isEmpty()
+            and edges.join(small, ["hi", "lo"], "left_anti").isEmpty()
+        ):
+            edges = small
+            break
+        edges = small
+    # fixpoint is a star forest: every non-center points at its
+    # component min.  min() is a no-op safety net for the capped-iters
+    # case where a node might still carry two outgoing edges.
+    labels = edges.groupBy(F.col("hi").alias("node")).agg(
+        F.min("lo").alias("label")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 3
 ) -> DataFrame:

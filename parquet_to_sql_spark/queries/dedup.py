@@ -447,6 +447,61 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cc_star",
+    tags=("dedup", "llm-pipeline", "iterative", "scale-path"),
+    oracle=f"""
+    WITH RECURSIVE
+    {_DUCK_HASHED_PAIR_CTES},
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           doc_id = component AS is_keep
+    FROM comp
+    """,
+)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure via ALTERNATING LARGE-STAR/SMALL-STAR
+    (Kiveris et al. 2014) over the same skew-capped hashed-3-gram
+    near-dup pairs as dedup_connected_components — the O(log^2 n)-round
+    variant that survives adversarial long-chain duplicate graphs
+    (incremental crawl snapshots) where hash-min propagation needs
+    rounds == diameter.  Same unique fixpoint, so it shares the
+    recursive-CTE oracle and must hash-match dedup_connected_components
+    exactly."""
+    from pyspark.sql import Window
+
+    from parquet_to_sql_spark.operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, hashed=True
+    ).select("doc1", "doc2")
+    comp = connected_components_star(
+        pairs, docs.select("doc_id"), "doc1", "doc2", "doc_id"
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_keep"),
+    )
+
+
 def _duck_simhash_cte(bits: int) -> str:
     """DuckDB CTE chain computing the n-bit simhash per document —
     identical fold hash, votes, and recombination as

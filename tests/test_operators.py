@@ -62,6 +62,34 @@ def test_connected_components_chain_and_singletons(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_cc_star_converges_on_long_chain_in_log_rounds(spark):
+    """The adversarial case hash-min cannot handle in bounded rounds:
+    a 200-node path has diameter 199, so label propagation needs ~199
+    rounds — but alternating large-star/small-star must close it
+    within max_iters=10 (O(log^2 n)).  Also checks singleton and
+    reversed-id-order edges."""
+    from parquet_to_sql_spark.operators.dedup import connected_components_star
+
+    n = 200
+    chain = [(i, i + 1) for i in range(1, n)]  # 1-2-...-200
+    pairs = spark.createDataFrame(
+        [(b, a) for a, b in chain],  # reversed orientation on purpose
+        "doc1 long, doc2 long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, n + 1)] + [(999,)], "doc_id long"
+    )
+    out = {
+        r.node: r.label
+        for r in connected_components_star(
+            pairs, nodes, "doc1", "doc2", "doc_id", max_iters=10
+        ).collect()
+    }
+    want = {i: 1 for i in range(1, n + 1)}
+    want[999] = 999
+    assert out == want
+
+
 def test_identical_docs_have_identical_minhash(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],

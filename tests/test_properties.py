@@ -161,6 +161,52 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_cc_star_matches_union_find(spark, edges):
+    """The alternating large-star/small-star operator must agree with a
+    sequential union-find on arbitrary random graphs (self-loops,
+    parallel edges, multiple components, isolated nodes) — same
+    contract as the hash-min variant."""
+    from parquet_to_sql_spark.operators.dedup import connected_components_star
+
+    nodes = sorted({0, 30} | {v for e in edges for v in e})
+    parent = {v: v for v in nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_of = {}
+    for v in nodes:
+        comp_of.setdefault(find(v), []).append(v)
+    want = {v: min(vs) for vs in comp_of.values() for v in vs}
+
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc1 long, doc2 long"
+    )
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+    got = {
+        r.node: r.label
+        for r in connected_components_star(
+            pairs_df, nodes_df, "doc1", "doc2", "doc_id"
+        ).collect()
+    }
+    assert got == want
+
+
 def _winnow_reference(words: list[str], k: int = 3, w: int = 4):
     """Sequential reference implementation of Schleimer et al.'s
     winnowing over word k-grams with the 31-ary fold hash: returns the
