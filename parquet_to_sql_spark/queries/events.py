@@ -285,6 +285,132 @@ def ev_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_peak_concurrency",
+    tags=("events", "interval-algebra", "sweep-line", "scale-path"),
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    ), s AS (
+      SELECT user_id, island,
+             MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      FROM isl GROUP BY user_id, island
+    ), d AS (
+      SELECT start_us AS t_us, 1 AS delta FROM s
+      UNION ALL
+      SELECT end_us + 1, -1 FROM s
+    ), r AS (
+      SELECT t_us, delta,
+             SUM(delta) OVER (ORDER BY t_us, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM d
+    )
+    SELECT CAST((t_us // 3600000000) * 3600000000 AS BIGINT) AS hour_us,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+    FROM r GROUP BY 1
+    """,
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per hour — interval-overlap
+    counting by SWEEP LINE instead of a quadratic interval self-join:
+    sessionize (same 30-min-gap islands as ev_gaps_and_islands), turn
+    each session [start, end] into a +1 delta at start and a -1 delta
+    at end+1us (closed interval, tie-safe because equal-timestamp rows
+    order -1 before +1), and prefix-sum the deltas in time order; the
+    running sum AT each transition point is the live concurrency.
+
+    The naive form is a single global ORDER BY window — one task, the
+    classic sweep-line scale killer.  Here the prefix sum is
+    DECOMPOSED: (1) a per-HOUR running sum, shuffled and windowed on
+    hour_us like any partitioned window; (2) an exclusive prefix over
+    per-hour delta TOTALS — a relation bounded by the number of hours
+    in the corpus (~9k rows/decade) regardless of event count, so its
+    unpartitioned window is a deliberate, bounded exception;
+    (3) broadcast the hour offsets back and add.  Associativity makes
+    the decomposition value-identical to the global scan, and
+    everything is integer micros — cross-engine exact.
+
+    Hours with no session transitions are absent from the output
+    (concurrency is constant across them); the per-hour peak is the
+    max over transition points inside that hour."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) >= gap_us),
+        1,
+    ).otherwise(0)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        e.withColumn("is_new", is_new)
+        .withColumn("island", F.sum("is_new").over(run_w))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+    )
+    hour_us = 3_600_000_000
+    deltas = (
+        sessions.select(
+            F.col("start_us").alias("t_us"), F.lit(1).alias("delta")
+        )
+        .unionByName(
+            sessions.select(
+                (F.col("end_us") + F.lit(1)).alias("t_us"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .withColumn(
+            "hour_us",
+            (F.floor(F.col("t_us") / F.lit(hour_us)) * F.lit(hour_us)).cast(
+                "long"
+            ),
+        )
+    )
+    in_hour = Window.partitionBy("hour_us").orderBy("t_us", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bounded-by-hour-count relation: the unpartitioned window here is
+    # over per-hour totals, never per-event rows
+    hours_before = Window.orderBy("hour_us").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        deltas.groupBy("hour_us")
+        .agg(F.sum("delta").alias("tot"))
+        .select(
+            "hour_us",
+            F.coalesce(F.sum("tot").over(hours_before), F.lit(0)).alias(
+                "prev"
+            ),
+        )
+    )
+    return (
+        deltas.withColumn("run", F.sum("delta").over(in_hour))
+        .join(F.broadcast(offsets), "hour_us")
+        .groupBy("hour_us")
+        .agg(
+            F.max(F.col("run") + F.col("prev")).cast("long").alias(
+                "peak_concurrent"
+            )
+        )
+    )
+
+
+@query(
     "ev_gapfill_daily",
     tags=("events", "timeseries", "gapfill"),
     oracle="""

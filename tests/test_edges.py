@@ -147,6 +147,47 @@ def test_ansi_mode_raises_where_try_family_nulls(spark):
     assert row.a is None and row.b is None and row.c is None and row.d is None
 
 
+def test_peak_concurrency_sweep_semantics(spark, tmp_path):
+    """Pin the sweep-line contract on a crafted fixture: closed
+    intervals (a session TOUCHING another's end counts as concurrent),
+    -1-before-+1 tie ordering, cross-hour sessions carried by the
+    hour-offset decomposition, and hours without transitions absent."""
+    from datetime import datetime
+
+    from parquet_to_sql_spark.queries.events import ev_peak_concurrency
+
+    T = lambda h, m, s=0: datetime(2024, 3, 1, h, m, s)
+    rows = [
+        # u1: one session 10:00-10:10; u2: instant session at 10:05
+        (1, T(10, 0), 1), (2, T(10, 10), 1), (3, T(10, 5), 2),
+        # u3 starts exactly at u1's session end -> closed-interval touch
+        (4, T(10, 10), 3),
+        # u4: session spanning the hour boundary 10:50 -> 11:20
+        (5, T(10, 50), 4), (6, T(11, 10), 4), (7, T(11, 20), 4),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.hour_us: r.peak_concurrent
+        for r in ev_peak_concurrency(spark, str(tmp_path)).collect()
+    }
+
+    def us(dt):
+        epoch = datetime(1970, 1, 1)
+        return int((dt - epoch).total_seconds() * 1_000_000)
+
+    # hour 10: u1+u2 overlap at 10:05 (conc 2); at 10:10 u1 still
+    # active (closed) + u3 starts (conc 2); u4 alone later (conc 1).
+    # hour 11: the only transition is u4's end+1us, where the running
+    # sum (inclusive of the -1) is already 0 — "peak at transition
+    # points", the documented semantics.
+    assert out == {us(T(10, 0)): 2, us(T(11, 0)): 0}
+
+
 def test_udf_iter_quantized_norm_null_and_empty_vectors(spark):
     """NULL and empty embeddings must yield NULL from the SCALAR_ITER
     UDF, matching DuckDB's list_sum NULL propagation (ADVICE r02) —
