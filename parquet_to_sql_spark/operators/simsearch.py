@@ -651,3 +651,107 @@ def pq_adc_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+GRAM_SCALE = 1 << 20  # floor(x * 2^20): exact power-of-two scaling
+
+
+def gram_quantized_upper(
+    df: DataFrame, vec_col: str, scale: int = GRAM_SCALE
+) -> DataFrame:
+    """Upper triangle of the corpus gram matrix sum(q qT) over
+    quantized vectors q = floor(x * scale) — the one-pass sufficient
+    statistic behind PCA / covariance / whitening, made cross-engine
+    EXACT by integer arithmetic (floor of a power-of-two scaling is
+    IEEE-identical everywhere; products and sums are int64).
+
+    Scale shape: the d(d+1)/2 pair expansion happens MAP-SIDE inside
+    one select (posexplode of the row's own array twice — no join, no
+    per-row shuffle), and the single shuffle carries at most
+    d(d+1)/2 * n_partitions combiner rows after partial aggregation:
+    output size is O(d^2), INDEPENDENT of corpus row count.  This is
+    the canonical "big n, small d" reduction — the same shape works
+    for X^T X regression normal equations.
+
+    int64 headroom: |q| <= ~|x|*scale; with unit-ish embeddings and
+    the default scale, per-row products are < 2^46, so ~2^17 billion
+    rows fit before the sum approaches 2^63.  For larger corpora,
+    lower `scale` or re-aggregate per-shard partials in DECIMAL.
+    """
+    qs = df.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("qs")
+    )
+    e1 = qs.select(F.posexplode("qs").alias("i", "qi"), F.col("qs"))
+    e2 = e1.select(
+        "i", "qi", F.posexplode("qs").alias("j", "qj")
+    ).filter(F.col("j") >= F.col("i"))
+    return e2.groupBy("i", "j").agg(
+        F.sum(F.col("qi") * F.col("qj")).alias("q_sum")
+    )
+
+
+def pca_project(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 2
+) -> DataFrame:
+    """Distributed PCA by sufficient statistics: ONE aggregation pass
+    computes n, per-dimension sums, and the d x d gram matrix (all
+    JVM-side fold arithmetic); the d x d covariance eigensolve runs on
+    the DRIVER (trivial for embedding-sized d); the top-k principal
+    directions are broadcast back as literal arrays and every vector
+    is projected with a zip_with fold — no Python UDF anywhere, no
+    iteration over the data.
+
+    This is the standard big-n-small-d PCA decomposition: data passes
+    are O(n d^2 / cores) map-side work + one O(d^2)-row shuffle;
+    driver work is O(d^3) regardless of corpus size.  (For d in the
+    thousands, swap the driver eigensolve for distributed power
+    iteration — out of scope here.)
+
+    Sign convention: each component is flipped so its
+    largest-magnitude coordinate is positive (eigenvector sign is
+    otherwise arbitrary).  Returns (id_col, pc0..pc{k-1}).
+    """
+    import numpy as np
+
+    d = len(df.select(vec_col).first()[0])
+    ex = df.select(F.posexplode(vec_col).alias("i", "x")).select(
+        "i", F.col("x").cast("double").alias("x")
+    )
+    sums = {r["i"]: r["s"] for r in ex.groupBy("i").agg(F.sum("x").alias("s")).collect()}
+    n = df.count()
+    g = gram_quantized_upper(df, vec_col)
+    G = np.zeros((d, d))
+    scale2 = float(GRAM_SCALE) ** 2
+    for r in g.collect():
+        # dequantize: q_sum/scale^2 ~= sum(x_i x_j) (quantization error
+        # O(1/scale) per element — negligible against unit-scale data)
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["q_sum"] / scale2
+    mu = np.array([sums.get(i, 0.0) for i in range(d)]) / n
+    C = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    comps = vecs[:, ::-1][:, :k].T  # top-k rows
+    comps = comps * np.where(
+        comps[np.arange(k), np.abs(comps).argmax(axis=1)] < 0, -1.0, 1.0
+    ).reshape(-1, 1)
+    centered = F.transform(
+        F.col(vec_col), lambda x: x.cast("double")
+    )
+    out_cols = []
+    for c in range(k):
+        w = F.array(*[F.lit(float(v)) for v in comps[c]])
+        mdot = float(mu @ comps[c])
+        proj = (
+            F.aggregate(
+                F.zip_with(centered, w, lambda x, wv: x * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(mdot)
+        )
+        out_cols.append(proj.alias(f"pc{c}"))
+    return df.select(F.col(id_col), *out_cols)

@@ -764,3 +764,45 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= _PQ_CODE_LO) & (F.col("vec_id") < _PQ_CODE_HI)
     ).select("vec_id", "embedding")
     return pq_adc_topk(emb, "vec_id", "embedding", queries, codes, k=_K)
+
+
+@query(
+    "embedding_gram_matrix",
+    tags=("embeddings", "linear-algebra", "llm-pipeline", "scale-path"),
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qs
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, unnest(qs) AS qv,
+             generate_subscripts(qs, 1) - 1 AS i
+      FROM q
+    )
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           CAST(SUM(a.qv * b.qv) AS BIGINT) AS q_sum
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus gram matrix (upper triangle) over quantized embeddings —
+    the one-pass sufficient statistic feeding PCA / covariance /
+    whitening (operators.simsearch.pca_project eigensolves it on the
+    driver).  The d(d+1)/2 pair expansion is map-side (each row
+    posexplodes its OWN array twice — no join), the single shuffle
+    partial-aggregates to at most d^2 rows per map task, and the
+    output is O(d^2) regardless of corpus size.  floor(x * 2^20)
+    quantization makes every product an int64 so the sum is
+    cross-engine exact (the established power-of-two-scaling
+    discipline)."""
+    from parquet_to_sql_spark.operators.simsearch import gram_quantized_upper
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = gram_quantized_upper(emb, "embedding")
+    return g.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("q_sum").cast("long").alias("q_sum"),
+    )

@@ -224,3 +224,38 @@ def test_ivf_recall_on_clustered_data_and_kmeans_rescue(spark):
     # correlate with true clusters — refined 1.0)
     assert r_refined > r_bad, (r_bad, r_refined)
     assert r_refined >= 0.95, (r_bad, r_refined)
+
+
+def test_pca_recovers_planted_subspace(spark):
+    """pca_project must recover a planted 2D subspace: projections
+    correlate >0.99 (up to sign, absorbed by corrcoef's abs) with a
+    numpy SVD reference on the same float32-rounded data, and
+    component variances come out in descending order."""
+    import numpy as np
+
+    from parquet_to_sql_spark.operators.simsearch import pca_project
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 16
+    basis, _ = np.linalg.qr(rng.normal(size=(d, 2)))
+    coef = rng.normal(size=(n, 2)) * np.array([5.0, 2.0])
+    X = coef @ basis.T + rng.normal(size=(n, d)) * 0.05 + rng.normal(size=d)
+    X = X.astype(np.float32).astype(np.float64)  # what Spark stores
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        pca_project(df, "vec_id", "embedding", k=2)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Xc = X - X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    ref = Xc @ Vt[:2].T
+    for c in range(2):
+        got = out[f"pc{c}"].to_numpy()
+        corr = abs(np.corrcoef(got, ref[:, c])[0, 1])
+        assert corr > 0.99, f"pc{c} corr {corr}"
+    assert out["pc0"].var() > out["pc1"].var()
