@@ -625,3 +625,39 @@ def test_xml_source_roundtrip(spark, tmp_path):
     want = {tuple(r) for r in src.collect()}
     got = {tuple(r) for r in back.collect()}
     assert got == want and len(got) > 0
+
+
+def test_gram_matrix_plan_is_joinless_single_shuffle(spark):
+    """The gram matrix must come from the map-side self-pair expansion:
+    no join operator anywhere (each row pairs its OWN array), and the
+    only Exchange is the (i, j) aggregation shuffle — whose row count
+    is bounded by d^2 per map task via partial aggregation."""
+    import re
+
+    from parquet_to_sql_spark.queries.registry import get
+
+    df = get("embedding_gram_matrix").build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "Join" not in plan, "gram expansion must not join"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, "one (i,j) aggregation shuffle expected"
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_peak_concurrency_per_event_windows_are_partitioned(spark):
+    """Sweep-line decomposition contract: every window over PER-EVENT
+    rows is hash-partitioned (user_id for sessionization, hour_us for
+    the in-hour running sum); the single unpartitioned window runs
+    only over the per-hour totals aggregate — bounded by hour count.
+    The offsets join back must be a broadcast, not a shuffle join."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    df = get("ev_peak_concurrency").build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the sole single-partition exchange feeds the per-hour totals
+    # window; per-event windows shuffle on their keys
+    assert plan.count("SinglePartition") <= 2  # exchange node + detail
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(hour_us" in plan
