@@ -71,6 +71,13 @@ def copy_partition(
     ParquetImporter.php:102-113). Returns the number of lines COMMITTED
     (a failed batch raises after rollback, so its lines are not
     counted).
+
+    Retry caveat (inherited from the reference's per-batch-commit
+    contract): if a task dies AFTER some batches committed, Spark's
+    retry re-runs the whole partition and re-COPYs the committed
+    batches — at-least-once. Loads that must survive task retries
+    exactly-once go through write_atomic (ledger-guarded staging) or
+    write_idempotent instead.
     """
     quoted_table = quote_identifier(table)
     col_list = ", ".join(quote_identifier(c) for c in columns)
@@ -257,6 +264,16 @@ class CopySink:
         the swap commits; a failure anywhere leaves the target
         untouched and best-effort drops the staging table.
 
+        TASK-RETRY SAFE: the staging load goes through the
+        write_idempotent ledger (one transaction per partition, COPY +
+        ledger row committed together), so a task that Spark retries
+        after its first attempt committed finds its ledger row and
+        skips — "all-or-nothing" holds on a real cluster where task
+        retries are routine, not just on a single flawless run.  On
+        this path the whole partition is ONE COPY statement, so
+        `timeout_s` bounds the partition, not a batch; the ledger
+        table is dropped inside the swap transaction.
+
         ``suffix`` names the staging table ``<table>_staging_<suffix>``
         so two concurrent atomic loads into the same target don't race
         on one staging name — pass e.g. a job id. Default (None) keeps
@@ -278,10 +295,12 @@ class CopySink:
             conn.commit()
         finally:
             conn.close()
+        qledger = quote_identifier(f"{staging}_applied_batches")
         try:
-            rows = self.write(df, staging, truncate=False)
+            rows = self.write_idempotent(df, staging, batch_id=0)
         except Exception:
             self._drop_staging(qs)
+            self._drop_staging(qledger)
             raise
         conn = self.connection_factory(self.dsn)
         try:
@@ -290,10 +309,12 @@ class CopySink:
             cur.execute(
                 f"ALTER TABLE {qs} RENAME TO {quote_identifier(bare_table)}"
             )
+            cur.execute(f"DROP TABLE IF EXISTS {qledger}")
             conn.commit()
         except Exception as exc:
             conn.rollback()
             self._drop_staging(qs)
+            self._drop_staging(qledger)
             raise RuntimeError(f"atomic swap failed: {exc}") from exc
         finally:
             conn.close()

@@ -411,6 +411,10 @@ class _FileLogConn:
             def execute(self, sql):
                 conn._log("execute", sql)
 
+            def fetchone(self):
+                # ledger lookups: never applied -> writer proceeds
+                return None
+
             def copy(self, sql):
                 conn._log("copy", sql)
 
