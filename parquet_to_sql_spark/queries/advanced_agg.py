@@ -448,3 +448,47 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
     )
     return heavy_hitters_exact(tokens, "tok", capacity=_MG_CAPACITY)
+
+
+@query(
+    "agg_argmax_per_group",
+    tags=("aggregation", "argmax", "scale-path"),
+    oracle="""
+    SELECT n.n_name,
+           c.c_acctbal                  AS best_bal,
+           CAST(c.c_custkey AS BIGINT)  AS best_custkey
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                               ORDER BY c.c_acctbal DESC, c.c_custkey) = 1
+    """,
+)
+def agg_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax WITHOUT a window sort: the richest customer
+    per nation via max(struct(bal, -custkey)) — a single aggregation
+    that partial-aggregates map-side, so the shuffle carries ONE row
+    per (group, map task) instead of every row sorted.  This is the
+    scale pattern for top-1-per-key: a row_number window must shuffle
+    and SORT the full relation; the struct-max needs no sort at all
+    and is skew-immune for the same reason partial sums are.  Tie
+    discipline: highest balance, then lowest custkey (negated inside
+    the struct so lexicographic max == min key).  Struct comparison
+    is field-order lexicographic in both engines; balances are raw
+    source doubles, compared (never recomputed), so cross-engine
+    ordering is exact."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    best = c.groupBy("c_nationkey").agg(
+        F.max(
+            F.struct(
+                F.col("c_acctbal").alias("bal"),
+                (-F.col("c_custkey")).alias("negkey"),
+            )
+        ).alias("b")
+    )
+    return best.join(
+        F.broadcast(n), best["c_nationkey"] == n["n_nationkey"]
+    ).select(
+        "n_name",
+        F.col("b.bal").alias("best_bal"),
+        (-F.col("b.negkey")).cast("long").alias("best_custkey"),
+    )

@@ -286,6 +286,7 @@ def ev_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_peak_concurrency",
+    headline=True,
     tags=("events", "interval-algebra", "sweep-line", "scale-path"),
     oracle="""
     WITH o AS (

@@ -768,6 +768,7 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_gram_matrix",
+    headline=True,
     tags=("embeddings", "linear-algebra", "llm-pipeline", "scale-path"),
     oracle="""
     WITH q AS (
