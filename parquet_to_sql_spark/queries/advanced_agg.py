@@ -492,3 +492,82 @@ def agg_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.bal").alias("best_bal"),
         (-F.col("b.negkey")).cast("long").alias("best_custkey"),
     )
+
+
+@query(
+    "agg_group_ols_price_qty",
+    tags=("aggregation", "regression", "sufficient-statistics", "scale-path"),
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand,
+             CAST(floor(l.l_quantity) AS BIGINT)             AS qx,
+             CAST(floor(l.l_extendedprice * 100.0) AS BIGINT) AS qy
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), g AS (
+      SELECT p_brand, COUNT(*) AS n, SUM(qx) AS sx, SUM(qy) AS sy,
+             SUM(qx * qy) AS sxy, SUM(qx * qx) AS sxx
+      FROM j GROUP BY p_brand
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM g
+    """,
+)
+def agg_group_ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand least-squares fit of extendedprice-cents on quantity —
+    grouped linear regression by NORMAL EQUATIONS over exact integer
+    sufficient statistics (n, Sx, Sy, Sxy, Sxx), the same
+    one-aggregation-pass shape as embedding_gram_matrix but keyed:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).  Everything before the
+    final division is integer/decimal-exact (quantities are integral;
+    prices quantize via floor(y*100), floor of IEEE arithmetic being
+    cross-engine deterministic), sums accumulate in DECIMAL(38,0) so
+    no corpus size overflows them, and slope/intercept are computed by
+    identical double expression trees on both engines.  Scale shape:
+    broadcast part dim, ONE groupBy shuffle with map-side partials —
+    regression over 100 TB costs the same as a sum.  Groups with
+    constant x yield NULL slope (den = 0 guard)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor("l_quantity").cast("long").alias("qx"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0))
+        .cast("long")
+        .alias("qy"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    dec = "decimal(38,0)"
+    g = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("qx").cast(dec)).alias("sx"),
+        F.sum(F.col("qy").cast(dec)).alias("sy"),
+        F.sum((F.col("qx") * F.col("qy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("qx") * F.col("qx")).cast(dec)).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != F.lit(0), num.cast("double") / den.cast("double")
+    )
+    intercept = F.when(
+        den != F.lit(0),
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    return g.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_rows"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
