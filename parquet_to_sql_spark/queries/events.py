@@ -565,3 +565,78 @@ def ev_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return seq.select("user_id", "n_events", ewma.alias("ewma_value"))
+
+
+@query(
+    "ev_time_weighted_avg",
+    tags=("events", "timeseries", "hypertable"),
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS t_us,
+             CAST(floor(value * 100.0) AS BIGINT) AS qv,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt_us
+      FROM events
+    ), seg AS (
+      SELECT user_id, qv, COALESCE(nxt_us - t_us, 0) AS dur_us FROM o
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CASE WHEN SUM(dur_us) > 0
+                THEN CAST(SUM(qv * dur_us) AS DOUBLE)
+                     / CAST(SUM(dur_us) AS DOUBLE) / 100.0
+           END AS twa_value
+    FROM seg GROUP BY user_id
+    """,
+)
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of the value series — the
+    hypertable/monitoring aggregate (TimescaleDB's time_weight with
+    LOCF interpolation): each observation holds until the next one, so
+    its weight is the holding duration, not 1.  A plain AVG
+    over-weights bursts; the TWA is burst-invariant.
+
+    Exactness discipline: values quantize to cents via floor(v*100)
+    (floor of IEEE arithmetic, cross-engine deterministic), durations
+    are integer micros from lead(), and the weighted sum accumulates
+    qv*dur products in DECIMAL(38,0) — nothing inexact until the one
+    final division.  The last observation per user has no successor
+    and weighs 0; single-event users yield NULL (zero total duration).
+
+    Scale shape: one window and one groupBy, BOTH keyed on user_id —
+    Catalyst reuses a single shuffle+sort for the lead() and the
+    aggregation."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("qv"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+    ).select(
+        "user_id",
+        "qv",
+        F.coalesce(F.col("nxt_us") - F.col("t_us"), F.lit(0)).alias(
+            "dur_us"
+        ),
+    )
+    dec = "decimal(38,0)"
+    g = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("qv") * F.col("dur_us")).cast(dec)).alias("wsum"),
+        F.sum(F.col("dur_us").cast(dec)).alias("dsum"),
+    )
+    twa = F.when(
+        F.col("dsum") > F.lit(0),
+        F.col("wsum").cast("double")
+        / F.col("dsum").cast("double")
+        / F.lit(100.0),
+    )
+    return g.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        twa.alias("twa_value"),
+    )
