@@ -22,6 +22,7 @@ from parquet_to_sql_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
     simhash_hamming_pairs,
+    triangle_counts,
 )
 from parquet_to_sql_spark.queries.registry import query
 from parquet_to_sql_spark.queries.text import (
@@ -662,3 +663,64 @@ def dedup_canonical_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k.tier").alias("keep_tier"),
         )
     )
+
+
+@query(
+    "dedup_graph_triangles",
+    tags=("dedup", "graph", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {_duck_simhash_cte(24)},
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band, simhash % 4096 AS bval FROM sh
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash // 4096) % 4096 FROM sh
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                               AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    ),
+    und AS (
+      SELECT doc1 AS u, doc2 AS v FROM pairs
+      UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    deg AS (SELECT u AS x, COUNT(*) AS d FROM und GROUP BY u),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc1 < p.doc2)
+                  THEN p.doc1 ELSE p.doc2 END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc1 < p.doc2)
+                  THEN p.doc2 ELSE p.doc1 END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc1 < p.doc2)
+                  THEN db.d ELSE da.d END AS dd
+      FROM pairs p JOIN deg da ON da.x = p.doc1 JOIN deg db ON db.x = p.doc2
+    ),
+    tri AS (
+      SELECT e1.src AS s, e1.dst AS d1, e2.dst AS d2
+      FROM o e1
+      JOIN o e2 ON e1.src = e2.src
+               AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    verts AS (
+      SELECT s AS doc_id FROM tri
+      UNION ALL SELECT d1 FROM tri
+      UNION ALL SELECT d2 FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM verts GROUP BY doc_id
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate candidate graph (SimHash
+    Hamming-radius-1 edges): vertices in many triangles sit in dense
+    duplicate cliques — template/boilerplate families — whereas
+    bridge-only vertices are likelier false-positive pair hits, so the
+    triangle count is the standard cheap signal for
+    cluster-quality triage before committing to a full closure.
+    Uses the degree-ordered node-iterator (operators.dedup.
+    triangle_counts) whose wedge volume is O(m^1.5) on any degree
+    distribution — see the operator docstring for the 100 TB story."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
+    return triangle_counts(edges, "doc1", "doc2")

@@ -640,3 +640,64 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         twa.alias("twa_value"),
     )
+
+
+@query(
+    "ev_hourly_anomaly_mad",
+    tags=("events", "anomaly", "robust-stats"),
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, 2 * quantile_cont(n_events, 0.5) AS med2
+      FROM hourly GROUP BY event_type
+    ), dev AS (
+      SELECT h.hour_ts, h.event_type, h.n_events,
+             CAST(abs(2 * h.n_events - m.med2) AS BIGINT) AS dev2
+      FROM hourly h JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, 2 * quantile_cont(dev2, 0.5) AS mad4
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.hour_ts, d.event_type,
+           CAST(d.n_events AS BIGINT) AS n_events, d.dev2,
+           (2 * d.dev2 > 3 * m2.mad4) AS is_anomaly
+    FROM dev d JOIN mad m2 USING (event_type)
+    """,
+)
+def ev_hourly_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on hourly event volumes: flag hours
+    whose count deviates from the per-type median by more than 3x the
+    median absolute deviation.  Exactness trick: medians of integers
+    interpolate to halves, so everything is carried doubled
+    (med2 = 2*median, dev2 = 2*|c - med|, mad4 = 4*MAD) and the 3-MAD
+    rule becomes the integer comparison 2*dev2 > 3*mad4 — no float
+    discipline needed.  Scale shape: one shuffle builds the hourly
+    relation; both median passes aggregate the (hours x types) rollup,
+    which is bounded by time-range/cardinality, not by event volume;
+    the per-type stats join back via broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = hourly.groupBy("event_type").agg(
+        (F.lit(2) * F.expr("percentile(n_events, 0.5)")).alias("med2")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "hour_ts",
+        "event_type",
+        "n_events",
+        F.abs(F.lit(2) * F.col("n_events") - F.col("med2")).cast("long").alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.lit(2) * F.expr("percentile(dev2, 0.5)")).alias("mad4")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "hour_ts",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "dev2",
+        (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4")).alias("is_anomaly"),
+    )

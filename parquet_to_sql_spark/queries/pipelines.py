@@ -511,3 +511,36 @@ def pipeline_merge_into_semantics(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("price_cents"),
         "action",
     )
+
+
+@query(
+    "sample_bottom_k",
+    tags=("sampling", "llm-pipeline", "scale-path"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY (l_orderkey * 2654435761 + l_linenumber * 40503) % 2147483647,
+             l_orderkey, l_linenumber
+    LIMIT 500
+    """,
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size uniform sample via bottom-k hashing: keep the 500
+    rows with the smallest deterministic key hash.  Unlike the
+    threshold sample (sample_deterministic), the size is exact; unlike
+    ORDER BY random() the result is reproducible across engines, runs,
+    and repartitioning.  Spark plans this as TakeOrderedAndProject —
+    each partition retains only its local 500, the driver merges
+    k x partitions rows — so no global sort and O(k) memory at any
+    input scale; bottom-k sets also union mergeably (min-wise sketch),
+    which is how incremental slices compose."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber") * F.lit(40503)
+    ) % F.lit(2147483647)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", h.alias("_h"))
+        .orderBy("_h", "l_orderkey", "l_linenumber")
+        .limit(500)
+        .drop("_h")
+    )

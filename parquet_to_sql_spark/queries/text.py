@@ -590,3 +590,118 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.count(F.lit(1))
         ).alias("oov_heavy"),
     )
+
+
+_KW_TERMS = ("spark", "join", "window")
+
+
+def _duck_tf(term: str) -> str:
+    return (
+        "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"x -> x = '{term}'))"
+    )
+
+
+@query(
+    "text_keyword_search",
+    tags=("text-analysis", "retrieval", "llm-pipeline"),
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             CAST({_duck_tf("spark")} AS INT)  AS tf_spark,
+             CAST({_duck_tf("join")} AS INT)   AS tf_join,
+             CAST({_duck_tf("window")} AS INT) AS tf_window
+      FROM documents
+    )
+    SELECT doc_id, tf_spark, tf_join, tf_window,
+           tf_spark + tf_join + tf_window AS score
+    FROM tf
+    WHERE tf_spark > 0 AND tf_join > 0 AND tf_window > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword retrieval ranked by total term
+    frequency — the full-scan scoring shape.  Per-term tf is a
+    row-local higher-order filter over the staged token array (one
+    tokenization per row, zero Python), so the whole query is a single
+    scan + TakeOrderedAndProject: each partition keeps its local
+    top-20, the driver merges k*partitions rows.  At 100 TB the same
+    plan holds (no shuffle of the corpus); when the query workload is
+    many queries rather than one, the inverted-index build
+    (explode + groupBy term) amortizes instead — that shape is
+    exercised by the posting-list machinery in operators.dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_w")
+    )
+    def _eq(term: str):
+        # a 2-arg lambda would be read as (element, index) by Spark's
+        # higher-order filter, so bind the term via a factory instead
+        return lambda x: x == F.lit(term)
+
+    tf = staged.select(
+        "doc_id",
+        *[
+            F.size(F.filter(F.col("_w"), _eq(t))).alias(f"tf_{t}")
+            for t in _KW_TERMS
+        ],
+    )
+    hit = tf.filter(
+        (F.col("tf_spark") > 0) & (F.col("tf_join") > 0) & (F.col("tf_window") > 0)
+    ).withColumn("score", F.col("tf_spark") + F.col("tf_join") + F.col("tf_window"))
+    return hit.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+@query(
+    "text_bpe_pair_merges",
+    tags=("text-analysis", "tokenizer", "llm-pipeline"),
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), v AS (
+      SELECT word, COUNT(*) AS wc
+      FROM w WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word
+    ), p AS (
+      SELECT substr(v.word, CAST(t.i AS INT), 2) AS pair, v.wc
+      FROM v, LATERAL (SELECT unnest(range(1, length(v.word))) AS i) t
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS merge_count
+    FROM p GROUP BY pair
+    ORDER BY merge_count DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration: count adjacent symbol pairs and
+    rank merge candidates — the inner loop of distributed tokenizer
+    training.  The scale trick is corpus->vocab compression FIRST
+    (groupBy word, count): pair expansion then runs over the distinct
+    vocabulary weighted by word counts, so a 100 TB corpus with a
+    10M-type vocabulary does its per-character work on 10M rows, not
+    10^12.  Both aggregations get map-side partial combine; the final
+    top-20 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(word) >= 2 "
+                "THEN transform(sequence(1, length(word)-1), i -> substr(word, i, 2)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(20)
+    )
