@@ -675,13 +675,17 @@ def ev_hourly_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (med2 = 2*median, dev2 = 2*|c - med|, mad4 = 4*MAD) and the 3-MAD
     rule becomes the integer comparison 2*dev2 > 3*mad4 — no float
     discipline needed.  Scale shape: one shuffle builds the hourly
-    relation; both median passes aggregate the (hours x types) rollup,
-    which is bounded by time-range/cardinality, not by event volume;
-    the per-type stats join back via broadcast."""
+    relation, which is then localCheckpoint'd so the raw event table
+    is scanned ONCE (four downstream references would otherwise replay
+    the scan+agg each); both median passes aggregate the
+    (hours x types) rollup, bounded by time-range/cardinality, not by
+    event volume; the per-type stats join back via broadcast."""
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint()
+    )
     med = hourly.groupBy("event_type").agg(
         (F.lit(2) * F.expr("percentile(n_events, 0.5)")).alias("med2")
     )

@@ -661,3 +661,64 @@ def test_peak_concurrency_per_event_windows_are_partitioned(spark):
     assert plan.count("SinglePartition") <= 2  # exchange node + detail
     assert "hashpartitioning(user_id" in plan
     assert "hashpartitioning(hour_us" in plan
+
+
+def test_keyword_search_plan_is_single_stage_topk(spark):
+    """Full-scan retrieval contract: per-term tf is row-local, so the
+    whole query must be scan -> project -> TakeOrderedAndProject with
+    NO shuffle of the corpus (each partition keeps its local top-k)."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("text_keyword_search").build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) Exchange", plan), "corpus must not shuffle"
+
+
+def test_bottom_k_sample_plan_is_take_ordered(spark):
+    """Bottom-k sampling must plan as TakeOrderedAndProject (per-
+    partition top-k, driver merge), never a global Sort + Exchange."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("sample_bottom_k").build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) Exchange", plan)
+    assert not re.search(r"\(\d+\) Sort", plan), "no standalone global sort"
+
+
+def test_bpe_pair_merges_vocab_compression_plan(spark):
+    """BPE pair counting must aggregate corpus->vocab first and then
+    vocab->pairs: exactly two aggregation shuffles, both with map-side
+    partial combine, finishing in TakeOrderedAndProject."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("text_bpe_pair_merges").build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_triangle_counts_plan_is_truncated_and_equi_join_only(spark):
+    """The degree-ordered triangle count references edges/degrees/
+    oriented relations 2-3x each; lineage truncation must keep the
+    final plan from replaying candidate generation per reference
+    (untruncated this plan measured 713 nodes), and every join must be
+    an equi-join AQE can skew-split — never nested-loop/cartesian."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("dedup_graph_triangles").build(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan, "all inputs come from checkpoints"
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    n_nodes = len(re.findall(r"\(\d+\) ", plan))
+    assert n_nodes < 60, f"lineage not truncated: {n_nodes} nodes"
+
+
+def test_mad_anomaly_scans_events_once(spark):
+    """The hourly rollup is localCheckpoint'd, so the final plan reads
+    only the checkpointed RDD (the raw event scan happens exactly once,
+    at checkpoint time) and every stats join-back is a broadcast."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("ev_hourly_anomaly_mad").build(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
