@@ -705,3 +705,41 @@ def ev_hourly_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev2",
         (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4")).alias("is_anomaly"),
     )
+
+
+@query(
+    "ev_value_log2_histogram",
+    tags=("events", "histogram", "scale-path"),
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT CAST(length(bin(cents)) AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT)        AS n_events,
+           MIN(cents)                      AS min_cents,
+           MAX(cents)                      AS max_cents
+    FROM c GROUP BY log2_bucket
+    """,
+)
+def ev_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HdrHistogram-style) value histogram: bucket =
+    position of the highest set bit of the cent-quantized value,
+    computed engine-neutrally as length(bin(x)) — no float log2, so
+    boundary values land in the same bucket on every engine.  Log
+    bucketing gives constant relative error with a fixed, tiny bucket
+    count, which is why it is the standard shape for latency/size
+    distributions at scale: one map-side-combinable aggregation whose
+    state is bounded by ~64 buckets regardless of input volume."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    return (
+        e.select(F.length(F.expr("bin(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))")).alias("log2_bucket"),
+                 cents.alias("cents"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )

@@ -544,3 +544,56 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .drop("_h")
     )
+
+
+@query(
+    "pipeline_incremental_distinct_bitmap",
+    tags=("pipeline", "ivm", "spark4", "scale-path"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pipeline_incremental_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for the IVM-hard aggregate,
+    COUNT(DISTINCT): per-group distinct-customer counts are kept as
+    bucketed bitmaps (fixed-size, associative state), so refreshing
+    the view on new data means merging the stored base bitmaps with
+    the delta's bitmaps via bitmap_or_agg — never rescanning the base.
+    Here the base (o_orderkey % 10 != 0) and delta (% 10 = 0) states
+    are both built in-plan and merged; in production the base state is
+    a stored table and only the delta side is computed.  The merged
+    result is EXACT — the oracle is plain COUNT(DISTINCT) over the
+    full relation — and the shuffle carries fixed-size bitmaps plus
+    one count per (group, slice), independent of input volume."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def state(slice_df):
+        bm = slice_df.groupBy(
+            "o_orderpriority", F.expr("bitmap_bucket_number(o_custkey)").alias("_b")
+        ).agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("_m")
+        )
+        cnt = slice_df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        return bm, cnt
+
+    base_bm, base_cnt = state(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta_bm, delta_cnt = state(orders.filter(F.col("o_orderkey") % 10 == 0))
+
+    merged_bm = (
+        base_bm.unionByName(delta_bm)
+        .groupBy("o_orderpriority", "_b")
+        .agg(F.expr("bitmap_or_agg(_m)").alias("_m"))
+        .groupBy("o_orderpriority")
+        .agg(F.expr("sum(bitmap_count(_m))").alias("nd_customers"))
+    )
+    merged_cnt = (
+        base_cnt.unionByName(delta_cnt)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("_n").alias("n_orders"))
+    )
+    return merged_bm.join(merged_cnt, "o_orderpriority")

@@ -705,3 +705,44 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("merge_count"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_rarity_score",
+    tags=("text-analysis", "quality", "llm-pipeline"),
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), dfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    ), j AS (
+      SELECT t.doc_id, d.df FROM tok t JOIN dfreq d USING (tok)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST((1000000 * SUM(df)) // COUNT(*) AS BIGINT) AS mean_df_ppm
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal: mean corpus document-frequency of
+    a document's tokens (low = rare-token-heavy, often gibberish or
+    highly specialized; high = boilerplate).  The float-free surprisal
+    proxy for LM-quality filtering: mean df is carried as an exact
+    ppm-scaled integer division, so no log-probabilities and no float
+    discipline.  Scale shape: the df table is vocabulary-sized, built
+    with an exact distinct aggregation, then broadcast back onto the
+    token stream — the corpus-sized relation shuffles once (by doc for
+    the final rollup), never by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    j = tok.join(F.broadcast(dfreq), "tok")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("CAST((1000000 * sum(df)) div count(1) AS BIGINT)").alias("mean_df_ppm"),
+    )
