@@ -490,3 +490,60 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(seg_stats.withColumnRenamed("seg", "s_seg")),
         keyed["seg"].eqNullSafe(F.col("s_seg")),
     ).select("c_custkey", "seg", "seg_n", "seg_bal_cents")
+
+
+@query(
+    "join_range_binned",
+    tags=("join", "range-join", "scale-path"),
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS lo,
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               + (s_suppkey % 20 + 1) * 5000 AS hi
+      FROM supplier
+    ), c AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      FROM customer
+    )
+    SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM s JOIN c ON c.x >= s.lo AND c.x < s.hi
+    GROUP BY s_suppkey
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big range join via interval binning: each interval is
+    replicated to the fixed-width bins it overlaps (a 2-3 row
+    explode), each probe value maps to exactly ONE bin, and the match
+    becomes an EQUI-join on the bin id plus an exact containment
+    verify.  This is the scale path join_range_bands cannot take: a
+    broadcast nested-loop is O(n*m) and requires one side to fit in
+    memory, while the binned form shuffles both sides by bin id —
+    hash-partitioned, AQE-skew-splittable, and each probe row joins
+    only its own bin's intervals.  All arithmetic is integer cents, so
+    the oracle is the naive theta join, value-exact."""
+    B = 100_000  # bin width: 1000.00 in cents
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr("CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("lo"),
+        (
+            F.expr("CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            + (F.col("s_suppkey") % 20 + 1) * 5000
+        ).alias("hi"),
+    )
+    ivals = sup.select(
+        "s_suppkey",
+        "lo",
+        "hi",
+        F.explode(F.expr(f"sequence(lo div {B}, hi div {B})")).alias("bin"),
+    )
+    probe = load_table(spark, sf_dir, "customer").select(
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("x")
+    ).withColumn("bin", F.expr(f"x div {B}"))
+    return (
+        ivals.join(probe, "bin")
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

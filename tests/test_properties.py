@@ -332,3 +332,36 @@ def test_containment_matches_sequential_reference(spark, docs):
     }
     want = _containment_reference({i: ws for i, ws in enumerate(docs)})
     assert got == want
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Degree-ordered triangle counting vs brute-force enumeration on
+    random graphs: every vertex's participation count must match the
+    itertools reference exactly."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+                )
+                if a != b
+            }
+        )
+        eset = set(edges)
+        want: dict[int, int] = {}
+        for x, y, z in itertools.combinations(range(n), 3):
+            if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+                for v in (x, y, z):
+                    want[v] = want.get(v, 0) + 1
+
+        from parquet_to_sql_spark.operators.dedup import triangle_counts
+
+        df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+        got = {r.doc_id: r.n_triangles for r in triangle_counts(df).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"

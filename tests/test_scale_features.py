@@ -722,3 +722,15 @@ def test_mad_anomaly_scans_events_once(spark):
     assert "Scan parquet" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_binned_range_join_is_equi_join(spark):
+    """The binned range join must plan as a hash-partitioned EQUI-join
+    on the bin id — never a broadcast nested-loop or cartesian — or it
+    degenerates to the O(n*m) shape it exists to replace."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("join_range_binned").build(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # an actual join happened, on the bin key
+    assert "bin" in plan
