@@ -322,3 +322,53 @@ def udf_iter_quantized_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsum = pandas_udf(body, "long")
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", qsum(F.col("embedding")).alias("qsum"))
+
+
+@query(
+    "udf_arrow_grouped_stats",
+    tags=("python", "grouped-map", "applyInArrow", "spark4"),
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def udf_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow (Spark 4): each segment's rows arrive
+    as a pyarrow.Table — no pandas materialization, so no
+    object-dtype copies and no NaN coercion on the way in.  Money is
+    cent-quantized with pyarrow compute kernels (integer arithmetic
+    end to end), making the result bit-exact vs the SQL oracle.  Same
+    scale shape as applyInPandas (one shuffle on the key, Arrow batch
+    streaming); this pins the zero-copy variant of the escape hatch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cust = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+
+    # NOTE: no inline type hints — under `from __future__ import
+    # annotations` they become strings, which applyInArrow's eval-type
+    # inference chokes on (UnboundLocalError in pyspark 4.1); real
+    # annotation objects are attached below instead.
+    def seg_stats(key, tbl):
+        cents = pc.cast(pc.round(pc.multiply(tbl["c_acctbal"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([key[0].as_py()], pa.string()),
+                "n_customers": pa.array([tbl.num_rows], pa.int64()),
+                "total_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    seg_stats.__annotations__ = {"key": tuple, "tbl": pa.Table, "return": pa.Table}
+
+    return (
+        cust.groupBy("c_mktsegment")
+        .applyInArrow(
+            seg_stats,
+            "c_mktsegment string, n_customers long, total_cents long, max_cents long",
+        )
+    )

@@ -337,3 +337,33 @@ def sql_engine_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"since": "1997-01-01 00:00:00", "status": "O"},
     )
+
+
+@query(
+    "sql_engine_star_except",
+    tags=("sql-surface", "spark4"),
+    oracle="""
+    SELECT * EXCLUDE (c_name, c_mktsegment)
+    FROM customer
+    WHERE c_acctbal < 0
+    """,
+)
+def sql_engine_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(...) + ORDER BY ALL — the wide-table ergonomics
+    surface (DuckDB spells it EXCLUDE).  EXCEPT resolves during
+    analysis to an explicit projection, so column pruning still
+    reaches the scan: the reader materializes only the kept columns.
+    ORDER BY ALL is a total order over every projected column —
+    deterministic output without naming the columns twice."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT * EXCEPT (c_name, c_mktsegment)
+        FROM customer
+        WHERE c_acctbal < 0
+        ORDER BY ALL
+        """
+    )
