@@ -746,3 +746,144 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.expr("CAST((1000000 * sum(df)) div count(1) AS BIGINT)").alias("mean_df_ppm"),
     )
+
+
+@query(
+    "dedup_segment_blocks",
+    tags=("dedup", "text-analysis", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             {DUCK_FOLD.format(s="array_to_string(ws[(i*10+1):(i*10+10)], ' ')")} AS seg_hash
+      FROM w, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+      ) t
+    ), occ AS (
+      SELECT doc_id, seg_hash,
+             COUNT(*) OVER (PARTITION BY seg_hash) AS n_occ
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN n_occ >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+           (2 * SUM(CASE WHEN n_occ >= 3 THEN 1 ELSE 0 END) >= COUNT(*)) AS drop_heavy
+    FROM occ GROUP BY doc_id
+    """,
+)
+def dedup_segment_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal, adapted to block granularity:
+    split each document into non-overlapping 10-word segments, count
+    corpus-wide occurrences of each segment hash, and flag documents
+    where boilerplate segments (appearing >= 3 times corpus-wide)
+    dominate.  Versus shingle/winnowing near-dup this is the EXACT
+    span-dedup pass production corpus cleaning runs first: segments
+    are non-overlapping so the exploded relation is ~n_words/10 rows
+    (not n_words like shingles), the occurrence count is a window over
+    one hash-partitioned shuffle (no join), and the doc rollup reuses
+    the segment rows.  Word-hash composition (one fold per word) keeps
+    map CPU linear in characters."""
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("ws"))
+    segs = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1), "
+                "i -> array_join(slice(ws, i*10 + 1, 10), ' '))"
+            )
+        ).alias("seg"),
+    ).select("doc_id", char_fold_hash(F.col("seg")).alias("seg_hash"))
+    from pyspark.sql import Window
+
+    occ = segs.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("seg_hash"))
+    )
+    dup = F.sum(F.when(F.col("n_occ") >= 3, 1).otherwise(0))
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        dup.alias("n_dup_segs"),
+        (F.lit(2) * dup >= F.count(F.lit(1))).alias("drop_heavy"),
+    )
+
+
+@query(
+    "text_cooccurrence_pmi",
+    tags=("text-analysis", "llm-pipeline"),
+    oracle="""
+    WITH dw AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> regexp_matches(x, '^[a-z]+$')))) AS w
+      FROM documents
+    ), cx AS (
+      SELECT w, COUNT(*) AS c FROM dw GROUP BY w
+    ), p AS (
+      SELECT a.doc_id, a.w AS wa, b.w AS wb
+      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+    ), cxy AS (
+      SELECT wa, wb, COUNT(*) AS cab FROM p GROUP BY wa, wb
+    ), n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT wa, wb, CAST(cab AS BIGINT) AS n_both,
+           CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+           CAST((1000000 * (SELECT nd FROM n) * cab) // (ca.c * cb.c) AS BIGINT)
+             AS pmi_ppm
+    FROM cxy JOIN cx ca ON ca.w = wa JOIN cx cb ON cb.w = wb
+    WHERE cab >= 5
+    ORDER BY pmi_ppm DESC, wa, wb
+    LIMIT 30
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level word co-occurrence with a pointwise-mutual-
+    information ranking — the collocation-mining signal behind phrase
+    detection — kept float-free by scoring PMI's monotone core
+    N*c_xy/(c_x*c_y) as an exact ppm integer division (log is monotone,
+    so the ranking is identical).  Scale shape: pair expansion is
+    ROW-LOCAL over each doc's sorted distinct-word array (no self-join
+    of the token relation), the pair relation aggregates with map-side
+    combine, and the two unigram lookups broadcast the vocabulary-
+    sized count table."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.expr(
+            "array_sort(array_distinct(filter("
+            "transform(split(trim(lower(text)), '\\\\s+'), x -> x), "
+            "x -> x rlike '^[a-z]+$')))"
+        ).alias("aw"),
+    )
+    pairs = dw.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(aw, (x, i) -> "
+                "transform(slice(aw, i + 2, size(aw)), y -> struct(x AS wa, y AS wb))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+    cxy = pairs.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("cab"))
+    cx = (
+        dw.select(F.explode("aw").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        cxy.filter(F.col("cab") >= 5)
+        .join(F.broadcast(cx.select(F.col("w").alias("wa"), F.col("c").alias("n_a"))), "wa")
+        .join(F.broadcast(cx.select(F.col("w").alias("wb"), F.col("c").alias("n_b"))), "wb")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "wa",
+            "wb",
+            F.col("cab").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("CAST((1000000 * nd * cab) div (n_a * n_b) AS BIGINT)").alias("pmi_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ppm"), "wa", "wb").limit(30)
