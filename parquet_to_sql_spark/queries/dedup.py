@@ -667,6 +667,7 @@ def dedup_canonical_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_graph_triangles",
+    headline=True,
     tags=("dedup", "graph", "llm-pipeline", "scale-path"),
     oracle=f"""
     WITH {_duck_simhash_cte(24)},

@@ -750,6 +750,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_segment_blocks",
+    headline=True,
     tags=("dedup", "text-analysis", "llm-pipeline", "scale-path"),
     oracle=f"""
     WITH w AS (
