@@ -743,3 +743,106 @@ def ev_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@query(
+    "ev_gapfill_linear",
+    tags=("events", "timeseries", "gapfill"),
+    oracle="""
+    WITH p AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(value AS DECIMAL(12,2)) AS v0
+      FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+      SELECT user_id, d, CAST(SUM(v0) * 100 AS BIGINT) AS vc
+      FROM p GROUP BY user_id, d
+    ), span AS (
+      SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.d, daily.vc
+      FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+    ), n AS (
+      SELECT user_id, d, vc,
+             last_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id,
+           CAST(epoch_us(d) AS BIGINT) AS day_us,
+           (vc IS NULL) AS is_gap,
+           CASE WHEN vc IS NOT NULL THEN vc * 1000
+                ELSE pv * 1000 + ((nv - pv) * date_diff('day', pd, d) * 1000)
+                     // date_diff('day', pd, nd)
+           END AS interp_milli_cents
+    FROM n
+    """,
+)
+def ev_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with LINEAR interpolation (the hypertable
+    `interpolate()` twin of ev_gapfill_daily's LOCF): missing days get
+    prev + (next - prev) * elapsed/span, carried entirely in integer
+    milli-cents with one integer division — no float arithmetic, so
+    no cross-engine rounding surface at all.  Every gap has both
+    neighbors by construction (the grid spans each user's first..last
+    known day).  Same scale shape as the LOCF variant: map-side grid
+    explode, daily aggregate + two symmetric windows, all on the
+    user_id shuffle key."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)").alias(
+                "vc"
+            )
+        )
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    j = grid.join(daily, ["user_id", "d"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_d = F.when(F.col("vc").isNotNull(), F.col("d"))
+    n = j.select(
+        "user_id",
+        "d",
+        "vc",
+        F.last("vc", ignorenulls=True).over(back).alias("pv"),
+        F.last(known_d, ignorenulls=True).over(back).alias("pd"),
+        F.first("vc", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(known_d, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = F.when(F.col("vc").isNotNull(), F.col("vc") * 1000).otherwise(
+        F.col("pv") * 1000
+        + F.expr("((nv - pv) * datediff(d, pd) * 1000) div datediff(nd, pd)")
+    )
+    return n.select(
+        "user_id",
+        F.unix_micros(F.col("d")).alias("day_us"),
+        F.col("vc").isNull().alias("is_gap"),
+        interp.alias("interp_milli_cents"),
+    )
