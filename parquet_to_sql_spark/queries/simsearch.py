@@ -807,3 +807,71 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("j"),
         F.col("q_sum").cast("long").alias("q_sum"),
     )
+
+
+@query(
+    "simsearch_knn_classify",
+    tags=("simsearch", "embeddings", "knn", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, ve AS qv, label AS qlabel
+          FROM v WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, ve, label FROM v WHERE vec_id % 100 != 0),
+    scored AS (
+      SELECT q.qid, q.qlabel, c.vec_id AS cid, c.label,
+             {_DUCK_COS_AB.format(a="qv", b="ve")} AS cosine
+      FROM q JOIN c ON true
+    ),
+    ranked AS (
+      SELECT qid, qlabel, cid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT qid, qlabel, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM ranked WHERE rank <= 7
+      GROUP BY qid, qlabel, label
+    )
+    SELECT qid AS query_id, CAST(qlabel AS INT) AS true_label,
+           CAST(label AS INT) AS predicted_label, votes
+    FROM votes
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) = 1
+    """,
+)
+def simsearch_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction — the retrieval end-use: each held-out
+    vector (vec_id % 100 = 0) takes a majority vote over its 7 exact
+    cosine neighbors in the labeled corpus, ties to the smallest
+    label via the sortless argmax pattern (max over (votes, -label)
+    structs, map-side combinable).  Scale shape: the query side
+    broadcasts (cosine_topk — corpus never shuffles), the tiny
+    neighbor list broadcasts back onto the corpus for label lookup,
+    and the vote argmax is one partial-aggregated groupBy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    nn = cosine_topk(corpus, "vec_id", "embedding", queries, k=7)
+    labels = corpus.select(F.col("vec_id").alias("neighbor_id"), "label")
+    voted = (
+        F.broadcast(nn)
+        .join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = (
+        voted.groupBy("query_id")
+        .agg(F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl"))).alias("m"))
+        .select(
+            "query_id",
+            (-F.col("m.nl")).cast("int").alias("predicted_label"),
+            F.col("m.votes").alias("votes"),
+        )
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("int").alias("true_label")
+    )
+    return best.join(F.broadcast(truth), "query_id").select(
+        "query_id", "true_label", "predicted_label", "votes"
+    )
