@@ -577,3 +577,27 @@ def test_avro_source_roundtrip_all_types(spark, tmp_path):
     assert ddl["props"] == "map<string,bigint>" and ddl["blob"] == "binary"
     assert ddl["d"] == "date" and ddl["ts"] == "timestamp_ntz"
     assert ddl["nested"] == "struct<x:int,y:double>"
+
+
+def test_insert_sql_literal_branches():
+    """Literal rendering for the live INSERT fallback: every branch,
+    including the ones a round-trip test can't pin (NaN/Infinity
+    spellings, memoryview, quote doubling)."""
+    import math
+    from decimal import Decimal
+
+    from parquet_to_sql_spark.sinks.insert_pg import sql_literal
+
+    assert sql_literal(None) == "NULL"
+    assert sql_literal(True) == "TRUE" and sql_literal(False) == "FALSE"
+    assert sql_literal(42) == "42"
+    assert sql_literal(Decimal("12345.67")) == "12345.67"
+    assert sql_literal(2.5) == "2.5"
+    assert sql_literal(float("nan")) == "'NaN'"
+    assert sql_literal(float("inf")) == "'Infinity'"
+    assert sql_literal(float("-inf")) == "'-Infinity'"
+    assert sql_literal(b"\x00A") == "'\\x0041'"
+    assert sql_literal(memoryview(b"\xff")) == "'\\xff'"
+    assert sql_literal("it's") == "'it''s'"
+    # backslashes stay literal under standard_conforming_strings
+    assert sql_literal("a\\b") == "'a\\b'"
