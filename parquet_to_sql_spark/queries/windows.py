@@ -246,3 +246,92 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break keeps it total-ordered; only the IGNORE NULLS placement
     differs between the dialects."""
     return _sql(spark, sf_dir, _IGNORE_NULLS_SPARK, ("events",))
+
+
+_RUNNING_MEDIAN_BODY = """
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+) t
+"""
+
+
+@query(
+    "window_running_median",
+    tags=("window", "robust-stats"),
+    oracle=f"""
+    SELECT event_id, user_id,
+           quantile_cont(cents, 0.5) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS UNBOUNDED PRECEDING) AS running_median_cents
+    {_RUNNING_MEDIAN_BODY.replace("ts,", "CAST(ts AS TIMESTAMP) AS ts,")}
+    """,
+)
+def window_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running median of purchase value per user — an exact
+    order-statistic as a window aggregate (Spark `percentile` /
+    DuckDB `quantile_cont` share the (n-1)p interpolation, and cents
+    are integers, so the halves interpolate bit-identically).  The
+    window orders by (ts, event_id) for determinism under duplicate
+    timestamps and stays hash-partitioned on user_id."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT event_id, user_id,
+               percentile(cents, 0.5) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS running_median_cents
+        {_RUNNING_MEDIAN_BODY}
+        """,
+        ("events",),
+    )
+
+
+@query(
+    "window_running_distinct",
+    tags=("window",),
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user — DISTINCT isn't
+    allowed in window frames in either engine, so it decomposes into
+    the standard exact rewrite: a first-occurrence flag (row_number
+    over the (user, type) key) followed by a running sum.  Both
+    windows shuffle on the same user_id key (the type ranking
+    partitions by a superset key, so no extra exchange at scale)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH flagged AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS first_seen
+          FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(SUM(first_seen) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+        FROM flagged
+        """,
+        ("events",),
+    )
