@@ -855,3 +855,43 @@ def triangle_counts(edges: DataFrame, a: str = "doc1", b: str = "doc2") -> DataF
     tri = wedges.join(closing, ["d1", "d2"]).select("s", "d1", "d2")
     verts = tri.select(F.explode(F.array("s", "d1", "d2")).alias("doc_id"))
     return verts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_int(
+    edges: DataFrame,
+    a: str = "doc1",
+    b: str = "doc2",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point-integer PageRank over an undirected edge list —
+    every arithmetic step is BIGINT (contribution = score div degree,
+    damping = 150000 + (85 * inflow) div 100), so the result is
+    deterministic and cross-engine exact: no float accumulation order
+    to worry about, and a DuckDB oracle can unroll the same
+    iterations.  Scores are scaled by `scale` per node (the "*N"
+    PageRank variant: base rank (1-d)*scale instead of (1-d)/N).
+
+    Scale shape per iteration: one equi-join (scores onto the
+    degree-annotated edge list, shuffle on the source key) and one
+    groupBy-sum (shuffle on the destination key) — the same two
+    shuffles as hash-min connected components; localCheckpoint per
+    iteration truncates lineage so plans stay flat.  Undirected input
+    means no dangling nodes (every vertex has in-edges).
+    """
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    rel = und.join(deg, "u").localCheckpoint()  # (u, v, d) — built once
+    scores = deg.select(F.col("u").alias("node"), F.lit(scale).cast("long").alias("score"))
+    base = (scale * 15) // 100
+    for _ in range(iterations):
+        contrib = rel.join(
+            scores.select(F.col("node").alias("u"), "score"), "u"
+        ).select(F.col("v").alias("node"), F.expr("score div d").alias("c"))
+        scores = (
+            contrib.groupBy("node")
+            .agg(F.expr(f"{base} + (85 * sum(c)) div 100").alias("score"))
+            .localCheckpoint()
+        )
+    return scores.select("node", F.col("score").cast("long").alias("pr_scaled"))

@@ -725,3 +725,57 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
     return triangle_counts(edges, "doc1", "doc2")
+
+
+@query(
+    "dedup_graph_pagerank",
+    tags=("dedup", "graph", "iterative", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {_duck_simhash_cte(24)},
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band, simhash % 4096 AS bval FROM sh
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash // 4096) % 4096 FROM sh
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                               AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    ),
+    und AS (
+      SELECT doc1 AS u, doc2 AS v FROM pairs
+      UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    deg AS (SELECT u AS x, COUNT(*) AS d FROM und GROUP BY u),
+    rel AS (SELECT und.u, und.v, deg.d FROM und JOIN deg ON deg.x = und.u),
+    s0 AS (SELECT x AS node, CAST(1000000 AS BIGINT) AS score FROM deg),
+    i1 AS (
+      SELECT e.v AS node, 150000 + (85 * SUM(s.score // e.d)) // 100 AS score
+      FROM rel e JOIN s0 s ON s.node = e.u GROUP BY e.v
+    ),
+    i2 AS (
+      SELECT e.v AS node, 150000 + (85 * SUM(s.score // e.d)) // 100 AS score
+      FROM rel e JOIN i1 s ON s.node = e.u GROUP BY e.v
+    ),
+    i3 AS (
+      SELECT e.v AS node, 150000 + (85 * SUM(s.score // e.d)) // 100 AS score
+      FROM rel e JOIN i2 s ON s.node = e.u GROUP BY e.v
+    )
+    SELECT node, CAST(score AS BIGINT) AS pr_scaled FROM i3
+    """,
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of the near-duplicate candidate graph (3
+    damped iterations, d=0.85): high-rank documents are the hubs of
+    boilerplate families — the ones whose removal or canonicalization
+    collapses the most duplication.  All arithmetic is fixed-point
+    BIGINT (operators.dedup.pagerank_int), so the iterative algorithm
+    is value-exact against a DuckDB oracle that unrolls the same three
+    iterations — the pattern that makes iterative graph analytics
+    testable cross-engine at all."""
+    from parquet_to_sql_spark.operators.dedup import pagerank_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
+    return pagerank_int(edges, "doc1", "doc2", iterations=3)

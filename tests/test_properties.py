@@ -365,3 +365,38 @@ def test_triangle_counts_matches_bruteforce(spark):
         df = spark.createDataFrame(edges, "doc1 long, doc2 long")
         got = {r.doc_id: r.n_triangles for r in triangle_counts(df).collect()}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_pagerank_int_matches_sequential_reference(spark):
+    """Fixed-point PageRank vs a sequential integer reference on a
+    random graph: identical BIGINT arithmetic must yield identical
+    scores (that determinism is the operator's whole contract)."""
+    import random
+
+    rng = random.Random(11)
+    n = 25
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(80))
+            if a != b
+        }
+    )
+    adj: dict[int, list[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    scores = {v: 1_000_000 for v in adj}
+    for _ in range(3):
+        inflow: dict[int, int] = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            c = scores[u] // len(nbrs)
+            for v in nbrs:
+                inflow[v] += c
+        scores = {v: 150_000 + (85 * s) // 100 for v, s in inflow.items()}
+
+    from parquet_to_sql_spark.operators.dedup import pagerank_int
+
+    df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    got = {r.node: r.pr_scaled for r in pagerank_int(df, iterations=3).collect()}
+    assert got == scores
