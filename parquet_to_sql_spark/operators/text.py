@@ -481,3 +481,35 @@ def contamination_screen(
         F.explode("_hs").alias("h"),
     )
     return sh.join(index, "h").select(id_col, "n_shingles", "h")
+
+
+def keyword_hits(
+    df: DataFrame, id_col: str, text_col: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """Conjunctive keyword matcher: per-term frequencies as row-local
+    higher-order filters over one staged token array, keeping only
+    rows containing EVERY term, with an integer tf-sum score.
+
+    Stateless projection + filter — no shuffle, no aggregation state —
+    which is exactly why the same function serves the batch retrieval
+    query (text_keyword_search adds top-k) and the streaming content
+    screen (streaming.pipeline.keyword_screen_stream) unchanged.
+    """
+    staged = df.select(id_col, ws_tokens(F.lower(F.col(text_col))).alias("_w"))
+
+    def _eq(term: str):
+        # a 2-arg lambda would be read as (element, index) by Spark's
+        # higher-order filter, so bind the term via a factory
+        return lambda x: x == F.lit(term)
+
+    tf = staged.select(
+        id_col,
+        *[F.size(F.filter(F.col("_w"), _eq(t))).alias(f"tf_{t}") for t in terms],
+    )
+    cond = None
+    score = None
+    for t in terms:
+        c = F.col(f"tf_{t}")
+        cond = (c > 0) if cond is None else (cond & (c > 0))
+        score = c if score is None else (score + c)
+    return tf.filter(cond).withColumn("score", score)

@@ -632,25 +632,10 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     many queries rather than one, the inverted-index build
     (explode + groupBy term) amortizes instead — that shape is
     exercised by the posting-list machinery in operators.dedup."""
-    docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_w")
-    )
-    def _eq(term: str):
-        # a 2-arg lambda would be read as (element, index) by Spark's
-        # higher-order filter, so bind the term via a factory instead
-        return lambda x: x == F.lit(term)
+    from parquet_to_sql_spark.operators.text import keyword_hits
 
-    tf = staged.select(
-        "doc_id",
-        *[
-            F.size(F.filter(F.col("_w"), _eq(t))).alias(f"tf_{t}")
-            for t in _KW_TERMS
-        ],
-    )
-    hit = tf.filter(
-        (F.col("tf_spark") > 0) & (F.col("tf_join") > 0) & (F.col("tf_window") > 0)
-    ).withColumn("score", F.col("tf_spark") + F.col("tf_join") + F.col("tf_window"))
+    docs = load_table(spark, sf_dir, "documents")
+    hit = keyword_hits(docs, "doc_id", "text", _KW_TERMS)
     return hit.orderBy(F.desc("score"), "doc_id").limit(20)
 
 

@@ -424,3 +424,18 @@ def contamination_screen_stream(
     from parquet_to_sql_spark.operators.text import contamination_screen
 
     return contamination_screen(stream_docs, bench_index, "doc_id", "text", n=n)
+
+
+def keyword_screen_stream(
+    stream_docs: DataFrame, terms: tuple[str, ...] = ("spark", "join", "window")
+) -> DataFrame:
+    """Streaming content screen: emit arriving documents that contain
+    EVERY watch term, with per-term frequencies and a score — the
+    alerting/routing shape of conjunctive retrieval.  Entirely
+    stateless (row-local token filters, no watermark, no state store),
+    so it appends at ingest rate; the batch twin is the filter stage
+    of the oracle-checked text_keyword_search (same operator
+    function, operators.text.keyword_hits)."""
+    from parquet_to_sql_spark.operators.text import keyword_hits
+
+    return keyword_hits(stream_docs, "doc_id", "text", terms)

@@ -732,3 +732,31 @@ def test_streaming_contamination_screen_matches_batch(spark, tmp_path):
         .collect()
     }
     assert rolled == gate
+
+
+def test_streaming_keyword_screen_matches_batch(spark, tmp_path):
+    """The streaming keyword screen must emit exactly the rows of the
+    batch keyword query's filter stage (same keyword_hits operator,
+    stateless, append mode)."""
+    import shutil as _sh
+
+    from parquet_to_sql_spark.operators.text import keyword_hits
+    from parquet_to_sql_spark.streaming import (
+        documents_stream,
+        keyword_screen_stream,
+    )
+
+    d = str(tmp_path / "docs_kw")
+    os.makedirs(d)
+    _sh.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"), os.path.join(d, "part0.parquet")
+    )
+    stream = documents_stream(spark, d)
+    run_to_memory(keyword_screen_stream(stream), "kw_out", "append")
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM kw_out").collect())
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = sorted(
+        tuple(r)
+        for r in keyword_hits(docs, "doc_id", "text", ("spark", "join", "window")).collect()
+    )
+    assert got == want and len(got) > 0
