@@ -547,3 +547,52 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "join_asof_forward",
+    tags=("join", "asof-join"),
+    oracle="""
+    SELECT e.event_id,
+           p.event_id AS purchase_event_id,
+           CAST(e.ts AS TIMESTAMP) AS ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every event, the EARLIEST purchase by
+    the same user at-or-after it — the "next fill after the order"
+    direction trading systems pair with the backward variant.  Same
+    single-shuffle union-and-window formulation as
+    join_asof_purchases, with the window mirrored (first() over the
+    forward frame; purchases sort after events at equal ts so
+    'at-or-after' stays inclusive)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id", "ts", F.col("event_id"), F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"), F.lit(0).alias("side"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"),
+        F.lit(1).alias("side"),
+    )
+    # side=1 sorts after side=0 at equal ts => "at-or-after" inclusive
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).select(
+        "event_id",
+        F.first("p_id", ignorenulls=True).over(w).alias("purchase_event_id"),
+        "ts",
+        F.first("p_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+        "side",
+    )
+    return merged.filter(
+        (F.col("side") == 0) & F.col("purchase_event_id").isNotNull()
+    ).drop("side")

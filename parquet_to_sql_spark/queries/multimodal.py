@@ -206,3 +206,95 @@ def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     packed = _packed_docs(spark, sf_dir)
     return resize_image_features(packed, out_w=8, out_h=8, fake=True)
+
+
+_AH_N = 48  # bytes hashed -> 48-bit sketch (2x24-bit bands, radius 1)
+
+
+@query(
+    "multimodal_ahash_neardup",
+    tags=("multimodal", "dedup", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, least(length(text), {_AH_N}) + 1),
+               i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS ba
+      FROM documents WHERE length(text) > 0
+    ), m AS (
+      SELECT doc_id, ba,
+             list_reduce(ba, (a, x) -> a + x) // len(ba) AS mu
+      FROM b
+    ), h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(
+                 range(1, len(ba) + 1),
+                 i -> CASE WHEN ba[CAST(i AS INT)] > mu
+                           THEN (CAST(1 AS BIGINT) << (i - 1))
+                           ELSE CAST(0 AS BIGINT) END),
+               (a, x) -> a + x) AS ahash
+      FROM m
+    ), bands AS (
+      SELECT doc_id, ahash, 0 AS band, ahash % 16777216 AS bval FROM h
+      UNION ALL
+      SELECT doc_id, ahash, 1, (ahash // 16777216) % 16777216 FROM h
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                             AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+    """,
+)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-dup over binary payload bytes: an
+    average-hash (aHash) sketch — bit i set when byte i exceeds the
+    payload's mean byte — with candidate pairs from the same 2-band
+    pigeonhole join the text SimHash family uses, exact-verified by
+    popcount.  This is the multimodal analogue of content dedup:
+    byte-level, decoder-free, works on any media payload.  The
+    payload here is the document's bytes (the fixture's asset
+    convention; ASCII, so codepoint slices == byte slices — the same
+    equivalence the decode oracles rely on).  Row-local sketching,
+    one equality join, zero all-pairs work."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    b = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, int(least(length(text), {_AH_N}))), "
+            "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))"
+        ).alias("ba"),
+    )
+    m = b.select(
+        "doc_id",
+        "ba",
+        F.expr("aggregate(ba, CAST(0 AS BIGINT), (a, x) -> a + x) div size(ba)").alias("mu"),
+    )
+    h = m.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(ba, (x, i) -> "
+            "IF(x > mu, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("ahash"),
+    ).localCheckpoint()  # referenced by 2 band slices x 2 join sides
+    mask = (1 << 24) - 1
+    slices = [
+        h.select(
+            F.col("doc_id").alias("doc"), "ahash", F.lit(bi).alias("band"),
+            F.shiftright(F.col("ahash"), bi * 24).bitwiseAND(F.lit(mask)).alias("bval"),
+        )
+        for bi in range(2)
+    ]
+    exploded = slices[0].unionByName(slices[1])
+    a = exploded.select(F.col("doc").alias("doc1"), F.col("ahash").alias("h1"), "band", "bval")
+    bb = exploded.select(F.col("doc").alias("doc2"), F.col("ahash").alias("h2"), "band", "bval")
+    return (
+        a.join(bb, ["band", "bval"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int"))
+        .filter(F.col("hamming") <= 1)
+        .select("doc1", "doc2", "hamming")
+        .distinct()
+    )
