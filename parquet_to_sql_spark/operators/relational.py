@@ -37,3 +37,39 @@ def salted_join(
     replicated_small = small.select("*", salts)
     out = salted_big.join(replicated_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def binned_range_join(
+    intervals: DataFrame,
+    probes: DataFrame,
+    lo: str = "lo",
+    hi: str = "hi",
+    x: str = "x",
+    bin_width: int = 100_000,
+) -> DataFrame:
+    """Big-big range join by interval binning: each [lo, hi) interval
+    row is replicated to every fixed-width bin it can overlap, each
+    probe maps to exactly ONE bin, and the match becomes an EQUI-join
+    on the bin id plus the exact containment verify ``lo <= x < hi``.
+
+    Works for negative values too: both sides bin with the same
+    truncating integer division, which is monotone in its argument, so
+    ``sequence(lo div W, hi div W)`` covers (a superset of) every bin
+    a contained probe can map to; the verify filter discards the
+    slack.  Versus a broadcast nested-loop this shuffles both sides by
+    bin id — hash-partitioned and AQE-skew-splittable — and each probe
+    row meets only its own bin's intervals.  Replication factor is
+    ``(hi-lo)/bin_width + 2`` per interval, so pick the width near the
+    typical interval length.
+
+    Returns every (interval columns..., x) match row.
+    """
+    ivals = intervals.withColumn(
+        "_bin", F.explode(F.expr(f"sequence({lo} div {bin_width}, {hi} div {bin_width})"))
+    )
+    p = probes.withColumn("_bin", F.expr(f"{x} div {bin_width}"))
+    return (
+        ivals.join(p, "_bin")
+        .filter((F.col(x) >= F.col(lo)) & (F.col(x) < F.col(hi)))
+        .drop("_bin")
+    )

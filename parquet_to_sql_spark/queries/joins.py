@@ -532,18 +532,13 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("s_suppkey") % 20 + 1) * 5000
         ).alias("hi"),
     )
-    ivals = sup.select(
-        "s_suppkey",
-        "lo",
-        "hi",
-        F.explode(F.expr(f"sequence(lo div {B}, hi div {B})")).alias("bin"),
-    )
+    from parquet_to_sql_spark.operators.relational import binned_range_join
+
     probe = load_table(spark, sf_dir, "customer").select(
         F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("x")
-    ).withColumn("bin", F.expr(f"x div {B}"))
+    )
     return (
-        ivals.join(probe, "bin")
-        .filter((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        binned_range_join(sup, probe, bin_width=B)
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )

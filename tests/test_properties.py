@@ -400,3 +400,34 @@ def test_pagerank_int_matches_sequential_reference(spark):
     df = spark.createDataFrame(edges, "doc1 long, doc2 long")
     got = {r.node: r.pr_scaled for r in pagerank_int(df, iterations=3).collect()}
     assert got == scores
+
+
+def test_binned_range_join_matches_bruteforce(spark):
+    """Interval binning vs brute force on random integer intervals,
+    including negative bounds and spans crossing zero (the truncating
+    div's non-floor behavior near zero is the edge the bin-coverage
+    superset argument must survive)."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(3):
+        ivals = [
+            (i, lo, lo + rng.randrange(0, 250))
+            for i, lo in enumerate(rng.randrange(-300, 300) for _ in range(40))
+        ]
+        probes = [(rng.randrange(-350, 350),) for _ in range(120)]
+        want = sorted(
+            (i, x)
+            for (i, lo, hi) in ivals
+            for (x,) in probes
+            if lo <= x < hi
+        )
+        from parquet_to_sql_spark.operators.relational import binned_range_join
+
+        idf = spark.createDataFrame(ivals, "iid long, lo long, hi long")
+        pdf = spark.createDataFrame(probes, "x long")
+        got = sorted(
+            (r.iid, r.x)
+            for r in binned_range_join(idf, pdf, bin_width=100).collect()
+        )
+        assert got == want, f"trial {trial}"
