@@ -106,6 +106,14 @@ def build_sink(cfg: EngineConfig):
         return CopySink(
             cfg.connection, batch_size=cfg.batch_size, timeout_s=cfg.copy_timeout
         )
+    if cfg.sink == "pg":
+        # runtime capability probe: COPY when available, bulk INSERT
+        # otherwise (ParquetImporter.php:98 parity)
+        from parquet_to_sql_spark.sinks.insert_pg import choose_sink
+
+        return choose_sink(
+            cfg.connection, batch_size=cfg.batch_size, timeout_s=cfg.copy_timeout
+        )
     from parquet_to_sql_spark.sinks.jdbc import JdbcSink
 
     return JdbcSink(cfg.connection, batch_size=cfg.batch_size)
