@@ -846,3 +846,106 @@ def ev_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vc").isNull().alias("is_gap"),
         interp.alias("interp_milli_cents"),
     )
+
+
+@query(
+    "ev_funnel_three_step",
+    tags=("events", "funnel"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM e GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'view' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_then_view,
+           CAST(SUM(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_then_purchase
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def ev_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (signup -> view -> purchase, each
+    step strictly after the previous completion): step k's earliest
+    qualifying time comes from one aggregation constrained by step
+    k-1's result — a chain of per-user aggregates and joins, all on
+    the user_id shuffle key, so the whole funnel reuses ONE
+    partitioning however many steps it has.  Timestamps compare
+    exactly (integer micros), so the funnel counts carry no float
+    surface."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1.filter(F.col("t1").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    j = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_signup"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_then_view"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n_then_purchase"),
+    )
+
+
+@query(
+    "ev_sliding_distinct_users",
+    tags=("events", "window-agg", "distinct"),
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b30,
+             user_id
+      FROM events
+    ), cand AS (
+      SELECT b30 AS window_start, user_id FROM b
+      UNION ALL
+      SELECT b30 - INTERVAL '30 minutes', user_id FROM b
+    )
+    SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM cand GROUP BY window_start
+    """,
+)
+def ev_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per sliding window (1 h length, 30 min
+    slide) — the two-level-aggregation shape for distinct counts over
+    overlapping windows: dedupe (window, user) first (each user
+    contributes once per window however many events they have), then
+    count per window.  The first level carries the map-side combine;
+    replication factor is windows-per-event (2), never event volume."""
+    e = load_table(spark, sf_dir, "events")
+    wu = (
+        e.select(F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id")
+        .select(F.col("w.start").alias("window_start"), "user_id")
+        .distinct()
+    )
+    return wu.groupBy("window_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -597,3 +597,37 @@ def pipeline_incremental_distinct_bitmap(spark: SparkSession, sf_dir: str) -> Da
         .agg(F.sum("_n").alias("n_orders"))
     )
     return merged_bm.join(merged_cnt, "o_orderpriority")
+
+
+@query(
+    "pipeline_dataset_card",
+    tags=("pipeline", "llm-pipeline", "profiling"),
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST((1000000 * SUM(CAST(n_chars AS BIGINT))) // COUNT(*) AS BIGINT)
+             AS mean_chars_ppm,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups
+    FROM documents GROUP BY source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary — the numbers a corpus release
+    documents: volume, mean document length (exact ppm integer), code
+    diversity (distinct languages) and exact-duplicate mass (rows
+    minus distinct texts) — ONE declarative aggregation pass, so at
+    100 TB it is a single shuffle on source with map-side partials
+    (the distinct aggregates rewrite to expand/partial under the
+    hood), never N driver-side queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("CAST((1000000 * sum(CAST(n_chars AS BIGINT))) div count(1) AS BIGINT)").alias(
+            "mean_chars_ppm"
+        ),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
+    )
