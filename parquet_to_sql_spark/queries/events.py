@@ -949,3 +949,41 @@ def ev_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wu.groupBy("window_start").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@query(
+    "ev_bitmap_rollup_weekly_users",
+    tags=("events", "distinct", "spark4", "scale-path"),
+    oracle="""
+    SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week_ts,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS weekly_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY week_ts
+    """,
+)
+def ev_bitmap_rollup_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users by MERGING daily bitmap states — the
+    materialized-rollup shape for range distinct counts: per
+    (day, bucket) user bitmaps are the stored daily aggregate, and
+    any coarser period (here ISO week) is an associative bitmap_or_agg
+    merge of its days — exact, so the oracle is plain
+    COUNT(DISTINCT).  In production the daily states are a table
+    maintained incrementally (see pipeline_incremental_distinct_
+    bitmap); a year-to-date query then merges 365 fixed-size states
+    instead of rescanning a year of raw events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.expr("bitmap_bucket_number(user_id)").alias("_b"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    weekly = (
+        daily.groupBy(F.date_trunc("week", F.col("day_ts")).alias("week_ts"), "_b")
+        .agg(F.expr("bitmap_or_agg(_m)").alias("_m"), F.sum("_n").alias("_n"))
+    )
+    return weekly.groupBy("week_ts").agg(
+        F.expr("sum(bitmap_count(_m))").alias("weekly_users"),
+        F.sum("_n").alias("n_events"),
+    )
