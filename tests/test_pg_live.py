@@ -449,3 +449,42 @@ def test_choose_sink_capability_detection_live(spark, pg_dsn):
     assert _exec(pg_dsn, "SELECT k::text, v FROM cap_fb ORDER BY k") == [
         ("1", "a"), ("2", "b"),
     ]
+
+
+def test_insert_literal_roundtrip_property(pg_dsn):
+    """Property: any Unicode string (minus NUL, which Postgres text
+    cannot store) survives sql_literal -> INSERT -> SELECT unchanged.
+    Runs against the live server through the wire client, no Spark."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from parquet_to_sql_spark.sinks.insert_pg import sql_literal
+
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS lit_prop",
+        "CREATE TABLE lit_prop (i int, s text)",
+    )
+
+    texts = st.text(
+        alphabet=st.characters(
+            blacklist_characters="\x00", blacklist_categories=("Cs",)
+        ),
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(texts, min_size=1, max_size=5))
+    def check(vals):
+        _exec(pg_dsn, "TRUNCATE TABLE lit_prop")
+        stmt = "INSERT INTO lit_prop (i, s) VALUES " + ", ".join(
+            f"({i}, {sql_literal(v)})" for i, v in enumerate(vals)
+        )
+        _exec(pg_dsn, stmt)
+        rows = _exec(pg_dsn, "SELECT i::text, s FROM lit_prop ORDER BY i::int")
+        assert [r[1] for r in rows] == vals
+
+    check()
