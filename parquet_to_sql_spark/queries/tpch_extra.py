@@ -423,3 +423,45 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-partitioned on the same key as the main join, so AQE
     stacks them without extra exchanges."""
     return _sql(spark, sf_dir, _Q21, ("supplier", "lineitem", "orders", "nation"))
+
+
+@query(
+    "sub_relational_division",
+    tags=("subquery", "division"),
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT DISTINCT o_orderpriority AS pr FROM orders) p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c_custkey AND o.o_orderpriority = p.pr
+      )
+    )
+    """,
+)
+def sub_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — customers with orders in EVERY priority
+    class — in its classic double-NOT-EXISTS form on the oracle side,
+    and as the scalable count-matching rewrite on the Spark side: a
+    distinct-count per customer equi-compared against the (broadcast)
+    1-row universe count.  The rewrite is the 100 TB formulation:
+    two aggregations and one broadcast instead of a nested correlated
+    anti-join per candidate row."""
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    universe = orders.agg(
+        F.countDistinct("o_orderpriority").alias("n_all")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_pr")
+    )
+    full = per_cust.crossJoin(F.broadcast(universe)).filter(
+        F.col("n_pr") == F.col("n_all")
+    )
+    return (
+        cust.join(full, cust.c_custkey == full.o_custkey)
+        .select("c_custkey", "c_name")
+    )
