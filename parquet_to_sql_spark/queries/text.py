@@ -873,3 +873,64 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi_ppm"), "wa", "wb").limit(30)
+
+
+@query(
+    "text_source_divergence_l1",
+    tags=("text-analysis", "drift", "llm-pipeline"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), sc AS (
+      SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+    ), tot AS (
+      SELECT tok, SUM(c) AS ct FROM sc GROUP BY tok
+    ), ns AS (
+      SELECT source, SUM(c) AS n_s FROM sc GROUP BY source
+    ), nt AS (SELECT SUM(ct) AS n_t FROM tot),
+    grid AS (
+      SELECT ns.source, tot.tok, tot.ct, ns.n_s FROM ns CROSS JOIN tot
+    ), j AS (
+      SELECT g.source, g.n_s, g.ct, COALESCE(sc.c, 0) AS c
+      FROM grid g LEFT JOIN sc ON sc.source = g.source AND sc.tok = g.tok
+    )
+    SELECT source,
+           CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+           CAST(SUM(abs(c * (SELECT n_t FROM nt) - ct * n_s)) AS BIGINT) AS l1_num,
+           CAST((1000000 * SUM(abs(c * (SELECT n_t FROM nt) - ct * n_s)))
+                // (MIN(n_s) * (SELECT n_t FROM nt)) AS BIGINT) AS l1_ppm
+    FROM j GROUP BY source
+    """,
+)
+def text_source_divergence_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: exact L1 distance between each
+    source's unigram distribution and the corpus distribution,
+    cross-multiplied to a common integer denominator (|c_s*N - c*N_s|
+    summed, then ppm-scaled by one integer division) — the float-free
+    domain-shift detector that decides which sources need reweighting
+    before training.  Scale shape: token counting is two map-side-
+    combined aggregations; the comparison grid is vocabulary x
+    sources — bounded by VOCABULARY (with the heavy-hitter pass as
+    the production preconditioner for open vocabularies), never by
+    corpus volume; the per-source totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    sc_ = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = sc_.groupBy("tok").agg(F.sum("c").alias("ct"))
+    ns = sc_.groupBy("source").agg(F.sum("c").alias("n_s"))
+    nt = tot.agg(F.sum("ct").alias("n_t"))
+    grid = ns.crossJoin(F.broadcast(tot))
+    j = grid.join(sc_, ["source", "tok"], "left").select(
+        "source", "n_s", "ct", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    ).crossJoin(F.broadcast(nt))
+    dev = F.abs(F.col("c") * F.col("n_t") - F.col("ct") * F.col("n_s"))
+    return j.groupBy("source").agg(
+        F.min("n_s").cast("long").alias("n_tokens"),
+        F.sum(dev).cast("long").alias("l1_num"),
+        F.expr(
+            "CAST((1000000 * sum(abs(c * n_t - ct * n_s))) div (min(n_s) * min(n_t)) AS BIGINT)"
+        ).alias("l1_ppm"),
+    )
