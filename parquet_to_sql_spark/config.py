@@ -86,8 +86,8 @@ def load_config(path: str | None = None, **overrides) -> EngineConfig:
         copy_timeout=int(resolved.get("copy_timeout", DEFAULT_COPY_TIMEOUT)),
         sink=str(resolved.get("sink", DEFAULT_SINK)),
     )
-    if cfg.sink not in ("jdbc", "copy", "duckdb"):
-        raise ValueError(f"unknown sink kind {cfg.sink!r} (jdbc|copy|duckdb)")
+    if cfg.sink not in ("jdbc", "copy", "pg", "duckdb"):
+        raise ValueError(f"unknown sink kind {cfg.sink!r} (jdbc|copy|pg|duckdb)")
     return cfg
 
 

@@ -605,21 +605,41 @@ def simhash_hamming_pairs(
     """
     from parquet_to_sql_spark.operators.text import simhash_sketch
 
+    # the signature relation feeds `bands` slices x 2 join sides; with
+    # raw lineage the tokenize+vote sketch pipeline replays 4x — the
+    # checkpoint materializes it once (measured ~25% faster at sf0.1)
+    sig = simhash_sketch(df, id_col, text_col, bits=bits).localCheckpoint()
+    return banded_hamming_pairs(sig, id_col, "simhash", bits=bits, radius=radius)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sketch_col: str,
+    bits: int,
+    radius: int,
+) -> DataFrame:
+    """Hamming-radius pairs over ANY precomputed integer sketch
+    column: `radius + 1` disjoint bit bands (pigeonhole: two sketches
+    within the radius agree exactly on at least one band), candidates
+    by equality join on (band, band_value), exact popcount verify.
+    Shared by the text SimHash family and the aHash payload near-dup.
+
+    `sig` is referenced `bands` x 2 times downstream — pass a
+    checkpointed/cached relation or its lineage replays per reference.
+    Returns (doc1, doc2, hamming) with doc1 < doc2.
+    """
     bands = radius + 1
     if bits % bands:
         raise ValueError("bits must be divisible by radius + 1")
     width = bits // bands
     mask = (1 << width) - 1
-    # the signature relation feeds `bands` slices x 2 join sides; with
-    # raw lineage the tokenize+vote sketch pipeline replays 4x — the
-    # checkpoint materializes it once (measured ~25% faster at sf0.1)
-    sig = simhash_sketch(df, id_col, text_col, bits=bits).localCheckpoint()
     slices = [
         sig.select(
             F.col(id_col).alias("doc"),
-            F.col("simhash"),
+            F.col(sketch_col).alias("_sk"),
             F.lit(bi).alias("band"),
-            F.shiftright(F.col("simhash"), bi * width)
+            F.shiftright(F.col(sketch_col), bi * width)
             .bitwiseAND(F.lit(mask))
             .alias("bval"),
         )
@@ -629,10 +649,10 @@ def simhash_hamming_pairs(
     for s in slices[1:]:
         exploded = exploded.unionByName(s)
     a = exploded.select(
-        F.col("doc").alias("doc1"), F.col("simhash").alias("sh1"), "band", "bval"
+        F.col("doc").alias("doc1"), F.col("_sk").alias("sh1"), "band", "bval"
     )
     b = exploded.select(
-        F.col("doc").alias("doc2"), F.col("simhash").alias("sh2"), "band", "bval"
+        F.col("doc").alias("doc2"), F.col("_sk").alias("sh2"), "band", "bval"
     )
     return (
         a.join(b, ["band", "bval"])

@@ -279,22 +279,6 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0 AS BIGINT), (a, x) -> a + x)"
         ).alias("ahash"),
     ).localCheckpoint()  # referenced by 2 band slices x 2 join sides
-    mask = (1 << 24) - 1
-    slices = [
-        h.select(
-            F.col("doc_id").alias("doc"), "ahash", F.lit(bi).alias("band"),
-            F.shiftright(F.col("ahash"), bi * 24).bitwiseAND(F.lit(mask)).alias("bval"),
-        )
-        for bi in range(2)
-    ]
-    exploded = slices[0].unionByName(slices[1])
-    a = exploded.select(F.col("doc").alias("doc1"), F.col("ahash").alias("h1"), "band", "bval")
-    bb = exploded.select(F.col("doc").alias("doc2"), F.col("ahash").alias("h2"), "band", "bval")
-    return (
-        a.join(bb, ["band", "bval"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int"))
-        .filter(F.col("hamming") <= 1)
-        .select("doc1", "doc2", "hamming")
-        .distinct()
-    )
+    from parquet_to_sql_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(h, "doc_id", "ahash", bits=_AH_N, radius=1)

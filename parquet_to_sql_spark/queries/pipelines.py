@@ -519,7 +519,8 @@ def pipeline_merge_into_semantics(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice
     FROM lineitem
-    ORDER BY (l_orderkey * 2654435761 + l_linenumber * 40503) % 2147483647,
+    ORDER BY ((l_orderkey % 2147483647) * 2654435761 + l_linenumber * 40503)
+             % 2147483647,
              l_orderkey, l_linenumber
     LIMIT 500
     """,
@@ -533,10 +534,13 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition retains only its local 500, the driver merges
     k x partitions rows — so no global sort and O(k) memory at any
     input scale; bottom-k sets also union mergeably (min-wise sketch),
-    which is how incremental slices compose."""
+    which is how incremental slices compose.  The key is reduced mod
+    2^31-1 BEFORE the multiplicative mix so the product stays under
+    2^63 at any orderkey range (ANSI mode would raise on overflow)."""
     li = load_table(spark, sf_dir, "lineitem")
     h = (
-        F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber") * F.lit(40503)
+        (F.col("l_orderkey") % F.lit(2147483647)) * F.lit(2654435761)
+        + F.col("l_linenumber") * F.lit(40503)
     ) % F.lit(2147483647)
     return (
         li.select("l_orderkey", "l_linenumber", "l_extendedprice", h.alias("_h"))

@@ -837,10 +837,13 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dw = docs.select(
         "doc_id",
-        F.expr(
-            "array_sort(array_distinct(filter("
-            "transform(split(trim(lower(text)), '\\\\s+'), x -> x), "
-            "x -> x rlike '^[a-z]+$')))"
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    ws_tokens(F.lower(F.col("text"))),
+                    lambda x: x.rlike("^[a-z]+$"),
+                )
+            )
         ).alias("aw"),
     )
     pairs = dw.select(

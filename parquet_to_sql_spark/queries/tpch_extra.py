@@ -458,10 +458,12 @@ def sub_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.countDistinct("o_orderpriority").alias("n_pr")
     )
-    full = per_cust.crossJoin(F.broadcast(universe)).filter(
-        F.col("n_pr") == F.col("n_all")
-    )
+    # LEFT join + coalesce(n_pr, 0) so the empty-divisor case keeps
+    # division's vacuous-truth semantics (no priorities exist => every
+    # customer qualifies), matching the double-NOT-EXISTS oracle
     return (
-        cust.join(full, cust.c_custkey == full.o_custkey)
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .crossJoin(F.broadcast(universe))
+        .filter(F.coalesce(F.col("n_pr"), F.lit(0)) == F.col("n_all"))
         .select("c_custkey", "c_name")
     )

@@ -99,6 +99,10 @@ def insert_partition(
             cur = conn.cursor()
             try:
                 cur.execute(f"SET LOCAL statement_timeout = {int(timeout_s * 1000)}")
+                # sql_literal's quote-doubling framing requires it; a
+                # server/pooler configured with scs=off would otherwise
+                # let a trailing backslash escape the closing quote
+                cur.execute("SET LOCAL standard_conforming_strings = on")
                 cur.execute(
                     f"INSERT INTO {quoted_table} ({col_list}) VALUES "
                     + ", ".join(b)
