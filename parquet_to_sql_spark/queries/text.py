@@ -937,3 +937,34 @@ def text_source_divergence_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * sum(abs(c * n_t - ct * n_s))) div (min(n_s) * min(n_t)) AS BIGINT)"
         ).alias("l1_ppm"),
     )
+
+
+@query(
+    "text_lang_confusion",
+    tags=("text-analysis", "evaluation", "llm-pipeline"),
+    oracle=f"""
+    SELECT lang AS lang_true,
+           {_duck_lang_case()} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang_true, lang_pred
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation-as-a-query: the confusion matrix of the
+    heuristic language identifier against the stored labels — the
+    audit that decides whether a cheap row-local classifier is good
+    enough to gate a corpus split.  One aggregation over row-local
+    predictions: the matrix is (labels x labels)-bounded however
+    large the corpus."""
+    from parquet_to_sql_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
