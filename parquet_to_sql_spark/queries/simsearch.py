@@ -875,3 +875,87 @@ def simsearch_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(F.broadcast(truth), "query_id").select(
         "query_id", "true_label", "predicted_label", "votes"
     )
+
+
+@query(
+    "simsearch_recall_audit",
+    tags=("simsearch", "embeddings", "evaluation", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+    brute AS (
+      SELECT qid, cid FROM (
+        SELECT qid, vec_id AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="ve")} DESC, vec_id) AS rank
+        FROM q JOIN v ON vec_id <> qid
+      ) WHERE rank <= {_K}
+    ),
+    cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, ve, cent_id AS centroid_id FROM (
+        SELECT v.vec_id, v.ve, cent.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, cent.cent_id
+               ) AS rn
+        FROM v CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, cent_id AS centroid_id FROM (
+        SELECT q.qid, cent.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="cv")} DESC, cent.cent_id
+               ) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= {_NPROBE}
+    ),
+    ivf AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, a.vec_id AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="a.ve")} DESC, a.vec_id) AS rank
+        FROM q
+        JOIN probes ON probes.qid = q.qid
+        JOIN assigned a ON a.centroid_id = probes.centroid_id
+        WHERE a.vec_id <> q.qid
+      ) WHERE rank <= {_K}
+    )
+    SELECT b.qid AS query_id,
+           CAST(COUNT(i.cid) AS BIGINT) AS n_recalled,
+           CAST({_K} AS BIGINT) AS k
+    FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
+    GROUP BY b.qid
+    """,
+)
+def simsearch_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, computed
+    IN-QUERY as exact integers (|approx ∩ exact| per query) — the
+    evaluation loop every ANN deployment runs on a sampled query set
+    before trusting the index, here expressed as one plan over the
+    same two operators the retrieval queries use.  At 100 TB the
+    audit runs on a small query sample while both candidate paths
+    keep their own scale shapes (broadcast queries; bucketed probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    centroids = emb.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+    brute = cosine_topk(emb, "vec_id", "embedding", queries, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(
+        emb, "vec_id", "embedding", queries, centroids, k=_K, nprobe=_NPROBE
+    ).select(F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid"))
+    j = brute.join(
+        ivf,
+        (F.col("query_id") == F.col("i_qid"))
+        & (F.col("neighbor_id") == F.col("i_nid")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("i_nid").alias("n_recalled"),
+        F.lit(_K).cast("long").alias("k"),
+    )
