@@ -241,8 +241,12 @@ class CopySink:
                     conn.rollback()
                     # a racing attempt landed first: its commit stands,
                     # ours rolled back — exactly-once preserved
-                    if getattr(exc, "fields", {}).get("C") == "23505" or (
-                        "duplicate key" in str(exc)
+                    # (pg_wire exposes .fields, psycopg .sqlstate; the
+                    # message match is a last resort and locale-bound)
+                    if (
+                        getattr(exc, "fields", {}).get("C") == "23505"
+                        or getattr(exc, "sqlstate", None) == "23505"
+                        or "duplicate key" in str(exc)
                     ):
                         yield 0
                     else:
@@ -278,24 +282,36 @@ class CopySink:
         so two concurrent atomic loads into the same target don't race
         on one staging name — pass e.g. a job id. Default (None) keeps
         the fixed ``<table>_staging`` name: predictable, and leftover
-        staging from a crash is reclaimed by the next run's
-        DROP IF EXISTS. Returns rows written.
+        staging AND its ledger from a crash are both reclaimed by the
+        next run's DROP IF EXISTS (dropping only the staging table
+        would leave stale ledger rows that make the rerun skip
+        partitions — silent partial data). Returns rows written.
+
+        Caveat (swap semantics): ``LIKE ... INCLUDING ALL`` copies
+        columns, defaults, identity, and indexes but NOT grants,
+        foreign keys referencing the table, triggers, or row-level-
+        security policies — after the swap those must be re-applied by
+        the caller if the target carried them.
         """
         assert_safe_table_name(table)
         staging = f"{table}_staging" if suffix is None else f"{table}_staging_{suffix}"
         assert_safe_table_name(staging)
         qt, qs = quote_identifier(table), quote_identifier(staging)
+        qledger = quote_identifier(f"{staging}_applied_batches")
         # unqualified name for RENAME (Postgres renames within schema)
         bare_table = table.split(".")[-1]
         conn = self.connection_factory(self.dsn)
         try:
             cur = conn.cursor()
             cur.execute(f"DROP TABLE IF EXISTS {qs}")
+            # a stale ledger from a crashed previous run would make
+            # write_idempotent skip those partitions against the
+            # freshly-recreated (empty) staging table
+            cur.execute(f"DROP TABLE IF EXISTS {qledger}")
             cur.execute(f"CREATE TABLE {qs} (LIKE {qt} INCLUDING ALL)")
             conn.commit()
         finally:
             conn.close()
-        qledger = quote_identifier(f"{staging}_applied_batches")
         try:
             rows = self.write_idempotent(df, staging, batch_id=0)
         except Exception:

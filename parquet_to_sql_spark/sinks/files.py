@@ -38,7 +38,15 @@ class FileSink:
 
     def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
         """Write and return rows actually written (Observation on the
-        write action — same accounting contract as the SQL sinks)."""
+        write action — same accounting contract as the SQL sinks).
+
+        `table` passes the same identifier check as every SQL sink —
+        it is interpolated into the output path, and an unchecked
+        '../..' would write (or with truncate, DELETE and rewrite) a
+        directory outside base_path."""
+        from parquet_to_sql_spark.identifiers import assert_safe_table_name
+
+        assert_safe_table_name(table)
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.format(self.format).mode(

@@ -54,7 +54,13 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     Batch and streaming therefore agree on event time for every shape.
     """
     apply_runtime_confs(spark)
-    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    try:
+        ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    except Exception:
+        # no files yet (normal for a file-source stream started before
+        # its producer): declare the current fixture shape and let the
+        # stream idle until data lands
+        ts_type = "timestamp"
     stream = spark.readStream.schema(_events_schema(ts_type)).parquet(path)
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -158,20 +164,26 @@ def _ewma_fn(key, pdf_iter, state: GroupState):
     (user_id,) = key
     if state.exists:
         n, ewma = state.get
-        have = True
     else:
-        n, ewma, have = 0, 0.0, False
+        n, ewma = 0, None
     batches = [pdf for pdf in pdf_iter if len(pdf)]
     if batches:
         rows = pd.concat(batches, ignore_index=True).sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
         for v in rows["value"]:
+            if pd.isna(v):
+                # batch-twin parity: a NULL value nulls the accumulator
+                # (0.25*NULL + 0.75*acc = NULL in the JVM fold), and the
+                # next non-null value reseeds — NOT a sticky NaN
+                ewma = None
+                continue
             v = float(v)
-            if not have:
-                ewma, have = v, True
-            else:
-                ewma = _EWMA_ALPHA * v + (1.0 - _EWMA_ALPHA) * ewma
+            ewma = (
+                v
+                if ewma is None
+                else _EWMA_ALPHA * v + (1.0 - _EWMA_ALPHA) * ewma
+            )
         n += len(rows)
     state.update((n, ewma))
     yield pd.DataFrame(
@@ -312,6 +324,13 @@ def stream_import(
     one checkpoint lineage."""
     if exactly_once and not checkpoint:
         raise ValueError("exactly_once requires a checkpoint location")
+    if exactly_once and not hasattr(sink, "write_idempotent"):
+        # fail fast at call time, not inside the first micro-batch
+        # (after checkpoint state already exists)
+        raise ValueError(
+            f"exactly_once requires a sink with write_idempotent; "
+            f"{type(sink).__name__} has none"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if exactly_once:
@@ -332,9 +351,17 @@ def stream_import(
 
 def documents_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of documents parquet files under `path`
-    (schema probed from the footer with a zero-cost batch read)."""
+    (schema probed from the footer with a zero-cost batch read; falls
+    back to the fixture schema when no files have landed yet, so the
+    stream can start before its producer)."""
     apply_runtime_confs(spark)
-    return spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        return spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).parquet(path)
+    return spark.readStream.schema(schema).parquet(path)
 
 
 def neardup_screen_stream(

@@ -104,3 +104,19 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
         sum_spans = sum(r[2] - r[1] for r in ranges)
         # random layout: sum_spans ~= nfiles * global_span
         assert sum_spans < 0.75 * len(ranges) * global_span, (col, sum_spans, global_span)
+
+
+def test_file_sink_rejects_path_traversal(spark, tmp_path):
+    """FileSink interpolates `table` into the output path, so it must
+    enforce the same identifier check as the SQL sinks — '../..'
+    would write (or with truncate, delete) outside base_path."""
+    import pytest
+
+    from parquet_to_sql_spark.sinks.files import FileSink
+
+    sink = FileSink(str(tmp_path))
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="Unsafe table name"):
+        sink.write(df, "../evil")
+    with pytest.raises(ValueError, match="Unsafe table name"):
+        sink.write(df, "a/b")

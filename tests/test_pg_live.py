@@ -488,3 +488,44 @@ def test_insert_literal_roundtrip_property(pg_dsn):
         assert [r[1] for r in rows] == vals
 
     check()
+
+
+def test_write_atomic_reclaims_stale_ledger(spark, pg_dsn):
+    """A crashed previous atomic load can leave BOTH the staging table
+    and its ledger behind; a rerun must reclaim the ledger too, or
+    partitions whose pid matches a stale row are skipped and the swap
+    installs a partial table (the silent-data-loss case)."""
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS at_t",
+        "CREATE TABLE at_t (k int, v text)",
+        "INSERT INTO at_t VALUES (0, 'old')",
+        "DROP TABLE IF EXISTS at_t_staging",
+        "DROP TABLE IF EXISTS at_t_staging_applied_batches",
+        # simulate the crash leftovers: ledger rows for partitions 0..63
+        "CREATE TABLE at_t_staging_applied_batches ("
+        "batch_id bigint, partition_id int, n_rows bigint, "
+        "PRIMARY KEY (batch_id, partition_id))",
+        "INSERT INTO at_t_staging_applied_batches "
+        "SELECT 0, g, 99 FROM generate_series(0, 63) AS t(g)",
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    written = CopySink(pg_dsn).write_atomic(df, "at_t")
+    assert written == 3
+    rows = _exec(pg_dsn, "SELECT k::text, v FROM at_t ORDER BY k::int")
+    assert rows == [("1", "a"), ("2", "b"), ("3", "c")]
+
+
+def test_interval_column_loads_into_ddl_table(spark, pg_dsn):
+    """create_table_sql + CopySink must round-trip an interval column:
+    the COPY rendering is Spark's SQL literal form, which PG's
+    interval type rejects — the DDL maps it to text."""
+    from parquet_to_sql_spark.sinks.ddl import create_table_sql
+
+    df = spark.createDataFrame([(1,)], "k int").selectExpr(
+        "k", "make_dt_interval(1, 2, 3, 4) AS dur"
+    )
+    _exec(pg_dsn, "DROP TABLE IF EXISTS iv_t", create_table_sql("iv_t", df.schema))
+    assert CopySink(pg_dsn).write(df, "iv_t") == 1
+    rows = _exec(pg_dsn, "SELECT k::text, dur FROM iv_t")
+    assert rows[0][0] == "1" and "INTERVAL" in rows[0][1]

@@ -760,3 +760,48 @@ def test_streaming_keyword_screen_matches_batch(spark, tmp_path):
         for r in keyword_hits(docs, "doc_id", "text", ("spark", "join", "window")).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_import_exactly_once_requires_capable_sink(spark):
+    """exactly_once with a sink lacking write_idempotent must fail at
+    call time, not inside the first micro-batch."""
+    from parquet_to_sql_spark.sinks.files import FileSink
+    from parquet_to_sql_spark.streaming import stream_import
+
+    with pytest.raises(ValueError, match="write_idempotent"):
+        stream_import(
+            spark.readStream.format("rate").load(),
+            FileSink("/tmp/nowhere"),
+            "t",
+            checkpoint="/tmp/nowhere_ckpt",
+            exactly_once=True,
+        )
+
+
+def test_streaming_ewma_null_value_resets_like_batch(spark, tmp_path):
+    """A NULL value must null the accumulator and reseed on the next
+    non-null (the JVM fold's semantics), never latch NaN forever."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, "purchase", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 0), 7, "purchase", None, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 2, 0), 7, "purchase", 2.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0, 3, 0), 7, "purchase", 4.0, "{}"),
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    d = str(tmp_path / "ev_null")
+    src.coalesce(1).write.parquet(d)
+
+    from parquet_to_sql_spark.streaming import events_stream, user_value_ewma
+
+    run_to_memory(user_value_ewma(events_stream(spark, d)), "ewma_null_out", "update")
+    got = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in spark.sql("SELECT * FROM ewma_null_out").collect()
+    }
+    # fold: 1.0 -> NULL (reset) -> 2.0 (reseed) -> 0.25*4 + 0.75*2 = 2.5
+    assert got[7] == (4, 2.5)
