@@ -525,6 +525,11 @@ def minhash_lsh_pairs(
     The banding join is an equality join on the bucket key — the scale
     path: no O(n²) candidate generation, and skewed buckets split by
     AQE."""
+    if bands <= 0 or k % bands:
+        # bands > k would make every bucket key empty (one global
+        # bucket -> O(n^2) join); bands not dividing k would silently
+        # drop trailing minhashes from candidate generation
+        raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
     rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, n)
     buckets = []
@@ -688,7 +693,10 @@ def simhash_band_index(
     mask = (1 << width) - 1
     from parquet_to_sql_spark.operators.text import simhash_sketch
 
-    sig = simhash_sketch(df, id_col, text_col, bits=bits)
+    # materialize once: each band slice re-derives the sketch pipeline
+    # otherwise (same contract as banded_hamming_pairs), and the index
+    # is the write-once corpus side of every subsequent probe
+    sig = simhash_sketch(df, id_col, text_col, bits=bits).localCheckpoint()
     slices = [
         sig.select(
             F.col(id_col).alias("corpus_id"),

@@ -24,13 +24,28 @@ def salted_join(
     """Join a skewed big side to a small side on `key`, spreading each
     hot key over `buckets` reducers.
 
-    big rows get salt = pmod(hash-ish of `salt_from`, buckets); the
-    small side is replicated once per salt value (rows x buckets — keep
-    the small side genuinely small). The join key becomes (key, salt),
-    so one hot key's rows land on `buckets` different reducers instead
-    of one. Semantically identical to big.join(small, key, how).
+    big rows get salt = pmod(hash-ish of `salt_from`, buckets), with
+    NULL salts pinned to bucket 0 (a NULL would never equal any
+    replica's salt and the row would silently vanish from an inner
+    join); the small side is replicated once per salt value (rows x
+    buckets — keep the small side genuinely small). The join key
+    becomes (key, salt), so one hot key's rows land on `buckets`
+    different reducers instead of one.
+
+    Semantically identical to big.join(small, key, how) for
+    how='inner'/'left' ONLY — the big side drives those. Right/outer
+    joins would emit each unmatched small row once PER REPLICA, so
+    they are rejected rather than silently multiplied.
     """
-    salted_big = big.withColumn("_salt", F.pmod(F.col(salt_from), F.lit(buckets)))
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: the "
+            "replicated small side would multiply unmatched rows"
+        )
+    salted_big = big.withColumn(
+        "_salt",
+        F.coalesce(F.pmod(F.col(salt_from), F.lit(buckets)), F.lit(0)),
+    )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(buckets - 1))
     ).alias("_salt")

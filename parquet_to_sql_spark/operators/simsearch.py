@@ -325,11 +325,14 @@ def ivf_topk_probes(
     )
 
 
-def hyperplane_weight(p: int, d) -> Column:
+def hyperplane_weight(p: int, d, dims: int = 64) -> Column:
     """Deterministic pseudo-random plane weight for (plane p, dim d):
-    centered 31-bit LCG value, identical formula in the SQL oracle."""
+    centered 31-bit LCG value, identical formula in the SQL oracle.
+    The stride must be the caller's `dims` — a fixed stride would make
+    plane p's weights for dims beyond it identical to plane p+1's
+    leading weights (correlated planes, degraded LSH independence)."""
     # long arithmetic: 1103515245 * idx overflows 32-bit int silently
-    idx = (F.lit(p * 64).cast("long") + d.cast("long"))
+    idx = (F.lit(p * dims).cast("long") + d.cast("long"))
     return (
         (F.lit(1103515245).cast("long") * idx + F.lit(12345)) % F.lit(2147483648)
         - F.lit(1073741824)
@@ -350,7 +353,8 @@ def hyperplane_bucket(vec: Column | str, planes: int = 8, dims: int = 64) -> Col
     # closure factory, never a default argument.
     def term(p: int):
         return lambda d: (
-            F.element_at(vec, d.cast("int")).cast("double") * hyperplane_weight(p, d)
+            F.element_at(vec, d.cast("int")).cast("double")
+            * hyperplane_weight(p, d, dims)
         )
 
     bucket = F.lit(0)
@@ -490,6 +494,10 @@ def ivfpq_adc_topk(
         )
     )
     assigned = ivf_assign(df, id_col, vec_col, centroids)
+    # materialized once: both the codebook filter and the encode cross
+    # join reference `res`, and its lineage (IVF assign window + the
+    # residual join) is the expensive stage — without the checkpoint
+    # it replays per reference
     res = (
         rebalance_for_compute(assigned)
         .join(cent_b, F.col("centroid_id") == F.col("_cent_id"))
@@ -498,6 +506,7 @@ def ivfpq_adc_topk(
             "centroid_id",
             residual_expr(vec_col, "_cent_vec").alias("_rvec"),
         )
+        .localCheckpoint()
     )
     # 2. shared residual codebook from the deterministic seed slice
     codes = F.broadcast(
@@ -718,7 +727,10 @@ def pca_project(
     """
     import numpy as np
 
-    d = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pca_project: empty input (no vectors to fit)")
+    d = len(first[0])
     ex = df.select(F.posexplode(vec_col).alias("i", "x")).select(
         "i", F.col("x").cast("double").alias("x")
     )

@@ -33,7 +33,13 @@ LANG_PRIORITY = ("en", "es", "de", "fr", "zh")  # argmax tie-break order
 
 
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokenization."""
+    """Whitespace tokenization.
+
+    Note: like every split-on-whitespace in SQL engines, empty or
+    whitespace-only text yields [''] (size 1, one empty token) — the
+    DuckDB oracles mirror string_split_regex(trim(..)) exactly, so
+    this is the DEFINED cross-engine behavior for blank documents,
+    not a bug to "fix" one-sided."""
     return F.split(F.trim(text), r"\s+")
 
 
@@ -495,6 +501,15 @@ def keyword_hits(
     query (text_keyword_search adds top-k) and the streaming content
     screen (streaming.pipeline.keyword_screen_stream) unchanged.
     """
+    import re as _re
+
+    if not terms:
+        raise ValueError("keyword_hits: at least one term required")
+    for t in terms:
+        # terms become column names (tf_<term>); anything outside \w
+        # would break column resolution (dots parse as field access)
+        if not _re.fullmatch(r"\w+", t):
+            raise ValueError(f"keyword_hits: term {t!r} must match \\w+")
     staged = df.select(id_col, ws_tokens(F.lower(F.col(text_col))).alias("_w"))
 
     def _eq(term: str):
