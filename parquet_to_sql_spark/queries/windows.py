@@ -335,3 +335,81 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("events",),
     )
+
+
+@query(
+    "window_pareto_abc",
+    tags=("window", "scale-path", "aggregation"),
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+      FROM rev
+    )
+    SELECT l_partkey, cents, cum_cents,
+           CASE WHEN cum_cents * 100 <= 80 * total_cents THEN 'A'
+                WHEN cum_cents * 100 <= 95 * total_cents THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue classification — a GLOBAL revenue-ranked
+    running sum computed WITHOUT a global sort: parts are bucketed by
+    the highest set bit of their revenue (every value in a higher
+    band outranks every value in a lower one), the within-band running
+    sum is a window hash-partitioned on the band, and each band adds
+    an exclusive prefix of the higher bands' totals — a table bounded
+    by ~64 rows however large the input (the same prefix-sum
+    decomposition as the sweep-line peak-concurrency query, applied to
+    a value-ranked axis).  The oracle affords the single global
+    window; orderings are identical (cents DESC, partkey), so the
+    decomposed cumulative matches exactly.  ABC thresholds are
+    cross-multiplied integer comparisons."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    ).withColumn("_band", F.length(F.expr("bin(cents)")))
+    in_band = Window.partitionBy("_band").orderBy(
+        F.desc("cents"), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded = rev.withColumn("_cum_in", F.sum("cents").over(in_band))
+    totals = rev.groupBy("_band").agg(F.sum("cents").alias("_bt"))
+    higher = (
+        Window.orderBy(F.desc("_band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_band",
+        F.coalesce(F.sum("_bt").over(higher), F.lit(0)).alias("_off"),
+        F.sum("_bt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    out = banded.join(F.broadcast(offsets), "_band").select(
+        "l_partkey",
+        "cents",
+        (F.col("_off") + F.col("_cum_in")).alias("cum_cents"),
+        F.when(
+            (F.col("_off") + F.col("_cum_in")) * 100 <= 80 * F.col("_total"), "A"
+        )
+        .when((F.col("_off") + F.col("_cum_in")) * 100 <= 95 * F.col("_total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return out

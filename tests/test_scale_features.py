@@ -734,3 +734,15 @@ def test_binned_range_join_is_equi_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan  # an actual join happened, on the bin key
     assert "bin" in plan
+
+
+def test_pareto_abc_per_part_window_is_partitioned(spark):
+    """The global revenue-ranked running sum must be decomposed: the
+    per-part window partitions on the revenue band (hash exchange),
+    and only the ~64-row band-totals windows run single-partition."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("window_pareto_abc").build(spark, SF_SMOKE))
+    assert "hashpartitioning(_band" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
