@@ -551,12 +551,15 @@ def ivfpq_adc_topk(
             residual_expr("_qv", "_cent_vec").alias("_rq"),
         )
     )
+    # tiny (queries x nprobe x |codes| rows) but referenced once per
+    # subspace below — materialize once or the probe/residual lineage
+    # (incl. its scans) replays PQ_SUBS times
     dt = qres.crossJoin(codes).select(
         "query_id",
         F.col("centroid_id").alias("_dt_cent"),
         "_code_id",
         *[l2sq_sub_expr("_rq", "_cv", s).alias(f"d{s}") for s in range(PQ_SUBS)],
-    )
+    ).localCheckpoint()
     # 5. ADC scoring: PQ_SUBS broadcast joins on (centroid, code)
     cur = enc
     for s in range(PQ_SUBS):
@@ -618,6 +621,8 @@ def pq_adc_topk(
     qid_c, cid_c = f"q_{id_col}", id_col
     enc = pq_encode(df, id_col, vec_col, codes)
     q = queries.select(F.col(id_col).alias(qid_c), F.col(vec_col).alias("_qv"))
+    # referenced once per subspace below — materialize the tiny
+    # (queries x |codes|) table once
     dt = q.crossJoin(
         F.broadcast(
             codes.select(
@@ -629,7 +634,7 @@ def pq_adc_topk(
         F.col(qid_c),
         F.col("_code_id"),
         *[l2sq_sub_expr("_qv", "_cv", s).alias(f"d{s}") for s in range(PQ_SUBS)],
-    )
+    ).localCheckpoint()
     cur = enc
     for s in range(PQ_SUBS):
         dts = dt.select(
