@@ -531,7 +531,9 @@ def minhash_lsh_pairs(
         # drop trailing minhashes from candidate generation
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n)
+    # referenced by `bands` slices x 2 join sides — materialize the
+    # signature relation once (same contract as banded_hamming_pairs)
+    sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
     buckets = []
     for bi in range(bands):
         cols = [F.col(f"m{bi * rows + r}") for r in range(rows)]
