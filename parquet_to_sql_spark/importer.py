@@ -63,6 +63,8 @@ class Importer:
         `table`. Signature parity: ParquetImporter.php:28-34."""
         started = time.monotonic()
         assert_safe_table_name(table)
+        if reader is None and path is None:
+            raise ValueError("import_ needs a path or an injected reader")
         source = reader if reader is not None else ParquetSource(self.spark, path)
         df = source.load() if hasattr(source, "load") else source
         if not df.columns:

@@ -71,7 +71,7 @@ def materialize_bucketed(
         )
         spark.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES "
-            f"('spark_graft.bucket_marker' = '{marker}')"
+            "('spark_graft.bucket_marker' = '" + marker.replace("'", "''") + "')"
         )
     return out
 

@@ -44,8 +44,16 @@ def input_bytes(df: DataFrame) -> int:
 def compaction_partitions(df: DataFrame, target_file_bytes: int) -> int:
     """Output file count for a compaction: measured input bytes over
     the target size (>= 1).  Parquet re-encodes with similar ratios,
-    so input bytes are the right estimator."""
-    return max(1, math.ceil(input_bytes(df) / target_file_bytes))
+    so input bytes are the right estimator.
+
+    Non-file inputs (JDBC, createDataFrame, custom sources) report
+    zero input bytes; funneling an unknown-sized dataset through ONE
+    partition would be a silent straggler/OOM, so fall back to the
+    dataset's current parallelism instead."""
+    b = input_bytes(df)
+    if b <= 0:
+        return max(1, df.rdd.getNumPartitions())
+    return max(1, math.ceil(b / target_file_bytes))
 
 
 def write_compacted(

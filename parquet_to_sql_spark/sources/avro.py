@@ -270,6 +270,8 @@ class AvroDataSource(DataSource):
 
     def schema(self):
         paths = _avro_paths(self._path())
+        if not paths:
+            raise ValueError(f"no Avro files found under {self._path()!r}")
         schema, rows_iter = read_avro_file(paths[0])
         next(rows_iter, None)  # enter the generator so close() runs its finally
         rows_iter.close()
@@ -282,19 +284,31 @@ class AvroDataSource(DataSource):
         return path
 
     def reader(self, schema) -> "AvroReader":
-        return AvroReader(self._path())
+        return AvroReader(self._path(), [f.name for f in schema.fields])
 
 
 class AvroReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, field_names: list[str]):
         self.paths = _avro_paths(path)
+        self.field_names = list(field_names)
 
     def partitions(self):
         return [InputPartition(p) for p in self.paths]
 
     def read(self, partition: InputPartition):
-        _, rows = read_avro_file(partition.value)
-        yield from rows
+        # decode with THIS file's writer schema, then project by NAME
+        # into the DataSource's declared field order — a directory
+        # whose files reordered or added fields (routine Avro schema
+        # evolution) must not land values in the wrong columns
+        wschema, rows = read_avro_file(partition.value)
+        wnames = [f["name"] for f in wschema["fields"]]
+        if wnames == self.field_names:
+            yield from rows
+            return
+        idx = {n: i for i, n in enumerate(wnames)}
+        sel = [idx.get(n) for n in self.field_names]
+        for r in rows:
+            yield tuple(r[i] if i is not None else None for i in sel)
 
 
 # --- minimal writer (test infrastructure) ---------------------------------
@@ -320,12 +334,30 @@ def _encoder_for(schema: Any) -> Callable[[io.BytesIO, Any], None]:
             (s if isinstance(s, str) else s["type"], _encoder_for(s)) for s in schema
         ]
 
+        def _matches(t: str, v) -> bool:
+            if t == "null":
+                return v is None
+            if t == "boolean":
+                return isinstance(v, bool)
+            if t in ("int", "long"):
+                return isinstance(v, int) and not isinstance(v, bool)
+            if t in ("float", "double"):
+                return isinstance(v, float)
+            if t == "string":
+                return isinstance(v, str)
+            if t == "bytes":
+                return isinstance(v, (bytes, bytearray))
+            return v is not None  # records/arrays/maps/logical types
+
         def eu(out, v, branches=branches):
             for i, (t, enc) in enumerate(branches):
-                if (v is None) == (t == "null"):
+                if _matches(t, v):
                     _write_long(out, i)
                     enc(out, v)
                     return
+            raise ValueError(
+                f"value {v!r} matches no union branch {[t for t, _ in branches]}"
+            )
 
         return eu
     t = schema["type"]

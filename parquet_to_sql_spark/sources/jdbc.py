@@ -39,6 +39,12 @@ class JdbcSource:
         for k, v in self.properties.items():
             reader = reader.option(k, v)
         if self.partition_column is not None:
+            if self.lower_bound is None or self.upper_bound is None:
+                # str(None) would reach the JVM and die with an opaque
+                # NumberFormatException — fail with the real reason
+                raise ValueError(
+                    "partition_column requires lower_bound and upper_bound"
+                )
             reader = (
                 reader.option("partitionColumn", self.partition_column)
                 .option("lowerBound", str(self.lower_bound))

@@ -35,6 +35,12 @@ class ParquetSource:
 
     @staticmethod
     def _exists(path: str) -> bool:
+        # driver-local checks only make sense for local paths; a URI
+        # scheme (s3a://, hdfs://, abfs://, ...) is delegated to
+        # Spark's own filesystem — os.path would wrongly reject every
+        # remote path the engine is built to read
+        if "://" in path:
+            return True
         return os.path.exists(path) or bool(_glob.glob(path))
 
     def load(self) -> DataFrame:

@@ -23,6 +23,16 @@ Usage:
 
 from __future__ import annotations
 
+
+def _naive_utc(ts: float):
+    """utcfromtimestamp replacement (deprecated in 3.12): same naive-
+    UTC value via an aware conversion."""
+    import datetime
+
+    return datetime.datetime.fromtimestamp(ts, datetime.timezone.utc).replace(
+        tzinfo=None
+    )
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -85,7 +95,7 @@ class SyntheticEventsReader(DataSourceReader):
             ts_cursor += rng.next() % 120  # 0-2 min gaps
             yield (
                 base_id + i,
-                datetime.datetime.utcfromtimestamp(ts_cursor),
+                _naive_utc(ts_cursor),
                 rng.next() % self.n_users,
                 EVENT_TYPES[rng.next() % len(EVENT_TYPES)],
                 (rng.next() % 20_000) / 100.0,
@@ -127,7 +137,7 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
             out.append(
                 (
                     rid,
-                    datetime.datetime.utcfromtimestamp(ts),
+                    _naive_utc(ts),
                     rng.next() % self.n_users,
                     EVENT_TYPES[rng.next() % len(EVENT_TYPES)],
                     (rng.next() % 20_000) / 100.0,

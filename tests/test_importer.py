@@ -601,3 +601,75 @@ def test_insert_sql_literal_branches():
     assert sql_literal("it's") == "'it''s'"
     # backslashes stay literal under standard_conforming_strings
     assert sql_literal("a\\b") == "'a\\b'"
+
+
+def test_avro_mixed_schema_directory_projects_by_name(spark, tmp_path):
+    """Files written with reordered fields (routine Avro schema
+    evolution) must project by NAME into the declared schema — never
+    positionally (silent column misalignment)."""
+    from parquet_to_sql_spark.sources.avro import AvroDataSource, write_avro
+
+    sch_a = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+        ],
+    }
+    sch_b = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "id", "type": "long"},
+        ],
+    }
+    write_avro(str(tmp_path / "a.avro"), sch_a, [(1, "alice"), (2, None)])
+    write_avro(str(tmp_path / "b.avro"), sch_b, [("bob", 3)])
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass  # already registered in this session
+    rows = sorted(
+        tuple(r) for r in spark.read.format("pyavro").load(str(tmp_path)).collect()
+    )
+    assert rows == [(1, "alice"), (2, None), (3, "bob")]
+
+
+def test_avro_writer_union_picks_branch_by_type():
+    """The union encoder must match the VALUE's type, not take the
+    first non-null branch (which silently mis-encodes)."""
+    import io
+
+    import pytest
+
+    from parquet_to_sql_spark.sources.avro import _encoder_for
+
+    enc = _encoder_for(["null", "string", "long"])
+    out = io.BytesIO()
+    enc(out, 5)  # must pick the 'long' branch (index 2), not 'string'
+    assert out.getvalue()[0] == 4  # zigzag(2)
+    with pytest.raises(ValueError, match="no union branch"):
+        enc(io.BytesIO(), 1.5)
+
+
+def test_jdbc_partitioned_requires_bounds(spark):
+    import pytest
+
+    from parquet_to_sql_spark.sources.jdbc import JdbcSource
+
+    src = JdbcSource(
+        spark, "jdbc:duckdb:", "t", partition_column="id", num_partitions=4
+    )
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        src.load()
+
+
+def test_import_requires_path_or_reader(spark):
+    import pytest
+
+    from parquet_to_sql_spark.importer import Importer
+    from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
+
+    imp = Importer(spark, DuckDbSink(":memory:"))
+    with pytest.raises(ValueError, match="path or an injected reader"):
+        imp.import_(None, "t")
