@@ -226,12 +226,14 @@ def ev_retention_day1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_gaps_and_islands",
     tags=("events", "window", "sessionization"),
     oracle="""
-    WITH o AS (
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), o AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), isl AS (
       SELECT user_id, ts, value,
@@ -289,12 +291,14 @@ def ev_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("events", "interval-algebra", "sweep-line", "scale-path"),
     oracle="""
-    WITH o AS (
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), o AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), isl AS (
       SELECT user_id, ts,
@@ -480,14 +484,17 @@ def ev_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_scd2_intervals",
     tags=("events", "scd2", "cdc"),
     oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
     SELECT user_id, event_id,
            CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
            CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us,
            (lead(ts) OVER w IS NULL) AS is_current,
            CAST(row_number() OVER w AS BIGINT) AS version,
            value
-    FROM events
-    WHERE event_type = 'purchase'
+    FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
@@ -571,20 +578,22 @@ def ev_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_time_weighted_avg",
     tags=("events", "timeseries", "hypertable"),
     oracle="""
-    WITH o AS (
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), o AS (
       SELECT user_id, event_id,
              epoch_us(ts) AS t_us,
              CAST(floor(value * 100.0) AS BIGINT) AS qv,
              lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS nxt_us
-      FROM events
+      FROM e
     ), seg AS (
       SELECT user_id, qv, COALESCE(nxt_us - t_us, 0) AS dur_us FROM o
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CASE WHEN SUM(dur_us) > 0
-                THEN CAST(SUM(qv * dur_us) AS DOUBLE)
+                THEN CAST(SUM(CAST(qv AS HUGEINT) * dur_us) AS DOUBLE)
                      / CAST(SUM(dur_us) AS DOUBLE) / 100.0
            END AS twa_value
     FROM seg GROUP BY user_id
@@ -626,7 +635,9 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     g = o.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.col("qv") * F.col("dur_us")).cast(dec)).alias("wsum"),
+        # the PRODUCT must be decimal, not just the sum: a long
+        # qv*dur_us can exceed 2^63 (large value x long holding gap)
+        F.sum(F.col("qv").cast(dec) * F.col("dur_us")).alias("wsum"),
         F.sum(F.col("dur_us").cast(dec)).alias("dsum"),
     )
     twa = F.when(
@@ -734,8 +745,8 @@ def ev_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
     return (
-        e.select(F.length(F.expr("bin(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))")).alias("log2_bucket"),
-                 cents.alias("cents"))
+        e.select(cents.alias("cents"))
+        .select(F.length(F.bin(F.col("cents"))).alias("log2_bucket"), "cents")
         .groupBy("log2_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -227,8 +227,8 @@ def pipeline_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_train_split_manifest",
     tags=("sampling", "split", "llm-pipeline"),
     oracle="""
-    SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+    SELECT CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+                WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
                 ELSE 'test' END                     AS split,
            lang,
            CAST(COUNT(*) AS BIGINT)                 AS n_docs,
@@ -248,7 +248,7 @@ def pipeline_train_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
     expression + one aggregate; the split column could equally be a
     partitionBy key on write."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    bucket = ((F.col("doc_id") % F.lit(2147483647)) * F.lit(2654435761)) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -318,7 +318,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS chars_kept
     FROM documents d
     JOIN rated r ON d.source = r.source
-    WHERE (d.doc_id * 2654435761) % 10000 < r.rate_bp
+    WHERE ((d.doc_id % 2147483647) * 2654435761) % 10000 < r.rate_bp
     GROUP BY d.source, r.n_docs, r.rate_bp
     """,
 )
@@ -349,7 +349,7 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate_bp"),
     )
     kept = docs.join(F.broadcast(rated), "source").filter(
-        (F.col("doc_id") * F.lit(2654435761)) % 10000 < F.col("rate_bp")
+        ((F.col("doc_id") % F.lit(2147483647)) * F.lit(2654435761)) % 10000 < F.col("rate_bp")
     )
     return kept.groupBy("source", "n_docs", "rate_bp").agg(
         F.count(F.lit(1)).alias("n_kept"),

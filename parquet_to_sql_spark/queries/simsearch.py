@@ -396,11 +396,13 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # both join sides reference this; the bucket is ~512 fold ops per
+    # row, so materialize once instead of sketching the corpus twice
     bucketed = emb.select(
         "vec_id",
         F.col("embedding"),
         hyperplane_bucket(F.col("embedding"), _PLANES, _DIMS).alias("bucket"),
-    )
+    ).localCheckpoint()
     a = bucketed.select(
         F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("a_vec"),
         norm_expr(F.col("embedding")).alias("a_norm"), "bucket",
