@@ -119,7 +119,7 @@ def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE (o_orderkey * 2654435761) % 100 < 5
+    WHERE ((o_orderkey % 2147483647) * 2654435761) % 100 < 5
     """,
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +128,9 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLESAMPLE. The filter pushes to the scan as a deterministic
     predicate."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.filter((F.col("o_orderkey") * 2654435761) % 100 < 5).select(
+    return orders.filter(
+        ((F.col("o_orderkey") % 2147483647) * 2654435761) % 100 < 5
+    ).select(
         "o_orderkey", "o_totalprice"
     )
 

@@ -65,9 +65,15 @@ SELECT event_id, user_id, value,
        value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
 FROM events
 """
-# DuckDB view has ts as TIMESTAMP_NS; ordering is identical so no cast
-# is needed (same ordering key, value columns are ns-independent).
-_LAG_SQL_ORACLE = _LAG_SQL_SPARK
+# The oracle casts ts to micros first: under a nanos-annotated
+# fixture DuckDB would otherwise order at ns precision (never
+# consulting the event_id tie-break) while Spark orders at truncated
+# micros — the same hazard the events-module oracles guard against.
+_LAG_SQL_ORACLE = _LAG_SQL_SPARK.replace(
+    "FROM events",
+    "FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts "
+    "FROM events) t",
+)
 
 
 @query("window_lag_lead_events", tags=("window", "analytic"), oracle=_LAG_SQL_ORACLE)
@@ -185,7 +191,11 @@ SELECT event_id, user_id,
        COUNT(*) OVER w AS n_trailing_1h,
        CAST(SUM(CAST(FLOOR(value * 64) AS BIGINT)) OVER w AS BIGINT) AS qsum_trailing_1h
 {_TIME_RANGE_BODY}
-"""
+""".replace(
+    "FROM events",
+    "FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts "
+    "FROM events) t",
+)  # micros-cast so RANGE bounds match Spark under a nanos fixture
 
 
 @query(
