@@ -466,3 +466,25 @@ def keyword_screen_stream(
     from parquet_to_sql_spark.operators.text import keyword_hits
 
     return keyword_hits(stream_docs, "doc_id", "text", terms)
+
+
+def tumbling_distinct_users(stream: DataFrame, window: str = "1 hour") -> DataFrame:
+    """EXACT distinct users per tumbling window on a stream — CHAINED
+    stateful operators (Spark 4 multi-stateful append mode): a
+    watermarked dropDuplicates on (window, user) feeds a windowed
+    count, the streaming twin of the batch two-level distinct
+    (ev_sliding_distinct_users).  Both operators key their state by
+    the window, so the watermark evicts dedup entries and finalizes
+    counts together; emission is append-mode (each window's count
+    exactly once, when the watermark passes its end).
+    """
+    dedup = (
+        stream.withWatermark("ts", "2 hours")
+        .select(F.window("ts", window).alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    return (
+        dedup.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )

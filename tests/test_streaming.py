@@ -805,3 +805,66 @@ def test_streaming_ewma_null_value_resets_like_batch(spark, tmp_path):
     }
     # fold: 1.0 -> NULL (reset) -> 2.0 (reseed) -> 0.25*4 + 0.75*2 = 2.5
     assert got[7] == (4, 2.5)
+
+
+def test_chained_stateful_distinct_users_two_runs(spark, tmp_path):
+    """Chained stateful operators (dedup -> windowed count) in append
+    mode: nothing emits while windows are open; a later batch that
+    advances the watermark finalizes the earlier windows with EXACT
+    distinct counts (duplicates collapsed by the upstream dedup)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_sql_spark.streaming import events_stream, tumbling_distinct_users
+
+    d = str(tmp_path / "chain_in")
+    out = str(tmp_path / "chain_out")
+    ckpt = str(tmp_path / "chain_ckpt")
+    os.makedirs(d)
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00 in us
+
+    def write(name, rows):  # (event_id, t_seconds, user_id)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [base + r[1] * 10**6 for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows), pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            os.path.join(d, name),
+        )
+
+    def run_once():
+        q = (
+            tumbling_distinct_users(events_stream(spark, d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # hour 0: users 1,1,2 (dup collapses to 2 distinct); hour 1: user 3
+    write("a.parquet", [(1, 60, 1), (2, 120, 1), (3, 180, 2), (4, 3660, 3)])
+    run_once()
+    first = spark.read.schema("window_start timestamp, n_users long").parquet(out)
+    assert first.count() == 0, "open windows must not emit in append mode"
+
+    # hour 12 advances the watermark to 10h -> hours 0 and 1 finalize
+    write("b.parquet", [(5, 12 * 3600, 9)])
+    run_once()
+    got = {
+        (r.window_start.hour, r.n_users)
+        for r in spark.read.schema(
+            "window_start timestamp, n_users long"
+        ).parquet(out).collect()
+    }
+    assert got == {(0, 2), (1, 1)}
