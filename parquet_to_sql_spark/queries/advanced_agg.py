@@ -238,9 +238,11 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     key from a rollup subtotal row — the standard way downstream
     consumers tell aggregation levels apart. COALESCE labels make the
     output self-describing on both engines."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders")
-    return spark.sql(
+    from parquet_to_sql_spark.queries.relational import _sql
+
+    return _sql(
+        spark,
+        sf_dir,
         """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
@@ -249,7 +251,8 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        """
+        """,
+        ("orders",),
     )
 
 
@@ -294,9 +297,11 @@ def agg_sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-verifying like agg_approx_sketches: the merged estimate must
     land within 15% of the exact global distinct count computed in
     the same query (test asserts the flag)."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders")
-    return spark.sql(
+    from parquet_to_sql_spark.queries.relational import _sql
+
+    return _sql(
+        spark,
+        sf_dir,
         """
         WITH per_group AS (
           SELECT o_orderstatus,
@@ -318,7 +323,8 @@ def agg_sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                ABS(m.est_total / CAST(e.exact_total AS DOUBLE) - 1.0) <= 0.15
                  AS union_ok
         FROM per_group g CROSS JOIN merged m CROSS JOIN exact e
-        """
+        """,
+        ("orders",),
     )
 
 
@@ -348,7 +354,15 @@ def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (tiny distinct relations, map-side combined)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # ONE join + one dedup to the tiny (flag, status, priority)
+    # relation, materialized once — st and pr would otherwise each
+    # replay the fact-fact shuffle join
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_returnflag", "l_linestatus", "o_orderpriority")
+        .distinct()
+        .localCheckpoint()
+    )
     st = (
         j.select("l_returnflag", "l_linestatus")
         .distinct()

@@ -426,9 +426,11 @@ def fn_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact.  Collated comparisons stay JVM-side expressions,
     so the join is still a plain shuffled equi-join on the collated
     key at scale."""
-    customer = load_table(spark, sf_dir, "customer")
-    customer.createOrReplaceTempView("customer")
-    return spark.sql(
+    from parquet_to_sql_spark.queries.relational import _sql
+
+    return _sql(
+        spark,
+        sf_dir,
         """
         WITH dims AS (SELECT DISTINCT upper(c_mktsegment) AS seg_uc FROM customer)
         SELECT d.seg_uc,
@@ -438,5 +440,6 @@ def fn_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer c
           ON collate(c.c_mktsegment, 'UTF8_LCASE') = collate(d.seg_uc, 'UTF8_LCASE')
         GROUP BY d.seg_uc
-        """
+        """,
+        ("customer",),
     )

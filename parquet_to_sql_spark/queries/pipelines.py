@@ -610,8 +610,8 @@ def pipeline_incremental_distinct_bitmap(spark: SparkSession, sf_dir: str) -> Da
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
-           CAST((1000000 * SUM(CAST(n_chars AS BIGINT))) // COUNT(*) AS BIGINT)
-             AS mean_chars_ppm,
+           CAST((1000000::HUGEINT * SUM(CAST(n_chars AS BIGINT))) // COUNT(*)
+                AS BIGINT) AS mean_chars_ppm,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups
     FROM documents GROUP BY source
@@ -629,9 +629,10 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.expr("CAST((1000000 * sum(CAST(n_chars AS BIGINT))) div count(1) AS BIGINT)").alias(
-            "mean_chars_ppm"
-        ),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(CAST(n_chars AS BIGINT))) "
+            "div count(1) AS BIGINT)"
+        ).alias("mean_chars_ppm"),
         F.countDistinct("lang").alias("n_langs"),
         (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
     )

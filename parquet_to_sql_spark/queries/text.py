@@ -161,8 +161,6 @@ def text_word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical explode-groupBy-topk word count (LATERAL VIEW
     pattern); partial aggregation keeps the shuffle at vocabulary
     size, not token count."""
-    from parquet_to_sql_spark.operators.text import ws_tokens
-
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
@@ -284,15 +282,12 @@ def text_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wdf.withColumn("rk", rk).filter(F.col("rk") <= 3)
 
 
-_DUCK_WORDS_VAR = "string_split_regex(trim(text), '\\s+')"
+_DUCK_WORDS_VAR = DUCK_WORDS  # shared fragment — do not fork
 _DUCK_5GRAMS = (
     "list_distinct(list_transform(range(1, len(w) - 3), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))"
 )
-_DUCK_FOLD_S = (
-    "list_reduce(list_transform(string_split(s, ''), "
-    "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % 2147483647)"
-)
+_DUCK_FOLD_S = DUCK_FOLD.format(s="s")  # shared fragment — do not fork
 
 
 @query(
@@ -707,7 +702,7 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST((1000000 * SUM(df)) // COUNT(*) AS BIGINT) AS mean_df_ppm
+           CAST((1000000::HUGEINT * SUM(df)) // COUNT(*) AS BIGINT) AS mean_df_ppm
     FROM j GROUP BY doc_id
     """,
 )
@@ -729,7 +724,9 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = tok.join(F.broadcast(dfreq), "tok")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.expr("CAST((1000000 * sum(df)) div count(1) AS BIGINT)").alias("mean_df_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(df)) div count(1) AS BIGINT)"
+        ).alias("mean_df_ppm"),
     )
 
 
@@ -816,7 +813,7 @@ def dedup_segment_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT COUNT(*) AS nd FROM documents)
     SELECT wa, wb, CAST(cab AS BIGINT) AS n_both,
            CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
-           CAST((1000000 * (SELECT nd FROM n) * cab) // (ca.c * cb.c) AS BIGINT)
+           CAST((1000000::HUGEINT * (SELECT nd FROM n) * cab) // (ca.c * cb.c) AS BIGINT)
              AS pmi_ppm
     FROM cxy JOIN cx ca ON ca.w = wa JOIN cx cb ON cb.w = wb
     WHERE cab >= 5
@@ -872,7 +869,10 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cab").cast("long").alias("n_both"),
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.expr("CAST((1000000 * nd * cab) div (n_a * n_b) AS BIGINT)").alias("pmi_ppm"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * nd * cab) "
+                "div (n_a * n_b) AS BIGINT)"
+            ).alias("pmi_ppm"),
         )
     )
     return scored.orderBy(F.desc("pmi_ppm"), "wa", "wb").limit(30)
@@ -901,8 +901,8 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(MIN(n_s) AS BIGINT) AS n_tokens,
            CAST(SUM(abs(c * (SELECT n_t FROM nt) - ct * n_s)) AS BIGINT) AS l1_num,
-           CAST((1000000 * SUM(abs(c * (SELECT n_t FROM nt) - ct * n_s)))
-                // (MIN(n_s) * (SELECT n_t FROM nt)) AS BIGINT) AS l1_ppm
+           CAST((1000000::HUGEINT * SUM(abs(c * (SELECT n_t FROM nt) - ct * n_s)))
+                // (MIN(n_s)::HUGEINT * (SELECT n_t FROM nt)) AS BIGINT) AS l1_ppm
     FROM j GROUP BY source
     """,
 )
@@ -933,8 +933,12 @@ def text_source_divergence_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("source").agg(
         F.min("n_s").cast("long").alias("n_tokens"),
         F.sum(dev).cast("long").alias("l1_num"),
+        # ppm numerator/denominator widened to DECIMAL(38,0): the 1e6
+        # multiplier is the early int64 overflow (n_s*n_t beyond ~4.6e12
+        # token-products); the final ppm itself is tiny
         F.expr(
-            "CAST((1000000 * sum(abs(c * n_t - ct * n_s))) div (min(n_s) * min(n_t)) AS BIGINT)"
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(abs(c * n_t - ct * n_s))) "
+            "div (CAST(min(n_s) AS DECIMAL(38,0)) * min(n_t)) AS BIGINT)"
         ).alias("l1_ppm"),
     )
 
