@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from parquet_to_sql_spark.catalog import load_table
 from parquet_to_sql_spark.queries.registry import query
 
-DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+from parquet_to_sql_spark.queries.relational import DISC_PRICE  # shared — do not fork
 
 
 @query(
@@ -300,13 +300,19 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_purchases",
     tags=("join", "asof-join"),
     oracle="""
-    SELECT e.event_id,
-           p.event_id AS purchase_event_id,
-           CAST(e.ts AS TIMESTAMP) AS ts,
-           CAST(p.ts AS TIMESTAMP) AS purchase_ts
-    FROM events e
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), p AS (
+      SELECT user_id, event_id AS p_id, ts AS pts FROM e
+      WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT e.event_id, e.ts, p.p_id, p.pts,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY p.pts DESC, p.p_id DESC) AS rn
+      FROM e JOIN p ON p.user_id = e.user_id AND p.pts <= e.ts
+    )
+    SELECT event_id, p_id AS purchase_event_id, ts, pts AS purchase_ts
+    FROM j WHERE rn = 1
     """,
 )
 def join_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,10 +333,14 @@ def join_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"),
         F.lit(0).alias("side"),
     )
-    # side=0 sorts before side=1 at equal ts => "at-or-before" inclusive
+    # side=0 sorts before side=1 at equal ts => "at-or-before"
+    # inclusive; p_id breaks ties between same-timestamp purchases
+    # (last() then picks the LARGEST purchase id, matching the
+    # oracle's pts DESC, p_id DESC rank) — without it the pick is
+    # partitioning-dependent
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", F.coalesce("p_id", "event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = left.unionByName(right).select(
@@ -349,16 +359,19 @@ def join_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_tolerance",
     tags=("join", "asof-join", "tolerance"),
     oracle="""
-    SELECT * FROM (
-      SELECT e.event_id,
-             p.event_id AS purchase_event_id,
-             CAST(e.ts AS TIMESTAMP) AS ts,
-             CAST(p.ts AS TIMESTAMP) AS purchase_ts
-      FROM events e
-      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
-    ) m
-    WHERE ts - purchase_ts <= INTERVAL '6 hours'
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), p AS (
+      SELECT user_id, event_id AS p_id, ts AS pts FROM e
+      WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT e.event_id, e.ts, p.p_id, p.pts,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY p.pts DESC, p.p_id DESC) AS rn
+      FROM e JOIN p ON p.user_id = e.user_id AND p.pts <= e.ts
+    )
+    SELECT event_id, p_id AS purchase_event_id, ts, pts AS purchase_ts
+    FROM j WHERE rn = 1 AND ts - pts <= INTERVAL '6 hours'
     """,
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,13 +561,19 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_forward",
     tags=("join", "asof-join"),
     oracle="""
-    SELECT e.event_id,
-           p.event_id AS purchase_event_id,
-           CAST(e.ts AS TIMESTAMP) AS ts,
-           CAST(p.ts AS TIMESTAMP) AS purchase_ts
-    FROM events e
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), p AS (
+      SELECT user_id, event_id AS p_id, ts AS pts FROM e
+      WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT e.event_id, e.ts, p.p_id, p.pts,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY p.pts ASC, p.p_id ASC) AS rn
+      FROM e JOIN p ON p.user_id = e.user_id AND p.pts >= e.ts
+    )
+    SELECT event_id, p_id AS purchase_event_id, ts, pts AS purchase_ts
+    FROM j WHERE rn = 1
     """,
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,10 +594,13 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"),
         F.lit(1).alias("side"),
     )
-    # side=1 sorts after side=0 at equal ts => "at-or-after" inclusive
+    # side=1 sorts after side=0 at equal ts => "at-or-after"
+    # inclusive; p_id tie-break makes first() pick the SMALLEST
+    # purchase id among same-timestamp purchases (oracle: pts ASC,
+    # p_id ASC)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", F.coalesce("p_id", "event_id"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     merged = left.unionByName(right).select(

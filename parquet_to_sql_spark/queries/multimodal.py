@@ -57,12 +57,16 @@ def multimodal_pack_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recomputes them from the payload bytes: hex-pair decoding gives
 # DuckDB each byte value (first 256 bytes feed mean_luma, exactly as
 # operators/multimodal._fake_decode sums payload[:256])
+# guarded: list_reduce over an EMPTY list is a hard error in DuckDB,
+# and a zero-length payload (empty document) must yield 0 like the
+# fake decoder does
 _DUCK_BYTESUM_256 = """
+    CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE
     list_reduce(
       list_transform(
         range(1, least(octet_length(encode(text)), 256) + 1),
         i -> CAST(('0x' || substr(hex(encode(text)), 2*i - 1, 2)) AS INT)),
-      (a, b) -> a + b)
+      (a, b) -> a + b) END
 """
 
 
@@ -95,11 +99,12 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_BYTEMAX_256 = """
+    CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE
     list_reduce(
       list_transform(
         range(1, least(octet_length(encode(text)), 256) + 1),
         i -> CAST(('0x' || substr(hex(encode(text)), 2*i - 1, 2)) AS INT)),
-      (a, b) -> greatest(a, b))
+      (a, b) -> greatest(a, b)) END
 """
 
 

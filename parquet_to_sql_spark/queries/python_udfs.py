@@ -33,7 +33,14 @@ class ChunkDocument:
     expands to ceil(n_words/chunk) output rows."""
 
     def eval(self, text: str, chunk_size: int):
-        words = text.split()
+        # mirror the oracle's string_split_regex(trim(text), '\s+'):
+        # NULL text yields no rows; empty/whitespace-only text yields
+        # [''] (one empty token -> one chunk), unlike str.split()
+        if text is None:
+            return
+        import re
+
+        words = re.split(r"\s+", text.strip())
         for i in range(0, len(words), chunk_size):
             piece = words[i : i + chunk_size]
             yield i // chunk_size, " ".join(piece), len(piece)
@@ -237,9 +244,16 @@ def groupedmap_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["cents", "event_id"], ascending=[False, True]
         ).reset_index(drop=True)
         total = int(pdf["cents"].sum())
-        pdf["share_bp"] = (
-            (pdf["cents"] * 10000) // total if total > 0 else 0
-        ).astype("int64")
+        if total > 0:
+            num = pdf["cents"] * 10000
+            q = num // total  # pandas floors...
+            # ...but DuckDB // truncates toward zero: bump inexact
+            # negative quotients up by one (refund-style rows)
+            q = q + (((num % total) != 0) & (num < 0)).astype("int64")
+            pdf["share_bp"] = q.astype("int64")
+        else:
+            pdf["share_bp"] = 0
+        pdf["share_bp"] = pdf["share_bp"].astype("int64")
         pdf["spend_rank"] = (pdf.index + 1).astype("int64")
         return pdf
 

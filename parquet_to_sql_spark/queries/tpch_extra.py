@@ -12,13 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from parquet_to_sql_spark.catalog import load_table
 from parquet_to_sql_spark.queries.registry import query
 
-DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+from parquet_to_sql_spark.queries.relational import (  # shared — do not fork
+    DISC_PRICE,
+    _sql,
+)
 
-
-def _sql(spark: SparkSession, sf_dir: str, text: str, tables: tuple[str, ...]) -> DataFrame:
-    for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(text)
 
 
 _Q7 = f"""

@@ -17,10 +17,7 @@ from parquet_to_sql_spark.catalog import load_table
 from parquet_to_sql_spark.queries.registry import query
 
 
-def _sql(spark: SparkSession, sf_dir: str, text: str, tables: tuple[str, ...]) -> DataFrame:
-    for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(text)
+from parquet_to_sql_spark.queries.relational import _sql  # shared — do not fork
 
 
 _TOPN_SQL = """
@@ -365,8 +362,8 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev
     )
     SELECT l_partkey, cents, cum_cents,
-           CASE WHEN cum_cents * 100 <= 80 * total_cents THEN 'A'
-                WHEN cum_cents * 100 <= 95 * total_cents THEN 'B'
+           CASE WHEN cum_cents::HUGEINT * 100 <= 80 * total_cents::HUGEINT THEN 'A'
+                WHEN cum_cents::HUGEINT * 100 <= 95 * total_cents::HUGEINT THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM ranked
     """,
@@ -415,10 +412,18 @@ def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "cents",
         (F.col("_off") + F.col("_cum_in")).alias("cum_cents"),
+        # comparison widened to DECIMAL: cum*100 passes int64 around
+        # 3 TB of revenue — far below this query's design point
         F.when(
-            (F.col("_off") + F.col("_cum_in")) * 100 <= 80 * F.col("_total"), "A"
+            (F.col("_off") + F.col("_cum_in")).cast("decimal(38,0)") * 100
+            <= 80 * F.col("_total").cast("decimal(38,0)"),
+            "A",
         )
-        .when((F.col("_off") + F.col("_cum_in")) * 100 <= 95 * F.col("_total"), "B")
+        .when(
+            (F.col("_off") + F.col("_cum_in")).cast("decimal(38,0)") * 100
+            <= 95 * F.col("_total").cast("decimal(38,0)"),
+            "B",
+        )
         .otherwise("C")
         .alias("abc_class"),
     )
