@@ -431,3 +431,37 @@ def test_binned_range_join_matches_bruteforce(spark):
             for r in binned_range_join(idf, pdf, bin_width=100).collect()
         )
         assert got == want, f"trial {trial}"
+
+
+def test_banded_hamming_pairs_matches_bruteforce(spark):
+    """The shared pigeonhole-band candidate generator (SimHash + aHash
+    paths) vs brute force: for random sketches it must return exactly
+    the pairs within the radius — the pigeonhole guarantee says no
+    candidate within radius is ever missed by the band join."""
+    import random
+
+    from parquet_to_sql_spark.operators.dedup import banded_hamming_pairs
+
+    rng = random.Random(31)
+    for bits, radius in ((24, 1), (24, 2), (16, 3)):
+        rows = [(i, rng.getrandbits(bits)) for i in range(60)]
+        # plant some near-duplicates: copies with <= radius bits flipped
+        for i in range(60, 80):
+            base = rows[rng.randrange(60)][1]
+            for _ in range(rng.randrange(0, radius + 1)):
+                base ^= 1 << rng.randrange(bits)
+            rows.append((i, base))
+        want = sorted(
+            (a, b, bin(sa ^ sb).count("1"))
+            for (a, sa) in rows
+            for (b, sb) in rows
+            if a < b and bin(sa ^ sb).count("1") <= radius
+        )
+        sig = spark.createDataFrame(rows, "doc_id long, sk long")
+        got = sorted(
+            (r.doc1, r.doc2, r.hamming)
+            for r in banded_hamming_pairs(
+                sig.localCheckpoint(), "doc_id", "sk", bits=bits, radius=radius
+            ).collect()
+        )
+        assert got == want and len(got) > 0, (bits, radius)
