@@ -961,3 +961,67 @@ def simsearch_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("i_nid").alias("n_recalled"),
         F.lit(_K).cast("long").alias("k"),
     )
+
+
+@query(
+    "simsearch_filtered_topk",
+    tags=("simsearch", "embeddings", "filtered-ann", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, ve AS qv, label AS qlabel
+          FROM v WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS cid,
+             {_DUCK_COS_AB.format(a="qv", b="ve")} AS cosine
+      FROM q JOIN v c ON c.label = q.qlabel AND c.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
+def simsearch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the production ANN feature
+    every vector store names (pre-filter semantics): each query's
+    candidate set is restricted to corpus vectors sharing its label
+    BEFORE ranking, so top-k is over the filtered universe, not
+    post-filtered from an unfiltered top-k (which under-returns when
+    the filter is selective).  Expressed as an equality predicate ON
+    the candidate join: the filter rides the same broadcast join as
+    the scoring, and at scale a label-partitioned corpus layout turns
+    it into partition pruning."""
+    from parquet_to_sql_spark.operators.simsearch import cosine_expr, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_norm(emb.filter(F.col("vec_id") < _N_QUERIES), "vec_id", "embedding", prefix="q")
+    ql = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id2"), F.col("label").alias("qlabel")
+    )
+    q = q.join(F.broadcast(ql), q["q_vec_id"] == ql["q_vec_id2"]).drop("q_vec_id2")
+    c = with_norm(emb, "vec_id", "embedding", prefix="c", rebalance=True)
+    cl = emb.select(F.col("vec_id").alias("c_vec_id2"), F.col("label").alias("clabel"))
+    c = c.join(cl, c["c_vec_id"] == cl["c_vec_id2"]).drop("c_vec_id2")
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("clabel") == F.col("qlabel")) & (F.col("q_vec_id") != F.col("c_vec_id")))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec", "q_norm", "c_norm"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), F.col("c_vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select(
+            F.col("q_vec_id").alias("query_id"),
+            F.col("c_vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
