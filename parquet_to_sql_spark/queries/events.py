@@ -998,3 +998,47 @@ def ev_bitmap_rollup_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("sum(bitmap_count(_m))").alias("weekly_users"),
         F.sum("_n").alias("n_events"),
     )
+
+
+@query(
+    "ev_cohort_retention_matrix",
+    tags=("events", "retention", "cohort"),
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM days GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           CAST(date_diff('day', c.cohort_wk, d.wk) // 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM cohort c JOIN days d ON d.user_id = c.user_id
+    GROUP BY c.cohort_wk, week_offset
+    """,
+)
+def ev_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cohort-retention triangle (first-active week x week
+    offset -> active users) — the generalization of ev_retention_day1
+    to every offset at once.  (user, week) pairs dedupe first, so each
+    user counts once per (cohort, offset) cell and COUNT(*) IS the
+    distinct count; the week offset is an exact integer day-difference
+    div 7 (both engines truncate identically on the week-aligned
+    grid).  Scale shape: dedup and cohort-min share the user_id
+    shuffle; the matrix is (weeks x weeks)-bounded output."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .distinct()
+    )
+    cohort = days.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = days.join(cohort, "user_id")
+    return (
+        j.select(
+            "cohort_wk",
+            F.expr("CAST(datediff(wk, cohort_wk) div 7 AS INT)").alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
