@@ -53,6 +53,20 @@ def normalize_for_insert(df: DataFrame) -> DataFrame:
     )
 
 
+def normalize_nested_only(df: DataFrame) -> DataFrame:
+    """JSON-encode nested columns only, leaving scalars (incl.
+    timestamps) native — for typed writers (JDBC) that bind scalars
+    correctly and only choke on structs/arrays/maps."""
+    return df.select(
+        *[
+            (F.to_json(F.col(f.name)) if _is_nested(f.dataType) else F.col(f.name)).alias(
+                f.name
+            )
+            for f in df.schema.fields
+        ]
+    )
+
+
 def copy_escape(col: Column) -> Column:
     r"""Escape a string for the COPY text protocol: \ -> \\, TAB -> \t,
     CR -> \r, LF -> \n (ParquetImporter.php:173-178). Backslash first,
@@ -83,9 +97,14 @@ def copy_value(col: Column, dt: T.DataType) -> Column:
         # (The leading backslash itself must be escaped on the wire,
         # hence the literal \\x.)
         rendered = F.concat(F.lit("\\\\x"), F.lower(F.hex(col)))
-    elif isinstance(
-        dt, (T.NumericType, T.DateType, T.DayTimeIntervalType, T.YearMonthIntervalType)
-    ):
+    elif isinstance(dt, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
+        # Spark's cast-to-string is the SQL literal form
+        # ("INTERVAL '1 02:03:04' DAY TO SECOND"), which Postgres's
+        # interval input REJECTS; the quoted inner value ('1 02:03:04',
+        # '1-2') is valid PG interval input AND loads losslessly into
+        # text — extract it (no COPY specials possible)
+        rendered = F.regexp_extract(col.cast("string"), "'([^']*)'", 1)
+    elif isinstance(dt, (T.NumericType, T.DateType)):
         # provably no COPY specials in their string forms; skipping the
         # escape keeps the hot render path one expression per column
         rendered = col.cast("string")

@@ -45,6 +45,14 @@ def pack_binary(
     return df.withColumn("asset", asset)
 
 
+def _flat_assets(df: DataFrame) -> DataFrame:
+    """(uri, data) projection of the asset-struct convention — the one
+    place the struct layout is spelled out for the decode family."""
+    return df.select(
+        F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data")
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic stand-in for an image decoder: derives plausible
     dimensions and mean luma from the byte content itself."""
@@ -80,7 +88,7 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 columns=["uri", "n_bytes", "width", "height", "channels", "mean_luma"],
             )
 
-    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    flat = _flat_assets(df)
     return flat.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
@@ -126,7 +134,7 @@ def decode_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 ],
             )
 
-    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    flat = _flat_assets(df)
     return flat.mapInPandas(decode, schema=AUDIO_FEATURES_SCHEMA)
 
 
@@ -168,18 +176,20 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
                 rows, columns=["uri", "frame_index", "offset_bytes", "frame_sha256"]
             )
 
-    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    flat = _flat_assets(df)
     return flat.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
 
 
 def decode_image_features_arrow(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInArrow twin of `decode_image_features`: the same per-asset
     feature extraction consuming pyarrow RecordBatches directly — no
-    Arrow->pandas conversion at all, the lowest-overhead Python batch
-    path (right when the payload is large binary and the pandas
-    object-dtype copy would dominate).  Output is bit-identical to the
-    mapInPandas variant (tests assert it), so either can back the
-    gate query."""
+    pandas layer between Arrow and Python.  Honest caveat: this fake
+    decoder still boxes each payload into Python bytes (to_pylist), so
+    it carries the same per-asset copy cost as the pandas path; the
+    API's real win appears when the batch can be processed with Arrow
+    compute kernels or passed zero-copy into a native decoder.  Output
+    is bit-identical to the mapInPandas variant (tests assert it), so
+    either can back the gate query."""
     if not fake:
         raise NotImplementedError(
             "real image decoding requires PIL/libvips on executors; "
@@ -218,7 +228,7 @@ def decode_image_features_arrow(df: DataFrame, fake: bool = True) -> DataFrame:
                 cols["mean_luma"].append(luma)
             yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
 
-    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    flat = _flat_assets(df)
     return flat.mapInArrow(decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
@@ -297,5 +307,5 @@ def resize_image_features(
                 ],
             )
 
-    flat = df.select(F.col("asset.uri").alias("uri"), F.col("asset.data").alias("data"))
+    flat = _flat_assets(df)
     return flat.mapInPandas(resize, schema=RESIZE_FEATURES_SCHEMA)

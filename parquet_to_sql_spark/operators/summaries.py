@@ -79,6 +79,11 @@ def heavy_hitters_exact(
     too.  Returns (key, cnt, n_total), exactly the true heavy-hitter
     set regardless of partitioning.
     """
+    # null keys are EXCLUDED from the analysis — consistently: pandas
+    # value_counts drops them from candidates and an equi-join recount
+    # would too, so n_total must not count them either (it previously
+    # did, silently deflating every key's threshold share)
+    df = df.filter(F.col(key_col).isNotNull())
     cands = misra_gries_candidates(df, key_col, capacity).distinct()
     total = df.agg(F.count(F.lit(1)).alias("n_total"))
     counts = (

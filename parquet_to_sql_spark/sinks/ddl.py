@@ -48,11 +48,9 @@ def pg_type_for(dt: T.DataType) -> str:
     if isinstance(dt, T.TimestampType):
         return "timestamptz"
     if isinstance(dt, T.DayTimeIntervalType | T.YearMonthIntervalType):
-        # the COPY renderer stringifies intervals as Spark SQL literals
-        # ("INTERVAL '1 02:03:04' DAY TO SECOND"), which PG's interval
-        # input syntax REJECTS — text is the type that loads the
-        # rendering losslessly (verified against a live server)
-        return "text"
+        # the COPY renderer emits the quoted inner literal ('1 02:03:04'
+        # / '1-2'), which PG's interval input accepts (live-tested)
+        return "interval"
     if isinstance(dt, T.StructType | T.ArrayType | T.MapType | T.VariantType):
         return "jsonb"  # normalize renders nested values as JSON text
     return "text"  # exotic types are stringified + escaped on render

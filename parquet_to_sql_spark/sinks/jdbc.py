@@ -13,8 +13,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
 
-from parquet_to_sql_spark.identifiers import assert_safe_table_name
-from parquet_to_sql_spark.normalize import normalize_for_insert
+from parquet_to_sql_spark.identifiers import (
+    assert_safe_column_names,
+    assert_safe_table_name,
+)
+from parquet_to_sql_spark.normalize import normalize_nested_only
 
 
 class JdbcSink:
@@ -39,7 +42,13 @@ class JdbcSink:
         Observation on the write action itself, not a second scan.
         """
         assert_safe_table_name(table)
-        df = normalize_for_insert(df)
+        assert_safe_column_names(list(df.columns))
+        # JSON-encode ONLY nested columns (Spark's JDBC writer throws
+        # on them raw); timestamps stay native — a typed writer binds
+        # them correctly, whereas the reference-format string would be
+        # rejected by typed TIMESTAMP columns (42804) or degrade
+        # auto-created schemas to TEXT
+        df = normalize_nested_only(df)
         if self.num_writers:
             df = df.repartition(self.num_writers)
         obs = Observation()

@@ -517,15 +517,20 @@ def test_write_atomic_reclaims_stale_ledger(spark, pg_dsn):
 
 
 def test_interval_column_loads_into_ddl_table(spark, pg_dsn):
-    """create_table_sql + CopySink must round-trip an interval column:
-    the COPY rendering is Spark's SQL literal form, which PG's
-    interval type rejects — the DDL maps it to text."""
+    """create_table_sql + CopySink must round-trip an interval column
+    into a NATIVE pg interval: the renderer emits the quoted inner
+    literal ('1 02:03:04'), which PG's interval input accepts — the
+    full Spark SQL literal form would be rejected."""
     from parquet_to_sql_spark.sinks.ddl import create_table_sql
 
     df = spark.createDataFrame([(1,)], "k int").selectExpr(
-        "k", "make_dt_interval(1, 2, 3, 4) AS dur"
+        "k", "make_dt_interval(1, 2, 3, 4) AS dur",
+        "make_ym_interval(1, 2) AS span"
     )
     _exec(pg_dsn, "DROP TABLE IF EXISTS iv_t", create_table_sql("iv_t", df.schema))
     assert CopySink(pg_dsn).write(df, "iv_t") == 1
-    rows = _exec(pg_dsn, "SELECT k::text, dur FROM iv_t")
-    assert rows[0][0] == "1" and "INTERVAL" in rows[0][1]
+    rows = _exec(
+        pg_dsn,
+        "SELECT k::text, EXTRACT(epoch FROM dur)::bigint::text, span::text FROM iv_t",
+    )
+    assert rows[0] == ("1", "93784", "1 year 2 mons")
