@@ -32,8 +32,9 @@ class DuckDbSink:
         self.database = database
         self.batch_size = batch_size
 
-    def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
-        """Write and return the number of rows actually inserted."""
+    def _prepare(self, df: DataFrame, table: str):
+        """Shared preamble: identifier checks, normalization, and the
+        INSERT statement — one definition for both write paths."""
         assert_safe_table_name(table)
         assert_safe_column_names(df.columns)
         normalized = normalize_for_insert(df)
@@ -41,24 +42,35 @@ class DuckDbSink:
         col_list = ", ".join(quote_identifier(c) for c in normalized.columns)
         placeholders = ", ".join("?" for _ in normalized.columns)
         insert = f"INSERT INTO {quoted} ({col_list}) VALUES ({placeholders})"
-        con = duckdb.connect(self.database)
+        return normalized, quoted, insert
+
+    def _insert_batches(self, con, insert: str, normalized: DataFrame) -> int:
+        """Stream rows through the driver in batch_size executemany
+        calls; shared by write() and the exactly-once path so the
+        batching logic cannot diverge between them."""
         written = 0
+        batch: list[tuple] = []
+        for row in normalized.toLocalIterator():
+            batch.append(tuple(row))
+            if len(batch) >= self.batch_size:
+                con.executemany(insert, batch)
+                written += len(batch)
+                batch = []
+        if batch:
+            con.executemany(insert, batch)
+            written += len(batch)
+        return written
+
+    def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
+        """Write and return the number of rows actually inserted."""
+        normalized, quoted, insert = self._prepare(df, table)
+        con = duckdb.connect(self.database)
         try:
             if truncate:
                 con.execute(f"TRUNCATE {quoted}")
-            batch: list[tuple] = []
-            for row in normalized.toLocalIterator():
-                batch.append(tuple(row))
-                if len(batch) >= self.batch_size:
-                    con.executemany(insert, batch)
-                    written += len(batch)
-                    batch = []
-            if batch:
-                con.executemany(insert, batch)
-                written += len(batch)
+            return self._insert_batches(con, insert, normalized)
         finally:
             con.close()
-        return written
 
     def write_idempotent(self, df: DataFrame, table: str, batch_id: int) -> int:
         """Write one streaming micro-batch EXACTLY ONCE: the rows and a
@@ -70,14 +82,8 @@ class DuckDbSink:
         This is the transactional-sink half of the foreachBatch
         exactly-once contract; the source half is the stream's
         checkpoint.  Returns rows written (0 for a skipped replay)."""
-        assert_safe_table_name(table)
-        assert_safe_column_names(df.columns)
-        normalized = normalize_for_insert(df)
-        quoted = quote_identifier(table)
+        normalized, _quoted, insert = self._prepare(df, table)
         ledger = quote_identifier(f"{table}_applied_batches")
-        col_list = ", ".join(quote_identifier(c) for c in normalized.columns)
-        placeholders = ", ".join("?" for _ in normalized.columns)
-        insert = f"INSERT INTO {quoted} ({col_list}) VALUES ({placeholders})"
         con = duckdb.connect(self.database)
         try:
             con.execute(
@@ -91,17 +97,7 @@ class DuckDbSink:
                 if already:
                     con.execute("ROLLBACK")
                     return 0
-                written = 0
-                batch: list[tuple] = []
-                for row in normalized.toLocalIterator():
-                    batch.append(tuple(row))
-                    if len(batch) >= self.batch_size:
-                        con.executemany(insert, batch)
-                        written += len(batch)
-                        batch = []
-                if batch:
-                    con.executemany(insert, batch)
-                    written += len(batch)
+                written = self._insert_batches(con, insert, normalized)
                 con.execute(f"INSERT INTO {ledger} VALUES (?)", [batch_id])
                 con.execute("COMMIT")
             except Exception:
