@@ -16,14 +16,13 @@ that have never had a driver CORRECTNESS row, then every remaining
 query in sorted order.  Exactly one registry entry per query.
 
 _DRIVER_VERIFIED is the cumulative set of canonical names with a green
-(or rows-only for oracle-less sketches) row in CORRECTNESS_r01/r02.
-_PRIORITY_R03 is this round's 50-slot batch: all unverified, all
-oracle-backed, ordered to clear the seven zero-driver-evidence
-categories from VERDICT r02 (TPC-H patterns, windows, set ops,
-subqueries, similarity search, the UDF/UDAF/UDTF trio, sorts/top-k,
-text analysis, multimodal) plus the queued-entry proof
-(import_job_spec_roundtrip).  The ~44 still-unverified names queue for
-round 4's window (ledger in ROUND_NOTES.md).
+(or rows-only for oracle-less sketches) row in CORRECTNESS_r01/r02/r03.
+_PRIORITY_R04 is this round's 50-slot batch: all unverified, all
+oracle-backed, ordered to clear the zero-driver-evidence families from
+VERDICT r03 (all 10 pipeline_*, all 9 sql_engine_*, all 16 remaining
+text_*, 5 multimodal_*, 3 sample_*, 2 profile_*, groupedmap, the dedup
+graph family) plus setop_intersect.  The remaining 48 unverified names
+queue for round 5's window (ledger in ROUND_NOTES.md).
 """
 
 from __future__ import annotations
@@ -39,11 +38,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from parquet_to_sql_spark.queries.registry import all_queries  # noqa: E402
 from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 
-# Canonical names with >=1 CORRECTNESS_r01/r02 row (hash-green, or the
-# rows-only self-verifying sketch queries).  Derived from the recorded
-# artifacts; tests/test_oracle_parity.py re-derives and asserts it.
+# Canonical names with >=1 CORRECTNESS_r01/r02/r03 row (hash-green, or
+# the rows-only self-verifying sketch queries).  Derived from the
+# recorded artifacts; tests/test_oracle_parity.py re-derives and
+# asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r03 window (CORRECTNESS_r03.json, 50/50 green) ---
+        "q1_pricing_summary", "q2_min_per_group", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+        "q9_product_profit", "q10_returned_items",
+        "q11_value_concentration", "q12_priority_shipping",
+        "q13_customer_distribution", "q14_promo_effect",
+        "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+        "q18_large_orders", "q19_disjunctive", "q20_excess_shippers",
+        "q21_waiting_suppliers", "q22_global_sales",
+        "window_first_last", "window_ignore_nulls",
+        "window_lag_lead_events", "window_moving_avg",
+        "window_pct_cume_nth", "window_range_frame",
+        "window_rank_dense_ntile", "window_running_sum",
+        "window_time_range_frame", "window_topn_per_customer",
+        "setop_except", "setop_intersect_except_all", "setop_union_all",
+        "setop_union_by_name", "sub_in_top_nations",
+        "sub_scalar_above_avg_price", "simsearch_cosine_topk",
+        "simsearch_hyperplane_lsh", "simsearch_ivf_kmeans_topk",
+        "simsearch_ivf_topk", "udtf_chunk_documents",
+        "udaf_pandas_weighted_avg", "udf_iter_quantized_norm",
+        "import_job_spec_roundtrip", "sort_nulls_explicit",
+        "topk_expensive_orders", "text_profile_documents",
+        "multimodal_pack_metadata",
+        # --- r01/r02 rows ---
         "agg_approx_sketches", "agg_boolean_filtered", "agg_cube_orders",
         "agg_distinct_suppliers", "agg_grouping_id", "agg_grouping_sets",
         "agg_having", "agg_percentiles", "agg_pivot_status",
@@ -73,37 +98,41 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# Round-3 window: 50 never-driver-verified, oracle-backed queries, in
+# Round-4 window: 50 never-driver-verified, oracle-backed queries, in
 # the insertion order the driver will check them.
-_PRIORITY_R03 = (
-    "q1_pricing_summary", "q2_min_per_group", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_value_concentration",
-    "q12_priority_shipping", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
-    "q20_excess_shippers", "q21_waiting_suppliers", "q22_global_sales",
-    "window_first_last", "window_ignore_nulls", "window_lag_lead_events",
-    "window_moving_avg", "window_pct_cume_nth", "window_range_frame",
-    "window_rank_dense_ntile", "window_running_sum",
-    "window_time_range_frame", "window_topn_per_customer",
-    "setop_except", "setop_intersect_except_all", "setop_union_all",
-    "setop_union_by_name", "sub_in_top_nations",
-    "sub_scalar_above_avg_price", "simsearch_cosine_topk",
-    "simsearch_hyperplane_lsh", "simsearch_ivf_kmeans_topk",
-    "simsearch_ivf_topk", "udtf_chunk_documents",
-    "udaf_pandas_weighted_avg", "udf_iter_quantized_norm",
-    "import_job_spec_roundtrip", "sort_nulls_explicit",
-    "topk_expensive_orders", "text_profile_documents",
-    "multimodal_pack_metadata",
+_PRIORITY_R04 = (
+    "pipeline_corpus_clean", "pipeline_corpus_curation",
+    "pipeline_cdc_upsert", "pipeline_train_split_manifest",
+    "pipeline_pack_sequences", "pipeline_mixture_sample",
+    "pipeline_curriculum_bins", "pipeline_merge_into_semantics",
+    "pipeline_incremental_distinct_bitmap", "pipeline_dataset_card",
+    "sql_engine_nation_revenue", "sql_engine_window_qualify",
+    "sql_engine_recursive_reach", "sql_engine_group_by_all",
+    "sql_engine_pivot_syntax", "sql_engine_distribute_by",
+    "sql_engine_pipe_syntax", "sql_engine_parameterized",
+    "sql_engine_star_except",
+    "text_simhash", "text_lang_distribution", "text_word_counts_top20",
+    "text_gopher_rules", "text_top_terms_per_doc",
+    "text_contamination_check", "text_repetition_ratios",
+    "text_winnowing_fingerprints", "text_pii_redaction",
+    "text_vocab_coverage", "text_keyword_search", "text_bpe_pair_merges",
+    "text_rarity_score", "text_cooccurrence_pmi",
+    "text_source_divergence_l1", "text_lang_confusion",
+    "multimodal_decode_features", "multimodal_audio_features",
+    "multimodal_frame_samples", "multimodal_resize_thumbnail",
+    "multimodal_ahash_neardup",
+    "sample_deterministic", "sample_stratified_hash", "sample_bottom_k",
+    "profile_constraints", "profile_orders_columns",
+    "groupedmap_spend_share",
+    "dedup_graph_triangles", "dedup_cc_star", "dedup_graph_pagerank",
+    "setop_intersect",
 )
 
 
 def _ordered_names() -> list[str]:
     """Priority batch first (driver checks queries()[:50]), rest sorted."""
-    rest = sorted(n for n in all_queries() if n not in set(_PRIORITY_R03))
-    return list(_PRIORITY_R03) + rest
+    rest = sorted(n for n in all_queries() if n not in set(_PRIORITY_R04))
+    return list(_PRIORITY_R04) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -7,10 +7,15 @@ Methodology (BASELINE.md): warm SparkSession, one warmup execution of
 EVERY headline query (so one-time JVM JIT / codegen compilation is
 excluded — round 3 change; rounds 1-2 warmed only one query, so their
 per-query numbers carry ~0.5-3.5 s of first-execution compiler cost),
-then one timed cold-cache .collect() per headline query (build +
-execute + materialize; caches cleared between queries). An import-path
-throughput probe (COPY text rendering of lineitem, the reference's
-core workload) is included as `import_render_lineitem`.
+then $SPARK_GRAFT_BENCH_REPS (default 5) timed cold-cache .collect()
+passes per headline query (build + execute + materialize; caches
+cleared between queries).  Per-query value = MEDIAN across reps
+(round-4 change: single-shot numbers showed ±20-35% run-to-run noise
+— the q1/q5 'regressions' flagged in VERDICT r03); per-query
+[min, max] spread is reported alongside so noise is visible instead
+of argued about.  An import-path throughput probe (COPY text
+rendering of lineitem, the reference's core workload) is included as
+`import_render_lineitem`.
 """
 
 from __future__ import annotations
@@ -81,15 +86,25 @@ def main() -> int:
         build(spark, sf_dir).collect()
         spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name, build in headline.items():
-        t0 = time.monotonic()
-        build(spark, sf_dir).collect()
-        timings[name] = round(time.monotonic() - t0, 3)
-        # operators may cache intermediates (e.g. the dedup shingle
-        # relation); release between queries so a long bench loop
-        # doesn't accumulate executor memory
-        spark.catalog.clearCache()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    samples: dict[str, list[float]] = {n: [] for n in headline}
+    for _ in range(reps):
+        for name, build in headline.items():
+            t0 = time.monotonic()
+            build(spark, sf_dir).collect()
+            samples[name].append(time.monotonic() - t0)
+            # operators may cache intermediates (e.g. the dedup shingle
+            # relation); release between queries so a long bench loop
+            # doesn't accumulate executor memory
+            spark.catalog.clearCache()
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {n: round(median(xs), 3) for n, xs in samples.items()}
+    spread = {n: [round(min(xs), 3), round(max(xs), 3)] for n, xs in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -99,6 +114,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -46,28 +46,19 @@ def parse_column_map(pairs: list[str]) -> dict[str, str]:
 
 
 def build_sink(args):
-    if args.sink == "duckdb":
-        from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
+    """CLI flags -> EngineConfig -> the single config.build_sink
+    dispatch (flags are the highest-precedence layer of the documented
+    config contract, so constructing the config directly is exact)."""
+    from parquet_to_sql_spark.config import EngineConfig
+    from parquet_to_sql_spark.config import build_sink as _build_sink
 
-        return DuckDbSink(args.connection, batch_size=args.batch)
-    if args.sink == "file":
-        from parquet_to_sql_spark.sinks.files import FileSink
-
-        return FileSink(args.connection, format=args.format)
-    if args.sink == "copy":
-        from parquet_to_sql_spark.sinks.copy_pg import CopySink
-
-        return CopySink(args.connection, batch_size=args.batch, timeout_s=args.timeout)
-    if args.sink == "pg":
-        # reference parity: probe the connection once and take COPY
-        # when available, bulk INSERT otherwise (ParquetImporter.php:98)
-        from parquet_to_sql_spark.sinks.insert_pg import choose_sink
-
-        return choose_sink(args.connection, batch_size=args.batch,
-                           timeout_s=args.timeout)
-    from parquet_to_sql_spark.sinks.jdbc import JdbcSink
-
-    return JdbcSink(args.connection, batch_size=args.batch)
+    cfg = EngineConfig(
+        connection=args.connection,
+        batch_size=args.batch,
+        copy_timeout=args.timeout,
+        sink=args.sink,
+    )
+    return _build_sink(cfg, file_format=args.format)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -86,16 +86,26 @@ def load_config(path: str | None = None, **overrides) -> EngineConfig:
         copy_timeout=int(resolved.get("copy_timeout", DEFAULT_COPY_TIMEOUT)),
         sink=str(resolved.get("sink", DEFAULT_SINK)),
     )
-    if cfg.sink not in ("jdbc", "copy", "pg", "duckdb"):
-        raise ValueError(f"unknown sink kind {cfg.sink!r} (jdbc|copy|pg|duckdb)")
+    if cfg.sink not in ("jdbc", "copy", "pg", "duckdb", "file"):
+        raise ValueError(
+            f"unknown sink kind {cfg.sink!r} (jdbc|copy|pg|duckdb|file)"
+        )
     return cfg
 
 
-def build_sink(cfg: EngineConfig):
+def build_sink(cfg: EngineConfig, *, file_format: str = "parquet"):
     """Instantiate the configured sink (the DI layer the reference's
-    service provider plays — ParquetToSqlServiceProvider.php:14-20)."""
+    service provider plays — ParquetToSqlServiceProvider.php:14-20).
+    The ONE sink dispatch — the CLI builds an EngineConfig from its
+    flags and delegates here (round-3 debt: the dispatches had
+    drifted apart).  ``file_format`` only applies to the `file` sink,
+    where ``connection`` is the lake base directory."""
     if cfg.connection is None:
         raise ValueError("no connection configured (spec/file/env)")
+    if cfg.sink == "file":
+        from parquet_to_sql_spark.sinks.files import FileSink
+
+        return FileSink(cfg.connection, format=file_format)
     if cfg.sink == "duckdb":
         from parquet_to_sql_spark.sinks.duckdb_sink import DuckDbSink
 

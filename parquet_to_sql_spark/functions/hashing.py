@@ -32,23 +32,29 @@ def char_fold_hash(col: Column) -> Column:
     )
 
 
-def word_shingles(words: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a words array (for minhash/Jaccard).
-
-    words[i-1..i+n-2] joined by spaces, i in 1..len-n+1; documents
-    shorter than n words produce an empty set.
-    """
+def positional_shingles(words: Column, n: int = 3) -> Column:
+    """n-word shingles of a words array, POSITIONAL (non-distinct, in
+    document order): words[i-1..i+n-2] joined by spaces, i in
+    1..len-n+1; documents shorter than n words produce an empty array.
+    The shared windowed-join core of the shingle family — winnowing
+    consumes this sequence directly (it needs every position);
+    word_shingles adds the distinct for set-semantics consumers."""
     # sequence(1, 0) would count DOWN in Spark, so guard short docs
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
     ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-    joined = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(words, (i + off).cast("int")) for off in range(n)]
         ),
     )
-    return F.array_distinct(joined)
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a words array (for minhash/Jaccard);
+    set semantics over the positional_shingles core."""
+    return F.array_distinct(positional_shingles(words, n))
 
 
 def word_hashes(words: Column) -> Column:

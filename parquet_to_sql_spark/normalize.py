@@ -70,11 +70,21 @@ def normalize_nested_only(df: DataFrame) -> DataFrame:
 def copy_escape(col: Column) -> Column:
     r"""Escape a string for the COPY text protocol: \ -> \\, TAB -> \t,
     CR -> \r, LF -> \n (ParquetImporter.php:173-178). Backslash first,
-    so escapes are not double-escaped."""
+    so escapes are not double-escaped.
+
+    The replace chain only runs on rows that actually CONTAIN a
+    special (one rlike scan guards it): each F.replace rebuilds the
+    string, so on clean data — the overwhelming hot path for COPY
+    rendering — this trades 4 rebuild passes per value for 1 regex
+    scan.  `when` branches evaluate lazily per row in codegen, so
+    clean rows never execute the replaces; null propagates through
+    both branches identically (rlike(null) is null -> otherwise
+    branch -> replace(null) is null)."""
     c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
     c = F.replace(c, F.lit("\t"), F.lit("\\t"))
     c = F.replace(c, F.lit("\r"), F.lit("\\r"))
-    return F.replace(c, F.lit("\n"), F.lit("\\n"))
+    escaped = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    return F.when(col.rlike("[\\\\\t\r\n]"), escaped).otherwise(col)
 
 
 def copy_value(col: Column, dt: T.DataType) -> Column:
@@ -97,13 +107,29 @@ def copy_value(col: Column, dt: T.DataType) -> Column:
         # (The leading backslash itself must be escaped on the wire,
         # hence the literal \\x.)
         rendered = F.concat(F.lit("\\\\x"), F.lower(F.hex(col)))
-    elif isinstance(dt, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
+    elif isinstance(dt, T.DayTimeIntervalType):
         # Spark's cast-to-string is the SQL literal form
-        # ("INTERVAL '1 02:03:04' DAY TO SECOND"), which Postgres's
-        # interval input REJECTS; the quoted inner value ('1 02:03:04',
-        # '1-2') is valid PG interval input AND loads losslessly into
-        # text — extract it (no COPY specials possible)
-        rendered = F.regexp_extract(col.cast("string"), "'([^']*)'", 1)
+        # ("INTERVAL '-1 02:03:04' DAY TO SECOND"); neither it nor its
+        # quoted inner value is safe PG input — PG (default
+        # IntervalStyle) treats each field as independently signed, so
+        # '-1 02:03:04' parses as -1 days +02:03:04, silently
+        # corrupting negative intervals.  Render the total-microsecond
+        # count instead: cast to DAY TO SECOND (so the decimal cast
+        # yields seconds for every start/end-field shape), then to
+        # DECIMAL(28,6) — exact over the full ±~106M-day range — and
+        # scale to integral microseconds.  '<n> microseconds' is
+        # unambiguous, sign-safe PG interval input with no COPY
+        # specials.
+        us = (col.cast("interval day to second").cast("decimal(28,6)") * 1000000).cast(
+            "long"
+        )
+        rendered = F.concat(us.cast("string"), F.lit(" microseconds"))
+    elif isinstance(dt, T.YearMonthIntervalType):
+        # Same sign hazard for '-1-2' (PG: -1 year +2 mons); render the
+        # total-month count — cast to MONTH end field gives exact total
+        # months for both YEAR and YEAR TO MONTH shapes.
+        months = col.cast("interval month").cast("int")
+        rendered = F.concat(months.cast("string"), F.lit(" months"))
     elif isinstance(dt, (T.NumericType, T.DateType)):
         # provably no COPY specials in their string forms; skipping the
         # escape keeps the hot render path one expression per column

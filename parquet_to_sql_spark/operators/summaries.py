@@ -71,28 +71,39 @@ def heavy_hitters_exact(
     """Exact heavy hitters (count * (capacity+1) > n) via Misra–Gries
     candidate pruning + one broadcast semi-join recount.
 
-    Scale shape: pass 1 reduces each partition to <= capacity candidate
-    rows (bounded memory by construction); the distinct candidate
-    relation is tiny (<= capacity * #partitions) and broadcasts; pass 2
-    recounts ONLY candidates — its groupBy key universe is the
-    candidate set, not the corpus vocabulary, so the shuffle is bounded
-    too.  Returns (key, cnt, n_total), exactly the true heavy-hitter
-    set regardless of partitioning.
+    Scale shape — exactly TWO corpus scans: pass 1 reduces each
+    partition to <= capacity candidate rows (bounded memory by
+    construction); the distinct candidate relation is tiny
+    (<= capacity * #partitions) and broadcasts; pass 2 recounts with
+    the key MASKED to null for non-candidates, so one aggregate yields
+    both the per-candidate counts and (as the null bucket + their sum)
+    the total row count — no third scan just for n_total.  The
+    aggregate's key universe is the candidate set + 1, so the shuffle
+    is bounded; the unpartitioned window that attaches n_total runs
+    over that same bounded post-aggregate relation (<= capacity *
+    #partitions + 1 rows), never the corpus.  Returns (key, cnt,
+    n_total), exactly the true heavy-hitter set regardless of
+    partitioning.
     """
+    from pyspark.sql import Window
+
     # null keys are EXCLUDED from the analysis — consistently: pandas
     # value_counts drops them from candidates and an equi-join recount
     # would too, so n_total must not count them either (it previously
     # did, silently deflating every key's threshold share)
     df = df.filter(F.col(key_col).isNotNull())
     cands = misra_gries_candidates(df, key_col, capacity).distinct()
-    total = df.agg(F.count(F.lit(1)).alias("n_total"))
-    counts = (
-        df.join(F.broadcast(cands), key_col)
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    masked = df.join(
+        F.broadcast(cands.withColumn("_is_cand", F.lit(True))), key_col, "left"
+    ).select(F.when(F.col("_is_cand"), F.col(key_col)).alias("_k"))
+    counts = masked.groupBy("_k").agg(F.count(F.lit(1)).alias("cnt"))
+    enriched = counts.withColumn(
+        "n_total", F.sum("cnt").over(Window.partitionBy())
     )
     return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * F.lit(capacity + 1) > F.col("n_total"))
-        .select(key_col, "cnt", "n_total")
+        enriched.filter(
+            F.col("_k").isNotNull()
+            & (F.col("cnt") * F.lit(capacity + 1) > F.col("n_total"))
+        )
+        .select(F.col("_k").alias(key_col), "cnt", "n_total")
     )

@@ -16,7 +16,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from parquet_to_sql_spark.functions.hashing import char_fold_hash
+from parquet_to_sql_spark.functions.hashing import (
+    char_fold_hash,
+    positional_shingles,
+)
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -209,19 +212,10 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     return F.when(F.size(ws_tokens(text)) > 0, sim.cast("long"))
 
 
-def positional_shingles(words: Column, k: int = 3) -> Column:
-    """k-word shingles of a words array, POSITIONAL (non-distinct, in
-    document order) — winnowing needs the hash sequence, so unlike
-    functions.hashing.word_shingles nothing is deduplicated here."""
-    idx = F.when(
-        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
-    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + off).cast("int")) for off in range(k)]
-        ),
-    )
+# positional_shingles (imported above) is the shared windowed-join
+# core in functions.hashing: winnowing consumes the non-distinct hash
+# SEQUENCE; word_shingles wraps it with array_distinct for the
+# set-semantics (minhash/Jaccard) family.
 
 
 def winnow_fingerprints(
@@ -505,6 +499,11 @@ def keyword_hits(
 
     if not terms:
         raise ValueError("keyword_hits: at least one term required")
+    if len(set(terms)) != len(terms):
+        # duplicate terms would emit two identical tf_<term> columns,
+        # making the later F.col references ambiguous — fail clearly
+        # here instead of with an AnalysisException downstream
+        raise ValueError(f"keyword_hits: duplicate terms in {terms!r}")
     for t in terms:
         # terms become column names (tf_<term>); anything outside \w
         # would break column resolution (dots parse as field access)

@@ -29,6 +29,75 @@ _DUCK_COS_AB = """
      * sqrt(list_reduce(list_transform({b}, x -> x*x), (x,y) -> x+y)))
 """
 
+# Shared DuckDB CTE fragments for every IVF-shaped oracle (seeded IVF,
+# k-means IVF, SemDeDup blocking, recall audit) — single-sourced so the
+# assign/probe semantics can't drift apart across oracles (round-3
+# debt item).  All fragments assume a CTE `v(vec_id, ve)` in scope;
+# probes additionally assume `q(qid, qv)`.
+_DUCK_V_CTE = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)"
+
+
+def _duck_cent_seeded() -> str:
+    """Deterministic seeded centroids: every _CENTROID_MOD-th vector."""
+    return (
+        "cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v "
+        f"WHERE vec_id % {_CENTROID_MOD} = 0)"
+    )
+
+
+def _duck_assigned_cte(cent: str) -> str:
+    """Nearest-centroid assignment of the whole corpus (ties to the
+    lower cent_id)."""
+    return f"""assigned AS (
+      SELECT vec_id, ve, cent_id AS centroid_id FROM (
+        SELECT v.vec_id, v.ve, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, c.cent_id
+               ) AS rn
+        FROM v CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _duck_probes_cte(cent: str) -> str:
+    """Top-_NPROBE probe cells per query (ties to the lower cent_id)."""
+    return f"""probes AS (
+      SELECT qid, cent_id AS centroid_id FROM (
+        SELECT q.qid, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="cv")} DESC, c.cent_id
+               ) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn <= {_NPROBE}
+    )"""
+
+
+def _duck_ivf_tail(cent: str) -> str:
+    """The IVF search tail (assign → probe → score → rank) against a
+    centroid CTE exposing (cent_id, cv) — shared by the seeded and the
+    k-means-refined variants."""
+    return f"""
+    {_duck_assigned_cte(cent)},
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+    {_duck_probes_cte(cent)},
+    scored AS (
+      SELECT q.qid, a.vec_id AS cid,
+             {_DUCK_COS_AB.format(a="qv", b="a.ve")} AS cosine
+      FROM q
+      JOIN probes ON probes.qid = q.qid
+      JOIN assigned a ON a.centroid_id = probes.centroid_id
+      WHERE a.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {_K}
+    """
+
 
 @query(
     "simsearch_cosine_topk",
@@ -62,45 +131,12 @@ def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simsearch_ivf_topk",
     tags=("simsearch", "embeddings", "ann", "llm-pipeline"),
-    oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
-    assigned AS (
-      SELECT vec_id, ve, cent_id AS centroid_id FROM (
-        SELECT v.vec_id, v.ve, cent.cent_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY v.vec_id
-                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, cent.cent_id
-               ) AS rn
-        FROM v CROSS JOIN cent
-      ) WHERE rn = 1
+    oracle=(
+        f"WITH {_DUCK_V_CTE},\n    "
+        + _duck_cent_seeded()
+        + ",\n"
+        + _duck_ivf_tail("cent")
     ),
-    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
-    probes AS (
-      SELECT qid, cent_id AS centroid_id FROM (
-        SELECT q.qid, cent.cent_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.qid
-                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="cv")} DESC, cent.cent_id
-               ) AS rn
-        FROM q CROSS JOIN cent
-      ) WHERE rn <= {_NPROBE}
-    ),
-    scored AS (
-      SELECT q.qid, a.vec_id AS cid,
-             {_DUCK_COS_AB.format(a="qv", b="a.ve")} AS cosine
-      FROM q
-      JOIN probes ON probes.qid = q.qid
-      JOIN assigned a ON a.centroid_id = probes.centroid_id
-      WHERE a.vec_id <> q.qid
-    ), ranked AS (
-      SELECT qid, cid, cosine,
-             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
-      FROM scored
-    )
-    SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
-    FROM ranked WHERE rank <= {_K}
-    """,
 )
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k: deterministic centroids
@@ -182,49 +218,6 @@ def simsearch_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_ITERS = 2
 _KMEANS_QUANT = 1 << 30
-
-
-def _duck_ivf_tail(cent: str) -> str:
-    """The IVF search tail (assign → probe → score → rank) against a
-    centroid CTE exposing (cent_id, cv) — shared by the seeded and the
-    k-means-refined variants."""
-    return f"""
-    assigned AS (
-      SELECT vec_id, ve, cent_id AS centroid_id FROM (
-        SELECT v.vec_id, v.ve, c.cent_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY v.vec_id
-                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, c.cent_id
-               ) AS rn
-        FROM v CROSS JOIN {cent} c
-      ) WHERE rn = 1
-    ),
-    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
-    probes AS (
-      SELECT qid, cent_id AS centroid_id FROM (
-        SELECT q.qid, c.cent_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.qid
-                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="cv")} DESC, c.cent_id
-               ) AS rn
-        FROM q CROSS JOIN {cent} c
-      ) WHERE rn <= {_NPROBE}
-    ),
-    scored AS (
-      SELECT q.qid, a.vec_id AS cid,
-             {_DUCK_COS_AB.format(a="qv", b="a.ve")} AS cosine
-      FROM q
-      JOIN probes ON probes.qid = q.qid
-      JOIN assigned a ON a.centroid_id = probes.centroid_id
-      WHERE a.vec_id <> q.qid
-    ), ranked AS (
-      SELECT qid, cid, cosine,
-             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
-      FROM scored
-    )
-    SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
-    FROM ranked WHERE rank <= {_K}
-    """
 
 
 def _duck_kmeans_ctes(iterations: int) -> str:
@@ -479,18 +472,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_ivf_blocked",
     tags=("dedup", "embeddings", "ann", "kmeans", "llm-pipeline", "scale-path"),
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
-    assigned AS (
-      SELECT vec_id, ve, cent_id AS centroid_id FROM (
-        SELECT v.vec_id, v.ve, c.cent_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY v.vec_id
-                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, c.cent_id
-               ) AS rn
-        FROM v CROSS JOIN cent c
-      ) WHERE rn = 1
-    ),
+    WITH {_DUCK_V_CTE},
+    {_duck_cent_seeded()},
+    {_duck_assigned_cte("cent")},
     cand AS (
       SELECT a.centroid_id, a.vec_id AS id1, b.vec_id AS id2,
              a.ve AS ave, b.ve AS bve
@@ -894,27 +878,9 @@ def simsearch_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q JOIN v ON vec_id <> qid
       ) WHERE rank <= {_K}
     ),
-    cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
-    assigned AS (
-      SELECT vec_id, ve, cent_id AS centroid_id FROM (
-        SELECT v.vec_id, v.ve, cent.cent_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY v.vec_id
-                 ORDER BY {_DUCK_COS_AB.format(a="ve", b="cv")} DESC, cent.cent_id
-               ) AS rn
-        FROM v CROSS JOIN cent
-      ) WHERE rn = 1
-    ),
-    probes AS (
-      SELECT qid, cent_id AS centroid_id FROM (
-        SELECT q.qid, cent.cent_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.qid
-                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="cv")} DESC, cent.cent_id
-               ) AS rn
-        FROM q CROSS JOIN cent
-      ) WHERE rn <= {_NPROBE}
-    ),
+    {_duck_cent_seeded()},
+    {_duck_assigned_cte("cent")},
+    {_duck_probes_cte("cent")},
     ivf AS (
       SELECT qid, cid FROM (
         SELECT q.qid, a.vec_id AS cid,

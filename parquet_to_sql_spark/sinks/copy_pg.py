@@ -54,6 +54,36 @@ def _default_connection_factory(dsn: str):
         return pg_wire.connect(dsn)
 
 
+def _copy_stream(cur, sql: str, line_iter: Iterable[str]) -> int:
+    """Stream lines through whichever COPY spelling the driver's
+    cursor exposes — ``copy`` (psycopg3 / the stdlib pg_wire client)
+    or ``copy_expert`` (psycopg2, file-like input) — and return the
+    number of lines sent.  choose_sink's supports_copy probe accepts
+    both spellings, so the sink must drive both.  The copy_expert
+    branch feeds bounded StringIO chunks (several COPY statements in
+    the same transaction — identical commit semantics), so neither
+    branch ever materializes a whole partition."""
+    n = 0
+    if hasattr(cur, "copy"):
+        with cur.copy(sql) as cp:
+            for line in line_iter:
+                cp.write(line + "\n")
+                n += 1
+        return n
+    import io
+
+    chunk: list[str] = []
+    for line in line_iter:
+        chunk.append(line)
+        n += 1
+        if len(chunk) >= 10_000:
+            cur.copy_expert(sql, io.StringIO("".join(c + "\n" for c in chunk)))
+            chunk = []
+    if chunk:
+        cur.copy_expert(sql, io.StringIO("".join(c + "\n" for c in chunk)))
+    return n
+
+
 def copy_partition(
     lines: Iterable[str],
     *,
@@ -93,9 +123,7 @@ def copy_partition(
             cur = conn.cursor()
             try:
                 cur.execute(f"SET LOCAL statement_timeout = {int(timeout_s * 1000)}")
-                with cur.copy(sql) as cp:
-                    for line in b:
-                        cp.write(line + "\n")
+                _copy_stream(cur, sql, b)
                 conn.commit()
                 return len(b)
             except Exception as exc:
@@ -227,11 +255,7 @@ class CopySink:
                     cur.execute(
                         f"SET LOCAL statement_timeout = {int(timeout_s * 1000)}"
                     )
-                    n = 0
-                    with cur.copy(copy_sql) as cp:
-                        for row in it:
-                            cp.write(row.line + "\n")
-                            n += 1
+                    n = _copy_stream(cur, copy_sql, (row.line for row in it))
                     cur.execute(
                         f"INSERT INTO {ledger} VALUES ({bid}, {int(pid)}, {n})"
                     )

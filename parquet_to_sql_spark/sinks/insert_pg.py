@@ -183,11 +183,24 @@ class InsertSink:
 def supports_copy(conn) -> bool:
     """The reference's capability probe (method_exists($pdo,
     'pgsqlCopyFromArray'), ParquetImporter.php:98), translated: does
-    this connection's cursor expose the COPY protocol?"""
+    this connection's cursor expose the COPY protocol?  Any of the
+    known driver spellings counts — `copy` (psycopg3 / pg_wire) or
+    `copy_expert`/`copy_from` (psycopg2) — so a psycopg2 connection
+    doesn't silently degrade to the slow INSERT path; the probe
+    cursor is closed either way."""
     try:
-        return hasattr(conn.cursor(), "copy")
+        cur = conn.cursor()
     except Exception:
         return False
+    try:
+        return any(
+            hasattr(cur, m) for m in ("copy", "copy_expert", "copy_from")
+        )
+    finally:
+        try:
+            cur.close()
+        except Exception:
+            pass
 
 
 def choose_sink(

@@ -31,6 +31,27 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from parquet_to_sql_spark.session import apply_runtime_confs
 
+
+def _probe_schema(spark: SparkSession, path: str):
+    """Batch footer-schema probe for a file-source stream (no data
+    scan).  Returns None ONLY for the two genuinely-benign 'no input
+    yet' conditions — missing path, or a directory with no readable
+    files (Spark raises PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) —
+    which are normal for a stream started before its producer.  Every
+    other failure (corrupt footer, permissions, ...) propagates, so a
+    real error surfaces at declaration time instead of being masked by
+    a silently-guessed schema."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).schema
+    except AnalysisException as exc:
+        cond = exc.getCondition() or ""
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
+
+
 def _events_schema(ts_sql_type: str) -> str:
     return (
         f"event_id long, ts {ts_sql_type}, user_id long, "
@@ -54,13 +75,15 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     Batch and streaming therefore agree on event time for every shape.
     """
     apply_runtime_confs(spark)
-    try:
-        ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
-    except Exception:
-        # no files yet (normal for a file-source stream started before
-        # its producer): declare the current fixture shape and let the
+    probed = _probe_schema(spark, path)
+    if probed is None:
+        # no files yet: declare the current fixture shape and let the
         # stream idle until data lands
         ts_type = "timestamp"
+    else:
+        ts_type = dict((f.name, f.dataType.simpleString()) for f in probed.fields).get(
+            "ts", "timestamp"
+        )
     stream = spark.readStream.schema(_events_schema(ts_type)).parquet(path)
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -352,12 +375,12 @@ def stream_import(
 def documents_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of documents parquet files under `path`
     (schema probed from the footer with a zero-cost batch read; falls
-    back to the fixture schema when no files have landed yet, so the
-    stream can start before its producer)."""
+    back to the fixture schema ONLY when no files have landed yet —
+    other probe failures propagate — so the stream can start before
+    its producer without masking real read errors)."""
     apply_runtime_confs(spark)
-    try:
-        schema = spark.read.parquet(path).schema
-    except Exception:
+    schema = _probe_schema(spark, path)
+    if schema is None:
         return spark.readStream.schema(
             "doc_id long, text string, lang string, source string, n_chars long"
         ).parquet(path)

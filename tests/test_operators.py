@@ -594,3 +594,20 @@ def test_misra_gries_bounded_candidates_and_exact_recovery(spark):
     }
     df.unpersist()
     assert got == {("alpha", 1200, n), ("beta", 1200, n), ("gamma", 1200, n)}
+
+
+def test_keyword_hits_rejects_bad_term_lists(spark):
+    """Term validation fails fast with clear messages (ADVICE r03):
+    empty list, non-\\w terms (would break tf_<term> column names),
+    and duplicates (would create ambiguous identical columns)."""
+    import pytest
+
+    from parquet_to_sql_spark.operators.text import keyword_hits
+
+    docs = spark.createDataFrame([(1, "spark join")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one term"):
+        keyword_hits(docs, "doc_id", "text", ())
+    with pytest.raises(ValueError, match="must match"):
+        keyword_hits(docs, "doc_id", "text", ("spark", "a.b"))
+    with pytest.raises(ValueError, match="duplicate"):
+        keyword_hits(docs, "doc_id", "text", ("spark", "join", "spark"))

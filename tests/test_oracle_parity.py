@@ -43,13 +43,16 @@ def test_rotation_window_insertion_order():
     assert len(names) == len(QUERIES)
 
     window = names[:50]
-    assert list(e._PRIORITY_R03) == window
+    assert list(e._PRIORITY_R04) == window
 
     # _DRIVER_VERIFIED matches the recorded artifacts (re-derived here
     # so the frozen set can't silently drift from the JSON evidence)
     repo = pathlib.Path(__file__).resolve().parent.parent
     derived = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for art in (
+        "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         for key, row in json.loads((repo / art).read_text()).items():
             canon = key
             for prefix in ("a2_", "a9_"):
@@ -66,12 +69,12 @@ def test_rotation_window_insertion_order():
         assert n in osql, f"{n} has no oracle — weaker evidence, don't spend a slot"
 
     # ledger: everything unverified and NOT in this window queues for
-    # the next round; two more 50-slot rounds must finish the sweep
+    # the next round; one more 50-slot round must finish the sweep
     remaining = [
         n for n in QUERIES
         if n not in e._DRIVER_VERIFIED and n not in set(window)
     ]
-    assert len(remaining) <= 100, (
+    assert len(remaining) <= 50, (
         f"{len(remaining)} unverified queries left outside the window — "
-        "more than two rounds of backlog; re-prioritize"
+        "more than one round of backlog; re-prioritize"
     )

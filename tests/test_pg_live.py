@@ -518,19 +518,98 @@ def test_write_atomic_reclaims_stale_ledger(spark, pg_dsn):
 
 def test_interval_column_loads_into_ddl_table(spark, pg_dsn):
     """create_table_sql + CopySink must round-trip an interval column
-    into a NATIVE pg interval: the renderer emits the quoted inner
-    literal ('1 02:03:04'), which PG's interval input accepts — the
-    full Spark SQL literal form would be rejected."""
+    into a NATIVE pg interval — INCLUDING negative values.  The
+    renderer emits unit-explicit totals ('<n> microseconds',
+    '<n> months') because PG's default IntervalStyle treats each field
+    of '-1 02:03:04' as independently signed (-1 days +02:03:04), so
+    any day+time textual form silently corrupts negative intervals."""
     from parquet_to_sql_spark.sinks.ddl import create_table_sql
 
     df = spark.createDataFrame([(1,)], "k int").selectExpr(
         "k", "make_dt_interval(1, 2, 3, 4) AS dur",
-        "make_ym_interval(1, 2) AS span"
+        "make_ym_interval(1, 2) AS span",
+        "-make_dt_interval(1, 2, 3, 4.5) AS neg_dur",
+        "-make_ym_interval(1, 2) AS neg_span",
     )
     _exec(pg_dsn, "DROP TABLE IF EXISTS iv_t", create_table_sql("iv_t", df.schema))
     assert CopySink(pg_dsn).write(df, "iv_t") == 1
     rows = _exec(
         pg_dsn,
-        "SELECT k::text, EXTRACT(epoch FROM dur)::bigint::text, span::text FROM iv_t",
+        "SELECT k::text, EXTRACT(epoch FROM dur)::bigint::text, span::text,"
+        " EXTRACT(epoch FROM neg_dur)::numeric::text, neg_span::text FROM iv_t",
     )
-    assert rows[0] == ("1", "93784", "1 year 2 mons")
+    # -(1d 02:03:04.5) must come back as -93784.5 s, NOT the
+    # field-signed -1d +02:03:04.5 (= -79415.5 s)
+    assert rows[0] == (
+        "1", "93784", "1 year 2 mons", "-93784.500000", "-1 years -2 mons"
+    )
+
+
+class _Psycopg2StyleCursor:
+    """Emulates psycopg2's cursor surface: COPY only via
+    copy_expert(sql, file-like) — no psycopg3-style .copy."""
+
+    def __init__(self, cur):
+        self._cur = cur
+
+    def execute(self, sql):
+        return self._cur.execute(sql)
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+    def fetchone(self):
+        return self._cur.fetchone()
+
+    def copy_expert(self, sql, file):
+        with self._cur.copy(sql) as cp:
+            data = file.read()
+            if data:
+                cp.write(data)
+
+    def close(self):
+        pass
+
+
+class _Psycopg2StyleConn:
+    def __init__(self, conn):
+        self._conn = conn
+
+    def cursor(self):
+        return _Psycopg2StyleCursor(self._conn.cursor())
+
+    def commit(self):
+        self._conn.commit()
+
+    def rollback(self):
+        self._conn.rollback()
+
+    def close(self):
+        self._conn.close()
+
+
+def _psycopg2_style_factory(dsn: str):
+    return _Psycopg2StyleConn(pg_wire.connect(dsn))
+
+
+def test_psycopg2_style_copy_spelling_gets_fast_path(spark, pg_dsn):
+    """ADVICE r03: a psycopg2-shaped driver (copy_expert, no .copy)
+    must NOT silently degrade to the INSERT path — supports_copy
+    accepts either spelling and CopySink drives copy_expert with
+    bounded file-like chunks."""
+    from parquet_to_sql_spark.sinks.copy_pg import CopySink
+    from parquet_to_sql_spark.sinks.insert_pg import choose_sink
+
+    sink = choose_sink(pg_dsn, connection_factory=_psycopg2_style_factory)
+    assert isinstance(sink, CopySink)
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS pg2_copy",
+        "CREATE TABLE pg2_copy (k int, v text)",
+    )
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 26)], "k int, v string"
+    )
+    assert sink.write(df, "pg2_copy") == 25
+    rows = _exec(pg_dsn, "SELECT count(*)::text, min(v), max(v) FROM pg2_copy")
+    assert rows == [("25", "v1", "v9")]

@@ -868,3 +868,81 @@ def test_chained_stateful_distinct_users_two_runs(spark, tmp_path):
         ).parquet(out).collect()
     }
     assert got == {(0, 2), (1, 1)}
+
+
+def test_nanos_annotated_events_batch_and_stream_agree(spark, tmp_path):
+    """A TIMESTAMP(NANOS)-annotated events file (the round-1 fixture
+    shape) must read through BOTH the batch catalog path and
+    events_stream to the same session-UTC event times — with the
+    nanosAsLong conf set, the footer probe sees `ts` as bigint and the
+    stream must apply the same nanos->micros truncation as
+    catalog.load_table (VERDICT r03 item #2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path / "nanos_sf")
+    os.makedirs(sf_dir)
+    base_ns = 1_700_000_000 * 10**9
+    # second event carries sub-microsecond nanos that truncation drops
+    ts_ns = [base_ns, base_ns + 3_600 * 10**9 + 1_234_567_891]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts_ns, pa.timestamp("ns")),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "event_type": pa.array(["click", "view"], pa.string()),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ),
+        os.path.join(sf_dir, "events.parquet"),
+        store_schema=False,  # force readers onto the NANOS annotation
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+    batch_ts = {r.event_id: r.ts for r in batch.collect()}
+    # nanos truncated (not rounded) to micros, session-UTC epoch
+    assert batch_ts[2].microsecond == 234_567
+
+    stream = events_stream(spark, sf_dir)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    run_to_memory(
+        stream.select("event_id", "ts"), "nanos_stream_out", "append"
+    )
+    stream_ts = {
+        r.event_id: r.ts
+        for r in spark.sql("SELECT * FROM nanos_stream_out").collect()
+    }
+    assert stream_ts == batch_ts
+
+
+def test_stream_schema_probe_masks_only_missing_input(spark, tmp_path):
+    """The footer probe treats ONLY missing-path / no-files as 'no
+    input yet'; a corrupt file must raise at declaration time instead
+    of silently starting the stream with a guessed schema (ADVICE
+    r03)."""
+    from parquet_to_sql_spark.streaming.pipeline import documents_stream
+
+    # empty dir -> benign fallback schema (stream idles until data)
+    empty = str(tmp_path / "empty_dir")
+    os.makedirs(empty)
+    assert documents_stream(spark, empty) is not None
+
+    # missing path -> clean PATH_NOT_FOUND (Spark's own file source
+    # rejects nonexistent dirs at declaration; the probe must not turn
+    # that into anything murkier)
+    from pyspark.errors import AnalysisException
+
+    missing = str(tmp_path / "never_made")
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        documents_stream(spark, missing)
+
+    # a corrupt parquet footer -> the real error propagates
+    corrupt_dir = str(tmp_path / "corrupt")
+    os.makedirs(corrupt_dir)
+    with open(os.path.join(corrupt_dir, "bad.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        documents_stream(spark, corrupt_dir)
