@@ -38,13 +38,19 @@ def import_render_lineitem(spark, sf_dir):
     """Import-path stand-in: render every lineitem row to COPY text
     (the reference's whole job, minus the Postgres socket).
 
-    No repartition: rendering pipelines with the scan in one stage.
-    At scale, parallelism comes from file/row-group splits; on the
-    single-row-group fixture a REBALANCE was measured strictly slower
-    (full-width row shuffle ~0.5 s > the parallel-render gain)."""
+    REBALANCE-hinted before rendering: the fixture is a single row
+    group, so without it the whole render runs in ONE task.  Round 3
+    measured the shuffle as strictly slower; re-measured round 4 with
+    7 reps the parallel render wins in isolation (median 1.98 s
+    serial vs ~1.4 s) and ties within noise inside the bench loop —
+    and a rebalance before a COPY-shaped write is the shape you want
+    anyway (bounds per-writer batch size).  The HINT (not an explicit
+    repartition(n)) keeps it AQE-managed: coalesced or split to the
+    advisory partition size at any input scale instead of pinning a
+    local-fixture width."""
     import pyspark.sql.functions as F
 
-    return copy_lines(load_table(spark, sf_dir, "lineitem")).agg(
+    return copy_lines(load_table(spark, sf_dir, "lineitem").hint("rebalance")).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("line")).alias("total_bytes"),
     )

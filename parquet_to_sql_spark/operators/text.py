@@ -495,20 +495,10 @@ def keyword_hits(
     query (text_keyword_search adds top-k) and the streaming content
     screen (streaming.pipeline.keyword_screen_stream) unchanged.
     """
-    import re as _re
-
-    if not terms:
-        raise ValueError("keyword_hits: at least one term required")
-    if len(set(terms)) != len(terms):
-        # duplicate terms would emit two identical tf_<term> columns,
-        # making the later F.col references ambiguous — fail clearly
-        # here instead of with an AnalysisException downstream
-        raise ValueError(f"keyword_hits: duplicate terms in {terms!r}")
-    for t in terms:
-        # terms become column names (tf_<term>); anything outside \w
-        # would break column resolution (dots parse as field access)
-        if not _re.fullmatch(r"\w+", t):
-            raise ValueError(f"keyword_hits: term {t!r} must match \\w+")
+    # terms become column names (tf_<term>): reject empties, anything
+    # outside \w (dots parse as field access), and duplicates (two
+    # identical tf_<term> columns make later references ambiguous)
+    _validate_terms("keyword_hits", terms)
     staged = df.select(id_col, ws_tokens(F.lower(F.col(text_col))).alias("_w"))
 
     def _eq(term: str):
@@ -527,3 +517,105 @@ def keyword_hits(
         cond = (c > 0) if cond is None else (cond & (c > 0))
         score = c if score is None else (score + c)
     return tf.filter(cond).withColumn("score", score)
+
+
+def _validate_terms(op: str, terms: tuple[str, ...]) -> None:
+    """Shared term-list validation for the tf_<term>-column operators."""
+    import re as _re
+
+    if not terms:
+        raise ValueError(f"{op}: at least one term required")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"{op}: duplicate terms in {terms!r}")
+    for t in terms:
+        if not _re.fullmatch(r"\w+", t):
+            raise ValueError(f"{op}: term {t!r} must match \\w+")
+
+
+def bm25_doc_features(
+    df: DataFrame, id_col: str, text_col: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """Per-document BM25 inputs: (id, dl, tf_<term>...) — document
+    length and per-term frequencies as row-local higher-order filters
+    over one staged token array.  Stateless projection (no shuffle, no
+    state), so it serves the batch ranking query and a streaming
+    score-at-ingest twin unchanged."""
+    _validate_terms("bm25_doc_features", terms)
+    staged = df.select(id_col, ws_tokens(F.lower(F.col(text_col))).alias("_w"))
+
+    def _eq(term: str):
+        # factory, not a default arg: pyspark reads a 2-arg lambda as
+        # (element, index) in higher-order filters
+        return lambda x: x == F.lit(term)
+
+    return staged.select(
+        id_col,
+        F.size(F.col("_w")).alias("dl"),
+        *[F.size(F.filter(F.col("_w"), _eq(t))).alias(f"tf_{t}") for t in terms],
+    )
+
+
+def bm25_corpus_stats(features: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """One-row corpus statistics for BM25: n_docs, total_tokens, and
+    per-term document frequencies — a single aggregate over the
+    feature projection (one corpus scan), broadcast to scorers."""
+    return features.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+
+
+def bm25_rational_scores(
+    features: DataFrame, terms: tuple[str, ...], stats: DataFrame
+) -> DataFrame:
+    """BM25 scoring in EXACT integer arithmetic (cross-engine
+    bit-identical — no ln(), no floats).
+
+    Standard BM25 (Robertson et al., TREC-3, public) with k1 = 6/5 and
+    b = 3/4 — both exact rationals — and the log dropped from the
+    Robertson–Sparck-Jones idf, i.e. the raw smoothed odds
+    (N - df + 1/2)/(df + 1/2) = (2N - 2df + 1)/(2df + 1).  With L =
+    total corpus tokens and N = n_docs (so avgdl = L/N), the term-
+    frequency saturation becomes one integer ratio:
+
+        tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+          = 44*tf*L / (20*tf*L + 6*L + 18*dl*N)
+
+    Per-term contribution = floor(10^6 * idf * tf_part), summed over
+    query terms — every engine that truncates integer division the
+    same way (Spark DECIMAL(38,0) `div` == DuckDB HUGEINT `//`,
+    verified round 3) produces the identical score, which is what
+    makes a ranked-retrieval operator value-exact against the oracle.
+    Dropping the log keeps per-term idf ordering (log is monotone) but
+    weights high-idf terms more heavily in the sum than log-idf BM25
+    — a documented variant chosen for exactness, not a bug.
+
+    Scale shape: `stats` is one row (broadcast); scoring is row-local
+    expression arithmetic over the feature projection; no shuffle at
+    any corpus size.  Magnitudes: the widened numerator is
+    <= 10^6 * 2N * 44 * tf * L — DECIMAL(38,0) holds it through
+    petabyte-scale corpora (N*tf*L < 10^29).
+    """
+    scored = features.crossJoin(F.broadcast(stats))
+    term_scores = [
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0))"
+            f" * (2*n_docs - 2*df_{t} + 1) * 44 * tf_{t} * total_tokens)"
+            f" div (CAST(2*df_{t} + 1 AS DECIMAL(38,0))"
+            f" * (20*tf_{t}*total_tokens + 6*total_tokens + 18*dl*n_docs))"
+            f" AS BIGINT)"
+        ).alias(f"s_{t}")
+        for t in terms
+    ]
+    scored = scored.select(features.columns[0], "dl", *[F.col(f"tf_{t}") for t in terms], *term_scores)
+    total = None
+    matched = None
+    for t in terms:
+        total = F.col(f"s_{t}") if total is None else total + F.col(f"s_{t}")
+        m = F.col(f"tf_{t}") > 0
+        matched = m if matched is None else (matched | m)
+    return scored.filter(matched).withColumn("score_ppm", total)

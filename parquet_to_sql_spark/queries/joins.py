@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from parquet_to_sql_spark.catalog import load_table
 from parquet_to_sql_spark.queries.registry import query
 
-from parquet_to_sql_spark.queries.relational import DISC_PRICE  # shared — do not fork
+from parquet_to_sql_spark.queries.relational import (  # shared — do not fork
+    DISC_PRICE,
+    SUM_REVENUE,
+)
 
 
 @query(
@@ -24,7 +27,7 @@ from parquet_to_sql_spark.queries.relational import DISC_PRICE  # shared — do 
     oracle=f"""
     SELECT
       l_orderkey,
-      CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+      {SUM_REVENUE} AS revenue,
       o_orderdate,
       o_orderpriority
     FROM customer
@@ -55,7 +58,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"))
+        .agg(F.expr(SUM_REVENUE).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -67,7 +70,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("join", "aggregation", "tpch"),
     oracle=f"""
-    SELECT n_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT n_name, {SUM_REVENUE} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -102,7 +105,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"))
+        .agg(F.expr(SUM_REVENUE).alias("revenue"))
     )
 
 
@@ -111,7 +114,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("join", "aggregation", "topk", "tpch"),
     oracle=f"""
-    SELECT c_custkey, c_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+    SELECT c_custkey, c_name, {SUM_REVENUE} AS revenue,
            n_name, CAST(COUNT(*) AS BIGINT) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -135,7 +138,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"),
+            F.expr(SUM_REVENUE).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select("c_custkey", "c_name", "revenue", "n_name", "n_items")

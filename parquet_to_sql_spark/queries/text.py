@@ -634,6 +634,75 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.orderBy(F.desc("score"), "doc_id").limit(20)
 
 
+def _duck_bm25_term(t: str) -> str:
+    """One term's exact-integer BM25 contribution (see
+    operators.text.bm25_rational_scores for the derivation)."""
+    return (
+        f"(1000000::HUGEINT * (2*n_docs - 2*df_{t} + 1) * 44 * tf_{t} * total_tokens)"
+        f" // ((2*df_{t} + 1)::HUGEINT"
+        f" * (20*tf_{t}*total_tokens + 6*total_tokens + 18*dl*n_docs))"
+    )
+
+
+@query(
+    "text_bm25_rational",
+    tags=("text-analysis", "retrieval", "bm25", "llm-pipeline"),
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'spark'))  AS tf_spark,
+             len(list_filter(w, x -> x = 'join'))   AS tf_join,
+             len(list_filter(w, x -> x = 'window')) AS tf_window
+      FROM ws
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+             SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+             SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS df_join,
+             SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+      FROM base
+    )
+    SELECT doc_id,
+           CAST({_duck_bm25_term("spark")} + {_duck_bm25_term("join")}
+                + {_duck_bm25_term("window")} AS BIGINT) AS score_ppm
+    FROM base CROSS JOIN stats
+    WHERE tf_spark > 0 OR tf_join > 0 OR tf_window > 0
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (OR) BM25 ranked retrieval, value-exact in both
+    engines: k1 = 6/5, b = 3/4, and the RSJ idf with the (monotone)
+    log dropped make every term contribution one exact integer
+    division — no ln(), no floats, no almost-equal comparisons (the
+    cross-engine-exact BM25 formulation queued in round 3).
+
+    Plan: one corpus scan aggregates (N, L, df_t) into a single
+    broadcast row; a second scan scores row-locally and keeps the
+    global top-20 via TakeOrderedAndProject (each partition retains
+    its local top-k, the driver merges k * #partitions rows).  No
+    corpus shuffle at any scale; see operators.text.bm25_* for the
+    arithmetic derivation and DECIMAL(38,0) width argument."""
+    from parquet_to_sql_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_doc_features,
+        bm25_rational_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = bm25_doc_features(docs, "doc_id", "text", _KW_TERMS)
+    stats = bm25_corpus_stats(feats, _KW_TERMS)
+    scored = bm25_rational_scores(feats, _KW_TERMS, stats)
+    return (
+        scored.select("doc_id", "score_ppm")
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(20)
+    )
+
+
 @query(
     "text_bpe_pair_merges",
     tags=("text-analysis", "tokenizer", "llm-pipeline"),

@@ -511,3 +511,26 @@ def tumbling_distinct_users(stream: DataFrame, window: str = "1 hour") -> DataFr
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(F.col("w.start").alias("window_start"), "n_users")
     )
+
+
+def bm25_screen_stream(
+    stream_docs: DataFrame,
+    stats: DataFrame,
+    terms: tuple[str, ...] = ("spark", "join", "window"),
+) -> DataFrame:
+    """Streaming BM25 scoring-at-ingest: arriving documents are scored
+    against STATIC corpus statistics (one broadcast row of N / L /
+    df_t, computed batch-side from the reference corpus) with the same
+    exact-integer arithmetic as the oracle-checked gate query
+    text_bm25_rational — literally the same operator functions, so
+    batch and stream scores are bit-identical.  Entirely stateless
+    (row-local feature projection + broadcast join; no watermark, no
+    state store): the routing/alerting shape for retrieval-scored
+    ingest."""
+    from parquet_to_sql_spark.operators.text import (
+        bm25_doc_features,
+        bm25_rational_scores,
+    )
+
+    feats = bm25_doc_features(stream_docs, "doc_id", "text", terms)
+    return bm25_rational_scores(feats, terms, stats)

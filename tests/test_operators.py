@@ -611,3 +611,72 @@ def test_keyword_hits_rejects_bad_term_lists(spark):
         keyword_hits(docs, "doc_id", "text", ("spark", "a.b"))
     with pytest.raises(ValueError, match="duplicate"):
         keyword_hits(docs, "doc_id", "text", ("spark", "join", "spark"))
+
+
+def test_bm25_rational_matches_fraction_reference(spark):
+    """Exact-integer BM25 vs an independent fractions.Fraction
+    reference on a hand-built corpus: per-term contribution =
+    floor(1e6 * (2N-2df+1)/(2df+1) * 44*tf*L/(20*tf*L+6*L+18*dl*N)),
+    summed over terms; docs with no query term are excluded."""
+    from fractions import Fraction
+
+    from parquet_to_sql_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_doc_features,
+        bm25_rational_scores,
+    )
+
+    corpus = [
+        (1, "spark join window spark"),
+        (2, "join the window please"),
+        (3, "nothing relevant here at all"),
+        (4, "spark"),
+        (5, "window window window window window join"),
+    ]
+    terms = ("spark", "join", "window")
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    feats = bm25_doc_features(docs, "doc_id", "text", terms)
+    got = {
+        r.doc_id: r.score_ppm
+        for r in bm25_rational_scores(
+            feats, terms, bm25_corpus_stats(feats, terms)
+        ).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus}
+    N = len(corpus)
+    L = sum(len(w) for w in toks.values())
+    want = {}
+    for d, w in toks.items():
+        dl = len(w)
+        score = 0
+        matched = False
+        for t in terms:
+            tf = w.count(t)
+            matched = matched or tf > 0
+            df = sum(1 for ww in toks.values() if t in ww)
+            idf = Fraction(2 * N - 2 * df + 1, 2 * df + 1)
+            tfp = Fraction(44 * tf * L, 20 * tf * L + 6 * L + 18 * dl * N)
+            score += (1_000_000 * idf.numerator * tfp.numerator) // (
+                idf.denominator * tfp.denominator
+            )
+        if matched:
+            want[d] = score
+    assert got == want
+    # sanity on the reference itself: doc 3 excluded, doc 1 beats doc 2
+    assert 3 not in want and want[1] > want[2]
+
+
+def test_bm25_plan_is_broadcast_only(spark):
+    """The scoring side must never shuffle the corpus: one-row stats
+    broadcast in, top-k via TakeOrderedAndProject — no sort-merge or
+    shuffled-hash join anywhere."""
+    from parquet_to_sql_spark.queries.registry import get
+    from tests.conftest import SF_SMOKE
+    from tests.test_scale_features import _formatted_plan
+
+    df = get("text_bm25_rational").build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats attach
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -946,3 +946,47 @@ def test_stream_schema_probe_masks_only_missing_input(spark, tmp_path):
         f.write(b"PAR1 this is not a parquet file")
     with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
         documents_stream(spark, corrupt_dir)
+
+
+def test_streaming_bm25_screen_matches_batch(spark, tmp_path):
+    """Streaming BM25 score-at-ingest == the batch scorer on the same
+    rows: same operator functions, static broadcast stats, so scores
+    are bit-identical (exact integer arithmetic end to end)."""
+    from parquet_to_sql_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_doc_features,
+        bm25_rational_scores,
+    )
+    from parquet_to_sql_spark.streaming.pipeline import (
+        bm25_screen_stream,
+        documents_stream,
+    )
+
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        os.path.join(d, "part0.parquet"),
+    )
+
+    terms = ("spark", "join", "window")
+    corpus = load_table(spark, SF_SMOKE, "documents")
+    feats = bm25_doc_features(corpus, "doc_id", "text", terms)
+    stats = bm25_corpus_stats(feats, terms)
+    want = {
+        (r.doc_id, r.score_ppm)
+        for r in bm25_rational_scores(feats, terms, stats).collect()
+    }
+    assert want, "fixture must produce at least one scored doc"
+
+    run_to_memory(
+        bm25_screen_stream(documents_stream(spark, d), stats, terms)
+        .select("doc_id", "score_ppm"),
+        "bm25_stream_out",
+        "append",
+    )
+    got = {
+        (r.doc_id, r.score_ppm)
+        for r in spark.sql("SELECT * FROM bm25_stream_out").collect()
+    }
+    assert got == want
