@@ -680,3 +680,87 @@ def test_bm25_plan_is_broadcast_only(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats attach
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bloom_screen_no_false_negatives_and_exact_compose(spark):
+    """Bloom membership screen: every true member survives the probe
+    (the Bloom guarantee), the false-positive rate stays near the
+    fpp=2% design point, and the bloom+semi-join composition returns
+    EXACTLY the plain semi-join answer."""
+    import pytest
+
+    from parquet_to_sql_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+        bloom_screen_exact,
+    )
+
+    ref = spark.range(0, 1000).select(F.col("id").alias("k"))
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+
+    bloom = bloom_build(ref, "k", expected_items=1000, fpp=0.02)
+    survivors = {r.k for r in bloom_probe(probe, "k", bloom).collect()}
+    members = set(range(1000))
+    assert members <= survivors, "false negative — violates the Bloom guarantee"
+    fp = len(survivors - members)
+    assert fp / 1000 < 0.10, f"false-positive rate {fp/1000:.3f} way above design"
+
+    exact = {
+        r.k for r in bloom_screen_exact(
+            probe, "k", ref, "k", expected_items=1000
+        ).collect()
+    }
+    assert exact == members
+
+    with pytest.raises(ValueError, match="expected_items"):
+        bloom_build(ref, "k", expected_items=0)
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_build(ref, "k", expected_items=10, fpp=1.5)
+
+
+def test_bloom_numpy_probe_is_bit_exact_vs_jvm(spark):
+    """The vectorized numpy mightContainLong must agree with the JVM
+    BloomFilterImplV2 on EVERY probe — members and non-members, the
+    full int64 range including negatives — so an upstream algorithm
+    change breaks loudly here instead of silently diverging."""
+    import numpy as np
+
+    from parquet_to_sql_spark.operators.membership import (
+        bloom_build,
+        might_contain_longs,
+    )
+
+    ref = spark.range(0, 500).select(F.col("id").alias("k"))
+    filter_bytes, k, seed, bit_size = bloom_build(ref, "k", 500, fpp=0.05)
+
+    # the JVM filter holds xxhash64(k) values; probe raw hashed longs
+    jfilter_df = ref.select(F.xxhash64("k").alias("h"))
+    member_hashes = np.array([r.h for r in jfilter_df.collect()], dtype=np.int64)
+    rng = np.random.RandomState(42)
+    random_probes = rng.randint(-(2**63), 2**63 - 1, size=2000, dtype=np.int64)
+    probes = np.concatenate([member_hashes, random_probes])
+
+    jf = (
+        ref.filter(F.col("k").isNotNull())
+        .select(F.xxhash64(F.col("k")).alias("_h"))
+        ._jdf.stat()
+        .bloomFilter("_h", 500, 0.05)
+    )
+    want = np.array([jf.mightContainLong(int(v)) for v in probes], dtype=bool)
+    got = might_contain_longs(probes, filter_bytes, k, seed, bit_size)
+    # NOTE: jf is an independent build over the same keys -> identical
+    # deterministic filter; assert that too via the member prefix
+    assert got[: len(member_hashes)].all()
+    assert (got == want).all(), "numpy probe diverged from the JVM filter"
+
+
+def test_bloom_probe_null_keys_never_match(spark):
+    """NULL probe keys are dropped, mirroring semi-join null
+    semantics; NULL reference keys are excluded from the build."""
+    from parquet_to_sql_spark.operators.membership import bloom_build, bloom_probe
+
+    ref = spark.createDataFrame([(1,), (None,)], "k int")
+    bloom = bloom_build(ref, "k", expected_items=10)
+    probe = spark.createDataFrame([(1,), (None,), (999999,)], "k int")
+    got = {r.k for r in bloom_probe(probe, "k", bloom).collect()}
+    assert 1 in got and None not in got

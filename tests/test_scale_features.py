@@ -746,3 +746,60 @@ def test_pareto_abc_per_part_window_is_partitioned(spark):
     assert "hashpartitioning(_band" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_runtime_bloom_filter_injection_on_selective_join(spark):
+    """Spark-native bloom runtime filtering (InjectRuntimeFilter): a
+    selective creation side on a shuffle join gets a bloom_filter_agg
+    subquery injected, and the big application side is pre-filtered by
+    might_contain BEFORE the shuffle — the engine-level version of the
+    operators.membership screen.  Thresholds are lowered because the
+    local fixture is far under the 10 GB production default; the
+    assertion is on the optimized plan, and the filtered result must
+    equal the unfiltered join's."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "no bloom runtime filter injected"
+        assert "bloom_filter_agg" in plan
+        got = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = {
+        (r.o_orderpriority, r.n)
+        for r in (
+            load_table(spark, SF_SMOKE, "lineitem")
+            .join(
+                load_table(spark, SF_SMOKE, "orders").filter(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ).collect()
+    }
+    assert got == want and len(got) == 1
