@@ -84,6 +84,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Bound per-task input so huge files split into parallel scans.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Long-lived sessions running many queries accumulate shuffle
+        # files and broadcasts until a driver GC lets the
+        # ContextCleaner reap them; the default periodic GC (30 min)
+        # outlives a whole bench run, so old state piles up and
+        # inflates every later query (measured 1.5-3x on the heavy
+        # ones).  30 s bounds the pile without measurable overhead.
+        .config("spark.cleaner.periodicGC.interval", "30s")
+        # The generated-class cache defaults to 100 entries; a session
+        # running the full query surface (200+ plans, several codegen
+        # stages each) thrashes it, paying janino recompilation on
+        # every re-execution.  Sized to hold the whole workload.
+        # (Read once at first codegen, so it must be set at build.)
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
