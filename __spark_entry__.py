@@ -16,13 +16,21 @@ that have never had a driver CORRECTNESS row, then every remaining
 query in sorted order.  Exactly one registry entry per query.
 
 _DRIVER_VERIFIED is the cumulative set of canonical names with a green
-(or rows-only for oracle-less sketches) row in CORRECTNESS_r01/r02/r03.
-_PRIORITY_R04 is this round's 50-slot batch: all unverified, all
-oracle-backed, ordered to clear the zero-driver-evidence families from
-VERDICT r03 (all 10 pipeline_*, all 9 sql_engine_*, all 16 remaining
-text_*, 5 multimodal_*, 3 sample_*, 2 profile_*, groupedmap, the dedup
-graph family) plus setop_intersect.  The remaining 48 unverified names
-queue for round 5's window (ledger in ROUND_NOTES.md).
+(or rows-only for oracle-less sketches) row in CORRECTNESS_r01..r04.
+_PRIORITY_R05 is this round's 50-slot batch: the final 49 queries with
+zero driver evidence (ledger diffed against all four CORRECTNESS
+artifacts in tests/test_oracle_parity.py) plus ONE re-verify slot —
+q1_pricing_summary, whose aggregation arithmetic was rewritten to
+integer cents in round 4 *after* its r03 green row, so the driver
+evidence for the shipped code is stale (VERDICT r04 "What's wrong" #2).
+
+Re-verification policy (standing, from round 6 on): once every query
+has at least one driver row, windows rotate over ALL registry names in
+least-recently-verified order, front-loading queries whose
+implementing files changed since their last green row (derivable from
+``git log`` vs the round number of the row).  Declared re-verify slots
+live in _REVERIFY, so the parity test can tell a deliberate re-check
+from a wasted slot.
 """
 
 from __future__ import annotations
@@ -38,12 +46,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from parquet_to_sql_spark.queries.registry import all_queries  # noqa: E402
 from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 
-# Canonical names with >=1 CORRECTNESS_r01/r02/r03 row (hash-green, or
+# Canonical names with >=1 CORRECTNESS_r01..r04 row (hash-green, or
 # the rows-only self-verifying sketch queries).  Derived from the
 # recorded artifacts; tests/test_oracle_parity.py re-derives and
 # asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r04 window (CORRECTNESS_r04.json, 50/50 green) ---
+        "pipeline_corpus_clean", "pipeline_corpus_curation",
+        "pipeline_cdc_upsert", "pipeline_train_split_manifest",
+        "pipeline_pack_sequences", "pipeline_mixture_sample",
+        "pipeline_curriculum_bins", "pipeline_merge_into_semantics",
+        "pipeline_incremental_distinct_bitmap", "pipeline_dataset_card",
+        "sql_engine_nation_revenue", "sql_engine_window_qualify",
+        "sql_engine_recursive_reach", "sql_engine_group_by_all",
+        "sql_engine_pivot_syntax", "sql_engine_distribute_by",
+        "sql_engine_pipe_syntax", "sql_engine_parameterized",
+        "sql_engine_star_except",
+        "text_simhash", "text_lang_distribution",
+        "text_word_counts_top20", "text_gopher_rules",
+        "text_top_terms_per_doc", "text_contamination_check",
+        "text_repetition_ratios", "text_winnowing_fingerprints",
+        "text_pii_redaction", "text_vocab_coverage",
+        "text_keyword_search", "text_bpe_pair_merges",
+        "text_rarity_score", "text_cooccurrence_pmi",
+        "text_source_divergence_l1", "text_lang_confusion",
+        "multimodal_decode_features", "multimodal_audio_features",
+        "multimodal_frame_samples", "multimodal_resize_thumbnail",
+        "multimodal_ahash_neardup",
+        "sample_deterministic", "sample_stratified_hash",
+        "sample_bottom_k", "profile_constraints",
+        "profile_orders_columns", "groupedmap_spend_share",
+        "dedup_graph_triangles", "dedup_cc_star",
+        "dedup_graph_pagerank", "setop_intersect",
         # --- r03 window (CORRECTNESS_r03.json, 50/50 green) ---
         "q1_pricing_summary", "q2_min_per_group", "q3_shipping_priority",
         "q4_order_priority", "q5_local_supplier_volume",
@@ -98,41 +133,59 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# Round-4 window: 50 never-driver-verified, oracle-backed queries, in
-# the insertion order the driver will check them.
-_PRIORITY_R04 = (
-    "pipeline_corpus_clean", "pipeline_corpus_curation",
-    "pipeline_cdc_upsert", "pipeline_train_split_manifest",
-    "pipeline_pack_sequences", "pipeline_mixture_sample",
-    "pipeline_curriculum_bins", "pipeline_merge_into_semantics",
-    "pipeline_incremental_distinct_bitmap", "pipeline_dataset_card",
-    "sql_engine_nation_revenue", "sql_engine_window_qualify",
-    "sql_engine_recursive_reach", "sql_engine_group_by_all",
-    "sql_engine_pivot_syntax", "sql_engine_distribute_by",
-    "sql_engine_pipe_syntax", "sql_engine_parameterized",
-    "sql_engine_star_except",
-    "text_simhash", "text_lang_distribution", "text_word_counts_top20",
-    "text_gopher_rules", "text_top_terms_per_doc",
-    "text_contamination_check", "text_repetition_ratios",
-    "text_winnowing_fingerprints", "text_pii_redaction",
-    "text_vocab_coverage", "text_keyword_search", "text_bpe_pair_merges",
-    "text_rarity_score", "text_cooccurrence_pmi",
-    "text_source_divergence_l1", "text_lang_confusion",
-    "multimodal_decode_features", "multimodal_audio_features",
-    "multimodal_frame_samples", "multimodal_resize_thumbnail",
-    "multimodal_ahash_neardup",
-    "sample_deterministic", "sample_stratified_hash", "sample_bottom_k",
-    "profile_constraints", "profile_orders_columns",
-    "groupedmap_spend_share",
-    "dedup_graph_triangles", "dedup_cc_star", "dedup_graph_pagerank",
-    "setop_intersect",
+# Deliberate re-verification slots this round (already driver-green
+# under an OLDER formulation; code changed since — see module
+# docstring).  The parity test treats these as legitimate window
+# spends, not wasted slots.
+_REVERIFY = (
+    # r04 rewrote q1's aggregation to integer-cents fragments after
+    # its r03 green row (queries/relational.py:42-49).
+    "q1_pricing_summary",
+)
+
+# Round-5 window: the final 49 never-driver-verified, oracle-backed
+# queries + the re-verify slot, in the insertion order the driver will
+# check them.  Green across the board => 212/212 with driver evidence.
+_PRIORITY_R05 = (
+    # aggregations (5)
+    "agg_argmax_per_group", "agg_bitmap_distinct",
+    "agg_group_ols_price_qty", "agg_heavy_hitters_mg",
+    "agg_listagg_within_group",
+    # dedup variants (4)
+    "dedup_containment_ngram", "dedup_segment_blocks",
+    "dedup_simhash_incremental", "dedup_winnow_overlap",
+    # embeddings / similarity (8)
+    "embedding_gram_matrix", "simsearch_filtered_topk",
+    "simsearch_ivfpq_adc_topk", "simsearch_knn_classify",
+    "simsearch_pq_adc_topk", "simsearch_recall_audit",
+    "simsearch_rrf_fusion", "text_bm25_rational",
+    # event analytics (10)
+    "ev_bitmap_rollup_weekly_users", "ev_cohort_retention_matrix",
+    "ev_ewma_user_value", "ev_funnel_three_step", "ev_gapfill_linear",
+    "ev_hourly_anomaly_mad", "ev_peak_concurrency",
+    "ev_sliding_distinct_users", "ev_time_weighted_avg",
+    "ev_value_log2_histogram",
+    # scalar-function library (11)
+    "fn_bitwise", "fn_collated_match", "fn_edit_distance",
+    "fn_higher_order_arrays", "fn_inline_generators",
+    "fn_interval_arithmetic", "fn_try_arithmetic", "fn_url_parse",
+    "fn_variant_json", "fn_xml_roundtrip", "fn_zorder_key",
+    # joins (6)
+    "join_asof_forward", "join_lateral_top_order", "join_null_safe",
+    "join_range_binned", "join_semi", "join_skew_salted",
+    # windows / subqueries / UDF (5)
+    "sub_relational_division", "udf_arrow_grouped_stats",
+    "window_pareto_abc", "window_running_distinct",
+    "window_running_median",
+    # re-verify slot (1)
+    "q1_pricing_summary",
 )
 
 
 def _ordered_names() -> list[str]:
     """Priority batch first (driver checks queries()[:50]), rest sorted."""
-    rest = sorted(n for n in all_queries() if n not in set(_PRIORITY_R04))
-    return list(_PRIORITY_R04) + rest
+    rest = sorted(n for n in all_queries() if n not in set(_PRIORITY_R05))
+    return list(_PRIORITY_R05) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

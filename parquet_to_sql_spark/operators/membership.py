@@ -14,8 +14,14 @@ Scala API since 2.0; PySpark classic exposes no wrapper, so we call
 through ``_jdf``) aggregates the filter JVM-side and tree-merges
 partials — one pass, merged bytes O(numBits) not O(rows).  Spark 4
 does not expose ``bloom_filter_agg``/``might_contain`` as SQL
-routines either, so the probe is an Arrow-batched mapInPandas over a
-broadcast of the serialized bit array, reimplementing the V2
+routines either (version watch: if a future Spark ships
+``might_contain`` as a SQL routine, the whole numpy probe below can
+be deleted in favor of one Column expression — re-check per
+upgrade), so the probe is an Arrow-batched mapInPandas over a
+``SparkContext.broadcast`` of the serialized bit array (shipped once
+per executor, NOT pickled into every task closure — at ~1.2
+bytes/item a 1e9-key filter is ~1.2 GB, which must ride the
+broadcast machinery), reimplementing the V2
 ``mightContainLong`` bit-exactly in vectorized numpy — two
 Murmur3_x86_32 long-hashes (hi = hash(item, seed), lo = hash(item,
 hi)), the V2 accumulator schedule (acc = hi * 2^31-1; acc += lo per
@@ -140,11 +146,16 @@ def bloom_probe(
     true member survives (no false negatives), plus ~fpp false
     positives.  The key is hashed JVM-side (same xxhash64 as the
     build); the probe is one Arrow-batched mapInPandas doing
-    whole-array bit math against the closed-over filter bytes.
-    Stateless, so it is legal on a streaming DataFrame too.  NULL
-    keys never match (filtered before the probe), mirroring semi-join
-    null semantics."""
+    whole-array bit math against the filter bytes, which ride a
+    ``SparkContext.broadcast`` so they are shipped once per executor
+    instead of being pickled into every task's closure (the closure
+    captures only the Broadcast handle + three ints — pinned by
+    ``tests/test_scale_features.py``).  Stateless, so it is legal on
+    a streaming DataFrame too (broadcast variables are readable from
+    streaming tasks).  NULL keys never match (filtered before the
+    probe), mirroring semi-join null semantics."""
     filter_bytes, k, seed, bit_size = bloom
+    bc = df.sparkSession.sparkContext.broadcast(filter_bytes)
     staged = df.filter(F.col(key_col).isNotNull()).withColumn(
         "_probe_h", F.xxhash64(F.col(key_col))
     )
@@ -154,7 +165,7 @@ def bloom_probe(
         for pdf in batches:
             if len(pdf):
                 mask = might_contain_longs(
-                    pdf["_probe_h"].to_numpy(), filter_bytes, k, seed, bit_size
+                    pdf["_probe_h"].to_numpy(), bc.value, k, seed, bit_size
                 )
                 pdf = pdf[mask]
             yield pdf

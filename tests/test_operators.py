@@ -764,3 +764,50 @@ def test_bloom_probe_null_keys_never_match(spark):
     probe = spark.createDataFrame([(1,), (None,), (999999,)], "k int")
     got = {r.k for r in bloom_probe(probe, "k", bloom).collect()}
     assert 1 in got and None not in got
+
+
+def test_bloom_probe_ships_bytes_via_broadcast_not_closure(spark, monkeypatch):
+    """The filter bytes must ride SparkContext.broadcast (once per
+    executor), never the pickled task closure (once per task) — at
+    ~1.2 bytes/item a 1e9-key filter is ~1.2 GB, so closure capture is
+    a scale-killer (VERDICT r04 #1).  Pin both halves: (a) broadcast()
+    is called with exactly the filter bytes, (b) the function handed
+    to mapInPandas pickles to a tiny closure (a Broadcast handle
+    serializes as an id reference, not its value)."""
+    from pyspark import cloudpickle
+
+    from parquet_to_sql_spark.operators.membership import bloom_build, bloom_probe
+
+    ref = spark.range(0, 200_000).select(F.col("id").alias("k"))
+    bloom = bloom_build(ref, "k", expected_items=200_000, fpp=0.02)
+    filter_bytes = bloom[0]
+    assert len(filter_bytes) > 100_000  # big enough that capture would show
+
+    bcasts = []
+    orig_broadcast = spark.sparkContext.broadcast
+
+    def spy_broadcast(value):
+        bcasts.append(value)
+        return orig_broadcast(value)
+
+    monkeypatch.setattr(spark.sparkContext, "broadcast", spy_broadcast)
+
+    probe_df = spark.range(0, 100).select(F.col("id").alias("k"))
+    concrete_cls = type(probe_df)  # patch the concrete class, not the ABC
+    captured = {}
+    orig_mip = concrete_cls.mapInPandas
+
+    def spy_mip(self, func, schema, *a, **kw):
+        captured["func"] = func
+        return orig_mip(self, func, schema, *a, **kw)
+
+    monkeypatch.setattr(concrete_cls, "mapInPandas", spy_mip)
+    out = bloom_probe(probe_df, "k", bloom)
+    assert out.count() == 100  # all members survive
+
+    assert any(b == filter_bytes for b in bcasts), "filter bytes not broadcast"
+    closure_size = len(cloudpickle.dumps(captured["func"]))
+    assert closure_size < len(filter_bytes) // 10, (
+        f"probe closure pickles to {closure_size}B — the filter bytes "
+        "are riding the task closure instead of the broadcast"
+    )

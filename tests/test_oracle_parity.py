@@ -43,7 +43,7 @@ def test_rotation_window_insertion_order():
     assert len(names) == len(QUERIES)
 
     window = names[:50]
-    assert list(e._PRIORITY_R04) == window
+    assert list(e._PRIORITY_R05) == window
 
     # _DRIVER_VERIFIED matches the recorded artifacts (re-derived here
     # so the frozen set can't silently drift from the JSON evidence)
@@ -51,7 +51,7 @@ def test_rotation_window_insertion_order():
     derived = set()
     for art in (
         "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
     ):
         for key, row in json.loads((repo / art).read_text()).items():
             canon = key
@@ -62,19 +62,23 @@ def test_rotation_window_insertion_order():
                 derived.add(canon)
     assert derived == set(e._DRIVER_VERIFIED)
 
-    # every window slot is spent on a never-verified, oracle-backed query
+    # every window slot is spent on either a never-verified query or a
+    # declared re-verify slot (code changed after the last green row),
+    # and always on an oracle-backed one
     osql = e.oracle_sql()
     for n in window:
-        assert n not in e._DRIVER_VERIFIED, f"{n} wastes a slot (already verified)"
+        assert n not in e._DRIVER_VERIFIED or n in e._REVERIFY, (
+            f"{n} wastes a slot (already verified, not a declared re-verify)"
+        )
         assert n in osql, f"{n} has no oracle — weaker evidence, don't spend a slot"
 
-    # ledger: everything unverified and NOT in this window queues for
-    # the next round; one more 50-slot round must finish the sweep
+    # ledger: this window must finish the sweep — every oracle-backed
+    # query is either already verified or inside the window
     remaining = [
         n for n in QUERIES
         if n not in e._DRIVER_VERIFIED and n not in set(window)
     ]
-    assert len(remaining) <= 50, (
-        f"{len(remaining)} unverified queries left outside the window — "
-        "more than one round of backlog; re-prioritize"
+    assert remaining == [], (
+        f"{len(remaining)} unverified queries left outside the window "
+        f"({remaining[:5]}...) — the final sweep must cover them all"
     )
