@@ -37,8 +37,22 @@ CHARGE = f"({DISC_PRICE}) * (CAST(1 AS DECIMAL(3,2)) + {DT})"
 # Both engines round() the same IEEE double to the same integer, both
 # convert the identical exact sum to double, then apply the identical
 # scale division — value-exact cross-engine (same discipline as the
-# floor(x*2^30) quantization in kmeans/udf_iter).  Sums fit long
-# comfortably: charge cents-cubed <= 1e11/row, 9.2e18 ceiling.
+# floor(x*2^30) quantization in kmeans/udf_iter).
+#
+# int64 ceiling budget (ADVICE r04): DuckDB promotes SUM(BIGINT) to
+# HUGEINT, Spark keeps BIGINT (ANSI error on overflow), so every
+# fragment must fit long at target scale.  DISC_PRICE_CENTS is
+# <= ~1e9/row (scale 1e4): safe to ~9e9 rows/GROUP = SF ~1500 for the
+# coarsest grouping (q1's 4 groups).  CHARGE_CENTS is <= ~1e11/row
+# (scale 1e6): plain SUM would overflow near SF ~60, so its sum goes
+# through SUM_CHARGE below, which splits each term into exact
+# (hi, lo) = (x div 1e6, x mod 1e6) BIGINT parts — hi <= 1e5/row,
+# lo < 1e6/row, both sums safe past 1e12 rows/group — and recomposes
+# hi*1e6 + lo in double.  The div is spelled (x - x % 1e6) / 1e6:
+# the numerator is an exact multiple of 1e6 below 2^53, so the IEEE
+# division is exact in both engines, and the identical final double
+# expression over identical exact integers keeps the two engines
+# bit-equal.
 QC = "CAST(round(l_quantity * 100) AS BIGINT)"
 PC = "CAST(round(l_extendedprice * 100) AS BIGINT)"
 DC = "CAST(round(l_discount * 100) AS BIGINT)"
@@ -47,6 +61,14 @@ DISC_PRICE_CENTS = f"{PC} * (100 - {DC})"  # price-cents * discount-complement-%
 CHARGE_CENTS = f"({DISC_PRICE_CENTS}) * (100 + {TC})"  # scale 1e6
 # full SUM fragments (valid in both dialects, alias-free)
 SUM_REVENUE = f"CAST(SUM({DISC_PRICE_CENTS}) AS DOUBLE) / 10000.0"
+_CHARGE_HI = (
+    f"CAST((({CHARGE_CENTS}) - ({CHARGE_CENTS}) % 1000000) / 1000000 AS BIGINT)"
+)
+_CHARGE_LO = f"({CHARGE_CENTS}) % 1000000"
+SUM_CHARGE = (
+    f"(CAST(SUM({_CHARGE_HI}) AS DOUBLE) * 1000000.0"
+    f" + CAST(SUM({_CHARGE_LO}) AS DOUBLE)) / 1000000.0"
+)
 
 
 def _sql(spark: SparkSession, sf_dir: str, text: str, tables: tuple[str, ...]) -> DataFrame:
@@ -67,7 +89,7 @@ def _sql(spark: SparkSession, sf_dir: str, text: str, tables: tuple[str, ...]) -
       CAST(SUM({QC}) AS DOUBLE) / 100.0            AS sum_qty,
       CAST(SUM({PC}) AS DOUBLE) / 100.0            AS sum_base_price,
       {SUM_REVENUE}                                AS sum_disc_price,
-      CAST(SUM({CHARGE_CENTS}) AS DOUBLE) / 1000000.0 AS sum_charge,
+      {SUM_CHARGE}                                 AS sum_charge,
       CAST(SUM({QC}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
       CAST(SUM({PC}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
       CAST(SUM({DC}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
@@ -89,7 +111,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     because every money/quantity column is a 2-decimal value — and one
     shared SQL text feeds both engines.  Measured 1.8x faster than the
     DECIMAL(12,2)-cast formulation, whose sums widen past precision 18
-    and fall off Spark's long-backed Decimal fast path."""
+    and fall off Spark's long-backed Decimal fast path.  The widest
+    fragment (CHARGE_CENTS, scale 1e6) is summed via the SUM_CHARGE
+    hi/lo split so it cannot hit the int64 ceiling at large SF (see
+    the fragment comment for the budget)."""
     li = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
     return (
@@ -99,7 +124,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.expr(QC)).cast("double") / F.lit(100.0)).alias("sum_qty"),
             (F.sum(F.expr(PC)).cast("double") / F.lit(100.0)).alias("sum_base_price"),
             F.expr(SUM_REVENUE).alias("sum_disc_price"),
-            (F.sum(F.expr(CHARGE_CENTS)).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            F.expr(SUM_CHARGE).alias("sum_charge"),
             (F.sum(F.expr(QC)).cast("double") / F.lit(100.0) / cnt).alias("avg_qty"),
             (F.sum(F.expr(PC)).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
             (F.sum(F.expr(DC)).cast("double") / F.lit(100.0) / cnt).alias("avg_disc"),

@@ -54,15 +54,27 @@ def _default_connection_factory(dsn: str):
         return pg_wire.connect(dsn)
 
 
-def _copy_stream(cur, sql: str, line_iter: Iterable[str]) -> int:
+def _copy_stream(
+    cur,
+    sql: str,
+    line_iter: Iterable[str],
+    *,
+    quoted_table: str,
+    quoted_columns: list[str],
+) -> int:
     """Stream lines through whichever COPY spelling the driver's
-    cursor exposes — ``copy`` (psycopg3 / the stdlib pg_wire client)
-    or ``copy_expert`` (psycopg2, file-like input) — and return the
-    number of lines sent.  choose_sink's supports_copy probe accepts
-    both spellings, so the sink must drive both.  The copy_expert
-    branch feeds bounded StringIO chunks (several COPY statements in
-    the same transaction — identical commit semantics), so neither
-    branch ever materializes a whole partition."""
+    cursor exposes — ``copy`` (psycopg3 / the stdlib pg_wire client),
+    ``copy_expert`` (psycopg2, SQL + file-like), or ``copy_from``
+    (psycopg2 legacy: file-like + raw table/column names, default
+    TAB/\\N matching our wire format) — and return the number of
+    lines sent.  choose_sink's supports_copy probe accepts all three
+    spellings (ADVICE r04: a copy_from-only driver used to pass the
+    probe then AttributeError at write time), so the sink must drive
+    all three.  copy_from interpolates table/columns raw into its
+    COPY statement, so it receives the pre-quoted identifiers.  The
+    psycopg2 branches feed bounded StringIO chunks (several COPY
+    statements in the same transaction — identical commit
+    semantics), so no branch ever materializes a whole partition."""
     n = 0
     if hasattr(cur, "copy"):
         with cur.copy(sql) as cp:
@@ -72,15 +84,26 @@ def _copy_stream(cur, sql: str, line_iter: Iterable[str]) -> int:
         return n
     import io
 
+    if hasattr(cur, "copy_expert"):
+        def send(chunk: list[str]) -> None:
+            cur.copy_expert(sql, io.StringIO("".join(c + "\n" for c in chunk)))
+    else:
+        def send(chunk: list[str]) -> None:
+            cur.copy_from(
+                io.StringIO("".join(c + "\n" for c in chunk)),
+                quoted_table,
+                columns=quoted_columns,
+            )
+
     chunk: list[str] = []
     for line in line_iter:
         chunk.append(line)
         n += 1
         if len(chunk) >= 10_000:
-            cur.copy_expert(sql, io.StringIO("".join(c + "\n" for c in chunk)))
+            send(chunk)
             chunk = []
     if chunk:
-        cur.copy_expert(sql, io.StringIO("".join(c + "\n" for c in chunk)))
+        send(chunk)
     return n
 
 
@@ -123,7 +146,11 @@ def copy_partition(
             cur = conn.cursor()
             try:
                 cur.execute(f"SET LOCAL statement_timeout = {int(timeout_s * 1000)}")
-                _copy_stream(cur, sql, b)
+                _copy_stream(
+                    cur, sql, b,
+                    quoted_table=quoted_table,
+                    quoted_columns=[quote_identifier(c) for c in columns],
+                )
                 conn.commit()
                 return len(b)
             except Exception as exc:
@@ -238,6 +265,8 @@ class CopySink:
         rendered = copy_lines(df)
         dsn, timeout_s, factory = self.dsn, self.timeout_s, self.connection_factory
         bid = int(batch_id)
+        q_table = quoted_table
+        q_cols = [quote_identifier(c) for c in df.columns]
 
         def run(pid: int, it):
             conn = factory(dsn)
@@ -255,7 +284,11 @@ class CopySink:
                     cur.execute(
                         f"SET LOCAL statement_timeout = {int(timeout_s * 1000)}"
                     )
-                    n = _copy_stream(cur, copy_sql, (row.line for row in it))
+                    n = _copy_stream(
+                        cur, copy_sql, (row.line for row in it),
+                        quoted_table=q_table,
+                        quoted_columns=q_cols,
+                    )
                     cur.execute(
                         f"INSERT INTO {ledger} VALUES ({bid}, {int(pid)}, {n})"
                     )

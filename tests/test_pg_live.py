@@ -613,3 +613,68 @@ def test_psycopg2_style_copy_spelling_gets_fast_path(spark, pg_dsn):
     assert sink.write(df, "pg2_copy") == 25
     rows = _exec(pg_dsn, "SELECT count(*)::text, min(v), max(v) FROM pg2_copy")
     assert rows == [("25", "v1", "v9")]
+
+
+class _CopyFromOnlyCursor:
+    """Emulates psycopg2's LEGACY surface: COPY only via
+    copy_from(file, table, columns=...) — no .copy, no copy_expert.
+    Like psycopg2 it interpolates table/columns raw into the COPY
+    statement (which is why the sink must hand it pre-quoted
+    identifiers)."""
+
+    def __init__(self, cur):
+        self._cur = cur
+
+    def execute(self, sql):
+        return self._cur.execute(sql)
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+    def fetchone(self):
+        return self._cur.fetchone()
+
+    def copy_from(self, file, table, sep="\t", null="\\N", columns=None):
+        assert sep == "\t" and null == "\\N"  # psycopg2 defaults = our wire format
+        col_list = f" ({', '.join(columns)})" if columns else ""
+        sql = f"COPY {table}{col_list} FROM STDIN"
+        with self._cur.copy(sql) as cp:
+            data = file.read()
+            if data:
+                cp.write(data)
+
+    def close(self):
+        pass
+
+
+class _CopyFromOnlyConn(_Psycopg2StyleConn):
+    def cursor(self):
+        return _CopyFromOnlyCursor(self._conn.cursor())
+
+
+def test_copy_from_only_driver_gets_working_fast_path(spark, pg_dsn):
+    """ADVICE r04: a driver exposing ONLY copy_from passes the
+    supports_copy probe, so CopySink must actually drive copy_from at
+    write time instead of dying with AttributeError mid-write (which
+    would be worse than degrading to INSERT).  Uses a mixed-case
+    column to prove the pre-quoted identifiers reach copy_from."""
+    from parquet_to_sql_spark.sinks.copy_pg import CopySink
+    from parquet_to_sql_spark.sinks.insert_pg import choose_sink
+
+    sink = choose_sink(
+        pg_dsn, connection_factory=lambda dsn: _CopyFromOnlyConn(pg_wire.connect(dsn))
+    )
+    assert isinstance(sink, CopySink)
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS pg2_copy_from",
+        'CREATE TABLE pg2_copy_from (k int, "Vee" text)',
+    )
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 26)], "k int, Vee string"
+    )
+    assert sink.write(df, "pg2_copy_from") == 25
+    rows = _exec(
+        pg_dsn, 'SELECT count(*)::text, min("Vee"), max("Vee") FROM pg2_copy_from'
+    )
+    assert rows == [("25", "v1", "v9")]

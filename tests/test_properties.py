@@ -465,3 +465,59 @@ def test_banded_hamming_pairs_matches_bruteforce(spark):
             ).collect()
         )
         assert got == want and len(got) > 0, (bits, radius)
+
+
+def test_sum_charge_hi_lo_split_exact_and_cross_engine(spark):
+    """ADVICE r04: SUM(CHARGE_CENTS) (scale 1e6, <= ~1e11/row) would
+    hit the int64 ceiling near SF ~60 where DuckDB silently promotes
+    to HUGEINT and Spark ANSI-errors.  SUM_CHARGE splits each term
+    into (hi, lo) = (x div 1e6, x mod 1e6) BIGINT sums — safe past
+    1e12 rows/group — and recomposes in double.  Pin: on extreme
+    2-decimal inputs the identical fragment text gives Spark == DuckDB
+    == exact-Fraction arithmetic."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    from parquet_to_sql_spark.queries.relational import SUM_CHARGE
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(500):
+        # worst-case money values: price up to the 999999.99 schema max
+        price = round(rng.uniform(900000, 999999.99), 2)
+        disc = round(rng.choice([0.0, 0.01, 0.1]), 2)
+        tax = round(rng.choice([0.0, 0.08]), 2)
+        rows.append((price, disc, tax))
+
+    def cents(x):
+        return int(round(Fraction(repr(x)) * 100))
+
+    exact = sum(
+        cents(p) * (100 - cents(d)) * (100 + cents(t))
+        for p, d, t in rows
+    )
+    # exact integer -> the fragment's double recomposition
+    hi, lo = divmod(exact, 10**6)
+    want = (float(hi) * 1e6 + float(lo)) / 1e6
+
+    sdf = spark.createDataFrame(
+        rows, "l_extendedprice double, l_discount double, l_tax double"
+    )
+    sdf.createOrReplaceTempView("lineitem_extreme")
+    got_spark = spark.sql(
+        f"SELECT {SUM_CHARGE} AS s FROM lineitem_extreme"
+    ).collect()[0].s
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem_extreme AS SELECT * FROM (VALUES "
+        + ",".join(f"({p!r}, {d!r}, {t!r})" for p, d, t in rows)
+        + ") t(l_extendedprice, l_discount, l_tax)"
+    )
+    got_duck = con.execute(
+        f"SELECT {SUM_CHARGE} AS s FROM lineitem_extreme"
+    ).fetchone()[0]
+
+    assert got_spark == got_duck == want
