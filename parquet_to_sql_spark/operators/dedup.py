@@ -878,8 +878,16 @@ def triangle_counts(edges: DataFrame, a: str = "doc1", b: str = "doc2") -> DataF
         .otherwise(F.struct(F.col("deg_u").alias("d"), F.col("u").alias("i")))
         .alias("rdst"),
     ).localCheckpoint()
-    o1 = o.select(F.col("src").alias("s"), F.col("dst").alias("d1"), F.col("rdst").alias("r1"))
-    o2 = o.select(F.col("src").alias("s"), F.col("dst").alias("d2"), F.col("rdst").alias("r2"))
+    # Pin the wedge join's parallelism: AQE coalesces post-shuffle
+    # partitions by INPUT size, but this self-join EXPANDS O(m^1.5) —
+    # on a small-input/huge-output join AQE would coalesce to 1-2
+    # tasks and serialize the expansion.  An explicit-N repartition on
+    # the join key is respected by AQE, and both sides sharing one
+    # co-partitioned parent lets the join skip further exchanges.
+    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    op = o.repartition(n_parts, "src")
+    o1 = op.select(F.col("src").alias("s"), F.col("dst").alias("d1"), F.col("rdst").alias("r1"))
+    o2 = op.select(F.col("src").alias("s"), F.col("dst").alias("d2"), F.col("rdst").alias("r2"))
     wedges = o1.join(o2, "s").filter(F.col("r1") < F.col("r2"))
     closing = o.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
     tri = wedges.join(closing, ["d1", "d2"]).select("s", "d1", "d2")
