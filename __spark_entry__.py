@@ -182,9 +182,50 @@ _PRIORITY_R05 = (
 )
 
 
+def _last_verified_round() -> dict[str, int]:
+    """name -> latest round with a green (or rows-only no_oracle)
+    CORRECTNESS row, derived from the recorded artifacts on disk.
+    Names never verified are absent."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            canon = key
+            for prefix in ("a2_", "a9_"):  # r1/r2 alias-era prefixes
+                if canon.startswith(prefix):
+                    canon = canon[len(prefix):]
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                last[canon] = max(last.get(canon, 0), rnd)
+    return last
+
+
 def _ordered_names() -> list[str]:
-    """Priority batch first (driver checks queries()[:50]), rest sorted."""
-    rest = sorted(n for n in all_queries() if n not in set(_PRIORITY_R05))
+    """Priority batch first (driver checks queries()[:50]); the tail
+    in least-recently-verified order (standing policy: stalest driver
+    evidence first, never-verified newest additions ahead of that),
+    ties broken by name.  So if the driver ever widens its window, it
+    reaches the names whose evidence is oldest before re-treading
+    fresh green rows — and future rounds build their priority batch by
+    taking the head of this same ordering."""
+    last = _last_verified_round()
+    in_window = set(_PRIORITY_R05)
+    rest = sorted(
+        (n for n in all_queries() if n not in in_window),
+        key=lambda n: (last.get(n, 0), n),
+    )
     return list(_PRIORITY_R05) + rest
 
 

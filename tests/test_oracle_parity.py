@@ -100,3 +100,11 @@ def test_rotation_window_insertion_order():
         f"{len(remaining)} unverified queries left outside the window "
         f"({remaining[:5]}...) — the final sweep must cover them all"
     )
+
+    # standing policy (VERDICT r04 #4): the tail is ordered
+    # least-recently-verified first (never-verified = round 0), ties
+    # by name, so a widened driver window — and every future round's
+    # priority batch — reaches the stalest evidence first
+    last = e._last_verified_round()
+    tail = names[50:]
+    assert tail == sorted(tail, key=lambda n: (last.get(n, 0), n))
