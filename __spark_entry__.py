@@ -133,6 +133,15 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Queries added AFTER this round's window was frozen (the window
+# already spends all 50 slots on the final never-verified backlog +
+# the re-verify).  They queue at the head of the least-recently-
+# verified tail and front window 6.
+_QUEUED_POST_WINDOW = (
+    "dedup_kcore_3",        # round-5 new: fixed-round k-core peeling
+    "dedup_prefix_jaccard",  # round-5 new: lossless PPJoin prefix filter
+)
+
 # Deliberate re-verification slots this round (already driver-green
 # under an OLDER formulation; code changed since — see module
 # docstring).  The parity test treats these as legitimate window

@@ -120,6 +120,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def hashed_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, shs) — per-document DISTINCT hashed n-gram shingle
+    arrays, the compact pre-explode relation the whole hashed-shingle
+    similarity family starts from.  Hash per WORD once (staged as a
+    real column so codegen evaluates it once per row), combine
+    word-hashes per shingle (see shingle_hashes_from — ~3x less map
+    CPU than folding each shingle string), then array_distinct:
+    per-doc distinctness is all set similarity needs (doc is part of
+    the pair key), so no global .distinct() shuffle — the only effect
+    of a 31-bit collision is two shingles merging, and the DuckDB
+    oracle composes hashes identically.  Documents with no shingles
+    (< n words) yield an empty array."""
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    return (
+        rebalance_for_compute(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            word_hashes(ws_tokens(F.col(text_col))).alias("_hw"),
+        )
+        .select(
+            "doc",
+            F.array_distinct(shingle_hashes_from(F.col("_hw"), n)).alias("shs"),
+        )
+    )
+
+
 def _shingle_overlap_counts(
     df: DataFrame,
     id_col: str,
@@ -138,25 +167,7 @@ def _shingle_overlap_counts(
     from parquet_to_sql_spark.operators.text import rebalance_for_compute
 
     if hashed:
-        # Hash per WORD once (staged as a real column so codegen
-        # evaluates it once per row), combine word-hashes per shingle
-        # (see shingle_hashes_from — ~3x less map CPU than folding
-        # each shingle string), then array_distinct before exploding:
-        # per-doc distinctness is all the algorithm needs (doc is part
-        # of the pair key), so no global .distinct() shuffle — the
-        # only effect of a 31-bit collision is two shingles merging,
-        # and the oracle composes hashes identically.
-        arrays = (
-            rebalance_for_compute(df.select(id_col, text_col))
-            .select(
-                F.col(id_col).alias("doc"),
-                word_hashes(ws_tokens(F.col(text_col))).alias("_hw"),
-            )
-            .select(
-                "doc",
-                F.array_distinct(shingle_hashes_from(F.col("_hw"), n)).alias("shs"),
-            )
-        )
+        arrays = hashed_shingle_arrays(df, id_col, text_col, n=n)
     else:
         shs_col = word_shingles(ws_tokens(F.col(text_col)), n)
         arrays = rebalance_for_compute(df.select(id_col, text_col)).select(
@@ -933,3 +944,166 @@ def pagerank_int(
             .localCheckpoint()
         )
     return scores.select("node", F.col("score").cast("long").alias("pr_scaled"))
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Set-similarity self-join by PREFIX FILTERING (the
+    PPJoin/AllPairs family — Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08, public record): lossless for Jaccard >= t, with candidate
+    volume collapsed by indexing only each document's RAREST shingles.
+
+    Sort every document's hashed shingle set by ascending global
+    document frequency (ties by shingle value — one deterministic
+    total order both engines share); two sets with Jaccard >= t must
+    share at least one shingle among each one's first
+    ``n_sh - ceil(t*n_sh) + 1`` entries (pigeonhole: fewer matches
+    than that leaves < t*n_sh possible overlap).  So the inverted
+    index is built over PREFIXES only — the frequent shingles that
+    make a full posting-list join quadratic never enter the index at
+    all, the opposite of a doc-frequency CAP (which drops evidence
+    and changes the measure; the prefix filter provably returns
+    exactly the full join's answer).  Candidates also length-filter
+    (100*min_n >= pct*max_n, integer) before the exact verify, which
+    re-joins the full sorted arrays and scores
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` with integer intersection counts.
+
+    Shuffle budget: df-count agg + annotate join + per-doc sort agg
+    (all on the shingle/doc keys), one prefix self-join whose per-
+    shingle cost is bounded by the prefix-only posting lists, one
+    pair-keyed verify join.  No hub cap needed and none applied —
+    rare-first ordering keeps hub shingles out of every long
+    document's prefix by construction.
+
+    ceil via the exact-multiple trick: ceil(pct*n/100) =
+    ((pct*n + 99) - (pct*n + 99) % 100) / 100 — the numerator is an
+    exact multiple of 100 below 2^53, so the IEEE division is exact
+    in both engines (same discipline as queries/relational.py's
+    SUM_CHARGE).
+
+    Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard >= pct/100.
+    """
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError("threshold_pct must be in 1..100")
+    arrays = hashed_shingle_arrays(df, id_col, text_col, n=n)
+    sh = arrays.select("doc", F.explode("shs").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    ann = sh.join(dfreq, "shingle")
+    # rarest-first per-doc arrays; array_sort on struct(dfq, shingle)
+    # is the lexicographic (dfq, shingle) order — deterministic
+    ordered = (
+        ann.groupBy("doc")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dfq", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .cache()  # two consumers: prefix index + both verify sides
+    )
+    p = threshold_pct
+    ceil_tn = F.expr(
+        f"CAST((({p}*n_sh + 99) - ({p}*n_sh + 99) % 100) / 100 AS BIGINT)"
+    )
+    prefix = ordered.select(
+        "doc",
+        "n_sh",
+        F.explode(
+            F.slice(F.col("arr"), F.lit(1), (F.col("n_sh") - ceil_tn + F.lit(1)).cast("int"))
+        ).alias("shingle"),
+    )
+    a = prefix.select(
+        F.col("doc").alias("doc1"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = prefix.select(
+        F.col("doc").alias("doc2"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .filter(
+            F.lit(100) * F.least("na", "nb") >= F.lit(p) * F.greatest("na", "nb")
+        )
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    x = ordered.select(
+        F.col("doc").alias("doc1"), F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
+    )
+    y = ordered.select(
+        F.col("doc").alias("doc2"), F.col("arr").alias("arr2"), F.col("n_sh").alias("n2")
+    )
+    verified = (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .withColumn("common", F.size(F.array_intersect("arr1", "arr2")).cast("long"))
+        .filter(
+            F.lit(100) * F.col("common")
+            >= F.lit(p) * (F.col("n1") + F.col("n2") - F.col("common"))
+        )
+    )
+    return verified.select(
+        "doc1",
+        "doc2",
+        (
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    a: str = "doc1",
+    b: str = "doc2",
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """`rounds` fixed peeling passes toward the k-core of an
+    undirected edge list (a < b per row): each pass drops every vertex
+    whose current degree is < k, plus all its incident edges.  The
+    fixed-round variant (rather than peel-to-convergence) is what
+    makes the iterative algorithm value-exact against a DuckDB oracle
+    that unrolls the same passes — the same trick as pagerank_int's
+    unrolled iterations; its survivors are a superset of the true
+    k-core that shrinks monotonically per round.
+
+    Dense-subgraph triage for dup-graph analytics (Seidman 1983
+    coreness, public record): k-core membership separates boilerplate
+    CLIQUES (template families where every copy links to every other)
+    from star-shaped hub false positives that triangle counts alone
+    can under-rank.
+
+    Returns (doc_id, residual_degree) for vertices surviving all
+    rounds, degrees measured on the surviving subgraph.
+
+    Scale shape per round: one degree aggregate + two semi-joins on
+    the vertex key (all equi-key shuffles AQE can plan); the edge
+    relation shrinks monotonically, and localCheckpoint truncates the
+    per-round lineage exactly like the other iterative graph
+    operators (swap for reliable checkpoints on a real cluster).
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    for _ in range(rounds):
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        und = (
+            und.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return und.groupBy("u").agg(F.count(F.lit(1)).alias("residual_degree")).select(
+        F.col("u").alias("doc_id"), "residual_degree"
+    )

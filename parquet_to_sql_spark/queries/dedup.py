@@ -779,3 +779,119 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
     return pagerank_int(edges, "doc1", "doc2", iterations=3)
+
+
+def _duck_pairs24_ctes() -> str:
+    """Shared oracle CTE chain: 24-bit simhash -> 2x12-bit bands ->
+    Hamming-radius-1 candidate pairs — the same edge relation the
+    graph-analytics queries (triangles / pagerank / cc_star / k-core)
+    all start from."""
+    return f"""{_duck_simhash_cte(24)},
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band, simhash % 4096 AS bval FROM sh
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash // 4096) % 4096 FROM sh
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                               AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    )"""
+
+
+def _duck_kcore_rounds(k: int, rounds: int) -> str:
+    """Unrolled peeling CTEs und0..und{rounds} over the `pairs` CTE —
+    the DuckDB twin of operators.dedup.kcore_peel's fixed rounds."""
+    parts = [
+        "und0 AS (SELECT doc1 AS u, doc2 AS v FROM pairs"
+        " UNION ALL SELECT doc2, doc1 FROM pairs)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"k{r} AS (SELECT u FROM (SELECT u, COUNT(*) AS d"
+            f" FROM und{r-1} GROUP BY u) WHERE d >= {k})"
+        )
+        parts.append(
+            f"und{r} AS (SELECT e.u, e.v FROM und{r-1} e"
+            f" JOIN k{r} x ON e.u = x.u JOIN k{r} y ON e.v = y.u)"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "dedup_kcore_3",
+    tags=("dedup", "graph", "iterative", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {_duck_pairs24_ctes()},
+    {_duck_kcore_rounds(k=3, rounds=3)}
+    SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS residual_degree
+    FROM und3 GROUP BY u
+    """,
+)
+def dedup_kcore_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toward-3-core peeling of the near-duplicate candidate graph
+    (three fixed passes dropping degree-<3 vertices and their edges):
+    survivors sit in densely interlinked duplicate families — true
+    boilerplate CLIQUES — while star-shaped hub false positives and
+    chain-of-pairs artifacts peel away, the coreness triage signal
+    (Seidman 1983) that complements triangle counts.  Fixed rounds
+    keep the iterative algorithm value-exact against the unrolled
+    DuckDB oracle, exactly like dedup_graph_pagerank's unrolled
+    iterations.  See operators.dedup.kcore_peel for the per-round
+    shuffle budget and checkpoint story."""
+    from parquet_to_sql_spark.operators.dedup import kcore_peel
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
+    return kcore_peel(edges, "doc1", "doc2", k=3, rounds=3)
+
+
+@query(
+    "dedup_prefix_jaccard",
+    tags=("dedup", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH sh0 AS ({_DUCK_HASHED_SH}),
+    dfreq AS (SELECT shingle, COUNT(*) AS dfq FROM sh0 GROUP BY shingle),
+    ann AS (SELECT s.doc, s.shingle, d.dfq FROM sh0 s JOIN dfreq d USING (shingle)),
+    arrs AS (
+      SELECT doc, list(shingle ORDER BY dfq, shingle) AS arr,
+             COUNT(*) AS n_sh
+      FROM ann GROUP BY doc
+    ),
+    pref AS (
+      SELECT doc, n_sh,
+             unnest(arr[1:CAST(n_sh - CAST(((50*n_sh + 99) - (50*n_sh + 99) % 100)/100 AS BIGINT) + 1 AS BIGINT)]) AS shingle
+      FROM arrs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+      FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc < b.doc
+      WHERE 100 * LEAST(a.n_sh, b.n_sh) >= 50 * GREATEST(a.n_sh, b.n_sh)
+    ),
+    verified AS (
+      SELECT doc1, doc2,
+             CAST(len(list_intersect(x.arr, y.arr)) AS BIGINT) AS common,
+             x.n_sh AS n1, y.n_sh AS n2
+      FROM cand JOIN arrs x ON cand.doc1 = x.doc JOIN arrs y ON cand.doc2 = y.doc
+    )
+    SELECT doc1, doc2,
+           CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jaccard
+    FROM verified WHERE 100*common >= 50*(n1 + n2 - common)
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard >= 0.5 near-dup pairs by PREFIX FILTERING — the
+    LOSSLESS scale path for set-similarity self-joins: unlike the
+    doc-frequency cap (which bounds the inverted index by dropping
+    evidence), indexing only each document's rarest
+    ``n - ceil(t*n) + 1`` shingles provably yields the full join's
+    exact answer while keeping hub shingles out of the index entirely
+    (PPJoin/AllPairs family, public record).  Same hashed-shingle
+    relation and integer-exact verify as the rest of the family; see
+    operators.dedup.prefix_filter_jaccard_pairs for the shuffle
+    budget."""
+    from parquet_to_sql_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, "doc_id", "text", n=3, threshold_pct=50)

@@ -91,10 +91,13 @@ def test_rotation_window_insertion_order():
         assert n in osql, f"{n} has no oracle — weaker evidence, don't spend a slot"
 
     # ledger: this window must finish the sweep — every oracle-backed
-    # query is either already verified or inside the window
+    # query is either already verified, inside the window, or a
+    # declared post-window addition queued for the next round
     remaining = [
         n for n in QUERIES
-        if n not in e._DRIVER_VERIFIED and n not in set(window)
+        if n not in e._DRIVER_VERIFIED
+        and n not in set(window)
+        and n not in set(e._QUEUED_POST_WINDOW)
     ]
     assert remaining == [], (
         f"{len(remaining)} unverified queries left outside the window "
