@@ -206,8 +206,16 @@ def _array_overlap_counts(
         # on shingle replaces the two-sided self-join, and the pairs
         # explode from each posting list in place (cost per shingle
         # <= cap^2/2, same candidates as the join, generated map-side).
+        # Explicit-N repartition on the agg key: AQE coalesces the
+        # postings relation by its (small) INPUT size, blind to the
+        # up-to-cap^2/2-per-row pair EXPLOSION downstream — the same
+        # expansion blind spot as triangle_counts' wedge join; the
+        # pinned partitioning satisfies the groupBy's distribution
+        # (no extra shuffle) and keeps the explode wide.
+        n_parts = int(arrays.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         postings = (
-            kept.groupBy("shingle")
+            kept.repartition(n_parts, "shingle")
+            .groupBy("shingle")
             .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
             .cache()
         )
