@@ -855,7 +855,12 @@ def embedding_neardup_pairs(
     )
 
 
-def triangle_counts(edges: DataFrame, a: str = "doc1", b: str = "doc2") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    a: str = "doc1",
+    b: str = "doc2",
+    assume_unique: bool = False,
+) -> DataFrame:
     """Per-vertex triangle participation counts over an undirected
     edge list (a < b per row), via the degree-ordered node-iterator
     (Suri & Vassilvitskii WWW'11 / Cohen's MapReduce graph patterns,
@@ -881,7 +886,10 @@ def triangle_counts(edges: DataFrame, a: str = "doc1", b: str = "doc2") -> DataF
     materializes each exactly once (on a cluster, swap for
     reliable-storage checkpoint or persist(DISK_ONLY)).
     """
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct().localCheckpoint()
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    if not assume_unique:
+        e = e.distinct()
+    e = e.localCheckpoint()
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     du = deg.select(F.col("u").alias("_du"), F.col("deg").alias("deg_u"))
@@ -920,6 +928,7 @@ def pagerank_int(
     b: str = "doc2",
     iterations: int = 3,
     scale: int = 1_000_000,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Fixed-point-integer PageRank over an undirected edge list —
     every arithmetic step is BIGINT (contribution = score div degree,
@@ -936,7 +945,9 @@ def pagerank_int(
     iteration truncates lineage so plans stay flat.  Undirected input
     means no dangling nodes (every vertex has in-edges).
     """
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    if not assume_unique:
+        e = e.distinct()
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     rel = und.join(deg, "u").localCheckpoint()  # (u, v, d) — built once
@@ -1072,6 +1083,7 @@ def kcore_peel(
     b: str = "doc2",
     k: int = 3,
     rounds: int = 3,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """`rounds` fixed peeling passes toward the k-core of an
     undirected edge list (a < b per row): each pass drops every vertex
@@ -1099,7 +1111,9 @@ def kcore_peel(
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    if not assume_unique:
+        e = e.distinct()
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()

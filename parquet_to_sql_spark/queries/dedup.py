@@ -724,7 +724,9 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — see the operator docstring for the 100 TB story."""
     docs = load_table(spark, sf_dir, "documents")
     edges = simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
-    return triangle_counts(edges, "doc1", "doc2")
+    # banded pairs are already distinct with doc1 < doc2 — skip the
+    # operator's normalizing distinct (one whole shuffle)
+    return triangle_counts(edges, "doc1", "doc2", assume_unique=True)
 
 
 @query(
@@ -778,7 +780,7 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     edges = simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
-    return pagerank_int(edges, "doc1", "doc2", iterations=3)
+    return pagerank_int(edges, "doc1", "doc2", iterations=3, assume_unique=True)
 
 
 def _duck_pairs24_ctes() -> str:
@@ -844,7 +846,7 @@ def dedup_kcore_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     edges = simhash_hamming_pairs(docs, "doc_id", "text", bits=24, radius=1)
-    return kcore_peel(edges, "doc1", "doc2", k=3, rounds=3)
+    return kcore_peel(edges, "doc1", "doc2", k=3, rounds=3, assume_unique=True)
 
 
 @query(
