@@ -138,8 +138,9 @@ _DRIVER_VERIFIED = frozenset(
 # the re-verify).  They queue at the head of the least-recently-
 # verified tail and front window 6.
 _QUEUED_POST_WINDOW = (
-    "dedup_kcore_3",        # round-5 new: fixed-round k-core peeling
+    "dedup_kcore_3",         # round-5 new: fixed-round k-core peeling
     "dedup_prefix_jaccard",  # round-5 new: lossless PPJoin prefix filter
+    "dedup_repeated_spans",  # round-5 new: exact repeated-span detector
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -103,15 +103,36 @@ DUCK_WORD_HASHES = (
 )
 
 
+def duck_hashed_kgram_acc(n: int = 3) -> str:
+    """The 31-ary window fold over a staged word-hash array ``hw`` at
+    1-based window start ``i`` — the shared core of the DuckDB-side
+    hashed k-gram mirrors (identical combination as
+    shingle_hashes_from)."""
+    acc = "hw[i]"
+    for off in range(1, n):
+        acc = f"((({acc}) * 31 + hw[i+{off}]) % 2147483647)"
+    return acc
+
+
 def duck_hashed_word_shingles(n: int = 3) -> str:
     """The DuckDB mirror of hashed_word_shingles as an expression over
     a staged word-hash array column named ``hw`` (stage it with
     ``DUCK_WORD_HASHES.format(words=...) AS hw`` in a subquery) —
     identical window combination as the Spark side."""
-    acc = "hw[i]"
-    for off in range(1, n):
-        acc = f"((({acc}) * 31 + hw[i+{off}]) % 2147483647)"
-    return f"list_transform(range(1, len(hw) - {n - 2}), i -> {acc})"
+    return (
+        f"list_transform(range(1, len(hw) - {n - 2}), "
+        f"i -> {duck_hashed_kgram_acc(n)})"
+    )
+
+
+def duck_hashed_positional_kgrams(n: int) -> str:
+    """DuckDB mirror of hashed_positional_kgrams: a list of
+    {'pos', 'h'} structs over the staged ``hw`` array (1-based pos),
+    ready to unnest."""
+    return (
+        f"list_transform(range(1, len(hw) - {n - 2}), "
+        f"i -> {{'pos': i, 'h': {duck_hashed_kgram_acc(n)}}})"
+    )
 
 
 def minhash_constants(k: int = 8) -> list[tuple[int, int]]:

@@ -1129,3 +1129,101 @@ def kcore_peel(
     return und.groupBy("u").agg(F.count(F.lit(1)).alias("residual_degree")).select(
         F.col("u").alias("doc_id"), "residual_degree"
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    min_tokens: int = 12,
+    max_occ: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Maximal cross-document EXACT repeated token spans — the
+    passage-level exact-substring dedup of Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" (ACL'22, public
+    record), re-expressed relationally: instead of a giant suffix
+    array, match POSITIONAL hashed k-grams across documents and merge
+    runs of consecutive matches at a constant offset into maximal
+    shared spans.
+
+    A shared token run of length L >= k appears as L - k + 1
+    consecutive k-gram matches with the same position offset
+    d = pos2 - pos1, so maximal spans fall out of one gaps-and-islands
+    pass per (doc1, doc2, d): island = pos1 - row_number() over pos1.
+    "Match" means equal 31-bit fold hash of the k token hashes — the
+    same engine-neutral composition as the shingle family (a
+    collision merges two k-grams; both engines compose identically,
+    so results stay value-exact cross-engine).
+
+    ``max_occ`` caps a k-gram's total occurrences (QUALIFY-mirrored in
+    oracles), the standard hub guard: a boilerplate k-gram appearing
+    everywhere would otherwise make the positional join quadratic.
+
+    Scale shape: one positional-gram explode O(tokens), one capped
+    equi-join on the gram hash, one window + aggregate on
+    (doc1, doc2, d) — no suffix array, no global sort of the corpus,
+    and every stage partitions on bounded keys.
+
+    Returns (doc1, doc2, start1, start2, span_tokens): 1-based word
+    positions, span length in TOKENS (>= min_tokens), doc1 < doc2.
+    """
+    from pyspark.sql import Window
+
+    if k < 2 or min_tokens < k:
+        raise ValueError("need k >= 2 and min_tokens >= k")
+    grams = (
+        hashed_positional_kgrams(df, id_col, text_col, k)
+        .withColumn("_occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("_occ") <= max_occ)
+        .drop("_occ")
+    )
+    a = grams.select(
+        F.col("doc").alias("doc1"), F.col("pos").alias("pos1"), "h"
+    )
+    b = grams.select(
+        F.col("doc").alias("doc2"), F.col("pos").alias("pos2"), "h"
+    )
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "pos1", (F.col("pos2") - F.col("pos1")).alias("d"))
+    )
+    w = Window.partitionBy("doc1", "doc2", "d").orderBy("pos1")
+    runs = m.withColumn("island", F.col("pos1") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc1", "doc2", "d", "island")
+        .agg(F.min("pos1").alias("start1"), F.count(F.lit(1)).alias("n"))
+        .withColumn("span_tokens", (F.col("n") + F.lit(k - 1)).cast("long"))
+        .filter(F.col("span_tokens") >= min_tokens)
+    )
+    return spans.select(
+        "doc1",
+        "doc2",
+        F.col("start1").cast("long"),
+        (F.col("start1") + F.col("d")).cast("long").alias("start2"),
+        "span_tokens",
+    )
+
+
+def hashed_positional_kgrams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc, pos, h): the 31-bit fold hash of every positional k-word
+    window (1-based pos), via the staged per-word hash column —
+    per-character work once per word, not once per gram (same
+    discipline as hashed_shingle_arrays, without the distinct)."""
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    return (
+        rebalance_for_compute(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            word_hashes(ws_tokens(F.col(text_col))).alias("_hw"),
+        )
+        .select(
+            "doc",
+            F.posexplode(shingle_hashes_from(F.col("_hw"), k)).alias("_i", "h"),
+        )
+        .select("doc", (F.col("_i") + F.lit(1)).alias("pos"), "h")
+    )

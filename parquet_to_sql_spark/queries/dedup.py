@@ -897,3 +897,69 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(docs, "doc_id", "text", n=3, threshold_pct=50)
+
+
+def _duck_repeated_spans_oracle(k: int, min_tokens: int, max_occ: int) -> str:
+    """Unrolled oracle for repeated_spans: positional hashed k-grams,
+    occurrence cap, constant-offset islands, maximal spans."""
+    from parquet_to_sql_spark.functions.hashing import (
+        DUCK_WORD_HASHES,
+        duck_hashed_positional_kgrams,
+    )
+
+    hw = DUCK_WORD_HASHES.format(words=DUCK_WORDS)
+    pos_kgrams = duck_hashed_positional_kgrams(k)
+    return f"""
+    WITH hw0 AS (SELECT doc_id, {hw} AS hw FROM documents),
+    g0 AS (
+      SELECT doc_id AS doc, unnest({pos_kgrams}) AS u FROM hw0
+    ),
+    g1 AS (SELECT doc, u.pos AS pos, u.h AS h FROM g0),
+    g AS (
+      SELECT doc, pos, h FROM g1
+      QUALIFY COUNT(*) OVER (PARTITION BY h) <= {max_occ}
+    ),
+    m AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, a.pos AS pos1,
+             b.pos - a.pos AS d
+      FROM g a JOIN g b ON a.h = b.h AND a.doc < b.doc
+    ),
+    runs AS (
+      SELECT doc1, doc2, d, pos1,
+             pos1 - row_number() OVER (PARTITION BY doc1, doc2, d
+                                       ORDER BY pos1) AS island
+      FROM m
+    ),
+    spans AS (
+      SELECT doc1, doc2, d, island,
+             MIN(pos1) AS start1, COUNT(*) + {k - 1} AS span_tokens
+      FROM runs GROUP BY doc1, doc2, d, island
+    )
+    SELECT doc1, doc2,
+           CAST(start1 AS BIGINT)     AS start1,
+           CAST(start1 + d AS BIGINT) AS start2,
+           CAST(span_tokens AS BIGINT) AS span_tokens
+    FROM spans WHERE span_tokens >= {min_tokens}
+    """
+
+
+@query(
+    "dedup_repeated_spans",
+    tags=("dedup", "contamination", "llm-pipeline", "scale-path"),
+    oracle=_duck_repeated_spans_oracle(k=6, min_tokens=12, max_occ=256),
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document exact repeated token spans (>= 12
+    tokens) — passage-level exact-substring dedup (Lee et al. ACL'22)
+    without a suffix array: positional hashed 6-grams matched across
+    documents, runs of consecutive matches at a constant offset merged
+    into maximal spans by one gaps-and-islands pass.  The operator
+    training pipelines use to excise verbatim boilerplate/licence
+    blocks and detect benchmark passages pasted inside larger
+    documents (where whole-doc Jaccard stays low).  See
+    operators.dedup.repeated_spans for the shuffle budget and the
+    occurrence-cap hub guard."""
+    from parquet_to_sql_spark.operators.dedup import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, "doc_id", "text", k=6, min_tokens=12, max_occ=256)

@@ -600,3 +600,69 @@ def test_kcore_peel_matches_sequential_reference(spark):
             for r in kcore_peel(df, "doc1", "doc2", k=k, rounds=rounds).collect()
         }
         assert got == want, (trial, k, rounds)
+
+
+def test_repeated_spans_matches_sequential_reference(spark):
+    """repeated_spans must report exactly the maximal constant-offset
+    runs a sequential scan finds — planted shared spans (including
+    two disjoint shared spans between the same pair, and a shared
+    span duplicated at two offsets) and random noise."""
+    import random
+
+    from parquet_to_sql_spark.operators.dedup import repeated_spans
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(200)]
+    K, MIN = 4, 6
+
+    def rand_words(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    shared_a = rand_words(9)     # >= MIN tokens -> must be reported
+    shared_b = rand_words(7)
+    docs = {
+        1: rand_words(15) + shared_a + rand_words(10) + shared_b + rand_words(5),
+        2: rand_words(3) + shared_a + rand_words(20) + shared_b + rand_words(8),
+        3: shared_a + rand_words(12) + shared_a + rand_words(4),  # twice
+        4: rand_words(40),
+    }
+
+    # sequential reference over TOKEN positions: hash k-grams the same
+    # way (position i matches iff tokens equal — vocab words are
+    # distinct strings so fold-hash collisions are not a concern here)
+    def kgrams(ws):
+        return [" ".join(ws[i : i + K]) for i in range(len(ws) - K + 1)]
+
+    want = set()
+    ids = sorted(docs)
+    for i1 in range(len(ids)):
+        for i2 in range(i1 + 1, len(ids)):
+            d1, d2 = ids[i1], ids[i2]
+            g1, g2 = kgrams(docs[d1]), kgrams(docs[d2])
+            matches = {}
+            for p1, ga in enumerate(g1, start=1):
+                for p2, gb in enumerate(g2, start=1):
+                    if ga == gb:
+                        matches.setdefault(p2 - p1, []).append(p1)
+            for off, ps in matches.items():
+                ps = sorted(set(ps))
+                run = [ps[0]]
+                for p in ps[1:] + [None]:
+                    if p is not None and p == run[-1] + 1:
+                        run.append(p)
+                    else:
+                        span = len(run) + K - 1
+                        if span >= MIN:
+                            want.add((d1, d2, run[0], run[0] + off, span))
+                        if p is not None:
+                            run = [p]
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc1, r.doc2, r.start1, r.start2, r.span_tokens)
+        for r in repeated_spans(
+            df, "doc_id", "text", k=K, min_tokens=MIN, max_occ=1000
+        ).collect()
+    }
+    assert got == want and len(got) >= 4
