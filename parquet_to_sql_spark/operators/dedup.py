@@ -1172,11 +1172,16 @@ def repeated_spans(
 
     if k < 2 or min_tokens < k:
         raise ValueError("need k >= 2 and min_tokens >= k")
+    # cached: the tokenize+hash+cap pipeline feeds BOTH self-join
+    # sides — uncached, Spark re-derives it per side (two full scans
+    # and two cap windows; same lifecycle convention as the shingle
+    # family, caller releases via clearCache)
     grams = (
         hashed_positional_kgrams(df, id_col, text_col, k)
         .withColumn("_occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("_occ") <= max_occ)
         .drop("_occ")
+        .cache()
     )
     a = grams.select(
         F.col("doc").alias("doc1"), F.col("pos").alias("pos1"), "h"

@@ -803,3 +803,49 @@ def test_runtime_bloom_filter_injection_on_selective_join(spark):
         ).collect()
     }
     assert got == want and len(got) == 1
+
+
+def test_prefix_jaccard_plan_equi_joins_and_pinned_prefix_index(spark):
+    """The PPJoin-style prefix filter must stay equi-join-only (the
+    candidate generator is an inverted-index join on the gram hash,
+    never a nested-loop), and the explode that builds the prefix index
+    slices to n_sh - ceil(t*n_sh) + 1 entries — the plan should show
+    slice + explode, not a full posting explode of every shingle."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("dedup_prefix_jaccard").build(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "slice(" in plan, "prefix index is not sliced — full explode"
+    assert "array_intersect" in plan, "verify stage missing"
+
+
+def test_kcore_plan_is_checkpoint_rooted_equi_only(spark):
+    """Each peel round reads the previous round's checkpointed edge
+    relation (lineage must not replay candidate generation per round)
+    and filters via semi-joins — equi-join-only, no parquet rescans in
+    the final plan."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("dedup_kcore_3").build(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan, "all inputs come from checkpoints"
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    n_nodes = len(re.findall(r"\(\d+\) ", plan))
+    assert n_nodes < 40, f"per-round lineage not truncated: {n_nodes} nodes"
+
+
+def test_repeated_spans_plan_single_scan_equi_join(spark):
+    """The repeated-span detector's positional-gram relation feeds
+    both join sides from ONE scan pipeline (Spark reuses the exchange
+    for the self-join), the candidate join is an equi-join on the gram
+    hash, and the islands pass partitions by (doc1, doc2, d) — no
+    unpartitioned window, no nested-loop anywhere."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("dedup_repeated_spans").build(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # the gram relation is cached: both self-join sides must read the
+    # cache (the tokenize+hash+cap pipeline materializes once at cache
+    # fill, instead of a full re-derivation per side)
+    assert plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage") >= 2, (
+        "gram pipeline re-derived per join side instead of read from cache"
+    )
