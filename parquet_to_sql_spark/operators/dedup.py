@@ -1232,3 +1232,59 @@ def hashed_positional_kgrams(
         )
         .select("doc", (F.col("_i") + F.lit(1)).alias("pos"), "h")
     )
+
+
+def reference_span_index(
+    ref_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    max_occ: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Static reference side of the streaming repeated-span screen:
+    (ref_doc, ref_pos, h) positional k-gram rows of the protected
+    corpus (benchmark suites, eval sets), occurrence-capped with the
+    same hub guard as repeated_spans.
+
+    At scale this index is computed ONCE batch-side and written
+    bucketed by ``h`` (the probe join key) — every ingest batch probes
+    it without re-sketching the reference corpus, the same
+    write-once/probe-many lifecycle as simhash_band_index."""
+    from pyspark.sql import Window
+
+    return (
+        hashed_positional_kgrams(ref_docs, id_col, text_col, k)
+        .withColumn("_occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("_occ") <= max_occ)
+        .select(
+            F.col("doc").alias("ref_doc"), F.col("pos").alias("ref_pos"), "h"
+        )
+    )
+
+
+def repeated_span_matches(
+    new_docs: DataFrame, index: DataFrame, id_col: str, text_col: str, k: int = 6
+) -> DataFrame:
+    """Positional k-gram matches of ``new_docs`` against a
+    reference_span_index: (ref_doc, new_doc, ref_pos, d) with
+    d = new_pos - ref_pos.  Row-local gram projection + one equi-join
+    on the hash — STATELESS, so it is legal as a stream-static join on
+    a streaming ``new_docs`` (no watermark, no state store; matches
+    append at ingest rate).  Consecutive ref_pos at constant
+    (ref_doc, new_doc, d) form shared spans; the islands rollup is the
+    consumer's batch pass (a non-time window function, so it cannot
+    run inside append mode — same pre-aggregation contract as
+    contamination_screen)."""
+    grams = hashed_positional_kgrams(new_docs, id_col, text_col, k)
+    return (
+        grams.select(
+            F.col("doc").alias("new_doc"), F.col("pos").alias("new_pos"), "h"
+        )
+        .join(index, "h")
+        .select(
+            "ref_doc",
+            "new_doc",
+            "ref_pos",
+            (F.col("new_pos") - F.col("ref_pos")).alias("d"),
+        )
+    )

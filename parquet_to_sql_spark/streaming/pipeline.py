@@ -534,3 +534,22 @@ def bm25_screen_stream(
 
     feats = bm25_doc_features(stream_docs, "doc_id", "text", terms)
     return bm25_rational_scores(feats, terms, stats)
+
+
+def span_screen_stream(
+    stream_docs: DataFrame, index: DataFrame, k: int = 6
+) -> DataFrame:
+    """Streaming repeated-span contamination screen: arriving
+    documents' positional hashed k-grams probed against the STATIC
+    reference_span_index — the at-ingest twin of the oracle-checked
+    dedup_repeated_spans detector, for the case where the protected
+    corpus (benchmarks, eval sets) is fixed and documents arrive
+    continuously.  Stateless stream-static equi-join (no watermark,
+    no state store); emits (ref_doc, new_doc, ref_pos, d) match rows,
+    and the consumer's batch islands pass merges consecutive ref_pos
+    at constant offset into maximal spans (same operator arithmetic
+    as the batch gate query, so rolled-up spans are value-identical).
+    """
+    from parquet_to_sql_spark.operators.dedup import repeated_span_matches
+
+    return repeated_span_matches(stream_docs, index, "doc_id", "text", k=k)

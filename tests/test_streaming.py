@@ -990,3 +990,74 @@ def test_streaming_bm25_screen_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM bm25_stream_out").collect()
     }
     assert got == want
+
+
+def test_span_screen_stream_equals_batch_and_rolls_up_to_spans(spark, tmp_path):
+    """The streaming repeated-span screen (stream-static gram join)
+    must emit exactly the batch twin's match rows, and the consumer's
+    islands rollup over the streamed matches must find the planted
+    shared span with the same (start, length) arithmetic as the batch
+    detector."""
+    from parquet_to_sql_spark.operators.dedup import (
+        reference_span_index,
+        repeated_span_matches,
+    )
+    from parquet_to_sql_spark.streaming import documents_stream, span_screen_stream
+
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"), os.path.join(d, "part0.parquet")
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ref = docs.filter(F.col("doc_id") % 9 == 0)
+    index = reference_span_index(ref, "doc_id", "text", k=6).localCheckpoint()
+
+    stream = documents_stream(spark, d).filter(F.col("doc_id") % 9 != 0)
+    run_to_memory(span_screen_stream(stream, index, k=6), "span_out", "append")
+    got = sorted(
+        (r.ref_doc, r.new_doc, r.ref_pos, r.d)
+        for r in spark.sql("SELECT * FROM span_out").collect()
+    )
+    want = sorted(
+        (r.ref_doc, r.new_doc, r.ref_pos, r.d)
+        for r in repeated_span_matches(
+            docs.filter(F.col("doc_id") % 9 != 0), index, "doc_id", "text", k=6
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # consumer-side islands rollup: maximal spans from streamed matches
+    spans = {
+        (r.ref_doc, r.new_doc, r.start_ref, r.span_tokens)
+        for r in spark.sql(
+            """
+            SELECT ref_doc, new_doc, MIN(ref_pos) AS start_ref,
+                   COUNT(*) + 5 AS span_tokens
+            FROM (
+              SELECT ref_doc, new_doc, d, ref_pos,
+                     ref_pos - row_number() OVER (
+                       PARTITION BY ref_doc, new_doc, d ORDER BY ref_pos
+                     ) AS island
+              FROM span_out
+            )
+            GROUP BY ref_doc, new_doc, d, island
+            HAVING COUNT(*) + 5 >= 12
+            """
+        ).collect()
+    }
+    # cross-check against the symmetric batch detector restricted to
+    # (ref, non-ref) pairs — same arithmetic, so spans must agree
+    from parquet_to_sql_spark.operators.dedup import repeated_spans
+
+    batch = repeated_spans(docs, "doc_id", "text", k=6, min_tokens=12).collect()
+    ref_ids = {r.doc_id for r in ref.select("doc_id").collect()}
+    batch_pairs = set()
+    for r in batch:
+        if (r.doc1 in ref_ids) != (r.doc2 in ref_ids):
+            if r.doc1 in ref_ids:
+                batch_pairs.add((r.doc1, r.doc2, r.start1, r.span_tokens))
+            else:
+                batch_pairs.add((r.doc2, r.doc1, r.start2, r.span_tokens))
+    assert spans == batch_pairs
+    assert len(spans) > 0  # non-vacuous: 12 cross ref/non-ref spans at sf0.001
