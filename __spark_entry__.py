@@ -141,6 +141,7 @@ _QUEUED_POST_WINDOW = (
     "dedup_kcore_3",         # round-5 new: fixed-round k-core peeling
     "dedup_prefix_jaccard",  # round-5 new: lossless PPJoin prefix filter
     "dedup_repeated_spans",  # round-5 new: exact repeated-span detector
+    "pipeline_bloom_screen_orders",  # round-5 new: bloom membership compose
 )
 
 # Deliberate re-verification slots this round (already driver-green

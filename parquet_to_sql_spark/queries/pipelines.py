@@ -636,3 +636,43 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
     )
+
+
+@query(
+    "pipeline_bloom_screen_orders",
+    tags=("pipeline", "membership", "bloom", "llm-pipeline", "scale-path"),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def pipeline_bloom_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership screen through the Bloom prefilter + exact
+    semi-join compose (operators.membership.bloom_screen_exact):
+    orders whose customer belongs to the BUILDING segment.  The Bloom
+    filter has NO false negatives, so prefilter + verify returns
+    EXACTLY the plain semi-join's answer — which is what the oracle
+    asserts — while at scale only the ~fpp-sized survivor stream ever
+    reaches the shuffle (build: one JVM-side reference pass; probe:
+    broadcast bytes + row-local vectorized batch math; see the module
+    docstring for the 100 TB shape).  This gate row is the end-to-end
+    driver evidence for the membership module on top of its
+    bit-exact-vs-JVM unit pins."""
+    from parquet_to_sql_spark.operators.membership import bloom_screen_exact
+
+    orders = load_table(spark, sf_dir, "orders")
+    building = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    screened = bloom_screen_exact(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+        building,
+        "c_custkey",
+        expected_items=50_000,
+        fpp=0.02,
+    )
+    return screened.select("o_orderkey", "o_custkey", "o_totalprice")
