@@ -142,6 +142,8 @@ _QUEUED_POST_WINDOW = (
     "dedup_prefix_jaccard",  # round-5 new: lossless PPJoin prefix filter
     "dedup_repeated_spans",  # round-5 new: exact repeated-span detector
     "pipeline_bloom_screen_orders",  # round-5 new: bloom membership compose
+    "window_global_prefix_sum",  # round-5 new: distributed prefix sum
+    "sample_weighted_pps",       # round-5 new: systematic PPS sampling
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -1,0 +1,128 @@
+"""Distributed global prefix sums — running totals over a TOTAL
+order without the single-partition window trap.
+
+The production problem: ``SUM(x) OVER (ORDER BY key)`` with no
+PARTITION BY moves the ENTIRE relation to one task (Spark warns
+"No Partition Defined for Window operation"), which is fine for a
+bounded side table and fatal for a corpus-sized one.  The classic
+two-level decomposition (textbook parallel scan — Blelloch 1990,
+public record) keeps it distributed:
+
+  1. range-partition the relation by the ordering key (sampled range
+     boundaries; WHICH partition a row lands in does not affect the
+     result — offsets adjust to the actual boundaries);
+  2. in-partition running sums via an ordinary keyed window
+     (partition_id IS the partition key, so no global shuffle to one
+     task);
+  3. per-partition TOTALS — O(#partitions) rows, the one driver-side
+     collect, same bounded-collect class as the CC convergence
+     scalars — prefix-summed on the driver and joined back as a
+     broadcast offset per partition id.
+
+The result equals the sequential running sum EXACTLY for integer
+values (addition is associative; no float reordering concerns), which
+is what makes the operator oracle-checkable against a plain
+``SUM OVER (ORDER BY ...)``.
+
+Ties: rows that compare equal on ``order_cols`` would make "running
+sum" ambiguous, so callers must pass a total order (include a unique
+tiebreaker column — the oracles do the same ORDER BY).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """``df`` + ``out_col`` = inclusive running sum of ``value_col``
+    in ``order_cols`` order (a TOTAL order — include a tiebreaker).
+
+    Scale shape: one range-partitioning exchange on the order key,
+    one keyed in-partition window, one O(#partitions) driver collect
+    for the offsets, one broadcast join back.  No task ever holds more
+    than its own partition; contrast with the unpartitioned-window
+    formulation, which is a single-task global sort.
+    """
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    staged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+
+    # per-partition totals -> driver prefix-sum -> offset per pid.
+    # Bounded: one row per partition, O(n_parts) driver memory.
+    totals = {
+        r._pid: r.t
+        for r in staged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    running, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+
+    w = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        staged.withColumn("_local", F.sum(value_col).over(w))
+        .join(offsets_df, "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    m: int,
+) -> DataFrame:
+    """Deterministic weighted systematic sampling: select ~``m`` rows
+    with inclusion probability proportional to integer ``weight_col``,
+    by walking the cumulative-weight line and taking one row per
+    W/m-sized stratum (systematic PPS sampling — Madow 1944, public
+    record).  Deterministic given the order, so the whole draw is
+    value-exact cross-engine: a row is selected iff its cumulative
+    interval (cum - w, cum] contains a stratum boundary, i.e.
+    floor(cum*m/W) > floor((cum-w)*m/W).
+
+    The floor-division is spelled with the exact-multiple trick
+    ((x - x % W) / W — numerator an exact multiple of W), exact in
+    IEEE double while quotient and numerator stay below 2^53: with
+    W = total weight and m the sample size, that bounds cum*m < 2^53
+    (document weights in chars at 100 TB: ~1e14 * m <= ~1e3 — callers
+    at that extreme should rescale weights; the gate fixture is
+    orders of magnitude below).
+
+    Rows with zero weight are never selected (their interval is
+    empty) — matching PPS semantics.
+
+    Built on prefix_sum, so it inherits the distributed shape: no
+    single-task window anywhere.
+    """
+    with_cum = prefix_sum(df, order_cols, weight_col, out_col="_cum")
+    total = with_cum.select(F.max("_cum").alias("_pps_total"))
+    hi = f"(_cum * {m})"
+    lo = f"((_cum - {weight_col}) * {m})"
+    strat = (
+        f"CAST(({hi} - {hi} % _pps_total) / _pps_total AS BIGINT)"
+        f" > CAST(({lo} - {lo} % _pps_total) / _pps_total AS BIGINT)"
+    )
+    return (
+        with_cum.join(F.broadcast(total))
+        .filter(F.expr(strat))
+        .drop("_cum", "_pps_total")
+    )

@@ -676,3 +676,36 @@ def pipeline_bloom_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpp=0.02,
     )
     return screened.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "sample_weighted_pps",
+    tags=("pipeline", "sampling", "scale-path"),
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(CAST(n_chars AS BIGINT))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ), t AS (SELECT MAX(cum) AS W FROM c)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM c, t
+    WHERE CAST(((cum*100) - (cum*100) % W) / W AS BIGINT)
+        > CAST((((cum - n_chars)*100) - ((cum - n_chars)*100) % W) / W AS BIGINT)
+    """,
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample of ~100
+    documents, weighted by length — the mixture-building draw where
+    long documents must be likelier but the draw must be reproducible
+    run-to-run and engine-to-engine: systematic PPS over the
+    cumulative-weight line (one boundary per W/100 stratum), built on
+    the distributed prefix sum so no single-task window exists
+    anywhere in the plan.  See operators.prefix for the exactness
+    argument (integer weights; exact-multiple floor division)."""
+    from parquet_to_sql_spark.operators.prefix import weighted_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    return weighted_systematic_sample(docs, ["doc_id"], "weight", m=100)

@@ -428,3 +428,37 @@ def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("abc_class"),
     )
     return out
+
+
+@query(
+    "window_global_prefix_sum",
+    tags=("window", "scale-path", "prefix-sum"),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS running_cents
+    FROM orders
+    """,
+)
+def window_global_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL running revenue (integer cents) over the full orders
+    table — semantically ``SUM(x) OVER (ORDER BY o_orderkey)`` with no
+    PARTITION BY, but computed by the DISTRIBUTED two-level prefix sum
+    (operators.prefix.prefix_sum: range partition, in-partition
+    window, O(#partitions) offset collect) instead of Spark's
+    single-task unpartitioned window.  At 100 TB the unpartitioned
+    formulation moves the whole table to one task; this one never
+    holds more than a partition anywhere.  The oracle IS the
+    unpartitioned spelling — exact equality is the point."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("_cents"),
+    )
+    return prefix_sum(orders, ["o_orderkey"], "_cents", out_col="running_cents").select(
+        "o_orderkey", "running_cents"
+    )

