@@ -945,6 +945,7 @@ def _duck_repeated_spans_oracle(k: int, min_tokens: int, max_occ: int) -> str:
 
 @query(
     "dedup_repeated_spans",
+    headline=True,
     tags=("dedup", "contamination", "llm-pipeline", "scale-path"),
     oracle=_duck_repeated_spans_oracle(k=6, min_tokens=12, max_occ=256),
 )

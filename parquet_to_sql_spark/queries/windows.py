@@ -432,6 +432,7 @@ def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_global_prefix_sum",
+    headline=True,
     tags=("window", "scale-path", "prefix-sum"),
     oracle="""
     SELECT o_orderkey,
