@@ -144,6 +144,7 @@ _QUEUED_POST_WINDOW = (
     "pipeline_bloom_screen_orders",  # round-5 new: bloom membership compose
     "window_global_prefix_sum",  # round-5 new: distributed prefix sum
     "sample_weighted_pps",       # round-5 new: systematic PPS sampling
+    "simsearch_int_matmul_topk",  # round-5 new: vectorized flat-scan baseline
 )
 
 # Deliberate re-verification slots this round (already driver-green

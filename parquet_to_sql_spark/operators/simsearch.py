@@ -772,3 +772,91 @@ def pca_project(
         )
         out_cols.append(proj.alias(f"pc{c}"))
     return df.select(F.col(id_col), *out_cols)
+
+
+MATMUL_QUANT = 1 << 12  # floor(x * 2^12): exact in double for float32
+# inputs; |q| <= 2^13 per component, so a 64-dim dot is < 2^32 —
+# far inside int64 (and int32 accumulation in numpy would overflow
+# only past 4096 dims at this scale; we accumulate in int64 anyway).
+
+
+def int_matmul_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force top-k by QUANTIZED-INTEGER dot product,
+    computed as one numpy matrix multiply per Arrow batch — the
+    vectorized fast path for the exhaustive baseline (the shape FAISS
+    calls a flat index scan): corpus partitions stream through
+    mapInPandas, each batch does ONE int64 matmul against the
+    broadcast query matrix, keeps its local top-k per query
+    (argpartition), and the tiny per-partition candidate union is
+    reduced to the global top-k by an ordinary keyed window.
+
+    Determinism/exactness: scores are integer dots of
+    floor(x * 2^12) components (exact in IEEE double for float32
+    inputs — same discipline as KMEANS_QUANT), and integer addition
+    is associative, so the numpy accumulation order is irrelevant and
+    a DuckDB oracle computes the identical integers.  Local-top-k +
+    merge is lossless: each partition keeps >= k candidates per
+    query, a superset of that partition's global-top-k members.
+
+    Scale shape: corpus never shuffles (candidates only — P*Q*k tiny
+    rows); queries ride the closure as one small ndarray (bounded
+    query sets only — the IVF/PQ paths own the big-query regime).
+    Returns (query_id, neighbor_id, score_q, rank), neighbors != query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    qrows = queries.select(id_col, vec_col).collect()  # bounded query set
+    if not qrows:
+        raise ValueError("empty query set")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.floor(
+        np.array([r[1] for r in qrows], dtype=np.float64) * MATMUL_QUANT
+    ).astype(np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    out_schema = (
+        f"query_id long, neighbor_id long, score_q long"
+    )
+
+    def score(batches):
+        b_qids, b_qmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            mat = np.floor(
+                np.stack(pdf["_vec"].to_numpy()).astype(np.float64) * MATMUL_QUANT
+            ).astype(np.int64)
+            scores = mat @ b_qmat.T  # (batch, n_queries) int64
+            kk = min(k + 1, len(ids))  # +1 to survive dropping self
+            for j in range(len(b_qids)):
+                col = scores[:, j]
+                top = np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else np.arange(len(col))
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(top), b_qids[j], dtype=np.int64),
+                        "neighbor_id": ids[top],
+                        "score_q": col[top],
+                    }
+                )
+
+    corpus = rebalance_for_compute(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    )
+    cands = corpus.mapInPandas(score, out_schema).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -991,3 +991,47 @@ def simsearch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "simsearch_int_matmul_topk",
+    tags=("simsearch", "embeddings", "vectorized", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 4096) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, qv AS qq FROM v WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT qid, vec_id AS cid,
+             CAST(list_dot_product(qq, qv) AS BIGINT) AS score_q
+      FROM qs JOIN v ON vec_id <> qid
+    ),
+    ranked AS (
+      SELECT qid, cid, score_q,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score_q DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, score_q,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
+def simsearch_int_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive top-k as ONE integer matrix multiply per Arrow
+    batch (operators.simsearch.int_matmul_topk) — the vectorized
+    numpy fast path for the flat-scan baseline, exact by
+    construction: floor(x*2^12) quantization makes every score an
+    integer dot whose accumulation order cannot matter, so the
+    brute-force answer hash-matches the SQL oracle while the hot loop
+    is BLAS-shaped instead of per-pair Column folds.  Corpus never
+    shuffles; only P*Q*k candidate rows reach the final merge
+    window."""
+    from parquet_to_sql_spark.operators.simsearch import int_matmul_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return int_matmul_topk(emb, "vec_id", "embedding", queries, k=_K)

@@ -259,3 +259,30 @@ def test_pca_recovers_planted_subspace(spark):
         corr = abs(np.corrcoef(got, ref[:, c])[0, 1])
         assert corr > 0.99, f"pc{c} corr {corr}"
     assert out["pc0"].var() > out["pc1"].var()
+
+
+def test_int_matmul_topk_edges(spark):
+    """Empty query set raises; self-matches are excluded; local-top-k
+    merge returns exactly k ranked rows per query even when a query's
+    best matches all sit in one partition."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.simsearch import int_matmul_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    with pytest.raises(ValueError, match="empty query set"):
+        int_matmul_topk(emb, "vec_id", "embedding", emb.filter("vec_id < 0"))
+    out = int_matmul_topk(
+        emb, "vec_id", "embedding", emb.filter("vec_id < 2"), k=3
+    ).collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
