@@ -867,3 +867,51 @@ def test_global_prefix_sum_has_no_unpartitioned_window(spark):
     # and it matches the sequential answer (sanity on the smoke fixture)
     rows = df.orderBy("o_orderkey").limit(3).collect()
     assert rows[0].running_cents > 0
+
+
+def test_bucketed_band_index_probe_join_scans_without_corpus_shuffle(spark, tmp_path):
+    """The simhash_band_index docstring's 100 TB claim, asserted as a
+    plan property: materialize the index BUCKETED by (band, bval),
+    probe it with a small new-docs batch, and the corpus side of the
+    join must read bucketed with NO Exchange — only the tiny probe
+    side shuffles into the bucket layout.  Results must equal the
+    unbucketed screen exactly."""
+    from parquet_to_sql_spark.operators.dedup import (
+        simhash_band_index,
+        simhash_screen_against_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = simhash_band_index(corpus, "doc_id", "text", bits=24, radius=1)
+
+    spark.sql("DROP TABLE IF EXISTS band_idx")
+    index.write.bucketBy(8, "band", "bval").sortBy("band", "bval").saveAsTable(
+        "band_idx"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        screened = simhash_screen_against_index(
+            new, spark.table("band_idx"), "doc_id", "text", bits=24, radius=1
+        )
+        plan = _formatted_plan(screened)
+        # the bucketed scan appears; count exchanges BELOW the join's
+        # index side by a simpler global property: exactly ONE shuffle
+        # exchange in the whole plan (the probe side re-clustering into
+        # the 8-bucket layout) — the corpus side contributes none
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles == 2, f"expected only the probe-side exchange, got {shuffles//2}"
+        got = sorted(
+            (r.new_id, r.corpus_id, r.hamming) for r in screened.collect()
+        )
+        want = sorted(
+            (r.new_id, r.corpus_id, r.hamming)
+            for r in simhash_screen_against_index(
+                new, index, "doc_id", "text", bits=24, radius=1
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS band_idx")
