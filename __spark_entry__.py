@@ -145,6 +145,7 @@ _QUEUED_POST_WINDOW = (
     "window_global_prefix_sum",  # round-5 new: distributed prefix sum
     "sample_weighted_pps",       # round-5 new: systematic PPS sampling
     "simsearch_int_matmul_topk",  # round-5 new: vectorized flat-scan baseline
+    "profile_gini_concentration",  # round-5 new: exact-ppm gini profile
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -443,3 +443,59 @@ def fn_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("customer",),
     )
+
+
+@query(
+    "profile_gini_concentration",
+    tags=("profiling", "statistics", "exact-integer", "llm-pipeline"),
+    oracle="""
+    WITH counts AS (
+      SELECT 'lang' AS col, lang AS val, COUNT(*) AS cnt
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT 'source', source, COUNT(*) FROM documents GROUP BY source
+    ),
+    per_col AS (
+      SELECT col,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+      FROM counts GROUP BY col
+    )
+    SELECT col, n, n_values,
+           CAST(((n*n - sum_sq) * 1000000 - ((n*n - sum_sq) * 1000000) % (n*n))
+                / (n*n) AS BIGINT) AS gini_ppm
+    FROM per_col
+    """,
+)
+def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical concentration profile via GINI IMPURITY in exact
+    parts-per-million — the diversity/skew metric data cards report,
+    computed without entropy's log (whose libm rounding differs
+    between engines and breaks value-exact comparison):
+    gini = 1 - sum((cnt/n)^2) = (n^2 - sum(cnt^2)) / n^2, all integer
+    until one exact-multiple ppm division (the SUM_CHARGE trick).
+    0 ppm = one value dominates entirely; higher = more uniform.
+    One aggregation pass per column, unioned — at scale each is a
+    single shuffle with map-side partials, and sum_sq (<= n^2 <= 2^53
+    at any realistic doc count per column... bounded by n <= 9.4e7 for
+    the ppm product to stay under 2^63; larger corpora rescale to ppb
+    over per-shard profiles) stays in BIGINT."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def col_counts(col: str):
+        return docs.groupBy(F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).select(F.lit(col).alias("col"), "val", "cnt")
+
+    counts = col_counts("lang").unionByName(col_counts("source"))
+    per_col = counts.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+    )
+    gini = (
+        "CAST(((n*n - sum_sq) * 1000000 - ((n*n - sum_sq) * 1000000) % (n*n))"
+        " / (n*n) AS BIGINT)"
+    )
+    return per_col.select("col", "n", "n_values", F.expr(gini).alias("gini_ppm"))
