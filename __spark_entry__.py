@@ -158,6 +158,30 @@ _REVERIFY = (
     "q1_pricing_summary",
 )
 
+# Verified queries whose decorator/build-function source changed AFTER
+# their last driver-green round (detected by
+# tests/test_oracle_parity.py::test_changed_queries_have_a_reverify_plan,
+# which diffs each query's source span against its round's snapshot
+# commit).  This round's window is full, so they queue for future
+# windows — the LRV tail ordering already fronts the oldest evidence.
+# All are green in the local sf0.01 oracle mirror, and the r4
+# cents-rewritten trio additionally passes sf0.1 parity
+# (test_rewritten_hot_queries_match_oracle_at_sf01).
+_REVERIFY_QUEUED = (
+    # r4 integer-cents rewrites (green r3)
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q10_returned_items",
+    # r5 assume_unique parameter (green r4)
+    "dedup_graph_triangles", "dedup_graph_pagerank",
+    # r3/r4 edits after r1/r2 green rows (historical blind spot,
+    # surfaced when the detector landed in r5)
+    "agg_grouping_id", "agg_sketch_rollup_union",
+    "join_asof_purchases", "join_asof_tolerance",
+    "ev_gaps_and_islands", "ev_scd2_intervals",
+    "dedup_embedding_cosine", "dedup_embedding_lsh_verified",
+    "dedup_embedding_ivf_blocked", "simsearch_ivf_topk",
+)
+
 # Round-5 window: the final 49 never-driver-verified, oracle-backed
 # queries + the re-verify slot, in the insertion order the driver will
 # check them.  Green across the board => 212/212 with driver evidence.

@@ -111,3 +111,91 @@ def test_rotation_window_insertion_order():
     last = e._last_verified_round()
     tail = names[50:]
     assert tail == sorted(tail, key=lambda n: (last.get(n, 0), n))
+
+
+def test_changed_queries_have_a_reverify_plan():
+    """VERDICT r04 #4 (the rotation blind spot): a query whose
+    decorator+build-function source changed AFTER its last driver-green
+    round has stale driver evidence — the shipped code was never
+    driver-checked.  This test diffs each verified query's source span
+    (decorator through end of function, extracted by ast) against the
+    snapshot commit of its last green round and requires every changed
+    one to be scheduled: in the current window, in _REVERIFY /
+    _REVERIFY_QUEUED, or in _QUEUED_POST_WINDOW.  Catches exactly the
+    r4 q1/q3/q5/q10 class of
+    silent rewrite; operator-level edits are covered separately by the
+    operator unit/property suites."""
+    import ast
+    import inspect
+    import pathlib
+    import subprocess
+
+    import __spark_entry__ as e
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+
+    def git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=repo, capture_output=True, text=True, check=True
+        ).stdout
+
+    try:
+        log = git("log", "--format=%H %s")
+    except Exception:
+        pytest.skip("git unavailable")
+
+    round_commit = {}
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        if subject.startswith("round ") and ":" in subject:
+            try:
+                rnd = int(subject.split(":")[0].split()[1])
+            except ValueError:
+                continue
+            # log is newest-first; keep the NEWEST commit per round
+            round_commit.setdefault(rnd, sha)
+
+    def span_of(src: str, fn_name: str) -> str | None:
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            return None
+        for node in ast.walk(tree):
+            if isinstance(node, ast.FunctionDef) and node.name == fn_name:
+                start = min(
+                    [d.lineno for d in node.decorator_list] + [node.lineno]
+                )
+                lines = src.splitlines()
+                return "\n".join(lines[start - 1 : node.end_lineno])
+        return None
+
+    last = e._last_verified_round()
+    scheduled = (
+        set(list(e.queries())[:50])
+        | set(e._REVERIFY)
+        | set(e._REVERIFY_QUEUED)
+        | set(e._QUEUED_POST_WINDOW)
+    )
+    stale = []
+    for name, q in QUERIES.items():
+        rnd = last.get(name)
+        if rnd is None or rnd not in round_commit:
+            continue  # never verified -> already scheduled by the sweep
+        fn = q.build
+        path = pathlib.Path(inspect.getfile(fn)).resolve()
+        rel = path.relative_to(repo).as_posix()
+        try:
+            old_src = git("show", f"{round_commit[rnd]}:{rel}")
+        except subprocess.CalledProcessError:
+            continue  # file did not exist then — new module, new query
+        new_src = path.read_text()
+        old_span = span_of(old_src, fn.__name__)
+        new_span = span_of(new_src, fn.__name__)
+        if old_span is not None and old_span != new_span:
+            if name not in scheduled:
+                stale.append(name)
+    assert stale == [], (
+        f"queries rewritten after their last driver-green round with no "
+        f"re-verify plan: {stale} — add them to _REVERIFY (window slot) "
+        f"or front them in the next window"
+    )
