@@ -680,6 +680,14 @@ def banded_hamming_pairs(
     b = exploded.select(
         F.col("doc").alias("doc2"), F.col("_sk").alias("sh2"), "band", "bval"
     )
+    # Multi-band dedup stays a distinct() ON PURPOSE (measured r5): a
+    # row-local "first matching band" predicate (as the streaming
+    # screen uses, where statelessness is mandatory) removes this
+    # shuffle but leaves the wide band-join output as what downstream
+    # checkpoints materialize — measured 15% SLOWER end-to-end on the
+    # triangle query (4.87 s vs 4.21 s median at sf0.1) because the
+    # distinct also compacts the relation to its 3 narrow columns and
+    # re-partitions it before the graph operators' checkpoints.
     return (
         a.join(b, ["band", "bval"])
         .filter(F.col("doc1") < F.col("doc2"))
