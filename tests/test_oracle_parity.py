@@ -32,6 +32,8 @@ def test_query_matches_oracle(spark, name):
 _REWRITTEN_HOT = (
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q10_returned_items",
+    # r5: assume_unique edge-path change after their r4 green rows
+    "dedup_graph_triangles", "dedup_graph_pagerank",
 )
 
 
@@ -40,6 +42,22 @@ def test_rewritten_hot_queries_match_oracle_at_sf01(spark, name):
     q = QUERIES[name]
     assert_matches_oracle(q.build(spark, "/root/testdata/sf0.1"), q.oracle,
                           "/root/testdata/sf0.1")
+
+
+def test_round5_new_queries_match_oracle_at_sf01(spark):
+    """Every round-5-new query (the post-window queue) gets the
+    deeper 10x-data oracle check before it ever reaches a driver
+    window — new operators are the least battle-tested code in the
+    repo."""
+    import __spark_entry__ as e
+
+    for name in e._QUEUED_POST_WINDOW:
+        q = QUERIES[name]
+        assert q.oracle is not None
+        assert_matches_oracle(
+            q.build(spark, "/root/testdata/sf0.1"), q.oracle,
+            "/root/testdata/sf0.1",
+        )
 
 
 def test_rotation_window_insertion_order():
