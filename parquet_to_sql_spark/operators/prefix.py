@@ -117,9 +117,13 @@ def weighted_systematic_sample(
     total = with_cum.select(F.max("_cum").alias("_pps_total"))
     hi = f"(_cum * {m})"
     lo = f"((_cum - {weight_col}) * {m})"
+    # nullif: an all-zero-weight input has total 0 — under ANSI mode a
+    # raw % 0 throws; NULL comparisons drop every row instead (PPS of
+    # nothing selects nothing)
+    w_tot = "nullif(_pps_total, 0)"
     strat = (
-        f"CAST(({hi} - {hi} % _pps_total) / _pps_total AS BIGINT)"
-        f" > CAST(({lo} - {lo} % _pps_total) / _pps_total AS BIGINT)"
+        f"CAST(({hi} - {hi} % {w_tot}) / {w_tot} AS BIGINT)"
+        f" > CAST(({lo} - {lo} % {w_tot}) / {w_tot} AS BIGINT)"
     )
     return (
         with_cum.join(F.broadcast(total))

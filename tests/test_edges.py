@@ -201,3 +201,33 @@ def test_udf_iter_quantized_norm_null_and_empty_vectors(spark):
     assert out.iloc[0] is None
     assert out.iloc[1] is None
     assert out.iloc[2] == (1 << 20) + int(2.5 * (1 << 20))
+
+
+def test_round5_operators_handle_empty_inputs(spark):
+    """Every round-5 operator must return an empty (not crashed)
+    result on empty input — the degenerate partition case any
+    at-scale job hits (empty file splits, fully-filtered batches)."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.dedup import (
+        kcore_peel,
+        prefix_filter_jaccard_pairs,
+        repeated_spans,
+    )
+    from parquet_to_sql_spark.operators.prefix import (
+        prefix_sum,
+        weighted_systematic_sample,
+    )
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    no_edges = spark.createDataFrame([], "doc1 long, doc2 long")
+    no_kv = spark.createDataFrame([], "k long, w long")
+
+    assert prefix_filter_jaccard_pairs(no_docs, "doc_id", "text").count() == 0
+    assert repeated_spans(no_docs, "doc_id", "text").count() == 0
+    assert kcore_peel(no_edges, "doc1", "doc2", k=3, rounds=2).count() == 0
+    assert prefix_sum(no_kv, ["k"], "w").count() == 0
+    assert weighted_systematic_sample(no_kv, ["k"], "w", m=5).count() == 0
+    # zero total weight: nothing is ever selected (empty strata line)
+    zero_w = spark.createDataFrame([(1, 0), (2, 0)], "k long, w long")
+    assert weighted_systematic_sample(zero_w, ["k"], "w", m=5).count() == 0
