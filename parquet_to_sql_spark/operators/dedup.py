@@ -1183,7 +1183,11 @@ def repeated_spans(
     # cached: the tokenize+hash+cap pipeline feeds BOTH self-join
     # sides — uncached, Spark re-derives it per side (two full scans
     # and two cap windows; same lifecycle convention as the shingle
-    # family, caller releases via clearCache)
+    # family, caller releases via clearCache).  The cache is
+    # O(tokens) rows — MEMORY_AND_DISK spills at fixture scale, but a
+    # 100 TB corpus should materialize the gram relation ONCE to a
+    # bucketed-by-h table instead (reference_span_index is exactly
+    # that shape) and self-join the table.
     grams = (
         hashed_positional_kgrams(df, id_col, text_col, k)
         .withColumn("_occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
