@@ -146,6 +146,7 @@ _QUEUED_POST_WINDOW = (
     "sample_weighted_pps",       # round-5 new: systematic PPS sampling
     "simsearch_int_matmul_topk",  # round-5 new: vectorized flat-scan baseline
     "profile_gini_concentration",  # round-5 new: exact-ppm gini profile
+    "dedup_minhash_error_audit",   # round-5 new: estimator-quality audit
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -964,3 +964,102 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repeated_spans(docs, "doc_id", "text", k=6, min_tokens=12, max_occ=256)
+
+
+@query(
+    "dedup_minhash_error_audit",
+    tags=("dedup", "minhash", "audit", "llm-pipeline", "scale-path"),
+    oracle=_DUCK_SIG
+    + f""",
+    buckets AS ({_DUCK_BUCKETS}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+      FROM buckets l JOIN buckets r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ),
+    est AS (
+      SELECT doc1, doc2, ({_MATCH_SUM}) AS n_match
+      FROM cand
+      JOIN sig a ON a.doc_id = doc1
+      JOIN sig b ON b.doc_id = doc2
+    ),
+    sets AS (SELECT doc_id, {DUCK_SHINGLES} AS shs FROM documents),
+    ex AS (
+      SELECT n_match,
+             len(list_intersect(s1.shs, s2.shs)) AS common,
+             len(s1.shs) AS n1, len(s2.shs) AS n2
+      FROM est
+      JOIN sets s1 ON s1.doc_id = doc1
+      JOIN sets s2 ON s2.doc_id = doc2
+    ),
+    d AS (
+      SELECT CAST(n_match AS BIGINT) * 125000
+             - CAST((common*1000000 - (common*1000000) % (n1+n2-common))
+                    / (n1+n2-common) AS BIGINT) AS diff
+      FROM ex
+    )
+    SELECT CAST((diff - diff % 100000) / 100000 AS BIGINT) AS err_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(diff) AS BIGINT) AS min_diff_ppm,
+           CAST(MAX(diff) AS BIGINT) AS max_diff_ppm
+    FROM d GROUP BY 1
+    """,
+)
+def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit: for every MinHash-LSH candidate pair,
+    the signed error (in exact ppm) between the 8-hash MinHash
+    Jaccard ESTIMATE and the TRUE shingle-set Jaccard, histogrammed
+    into 0.1-wide buckets — the measurement that justifies (or
+    indicts) a chosen k/bands configuration before committing a 100 TB
+    dedup pass to it.  Every quantity is integer-exact: est_ppm =
+    n_match * 125000 (1e6/8 is whole), exact_ppm by the
+    exact-multiple division trick, bucket by truncated division
+    (both engines truncate toward the dividend's sign).  Scale shape:
+    the LSH banding join generates candidates (never all-pairs); the
+    exact side joins per-doc DISTINCT string-shingle arrays — the
+    same relation the estimate was built from, so the audit measures
+    estimator error, not universe mismatch."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_sql_spark.operators.dedup import minhash_lsh_pairs
+    from parquet_to_sql_spark.functions.hashing import word_shingles
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4, n=3).select(
+        "doc1",
+        "doc2",
+        F.expr("CAST(round(est_jaccard * 8) AS BIGINT) * 125000").alias("est_ppm"),
+    )
+    arrays = docs.select(
+        F.col("doc_id"), word_shingles(ws_tokens(F.col("text")), 3).alias("shs")
+    )
+    s1 = arrays.select(
+        F.col("doc_id").alias("doc1"), F.col("shs").alias("arr1")
+    )
+    s2 = arrays.select(
+        F.col("doc_id").alias("doc2"), F.col("shs").alias("arr2")
+    )
+    ex = (
+        est.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("common", F.size(F.array_intersect("arr1", "arr2")).cast("long"))
+        .withColumn("n1", F.size("arr1").cast("long"))
+        .withColumn("n2", F.size("arr2").cast("long"))
+    )
+    d = ex.select(
+        (
+            F.col("est_ppm")
+            - F.expr(
+                "CAST((common*1000000 - (common*1000000) % (n1+n2-common))"
+                " / (n1+n2-common) AS BIGINT)"
+            )
+        ).alias("diff")
+    )
+    return d.groupBy(
+        F.expr("CAST((diff - diff % 100000) / 100000 AS BIGINT)").alias("err_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("diff").alias("min_diff_ppm"),
+        F.max("diff").alias("max_diff_ppm"),
+    )
