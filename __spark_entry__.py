@@ -147,6 +147,7 @@ _QUEUED_POST_WINDOW = (
     "simsearch_int_matmul_topk",  # round-5 new: vectorized flat-scan baseline
     "profile_gini_concentration",  # round-5 new: exact-ppm gini profile
     "dedup_minhash_error_audit",   # round-5 new: estimator-quality audit
+    "dedup_sorted_neighborhood",   # round-5 new: wide-radius SNM pass
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -1300,3 +1300,73 @@ def repeated_span_matches(
             (F.col("new_pos") - F.col("ref_pos")).alias("d"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 24,
+    window: int = 4,
+    radius: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández & Stolfo's
+    merge/purge, SIGMOD'95, public record): sort the corpus by its
+    simhash value and compare each document only with its next
+    ``window`` neighbors in sort order, then exact-verify with
+    bit_count(xor) <= ``radius``.
+
+    The complement to pigeonhole banding: banding at radius r needs
+    r+1 bands (band width shrinks, candidates explode as r grows),
+    while the sorted neighborhood's cost is a flat O(n * window) at
+    ANY radius — the right tool for the WIDER radii (here 3) where
+    similar sketches share long prefixes and therefore sort near each
+    other.  Recall is heuristic (differing high bits separate
+    otherwise-close sketches — the known SNM trade-off, classically
+    mitigated with multiple sort keys); the detector is still exact
+    ABOUT what it reports, every pair carrying its true Hamming
+    distance, so the operator is value-exact cross-engine.
+
+    Distribution: the global sort rank comes from the two-level
+    prefix sum (operators.prefix.prefix_sum with weight 1) — range
+    partition + in-partition window + offset broadcast, never a
+    single-task global window; neighbor probing is rank+j probe
+    explosion (j = 1..window) joined back on rank equality — one
+    equi-join, no range/theta join, no cross-partition halo logic.
+
+    Returns (doc1, doc2, hamming), doc1 < doc2 by id.
+    """
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+    from parquet_to_sql_spark.operators.text import simhash_sketch
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    sig = simhash_sketch(df, id_col, text_col, bits=bits)
+    ranked = prefix_sum(
+        sig.withColumn("_one", F.lit(1).cast("long")),
+        ["simhash", id_col],
+        "_one",
+        out_col="rank",
+    ).localCheckpoint()  # two join consumers below
+    probes = ranked.select(
+        F.col(id_col).alias("id1"),
+        F.col("simhash").alias("sh1"),
+        F.explode(
+            F.array(*[F.col("rank") + F.lit(j) for j in range(1, window + 1)])
+        ).alias("rank"),
+    )
+    others = ranked.select(
+        F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"), "rank"
+    )
+    return (
+        probes.join(others, "rank")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
+        )
+        .filter(F.col("hamming") <= radius)
+        .select(
+            F.least("id1", "id2").alias("doc1"),
+            F.greatest("id1", "id2").alias("doc2"),
+            "hamming",
+        )
+    )

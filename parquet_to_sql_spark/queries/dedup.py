@@ -1063,3 +1063,46 @@ def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("diff").alias("min_diff_ppm"),
         F.max("diff").alias("max_diff_ppm"),
     )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    tags=("dedup", "simhash", "snm", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {_duck_simhash_cte(24)},
+    ranked AS (
+      SELECT doc_id, simhash,
+             ROW_NUMBER() OVER (ORDER BY simhash, doc_id) AS rank
+      FROM sh
+    ),
+    probes AS (
+      SELECT doc_id AS id1, simhash AS sh1, rank + j AS rank
+      FROM ranked CROSS JOIN unnest(range(1, 5)) AS t(j)
+    ),
+    pairs AS (
+      SELECT LEAST(p.id1, r.doc_id) AS doc1,
+             GREATEST(p.id1, r.doc_id) AS doc2,
+             CAST(bit_count(xor(p.sh1, r.simhash)) AS INT) AS hamming
+      FROM probes p JOIN ranked r ON p.rank = r.rank
+    )
+    SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pass at Hamming radius 3 — the
+    WIDE-radius complement to pigeonhole banding (whose candidate
+    volume explodes as bands shrink with growing radius): sort by the
+    24-bit simhash, compare each doc with its next 4 sort neighbors,
+    exact-verify with popcount.  The global sort rank is the
+    DISTRIBUTED prefix sum (weight 1), so no single-task window
+    exists anywhere; neighbor probing is a rank+j probe explosion
+    joined on rank equality — one equi-join, O(n * window) candidates
+    at any radius.  See operators.dedup.sorted_neighborhood_pairs for
+    the recall trade-off discussion (heuristic recall, exact
+    reporting)."""
+    from parquet_to_sql_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", "text", bits=24, window=4, radius=3
+    )
