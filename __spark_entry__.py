@@ -148,6 +148,7 @@ _QUEUED_POST_WINDOW = (
     "profile_gini_concentration",  # round-5 new: exact-ppm gini profile
     "dedup_minhash_error_audit",   # round-5 new: estimator-quality audit
     "dedup_sorted_neighborhood",   # round-5 new: wide-radius SNM pass
+    "dedup_snm_recall_audit",      # round-5 new: SNM vs exact-r3 recall
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -1106,3 +1106,92 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         docs, "doc_id", "text", bits=24, window=4, radius=3
     )
+
+
+def _duck_pairs24_r3_cte() -> str:
+    """Oracle CTE: EXACT Hamming-radius-3 pairs by 4x6-bit pigeonhole
+    banding over the 24-bit simhash (ground truth for the SNM recall
+    audit — pigeonhole banding is exact for <= radius)."""
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {j} AS band,"
+        f" (simhash // {1 << (6 * j)}) % 64 AS bval FROM sh"
+        for j in range(4)
+    )
+    return f"""bands3 AS (
+      {band_rows}
+    ),
+    truth AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM bands3 a JOIN bands3 b ON a.band = b.band AND a.bval = b.bval
+                                 AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )"""
+
+
+@query(
+    "dedup_snm_recall_audit",
+    tags=("dedup", "snm", "audit", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {_duck_simhash_cte(24)},
+    {_duck_pairs24_r3_cte()},
+    ranked AS (
+      SELECT doc_id, simhash,
+             ROW_NUMBER() OVER (ORDER BY simhash, doc_id) AS rank
+      FROM sh
+    ),
+    probes AS (
+      SELECT doc_id AS id1, simhash AS sh1, rank + j AS rank
+      FROM ranked CROSS JOIN unnest(range(1, 5)) AS t(j)
+    ),
+    snm AS (
+      SELECT LEAST(p.id1, r.doc_id) AS doc1,
+             GREATEST(p.id1, r.doc_id) AS doc2
+      FROM probes p JOIN ranked r ON p.rank = r.rank
+      WHERE bit_count(xor(p.sh1, r.simhash)) <= 3
+    )
+    SELECT t.hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN s.doc1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           CAST((SUM(CASE WHEN s.doc1 IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                 - (SUM(CASE WHEN s.doc1 IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+                   % COUNT(*)) / COUNT(*) AS BIGINT) AS recall_ppm
+    FROM truth t LEFT JOIN snm s ON t.doc1 = s.doc1 AND t.doc2 = s.doc2
+    GROUP BY t.hamming
+    """,
+)
+def dedup_snm_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the sorted-neighborhood pass: EXACT
+    Hamming<=3 ground truth from 4x6-bit pigeonhole banding (exact by
+    pigeonhole: <=3 flipped bits leave >=1 of 4 disjoint bands
+    untouched), left-joined with the SNM window-4 candidates, recall
+    per true Hamming distance in exact ppm — quantifying the SNM
+    recall trade-off its docstring discusses instead of waving at it.
+    The same methodology as simsearch_recall_audit, applied to the
+    dedup family: run the cheap heuristic at scale, sample-audit it
+    against an exact (more expensive) pass, decide with numbers."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_sql_spark.operators.dedup import (
+        banded_hamming_pairs,
+        sorted_neighborhood_pairs,
+    )
+    from parquet_to_sql_spark.operators.text import simhash_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_sketch(docs, "doc_id", "text", bits=24).localCheckpoint()
+    truth = banded_hamming_pairs(sig, "doc_id", "simhash", bits=24, radius=3)
+    snm = sorted_neighborhood_pairs(
+        docs, "doc_id", "text", bits=24, window=4, radius=3
+    ).select("doc1", "doc2", F.lit(1).alias("found"))
+    joined = truth.join(snm, ["doc1", "doc2"], "left")
+    return joined.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("long").alias("n_found"),
+        F.expr(
+            "CAST((SUM(COALESCE(found, 0)) * 1000000"
+            " - (SUM(COALESCE(found, 0)) * 1000000) % COUNT(*))"
+            " / COUNT(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
