@@ -1017,7 +1017,12 @@ def prefix_filter_jaccard_pairs(
     """
     if not 1 <= threshold_pct <= 100:
         raise ValueError("threshold_pct must be in 1..100")
-    arrays = hashed_shingle_arrays(df, id_col, text_col, n=n)
+    # compact per-doc arrays cached: `sh` below is referenced by BOTH
+    # the df-count aggregate and the annotate join — uncached, the
+    # tokenize+hash pipeline re-derives once per reference (audited as
+    # 3 scans in the r5 plan sweep); the cache is one narrow row per
+    # doc, the same lifecycle as _array_overlap_counts
+    arrays = hashed_shingle_arrays(df, id_col, text_col, n=n).cache()
     sh = arrays.select("doc", F.explode("shs").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
     ann = sh.join(dfreq, "shingle")
