@@ -482,13 +482,20 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ppm product to stay under 2^63; larger corpora rescale to ppb
     over per-shard profiles) stays in BIGINT."""
     docs = load_table(spark, sf_dir, "documents")
-
-    def col_counts(col: str):
-        return docs.groupBy(F.col(col).alias("val")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).select(F.lit(col).alias("col"), "val", "cnt")
-
-    counts = col_counts("lang").unionByName(col_counts("source"))
+    # ONE scan for every profiled column: unpivot via a struct-array
+    # explode, then a single (col, val) aggregate — at scale this
+    # halves the table reads vs a per-column union of scans
+    pairs = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("lang").alias("col"), F.col("lang").alias("val")),
+                F.struct(F.lit("source").alias("col"), F.col("source").alias("val")),
+            )
+        ).alias("cv")
+    )
+    counts = pairs.groupBy(
+        F.col("cv.col").alias("col"), F.col("cv.val").alias("val")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     per_col = counts.groupBy("col").agg(
         F.sum("cnt").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_values"),
