@@ -367,3 +367,58 @@ def sql_engine_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_engine_sql_udf",
+    tags=("sql-surface", "spark4", "udf"),
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT)) AS prod
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    )
+    SELECT l_returnflag,
+           CAST(SUM(CAST((prod - prod % 10000) / 10000 AS BIGINT)) AS BIGINT)
+             AS net_whole_units
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def sql_engine_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI SQL scalar UDF (Spark 4 `CREATE TEMPORARY FUNCTION ...
+    RETURNS ... RETURN expr`) — the declarative UDF path that stays
+    entirely JVM-side: the function body is INLINED by the analyzer
+    into the calling plan, so it codegens like any expression (no
+    Python worker, no serialization; verify with .explain — no
+    BatchEvalPython node exists).  The function computes whole net
+    units per row in EXACT integer arithmetic (the exact-multiple
+    floor-division trick, so each row contributes a BIGINT and the
+    sum is order-independent — the house float discipline); the
+    oracle inlines the same body, proving the analyzer's inlining is
+    semantics-preserving."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION prod_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN "
+        "CAST(round(p*100) AS BIGINT) * (100 - CAST(round(d*100) AS BIGINT))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_whole_units(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN "
+        "CAST((prod_cents(p, d) - prod_cents(p, d) % 10000) / 10000 AS BIGINT)"
+    )
+    return eng.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(net_whole_units(l_extendedprice, l_discount)) AS BIGINT)
+                 AS net_whole_units
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
