@@ -422,3 +422,52 @@ def sql_engine_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_engine_sql_table_udf",
+    tags=("sql-surface", "spark4", "udf", "tvf"),
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+             AS qty_cents
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+)
+def sql_engine_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI SQL TABLE function (Spark 4 `CREATE TEMPORARY FUNCTION ...
+    RETURNS TABLE(...) RETURN SELECT ...`): a parameterized relation
+    invoked in FROM position, inlined by the analyzer like a
+    parameterized view — zero Python, full pushdown through the
+    function body (the WHERE parameters reach the scan).  The query
+    UNIONs two invocations with different arguments; the oracle is
+    the equivalent direct SQL, proving the inlining.  (A parameterized
+    LIMIT inside a SQL table function is rejected by the analyzer —
+    INVALID_LIMIT_LIKE_EXPRESSION — so parameterization stays in
+    WHERE, the pushdown-friendly place for it anyway.)"""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION flag_slice(flag STRING, min_qty INT)
+        RETURNS TABLE(l_orderkey BIGINT, qty_cents BIGINT)
+        RETURN SELECT l_orderkey, CAST(round(l_quantity*100) AS BIGINT)
+               FROM lineitem
+               WHERE l_returnflag = flag AND l_quantity >= min_qty
+        """
+    )
+    return eng.sql(
+        """
+        SELECT 'A' AS flag, COUNT(*) AS n_lines,
+               CAST(SUM(qty_cents) AS BIGINT) AS qty_cents
+        FROM flag_slice('A', 45)
+        UNION ALL
+        SELECT 'R', COUNT(*), CAST(SUM(qty_cents) AS BIGINT)
+        FROM flag_slice('R', 45)
+        """
+    )
