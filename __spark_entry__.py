@@ -151,6 +151,7 @@ _QUEUED_POST_WINDOW = (
     "dedup_snm_recall_audit",      # round-5 new: SNM vs exact-r3 recall
     "sql_engine_sql_udf",          # round-5 new: ANSI SQL scalar UDF
     "sql_engine_sql_table_udf",    # round-5 new: ANSI SQL table function
+    "sql_engine_identifier_clause",  # round-5 new: parameterized identifiers
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -471,3 +471,40 @@ def sql_engine_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flag_slice('R', 45)
         """
     )
+
+
+@query(
+    "sql_engine_identifier_clause",
+    tags=("sql-surface", "spark4", "security"),
+    oracle="""
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_engine_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``IDENTIFIER(:param)`` clause: table and column names
+    supplied as PARAMETERS instead of string-concatenated SQL — the
+    injection-safe dynamic-identifier surface (the reference's whole
+    identifier-safety module exists because its PHP side concatenates
+    names; here the engine validates them as identifiers by
+    construction).  Table, join table, group column, and measure
+    column all arrive via IDENTIFIER parameters; the oracle is the
+    equivalent static SQL."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(round(IDENTIFIER(:measure)*100) AS BIGINT)) AS BIGINT)
+                 AS acctbal_cents
+        FROM IDENTIFIER(:fact) c
+        JOIN IDENTIFIER(:dim) n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+        args={"fact": "customer", "dim": "nation", "measure": "c_acctbal"},
+    )
