@@ -508,3 +508,35 @@ def sql_engine_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"fact": "customer", "dim": "nation", "measure": "c_acctbal"},
     )
+
+
+@query(
+    "sql_engine_execute_immediate",
+    tags=("sql-surface", "spark4", "dynamic-sql"),
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+             AS retail_cents
+    FROM part
+    WHERE p_size >= 40
+    GROUP BY p_brand
+    """,
+)
+def sql_engine_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``EXECUTE IMMEDIATE``: a SQL string executed with
+    positional USING parameters — the stored-procedure-style dynamic
+    SQL surface (parameters bind as literals, never concatenated, so
+    it composes with IDENTIFIER() for fully injection-safe dynamic
+    queries).  The oracle is the equivalent static SQL."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT p_brand, COUNT(*) AS n_parts, "
+        "CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) "
+        "AS retail_cents FROM part WHERE p_size >= ? GROUP BY p_brand' "
+        "USING 40"
+    )
