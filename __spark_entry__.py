@@ -7,13 +7,13 @@ oracle_sql()   -- matching DuckDB-runnable ANSI SQL per query (omitted
 
 All real logic lives in parquet_to_sql_spark/; this file is glue.
 
-Driver-window rotation (round 3 model): the driver's correctness gate
-checks the FIRST 50 entries of ``queries()`` in dict INSERTION order
+Driver-window rotation: the driver's correctness gate checks the
+FIRST 50 entries of ``queries()`` in dict INSERTION order
 (established by VERDICT r02: CORRECTNESS_r02's key set equals
 ``list(queries())[:50]`` exactly).  So no alias layer is needed —
-``queries()`` simply emits, first, the 50 highest-priority queries
-that have never had a driver CORRECTNESS row, then every remaining
-query in sorted order.  Exactly one registry entry per query.
+``queries()`` emits the 50-slot priority window first, then every
+remaining query in least-recently-verified order.  Exactly one
+registry entry per query.
 
 _DRIVER_VERIFIED is the cumulative set of canonical names with a green
 (or rows-only for oracle-less sketches) row in CORRECTNESS_r01..r04.
