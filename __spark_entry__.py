@@ -153,6 +153,7 @@ _QUEUED_POST_WINDOW = (
     "sql_engine_sql_table_udf",    # round-5 new: ANSI SQL table function
     "sql_engine_identifier_clause",  # round-5 new: parameterized identifiers
     "sql_engine_execute_immediate",  # round-5 new: dynamic SQL w/ USING params
+    "simsearch_mmr_rerank",          # round-5 new: diversity-aware rerank
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -860,3 +860,120 @@ def int_matmul_topk(
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def int_dot_expr(a: str, b: str, quant: int = MATMUL_QUANT):
+    """Integer dot product of two float vector columns under
+    floor(x*quant) quantization — one JVM zip_with/aggregate fold,
+    exact and order-independent (integer addition), mirrored in
+    DuckDB by list_dot_product over the same transform."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: F.floor(x.cast("double") * F.lit(quant)).cast("long")
+            * F.floor(y.cast("double") * F.lit(quant)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def mmr_rerank_int(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    pool: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR'98, public record) with lambda = 1/2 in EXACT integer
+    arithmetic: from each query's top-``pool`` candidates (by
+    quantized dot product), greedily select ``k`` results maximizing
+    ``relevance - max-similarity-to-already-selected`` — the
+    diversity-aware rerank that stops near-duplicate corpus entries
+    from filling the whole result list (2*MMR at lambda=1/2 is
+    score - max_sim, an integer, so every selection step is an exact
+    argmax with ties to the lower id — value-exact cross-engine via
+    the unrolled-iteration oracle pattern pagerank established).
+
+    Scale shape: the expensive stage is the pool retrieval
+    (int_matmul_topk — corpus never shuffles); the rerank itself
+    touches pool*pool rows PER QUERY (tiny), with candidate vectors
+    re-attached by one broadcast-able join and all selection rounds
+    as unrolled window argmaxes keyed by query.
+
+    Returns (query_id, position, neighbor_id, mmr2) where mmr2 =
+    2*MMR value at selection time (position 1 uses relevance alone).
+    """
+    from pyspark.sql import Window
+
+    if not 1 <= k <= pool:
+        raise ValueError("need 1 <= k <= pool")
+    cand = int_matmul_topk(df, id_col, vec_col, queries, k=pool).select(
+        "query_id", "neighbor_id", "score_q", "rank"
+    )
+    vecs = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    cand_v = cand.join(vecs, "neighbor_id")
+    a = cand_v.select(
+        "query_id",
+        F.col("neighbor_id").alias("n1"),
+        F.col("score_q").alias("s1"),
+        F.col("rank").alias("r1"),
+        F.col("_nv").alias("v1"),
+    )
+    b = cand_v.select(
+        "query_id",
+        F.col("neighbor_id").alias("n2"),
+        F.col("_nv").alias("v2"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("n1") != F.col("n2"))
+        .withColumn("sim", int_dot_expr("v1", "v2"))
+        .select("query_id", "n1", "s1", "r1", "n2", "sim")
+    )
+
+    # selection 1: pure relevance — the pool's rank 1
+    sel = cand.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.lit(1).alias("position"),
+        "neighbor_id",
+        F.col("score_q").alias("mmr2"),
+    )
+    picked = sel.select("query_id", F.col("neighbor_id").alias("picked"))
+    out = sel
+    for pos in range(2, k + 1):
+        # candidates not yet picked; 2*MMR = s1 - max(sim to picked)
+        remaining = (
+            sims.join(
+                picked.withColumnRenamed("picked", "n2"), ["query_id", "n2"], "semi"
+            )
+            .join(
+                picked.withColumnRenamed("picked", "n1"),
+                ["query_id", "n1"],
+                "left_anti",
+            )
+            .groupBy("query_id", "n1", "s1")
+            .agg(F.max("sim").alias("max_sim"))
+            .withColumn("mmr2", F.col("s1") - F.col("max_sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("mmr2"), F.col("n1"))
+        step = (
+            remaining.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.lit(pos).alias("position"),
+                F.col("n1").alias("neighbor_id"),
+                "mmr2",
+            )
+        )
+        out = out.unionByName(step)
+        picked = picked.unionByName(
+            step.select("query_id", F.col("neighbor_id").alias("picked"))
+        )
+    return out

@@ -1035,3 +1035,92 @@ def simsearch_int_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return int_matmul_topk(emb, "vec_id", "embedding", queries, k=_K)
+
+
+def _duck_mmr_oracle(pool: int, k: int, n_queries: int) -> str:
+    """Unrolled MMR oracle (lambda=1/2, 2*MMR integers): pool by
+    quantized dot, per-round argmax with ties to the lower id —
+    the pagerank-style unrolled-iteration oracle applied to greedy
+    selection."""
+    rounds = []
+    for t in range(2, k + 1):
+        prev = f"picked{t-1}"
+        rounds.append(f"""
+    rem{t} AS (
+      SELECT s.qid, s.n1, s.s1, s.s1 - MAX(s.sim) AS mmr2
+      FROM sims s
+      WHERE EXISTS (SELECT 1 FROM {prev} p
+                    WHERE p.qid = s.qid AND p.picked = s.n2)
+        AND NOT EXISTS (SELECT 1 FROM {prev} p
+                        WHERE p.qid = s.qid AND p.picked = s.n1)
+      GROUP BY s.qid, s.n1, s.s1
+    ),
+    sel{t} AS (
+      SELECT qid, n1 AS picked, mmr2 FROM rem{t}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY mmr2 DESC, n1) = 1
+    ),
+    picked{t} AS (
+      SELECT qid, picked FROM {prev}
+      UNION ALL SELECT qid, picked FROM sel{t}
+    )""")
+    finals = ["SELECT qid AS query_id, 1 AS position, picked AS neighbor_id,"
+              " mmr2 FROM sel1"]
+    for t in range(2, k + 1):
+        finals.append(
+            f"SELECT qid, {t}, picked, mmr2 FROM sel{t}"
+        )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 4096) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, qv AS qq FROM v WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT qid, vec_id AS cid,
+             CAST(list_dot_product(qq, qv) AS BIGINT) AS s
+      FROM qs JOIN v ON vec_id <> qid
+    ),
+    pool AS (
+      SELECT qid, cid, s,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rank
+      FROM scored QUALIFY rank <= {pool}
+    ),
+    sims AS (
+      SELECT p1.qid, p1.cid AS n1, p1.s AS s1, p2.cid AS n2,
+             CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS sim
+      FROM pool p1
+      JOIN pool p2 ON p1.qid = p2.qid AND p1.cid <> p2.cid
+      JOIN v a ON a.vec_id = p1.cid
+      JOIN v b ON b.vec_id = p2.cid
+    ),
+    sel1 AS (SELECT qid, cid AS picked, s AS mmr2 FROM pool WHERE rank = 1),
+    picked1 AS (SELECT qid, picked FROM sel1),{",".join(rounds)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@query(
+    "simsearch_mmr_rerank",
+    tags=("simsearch", "embeddings", "rerank", "diversity", "llm-pipeline"),
+    oracle=_duck_mmr_oracle(pool=8, k=3, n_queries=_N_QUERIES),
+)
+def simsearch_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k: Maximal Marginal Relevance reranking
+    (lambda = 1/2) over each query's top-8 pool — greedy selection
+    maximizing relevance minus similarity-to-already-selected, so a
+    cluster of near-identical corpus entries cannot fill the result
+    list (the retrieval-for-RAG dedup step).  Everything is exact
+    integer arithmetic (quantized dots; 2*MMR = score - max_sim), so
+    the greedy argmax chain matches the unrolled DuckDB oracle
+    bit-for-bit — the pagerank pattern applied to greedy selection.
+    See operators.simsearch.mmr_rerank_int for the scale shape (pool
+    retrieval is the distributed stage; rerank touches pool^2 rows
+    per query)."""
+    from parquet_to_sql_spark.operators.simsearch import mmr_rerank_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return mmr_rerank_int(emb, "vec_id", "embedding", queries, pool=8, k=3)

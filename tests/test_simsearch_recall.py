@@ -286,3 +286,46 @@ def test_int_matmul_topk_edges(spark):
         assert r.neighbor_id != r.query_id
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_mmr_rerank_diversifies_near_duplicates(spark):
+    """Construct a corpus where the two most relevant vectors are
+    near-identical: plain top-k returns both at positions 1-2, but
+    MMR must demote the duplicate in favor of the diverse
+    third-best."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.simsearch import (
+        int_matmul_topk,
+        mmr_rerank_int,
+    )
+
+    # note: the query must differ from the top hit — if q == v1, then
+    # sim(c, v1) == score(c) for every c and all 2*MMR values collapse
+    # to ~0 (a dot-similarity degeneracy worth remembering)
+    rows = [
+        (0, [0.8, 0.6, 0.0, 0.0]),          # query
+        (1, [0.6, 0.8, 0.0, 0.0]),          # best (s = 0.96)
+        (2, [0.6, 0.8, 0.0, 0.0]),          # exact duplicate of 1
+        (3, [0.9, 0.1, 0.0, 0.0]),          # diverse (s = 0.78)
+        (4, [0.0, 0.0, 0.1, 0.9]),          # irrelevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+
+    plain = [
+        r.neighbor_id
+        for r in int_matmul_topk(emb, "vec_id", "embedding", q, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert plain == [1, 2], "setup: top-2 by relevance are the twins"
+
+    mmr = {
+        r.position: r.neighbor_id
+        for r in mmr_rerank_int(
+            emb, "vec_id", "embedding", q, pool=4, k=2
+        ).collect()
+    }
+    assert mmr[1] == 1
+    assert mmr[2] == 3, f"MMR kept the near-duplicate: {mmr}"
