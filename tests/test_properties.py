@@ -742,3 +742,37 @@ def test_sorted_neighborhood_matches_sequential_reference(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_q1_cents_arithmetic_headroom_at_10x_sf01(spark):
+    """ADVICE r04's int64-ceiling concern, tested empirically past the
+    gate scales: materialize lineitem at 10x sf0.1 (6M rows — group
+    sums ~60x the driver gate's) and run q1's shared SQL text on BOTH
+    engines.  Under Spark's ANSI mode an overflow would raise loudly;
+    the SUM_CHARGE hi/lo split must stay exact and cross-engine
+    equal."""
+    import duckdb
+
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    oracle = all_queries()["q1_pricing_summary"].oracle
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    big = li
+    for _ in range(9):
+        big = big.unionAll(li)
+    big.createOrReplaceTempView("lineitem")
+    got = sorted(
+        tuple(map(str, r)) for r in spark.sql(oracle).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW li0 AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.1/lineitem.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS "
+        + " UNION ALL ".join(["SELECT * FROM li0"] * 10)
+    )
+    want = sorted(tuple(map(str, r)) for r in con.execute(oracle).fetchall())
+    assert got == want and len(got) > 0
