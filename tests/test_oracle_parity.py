@@ -217,3 +217,22 @@ def test_changed_queries_have_a_reverify_plan():
         f"re-verify plan: {stale} — add them to _REVERIFY (window slot) "
         f"or front them in the next window"
     )
+
+
+def test_reverify_queued_names_match_oracle_at_sf01(spark):
+    """Every stale-evidence name (_REVERIFY_QUEUED: source changed
+    after its last driver-green round) gets the 10x-data oracle check
+    while it waits for a driver window slot — the deepest local
+    evidence available for code the driver hasn't re-seen."""
+    import __spark_entry__ as e
+
+    for name in e._REVERIFY_QUEUED:
+        q = QUERIES[name]
+        df = q.build(spark, "/root/testdata/sf0.1")
+        if q.oracle is None:
+            # the by-design rows-only sketches: self-verifying
+            # in-query error-bound flags, so "runs and returns rows"
+            # is their contract at any scale
+            assert df.count() > 0, name
+        else:
+            assert_matches_oracle(df, q.oracle, "/root/testdata/sf0.1")
