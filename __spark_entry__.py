@@ -154,6 +154,7 @@ _QUEUED_POST_WINDOW = (
     "sql_engine_identifier_clause",  # round-5 new: parameterized identifiers
     "sql_engine_execute_immediate",  # round-5 new: dynamic SQL w/ USING params
     "simsearch_mmr_rerank",          # round-5 new: diversity-aware rerank
+    "join_asof_nearest",             # round-5 new: nearest-direction as-of
 )
 
 # Deliberate re-verification slots this round (already driver-green

@@ -616,3 +616,100 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(
         (F.col("side") == 0) & F.col("purchase_event_id").isNotNull()
     ).drop("side")
+
+
+@query(
+    "join_asof_nearest",
+    tags=("join", "asof-join"),
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), p AS (
+      SELECT user_id, event_id AS p_id, ts AS pts FROM e
+      WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT e.event_id, e.ts, p.p_id, p.pts,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY ABS(epoch_us(p.pts) - epoch_us(e.ts)), p.pts, p.p_id
+             ) AS rn
+      FROM e JOIN p ON p.user_id = e.user_id
+    )
+    SELECT event_id, p_id AS purchase_event_id, ts, pts AS purchase_ts
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'):
+    for every event, the purchase by the same user with the smallest
+    |time difference|, ties to the earlier purchase then the smaller
+    id.  Completes the as-of family (backward / forward / tolerance /
+    nearest).
+
+    Still the single-shuffle union-and-window formulation — the
+    backward and forward candidates come from TWO window frames over
+    the SAME user-partitioned union (one exchange, two in-partition
+    sort passes; the frames need opposite side/tiebreak orders, which
+    is why it is two specs and not one), then a row-local integer
+    comparison picks the nearer.  No per-pair join, no range
+    explosion — the 100 TB-safe nearest-neighbor-in-time.
+
+    Tie discipline (mirrored in the oracle's ORDER BY dist, pts,
+    p_id): equal distance prefers the backward (earlier) candidate;
+    equal timestamps prefer the smallest purchase id — the backward
+    frame sorts ids DESC so last() lands on the smallest, the forward
+    frame sorts ASC so first() does."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id", "ts", F.col("event_id"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(1).alias("is_event"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"),
+        F.lit(0).alias("is_event"),
+    )
+    merged = left.unionByName(right)
+    any_id = F.coalesce("p_id", "event_id")
+    # backward: purchases (is_event=0) sort BEFORE events at equal ts
+    # (inclusive at-or-before); ids DESC so last() = smallest id
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", F.desc(any_id))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: same side order — equal-ts purchases fall in the
+    # backward frame (distance 0, which always wins), so the forward
+    # frame only needs strictly-later purchases; ids ASC for first()
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", any_id)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cand = merged.select(
+        "event_id", "ts", "is_event",
+        F.last("p_id", ignorenulls=True).over(wb).alias("bw_id"),
+        F.last("p_ts", ignorenulls=True).over(wb).alias("bw_ts"),
+        F.first("p_id", ignorenulls=True).over(wf).alias("fw_id"),
+        F.first("p_ts", ignorenulls=True).over(wf).alias("fw_ts"),
+    ).filter(F.col("is_event") == 1)
+    bw_d = F.unix_micros("ts") - F.unix_micros("bw_ts")
+    fw_d = F.unix_micros("fw_ts") - F.unix_micros("ts")
+    take_bw = F.col("bw_id").isNotNull() & (
+        F.col("fw_id").isNull() | (bw_d <= fw_d)
+    )
+    return (
+        cand.filter(F.col("bw_id").isNotNull() | F.col("fw_id").isNotNull())
+        .select(
+            "event_id",
+            F.when(take_bw, F.col("bw_id")).otherwise(F.col("fw_id")).alias(
+                "purchase_event_id"
+            ),
+            "ts",
+            F.when(take_bw, F.col("bw_ts")).otherwise(F.col("fw_ts")).alias(
+                "purchase_ts"
+            ),
+        )
+    )
