@@ -9,28 +9,28 @@ All real logic lives in parquet_to_sql_spark/; this file is glue.
 
 Driver-window rotation: the driver's correctness gate checks the
 FIRST 50 entries of ``queries()`` in dict INSERTION order
-(established by VERDICT r02: CORRECTNESS_r02's key set equals
-``list(queries())[:50]`` exactly).  So no alias layer is needed —
-``queries()`` emits the 50-slot priority window first, then every
-remaining query in least-recently-verified order.  Exactly one
-registry entry per query.
+(established by VERDICT r02 and re-confirmed every round since:
+CORRECTNESS_rNN's key set equals ``list(queries())[:50]``).  So no
+alias layer is needed — ``queries()`` emits the 50-slot priority
+window first, then every remaining query in least-recently-verified
+order.  Exactly one registry entry per query.
 
-_DRIVER_VERIFIED is the cumulative set of canonical names with a green
-(or rows-only for oracle-less sketches) row in CORRECTNESS_r01..r04.
-_PRIORITY_R05 is this round's 50-slot batch: the final 49 queries with
-zero driver evidence (ledger diffed against all four CORRECTNESS
-artifacts in tests/test_oracle_parity.py) plus ONE re-verify slot —
-q1_pricing_summary, whose aggregation arithmetic was rewritten to
-integer cents in round 4 *after* its r03 green row, so the driver
-evidence for the shipped code is stale (VERDICT r04 "What's wrong" #2).
+Window 6 composition (installed per VERDICT r05 "Next round" #1):
 
-Re-verification policy (standing, from round 6 on): once every query
-has at least one driver row, windows rotate over ALL registry names in
-least-recently-verified order, front-loading queries whose
-implementing files changed since their last green row (derivable from
-``git log`` vs the round number of the row).  Declared re-verify slots
-live in _REVERIFY, so the parity test can tell a deliberate re-check
-from a wasted slot.
+  1. the 17 round-5-new queries — the only names with ZERO driver
+     evidence across CORRECTNESS_r01..r05 (``_NEVER_VERIFIED``);
+  2. the 15 stale-evidence names whose build source changed after
+     their last driver-green round (``_REVERIFY`` — formerly
+     ``_REVERIFY_QUEUED``, now spending real slots);
+  3. 18 least-recently-verified spares (``_LRV_SPARES``) — the
+     oldest oracle-backed evidence in the ledger (all r01 rows),
+     refreshed under the standing LRV-rotation policy.
+
+Green across the board => 229/229 queries with driver evidence and
+zero stale rows.  From window 7 on, every window is pure LRV
+rotation, front-loading any query whose implementing source changed
+since its last green row (``_REVERIFY`` declares those so the parity
+test can tell a deliberate re-check from a wasted slot).
 """
 
 from __future__ import annotations
@@ -46,12 +46,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from parquet_to_sql_spark.queries.registry import all_queries  # noqa: E402
 from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 
-# Canonical names with >=1 CORRECTNESS_r01..r04 row (hash-green, or
+# Canonical names with >=1 CORRECTNESS_r01..r05 row (hash-green, or
 # the rows-only self-verifying sketch queries).  Derived from the
 # recorded artifacts; tests/test_oracle_parity.py re-derives and
 # asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r05 window (CORRECTNESS_r05.json, 50/50 green) ---
+        "agg_argmax_per_group", "agg_bitmap_distinct",
+        "agg_group_ols_price_qty", "agg_heavy_hitters_mg",
+        "agg_listagg_within_group",
+        "dedup_containment_ngram", "dedup_segment_blocks",
+        "dedup_simhash_incremental", "dedup_winnow_overlap",
+        "embedding_gram_matrix", "simsearch_filtered_topk",
+        "simsearch_ivfpq_adc_topk", "simsearch_knn_classify",
+        "simsearch_pq_adc_topk", "simsearch_recall_audit",
+        "simsearch_rrf_fusion", "text_bm25_rational",
+        "ev_bitmap_rollup_weekly_users", "ev_cohort_retention_matrix",
+        "ev_ewma_user_value", "ev_funnel_three_step", "ev_gapfill_linear",
+        "ev_hourly_anomaly_mad", "ev_peak_concurrency",
+        "ev_sliding_distinct_users", "ev_time_weighted_avg",
+        "ev_value_log2_histogram",
+        "fn_bitwise", "fn_collated_match", "fn_edit_distance",
+        "fn_higher_order_arrays", "fn_inline_generators",
+        "fn_interval_arithmetic", "fn_try_arithmetic", "fn_url_parse",
+        "fn_variant_json", "fn_xml_roundtrip", "fn_zorder_key",
+        "join_asof_forward", "join_lateral_top_order", "join_null_safe",
+        "join_range_binned", "join_semi", "join_skew_salted",
+        "sub_relational_division", "udf_arrow_grouped_stats",
+        "window_pareto_abc", "window_running_distinct",
+        "window_running_median",
+        # (q1_pricing_summary was the r05 re-verify slot; listed in r03 block)
         # --- r04 window (CORRECTNESS_r04.json, 50/50 green) ---
         "pipeline_corpus_clean", "pipeline_corpus_curation",
         "pipeline_cdc_upsert", "pipeline_train_split_manifest",
@@ -133,57 +158,32 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# Queries added AFTER this round's window was frozen (the window
-# already spends all 50 slots on the final never-verified backlog +
-# the re-verify).  They queue at the head of the least-recently-
-# verified tail and front window 6.
-_QUEUED_POST_WINDOW = (
-    "dedup_kcore_3",         # round-5 new: fixed-round k-core peeling
-    "dedup_prefix_jaccard",  # round-5 new: lossless PPJoin prefix filter
-    "dedup_repeated_spans",  # round-5 new: exact repeated-span detector
-    "pipeline_bloom_screen_orders",  # round-5 new: bloom membership compose
-    "window_global_prefix_sum",  # round-5 new: distributed prefix sum
-    "sample_weighted_pps",       # round-5 new: systematic PPS sampling
-    "simsearch_int_matmul_topk",  # round-5 new: vectorized flat-scan baseline
-    "profile_gini_concentration",  # round-5 new: exact-ppm gini profile
-    "dedup_minhash_error_audit",   # round-5 new: estimator-quality audit
-    "dedup_sorted_neighborhood",   # round-5 new: wide-radius SNM pass
-    "dedup_snm_recall_audit",      # round-5 new: SNM vs exact-r3 recall
-    "sql_engine_sql_udf",          # round-5 new: ANSI SQL scalar UDF
-    "sql_engine_sql_table_udf",    # round-5 new: ANSI SQL table function
-    "sql_engine_identifier_clause",  # round-5 new: parameterized identifiers
-    "sql_engine_execute_immediate",  # round-5 new: dynamic SQL w/ USING params
-    "simsearch_mmr_rerank",          # round-5 new: diversity-aware rerank
-    "join_asof_nearest",             # round-5 new: nearest-direction as-of
+# The 17 names with zero driver evidence across CORRECTNESS_r01..r05
+# (all round-5 additions; each already passes the local oracle at
+# sf0.01 AND sf0.1 — tests/test_oracle_parity.py).  Window slots 1-17.
+_NEVER_VERIFIED = (
+    "dedup_kcore_3", "dedup_minhash_error_audit", "dedup_prefix_jaccard",
+    "dedup_repeated_spans", "dedup_snm_recall_audit",
+    "dedup_sorted_neighborhood", "join_asof_nearest",
+    "pipeline_bloom_screen_orders", "profile_gini_concentration",
+    "sample_weighted_pps", "simsearch_int_matmul_topk",
+    "simsearch_mmr_rerank", "sql_engine_execute_immediate",
+    "sql_engine_identifier_clause", "sql_engine_sql_table_udf",
+    "sql_engine_sql_udf", "window_global_prefix_sum",
 )
 
-# Deliberate re-verification slots this round (already driver-green
-# under an OLDER formulation; code changed since — see module
-# docstring).  The parity test treats these as legitimate window
-# spends, not wasted slots.
+# Deliberate re-verification slots: driver-green under an OLDER
+# formulation; build source changed since (detected by
+# tests/test_oracle_parity.py::test_changed_queries_have_a_reverify_plan).
+# All re-proven locally at sf0.1.  Window slots 18-32.
 _REVERIFY = (
-    # r04 rewrote q1's aggregation to integer-cents fragments after
-    # its r03 green row (queries/relational.py:42-49).
-    "q1_pricing_summary",
-)
-
-# Verified queries whose decorator/build-function source changed AFTER
-# their last driver-green round (detected by
-# tests/test_oracle_parity.py::test_changed_queries_have_a_reverify_plan,
-# which diffs each query's source span against its round's snapshot
-# commit).  This round's window is full, so they queue for future
-# windows — the LRV tail ordering already fronts the oldest evidence.
-# All are green in the local sf0.01 oracle mirror, and the r4
-# cents-rewritten trio additionally passes sf0.1 parity
-# (test_rewritten_hot_queries_match_oracle_at_sf01).
-_REVERIFY_QUEUED = (
     # r4 integer-cents rewrites (green r3)
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q10_returned_items",
     # r5 assume_unique parameter (green r4)
     "dedup_graph_triangles", "dedup_graph_pagerank",
     # r3/r4 edits after r1/r2 green rows (historical blind spot,
-    # surfaced when the detector landed in r5)
+    # surfaced when the change detector landed in r5)
     "agg_grouping_id", "agg_sketch_rollup_union",
     "join_asof_purchases", "join_asof_tolerance",
     "ev_gaps_and_islands", "ev_scd2_intervals",
@@ -191,43 +191,33 @@ _REVERIFY_QUEUED = (
     "dedup_embedding_ivf_blocked", "simsearch_ivf_topk",
 )
 
-# Round-5 window: the final 49 never-driver-verified, oracle-backed
-# queries + the re-verify slot, in the insertion order the driver will
-# check them.  Green across the board => 212/212 with driver evidence.
-_PRIORITY_R05 = (
-    # aggregations (5)
-    "agg_argmax_per_group", "agg_bitmap_distinct",
-    "agg_group_ols_price_qty", "agg_heavy_hitters_mg",
-    "agg_listagg_within_group",
-    # dedup variants (4)
-    "dedup_containment_ngram", "dedup_segment_blocks",
-    "dedup_simhash_incremental", "dedup_winnow_overlap",
-    # embeddings / similarity (8)
-    "embedding_gram_matrix", "simsearch_filtered_topk",
-    "simsearch_ivfpq_adc_topk", "simsearch_knn_classify",
-    "simsearch_pq_adc_topk", "simsearch_recall_audit",
-    "simsearch_rrf_fusion", "text_bm25_rational",
-    # event analytics (10)
-    "ev_bitmap_rollup_weekly_users", "ev_cohort_retention_matrix",
-    "ev_ewma_user_value", "ev_funnel_three_step", "ev_gapfill_linear",
-    "ev_hourly_anomaly_mad", "ev_peak_concurrency",
-    "ev_sliding_distinct_users", "ev_time_weighted_avg",
-    "ev_value_log2_histogram",
-    # scalar-function library (11)
-    "fn_bitwise", "fn_collated_match", "fn_edit_distance",
-    "fn_higher_order_arrays", "fn_inline_generators",
-    "fn_interval_arithmetic", "fn_try_arithmetic", "fn_url_parse",
-    "fn_variant_json", "fn_xml_roundtrip", "fn_zorder_key",
-    # joins (6)
-    "join_asof_forward", "join_lateral_top_order", "join_null_safe",
-    "join_range_binned", "join_semi", "join_skew_salted",
-    # windows / subqueries / UDF (5)
-    "sub_relational_division", "udf_arrow_grouped_stats",
-    "window_pareto_abc", "window_running_distinct",
-    "window_running_median",
-    # re-verify slot (1)
-    "q1_pricing_summary",
+# Least-recently-verified spares: the 18 oracle-backed names with the
+# oldest driver evidence (all r01 rows) not already in this window —
+# the head of the standing LRV ordering, re-derived and asserted by
+# the parity test.  Window slots 33-50.
+_LRV_SPARES = (
+    "ev_session_windows", "ev_sliding_windows", "ev_tumbling_hourly",
+    "fn_array_documents", "fn_conditional", "fn_date_orders",
+    "fn_epoch_seconds", "fn_from_json_struct", "fn_json_events",
+    "fn_map_expressions", "fn_math_customer", "fn_posexplode_words",
+    "fn_regexp_replace_backref", "fn_string_part", "fn_try_cast",
+    "import_bool_null_render", "import_copy_wire_format",
+    "import_rename_projection",
 )
+
+# Round-6 window: 17 never-verified + 15 stale re-verifies + 18 LRV
+# spares, in the insertion order the driver will check them.  Green
+# across the board => 229/229 with driver evidence, zero stale rows.
+_PRIORITY_R06 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
+
+# Queries added AFTER this round's window was frozen.  They queue at
+# the head of the least-recently-verified tail and front window 7.
+_QUEUED_POST_WINDOW: tuple[str, ...] = ()
+
+# Verified queries whose build source changed after their last
+# driver-green round but could not get a slot this round (window
+# full).  Each must pass sf0.1 oracle parity while it waits.
+_REVERIFY_QUEUED: tuple[str, ...] = ()
 
 
 def _last_verified_round() -> dict[str, int]:
@@ -269,12 +259,12 @@ def _ordered_names() -> list[str]:
     fresh green rows — and future rounds build their priority batch by
     taking the head of this same ordering."""
     last = _last_verified_round()
-    in_window = set(_PRIORITY_R05)
+    in_window = set(_PRIORITY_R06)
     rest = sorted(
         (n for n in all_queries() if n not in in_window),
         key=lambda n: (last.get(n, 0), n),
     )
-    return list(_PRIORITY_R05) + rest
+    return list(_PRIORITY_R06) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -44,11 +44,11 @@ def test_rewritten_hot_queries_match_oracle_at_sf01(spark, name):
                           "/root/testdata/sf0.1")
 
 
-def test_round5_new_queries_match_oracle_at_sf01(spark):
-    """Every round-5-new query (the post-window queue) gets the
-    deeper 10x-data oracle check before it ever reaches a driver
-    window — new operators are the least battle-tested code in the
-    repo."""
+def test_post_window_queries_match_oracle_at_sf01(spark):
+    """Every query added after the window froze (the post-window
+    queue) gets the deeper 10x-data oracle check before it ever
+    reaches a driver window — new operators are the least
+    battle-tested code in the repo."""
     import __spark_entry__ as e
 
     for name in e._QUEUED_POST_WINDOW:
@@ -63,10 +63,10 @@ def test_round5_new_queries_match_oracle_at_sf01(spark):
 def test_rotation_window_insertion_order():
     """The driver's correctness gate checks the FIRST 50 entries of
     queries() in dict INSERTION order (VERDICT r02 proved this:
-    CORRECTNESS_r02 keys == list(queries())[:50]).  The window must be
-    exactly this round's priority batch: 50 oracle-backed queries with
-    no prior driver evidence, one registry entry per query, nothing
-    aliased or duplicated."""
+    CORRECTNESS_r02 keys == list(queries())[:50]).  Window 6 must be
+    exactly: every never-driver-verified query, then every declared
+    stale-evidence re-verify, then least-recently-verified spares —
+    one registry entry per query, nothing aliased or duplicated."""
     import json
     import pathlib
 
@@ -79,17 +79,14 @@ def test_rotation_window_insertion_order():
     assert len(names) == len(QUERIES)
 
     window = names[:50]
-    assert list(e._PRIORITY_R05) == window
+    assert list(e._PRIORITY_R06) == window
 
     # _DRIVER_VERIFIED matches the recorded artifacts (re-derived here
     # so the frozen set can't silently drift from the JSON evidence)
     repo = pathlib.Path(__file__).resolve().parent.parent
     derived = set()
-    for art in (
-        "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
-    ):
-        for key, row in json.loads((repo / art).read_text()).items():
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        for key, row in json.loads(art.read_text()).items():
             canon = key
             for prefix in ("a2_", "a9_"):
                 if canon.startswith(prefix):
@@ -98,19 +95,37 @@ def test_rotation_window_insertion_order():
                 derived.add(canon)
     assert derived == set(e._DRIVER_VERIFIED)
 
-    # every window slot is spent on either a never-verified query or a
-    # declared re-verify slot (code changed after the last green row),
-    # and always on an oracle-backed one
+    # the never-verified block is exactly the registry names with zero
+    # driver evidence, and it comes first (new code = first priority)
+    never = sorted(n for n in QUERIES if n not in derived)
+    assert list(e._NEVER_VERIFIED) == never
+
+    # every window slot is spent on a never-verified query, a declared
+    # re-verify (code changed after the last green row), or an LRV
+    # rotation spare; oracle-backed unless it's a declared re-verify of
+    # a by-design rows-only sketch
     osql = e.oracle_sql()
     for n in window:
-        assert n not in e._DRIVER_VERIFIED or n in e._REVERIFY, (
-            f"{n} wastes a slot (already verified, not a declared re-verify)"
+        assert (
+            n in e._NEVER_VERIFIED or n in e._REVERIFY or n in e._LRV_SPARES
+        ), f"{n} wastes a slot (already verified, not declared)"
+        assert n in osql or n in e._REVERIFY, (
+            f"{n} has no oracle — weaker evidence, don't spend a slot"
         )
-        assert n in osql, f"{n} has no oracle — weaker evidence, don't spend a slot"
 
-    # ledger: this window must finish the sweep — every oracle-backed
-    # query is either already verified, inside the window, or a
-    # declared post-window addition queued for the next round
+    # the LRV spares must be the head of the standing LRV ordering:
+    # oldest driver evidence first, oracle-backed, ties by name
+    last = e._last_verified_round()
+    taken = set(e._NEVER_VERIFIED) | set(e._REVERIFY)
+    lrv_pool = sorted(
+        (n for n in QUERIES
+         if n in derived and n not in taken and QUERIES[n].oracle is not None),
+        key=lambda n: (last.get(n, 0), n),
+    )
+    assert list(e._LRV_SPARES) == lrv_pool[: len(e._LRV_SPARES)]
+
+    # ledger: every query is either already verified, inside the
+    # window, or a declared post-window addition queued for window 7
     remaining = [
         n for n in QUERIES
         if n not in e._DRIVER_VERIFIED
@@ -119,7 +134,7 @@ def test_rotation_window_insertion_order():
     ]
     assert remaining == [], (
         f"{len(remaining)} unverified queries left outside the window "
-        f"({remaining[:5]}...) — the final sweep must cover them all"
+        f"({remaining[:5]}...) — the sweep must cover them all"
     )
 
     # standing policy (VERDICT r04 #4): the tail is ordered
