@@ -147,15 +147,28 @@ def bloom_probe(
     positives.  The key is hashed JVM-side (same xxhash64 as the
     build); the probe is one Arrow-batched mapInPandas doing
     whole-array bit math against the filter bytes, which ride a
-    ``SparkContext.broadcast`` so they are shipped once per executor
-    instead of being pickled into every task's closure (the closure
-    captures only the Broadcast handle + three ints — pinned by
+    session-shared ``SparkContext.broadcast`` (content-addressed via
+    ``broadcast_cache.shared_broadcast``: repeated probes of the same
+    filter reuse ONE broadcast, and stale ones are LRU-unpersisted so
+    a long-lived session cannot accumulate dead filter bytes — ADVICE
+    r05) so they are shipped once per executor instead of being
+    pickled into every task's closure (the closure captures only the
+    Broadcast handle + three ints — pinned by
     ``tests/test_scale_features.py``).  Stateless, so it is legal on
     a streaming DataFrame too (broadcast variables are readable from
     streaming tasks).  NULL keys never match (filtered before the
     probe), mirroring semi-join null semantics."""
+    from parquet_to_sql_spark.operators.broadcast_cache import (
+        payload_digest,
+        shared_broadcast,
+    )
+
     filter_bytes, k, seed, bit_size = bloom
-    bc = df.sparkSession.sparkContext.broadcast(filter_bytes)
+    bc = shared_broadcast(
+        df.sparkSession,
+        payload_digest(b"bloom_probe", filter_bytes),
+        lambda: filter_bytes,
+    )
     staged = df.filter(F.col(key_col).isNotNull()).withColumn(
         "_probe_h", F.xxhash64(F.col(key_col))
     )

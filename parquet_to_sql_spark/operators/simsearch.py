@@ -779,6 +779,13 @@ MATMUL_QUANT = 1 << 12  # floor(x * 2^12): exact in double for float32
 # far inside int64 (and int32 accumulation in numpy would overflow
 # only past 4096 dims at this scale; we accumulate in int64 anyway).
 
+# Hard bound on the exhaustive flat-scan's query-set size: the query
+# matrix rides a broadcast and every corpus batch scores against ALL
+# of it, so cost is corpus x queries — the regime past this cap
+# belongs to the IVF/PQ paths, and silently collecting an unbounded
+# relation to the driver would OOM instead of erroring usefully.
+MATMUL_MAX_QUERIES = 1024
+
 
 def int_matmul_topk(
     df: DataFrame,
@@ -801,27 +808,48 @@ def int_matmul_topk(
     inputs — same discipline as KMEANS_QUANT), and integer addition
     is associative, so the numpy accumulation order is irrelevant and
     a DuckDB oracle computes the identical integers.  Local-top-k +
-    merge is lossless: each partition keeps >= k candidates per
-    query, a superset of that partition's global-top-k members.
+    merge is lossless even under boundary ties: each partition keeps
+    every row scoring >= its (k+1)-th best, a superset of the
+    partition's members of the global (score DESC, neighbor_id ASC)
+    top-k — score-only argpartition could drop a tied row the global
+    tiebreak would have ranked in (ADVICE r05).
 
     Scale shape: corpus never shuffles (candidates only — P*Q*k tiny
-    rows); queries ride the closure as one small ndarray (bounded
-    query sets only — the IVF/PQ paths own the big-query regime).
+    rows); queries ride a shared session broadcast as one small
+    ndarray, ENFORCED bounded (<= MATMUL_MAX_QUERIES — the IVF/PQ
+    paths own the big-query regime).
     Returns (query_id, neighbor_id, score_q, rank), neighbors != query.
     """
     import numpy as np
     import pandas as pd
 
+    from parquet_to_sql_spark.operators.broadcast_cache import (
+        payload_digest,
+        shared_broadcast,
+    )
     from parquet_to_sql_spark.operators.text import rebalance_for_compute
 
-    qrows = queries.select(id_col, vec_col).collect()  # bounded query set
+    qrows = queries.select(id_col, vec_col).limit(
+        MATMUL_MAX_QUERIES + 1
+    ).collect()
     if not qrows:
         raise ValueError("empty query set")
+    if len(qrows) > MATMUL_MAX_QUERIES:
+        raise ValueError(
+            f"int_matmul_topk is the exhaustive flat-scan baseline and "
+            f"caps its query set at {MATMUL_MAX_QUERIES} rows; for large "
+            f"query relations use the blocked paths (ivf_topk / "
+            f"kmeans_ivf_topk / pq_adc_topk / ivfpq_adc_topk)"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.floor(
         np.array([r[1] for r in qrows], dtype=np.float64) * MATMUL_QUANT
     ).astype(np.int64)
-    bc = df.sparkSession.sparkContext.broadcast((qids, qmat))
+    bc = shared_broadcast(
+        df.sparkSession,
+        payload_digest(b"int_matmul_topk", qids.tobytes(), qmat.tobytes()),
+        lambda: (qids, qmat),
+    )
 
     out_schema = (
         f"query_id long, neighbor_id long, score_q long"
@@ -840,7 +868,15 @@ def int_matmul_topk(
             kk = min(k + 1, len(ids))  # +1 to survive dropping self
             for j in range(len(b_qids)):
                 col = scores[:, j]
-                top = np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else np.arange(len(col))
+                if len(col) > kk:
+                    # keep EVERY row tied with the kk-th best score:
+                    # a superset of the global (score DESC, id ASC)
+                    # top-kk, so boundary ties can never be dropped
+                    # by an arbitrary partition-local ordering
+                    thresh = np.partition(col, len(col) - kk)[len(col) - kk]
+                    top = np.nonzero(col >= thresh)[0]
+                else:
+                    top = np.arange(len(col))
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(top), b_qids[j], dtype=np.int64),
@@ -902,7 +938,15 @@ def mmr_rerank_int(
     (int_matmul_topk — corpus never shuffles); the rerank itself
     touches pool*pool rows PER QUERY (tiny), with candidate vectors
     re-attached by one broadcast-able join and all selection rounds
-    as unrolled window argmaxes keyed by query.
+    as unrolled window argmaxes keyed by query.  The pool and the
+    pairwise-similarity relations are MATERIALIZED once
+    (``localCheckpoint`` — both are queries*pool-bounded, tiny by
+    construction) before the greedy unroll: without that, Catalyst
+    re-derives the whole matmul + pairwise stage inside every
+    selection round (VERDICT r05 measured 25 scans / 47 shuffles at
+    k=3) and lineage grows super-linearly in k; with it the corpus is
+    scanned a constant ~2 times regardless of k (plan-pinned by
+    ``tests/test_scale_features.py``).
 
     Returns (query_id, position, neighbor_id, mmr2) where mmr2 =
     2*MMR value at selection time (position 1 uses relevance alone).
@@ -911,8 +955,13 @@ def mmr_rerank_int(
 
     if not 1 <= k <= pool:
         raise ValueError("need 1 <= k <= pool")
-    cand = int_matmul_topk(df, id_col, vec_col, queries, k=pool).select(
-        "query_id", "neighbor_id", "score_q", "rank"
+    # materialize the pool ONCE: every selection round below references
+    # it, and without truncating lineage each round re-runs the corpus
+    # matmul (queries*pool rows — tiny, safe to checkpoint eagerly)
+    cand = (
+        int_matmul_topk(df, id_col, vec_col, queries, k=pool)
+        .select("query_id", "neighbor_id", "score_q", "rank")
+        .localCheckpoint()
     )
     vecs = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
@@ -930,11 +979,15 @@ def mmr_rerank_int(
         F.col("neighbor_id").alias("n2"),
         F.col("_nv").alias("v2"),
     )
+    # pairwise sims: queries * pool^2 rows, also referenced by every
+    # round — materialize once so the vector join + integer dots run
+    # a single time and the loop's lineage stays linear in k
     sims = (
         a.join(b, "query_id")
         .filter(F.col("n1") != F.col("n2"))
         .withColumn("sim", int_dot_expr("v1", "v2"))
         .select("query_id", "n1", "s1", "r1", "n2", "sim")
+        .localCheckpoint()
     )
 
     # selection 1: pure relevance — the pool's rank 1

@@ -463,8 +463,9 @@ def fn_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts GROUP BY col
     )
     SELECT col, n, n_values,
-           CAST(((n*n - sum_sq) * 1000000 - ((n*n - sum_sq) * 1000000) % (n*n))
-                / (n*n) AS BIGINT) AS gini_ppm
+           (((n*n - sum_sq) * 1000) // (n*n)) * 1000
+             + ((((n*n - sum_sq) * 1000) % (n*n)) * 1000) // (n*n)
+           AS gini_ppm
     FROM per_col
     """,
 )
@@ -474,13 +475,16 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed without entropy's log (whose libm rounding differs
     between engines and breaks value-exact comparison):
     gini = 1 - sum((cnt/n)^2) = (n^2 - sum(cnt^2)) / n^2, all integer
-    until one exact-multiple ppm division (the SUM_CHARGE trick).
-    0 ppm = one value dominates entirely; higher = more uniform.
-    One aggregation pass per column, unioned — at scale each is a
-    single shuffle with map-side partials, and sum_sq (<= n^2 <= 2^53
-    at any realistic doc count per column... bounded by n <= 9.4e7 for
-    the ppm product to stay under 2^63; larger corpora rescale to ppb
-    over per-shard profiles) stays in BIGINT."""
+    throughout: the ppm scaling runs as TWO x1000 integer-division
+    stages — with X = n^2 - sum_sq and D = n^2,
+    floor(1e6*X/D) = floor(1e3*X/D)*1e3 + floor((1e3*X mod D)*1e3/D),
+    exact by Euclidean division, and every intermediate stays <=
+    D*1000 — so the overflow budget is D*1000 < 2^63, i.e.
+    n <= ~9.6e7 rows per profiled column (a single x1e6 multiply
+    would cap out at n ~= 3.0e6 — ADVICE r05; larger corpora rescale
+    over per-shard profiles).  0 ppm = one value dominates entirely;
+    higher = more uniform.  Integer division is Spark ``div`` /
+    DuckDB ``//`` — both exact int64, no double rounding."""
     docs = load_table(spark, sf_dir, "documents")
     # ONE scan for every profiled column: unpivot via a struct-array
     # explode, then a single (col, val) aggregate — at scale this
@@ -502,7 +506,7 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
     )
     gini = (
-        "CAST(((n*n - sum_sq) * 1000000 - ((n*n - sum_sq) * 1000000) % (n*n))"
-        " / (n*n) AS BIGINT)"
+        "(((n*n - sum_sq) * 1000) div (n*n)) * 1000"
+        " + ((((n*n - sum_sq) * 1000) % (n*n)) * 1000) div (n*n)"
     )
     return per_col.select("col", "n", "n_values", F.expr(gini).alias("gini_ppm"))

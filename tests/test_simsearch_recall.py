@@ -329,3 +329,52 @@ def test_mmr_rerank_diversifies_near_duplicates(spark):
     }
     assert mmr[1] == 1
     assert mmr[2] == 3, f"MMR kept the near-duplicate: {mmr}"
+
+
+def test_int_matmul_topk_enforces_query_cap(spark):
+    """VERDICT r05 #3: the exhaustive flat scan must REFUSE unbounded
+    query relations (driver OOM otherwise) and point the caller at the
+    blocked paths."""
+    import pytest
+
+    from parquet_to_sql_spark.operators.simsearch import (
+        MATMUL_MAX_QUERIES,
+        int_matmul_topk,
+    )
+
+    n = MATMUL_MAX_QUERIES + 8
+    emb = spark.range(n).selectExpr(
+        "id as vec_id",
+        "array(cast(id as float), 1.0f, 0.0f, 0.0f) as embedding",
+    )
+    with pytest.raises(ValueError, match="ivf_topk"):
+        int_matmul_topk(emb, "vec_id", "embedding", emb, k=2)
+
+
+def test_int_matmul_topk_boundary_ties_keep_global_order(spark):
+    """ADVICE r05 (medium): per-partition selection on score alone can
+    drop a tied row the global (score DESC, neighbor_id ASC) order
+    would rank into the top-k.  Pack ONE partition with many rows tied
+    at the boundary score and require the lowest-id ties to win."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.simsearch import int_matmul_topk
+
+    # query 0 -> corpus: id 1 scores highest; ids 10..29 all identical
+    # (tied at the k-boundary); everything in one partition so the
+    # local selection alone decides which ties survive
+    rows = [(0, [1.0, 0.0]), (1, [2.0, 0.0])]
+    rows += [(i, [1.0, 0.0]) for i in range(10, 30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = (
+        int_matmul_topk(emb, "vec_id", "embedding", q, k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.neighbor_id for r in out] == [1, 10, 11, 12, 13], (
+        f"boundary ties broken against the global order: "
+        f"{[r.neighbor_id for r in out]}"
+    )
