@@ -1,24 +1,38 @@
 """Static plan audit over gate queries: scans / shuffle exchanges /
-broadcasts / nested-loop–cartesian flags per query, at sf0.001.
+broadcasts / nested-loop–cartesian flags per query, at sf0.001 — plus
+a PLAN-REGRESSION GATE against the committed PLAN_BASELINE.json.
 
 The per-round sweep that catches scale anti-patterns before the judge
 does (round 5 caught the prefix-filter triple scan and the gini
-per-column scans this way).  Cartesian products and NL joins are
-flagged loudly; the known-sanctioned 1-row stats attaches are listed
-in _SANCTIONED_NL so the signal stays clean.
+per-column scans this way; round 5's MMR 25-scan lineage explosion
+slipped through because only NL/cartesian was flagged — VERDICT r05
+#1 — hence the regression gate: any query whose scan or shuffle
+count GROWS versus the recorded baseline fails the audit until the
+change is justified and the baseline deliberately updated with
+``--update``).  Cartesian products and NL joins are flagged loudly;
+the known-sanctioned 1-row stats attaches are listed in
+_SANCTIONED_NL so the signal stays clean.
 
 Usage:
     python scripts/plan_audit.py                # all queries
     python scripts/plan_audit.py dedup_ prefix  # name substrings
-Exit code 1 if any UNsanctioned cartesian/NL join is found.
+    python scripts/plan_audit.py --update       # rewrite the baseline
+Exit code 1 if any UNsanctioned cartesian/NL join is found, or any
+query's scan/shuffle count exceeds PLAN_BASELINE.json.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "PLAN_BASELINE.json",
+)
 
 # queries whose plans legitimately contain a BroadcastNestedLoopJoin,
 # each manually adjudicated (r5 sweep + the standing VERDICT audit of
@@ -61,9 +75,55 @@ _SANCTIONED_NL = {
 }
 
 
+def plan_counts(plan: str) -> dict[str, int]:
+    """Count the scale-relevant node kinds in a formatted plan string
+    (formatted mode names every node twice: tree + detail section)."""
+    return {
+        "scans": plan.count("Scan parquet") // 2,
+        "bcast": plan.count("BroadcastExchange") // 2,
+        "shuffles": (plan.count("Exchange") - plan.count("BroadcastExchange"))
+        // 2,
+        "nl": plan.count("NestedLoop") // 2,
+        "cart": plan.count("Cartesian") // 2,
+    }
+
+
+def regression_failures(
+    name: str, counts: dict[str, int], baseline: dict[str, dict[str, int]]
+) -> list[str]:
+    """Plan-regression gate: a query whose scan or shuffle count GROWS
+    versus the committed baseline is a scale defect until adjudicated
+    (exactly the mechanism that would have flagged the r5 MMR lineage
+    explosion at authoring time).  Decreases are fine — they ratchet
+    down on the next --update.  Unknown names pass (new queries enter
+    the baseline on --update)."""
+    base = baseline.get(name)
+    if base is None:
+        return []
+    out = []
+    for metric in ("scans", "shuffles"):
+        if metric in base and counts[metric] > base[metric]:
+            out.append(
+                f"{name}: {metric} grew {base[metric]} -> {counts[metric]} "
+                f"(plan regression; justify and re-baseline with --update)"
+            )
+    return out
+
+
+def load_baseline() -> dict[str, dict[str, int]]:
+    try:
+        with open(_BASELINE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def main(argv: list[str]) -> int:
     from parquet_to_sql_spark.queries.registry import all_queries
     from parquet_to_sql_spark.session import get_spark
+
+    update = "--update" in argv
+    argv = [a for a in argv if a != "--update"]
 
     spark = get_spark()
     sf = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
@@ -72,7 +132,10 @@ def main(argv: list[str]) -> int:
         n for n in sorted(qs)
         if not argv or any(a in n for a in argv)
     ]
+    baseline = load_baseline()
+    measured: dict[str, dict[str, int]] = {}
     bad = []
+    regressions: list[str] = []
     for n in names:
         try:
             df = qs[n].build(spark, sf)
@@ -86,28 +149,45 @@ def main(argv: list[str]) -> int:
             continue
         finally:
             spark.catalog.clearCache()
-        scans = plan.count("Scan parquet") // 2
-        bcast = plan.count("BroadcastExchange") // 2
-        shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
-        nl = plan.count("NestedLoop") // 2
-        cart = plan.count("Cartesian") // 2
+        c = plan_counts(plan)
+        measured[n] = c
         flag = ""
-        if cart:
+        if c["cart"]:
             flag = " CARTESIAN!"
             bad.append(n)
-        elif nl and n not in _SANCTIONED_NL:
-            flag = f" NL({nl})!"
+        elif c["nl"] and n not in _SANCTIONED_NL:
+            flag = f" NL({c['nl']})!"
             bad.append(n)
-        elif nl:
+        elif c["nl"]:
             flag = " nl-sanctioned"
+        regs = regression_failures(n, c, baseline)
+        regressions.extend(regs)
+        if regs:
+            flag += " REGRESSION!"
         print(
-            f"{n:38s} scans={scans:2d} shuffles={shuffles:2d} "
-            f"bcast={bcast:2d}{flag}"
+            f"{n:38s} scans={c['scans']:2d} shuffles={c['shuffles']:2d} "
+            f"bcast={c['bcast']:2d}{flag}"
         )
+    rc = 0
     if bad:
         print(f"\nUNSANCTIONED nested-loop/cartesian plans: {bad}")
-        return 1
-    return 0
+        rc = 1
+    if regressions:
+        print("\nPLAN REGRESSIONS vs PLAN_BASELINE.json:")
+        for r in regressions:
+            print(f"  {r}")
+        rc = 1
+    if update:
+        if argv:
+            # partial sweep: merge into the existing baseline
+            merged = dict(baseline)
+            merged.update(measured)
+            measured = merged
+        with open(_BASELINE_PATH, "w") as f:
+            json.dump(dict(sorted(measured.items())), f, indent=1)
+            f.write("\n")
+        print(f"\nwrote {len(measured)} baselines to {_BASELINE_PATH}")
+    return rc
 
 
 if __name__ == "__main__":

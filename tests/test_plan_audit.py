@@ -1,0 +1,61 @@
+"""The plan-regression gate (VERDICT r05 #3): scripts/plan_audit.py
+records per-query scan/shuffle counts to PLAN_BASELINE.json and fails
+when a query's counts grow round-over-round — the mechanism that
+would have flagged the r5 MMR lineage explosion at authoring time."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+import plan_audit  # noqa: E402
+
+
+def test_regression_gate_fails_by_construction():
+    """The exact r5 MMR shape: baseline says 2 scans / 11 shuffles, a
+    rewrite re-derives the pool and the counts explode — the gate MUST
+    fail, naming both metrics."""
+    baseline = {"simsearch_mmr_rerank": {"scans": 2, "shuffles": 11}}
+    exploded = {"scans": 25, "shuffles": 47, "bcast": 14, "nl": 0, "cart": 0}
+    failures = plan_audit.regression_failures(
+        "simsearch_mmr_rerank", exploded, baseline
+    )
+    assert len(failures) == 2
+    assert any("scans grew 2 -> 25" in f for f in failures)
+    assert any("shuffles grew 11 -> 47" in f for f in failures)
+
+
+def test_regression_gate_passes_on_equal_or_lower_counts():
+    baseline = {"q": {"scans": 3, "shuffles": 4}}
+    same = {"scans": 3, "shuffles": 4, "bcast": 1, "nl": 0, "cart": 0}
+    lower = {"scans": 1, "shuffles": 2, "bcast": 1, "nl": 0, "cart": 0}
+    assert plan_audit.regression_failures("q", same, baseline) == []
+    assert plan_audit.regression_failures("q", lower, baseline) == []
+    # unknown names pass (new queries enter the baseline on --update)
+    assert plan_audit.regression_failures("new_q", same, {}) == []
+
+
+def test_plan_counts_parses_formatted_plan():
+    plan = (
+        "* Scan parquet (1)\n* Exchange (2)\n* BroadcastExchange (3)\n"
+        "(1) Scan parquet\n(2) Exchange\n(3) BroadcastExchange\n"
+    )
+    c = plan_audit.plan_counts(plan)
+    assert c == {"scans": 1, "shuffles": 1, "bcast": 1, "nl": 0, "cart": 0}
+
+
+def test_committed_baseline_covers_every_gate_query():
+    """The baseline artifact must exist, cover the full registry, and
+    carry the two ratcheted metrics for each query — otherwise the
+    gate silently stops guarding new additions."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    baseline = json.loads((REPO / "PLAN_BASELINE.json").read_text())
+    missing = sorted(set(all_queries()) - set(baseline))
+    assert missing == [], f"queries without a plan baseline: {missing}"
+    for name, counts in baseline.items():
+        assert {"scans", "shuffles"} <= set(counts), name
