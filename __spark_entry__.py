@@ -212,7 +212,10 @@ _PRIORITY_R06 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
 # the head of the least-recently-verified tail and front window 7.
-_QUEUED_POST_WINDOW: tuple[str, ...] = ()
+_QUEUED_POST_WINDOW: tuple[str, ...] = (
+    "dedup_span_excision",    # round-6 new: keep-first excision offsets
+    "agg_exact_quantiles_histogram",  # round-6 new: exact quantiles, no sort
+)
 
 # Verified queries whose build source changed after their last
 # driver-green round but could not get a slot this round (window

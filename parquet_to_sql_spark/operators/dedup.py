@@ -1375,3 +1375,68 @@ def sorted_neighborhood_pairs(
             "hamming",
         )
     )
+
+
+def span_excision_offsets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    min_tokens: int = 12,
+    max_occ: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Per-document EXCISION OFFSETS for repeated-span dedup — the
+    operator a curation pipeline actually applies after detection
+    (Lee et al. ACL'22 excise one occurrence of each duplicated
+    passage and keep another): under the deterministic KEEP-FIRST
+    policy, a document excises every maximal span (>= ``min_tokens``
+    tokens) it shares with any LOWER-id document, so exactly one copy
+    — the one in the smallest doc id — survives corpus-wide.
+
+    Overlapping or adjacent cut intervals within a document (a
+    passage shared with several earlier documents, or two abutting
+    boilerplate blocks) are merged into minimal disjoint intervals by
+    a second gaps-and-islands pass: order cuts by start, track the
+    running max end, start a new island when a cut begins past
+    running-end + 1.
+
+    Scale shape: repeated_spans' budget (positional-gram explode,
+    capped equi-join, islands rollup) plus ONE extra keyed window +
+    aggregate on (doc, island) — the cut relation is spans-sized,
+    orders of magnitude smaller than the gram relation, and every
+    stage partitions by doc.
+
+    Returns (doc, cut_start, cut_end, cut_tokens): 1-based inclusive
+    token offsets of each disjoint interval to remove, cut_tokens =
+    cut_end - cut_start + 1 (>= min_tokens by construction on
+    singleton islands; merged islands can only be longer)."""
+    from pyspark.sql import Window
+
+    spans = repeated_spans(df, id_col, text_col, k, min_tokens, max_occ)
+    cuts = spans.select(
+        F.col("doc2").alias("doc"),
+        F.col("start2").alias("s"),
+        (F.col("start2") + F.col("span_tokens") - F.lit(1)).alias("e"),
+    )
+    w_order = Window.partitionBy("doc").orderBy("s", "e")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    islands = cuts.withColumn(
+        "_prev_e", F.max("e").over(w_prev)
+    ).withColumn(
+        "_ni",
+        F.when(
+            F.col("_prev_e").isNull() | (F.col("s") > F.col("_prev_e") + 1), 1
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_ni").over(w_order))
+    return (
+        islands.groupBy("doc", "_island")
+        .agg(F.min("s").alias("cut_start"), F.max("e").alias("cut_end"))
+        .select(
+            "doc",
+            "cut_start",
+            "cut_end",
+            (F.col("cut_end") - F.col("cut_start") + F.lit(1)).alias(
+                "cut_tokens"
+            ),
+        )
+    )

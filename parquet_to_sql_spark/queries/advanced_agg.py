@@ -587,3 +587,66 @@ def agg_group_ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+@query(
+    "agg_exact_quantiles_histogram",
+    tags=("aggregation", "quantiles", "exact-integer", "scale-path"),
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT grp, v,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM c
+    )
+    SELECT grp,
+           MIN(CASE WHEN cum*100 >= 25*n THEN v END) AS p25_cents,
+           MIN(CASE WHEN cum*100 >= 50*n THEN v END) AS p50_cents,
+           MIN(CASE WHEN cum*100 >= 75*n THEN v END) AS p75_cents,
+           MIN(CASE WHEN cum*100 >= 90*n THEN v END) AS p90_cents,
+           MIN(CASE WHEN cum*100 >= 99*n THEN v END) AS p99_cents
+    FROM w GROUP BY grp
+    """,
+)
+def agg_exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles without a global sort — the
+    value-histogram method: aggregate to (group, value) counts first
+    (one shuffle with map-side partials; the relation shrinks from
+    row count to DISTINCT-value count, the big win for bounded
+    domains like prices-in-cents, token counts, lengths), then one
+    keyed window builds cumulative counts over the distinct values
+    and each percentile is the smallest value whose cumulative count
+    reaches ceil(p*n/100) (type-1/lower discrete quantile, stated as
+    the integer inequality 100*cum >= p*n — no floats anywhere).
+
+    percentile_approx trades accuracy for one pass; a sort-based
+    exact quantile pays a full global sort of ALL rows.  This is
+    exact AND shuffle-bounded by the distinct-value count — at 100 TB
+    the window runs over millions of distinct cents values, not
+    billions of rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("grp").orderBy("v")
+    w_all = Window.partitionBy("grp")
+    staged = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    return staged.groupBy("grp").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(p) * F.col("n"), F.col("v"))
+            ).alias(f"p{p}_cents")
+            for p in (25, 50, 75, 90, 99)
+        ]
+    )

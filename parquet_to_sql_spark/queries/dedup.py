@@ -899,9 +899,10 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(docs, "doc_id", "text", n=3, threshold_pct=50)
 
 
-def _duck_repeated_spans_oracle(k: int, min_tokens: int, max_occ: int) -> str:
-    """Unrolled oracle for repeated_spans: positional hashed k-grams,
-    occurrence cap, constant-offset islands, maximal spans."""
+def _duck_repeated_spans_cte(k: int, max_occ: int) -> str:
+    """Shared WITH-body for the repeated-span oracles: positional
+    hashed k-grams, occurrence cap, constant-offset islands, maximal
+    spans (relation ``spans``)."""
     from parquet_to_sql_spark.functions.hashing import (
         DUCK_WORD_HASHES,
         duck_hashed_positional_kgrams,
@@ -934,12 +935,52 @@ def _duck_repeated_spans_oracle(k: int, min_tokens: int, max_occ: int) -> str:
       SELECT doc1, doc2, d, island,
              MIN(pos1) AS start1, COUNT(*) + {k - 1} AS span_tokens
       FROM runs GROUP BY doc1, doc2, d, island
-    )
+    )"""
+
+
+def _duck_repeated_spans_oracle(k: int, min_tokens: int, max_occ: int) -> str:
+    """Unrolled oracle for repeated_spans: positional hashed k-grams,
+    occurrence cap, constant-offset islands, maximal spans."""
+    return f"""{_duck_repeated_spans_cte(k, max_occ)}
     SELECT doc1, doc2,
            CAST(start1 AS BIGINT)     AS start1,
            CAST(start1 + d AS BIGINT) AS start2,
            CAST(span_tokens AS BIGINT) AS span_tokens
     FROM spans WHERE span_tokens >= {min_tokens}
+    """
+
+
+def _duck_span_excision_oracle(k: int, min_tokens: int, max_occ: int) -> str:
+    """Keep-first excision offsets: doc2-side cut intervals of every
+    qualifying span, merged (overlapping-or-adjacent) into minimal
+    disjoint intervals per document by a running-max-end islands
+    pass."""
+    return f"""{_duck_repeated_spans_cte(k, max_occ)},
+    cuts AS (
+      SELECT doc2 AS doc,
+             CAST(start1 + d AS BIGINT) AS s,
+             CAST(start1 + d + span_tokens - 1 AS BIGINT) AS e
+      FROM spans WHERE span_tokens >= {min_tokens}
+    ),
+    flagged AS (
+      SELECT doc, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL
+                    OR s > MAX(e) OVER w + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM cuts
+      WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT doc, s, e,
+             SUM(ni) OVER (PARTITION BY doc ORDER BY s, e) AS island
+      FROM flagged
+    )
+    SELECT doc,
+           CAST(MIN(s) AS BIGINT) AS cut_start,
+           CAST(MAX(e) AS BIGINT) AS cut_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS cut_tokens
+    FROM islands GROUP BY doc, island
     """
 
 
@@ -964,6 +1005,30 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repeated_spans(docs, "doc_id", "text", k=6, min_tokens=12, max_occ=256)
+
+
+@query(
+    "dedup_span_excision",
+    tags=("dedup", "curation", "llm-pipeline", "scale-path"),
+    oracle=_duck_span_excision_oracle(k=6, min_tokens=12, max_occ=256),
+)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document excision offsets under the keep-first policy —
+    the post-detection step a curation pipeline actually APPLIES
+    (VERDICT r05 #8): each document's repeated spans shared with any
+    lower-id document become cut intervals, merged
+    (overlapping-or-adjacent) into minimal disjoint (cut_start,
+    cut_end) token ranges, so exactly one copy of every duplicated
+    passage survives corpus-wide and a downstream slice-and-rejoin
+    pass can apply the cuts row-locally.  Composes repeated_spans
+    with the gaps-and-islands interval-merge machinery; see
+    operators.dedup.span_excision_offsets for the shuffle budget."""
+    from parquet_to_sql_spark.operators.dedup import span_excision_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_excision_offsets(
+        docs, "doc_id", "text", k=6, min_tokens=12, max_occ=256
+    )
 
 
 @query(

@@ -811,3 +811,56 @@ def test_bloom_probe_ships_bytes_via_broadcast_not_closure(spark, monkeypatch):
         f"probe closure pickles to {closure_size}B — the filter bytes "
         "are riding the task closure instead of the broadcast"
     )
+
+
+def test_span_excision_merges_adjacent_and_overlapping_cuts(spark):
+    """Keep-first policy: only the higher-id copy of a shared passage
+    is cut; adjacent cuts from DIFFERENT source docs merge into one
+    interval, and identical cuts from several sources dedup to one."""
+    from parquet_to_sql_spark.operators.dedup import span_excision_offsets
+
+    xs = " ".join(f"x{i}" for i in range(15))
+    ys = " ".join(f"y{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (0, xs),              # canonical source of the x-passage
+            (1, ys),              # canonical source of the y-passage
+            (2, xs + " " + ys),   # shares [1,15] w/ 0 and [16,30] w/ 1
+            (3, xs),              # shares [1,15] with BOTH 0 and 2
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc, r.cut_start, r.cut_end, r.cut_tokens)
+        for r in span_excision_offsets(
+            docs, "doc_id", "text", k=6, min_tokens=12
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    # doc 2: adjacent x/y cuts merged into one [1,30]; doc 3: the two
+    # identical [1,15] cuts (from 0 and from 2) collapse to one row;
+    # docs 0 and 1 are first occurrences -> never cut
+    assert got == [(2, 1, 30, 30), (3, 1, 15, 15)]
+
+
+def test_exact_quantile_histogram_is_type1_lower(spark):
+    """The histogram quantile picks the SMALLEST value whose cumulative
+    count reaches ceil(p*n/100) — type-1 discrete, never interpolated:
+    10 values 1..10 -> p25=3 (ceil(2.5)), p50=5, p99=10."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    vals = spark.range(1, 11).select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+    counts = vals.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    staged = counts.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("grp").orderBy("v"))
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("grp")))
+    row = staged.groupBy("grp").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(p) * F.col("n"), F.col("v"))
+            ).alias(f"p{p}")
+            for p in (25, 50, 99)
+        ]
+    ).collect()[0]
+    assert (row.p25, row.p50, row.p99) == (3, 5, 10)

@@ -96,8 +96,13 @@ def test_rotation_window_insertion_order():
     assert derived == set(e._DRIVER_VERIFIED)
 
     # the never-verified block is exactly the registry names with zero
-    # driver evidence, and it comes first (new code = first priority)
-    never = sorted(n for n in QUERIES if n not in derived)
+    # driver evidence that existed when the window froze (post-window
+    # additions queue for the NEXT window instead), and it comes first
+    # (new code = first priority)
+    never = sorted(
+        n for n in QUERIES
+        if n not in derived and n not in set(e._QUEUED_POST_WINDOW)
+    )
     assert list(e._NEVER_VERIFIED) == never
 
     # every window slot is spent on a never-verified query, a declared
