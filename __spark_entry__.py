@@ -215,6 +215,7 @@ _PRIORITY_R06 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_span_excision",    # round-6 new: keep-first excision offsets
     "agg_exact_quantiles_histogram",  # round-6 new: exact quantiles, no sort
+    "dedup_span_excision_apply",  # round-6 new: apply the cuts row-locally
 )
 
 # Verified queries whose build source changed after their last

@@ -1440,3 +1440,52 @@ def span_excision_offsets(
             ),
         )
     )
+
+
+def apply_excisions(
+    df: DataFrame, id_col: str, text_col: str, cuts: DataFrame
+) -> DataFrame:
+    """APPLY span-excision offsets row-locally — the final step of the
+    detect -> offsets -> apply passage-dedup pipeline: drop every
+    token whose 1-based position falls inside one of the document's
+    (cut_start, cut_end) intervals and rejoin the survivors with
+    single spaces (documents with cuts are re-emitted as a normalized
+    token stream; documents without cuts keep their text verbatim).
+
+    ``cuts`` is a (doc, cut_start, cut_end, cut_tokens) relation as
+    produced by span_excision_offsets (intervals disjoint per doc).
+
+    Scale shape: the cut relation aggregates to one array row per
+    affected document (spans-sized — orders of magnitude smaller than
+    the corpus), then ONE left equi-join keyed by doc id attaches it;
+    Spark broadcasts it when small, and the token filtering is a pure
+    row-local higher-order function either way — the corpus text
+    never shuffles.
+
+    Returns (id_col, clean_text, tokens_removed)."""
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    agg = cuts.groupBy(F.col("doc").alias("_cdoc")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("cut_start", "cut_end"))
+        ).alias("_cuts"),
+        F.sum("cut_tokens").alias("_removed"),
+    )
+    joined = df.join(agg, df[id_col] == agg["_cdoc"], "left")
+    kept = F.filter(
+        ws_tokens(F.col(text_col)),
+        lambda w, i: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (i + 1 >= c["cut_start"]) & (i + 1 <= c["cut_end"]),
+        ),
+    )
+    clean = F.when(F.col("_cuts").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.coalesce(F.col("_removed"), F.lit(0)).cast("long").alias(
+            "tokens_removed"
+        ),
+    )

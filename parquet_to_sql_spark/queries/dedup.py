@@ -1031,6 +1031,82 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_apply_excisions_oracle(k: int, min_tokens: int, max_occ: int) -> str:
+    """Excision offsets (keep-first, merged) APPLIED: drop every token
+    whose 1-based position falls in a cut interval, rejoin with single
+    spaces; uncut documents keep their text verbatim."""
+    return f"""{_duck_repeated_spans_cte(k, max_occ)},
+    cuts AS (
+      SELECT doc2 AS doc,
+             CAST(start1 + d AS BIGINT) AS s,
+             CAST(start1 + d + span_tokens - 1 AS BIGINT) AS e
+      FROM spans WHERE span_tokens >= {min_tokens}
+    ),
+    flagged AS (
+      SELECT doc, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL
+                    OR s > MAX(e) OVER w + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM cuts
+      WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT doc, s, e,
+             SUM(ni) OVER (PARTITION BY doc ORDER BY s, e) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc, MIN(s) AS cut_start, MAX(e) AS cut_end,
+             MAX(e) - MIN(s) + 1 AS cut_tokens
+      FROM islands GROUP BY doc, island
+    ),
+    per_doc AS (
+      SELECT doc,
+             list({{'cut_start': cut_start, 'cut_end': cut_end}}
+                  ORDER BY cut_start) AS cut_list,
+             SUM(cut_tokens) AS removed
+      FROM merged GROUP BY doc
+    )
+    SELECT d.doc_id,
+           CASE WHEN a.cut_list IS NULL THEN d.text
+                ELSE COALESCE(array_to_string(
+                  list_filter({DUCK_WORDS},
+                    (w, i) -> len(list_filter(a.cut_list,
+                      c -> i >= c.cut_start AND i <= c.cut_end)) = 0),
+                  ' '), '')
+           END AS clean_text,
+           CAST(COALESCE(a.removed, 0) AS BIGINT) AS tokens_removed
+    FROM documents d LEFT JOIN per_doc a ON d.doc_id = a.doc
+    """
+
+
+@query(
+    "dedup_span_excision_apply",
+    tags=("dedup", "curation", "llm-pipeline", "scale-path"),
+    oracle=_duck_apply_excisions_oracle(k=6, min_tokens=12, max_occ=256),
+)
+def dedup_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full detect -> offsets -> APPLY passage-dedup pipeline:
+    repeated spans become keep-first excision intervals, and this
+    query emits the cleaned corpus — every excised token dropped
+    row-locally by a higher-order filter over 1-based positions,
+    uncut documents passed through verbatim.  The cut relation
+    aggregates to one array row per affected document and broadcasts;
+    the corpus text never shuffles.  See
+    operators.dedup.apply_excisions."""
+    from parquet_to_sql_spark.operators.dedup import (
+        apply_excisions,
+        span_excision_offsets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = span_excision_offsets(
+        docs, "doc_id", "text", k=6, min_tokens=12, max_occ=256
+    )
+    return apply_excisions(docs, "doc_id", "text", cuts)
+
+
 @query(
     "dedup_minhash_error_audit",
     tags=("dedup", "minhash", "audit", "llm-pipeline", "scale-path"),

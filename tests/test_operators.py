@@ -864,3 +864,33 @@ def test_exact_quantile_histogram_is_type1_lower(spark):
         ]
     ).collect()[0]
     assert (row.p25, row.p50, row.p99) == (3, 5, 10)
+
+
+def test_apply_excisions_drops_cut_tokens_row_locally(spark):
+    """detect -> offsets -> apply round trip: fully-shared documents
+    empty out (tokens_removed = token count), partially-shared ones
+    keep exactly their unique suffix, first occurrences and uncut
+    docs pass through verbatim (original whitespace preserved)."""
+    from parquet_to_sql_spark.operators.dedup import (
+        apply_excisions,
+        span_excision_offsets,
+    )
+
+    xs = " ".join(f"x{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (0, xs),
+            (1, xs + " unique tail words here"),
+            (2, "short  doc   with   odd spacing"),
+        ],
+        "doc_id long, text string",
+    )
+    cuts = span_excision_offsets(docs, "doc_id", "text", k=6, min_tokens=12)
+    got = {
+        r.doc_id: (r.clean_text, r.tokens_removed)
+        for r in apply_excisions(docs, "doc_id", "text", cuts).collect()
+    }
+    spark.catalog.clearCache()
+    assert got[0] == (xs, 0)                      # first occurrence kept
+    assert got[1] == ("unique tail words here", 15)
+    assert got[2] == ("short  doc   with   odd spacing", 0)  # verbatim
