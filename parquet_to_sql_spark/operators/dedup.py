@@ -1410,14 +1410,24 @@ def span_excision_offsets(
     token offsets of each disjoint interval to remove, cut_tokens =
     cut_end - cut_start + 1 (>= min_tokens by construction on
     singleton islands; merged islands can only be longer)."""
-    from pyspark.sql import Window
-
     spans = repeated_spans(df, id_col, text_col, k, min_tokens, max_occ)
     cuts = spans.select(
         F.col("doc2").alias("doc"),
         F.col("start2").alias("s"),
         (F.col("start2") + F.col("span_tokens") - F.lit(1)).alias("e"),
     )
+    return merge_token_intervals(cuts)
+
+
+def merge_token_intervals(cuts: DataFrame) -> DataFrame:
+    """Merge a (doc, s, e) relation of 1-based inclusive token
+    intervals into minimal disjoint (cut_start, cut_end) intervals per
+    document: order by start, track the running max end, start a new
+    island when an interval begins past running-end + 1 (overlapping
+    OR adjacent intervals coalesce).  One keyed window + one keyed
+    aggregate over the — spans-sized, tiny — cut relation."""
+    from pyspark.sql import Window
+
     w_order = Window.partitionBy("doc").orderBy("s", "e")
     w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
     islands = cuts.withColumn(
@@ -1440,6 +1450,59 @@ def span_excision_offsets(
             ),
         )
     )
+
+
+def decontamination_offsets(
+    corpus: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    min_tokens: int = 12,
+    max_occ: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Per-document EXCISION OFFSETS against a PROTECTED reference
+    corpus (eval/benchmark suites) — decontamination as training
+    pipelines actually run it: every maximal token span of a corpus
+    document that also appears verbatim in any reference document
+    (>= ``min_tokens`` tokens) becomes a cut interval, merged into
+    minimal disjoint ranges per corpus doc.  Unlike the keep-first
+    self-dedup (span_excision_offsets), the reference side is never
+    cut — it is the ground truth being protected.
+
+    Scale shape: the reference index is computed once
+    (reference_span_index — occurrence-capped on the REFERENCE side
+    only, the hub guard) and at scale written bucketed by gram hash;
+    each corpus document's grams probe it with one equi-join
+    (repeated_span_matches — stateless, legal stream-static), then
+    one gaps-and-islands pass per (ref_doc, new_doc, d) builds
+    maximal spans and one interval merge per corpus doc emits the
+    offsets.  Corpus text itself never shuffles.
+
+    Returns (doc, cut_start, cut_end, cut_tokens) in CORPUS document
+    token coordinates, ready for apply_excisions."""
+    from pyspark.sql import Window
+
+    index = reference_span_index(ref_docs, id_col, text_col, k, max_occ)
+    matches = repeated_span_matches(corpus, index, id_col, text_col, k)
+    w = Window.partitionBy("ref_doc", "new_doc", "d").orderBy("ref_pos")
+    runs = matches.withColumn(
+        "island", F.col("ref_pos") - F.row_number().over(w)
+    )
+    spans = (
+        runs.groupBy("ref_doc", "new_doc", "d", "island")
+        .agg(F.min("ref_pos").alias("start_ref"), F.count(F.lit(1)).alias("n"))
+        .withColumn("span_tokens", (F.col("n") + F.lit(k - 1)).cast("long"))
+        .filter(F.col("span_tokens") >= min_tokens)
+    )
+    cuts = spans.select(
+        F.col("new_doc").alias("doc"),
+        (F.col("start_ref") + F.col("d")).alias("s"),
+        (
+            F.col("start_ref") + F.col("d") + F.col("span_tokens") - F.lit(1)
+        ).alias("e"),
+    )
+    return merge_token_intervals(cuts)
 
 
 def apply_excisions(

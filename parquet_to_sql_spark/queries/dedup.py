@@ -950,18 +950,10 @@ def _duck_repeated_spans_oracle(k: int, min_tokens: int, max_occ: int) -> str:
     """
 
 
-def _duck_span_excision_oracle(k: int, min_tokens: int, max_occ: int) -> str:
-    """Keep-first excision offsets: doc2-side cut intervals of every
-    qualifying span, merged (overlapping-or-adjacent) into minimal
-    disjoint intervals per document by a running-max-end islands
-    pass."""
-    return f"""{_duck_repeated_spans_cte(k, max_occ)},
-    cuts AS (
-      SELECT doc2 AS doc,
-             CAST(start1 + d AS BIGINT) AS s,
-             CAST(start1 + d + span_tokens - 1 AS BIGINT) AS e
-      FROM spans WHERE span_tokens >= {min_tokens}
-    ),
+# interval-merge tail shared by the excision-offset oracles: expects
+# a CTE ``cuts(doc, s, e)`` of 1-based inclusive token intervals and
+# emits the merged (overlapping-or-adjacent) disjoint intervals
+_DUCK_INTERVAL_MERGE = """,
     flagged AS (
       SELECT doc, s, e,
              CASE WHEN MAX(e) OVER w IS NULL
@@ -975,13 +967,84 @@ def _duck_span_excision_oracle(k: int, min_tokens: int, max_occ: int) -> str:
       SELECT doc, s, e,
              SUM(ni) OVER (PARTITION BY doc ORDER BY s, e) AS island
       FROM flagged
-    )
+    )"""
+
+_DUCK_MERGED_SELECT = """
     SELECT doc,
            CAST(MIN(s) AS BIGINT) AS cut_start,
            CAST(MAX(e) AS BIGINT) AS cut_end,
            CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS cut_tokens
     FROM islands GROUP BY doc, island
     """
+
+
+def _duck_span_excision_oracle(k: int, min_tokens: int, max_occ: int) -> str:
+    """Keep-first excision offsets: doc2-side cut intervals of every
+    qualifying span, merged (overlapping-or-adjacent) into minimal
+    disjoint intervals per document by a running-max-end islands
+    pass."""
+    return f"""{_duck_repeated_spans_cte(k, max_occ)},
+    cuts AS (
+      SELECT doc2 AS doc,
+             CAST(start1 + d AS BIGINT) AS s,
+             CAST(start1 + d + span_tokens - 1 AS BIGINT) AS e
+      FROM spans WHERE span_tokens >= {min_tokens}
+    ){_DUCK_INTERVAL_MERGE}{_DUCK_MERGED_SELECT}"""
+
+
+def _duck_decontamination_oracle(
+    k: int, min_tokens: int, max_occ: int, ref_source: str
+) -> str:
+    """Cross-corpus decontamination offsets: positional k-grams of the
+    protected reference slice (occurrence-capped on the REFERENCE side
+    only) probed by the rest of the corpus; constant-offset islands
+    become spans, qualifying spans become corpus-side cut intervals,
+    merged per corpus document."""
+    from parquet_to_sql_spark.functions.hashing import (
+        DUCK_WORD_HASHES,
+        duck_hashed_positional_kgrams,
+    )
+
+    hw = DUCK_WORD_HASHES.format(words=DUCK_WORDS)
+    pos_kgrams = duck_hashed_positional_kgrams(k)
+    return f"""
+    WITH hw0 AS (SELECT doc_id, source, {hw} AS hw FROM documents),
+    r0 AS (
+      SELECT doc_id AS doc, unnest({pos_kgrams}) AS u FROM hw0
+      WHERE source = '{ref_source}'
+    ),
+    r1 AS (SELECT doc, u.pos AS pos, u.h AS h FROM r0),
+    ref AS (
+      SELECT doc AS ref_doc, pos AS ref_pos, h FROM r1
+      QUALIFY COUNT(*) OVER (PARTITION BY h) <= {max_occ}
+    ),
+    c0 AS (
+      SELECT doc_id AS doc, unnest({pos_kgrams}) AS u FROM hw0
+      WHERE source <> '{ref_source}'
+    ),
+    c1 AS (SELECT doc, u.pos AS pos, u.h AS h FROM c0),
+    m AS (
+      SELECT r.ref_doc, n.doc AS new_doc, r.ref_pos,
+             n.pos - r.ref_pos AS d
+      FROM ref r JOIN c1 n ON r.h = n.h
+    ),
+    runs AS (
+      SELECT ref_doc, new_doc, d, ref_pos,
+             ref_pos - row_number() OVER (PARTITION BY ref_doc, new_doc, d
+                                          ORDER BY ref_pos) AS island
+      FROM m
+    ),
+    spans AS (
+      SELECT ref_doc, new_doc, d, island,
+             MIN(ref_pos) AS start_ref, COUNT(*) + {k - 1} AS span_tokens
+      FROM runs GROUP BY ref_doc, new_doc, d, island
+    ),
+    cuts AS (
+      SELECT new_doc AS doc,
+             CAST(start_ref + d AS BIGINT) AS s,
+             CAST(start_ref + d + span_tokens - 1 AS BIGINT) AS e
+      FROM spans WHERE span_tokens >= {min_tokens}
+    ){_DUCK_INTERVAL_MERGE}{_DUCK_MERGED_SELECT}"""
 
 
 @query(
@@ -1105,6 +1168,33 @@ def dedup_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=6, min_tokens=12, max_occ=256
     )
     return apply_excisions(docs, "doc_id", "text", cuts)
+
+
+@query(
+    "text_decontamination_offsets",
+    tags=("dedup", "contamination", "curation", "llm-pipeline", "scale-path"),
+    oracle=_duck_decontamination_oracle(
+        k=6, min_tokens=12, max_occ=256, ref_source="src0"
+    ),
+)
+def text_decontamination_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a protected reference corpus: every
+    maximal token span (>= 12 tokens) of a training document that
+    also appears verbatim in the eval slice (source = 'src0' stands
+    in for the benchmark suite) becomes a merged cut interval in
+    training-doc coordinates, ready for apply_excisions — the
+    reference side is never cut.  The reference gram index is built
+    once (write-once/probe-many at scale); training docs probe it
+    with one equi-join and never shuffle their text.  See
+    operators.dedup.decontamination_offsets."""
+    from parquet_to_sql_spark.operators.dedup import decontamination_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return decontamination_offsets(
+        corpus, ref, "doc_id", "text", k=6, min_tokens=12, max_occ=256
+    )
 
 
 @query(

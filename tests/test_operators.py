@@ -894,3 +894,30 @@ def test_apply_excisions_drops_cut_tokens_row_locally(spark):
     assert got[0] == (xs, 0)                      # first occurrence kept
     assert got[1] == ("unique tail words here", 15)
     assert got[2] == ("short  doc   with   odd spacing", 0)  # verbatim
+
+
+def test_decontamination_offsets_cut_corpus_side_only(spark):
+    """A training doc embedding an eval passage gets a cut interval in
+    ITS coordinates; the eval side is never reported; overlap shorter
+    than min_tokens is ignored."""
+    from parquet_to_sql_spark.operators.dedup import decontamination_offsets
+
+    passage = " ".join(f"e{i}" for i in range(12))   # 12-token eval passage
+    ref = spark.createDataFrame(
+        [(100, passage)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro words here " + passage + " outro"),  # cut [4,15]
+            (1, " ".join(f"e{i}" for i in range(8))),  # 8 < 12: no cut
+            (2, "entirely unrelated training text with many words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc, r.cut_start, r.cut_end, r.cut_tokens)
+        for r in decontamination_offsets(
+            corpus, ref, "doc_id", "text", k=6, min_tokens=12
+        ).collect()
+    )
+    assert got == [(0, 4, 15, 12)]
