@@ -217,6 +217,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "agg_exact_quantiles_histogram",  # round-6 new: exact quantiles, no sort
     "dedup_span_excision_apply",  # round-6 new: apply the cuts row-locally
     "text_decontamination_offsets",  # round-6 new: eval-set decontamination
+    "pipeline_decontamination_report",  # round-6 new: per-source cut stats
 )
 
 # Verified queries whose build source changed after their last

@@ -1146,6 +1146,7 @@ def _duck_apply_excisions_oracle(k: int, min_tokens: int, max_occ: int) -> str:
 
 @query(
     "dedup_span_excision_apply",
+    headline=True,
     tags=("dedup", "curation", "llm-pipeline", "scale-path"),
     oracle=_duck_apply_excisions_oracle(k=6, min_tokens=12, max_occ=256),
 )
@@ -1194,6 +1195,90 @@ def text_decontamination_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     return decontamination_offsets(
         corpus, ref, "doc_id", "text", k=6, min_tokens=12, max_occ=256
+    )
+
+
+@query(
+    "pipeline_decontamination_report",
+    tags=("pipeline", "contamination", "curation", "llm-pipeline"),
+    oracle=_duck_decontamination_oracle(
+        k=6, min_tokens=12, max_occ=256, ref_source="src0"
+    ).replace(
+        _DUCK_MERGED_SELECT,
+        """,
+    merged AS (
+      SELECT doc, CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS cut_tokens
+      FROM islands GROUP BY doc, island
+    ),
+    per_doc AS (
+      SELECT doc, SUM(cut_tokens) AS removed FROM merged GROUP BY doc
+    ),
+    tok AS (
+      SELECT d.source, COALESCE(p.removed, 0) AS removed,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc
+      WHERE d.source <> 'src0'
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_affected,
+             CAST(SUM(removed) AS BIGINT) AS tokens_removed,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+      FROM tok GROUP BY source
+    )
+    SELECT source, n_docs, docs_affected, tokens_removed, tokens_total,
+           ((tokens_removed * 1000) // tokens_total) * 1000
+             + (((tokens_removed * 1000) % tokens_total) * 1000)
+               // tokens_total AS removed_ppm
+    FROM agg
+    """,
+    ),
+)
+def pipeline_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card row decontamination produces: per training
+    source, how many documents were touched and what fraction of
+    tokens was excised (exact ppm via the same two-stage x1000
+    integer division as the gini profile — overflow-safe to ~9.6e7
+    tokens per source at ppm, rescale per shard beyond).  Composes
+    decontamination_offsets with one per-doc rollup and one
+    broadcast-able left join onto the corpus token counts."""
+    from parquet_to_sql_spark.operators.dedup import decontamination_offsets
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    cuts = decontamination_offsets(
+        corpus, ref, "doc_id", "text", k=6, min_tokens=12, max_occ=256
+    )
+    removed = cuts.groupBy(F.col("doc").alias("_d")).agg(
+        F.sum("cut_tokens").alias("_removed")
+    )
+    tok = corpus.select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).join(removed, F.col("doc_id") == F.col("_d"), "left")
+    agg = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.coalesce(F.col("_removed"), F.lit(0)) > 0, 1).otherwise(0)
+        ).cast("long").alias("docs_affected"),
+        F.sum(F.coalesce(F.col("_removed"), F.lit(0))).cast("long").alias(
+            "tokens_removed"
+        ),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+    )
+    ppm = (
+        "((tokens_removed * 1000) div tokens_total) * 1000"
+        " + (((tokens_removed * 1000) % tokens_total) * 1000)"
+        " div tokens_total"
+    )
+    return agg.select(
+        "source", "n_docs", "docs_affected", "tokens_removed",
+        "tokens_total", F.expr(ppm).alias("removed_ppm"),
     )
 
 
