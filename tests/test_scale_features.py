@@ -955,3 +955,79 @@ def test_shared_broadcast_reuses_and_evicts(spark):
         lambda _: probe.value
     ).collect()
     assert got == [b"live"]
+
+
+def test_bucketed_gram_index_self_join_shuffle_free(spark):
+    """The repeated_spans docstring's 100 TB claim, asserted as a plan
+    property: materialize the occurrence-capped positional-gram
+    relation ONCE as a table BUCKETED by the join key ``h`` and
+    self-join it — the join must consume both sides' bucket layout
+    with NO shuffle exchange before the join (the only exchanges left
+    are the downstream islands window/aggregate, which run on the
+    spans-sized match relation, not the gram relation).  Span results
+    must equal the in-memory repeated_spans exactly."""
+    from pyspark.sql import Window
+
+    from parquet_to_sql_spark.operators.dedup import (
+        hashed_positional_kgrams,
+        repeated_spans,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    grams = (
+        hashed_positional_kgrams(docs, "doc_id", "text", 6)
+        .withColumn("_occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("_occ") <= 256)
+        .drop("_occ")
+    )
+    spark.sql("DROP TABLE IF EXISTS gram_idx")
+    grams.write.bucketBy(8, "h").sortBy("h").saveAsTable("gram_idx")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("gram_idx")
+        a = t.select(
+            F.col("doc").alias("doc1"), F.col("pos").alias("pos1"), "h"
+        )
+        b = t.select(
+            F.col("doc").alias("doc2"), F.col("pos").alias("pos2"), "h"
+        )
+        m = (
+            a.join(b, "h")
+            .filter(F.col("doc1") < F.col("doc2"))
+            .select(
+                "doc1", "doc2", "pos1",
+                (F.col("pos2") - F.col("pos1")).alias("d"),
+            )
+        )
+        w = Window.partitionBy("doc1", "doc2", "d").orderBy("pos1")
+        spans = (
+            m.withColumn("island", F.col("pos1") - F.row_number().over(w))
+            .groupBy("doc1", "doc2", "d", "island")
+            .agg(F.min("pos1").alias("start1"), F.count(F.lit(1)).alias("n"))
+            .withColumn("span_tokens", (F.col("n") + F.lit(5)).cast("long"))
+            .filter(F.col("span_tokens") >= 12)
+            .select(
+                "doc1", "doc2",
+                F.col("start1").cast("long"),
+                (F.col("start1") + F.col("d")).cast("long").alias("start2"),
+                "span_tokens",
+            )
+        )
+        # plan property: no exchange between the bucketed scans and the
+        # join — the first exchange in the tree must be ABOVE the join
+        # (islands window), i.e. the join's direct children are scans
+        plan = _formatted_plan(m)
+        shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
+        assert shuffles == 0, f"bucketed self-join still shuffles: {shuffles}"
+        got = sorted(tuple(r) for r in spans.collect())
+        want = sorted(
+            tuple(r)
+            for r in repeated_spans(
+                docs, "doc_id", "text", k=6, min_tokens=12, max_occ=256
+            ).collect()
+        )
+        spark.catalog.clearCache()
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS gram_idx")
