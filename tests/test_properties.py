@@ -776,3 +776,49 @@ def test_q1_cents_arithmetic_headroom_at_10x_sf01(spark):
     )
     want = sorted(tuple(map(str, r)) for r in con.execute(oracle).fetchall())
     assert got == want and len(got) > 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                  # doc
+            st.integers(1, 40),                 # start
+            st.integers(1, 12),                 # length
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_merge_token_intervals_covers_exactly_the_input_union(spark, items):
+    """merge_token_intervals must emit per-doc intervals that are (a)
+    disjoint AND non-adjacent, (b) sorted, and (c) cover exactly the
+    union of the input positions — for any interval soup, including
+    duplicates, containment, and chains of adjacency."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.dedup import merge_token_intervals
+
+    rows = [(d, s, s + ln - 1) for d, s, ln in items]
+    cuts = spark.createDataFrame(rows, "doc long, s long, e long")
+    got = merge_token_intervals(cuts).collect()
+
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        assert r.cut_tokens == r.cut_end - r.cut_start + 1
+        by_doc.setdefault(r.doc, []).append((r.cut_start, r.cut_end))
+    want_docs = {d for d, _, _ in rows}
+    assert set(by_doc) == want_docs
+    for d, ivals in by_doc.items():
+        ivals.sort()
+        # disjoint and non-adjacent: each starts >= prev end + 2
+        for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
+            assert s2 > e1 + 1, f"doc {d}: {ivals} not fully merged"
+        covered = set()
+        for s, e in ivals:
+            covered.update(range(s, e + 1))
+        want = set()
+        for dd, s, e in rows:
+            if dd == d:
+                want.update(range(s, e + 1))
+        assert covered == want, f"doc {d}: coverage mismatch"
