@@ -239,14 +239,14 @@ def test_changed_queries_have_a_reverify_plan():
     )
 
 
-def test_reverify_queued_names_match_oracle_at_sf01(spark):
-    """Every stale-evidence name (_REVERIFY_QUEUED: source changed
-    after its last driver-green round) gets the 10x-data oracle check
-    while it waits for a driver window slot — the deepest local
-    evidence available for code the driver hasn't re-seen."""
+def test_reverify_names_match_oracle_at_sf01(spark):
+    """Every stale-evidence name (_REVERIFY in-window slots and any
+    _REVERIFY_QUEUED waiting for one: source changed after the last
+    driver-green round) gets the 10x-data oracle check — the deepest
+    local evidence available for code the driver hasn't re-seen."""
     import __spark_entry__ as e
 
-    for name in e._REVERIFY_QUEUED:
+    for name in e._REVERIFY + e._REVERIFY_QUEUED:
         q = QUERIES[name]
         df = q.build(spark, "/root/testdata/sf0.1")
         if q.oracle is None:
@@ -256,3 +256,4 @@ def test_reverify_queued_names_match_oracle_at_sf01(spark):
             assert df.count() > 0, name
         else:
             assert_matches_oracle(df, q.oracle, "/root/testdata/sf0.1")
+        spark.catalog.clearCache()
