@@ -218,6 +218,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_span_excision_apply",  # round-6 new: apply the cuts row-locally
     "text_decontamination_offsets",  # round-6 new: eval-set decontamination
     "pipeline_decontamination_report",  # round-6 new: per-source cut stats
+    "ev_rfm_segments",  # round-6 new: scale-safe quintile segmentation
 )
 
 # Verified queries whose build source changed after their last

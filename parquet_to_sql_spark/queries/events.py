@@ -1042,3 +1042,123 @@ def ev_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+_DUCK_EPOCH_TS = "CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)"
+
+
+def _duck_rfm_bounds(metric: str, alias: str) -> str:
+    """Quintile boundaries for one RFM metric via the count-histogram
+    method (type-1 lower quantiles over per-user values)."""
+    return f"""(
+      SELECT
+        MIN(CASE WHEN cum*100 >= 20*n THEN v END) AS {alias}20,
+        MIN(CASE WHEN cum*100 >= 40*n THEN v END) AS {alias}40,
+        MIN(CASE WHEN cum*100 >= 60*n THEN v END) AS {alias}60,
+        MIN(CASE WHEN cum*100 >= 80*n THEN v END) AS {alias}80
+      FROM (
+        SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n
+        FROM (SELECT {metric} AS v, COUNT(*) AS cnt FROM u GROUP BY {metric})
+      )
+    )"""
+
+
+@query(
+    "ev_rfm_segments",
+    tags=("events", "quantiles", "segmentation", "scale-path"),
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX({_DUCK_EPOCH_TS}) AS r,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    ),
+    rb AS {_duck_rfm_bounds('r', 'r')},
+    fb AS {_duck_rfm_bounds('f', 'f')},
+    mb AS {_duck_rfm_bounds('m', 'm')},
+    scored AS (
+      SELECT
+        1 + (CASE WHEN r > r20 THEN 1 ELSE 0 END)
+          + (CASE WHEN r > r40 THEN 1 ELSE 0 END)
+          + (CASE WHEN r > r60 THEN 1 ELSE 0 END)
+          + (CASE WHEN r > r80 THEN 1 ELSE 0 END) AS r_score,
+        1 + (CASE WHEN f > f20 THEN 1 ELSE 0 END)
+          + (CASE WHEN f > f40 THEN 1 ELSE 0 END)
+          + (CASE WHEN f > f60 THEN 1 ELSE 0 END)
+          + (CASE WHEN f > f80 THEN 1 ELSE 0 END) AS f_score,
+        1 + (CASE WHEN m > m20 THEN 1 ELSE 0 END)
+          + (CASE WHEN m > m40 THEN 1 ELSE 0 END)
+          + (CASE WHEN m > m60 THEN 1 ELSE 0 END)
+          + (CASE WHEN m > m80 THEN 1 ELSE 0 END) AS m_score,
+        m
+      FROM u, rb, fb, mb
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(m) AS BIGINT) AS m_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic user-value cube, built SCALE-SAFE: the naive
+    formulation is ``ntile(5) OVER (ORDER BY metric)`` three times,
+    each an unpartitioned global sort of every user row in ONE task.
+    Here each metric's quintile boundaries come from the exact
+    count-histogram method instead (per-value counts, then the
+    DISTRIBUTED prefix sum of operators.prefix over the distinct
+    values — no unpartitioned window anywhere), and the four
+    boundaries per metric ride a 1-row broadcast attach; scoring is
+    then row-local comparisons.  All integer (epoch seconds, counts,
+    cents): value-exact cross-engine.  Higher epoch = more recent =
+    higher r_score, matching the marketing convention."""
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).cast("long").alias("r"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("m"),
+    )
+
+    def bounds(metric: str) -> DataFrame:
+        counts = users.groupBy(F.col(metric).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cum = prefix_sum(counts, ["v"], "cnt", "cum")
+        total = cum.agg(F.max("cum").alias("n"))
+        return (
+            cum.crossJoin(F.broadcast(total))  # 1-row attach
+            .agg(
+                *[
+                    F.min(
+                        F.when(
+                            F.col("cum") * 100 >= F.lit(q) * F.col("n"),
+                            F.col("v"),
+                        )
+                    ).alias(f"{metric}{q}")
+                    for q in (20, 40, 60, 80)
+                ]
+            )
+        )
+
+    b = bounds("r").crossJoin(bounds("f")).crossJoin(bounds("m"))
+
+    def score(metric: str) -> F.Column:
+        s = F.lit(1)
+        for q in (20, 40, 60, 80):
+            s = s + F.when(
+                F.col(metric) > F.col(f"{metric}{q}"), 1
+            ).otherwise(0)
+        return s.alias(f"{metric}_score")
+
+    scored = users.crossJoin(F.broadcast(b)).select(
+        score("r"), score("f"), score("m"), "m"
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("m").cast("long").alias("m_cents"),
+    )
