@@ -59,3 +59,24 @@ def test_committed_baseline_covers_every_gate_query():
     assert missing == [], f"queries without a plan baseline: {missing}"
     for name, counts in baseline.items():
         assert {"scans", "shuffles"} <= set(counts), name
+
+
+def test_scaling_artifact_has_no_superlinear_queries():
+    """SCALING.json (scripts/scale_sweep.py --write) is the empirical
+    complement to the static plan gate: the committed snapshot must
+    cover the headline set and record no query past the super-linear
+    flag ratio on the 10x top step."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    snap = json.loads((REPO / "SCALING.json").read_text())
+    flag = snap["flag_ratio"]
+    rows = snap["queries"]
+    headline = {n for n, q in all_queries().items() if q.headline}
+    missing = sorted(headline - set(rows))
+    assert missing == [], f"headline queries missing from SCALING.json: {missing}"
+    bad = {
+        n: r["top_step_ratio"]
+        for n, r in rows.items()
+        if r["top_step_ratio"] > flag
+    }
+    assert bad == {}, f"super-linear snapshot rows: {bad}"
