@@ -1031,3 +1031,29 @@ def test_bucketed_gram_index_self_join_shuffle_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS gram_idx")
+
+
+def test_shared_broadcast_eviction_is_safe_for_lazy_plans(spark):
+    """The LRU registry's safety claim, executed: build a lazy
+    DataFrame over a shared broadcast, flood the registry until that
+    broadcast is EVICTED (unpersisted), then collect — Spark re-ships
+    an unpersisted (non-destroyed) broadcast on demand, so the plan
+    must still produce correct results."""
+    from parquet_to_sql_spark.operators import broadcast_cache as bc
+    from parquet_to_sql_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    ref = spark.range(0, 50).selectExpr("id AS k")
+    bloom = bloom_build(ref, "k", expected_items=50, fpp=0.01)
+    probe_df = bloom_probe(
+        spark.range(0, 200).selectExpr("id AS k"), "k", bloom
+    )
+    # flood: evict everything currently registered, including the
+    # filter bytes probe_df's closure still holds a handle to
+    for i in range(bc._CAPACITY + 1):
+        bc.shared_broadcast(spark, f"evict-flood-{i}", lambda: b"x")
+    survivors = {r.k for r in probe_df.collect()}
+    assert set(range(50)) <= survivors, "true members lost after eviction"
+    assert len(survivors) <= 60  # ~fpp false positives only
