@@ -219,6 +219,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_decontamination_offsets",  # round-6 new: eval-set decontamination
     "pipeline_decontamination_report",  # round-6 new: per-source cut stats
     "ev_rfm_segments",  # round-6 new: scale-safe quintile segmentation
+    "simsearch_hard_negatives",  # round-6 new: contrastive negative mining
 )
 
 # Verified queries whose build source changed after their last

@@ -1030,3 +1030,61 @@ def mmr_rerank_int(
             step.select("query_id", F.col("neighbor_id").alias("picked"))
         )
     return out
+
+
+def hard_negatives_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    pool: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training —
+    retrieve-then-filter, the standard production recipe: from each
+    query's top-``pool`` retrieval candidates (exact quantized-integer
+    dot, the flat-scan baseline), DROP candidates assigned to the
+    query's own coarse cluster (the likely-positive neighborhood —
+    nearest-centroid assignment, same as the IVF family) and return
+    the ``k`` highest-scoring survivors: maximally confusable
+    negatives that are still outside the positive's semantic cell.
+
+    Deterministic end to end (integer scores, cosine assignment with
+    ties to the lower centroid id, rank ties to the lower neighbor
+    id), so the whole mine is value-exact cross-engine.  Mining from a
+    bounded retrieval pool is the DEFINITION here, not an
+    approximation — production miners sample negatives from the top-N
+    retrieved, never from an exhaustive out-of-cluster scan.
+
+    Scale shape: int_matmul_topk's budget (corpus never shuffles) +
+    one broadcast centroid assignment + two broadcast-able joins of
+    the pool (queries*pool rows, tiny) onto the assignment relation.
+
+    Returns (query_id, neighbor_id, score_q, neg_rank), neg_rank 1..k.
+    """
+    assigned = ivf_assign(df, id_col, vec_col, centroids).select(
+        F.col(id_col), "centroid_id"
+    )
+    pool_df = int_matmul_topk(df, id_col, vec_col, queries, k=pool).select(
+        "query_id", "neighbor_id", "score_q"
+    )
+    qcell = assigned.select(
+        F.col(id_col).alias("query_id"), F.col("centroid_id").alias("_qc")
+    )
+    ncell = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("_nc")
+    )
+    hard = (
+        pool_df.join(qcell, "query_id")
+        .join(ncell, "neighbor_id")
+        .filter(F.col("_nc") != F.col("_qc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.col("neighbor_id")
+    )
+    return (
+        hard.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("query_id", "neighbor_id", "score_q", "neg_rank")
+    )

@@ -1124,3 +1124,65 @@ def simsearch_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return mmr_rerank_int(emb, "vec_id", "embedding", queries, pool=8, k=3)
+
+
+_HN_POOL = 16
+
+
+@query(
+    "simsearch_hard_negatives",
+    tags=("simsearch", "embeddings", "training-data", "llm-pipeline",
+          "scale-path"),
+    oracle=f"""
+    WITH {_DUCK_V_CTE},
+    {_duck_cent_seeded()},
+    {_duck_assigned_cte("cent")},
+    vq AS (
+      SELECT vec_id,
+             list_transform(ve, x -> CAST(floor(x * 4096) AS BIGINT)) AS qv
+      FROM v
+    ),
+    qs AS (SELECT vec_id AS qid, qv AS qq FROM vq WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT qid, vec_id AS cid,
+             CAST(list_dot_product(qq, qv) AS BIGINT) AS score_q
+      FROM qs JOIN vq ON vec_id <> qid
+    ),
+    pool AS (
+      SELECT qid, cid, score_q
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY score_q DESC, cid) <= {_HN_POOL}
+    ),
+    hard AS (
+      SELECT p.qid, p.cid, p.score_q
+      FROM pool p
+      JOIN assigned aq ON aq.vec_id = p.qid
+      JOIN assigned an ON an.vec_id = p.cid
+      WHERE an.centroid_id <> aq.centroid_id
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, score_q,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY score_q DESC, cid) AS INT)
+             AS neg_rank
+    FROM hard
+    QUALIFY neg_rank <= {_K}
+    """,
+)
+def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: each
+    query's top-{pool} retrieval candidates (exact integer dot, the
+    flat-scan baseline) minus everything assigned to the query's own
+    coarse cluster (nearest seeded centroid — the likely-positive
+    neighborhood), top-k of the survivors.  Retrieve-then-filter is
+    the production mining recipe; every step is deterministic
+    (integer scores, lower-id tiebreaks) so the mine is value-exact
+    cross-engine.  See operators.simsearch.hard_negatives_topk."""
+    from parquet_to_sql_spark.operators.simsearch import hard_negatives_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    centroids = emb.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+    return hard_negatives_topk(
+        emb, "vec_id", "embedding", queries, centroids, pool=_HN_POOL, k=_K
+    )

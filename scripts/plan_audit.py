@@ -67,6 +67,7 @@ _SANCTIONED_NL = {
     "simsearch_recall_audit",
     "simsearch_rrf_fusion",
     "simsearch_filtered_topk",
+    "simsearch_hard_negatives",
     "dedup_embedding_cosine",
     "dedup_embedding_ivf_blocked",
     "join_range_bands",

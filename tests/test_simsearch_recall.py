@@ -378,3 +378,34 @@ def test_int_matmul_topk_boundary_ties_keep_global_order(spark):
         f"boundary ties broken against the global order: "
         f"{[r.neighbor_id for r in out]}"
     )
+
+
+def test_hard_negatives_exclude_own_cluster(spark):
+    """The mine must drop the query's cell-mates (likely positives)
+    even when they dominate the retrieval pool, and rank the out-cell
+    survivors by score."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.simsearch import hard_negatives_topk
+
+    rows = [
+        (0, [1.0, 0.0]),     # centroid A
+        (100, [0.0, 1.0]),   # centroid B
+        (1, [0.9, 0.1]),     # query -> cell A
+        (2, [0.95, 0.05]),   # cell A, highest dot vs query
+        (3, [0.85, 0.15]),   # cell A
+        (101, [0.4, 0.6]),   # cell B
+        (102, [0.3, 0.7]),   # cell B
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 1)
+    cents = emb.filter(F.col("vec_id").isin(0, 100))
+    got = [
+        (r.neg_rank, r.neighbor_id)
+        for r in hard_negatives_topk(
+            emb, "vec_id", "embedding", q, cents, pool=6, k=2
+        ).orderBy("neg_rank").collect()
+    ]
+    # 2 and 3 (and centroid 0 itself) share the query's cell -> excluded;
+    # out-cell candidates ranked by integer dot: 101 > 102
+    assert got == [(1, 101), (2, 102)], got
