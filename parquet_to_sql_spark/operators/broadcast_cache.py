@@ -22,14 +22,18 @@ session regardless of how many thousands of operator calls are made.
 from __future__ import annotations
 
 import hashlib
+import threading
 from collections import OrderedDict
 from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 
 _CAPACITY = 32
-# (applicationId, digest) -> Broadcast
+# (applicationId, digest) -> Broadcast; guarded by _LOCK — concurrent
+# driver threads (a common Spark pattern) would otherwise race a get
+# against another thread's LRU eviction (r6 review)
 _REGISTRY: OrderedDict[tuple[str, str], Any] = OrderedDict()
+_LOCK = threading.Lock()
 
 
 def payload_digest(*chunks: bytes) -> str:
@@ -49,14 +53,23 @@ def shared_broadcast(
     Spark application.  LRU-evicts (and unpersists) beyond capacity."""
     sc = spark.sparkContext
     key = (sc.applicationId, digest)
-    bc = _REGISTRY.get(key)
-    if bc is not None:
-        _REGISTRY.move_to_end(key)
-        return bc
-    bc = sc.broadcast(factory())
-    _REGISTRY[key] = bc
-    while len(_REGISTRY) > _CAPACITY:
-        _, old = _REGISTRY.popitem(last=False)
+    with _LOCK:
+        bc = _REGISTRY.get(key)
+        if bc is not None:
+            _REGISTRY.move_to_end(key)
+            return bc
+    payload = factory()  # build outside the lock — may be expensive
+    with _LOCK:
+        bc = _REGISTRY.get(key)  # another thread may have won the race
+        if bc is not None:
+            _REGISTRY.move_to_end(key)
+            return bc
+        bc = sc.broadcast(payload)
+        _REGISTRY[key] = bc
+        evicted = []
+        while len(_REGISTRY) > _CAPACITY:
+            evicted.append(_REGISTRY.popitem(last=False)[1])
+    for old in evicted:
         try:
             old.unpersist(blocking=False)
         except Exception:
@@ -65,4 +78,5 @@ def shared_broadcast(
 
 
 def registry_size() -> int:
-    return len(_REGISTRY)
+    with _LOCK:
+        return len(_REGISTRY)

@@ -808,11 +808,14 @@ def int_matmul_topk(
     inputs — same discipline as KMEANS_QUANT), and integer addition
     is associative, so the numpy accumulation order is irrelevant and
     a DuckDB oracle computes the identical integers.  Local-top-k +
-    merge is lossless even under boundary ties: each partition keeps
-    every row scoring >= its (k+1)-th best, a superset of the
-    partition's members of the global (score DESC, neighbor_id ASC)
-    top-k — score-only argpartition could drop a tied row the global
-    tiebreak would have ranked in (ADVICE r05).
+    merge is lossless even under boundary ties AND stays bounded:
+    each partition keeps exactly k+1 rows per query — everything
+    strictly above the boundary score plus the smallest-neighbor-id
+    rows tied at it — a superset of the partition's members of the
+    global (score DESC, neighbor_id ASC) top-k (score-only
+    argpartition could drop a tied row the global tiebreak would
+    have ranked in — ADVICE r05; keeping ALL ties would emit
+    O(batch) rows on heavily tied data — r6 review).
 
     Scale shape: corpus never shuffles (candidates only — P*Q*k tiny
     rows); queries ride a shared session broadcast as one small
@@ -869,12 +872,25 @@ def int_matmul_topk(
             for j in range(len(b_qids)):
                 col = scores[:, j]
                 if len(col) > kk:
-                    # keep EVERY row tied with the kk-th best score:
-                    # a superset of the global (score DESC, id ASC)
-                    # top-kk, so boundary ties can never be dropped
-                    # by an arbitrary partition-local ordering
+                    # BOUNDED tie-safe selection: all rows strictly
+                    # above the kk-th best score (at most kk-1), plus
+                    # the smallest-neighbor-id rows tied AT it, filled
+                    # to exactly kk rows.  Lossless for the global
+                    # (score DESC, neighbor_id ASC) order: if t tied
+                    # rows of this partition reach the global top-kk,
+                    # they are its t smallest-id tied rows and
+                    # t <= kk - |above| (the above-thresh rows all
+                    # outrank them).  Keeping every tied row instead
+                    # would emit O(batch) rows per query on heavily
+                    # tied data (all-zero / quantization-collapsed
+                    # vectors), breaking the P*Q*k candidate bound.
                     thresh = np.partition(col, len(col) - kk)[len(col) - kk]
-                    top = np.nonzero(col >= thresh)[0]
+                    above = np.nonzero(col > thresh)[0]
+                    tied = np.nonzero(col == thresh)[0]
+                    need = kk - len(above)
+                    if need < len(tied):
+                        tied = tied[np.argsort(ids[tied], kind="stable")[:need]]
+                    top = np.concatenate([above, tied])
                 else:
                     top = np.arange(len(col))
                 yield pd.DataFrame(
@@ -1058,21 +1074,23 @@ def hard_negatives_topk(
     retrieved, never from an exhaustive out-of-cluster scan.
 
     Scale shape: int_matmul_topk's budget (corpus never shuffles) +
-    one broadcast centroid assignment + two broadcast-able joins of
-    the pool (queries*pool rows, tiny) onto the assignment relation.
+    broadcast centroid assignment of the query set (tiny) and of the
+    corpus + two broadcast-able joins of the pool (queries*pool rows,
+    tiny) onto the assignments.  Queries need NOT be corpus members.
 
     Returns (query_id, neighbor_id, score_q, neg_rank), neg_rank 1..k.
     """
-    assigned = ivf_assign(df, id_col, vec_col, centroids).select(
-        F.col(id_col), "centroid_id"
-    )
+    # assign the QUERY vectors directly (not via a join against the
+    # corpus assignment): queries need not be corpus members — with a
+    # held-out anchor set, a corpus-side join would silently drop
+    # every candidate of an external query (r6 review)
     pool_df = int_matmul_topk(df, id_col, vec_col, queries, k=pool).select(
         "query_id", "neighbor_id", "score_q"
     )
-    qcell = assigned.select(
+    qcell = ivf_assign(queries, id_col, vec_col, centroids).select(
         F.col(id_col).alias("query_id"), F.col("centroid_id").alias("_qc")
     )
-    ncell = assigned.select(
+    ncell = ivf_assign(df, id_col, vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("_nc")
     )
     hard = (

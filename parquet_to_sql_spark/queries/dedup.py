@@ -1104,21 +1104,7 @@ def _duck_apply_excisions_oracle(k: int, min_tokens: int, max_occ: int) -> str:
              CAST(start1 + d AS BIGINT) AS s,
              CAST(start1 + d + span_tokens - 1 AS BIGINT) AS e
       FROM spans WHERE span_tokens >= {min_tokens}
-    ),
-    flagged AS (
-      SELECT doc, s, e,
-             CASE WHEN MAX(e) OVER w IS NULL
-                    OR s > MAX(e) OVER w + 1
-                  THEN 1 ELSE 0 END AS ni
-      FROM cuts
-      WINDOW w AS (PARTITION BY doc ORDER BY s, e
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    ),
-    islands AS (
-      SELECT doc, s, e,
-             SUM(ni) OVER (PARTITION BY doc ORDER BY s, e) AS island
-      FROM flagged
-    ),
+    ){_DUCK_INTERVAL_MERGE},
     merged AS (
       SELECT doc, MIN(s) AS cut_start, MAX(e) AS cut_end,
              MAX(e) - MIN(s) + 1 AS cut_tokens

@@ -1116,13 +1116,18 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_to_sql_spark.operators.prefix import prefix_sum
 
     ev = load_table(spark, sf_dir, "events")
+    # materialized ONCE: the relation feeds three bounds() pipelines
+    # (each eagerly executed by prefix_sum's driver collect) plus the
+    # scoring pass — without truncation that is four events scans and
+    # four per-user aggregate shuffles for one logical aggregate
+    # (r6 review; same pattern as mmr_rerank_int's pool)
     users = ev.groupBy("user_id").agg(
         F.max(F.unix_timestamp("ts")).cast("long").alias("r"),
         F.count(F.lit(1)).cast("long").alias("f"),
         F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
         .cast("long")
         .alias("m"),
-    )
+    ).localCheckpoint()
 
     def bounds(metric: str) -> DataFrame:
         counts = users.groupBy(F.col(metric).alias("v")).agg(

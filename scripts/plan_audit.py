@@ -180,11 +180,12 @@ def main(argv: list[str]) -> int:
             print(f"  {r}")
         rc = 1
     if update:
-        if argv:
-            # partial sweep: merge into the existing baseline
-            merged = dict(baseline)
-            merged.update(measured)
-            measured = merged
+        # ALWAYS merge into the existing baseline: a full sweep with
+        # one errored query must not silently drop that query's
+        # ratchet entry from the artifact (r6 review)
+        merged = dict(baseline)
+        merged.update(measured)
+        measured = merged
         with open(_BASELINE_PATH, "w") as f:
             json.dump(dict(sorted(measured.items())), f, indent=1)
             f.write("\n")

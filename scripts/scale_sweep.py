@@ -90,6 +90,11 @@ def main(argv: list[str]) -> int:
         if ratio > FLAG_RATIO:
             flag = f" SUPER-LINEAR ({ratio}x for 10x data)!"
             flagged.append(n)
+        elif ratio <= 0:
+            # a query that ERRORS at any scale factor is the most
+            # broken a scale gate can see — never a pass (r6 review)
+            flag = " ERRORED!"
+            flagged.append(n)
         print(
             f"{n:38s} {row['0.001']:7.3f} {row['0.01']:7.3f} "
             f"{row['0.1']:7.3f}  x{ratio}{flag}"

@@ -77,6 +77,8 @@ def test_scaling_artifact_has_no_superlinear_queries():
     bad = {
         n: r["top_step_ratio"]
         for n, r in rows.items()
-        if r["top_step_ratio"] > flag
+        # <= 0 means the query ERRORED at some scale factor — the most
+        # broken outcome a scale gate can record, never a pass
+        if r["top_step_ratio"] > flag or r["top_step_ratio"] <= 0
     }
-    assert bad == {}, f"super-linear snapshot rows: {bad}"
+    assert bad == {}, f"super-linear or errored snapshot rows: {bad}"
