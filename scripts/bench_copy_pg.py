@@ -78,7 +78,11 @@ def main() -> int:
 
         copy_lines(df).count()
         results: dict[str, float] = {}
-        for label, writers in (("copy_1writer", 1), ("copy_parallel", 8)):
+        # copy_parallel really is one writer PER PARTITION: with 32
+        # shuffle partitions, 8 writers under-parallelized the sink
+        # (r6 A/B: 8w 150k, 16w 163k, 32w 202k rows/s) — writers
+        # follow the partition count
+        for label, writers in (("copy_1writer", 1), ("copy_parallel", int(cpus))):
             conn = pg_wire.connect(dsn)
             cur = conn.cursor()
             cur.execute("DROP TABLE IF EXISTS lineitem_bench")
