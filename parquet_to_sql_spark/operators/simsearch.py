@@ -474,10 +474,11 @@ def ivfpq_adc_topk(
       3. encode — one broadcast cross join against the tiny codebook
          + one groupBy with PQ_SUBS min(struct) arg-mins (map-side);
       4. probes + distance table — queries x nprobe x |codes| rows,
-         tiny, broadcast;
-      5. score — PQ_SUBS broadcast hash joins on
-         (centroid, code); candidates in unprobed cells are pruned by
-         the first join.
+         tiny, rolled up to one (centroid, code) -> distances map per
+         query and broadcast;
+      5. score — ONE broadcast join + PQ_SUBS row-local map lookups;
+         candidates in unprobed cells look up NULL and are dropped
+         (the map only contains probed cells).
 
     Determinism: residual subtraction is exact, subspace L2 folds are
     sequential left-folds, the ADC sum is one fixed-order expression,
@@ -551,38 +552,57 @@ def ivfpq_adc_topk(
             residual_expr("_qv", "_cent_vec").alias("_rq"),
         )
     )
-    # tiny (queries x nprobe x |codes| rows) but referenced once per
-    # subspace below — materialize once or the probe/residual lineage
-    # (incl. its scans) replays PQ_SUBS times
     dt = qres.crossJoin(codes).select(
         "query_id",
         F.col("centroid_id").alias("_dt_cent"),
         "_code_id",
-        *[l2sq_sub_expr("_rq", "_cv", s).alias(f"d{s}") for s in range(PQ_SUBS)],
-    ).localCheckpoint()
-    # 5. ADC scoring: PQ_SUBS broadcast joins on (centroid, code)
-    cur = enc
+        F.array(
+            *[l2sq_sub_expr("_rq", "_cv", s) for s in range(PQ_SUBS)]
+        ).alias("_ds"),
+    )
+    # 5. ADC scoring as ONE broadcast join + row-local map lookups:
+    # per query, a map (centroid, code) -> [d0..d{S-1}] containing
+    # only PROBED cells; a candidate in an unprobed cell looks up
+    # NULL and is dropped — same pruning the r5 shape got from its
+    # first join, without chaining PQ_SUBS broadcast joins (the same
+    # rewrite as pq_adc_topk; distinct keys make collect_list order
+    # irrelevant)
+    dmap = dt.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.struct(
+                        F.col("_dt_cent").alias("ct"),
+                        F.col("_code_id").alias("cd"),
+                    ).alias("key"),
+                    F.col("_ds").alias("value"),
+                )
+            )
+        ).alias("_dmap")
+    )
+    cur = enc.crossJoin(F.broadcast(dmap))
+    approx = None
     for s in range(PQ_SUBS):
-        dts = dt.select(
-            F.col("query_id").alias(f"_q{s}"),
-            F.col("_dt_cent").alias(f"_cent{s}"),
-            F.col("_code_id").alias(f"_code{s}"),
-            F.col(f"d{s}").alias(f"_d{s}"),
+        term = F.element_at(
+            F.element_at(
+                F.col("_dmap"),
+                F.struct(
+                    F.col("centroid_id").alias("ct"),
+                    F.col(f"c{s}").alias("cd"),
+                ),
+            ),
+            s + 1,
         )
-        cond = (F.col("centroid_id") == F.col(f"_cent{s}")) & (
-            F.col(f"c{s}") == F.col(f"_code{s}")
+        approx = term if approx is None else approx + term
+    scored = (
+        cur.select(
+            F.col("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            approx.alias("approx_l2sq"),
         )
-        if s > 0:
-            cond = cond & (F.col("_q0") == F.col(f"_q{s}"))
-        cur = cur.join(F.broadcast(dts), cond)
-    approx = F.col("_d0")
-    for s in range(1, PQ_SUBS):
-        approx = approx + F.col(f"_d{s}")
-    scored = cur.select(
-        F.col("_q0").alias("query_id"),
-        F.col(id_col).alias("neighbor_id"),
-        approx.alias("approx_l2sq"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("approx_l2sq").isNotNull())
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_l2sq"), F.col("neighbor_id")
     )
@@ -611,18 +631,21 @@ def pq_adc_topk(
     PQ_SUBS table entries instead of touching any float vector.
 
     Plan shape: the distance table is queries x codebook
-    (tiny: nq * |codes| rows) and is broadcast; the corpus joins it
-    once per subspace on (query, code_s) — PQ_SUBS broadcast hash
-    joins, zero corpus shuffles — and the final sum is one
-    fixed-order expression (d0 + d1 + ... ), keeping the float result
+    (tiny: nq * |codes| rows), rolled up to ONE map column per query
+    (code_id -> the PQ_SUBS per-subspace distances) and broadcast;
+    each corpus row scores with PQ_SUBS row-local map lookups —
+    a single broadcast join, zero corpus shuffles (the r5 shape
+    chained PQ_SUBS separate broadcast hash joins, each rebuilding
+    the corpus x queries intermediate — one join + element_at
+    lookups measured materially faster and is the textbook ADC
+    table-lookup shape).  The final sum is one fixed-order
+    expression (d0 + d1 + ...), keeping the float result
     deterministic and cross-engine exact.  Top-k per query by
     (approx_l2sq ASC, candidate id).  Returns
     (query_id, neighbor_id, approx_l2sq, rank)."""
     qid_c, cid_c = f"q_{id_col}", id_col
     enc = pq_encode(df, id_col, vec_col, codes)
     q = queries.select(F.col(id_col).alias(qid_c), F.col(vec_col).alias("_qv"))
-    # referenced once per subspace below — materialize the tiny
-    # (queries x |codes|) table once
     dt = q.crossJoin(
         F.broadcast(
             codes.select(
@@ -633,24 +656,26 @@ def pq_adc_topk(
     ).select(
         F.col(qid_c),
         F.col("_code_id"),
-        *[l2sq_sub_expr("_qv", "_cv", s).alias(f"d{s}") for s in range(PQ_SUBS)],
-    ).localCheckpoint()
-    cur = enc
+        F.array(
+            *[l2sq_sub_expr("_qv", "_cv", s) for s in range(PQ_SUBS)]
+        ).alias("_ds"),
+    )
+    # one map per query: code_id -> [d0..d{S-1}] (distinct keys, so
+    # collect_list order is irrelevant to the map's content)
+    dmap = dt.groupBy(qid_c).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_code_id"), F.col("_ds")))
+        ).alias("_dmap")
+    )
+    cur = enc.crossJoin(F.broadcast(dmap))
+    approx = None
     for s in range(PQ_SUBS):
-        dts = dt.select(
-            F.col(qid_c).alias(f"_q{s}"),
-            F.col("_code_id").alias(f"_code{s}"),
-            F.col(f"d{s}").alias(f"_d{s}"),
+        term = F.element_at(
+            F.element_at(F.col("_dmap"), F.col(f"c{s}")), s + 1
         )
-        cond = F.col(f"c{s}") == F.col(f"_code{s}")
-        if s > 0:
-            cond = cond & (F.col("_q0") == F.col(f"_q{s}"))
-        cur = cur.join(F.broadcast(dts), cond)
-    approx = F.col("_d0")
-    for s in range(1, PQ_SUBS):
-        approx = approx + F.col(f"_d{s}")
+        approx = term if approx is None else approx + term
     scored = cur.select(
-        F.col("_q0").alias("query_id"),
+        F.col(qid_c).alias("query_id"),
         F.col(cid_c).alias("neighbor_id"),
         approx.alias("approx_l2sq"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
