@@ -222,10 +222,21 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "simsearch_hard_negatives",  # round-6 new: contrastive negative mining
 )
 
-# Verified queries whose build source changed after their last
-# driver-green round but could not get a slot this round (window
-# full).  Each must pass sf0.1 oracle parity while it waits.
-_REVERIFY_QUEUED: tuple[str, ...] = ()
+# Verified queries whose build source OR implementing operator
+# changed after their last driver-green round but could not get a
+# slot this round (window full).  Each must pass sf0.1 oracle parity
+# while it waits; they front window 7 alongside _QUEUED_POST_WINDOW.
+_REVERIFY_QUEUED: tuple[str, ...] = (
+    # r6 simhash single-fold rewrite (operators/text.py: simhash_col /
+    # simhash_sketch / new simhash_from_hashes) — bit-identical on the
+    # full sf0.1 corpus, but the shipped code differs from what the
+    # driver last saw
+    "dedup_simhash_buckets", "dedup_simhash_hamming",
+    "dedup_canonical_by_priority", "text_simhash",
+    "dedup_simhash_incremental",
+    # r6 ADC map-lookup rewrite (operators/simsearch.py)
+    "simsearch_pq_adc_topk", "simsearch_ivfpq_adc_topk",
+)
 
 
 def _last_verified_round() -> dict[str, int]:
