@@ -220,6 +220,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_decontamination_report",  # round-6 new: per-source cut stats
     "ev_rfm_segments",  # round-6 new: scale-safe quintile segmentation
     "simsearch_hard_negatives",  # round-6 new: contrastive negative mining
+    "pipeline_token_budget_select",  # round-6 new: budget-capped selection
 )
 
 # Verified queries whose build source OR implementing operator

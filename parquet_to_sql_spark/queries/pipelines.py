@@ -709,3 +709,49 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").cast("long").alias("weight")
     )
     return weighted_systematic_sample(docs, ["doc_id"], "weight", m=100)
+
+
+@query(
+    "pipeline_token_budget_select",
+    tags=("pipeline", "sampling", "curation", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len({DUCK_WORDS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY -n_chars, doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens
+    FROM w WHERE cum <= 15000
+    """,
+)
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus selection — 'take documents in priority
+    order until the token budget is exhausted', the operation every
+    training-mix assembly ends with.  Priority here is document
+    length (n_chars DESC, doc_id as the total-order tiebreaker);
+    selection = rows whose RUNNING token total stays within the
+    budget (15k tokens — binding at every fixture scale).  The naive formulation is ``SUM(n_tok) OVER (ORDER BY
+    ...)`` with no partition — a single-task global sort of the whole
+    corpus; this uses the DISTRIBUTED two-level prefix sum
+    (operators.prefix, the same machinery as window_global_prefix_sum
+    and the PPS sampler), so no task ever holds more than its own
+    range partition.  All integer, value-exact cross-engine."""
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    t = docs.select(
+        "doc_id",
+        (-F.col("n_chars")).alias("_neg_pri"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    ranked = prefix_sum(t, ["_neg_pri", "doc_id"], "n_tok", "cum_tokens")
+    return ranked.filter(F.col("cum_tokens") <= 15000).select(
+        "doc_id", "n_tok", "cum_tokens"
+    )
