@@ -221,6 +221,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "ev_rfm_segments",  # round-6 new: scale-safe quintile segmentation
     "simsearch_hard_negatives",  # round-6 new: contrastive negative mining
     "pipeline_token_budget_select",  # round-6 new: budget-capped selection
+    "agg_weighted_quantiles_tokens",  # round-6 new: token-mass percentiles
 )
 
 # Verified queries whose build source OR implementing operator

@@ -650,3 +650,64 @@ def agg_exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
             for p in (25, 50, 75, 90, 99)
         ]
     )
+
+
+@query(
+    "agg_weighted_quantiles_tokens",
+    tags=("aggregation", "quantiles", "profiling", "llm-pipeline",
+          "scale-path"),
+    oracle="""
+    WITH t AS (
+      SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS v
+      FROM documents
+    ),
+    c AS (SELECT v, SUM(v) AS w FROM t GROUP BY v),
+    s AS (
+      SELECT v, SUM(w) OVER (ORDER BY v) AS cum, SUM(w) OVER () AS tot
+      FROM c
+    )
+    SELECT
+      MIN(CASE WHEN cum*100 >= 25*tot THEN v END) AS p25_tokens,
+      MIN(CASE WHEN cum*100 >= 50*tot THEN v END) AS p50_tokens,
+      MIN(CASE WHEN cum*100 >= 75*tot THEN v END) AS p75_tokens,
+      MIN(CASE WHEN cum*100 >= 90*tot THEN v END) AS p90_tokens,
+      MIN(CASE WHEN cum*100 >= 99*tot THEN v END) AS p99_tokens
+    FROM s
+    """,
+)
+def agg_weighted_quantiles_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-MASS-weighted document-length percentiles — the length
+    distribution a data card should actually report: 'half the TOKENS
+    live in documents of at most p50_tokens tokens', not 'half the
+    documents are shorter than X' (the unweighted median wildly
+    understates where the training mass sits when lengths are
+    skewed).  Same exact count-histogram method as
+    agg_exact_quantiles_histogram with weight = the value itself,
+    cumulated by the DISTRIBUTED prefix sum over the distinct length
+    values (no unpartitioned window, no global sort); the smallest
+    length whose cumulative token mass reaches p% of the total, all
+    integer."""
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("v")
+    )
+    c = t.groupBy("v").agg(F.sum("v").alias("w"))
+    s = prefix_sum(c, ["v"], "w", "cum")
+    tot = s.agg(F.max("cum").alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(tot))  # 1-row total attach
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.lit(p) * F.col("tot"),
+                        F.col("v"),
+                    )
+                ).alias(f"p{p}_tokens")
+                for p in (25, 50, 75, 90, 99)
+            ]
+        )
+    )

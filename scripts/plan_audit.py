@@ -43,6 +43,7 @@ _BASELINE_PATH = os.path.join(
 # the audit until adjudicated here.
 _SANCTIONED_NL = {
     # 1-row stats attaches
+    "agg_weighted_quantiles_tokens",
     "ev_rfm_segments",
     "text_bm25_rational",
     "sample_weighted_pps",
