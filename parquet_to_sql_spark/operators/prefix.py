@@ -49,6 +49,18 @@ def prefix_sum(
     for the offsets, one broadcast join back.  No task ever holds more
     than its own partition; contrast with the unpartitioned-window
     formulation, which is a single-task global sort.
+
+    The localCheckpoint materializes the ranged relation once because
+    TWO actions consume it (partition totals, then the windowed pass)
+    and repartitionByRange samples boundaries non-deterministically —
+    recomputing could route rows differently between the passes.  The
+    checkpoint-free alternative (derive deterministic range boundaries
+    from an exact key histogram, bucket row-locally, aggregate + window
+    per bucket) trades the full materialization for one extra pass
+    over the INPUT lineage — the right swap only when that lineage is
+    a cheap re-scan; callers with expensive upstreams (e.g. the RFM
+    per-user aggregate) should hand this operator a checkpointed
+    input either way, which is why materialize-once is the default.
     """
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
