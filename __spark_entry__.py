@@ -222,6 +222,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "simsearch_hard_negatives",  # round-6 new: contrastive negative mining
     "pipeline_token_budget_select",  # round-6 new: budget-capped selection
     "agg_weighted_quantiles_tokens",  # round-6 new: token-mass percentiles
+    "pipeline_mix_rebalance_report",  # round-6 new: mixture rebalance factors
 )
 
 # Verified queries whose build source OR implementing operator

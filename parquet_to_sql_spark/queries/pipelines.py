@@ -755,3 +755,69 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("cum_tokens") <= 15000).select(
         "doc_id", "n_tok", "cum_tokens"
     )
+
+
+@query(
+    "pipeline_mix_rebalance_report",
+    tags=("pipeline", "mixture", "curation", "llm-pipeline"),
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({DUCK_WORDS})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    g AS (
+      SELECT t.*, CAST(SUM(tokens) OVER () AS BIGINT) AS tot,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+      FROM t
+    )
+    SELECT source, n_docs, tokens,
+           ((tokens * 1000) // tot) * 1000
+             + (((tokens * 1000) % tot) * 1000) // tot AS share_ppm,
+           tot // n_src AS target_tokens,
+           (((tot // n_src) * 1000) // tokens) * 1000
+             + ((((tot // n_src) * 1000) % tokens) * 1000) // tokens
+             AS factor_ppm
+    FROM g
+    """,
+)
+def pipeline_mix_rebalance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing report: per source, the actual token
+    share and the SAMPLING FACTOR (exact ppm; > 1e6 = upsample,
+    < 1e6 = downsample) that would move the mix to the uniform target
+    share — the table a mixture-tuning run starts from, and the input
+    pipeline_mixture_sample's rates come from.  All integer: shares
+    and factors via the two-stage x1000 division (overflow budget
+    tokens*1000 < 2^63 per source), uniform target as one exact
+    integer division of the total.  One aggregation pass; the totals
+    ride an unpartitioned window over the per-source rows (bounded by
+    source cardinality — a side table, not the corpus)."""
+    from parquet_to_sql_spark.operators.text import ws_tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.col("text"))).cast("long"))
+        .cast("long")
+        .alias("tokens"),
+    )
+    w = Window.partitionBy()
+    g = t.withColumn("tot", F.sum("tokens").over(w).cast("long")).withColumn(
+        "n_src", F.count(F.lit(1)).over(w).cast("long")
+    )
+    share = (
+        "((tokens * 1000) div tot) * 1000"
+        " + (((tokens * 1000) % tot) * 1000) div tot"
+    )
+    factor = (
+        "(((tot div n_src) * 1000) div tokens) * 1000"
+        " + ((((tot div n_src) * 1000) % tokens) * 1000) div tokens"
+    )
+    return g.select(
+        "source", "n_docs", "tokens",
+        F.expr(share).alias("share_ppm"),
+        F.expr("tot div n_src").alias("target_tokens"),
+        F.expr(factor).alias("factor_ppm"),
+    )
