@@ -223,6 +223,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_token_budget_select",  # round-6 new: budget-capped selection
     "agg_weighted_quantiles_tokens",  # round-6 new: token-mass percentiles
     "pipeline_mix_rebalance_report",  # round-6 new: mixture rebalance factors
+    "text_ngram_novelty",  # round-6 new: corpus-order shingle novelty
+    "agg_mode_per_group",  # round-6 new: skew-safe exact mode
 )
 
 # Verified queries whose build source OR implementing operator

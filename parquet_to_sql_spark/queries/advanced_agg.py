@@ -711,3 +711,53 @@ def agg_weighted_quantiles_tokens(spark: SparkSession, sf_dir: str) -> DataFrame
             ]
         )
     )
+
+
+@query(
+    "agg_mode_per_group",
+    tags=("aggregation", "skew-safe"),
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT l_returnflag, l_linestatus,
+           qty AS mode_qty, CAST(cnt AS BIGINT) AS n_rows
+    FROM c
+    QUALIFY row_number() OVER (
+      PARTITION BY l_returnflag, l_linestatus
+      ORDER BY cnt DESC, qty ASC
+    ) = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent value, ties to the smallest
+    value) without a window over the raw rows: count per (group,
+    value) first — map-side partial aggregation soaks up any skew —
+    then argmin of (-count, value) per group via one min(struct)
+    aggregation.  Both shuffles carry pre-aggregated rows bounded by
+    |group x distinct-value|, never raw-row volume; contrast with the
+    textbook row_number()-over-counts formulation the oracle uses,
+    which is fine on the counted relation but a sort the struct-argmin
+    avoids entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counted.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("_neg_cnt"), F.col("qty"))
+            ).alias("_m")
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_m.qty").alias("mode_qty"),
+            (-F.col("_m._neg_cnt")).cast("bigint").alias("n_rows"),
+        )
+    )

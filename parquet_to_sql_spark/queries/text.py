@@ -1041,3 +1041,78 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def _duck_novelty_sh() -> str:
+    """Hashed-shingle (doc, shingle) relation, DuckDB side — same
+    composition as queries.dedup.duck_hashed_sh (which lives
+    downstream of this module and cannot be imported here)."""
+    from parquet_to_sql_spark.functions.hashing import (
+        DUCK_WORD_HASHES,
+        duck_hashed_word_shingles,
+    )
+
+    hw = DUCK_WORD_HASHES.format(words=DUCK_WORDS)
+    return (
+        f"SELECT doc_id AS doc, "
+        f"unnest(list_distinct({duck_hashed_word_shingles(3)})) AS shingle "
+        f"FROM (SELECT doc_id, {hw} AS hw FROM documents)"
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    tags=("text-analysis", "dedup", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH sh0 AS ({_duck_novelty_sh()}),
+    tot AS (SELECT doc, COUNT(*) AS n_sh FROM sh0 GROUP BY doc),
+    firsts AS (SELECT shingle, MIN(doc) AS first_doc FROM sh0 GROUP BY shingle),
+    novel AS (SELECT first_doc AS doc, COUNT(*) AS n_novel
+              FROM firsts GROUP BY first_doc)
+    SELECT t.doc AS doc_id,
+           CAST(t.n_sh AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST((1000000::HUGEINT * COALESCE(n.n_novel, 0)) // t.n_sh AS BIGINT)
+             AS novelty_ppm
+    FROM tot t LEFT JOIN novel n USING (doc)
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty: for each document, the fraction
+    (exact ppm) of its distinct hashed 3-gram shingles that no
+    earlier document (smaller doc_id) contains.  The redundancy-growth
+    curve data curators watch: novelty collapsing toward 0 as a crawl
+    grows means new data is re-crawling old content.  Scale shape:
+    "first seen" is min(doc_id) per shingle — ONE keyed aggregation
+    over the inverted index (map-side partial min), novel counts roll
+    up by that min doc, and the join back to per-doc totals is
+    doc-keyed; no window over corpus order, no pairwise work, nothing
+    driver-side.  Documents shorter than 3 words have no shingles and
+    are absent, like the rest of the shingle family.  The per-doc
+    totals branch re-derives the shingle arrays rather than caching
+    them (2 scans in the plan): materializing a corpus-sized exploded
+    relation for exactly two consumers measured ~2x worse than the
+    recompute in this engine (see the capped-postings A/B in
+    ROUND_NOTES R2-28) and is a storage-memory tax at cluster scale."""
+    from parquet_to_sql_spark.operators.dedup import hashed_shingle_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh0 = hashed_shingle_arrays(docs, "doc_id", "text", 3)
+    per_doc = sh0.select("doc", F.size("shs").alias("n_shingles")).where(
+        F.col("n_shingles") > 0
+    )
+    sh = sh0.select("doc", F.explode("shs").alias("shingle"))
+    firsts = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    novel = firsts.groupBy("first_doc").agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        per_doc.join(novel, per_doc.doc == novel.first_doc, "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * coalesce(n_novel, 0))"
+                " div n_shingles AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
