@@ -225,6 +225,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_mix_rebalance_report",  # round-6 new: mixture rebalance factors
     "text_ngram_novelty",  # round-6 new: corpus-order shingle novelty
     "agg_mode_per_group",  # round-6 new: skew-safe exact mode
+    "pipeline_quality_ablation_report",  # round-6 new: per-rule attribution
+    "text_hash_feature_classify",  # round-6 new: hashing-trick linear model
 )
 
 # Verified queries whose build source OR implementing operator

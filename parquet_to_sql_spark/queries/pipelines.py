@@ -821,3 +821,77 @@ def pipeline_mix_rebalance_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("tot div n_src").alias("target_tokens"),
         F.expr(factor).alias("factor_ppm"),
     )
+
+
+_GOPHER_RULES = (
+    "r_word_count", "r_char_count", "r_mean_word_len", "r_symbol_ratio",
+    "r_alpha_words", "r_bullet_lines", "r_ellipsis_lines", "r_stopwords",
+)
+
+
+def _duck_ablation_oracle() -> str:
+    from parquet_to_sql_spark.queries.text import _DUCK_GOPHER
+
+    sums, rows = ["COUNT(*) AS n_docs"], []
+    for r in _GOPHER_RULES:
+        others = " AND ".join(o for o in _GOPHER_RULES if o != r)
+        sums.append(f"SUM(CASE WHEN NOT {r} THEN 1 ELSE 0 END) AS f_{r}")
+        sums.append(
+            f"SUM(CASE WHEN NOT {r} AND {others} THEN 1 ELSE 0 END) AS s_{r}"
+        )
+        rows.append(
+            f"SELECT '{r[2:]}' AS rule, CAST(f_{r} AS BIGINT) AS n_fail, "
+            f"CAST(s_{r} AS BIGINT) AS n_sole_fail, "
+            f"CAST((1000000::HUGEINT * f_{r}) // n_docs AS BIGINT) AS fail_ppm "
+            f"FROM a"
+        )
+    return (
+        f"WITH g AS ({_DUCK_GOPHER}), a AS "
+        f"(SELECT {', '.join(sums)} FROM g) " + " UNION ALL ".join(rows)
+    )
+
+
+@query(
+    "pipeline_quality_ablation_report",
+    tags=("llm-pipeline", "quality-filter", "dataset-card"),
+    oracle=_duck_ablation_oracle(),
+)
+def pipeline_quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation attribution for the Gopher quality filter:
+    for each rule, how many documents fail it (marginal), how many
+    fail ONLY it (sole attribution — the docs that rule alone costs
+    the corpus), and the exact-ppm failure rate.  The dataset-card
+    table that tells a curator which filter to re-tune before a 100 TB
+    run.  Shape: the row-local rule flags roll up through ONE
+    single-row aggregation (16 conditional sums), then stack() widens
+    it to a rule-per-row report — one scan, one 1-row shuffle, and the
+    output is 8 rows regardless of corpus size."""
+    from functools import reduce
+    from operator import and_
+
+    from parquet_to_sql_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs, "doc_id", "text")
+    exprs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in _GOPHER_RULES:
+        others = [F.col(o) for o in _GOPHER_RULES if o != r]
+        fail = ~F.col(r)
+        exprs.append(F.sum(fail.cast("long")).alias(f"f_{r}"))
+        exprs.append(
+            F.sum((fail & reduce(and_, others)).cast("long")).alias(f"s_{r}")
+        )
+    one = g.agg(*exprs)
+    stack_args = ", ".join(f"'{r[2:]}', f_{r}, s_{r}" for r in _GOPHER_RULES)
+    return one.selectExpr(
+        "n_docs",
+        f"stack({len(_GOPHER_RULES)}, {stack_args})"
+        " AS (rule, n_fail, n_sole_fail)",
+    ).select(
+        "rule",
+        F.col("n_fail").cast("bigint").alias("n_fail"),
+        F.col("n_sole_fail").cast("bigint").alias("n_sole_fail"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_fail) div n_docs AS BIGINT)"
+        ).alias("fail_ppm"),
+    )

@@ -1116,3 +1116,72 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+_CLS_BUCKETS = 256
+_CLS_MIX = 2_654_435_761  # Knuth multiplicative constant (public record)
+_CLS_WMOD = 1_000_003
+_CLS_WSHIFT = 500_001
+
+
+@query(
+    "text_hash_feature_classify",
+    tags=("text-analysis", "quality-filter", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({DUCK_WORDS}) AS tok FROM documents
+    ), b AS (
+      SELECT doc_id,
+             ({DUCK_FOLD.format(s="tok")}) % {_CLS_BUCKETS} AS bkt
+      FROM tok
+    ), wt AS (
+      SELECT CAST(x AS BIGINT) AS bkt,
+             ((x + 1) * {_CLS_MIX}) % {_CLS_WMOD} - {_CLS_WSHIFT} AS w
+      FROM range({_CLS_BUCKETS}) t(x)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS score,
+           (SUM(w) >= 0) AS keep
+    FROM b JOIN wt USING (bkt)
+    GROUP BY doc_id
+    """,
+)
+def text_hash_feature_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text classifier over hashing-trick features — the
+    fastText-shaped quality/domain filter every corpus pipeline runs
+    before training: token -> feature bucket (fold hash mod 256),
+    bucket -> LEARNED weight looked up from a model relation, document
+    score = sum of its token weights, keep = score >= 0.  The weights
+    here are a deterministic integer surrogate model (Knuth
+    multiplicative mix) so the oracle can rebuild them exactly; a real
+    model swaps in a weights DataFrame of the same (bucket, w) shape.
+    Scale shape: the model is vocabulary-bucket-sized (256 rows) and
+    rides a BROADCAST hash join onto the token stream — the corpus
+    never shuffles by token; the only corpus-sized exchange is the
+    doc-keyed rollup, with map-side partial sums.  All-integer scores,
+    no float discipline."""
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    )
+    b = tok.select(
+        "doc_id", (char_fold_hash(F.col("tok")) % _CLS_BUCKETS).alias("bkt")
+    )
+    wt = spark.range(_CLS_BUCKETS).select(
+        F.col("id").alias("bkt"),
+        (
+            (F.col("id") + 1) * F.lit(_CLS_MIX) % _CLS_WMOD - _CLS_WSHIFT
+        ).alias("w"),
+    )
+    return (
+        b.join(F.broadcast(wt), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("score"),
+            (F.sum("w") >= 0).alias("keep"),
+        )
+    )
