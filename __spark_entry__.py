@@ -227,6 +227,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "agg_mode_per_group",  # round-6 new: skew-safe exact mode
     "pipeline_quality_ablation_report",  # round-6 new: per-rule attribution
     "text_hash_feature_classify",  # round-6 new: hashing-trick linear model
+    "join_interval_overlap",  # round-6 new: binned interval-overlap join
+    "pipeline_epoch_shuffle",  # round-6 new: distributed epoch permutation
 )
 
 # Verified queries whose build source OR implementing operator

@@ -88,3 +88,54 @@ def binned_range_join(
         .filter((F.col(x) >= F.col(lo)) & (F.col(x) < F.col(hi)))
         .drop("_bin")
     )
+
+
+def binned_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: int = 100_000,
+) -> DataFrame:
+    """Big-big interval-OVERLAP join by the same fixed-width binning as
+    binned_range_join: each side replicates every [lo, hi] interval to
+    the bins it touches, candidates meet on an EQUI-join over the bin
+    id, and the exact predicate ``l_lo <= r_hi AND r_lo <= l_hi``
+    (closed intervals) verifies.
+
+    Deduplication without a distinct: a pair of overlapping intervals
+    shares every bin in the overlap region, so it would match once per
+    shared bin — instead only the bin containing ``greatest(l_lo,
+    r_lo)`` emits the pair.  That point lies inside BOTH intervals
+    whenever they overlap (it is >= each lo by construction and <= each
+    hi by the overlap predicate), so both sides provably replicated
+    into its bin, and each side contributes any bin at most once — one
+    emission exactly, no post-join shuffle.  Truncating division is
+    monotone, so the covering argument survives negative coordinates,
+    same as binned_range_join.
+
+    Scale shape: both sides shuffle once by bin id (hash-partitioned,
+    AQE-skew-splittable); replication factor is interval-length /
+    bin_width + 2 per row, so pick the width near the typical interval
+    length.  Returns all columns of both inputs for each overlapping
+    pair.
+    """
+    lb = left.withColumn(
+        "_bin",
+        F.explode(F.expr(f"sequence({l_lo} div {bin_width}, {l_hi} div {bin_width})")),
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(F.expr(f"sequence({r_lo} div {bin_width}, {r_hi} div {bin_width})")),
+    )
+    return (
+        lb.join(rb, "_bin")
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (F.col("_bin") == F.expr(f"greatest({l_lo}, {r_lo}) div {bin_width}"))
+        )
+        .drop("_bin")
+    )

@@ -713,3 +713,71 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DAY_US = 86_400_000_000
+_BLK_US = 21_600_000_000  # 6 h — near the typical burst-interval length
+
+
+@query(
+    "join_interval_overlap",
+    tags=("join", "range-join", "scale-path"),
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
+    ), a AS (
+      SELECT user_id, MIN(us) AS a_lo, MAX(us) AS a_hi
+      FROM e GROUP BY user_id, us // {_DAY_US}
+    ), b AS (
+      SELECT event_type, MIN(us) AS b_lo, MAX(us) AS b_hi
+      FROM e WHERE value >= 100 GROUP BY event_type, us // {_BLK_US}
+    ), p AS (
+      SELECT user_id,
+             least(a_hi, b_hi) - greatest(a_lo, b_lo) AS dur
+      FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(dur) AS BIGINT) AS total_overlap_us
+    FROM p GROUP BY user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join, both sides unboundedly large:
+    per-user daily activity spans vs per-type 6-hour high-value burst
+    windows — "which users were active while a burst was running, and
+    for how long".  The missing member of the range-join family
+    (binned_range_join handles point-in-interval; this handles
+    interval-overlap) via operators.relational.binned_overlap_join:
+    both sides replicate to 6-hour bins, meet on a bin-id EQUI-join,
+    verify the exact closed-interval overlap, and dedupe multi-bin
+    matches for free by emitting only from the bin holding
+    greatest(lo_a, lo_b).  The oracle is the declarative theta-join
+    spelling — a nested loop DuckDB can afford at fixture scale and a
+    1000-executor cluster cannot."""
+    from parquet_to_sql_spark.operators.relational import binned_overlap_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    a = e.groupBy(
+        "user_id", F.expr(f"us div {_DAY_US}").alias("_d")
+    ).agg(F.min("us").alias("a_lo"), F.max("us").alias("a_hi"))
+    b = (
+        e.where(F.col("value") >= 100)
+        .groupBy("event_type", F.expr(f"us div {_BLK_US}").alias("_blk"))
+        .agg(F.min("us").alias("b_lo"), F.max("us").alias("b_hi"))
+    )
+    pairs = binned_overlap_join(
+        a.select("user_id", "a_lo", "a_hi"),
+        b.select("event_type", "b_lo", "b_hi"),
+        "a_lo", "a_hi", "b_lo", "b_hi",
+        bin_width=_BLK_US,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.sum(
+            F.least(F.col("a_hi"), F.col("b_hi"))
+            - F.greatest(F.col("a_lo"), F.col("b_lo"))
+        ).cast("bigint").alias("total_overlap_us"),
+    )

@@ -895,3 +895,54 @@ def pipeline_quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFr
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_fail) div n_docs AS BIGINT)"
         ).alias("fail_ppm"),
     )
+
+
+_EPOCH_SEED = 3
+_SHUF_MOD = 2_147_483_647
+_SHUF_MIX = 506_952_114  # 2654435761 mod 2^31-1, reduced so products fit int64
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    tags=("llm-pipeline", "sampling", "scale-path"),
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             ((doc_id % {_SHUF_MOD} + {_EPOCH_SEED}) % {_SHUF_MOD})
+               * {_SHUF_MIX} % {_SHUF_MOD} AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS shuffle_rank
+    FROM k
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training-data ordering: every
+    document gets an epoch-seeded multiplicative-hash key and its
+    GLOBAL rank in (key, doc_id) order — the permutation a dataloader
+    reads epoch N in, reproducible across reruns and workers because
+    it is pure arithmetic, no RNG state.  The rank is the distributed
+    two-level prefix sum over a constant 1 (operators.prefix), i.e. a
+    global row_number computed with one range exchange, keyed
+    in-partition windows, and an O(#partitions) offset broadcast; the
+    oracle IS the naive spelling — a row_number over an unpartitioned
+    ORDER BY that would drag the whole corpus through one task.
+    Key arithmetic stays under 2^63: doc_id reduces mod 2^31-1 before
+    the mix multiply (same guard as sample_bottom_k)."""
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (
+            (F.col("doc_id") % _SHUF_MOD + _EPOCH_SEED) % _SHUF_MOD
+            * _SHUF_MIX % _SHUF_MOD
+        ).cast("bigint").alias("shuffle_key"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    ranked = prefix_sum(keyed, ["shuffle_key", "doc_id"], "_one", "shuffle_rank")
+    return ranked.select(
+        "doc_id", "shuffle_key", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank")
+    )

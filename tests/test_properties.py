@@ -822,3 +822,41 @@ def test_merge_token_intervals_covers_exactly_the_input_union(spark, items):
             if dd == d:
                 want.update(range(s, e + 1))
         assert covered == want, f"doc {d}: coverage mismatch"
+
+
+def test_binned_overlap_join_matches_bruteforce(spark):
+    """Interval-overlap binning vs brute force on random integer
+    intervals, negative and zero-crossing included.  Exactly-once is
+    the property under test: a pair overlapping across many shared
+    bins must appear ONCE (the greatest-lo bin emission), and 0-length
+    touching intervals (a_lo == b_hi) count as overlapping (closed
+    intervals)."""
+    import random
+
+    from parquet_to_sql_spark.operators.relational import binned_overlap_join
+
+    rng = random.Random(41)
+    for trial in range(3):
+        left = [
+            (i, lo, lo + rng.randrange(0, 350))
+            for i, lo in enumerate(rng.randrange(-400, 400) for _ in range(35))
+        ]
+        right = [
+            (j, lo, lo + rng.randrange(0, 350))
+            for j, lo in enumerate(rng.randrange(-400, 400) for _ in range(35))
+        ]
+        want = sorted(
+            (i, j)
+            for (i, a_lo, a_hi) in left
+            for (j, b_lo, b_hi) in right
+            if a_lo <= b_hi and b_lo <= a_hi
+        )
+        ldf = spark.createDataFrame(left, "lid long, a_lo long, a_hi long")
+        rdf = spark.createDataFrame(right, "rid long, b_lo long, b_hi long")
+        got = sorted(
+            (r.lid, r.rid)
+            for r in binned_overlap_join(
+                ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=100
+            ).collect()
+        )
+        assert got == want, f"trial {trial}"
