@@ -229,6 +229,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_hash_feature_classify",  # round-6 new: hashing-trick linear model
     "join_interval_overlap",  # round-6 new: binned interval-overlap join
     "pipeline_epoch_shuffle",  # round-6 new: distributed epoch permutation
+    "text_bpe_encode",  # round-6 new: apply learned BPE merges, row-local
 )
 
 # Verified queries whose build source OR implementing operator

@@ -656,3 +656,36 @@ def bm25_rational_scores(
         m = F.col(f"tf_{t}") > 0
         matched = m if matched is None else (matched | m)
     return scored.filter(matched).withColumn("score_ppm", total)
+
+
+_BPE_US = "\x1f"  # unit separator — cannot occur in ^[a-z]+$ words
+
+
+def bpe_symbols_after_merges(word: Column, merges: Column, n_merges: int) -> Column:
+    """Symbol count of ``word`` after greedily applying ``n_merges``
+    character-pair merges (``merges`` = array of 2-char pair strings,
+    highest-priority first), BPE-style: each merge scans left to
+    right, earlier merges win, merged symbols are atomic for later
+    merges.
+
+    Encoding trick (row-local, no UDF): the symbol sequence rides a
+    chr(31)-delimited string — every symbol wrapped ``<us>sym<us>`` so
+    adjacent symbols meet at a double separator.  One merge is then a
+    single plain ``replace(seq, <us>a<us><us>b<us>, <us>ab<us>)``:
+    leftmost non-overlapping replace IS the greedy scan (both engines
+    continue searching the original string after each match, so a
+    chain like 'aaaa' under merge ('a','a') yields exactly [aa, aa]),
+    and a merged symbol's interior has no double separator, so later
+    merges can never match inside it.  Symbol count recovers as
+    (#separator chars) / 2 — each symbol contributes exactly two."""
+    us = F.lit(_BPE_US)
+    seq = F.concat(us, F.array_join(F.split(word, ""), _BPE_US + _BPE_US), us)
+    for i in range(1, n_merges + 1):
+        mg = F.element_at(merges, i)
+        seq = F.replace(
+            seq,
+            F.concat(us, F.substring(mg, 1, 1), us, us, F.substring(mg, 2, 1), us),
+            F.concat(us, mg, us),
+        )
+    n_seps = (F.length(seq) - F.length(F.replace(seq, us, F.lit("")))).cast("long")
+    return F.shiftright(n_seps, 1)  # exactly 2 separators per symbol

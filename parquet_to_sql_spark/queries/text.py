@@ -1185,3 +1185,123 @@ def text_hash_feature_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w") >= 0).alias("keep"),
         )
     )
+
+
+_BPE_TOP = 5
+_US = "\x1f"  # unit separator: cannot occur in ^[a-z]+$ words
+
+
+def _duck_bpe_encode_oracle() -> str:
+    """Symbol sequences are encoded as chr(31)-wrapped strings
+    ('<us>sym<us><us>sym<us>'), so a merge is ONE plain string replace
+    whose search pattern is boundary-anchored on both sides — merged
+    symbols stay atomic (no later merge can match inside one), and
+    leftmost non-overlapping replace() equals the greedy left-to-right
+    BPE scan in both engines."""
+    seq = "chr(31) || array_to_string(string_split(word, ''), chr(31) || chr(31)) || chr(31)"
+    for i in range(1, _BPE_TOP + 1):
+        seq = (
+            f"replace({seq}, "
+            f"chr(31) || substr(ms[{i}], 1, 1) || chr(31) || chr(31) || substr(ms[{i}], 2, 1) || chr(31), "
+            f"chr(31) || ms[{i}] || chr(31))"
+        )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), aw AS (
+      SELECT doc_id, word FROM w WHERE regexp_matches(word, '^[a-z]+$')
+    ), v AS (
+      SELECT word, COUNT(*) AS wc FROM aw GROUP BY word
+    ), p AS (
+      SELECT substr(v.word, CAST(t.i AS INT), 2) AS pair, v.wc
+      FROM v, LATERAL (SELECT unnest(range(1, length(v.word))) AS i) t
+    ), top AS (
+      SELECT pair, SUM(wc) AS mc FROM p GROUP BY pair
+      ORDER BY mc DESC, pair LIMIT {_BPE_TOP}
+    ), m AS (
+      SELECT list(pair ORDER BY mc DESC, pair ASC) AS ms FROM top
+    ), enc AS (
+      SELECT doc_id,
+             length(word) AS n_before,
+             (length({seq}) - length(replace({seq}, chr(31), ''))) // 2 AS n_after
+      FROM aw, m
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_before) AS BIGINT) AS n_sym_before,
+           CAST(SUM(n_after) AS BIGINT) AS n_sym_after,
+           CAST((1000000::HUGEINT * (SUM(n_before) - SUM(n_after)))
+                // SUM(n_before) AS BIGINT) AS saved_ppm
+    FROM enc GROUP BY doc_id
+    """
+
+
+@query(
+    "text_bpe_encode",
+    tags=("text-analysis", "tokenizer", "llm-pipeline", "scale-path"),
+    oracle=_duck_bpe_encode_oracle(),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of tokenizer training: APPLY the learned merges.
+    Learns the top-5 BPE character-pair merges from the corpus (the
+    text_bpe_pair_merges ranking), then greedily encodes every word
+    and reports per-document symbol counts before/after and the exact
+    ppm compression — the metric that says whether a tokenizer fits a
+    corpus.  Merge application is pure string arithmetic: the symbol
+    sequence rides a chr(31)-delimited encoding ('<us>a<us><us>b<us>')
+    where one boundary-anchored replace() per merge equals the greedy
+    left-to-right BPE scan (merged symbols are atomic because their
+    interior has no double-separator), so the whole encode stage is
+    row-local whole-stage codegen — no UDF, no shuffle.  Scale shape:
+    merge learning compresses corpus -> vocabulary before any
+    per-character work (same as text_bpe_pair_merges), the 5-merge
+    table is ONE broadcast row (sanctioned 1-row attach), and the
+    application pass shuffles only the doc-keyed rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    aw = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    vocab = aw.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(word) >= 2 "
+                "THEN transform(sequence(1, length(word)-1), i -> substr(word, i, 2)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("mc"))
+        .orderBy(F.desc("mc"), "pair")
+        .limit(_BPE_TOP)
+    )
+    # one ordered row: array_sort over struct(-mc, pair) = (mc DESC, pair ASC)
+    merges = top.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct((-F.col("mc")).alias("nmc"), "pair"))),
+            lambda s: s["pair"],
+        ).alias("ms")
+    )
+    from parquet_to_sql_spark.operators.text import bpe_symbols_after_merges
+
+    enc = aw.crossJoin(F.broadcast(merges)).select(
+        "doc_id",
+        F.length("word").cast("long").alias("n_before"),
+        bpe_symbols_after_merges(F.col("word"), F.col("ms"), _BPE_TOP).alias(
+            "n_after"
+        ),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_before").cast("bigint").alias("n_sym_before"),
+        F.sum("n_after").cast("bigint").alias("n_sym_after"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (sum(n_before) - sum(n_after)))"
+            " div sum(n_before) AS BIGINT)"
+        ).alias("saved_ppm"),
+    )

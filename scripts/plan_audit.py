@@ -57,6 +57,7 @@ _SANCTIONED_NL = {
     "agg_sketch_rollup_union",
     "text_cooccurrence_pmi",
     "text_source_divergence_l1",
+    "text_bpe_encode",  # 1-row learned-merges attach (top-5 pairs)
     # broadcast-tiny probe sides (query sets, centroids, codebooks,
     # PQ distance tables, band tables)
     "simsearch_cosine_topk",

@@ -921,3 +921,46 @@ def test_decontamination_offsets_cut_corpus_side_only(spark):
         ).collect()
     )
     assert got == [(0, 4, 15, 12)]
+
+
+def test_bpe_symbols_after_merges_greedy_semantics(spark):
+    """Pin the greedy BPE application against a sequential Python
+    reference on adversarial words: merge chains ('aaaa' under (a,a)
+    must give [aa][aa], 'aaa' gives [aa][a]), atomicity (a later merge
+    must not match inside an earlier merged symbol), and merge
+    priority order."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.text import bpe_symbols_after_merges
+
+    merges = ["aa", "ab", "bc", "th", "he"]
+
+    def ref_count(word: str) -> int:
+        syms = list(word)
+        for a, b in ((m[0], m[1]) for m in merges):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    words = [
+        "aaaa", "aaa", "aa", "a", "aab", "aabc", "abc", "babc",
+        "the", "then", "thehe", "hehe", "tthhee", "xyz", "ababab",
+        "aaab", "abab", "bcbc", "aabb", "cab",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string").withColumn(
+        "ms", F.array(*[F.lit(m) for m in merges])
+    )
+    got = {
+        r.word: r.n
+        for r in df.select(
+            "word",
+            bpe_symbols_after_merges(F.col("word"), F.col("ms"), len(merges)).alias("n"),
+        ).collect()
+    }
+    want = {w: ref_count(w) for w in words}
+    assert got == want
