@@ -230,6 +230,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "join_interval_overlap",  # round-6 new: binned interval-overlap join
     "pipeline_epoch_shuffle",  # round-6 new: distributed epoch permutation
     "text_bpe_encode",  # round-6 new: apply learned BPE merges, row-local
+    "ev_event_transitions",  # round-6 new: Markov transition matrix
+    "ev_time_to_convert",  # round-6 new: two-event funnel latency
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1167,3 +1167,110 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("m").cast("long").alias("m_cents"),
     )
+
+
+@query(
+    "ev_event_transitions",
+    tags=("events", "sequence", "llm-pipeline"),
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type FROM o
+      WHERE prev_type IS NOT NULL
+    ), c AS (
+      SELECT prev_type, next_type, COUNT(*) AS n FROM t GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_transitions,
+           CAST((1000000::HUGEINT * n)
+                // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
+    FROM c
+    """,
+)
+def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    for every (prev_type, next_type) pair, the transition count and
+    the exact-ppm conditional probability — the behavioral-sequence
+    feature table (and the bigram LM over event streams).  Scale
+    shape: the lag window partitions by user_id — per-user history is
+    the natural partition, no global order — and the matrix itself is
+    |types|^2-bounded however large the event log, so the final
+    normalizing window runs over a tiny relation.  Determinism under
+    duplicate timestamps: the window orders by (ts, event_id), a total
+    order, same as the gaps-and-islands queries."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    c = t.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n)"
+            " div (SUM(n) OVER (PARTITION BY prev_type)) AS BIGINT)"
+        ).alias("prob_ppm"),
+    )
+
+
+@query(
+    "ev_time_to_convert",
+    tags=("events", "funnel", "sequence"),
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_view_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_buy_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST((first_buy_us - first_view_us) // 1000000 AS BIGINT)
+             AS secs_to_convert
+    FROM f
+    WHERE first_view_us IS NOT NULL AND first_buy_us > first_view_us
+    """,
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency per user: seconds from the first 'view' to the
+    first later 'purchase' — the time-to-convert distribution input.
+    ONE conditional-min aggregation over the raw log (map-side
+    partials, no window, no self-join: the classic two-event funnel
+    does NOT need the generic funnel machinery), then a row-local
+    subtraction.  Users who never viewed, never purchased, or
+    purchased only before their first view are excluded by
+    construction.  Microsecond epochs subtract exactly; the seconds
+    division truncates identically in both engines (non-negative by
+    the filter)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_buy_us"),
+    )
+    return f.where(
+        F.col("first_view_us").isNotNull()
+        & (F.col("first_buy_us") > F.col("first_view_us"))
+    ).selectExpr(
+        "user_id",
+        "CAST((first_buy_us - first_view_us) div 1000000 AS BIGINT) AS secs_to_convert",
+    )
