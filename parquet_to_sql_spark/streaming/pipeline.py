@@ -553,3 +553,58 @@ def span_screen_stream(
     from parquet_to_sql_spark.operators.dedup import repeated_span_matches
 
     return repeated_span_matches(stream_docs, index, "doc_id", "text", k=k)
+
+
+_TRANS_OUTPUT = "user_id long, prev_type string, next_type string"
+_TRANS_STATE = "last_type string"
+
+
+def _transitions_fn(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    last = state.get[0] if state.exists else None
+    batches = [pdf for pdf in pdf_iter if len(pdf)]
+    prevs: list[str] = []
+    nexts: list[str] = []
+    if batches:
+        rows = pd.concat(batches, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for t in rows["event_type"]:
+            if last is not None:
+                prevs.append(last)
+                nexts.append(t)
+            last = t
+        state.update((last,))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(prevs),
+            "prev_type": prevs,
+            "next_type": nexts,
+        }
+    )
+
+
+def event_transitions_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ev_event_transitions lag: emits one
+    (user_id, prev_type, next_type) row per consecutive event pair in
+    each user's stream — including the pair that SPANS a micro-batch
+    boundary, which is exactly what the state (one last_type string
+    per user, O(1) regardless of history) exists to remember and what
+    a stateless lag-within-batch would drop.  Emitted pairs are final
+    facts, so the operator runs in append mode and composes with any
+    downstream aggregation (the transition-matrix count, a bigram
+    anomaly screen) as an ordinary chained stateful pipeline.
+    In-batch order is (ts, event_id) — the batch query's total order;
+    cross-batch order is the source's responsibility, same caveat as
+    the EWMA fold."""
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transitions_fn,
+            outputStructType=_TRANS_OUTPUT,
+            stateStructType=_TRANS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

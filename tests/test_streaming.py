@@ -1061,3 +1061,84 @@ def test_span_screen_stream_equals_batch_and_rolls_up_to_spans(spark, tmp_path):
                 batch_pairs.add((r.doc2, r.doc1, r.start2, r.span_tokens))
     assert spans == batch_pairs
     assert len(spans) > 0  # non-vacuous: 12 cross ref/non-ref spans at sf0.001
+
+
+def test_streaming_transitions_match_batch(spark, events_dir):
+    """The stateful transition emitter, rolled up to the matrix, must
+    equal the batch lag-window query's counts exactly."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from parquet_to_sql_spark.streaming import event_transitions_stream
+
+    stream = events_stream(spark, events_dir)
+    run_to_memory(event_transitions_stream(stream), "trans_out", "append")
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "SELECT prev_type, next_type, COUNT(*) AS n FROM trans_out GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in all_queries()["ev_event_transitions"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_transitions_span_batch_boundary(spark, events_dir, tmp_path):
+    """Two availableNow runs over one checkpoint: the second run's new
+    events must pair with each user's LAST event from run 1 — the
+    cross-batch transition a stateless within-batch lag would lose."""
+    import pandas as pd
+
+    from parquet_to_sql_spark.streaming import event_transitions_stream
+
+    ckpt = str(tmp_path / "trans_ckpt")
+
+    def run_once():
+        rows: list = []
+
+        def collect_batch(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        stream = events_stream(spark, events_dir)
+        q = (
+            event_transitions_stream(stream)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    r1 = run_once()
+    assert len(r1) > 0
+    # each chosen user's true last event type from the original data
+    batch = _batch_events(spark)
+    import pyspark.sql.functions as F
+
+    last_types = {
+        r.user_id: r.lt
+        for r in batch.groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("ts", "event_id")).alias("lt"))
+        .collect()
+    }
+    users = sorted(last_types)[:3]
+    newer = pd.DataFrame(
+        {
+            "event_id": [20_000_001 + i for i in range(len(users))],
+            "ts": pd.to_datetime("2031-06-01 00:00:00"),
+            "user_id": users,
+            "event_type": "signup",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(newer, schema=batch.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    r2 = run_once()
+    got = {(r.user_id, r.prev_type, r.next_type) for r in r2}
+    want = {(u, last_types[u], "signup") for u in users}
+    assert got == want
