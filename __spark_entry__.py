@@ -232,6 +232,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_bpe_encode",  # round-6 new: apply learned BPE merges, row-local
     "ev_event_transitions",  # round-6 new: Markov transition matrix
     "ev_time_to_convert",  # round-6 new: two-event funnel latency
+    "text_zipf_histogram",  # round-6 new: log-log type/token curve
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1305,3 +1305,83 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n_before) AS BIGINT)"
         ).alias("saved_ppm"),
     )
+
+
+def _duck_zipf_sh() -> str:
+    """Positional (non-distinct) hashed 3-gram stream, DuckDB side —
+    same 31-ary word-hash composition as the dedup family, WITHOUT the
+    per-doc distinct (Zipf counts occurrences, not containment)."""
+    from parquet_to_sql_spark.functions.hashing import (
+        DUCK_WORD_HASHES,
+        duck_hashed_kgram_acc,
+    )
+
+    hw = DUCK_WORD_HASHES.format(words=DUCK_WORDS)
+    return (
+        f"SELECT {duck_hashed_kgram_acc(3)} AS shingle "
+        f"FROM (SELECT {hw} AS hw FROM documents) t, "
+        f"LATERAL (SELECT unnest(range(1, greatest(len(hw) - 1, 1))) AS i) u"
+    )
+
+
+@query(
+    "text_zipf_histogram",
+    tags=("text-analysis", "corpus-stats", "llm-pipeline"),
+    oracle=f"""
+    WITH sh AS ({_duck_zipf_sh()}),
+    v AS (
+      SELECT shingle, COUNT(*) AS freq FROM sh GROUP BY shingle
+    ), b AS (
+      SELECT length(bin(freq)) - 1 AS bucket, COUNT(*) AS n_types,
+             SUM(freq) AS occ
+      FROM v GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS log2_freq,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(occ AS BIGINT) AS total_occurrences,
+           CAST((1000000::HUGEINT * occ) // SUM(occ) OVER () AS BIGINT)
+             AS occ_ppm
+    FROM b
+    """,
+)
+def text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf curve audit as a log-log histogram over 3-gram types: how
+    many distinct shingles fall in each power-of-two frequency band
+    and what share of all occurrences that band carries — the
+    corpus-shape diagnostic (natural language draws the straight Zipf
+    line; boilerplate-heavy crawls bulge in the high buckets).
+    Shingle granularity rather than unigrams because the type/token
+    curve is where redundancy shows (and the fixtures' synthetic word
+    vocabulary is a few dozen types — unigram buckets are degenerate).
+    The trick is that the log-log view never needs a frequency RANK:
+    bucketing by the frequency's most significant bit (engine-neutral
+    length(bin(x)) - 1) turns the global-sort formulation into one
+    more keyed aggregation, so the plan is explode -> type count ->
+    <=64-row histogram; the normalizing window runs over that bounded
+    histogram, never the corpus."""
+    from parquet_to_sql_spark.functions.hashing import (
+        shingle_hashes_from,
+        word_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(word_hashes(ws_tokens(F.col("text"))).alias("_hw"))
+        .select(F.explode(shingle_hashes_from(F.col("_hw"), 3)).alias("shingle"))
+    )
+    v = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    b = v.groupBy(
+        (F.length(F.bin(F.col("freq"))) - 1).cast("bigint").alias("log2_freq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("occ"),
+    )
+    return b.select(
+        "log2_freq",
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("occ").cast("bigint").alias("total_occurrences"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * occ)"
+            " div (SUM(occ) OVER ()) AS BIGINT)"
+        ).alias("occ_ppm"),
+    )
