@@ -233,6 +233,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "ev_event_transitions",  # round-6 new: Markov transition matrix
     "ev_time_to_convert",  # round-6 new: two-event funnel latency
     "text_zipf_histogram",  # round-6 new: log-log type/token curve
+    "pipeline_shard_manifest",  # round-6 new: sharded-export manifest
 )
 
 # Verified queries whose build source OR implementing operator

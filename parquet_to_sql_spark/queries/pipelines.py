@@ -946,3 +946,65 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "shuffle_key", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank")
     )
+
+
+_SHARD_SIZE = 100
+
+
+@query(
+    "pipeline_shard_manifest",
+    tags=("llm-pipeline", "sampling", "scale-path"),
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             ((doc_id % {_SHUF_MOD} + {_EPOCH_SEED}) % {_SHUF_MOD})
+               * {_SHUF_MIX} % {_SHUF_MOD} AS shuffle_key
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY shuffle_key, doc_id) AS rnk
+      FROM k
+    )
+    SELECT CAST((rnk - 1) // {_SHARD_SIZE} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(rnk) AS BIGINT) AS first_rank,
+           CAST(MAX(rnk) AS BIGINT) AS last_rank
+    FROM r GROUP BY 1
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-export step after the epoch shuffle: cut the
+    shuffled corpus into fixed-size shards and emit the per-shard
+    manifest (doc and token counts, rank range) a training launcher
+    reads to plan workers.  Same distributed rank as
+    pipeline_epoch_shuffle (epoch-seeded multiplicative key +
+    two-level prefix sum — no single-task sort), then shard_id is a
+    row-local division and the manifest one keyed aggregation; at any
+    corpus size the output is n/shard_size rows and nothing bigger
+    than a partition ever sits in one task."""
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+        (
+            (F.col("doc_id") % _SHUF_MOD + _EPOCH_SEED) % _SHUF_MOD
+            * _SHUF_MIX % _SHUF_MOD
+        ).cast("bigint").alias("shuffle_key"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    ranked = prefix_sum(keyed, ["shuffle_key", "doc_id"], "_one", "rnk")
+    return (
+        ranked.selectExpr("n_tok", "rnk", f"(rnk - 1) div {_SHARD_SIZE} AS shard_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("rnk").cast("bigint").alias("first_rank"),
+            F.max("rnk").cast("bigint").alias("last_rank"),
+        )
+    )
