@@ -721,6 +721,7 @@ _BLK_US = 21_600_000_000  # 6 h — near the typical burst-interval length
 
 @query(
     "join_interval_overlap",
+    headline=True,
     tags=("join", "range-join", "scale-path"),
     oracle=f"""
     WITH e AS (

@@ -1240,6 +1240,7 @@ def _duck_bpe_encode_oracle() -> str:
 
 @query(
     "text_bpe_encode",
+    headline=True,
     tags=("text-analysis", "tokenizer", "llm-pipeline", "scale-path"),
     oracle=_duck_bpe_encode_oracle(),
 )
