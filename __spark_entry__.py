@@ -234,6 +234,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "ev_time_to_convert",  # round-6 new: two-event funnel latency
     "text_zipf_histogram",  # round-6 new: log-log type/token curve
     "pipeline_shard_manifest",  # round-6 new: sharded-export manifest
+    "dedup_cluster_size_profile",  # round-6 new: dup-cluster histogram
+    "ev_wau_mau_stickiness",  # round-6 new: WAU/MAU engagement ratio
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1497,3 +1497,65 @@ def dedup_snm_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / COUNT(*) AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+@query(
+    "dedup_cluster_size_profile",
+    tags=("dedup", "llm-pipeline", "dataset-card"),
+    oracle=f"""
+    WITH RECURSIVE
+    {_DUCK_HASHED_PAIR_CTES},
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node, MIN(label) AS component FROM walk GROUP BY node
+    ),
+    csizes AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS size_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+    FROM csizes GROUP BY 1
+    """,
+)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dataset-card view of the
+    dedup closure: per power-of-two cluster-size band, how many
+    clusters, how many documents sit in them, and how many a
+    keep-one-per-cluster policy removes.  This is the number a curator
+    quotes ('X% of the crawl is duplicate mass, mostly in 2-4 doc
+    clusters') and the sanity gauge before committing an excision run.
+    Composes the verified parts: hashed-Jaccard pairs -> hash-min CC
+    -> one size aggregation -> <=64-row MSB histogram; singleton
+    clusters (size 1) are counted too, so bands partition the whole
+    corpus and n_docs sums to it."""
+    from parquet_to_sql_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, hashed=True
+    ).select("doc1", "doc2")
+    comp = connected_components(
+        pairs, docs.select("doc_id"), "doc1", "doc2", "doc_id"
+    )
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(
+        (F.length(F.bin(F.col("sz"))) - 1).cast("bigint").alias("size_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
+    )

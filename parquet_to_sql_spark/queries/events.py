@@ -1274,3 +1274,59 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "CAST((first_buy_us - first_view_us) div 1000000 AS BIGINT) AS secs_to_convert",
     )
+
+
+@query(
+    "ev_wau_mau_stickiness",
+    tags=("events", "retention", "dataset-card"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), wk AS (
+      SELECT date_trunc('week', ts) AS week_start,
+             COUNT(DISTINCT user_id) AS wau
+      FROM e GROUP BY 1
+    ), mo AS (
+      SELECT date_trunc('month', ts) AS month_start,
+             COUNT(DISTINCT user_id) AS mau
+      FROM e GROUP BY 1
+    )
+    SELECT wk.week_start,
+           CAST(wk.wau AS BIGINT) AS wau,
+           CAST(mo.mau AS BIGINT) AS mau,
+           CAST((1000000::HUGEINT * wk.wau) // mo.mau AS BIGINT)
+             AS stickiness_ppm
+    FROM wk JOIN mo ON date_trunc('month', wk.week_start) = mo.month_start
+    """,
+)
+def ev_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly/monthly active users and the WAU/MAU stickiness ratio
+    per week (exact ppm) — the engagement gauge every activity
+    dashboard leads with.  Two exact distinct-count aggregations
+    (each shuffles pre-deduplicated (period, user) pairs, partial
+    map-side), then a join on the week's containing month: the joined
+    relations are period-bounded (weeks, months), so the join is
+    trivial at any event volume.  A week belongs to the month its
+    FIRST DAY falls in — the deterministic convention both engines
+    spell identically."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week_start")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    mo = ev.groupBy(F.date_trunc("month", F.col("ts")).alias("month_start")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        wk.join(
+            mo,
+            F.date_trunc("month", F.col("week_start")) == F.col("month_start"),
+        )
+        .select(
+            "week_start",
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * wau) div mau AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+    )
