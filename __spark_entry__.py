@@ -236,6 +236,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_shard_manifest",  # round-6 new: sharded-export manifest
     "dedup_cluster_size_profile",  # round-6 new: dup-cluster histogram
     "ev_wau_mau_stickiness",  # round-6 new: WAU/MAU engagement ratio
+    "simsearch_mrr_eval",  # round-6 new: rank-aware retrieval eval
 )
 
 # Verified queries whose build source OR implementing operator

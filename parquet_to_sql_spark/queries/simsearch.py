@@ -1186,3 +1186,89 @@ def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives_topk(
         emb, "vec_id", "embedding", queries, centroids, pool=_HN_POOL, k=_K
     )
+
+
+@query(
+    "simsearch_mrr_eval",
+    tags=("simsearch", "embeddings", "evaluation", "llm-pipeline"),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+    truth AS (
+      SELECT qid, cid AS true_nn FROM (
+        SELECT qid, vec_id AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="ve")} DESC, vec_id) AS rank
+        FROM q JOIN v ON vec_id <> qid
+      ) WHERE rank = 1
+    ),
+    {_duck_cent_seeded()},
+    {_duck_assigned_cte("cent")},
+    {_duck_probes_cte("cent")},
+    ivf AS (
+      SELECT qid, cid, rank FROM (
+        SELECT q.qid, a.vec_id AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_DUCK_COS_AB.format(a="qv", b="a.ve")} DESC, a.vec_id) AS rank
+        FROM q
+        JOIN probes ON probes.qid = q.qid
+        JOIN assigned a ON a.centroid_id = probes.centroid_id
+        WHERE a.vec_id <> q.qid
+      ) WHERE rank <= {_K}
+    )
+    SELECT t.qid AS query_id,
+           t.true_nn,
+           (i.cid IS NOT NULL) AS found_at_k,
+           CAST(COALESCE(i.rank, 0) AS BIGINT) AS nn_rank,
+           CAST(CASE WHEN i.rank IS NOT NULL THEN 1000000 // i.rank
+                     ELSE 0 END AS BIGINT) AS rr_ppm
+    FROM truth t LEFT JOIN ivf i ON i.qid = t.qid AND i.cid = t.true_nn
+    """,
+)
+def simsearch_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware retrieval evaluation: where does the TRUE nearest
+    neighbor (exact brute force, rank 1) land in the IVF index's
+    top-k?  Per query: found-at-k, the rank, and the reciprocal rank
+    in exact ppm (1e6 // rank; 0 when missed) — averaging rr_ppm gives
+    MRR@k, the metric that distinguishes 'recalled somewhere in the
+    list' (recall audit) from 'recalled FIRST', which is what matters
+    when only the top hit is shown.  Same two operators and scale
+    shapes as the retrieval queries (broadcast query set both paths;
+    IVF probes only nprobe cells); the truth side needs rank 1 only,
+    so at production scale it runs on a sampled query panel exactly
+    like the recall audit."""
+    from parquet_to_sql_spark.operators.simsearch import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    centroids = emb.filter(F.col("vec_id") % _CENTROID_MOD == 0)
+    truth = (
+        cosine_topk(emb, "vec_id", "embedding", queries, k=1)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("true_nn"))
+    )
+    ivf = ivf_topk(
+        emb, "vec_id", "embedding", queries, centroids, k=_K, nprobe=_NPROBE
+    ).select(
+        F.col("query_id").alias("i_qid"),
+        F.col("neighbor_id").alias("i_nid"),
+        F.col("rank").alias("i_rank"),
+    )
+    j = truth.join(
+        ivf,
+        (F.col("query_id") == F.col("i_qid"))
+        & (F.col("true_nn") == F.col("i_nid")),
+        "left",
+    )
+    return j.select(
+        "query_id",
+        "true_nn",
+        F.col("i_nid").isNotNull().alias("found_at_k"),
+        F.coalesce(F.col("i_rank"), F.lit(0)).cast("bigint").alias("nn_rank"),
+        F.expr(
+            "CAST(CASE WHEN i_rank IS NOT NULL THEN 1000000 div i_rank"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("rr_ppm"),
+    )

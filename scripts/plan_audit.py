@@ -67,6 +67,7 @@ _SANCTIONED_NL = {
     "simsearch_ivfpq_adc_topk",
     "simsearch_knn_classify",
     "simsearch_recall_audit",
+    "simsearch_mrr_eval",  # same broadcast query-set probes as recall_audit
     "simsearch_rrf_fusion",
     "simsearch_filtered_topk",
     "simsearch_hard_negatives",
