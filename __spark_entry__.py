@@ -237,6 +237,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_cluster_size_profile",  # round-6 new: dup-cluster histogram
     "ev_wau_mau_stickiness",  # round-6 new: WAU/MAU engagement ratio
     "simsearch_mrr_eval",  # round-6 new: rank-aware retrieval eval
+    "sql_engine_session_variables",  # round-6 new: DECLARE/SET VAR handoff
 )
 
 # Verified queries whose build source OR implementing operator

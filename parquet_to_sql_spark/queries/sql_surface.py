@@ -540,3 +540,50 @@ def sql_engine_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS retail_cents FROM part WHERE p_size >= ? GROUP BY p_brand' "
         "USING 40"
     )
+
+
+@query(
+    "sql_engine_session_variables",
+    tags=("sql-surface", "spark4", "dynamic-sql"),
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(MIN(p_size) AS BIGINT) AS min_size
+    FROM part
+    WHERE p_retailprice >= (
+      SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)
+      FROM part
+    )
+    GROUP BY p_brand
+    """,
+)
+def sql_engine_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables: DECLARE VARIABLE, assign it FROM
+    A QUERY with SET VAR (the scalar handoff between statements that
+    scripts otherwise smuggle through driver-side string formatting),
+    then reference it by name in a later statement — the
+    multi-statement workflow surface completing the dynamic-SQL family
+    (EXECUTE IMMEDIATE, IDENTIFIER()).  The variable carries the
+    corpus mean retail price computed with the engine's exact-decimal
+    average recipe; the oracle inlines the same arithmetic as a scalar
+    subquery, so the handoff is value-exact.  The assignment's scalar
+    subquery is a 1-row aggregate — variables hold scalars, never
+    relations, so nothing corpus-sized ever lands on the driver."""
+    from parquet_to_sql_spark.sql import Engine
+
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "SET VAR price_floor = ("
+        "SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)"
+        " / COUNT(*) FROM part)"
+    )
+    return spark.sql(
+        "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_above, "
+        "CAST(MIN(p_size) AS BIGINT) AS min_size "
+        "FROM part WHERE p_retailprice >= price_floor GROUP BY p_brand"
+    )
