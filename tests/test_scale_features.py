@@ -1057,3 +1057,27 @@ def test_shared_broadcast_eviction_is_safe_for_lazy_plans(spark):
     survivors = {r.k for r in probe_df.collect()}
     assert set(range(50)) <= survivors, "true members lost after eviction"
     assert len(survivors) <= 60  # ~fpp false positives only
+
+
+def test_binned_overlap_join_is_equi_join(spark):
+    """The interval-overlap join must plan as an EQUI-join on the bin
+    id (hash-partitionable both sides) — never a nested loop — and
+    must not re-shuffle for a distinct after the join (exactly-once
+    comes from the greatest-lo bin predicate, not deduplication)."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("join_interval_overlap").build(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan and "_bin" in plan
+    assert "Deduplicate" not in plan and "Distinct" not in plan
+
+
+def test_hash_feature_classifier_broadcasts_model(spark):
+    """The hashing-trick classifier's weight relation must ride a
+    broadcast join — the corpus token stream never shuffles by
+    feature bucket; the only exchange is the doc-keyed rollup."""
+    from parquet_to_sql_spark.queries.registry import get
+
+    plan = _formatted_plan(get("text_hash_feature_classify").build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
