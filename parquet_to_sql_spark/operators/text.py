@@ -689,3 +689,47 @@ def bpe_symbols_after_merges(word: Column, merges: Column, n_merges: int) -> Col
         )
     n_seps = (F.length(seq) - F.length(F.replace(seq, us, F.lit("")))).cast("long")
     return F.shiftright(n_seps, 1)  # exactly 2 separators per symbol
+
+
+CLS_BUCKETS = 256
+CLS_MIX = 2_654_435_761  # Knuth multiplicative constant (public record)
+CLS_WMOD = 1_000_003
+CLS_WSHIFT = 500_001
+
+
+def hash_feature_weights(spark) -> DataFrame:
+    """The deterministic surrogate linear model: (bucket, w) rows,
+    w = ((bucket+1) * Knuth-mix) mod 1000003 - 500001.  A real trained
+    model swaps in any DataFrame of the same shape."""
+    return spark.range(CLS_BUCKETS).select(
+        F.col("id").alias("bkt"),
+        ((F.col("id") + 1) * F.lit(CLS_MIX) % CLS_WMOD - CLS_WSHIFT).alias("w"),
+    )
+
+
+def hash_feature_scores(
+    df: DataFrame, id_col: str, text_col: str, weights: DataFrame
+) -> DataFrame:
+    """fastText-shaped linear scoring over hashing-trick features:
+    token -> fold-hash bucket, bucket -> weight via a BROADCAST join
+    against the (bucket, w) model relation, document score = integer
+    sum of token weights, keep = score >= 0.  The corpus never
+    shuffles by token; the only corpus-sized exchange is the
+    id-keyed rollup (map-side partial sums).  Works identically on a
+    static frame and a readStream (stateless row-local + stream-static
+    broadcast join)."""
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash
+
+    tok = df.select(id_col, F.explode(ws_tokens(F.col(text_col))).alias("tok"))
+    b = tok.select(
+        id_col, (char_fold_hash(F.col("tok")) % CLS_BUCKETS).alias("bkt")
+    )
+    return (
+        b.join(F.broadcast(weights), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("score"),
+            (F.sum("w") >= 0).alias("keep"),
+        )
+    )

@@ -1118,10 +1118,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLS_BUCKETS = 256
-_CLS_MIX = 2_654_435_761  # Knuth multiplicative constant (public record)
-_CLS_WMOD = 1_000_003
-_CLS_WSHIFT = 500_001
+# model constants live with the shared operator (operators.text)
+from parquet_to_sql_spark.operators.text import (  # noqa: E402
+    CLS_BUCKETS as _CLS_BUCKETS,
+    CLS_MIX as _CLS_MIX,
+    CLS_WMOD as _CLS_WMOD,
+    CLS_WSHIFT as _CLS_WSHIFT,
+)
 
 
 @query(
@@ -1161,29 +1164,14 @@ def text_hash_feature_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles by token; the only corpus-sized exchange is the
     doc-keyed rollup, with map-side partial sums.  All-integer scores,
     no float discipline."""
-    from parquet_to_sql_spark.functions.hashing import char_fold_hash
+    from parquet_to_sql_spark.operators.text import (
+        hash_feature_scores,
+        hash_feature_weights,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
-    )
-    b = tok.select(
-        "doc_id", (char_fold_hash(F.col("tok")) % _CLS_BUCKETS).alias("bkt")
-    )
-    wt = spark.range(_CLS_BUCKETS).select(
-        F.col("id").alias("bkt"),
-        (
-            (F.col("id") + 1) * F.lit(_CLS_MIX) % _CLS_WMOD - _CLS_WSHIFT
-        ).alias("w"),
-    )
-    return (
-        b.join(F.broadcast(wt), "bkt")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("w").cast("bigint").alias("score"),
-            (F.sum("w") >= 0).alias("keep"),
-        )
+    return hash_feature_scores(
+        docs, "doc_id", "text", hash_feature_weights(spark)
     )
 
 

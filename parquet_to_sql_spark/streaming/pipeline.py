@@ -608,3 +608,49 @@ def event_transitions_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def classifier_screen_stream(
+    stream_docs: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """Streaming model-scoring screen: arriving documents scored by
+    the same hashing-trick linear model as the oracle-checked batch
+    query text_hash_feature_classify — but in the STATELESS streaming
+    formulation: a document's tokens all live in its own row, so the
+    batch path's explode + broadcast-join + doc-keyed rollup collapses
+    to one row-local fold over the token array with the 256-bucket
+    model inlined as a literal map (weights.collect() is bounded by
+    the bucket count — a model ship, not a data collect).  No state
+    store, no watermark, append at ingest rate; re-deploying a
+    retrained model is swapping the weights DataFrame.  The
+    equivalence test pins this fold against the batch join+rollup
+    formulation row for row."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash
+    from parquet_to_sql_spark.operators.text import CLS_BUCKETS, ws_tokens
+
+    wmap = F.create_map(
+        *[
+            c
+            for r in weights.collect()
+            for c in (F.lit(int(r.bkt)), F.lit(int(r.w)))
+        ]
+    )
+    toks = ws_tokens(F.col("text"))
+    score = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                wmap, (char_fold_hash(t) % CLS_BUCKETS).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return stream_docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        (score >= 0).alias("keep"),
+    )

@@ -1142,3 +1142,39 @@ def test_streaming_transitions_span_batch_boundary(spark, events_dir, tmp_path):
     got = {(r.user_id, r.prev_type, r.next_type) for r in r2}
     want = {(u, last_types[u], "signup") for u in users}
     assert got == want
+
+
+def test_streaming_classifier_screen_matches_batch(spark, tmp_path):
+    """The stateless streaming classifier (row-local fold, literal
+    model map) must score every arriving document exactly like the
+    batch formulation (explode + broadcast weight join + rollup) —
+    two plans, one model, identical integers."""
+    import shutil as _sh
+
+    from parquet_to_sql_spark.operators.text import hash_feature_weights
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from parquet_to_sql_spark.streaming import (
+        classifier_screen_stream,
+        documents_stream,
+    )
+
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    _sh.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"), os.path.join(d, "part0.parquet")
+    )
+    stream = documents_stream(spark, d)
+    run_to_memory(
+        classifier_screen_stream(stream, hash_feature_weights(spark)),
+        "cls_out",
+        "append",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.score, r.keep)
+        for r in spark.sql("SELECT * FROM cls_out").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.score, r.keep)
+        for r in all_queries()["text_hash_feature_classify"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
