@@ -1,0 +1,187 @@
+"""PostgreSQL BINARY-format COPY encoding for the COPY sink.
+
+The reference imports via text COPY (ParquetImporter.php:102-113 —
+rendered lines through ``COPY ... FROM STDIN``); this module adds the
+typed wire format (``COPY ... FROM STDIN (FORMAT BINARY)``, documented
+in PostgreSQL's COPY page — public record): a fixed header, per-tuple
+``int16 field-count`` then per-field ``int32 length + payload`` in
+network byte order, ``int16 -1`` trailer.  Why bother when text COPY
+works: binary skips the server's per-value text parser (int/float/
+timestamp parsing is the server-side cost of text COPY on numeric
+tables) and round-trips types exactly — no quoting, no locale, no
+``\\N`` sentinel collisions.
+
+Scale shape: encoding runs INSIDE ``mapInArrow`` on executors —
+Arrow batches in, one writer per partition, numeric columns encoded
+by whole-array numpy byte-swaps (``astype('>i8')`` — one vectorized
+pass, then constant-size slicing); only strings/bytea pay a per-value
+encode, same as the text path.  Nothing driver-side, same per-batch
+transaction contract as the text sink.
+
+Type coverage (Spark -> PG): short->int2, int->int4, long->int8,
+float->float4, double->float8, boolean->bool, string->text,
+binary->bytea, timestamp/timestamp_ntz->timestamp (microseconds since
+2000-01-01), date->date (days since 2000-01-01).  Decimal, intervals,
+arrays and nested types are NOT encoded — ``unsupported_columns``
+names them so callers fall back to the text sink, which renders
+everything.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterable
+
+BINARY_HEADER = b"PGCOPY\n\xff\r\n\x00" + struct.pack(">ii", 0, 0)
+BINARY_TRAILER = struct.pack(">h", -1)
+_NULL = struct.pack(">i", -1)
+
+# 2000-01-01 relative to the unix epoch
+_PG_EPOCH_US = 946_684_800_000_000
+_PG_EPOCH_DAYS = 10_957
+
+
+def _fixed_cells(buf: bytes, width: int, nulls) -> list[bytes | None]:
+    """Split a big-endian numpy byte buffer into per-row payloads."""
+    return [
+        None if nulls[i] else buf[i * width : (i + 1) * width]
+        for i in range(len(buf) // width)
+    ]
+
+
+def _column_cells(arr) -> list[bytes | None]:
+    """Per-row binary payloads for one pyarrow array (None = NULL)."""
+    import pyarrow as pa
+
+    t = arr.type
+    nulls = arr.is_null().to_numpy(zero_copy_only=False)
+    if pa.types.is_int16(t) or pa.types.is_int32(t) or pa.types.is_int64(t):
+        width = t.bit_width // 8
+        np_t = f">i{width}"
+        buf = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np_t).tobytes()
+        return _fixed_cells(buf, width, nulls)
+    if pa.types.is_float32(t) or pa.types.is_float64(t):
+        width = t.bit_width // 8
+        buf = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(f">f{width}").tobytes()
+        return _fixed_cells(buf, width, nulls)
+    if pa.types.is_boolean(t):
+        vals = arr.fill_null(False).to_numpy(zero_copy_only=False)
+        return [
+            None if nulls[i] else (b"\x01" if vals[i] else b"\x00")
+            for i in range(len(vals))
+        ]
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            arr = arr.cast(pa.timestamp("us", tz=t.tz))
+        us = (
+            arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+            - _PG_EPOCH_US
+        ).astype(">i8").tobytes()
+        return _fixed_cells(us, 8, nulls)
+    if pa.types.is_date32(t):
+        days = (
+            arr.cast(pa.int32()).fill_null(0).to_numpy(zero_copy_only=False)
+            - _PG_EPOCH_DAYS
+        ).astype(">i4").tobytes()
+        return _fixed_cells(days, 4, nulls)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return [None if v is None else v.encode("utf-8") for v in arr.to_pylist()]
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return [None if v is None else bytes(v) for v in arr.to_pylist()]
+    raise TypeError(f"binary COPY does not support arrow type {t}")
+
+
+_SUPPORTED_SPARK = {
+    "smallint", "int", "bigint", "float", "double", "boolean",
+    "string", "binary", "timestamp", "timestamp_ntz", "date",
+}
+
+
+def unsupported_columns(df) -> list[str]:
+    """Column names binary COPY cannot encode (fall back to text)."""
+    return [
+        f.name for f in df.schema.fields if f.dataType.simpleString() not in _SUPPORTED_SPARK
+    ]
+
+
+def encode_rows(batch) -> Iterable[bytes]:
+    """One PGCOPY binary tuple (field-count + fields) per row of a
+    pyarrow RecordBatch.  Header/trailer are the transaction framing
+    and belong to the writer, not the encoder."""
+    cols = [_column_cells(batch.column(i)) for i in range(batch.num_columns)]
+    nf = struct.pack(">h", batch.num_columns)
+    pack_len = struct.Struct(">i").pack
+    for i in range(batch.num_rows):
+        parts = [nf]
+        for col in cols:
+            c = col[i]
+            parts.append(_NULL if c is None else pack_len(len(c)) + c)
+        yield b"".join(parts)
+
+
+def copy_binary_partition(
+    batches,
+    *,
+    dsn: str,
+    table: str,
+    columns: list[str],
+    batch_size: int,
+    timeout_s: int,
+    connection_factory: Callable[[str], object],
+) -> int:
+    """Stream one partition's Arrow batches as binary COPY in
+    batch_size-row transactions — the exact transaction contract of
+    the text ``copy_partition`` (per-batch commit, failed batch rolls
+    back and raises, at-least-once under task retry).  Requires a
+    driver with a ``copy``/``copy_expert`` surface; psycopg2's legacy
+    ``copy_from`` cannot speak binary and raises with that message.
+    """
+    from parquet_to_sql_spark.identifiers import quote_identifier
+
+    quoted_table = quote_identifier(table)
+    col_list = ", ".join(quote_identifier(c) for c in columns)
+    sql = f"COPY {quoted_table} ({col_list}) FROM STDIN (FORMAT BINARY)"
+    conn = connection_factory(dsn)
+    written = 0
+    try:
+        def flush(rows: list[bytes]) -> int:
+            if not rows:
+                return 0
+            cur = conn.cursor()
+            try:
+                cur.execute(f"SET LOCAL statement_timeout = {int(timeout_s * 1000)}")
+                if hasattr(cur, "copy"):
+                    with cur.copy(sql) as cp:
+                        cp.write(BINARY_HEADER)
+                        for r in rows:
+                            cp.write(r)
+                        cp.write(BINARY_TRAILER)
+                elif hasattr(cur, "copy_expert"):
+                    import io
+
+                    cur.copy_expert(
+                        sql,
+                        io.BytesIO(BINARY_HEADER + b"".join(rows) + BINARY_TRAILER),
+                    )
+                else:
+                    raise RuntimeError(
+                        "binary COPY needs a cursor with copy()/copy_expert(); "
+                        "psycopg2 copy_from is text-only — use the text sink"
+                    )
+                conn.commit()
+                return len(rows)
+            except Exception as exc:
+                conn.rollback()
+                raise RuntimeError(f"binary COPY failed: {exc}") from exc
+
+        pending: list[bytes] = []
+        for batch in batches:
+            for row in encode_rows(batch):
+                pending.append(row)
+                if len(pending) >= batch_size:
+                    written += flush(pending)
+                    pending = []
+        written += flush(pending)
+        return written
+    finally:
+        conn.close()

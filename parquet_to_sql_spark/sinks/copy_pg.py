@@ -221,6 +221,58 @@ class CopySink:
         rendered.foreachPartition(run)
         return int(rows_acc.value)
 
+    def write_binary(self, df: DataFrame, table: str, truncate: bool = False) -> int:
+        """Write via PostgreSQL's BINARY COPY format and return rows
+        written.  Typed wire encoding (sinks/copy_binary.py): numeric
+        columns leave as whole-array byte swaps instead of per-value
+        text rendering, and the server skips its text parsers — the
+        fast path for numeric-heavy tables.  Schema-gated: columns
+        binary COPY can't encode (decimals, intervals, nested) raise
+        up front with the fallback spelled out (the text ``write``
+        renders everything).  Same partition/transaction contract as
+        the text path: one writer per partition, batch_size-row
+        transactions, at-least-once under task retry (write_atomic /
+        write_idempotent wrap it for exactly-once)."""
+        import pyspark.sql.functions as F
+
+        from parquet_to_sql_spark.sinks.copy_binary import (
+            copy_binary_partition,
+            unsupported_columns,
+        )
+
+        assert_safe_table_name(table)
+        columns = list(df.columns)
+        assert_safe_column_names(columns)
+        bad = unsupported_columns(df)
+        if bad:
+            raise TypeError(
+                f"binary COPY cannot encode columns {bad} "
+                "(decimal/interval/nested); use the text sink's write()"
+            )
+        if truncate:
+            self._execute_truncate(table)
+        src = df.repartition(self.num_writers) if self.num_writers else df
+        dsn, batch_size, timeout_s = self.dsn, self.batch_size, self.timeout_s
+        factory = self.connection_factory
+
+        def run(batches):
+            import pyarrow as pa
+
+            n = copy_binary_partition(
+                batches,
+                dsn=dsn,
+                table=table,
+                columns=columns,
+                batch_size=batch_size,
+                timeout_s=timeout_s,
+                connection_factory=factory,
+            )
+            yield pa.RecordBatch.from_pydict({"n_rows": [n]})
+
+        counted = src.mapInArrow(run, "n_rows long")
+        total = counted.agg(F.sum("n_rows").alias("s")).collect()[0].s
+        return int(total or 0)
+
     def write_idempotent(self, df: DataFrame, table: str, batch_id: int) -> int:
         """Exactly-once streaming micro-batch ingest, DISTRIBUTED: each
         partition commits its COPY and a ``(batch_id, partition_id)``

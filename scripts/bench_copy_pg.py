@@ -94,6 +94,21 @@ def main() -> int:
             dt = time.monotonic() - t0
             assert written == n, (written, n)
             results[label] = dt
+        # binary-format COPY (typed wire encoding, no server-side text
+        # parsing), same writer count as copy_parallel
+        conn = pg_wire.connect(dsn)
+        cur = conn.cursor()
+        cur.execute("DROP TABLE IF EXISTS lineitem_bench")
+        cur.execute(create_table_sql("lineitem_bench", df.schema))
+        conn.commit()
+        conn.close()
+        t0 = time.monotonic()
+        written = CopySink(dsn, num_writers=int(cpus)).write_binary(
+            df, "lineitem_bench"
+        )
+        dt = time.monotonic() - t0
+        assert written == n, (written, n)
+        results["copy_binary"] = dt
         check = pg_wire.connect(dsn)
         cur = check.cursor()
         cur.execute("SELECT count(*) FROM lineitem_bench")
@@ -109,8 +124,13 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     "copy_parallel_sec": round(results["copy_parallel"], 3),
                     "copy_1writer_sec": round(results["copy_1writer"], 3),
+                    "copy_binary_sec": round(results["copy_binary"], 3),
+                    "binary_rows_per_sec": round(n / results["copy_binary"]),
                     "speedup_parallel_vs_1writer": round(
                         results["copy_1writer"] / results["copy_parallel"], 2
+                    ),
+                    "speedup_binary_vs_text": round(
+                        results["copy_parallel"] / results["copy_binary"], 2
                     ),
                 }
             )

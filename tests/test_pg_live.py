@@ -678,3 +678,75 @@ def test_copy_from_only_driver_gets_working_fast_path(spark, pg_dsn):
         pg_dsn, 'SELECT count(*)::text, min("Vee"), max("Vee") FROM pg2_copy_from'
     )
     assert rows == [("25", "v1", "v9")]
+
+
+def test_binary_copy_roundtrips_typed_values(spark, pg_dsn):
+    """BINARY-format COPY against the live server: every supported
+    type incl. NULLs and COPY-special characters (which binary needs
+    no escaping for), read back and compared value-for-value against
+    the same table loaded by the TEXT sink — two wire formats, one
+    result."""
+    df = spark.createDataFrame(
+        [
+            (
+                1, 7, 1_234_567_890_123, 2.5, True,
+                "tab\there nl\nthere back\\slash é \\N",
+                bytearray(b"\x00\xffA"),
+                "2024-01-02 03:04:05.123456", "2024-03-01",
+            ),
+            (2, None, None, None, None, None, None, None, None),
+        ],
+        "id int, i2 smallint, i8 bigint, f8 double, flag boolean, "
+        "s string, payload binary, ts string, d string",
+    ).select(
+        "id", "i2", "i8", "f8", "flag", "s", "payload",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("d").cast("date").alias("d"),
+    )
+    ddl = """CREATE TABLE {t} (
+        id int, i2 smallint, i8 bigint, f8 float8, flag boolean,
+        s text, payload bytea, ts timestamptz, d date)"""
+    _exec(pg_dsn, "DROP TABLE IF EXISTS bin_rt", ddl.format(t="bin_rt"))
+    _exec(pg_dsn, "DROP TABLE IF EXISTS txt_rt", ddl.format(t="txt_rt"))
+
+    written = CopySink(pg_dsn).write_binary(df, "bin_rt")
+    assert written == 2
+    assert CopySink(pg_dsn).write(df, "txt_rt") == 2
+
+    sel = (
+        "SELECT id::text, i2::text, i8::text, f8::text, flag::text, s, "
+        "encode(payload, 'hex'), "
+        "to_char(ts AT TIME ZONE 'UTC', 'YYYY-MM-DD HH24:MI:SS.US'), "
+        "d::text FROM {t} ORDER BY id"
+    )
+    got = _exec(pg_dsn, sel.format(t="bin_rt"))
+    want = _exec(pg_dsn, sel.format(t="txt_rt"))
+    assert got == want and len(got) == 2
+
+
+def test_binary_copy_failed_batch_commits_prior_batches(spark, pg_dsn):
+    """Per-batch transaction parity with the text sink: a violation in
+    a later batch must keep earlier batches committed and raise."""
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS bin_batches",
+        "CREATE TABLE bin_batches (id bigint CHECK (id < 15))",
+    )
+    df = spark.range(0, 20).coalesce(1)  # ids 0..19, one partition
+    sink = CopySink(pg_dsn, batch_size=5)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sink.write_binary(df, "bin_batches")
+    n = _exec(pg_dsn, "SELECT COUNT(*)::text FROM bin_batches")[0][0]
+    # batches of 5 over a range: the batch containing id 15 fails,
+    # every batch before it is committed
+    assert n == "15"
+
+
+def test_binary_copy_rejects_decimal_schema(spark, pg_dsn):
+    df = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS d")
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="text sink"):
+        CopySink(pg_dsn).write_binary(df, "never_created")
