@@ -7,7 +7,7 @@ Reference signature (ImportParquetCommand.php:10-17):
 Here:
   python -m parquet_to_sql_spark.cli PATH TABLE [--map src=dst ...]
       [--connection URL] [--batch N] [--timeout S] [--truncate]
-      [--sink {jdbc,copy,pg,duckdb,file}] [--format {parquet,csv,json,orc}]
+      [--sink {jdbc,copy,copy-binary,pg,duckdb,file}] [--format {parquet,csv,json,orc}]
 
 For --sink file, --connection is the base DIRECTORY of the lake; the
 import lands at <connection>/<table> in --format.
@@ -72,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch", type=int, default=5000)
     ap.add_argument("--timeout", type=int, default=300)
     ap.add_argument("--truncate", action="store_true")
-    ap.add_argument("--sink", choices=["jdbc", "copy", "pg", "duckdb", "file"], default="jdbc")
+    ap.add_argument("--sink", choices=["jdbc", "copy", "copy-binary", "pg", "duckdb", "file"], default="jdbc")
     ap.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
                     default="parquet", help="output format for --sink file")
     args = ap.parse_args(argv)

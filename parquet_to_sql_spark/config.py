@@ -86,9 +86,9 @@ def load_config(path: str | None = None, **overrides) -> EngineConfig:
         copy_timeout=int(resolved.get("copy_timeout", DEFAULT_COPY_TIMEOUT)),
         sink=str(resolved.get("sink", DEFAULT_SINK)),
     )
-    if cfg.sink not in ("jdbc", "copy", "pg", "duckdb", "file"):
+    if cfg.sink not in ("jdbc", "copy", "copy-binary", "pg", "duckdb", "file"):
         raise ValueError(
-            f"unknown sink kind {cfg.sink!r} (jdbc|copy|pg|duckdb|file)"
+            f"unknown sink kind {cfg.sink!r} (jdbc|copy|copy-binary|pg|duckdb|file)"
         )
     return cfg
 
@@ -114,6 +114,12 @@ def build_sink(cfg: EngineConfig, *, file_format: str = "parquet"):
         from parquet_to_sql_spark.sinks.copy_pg import CopySink
 
         return CopySink(
+            cfg.connection, batch_size=cfg.batch_size, timeout_s=cfg.copy_timeout
+        )
+    if cfg.sink == "copy-binary":
+        from parquet_to_sql_spark.sinks.copy_pg import BinaryCopySink
+
+        return BinaryCopySink(
             cfg.connection, batch_size=cfg.batch_size, timeout_s=cfg.copy_timeout
         )
     if cfg.sink == "pg":

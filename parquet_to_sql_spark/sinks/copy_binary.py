@@ -11,6 +11,12 @@ timestamp parsing is the server-side cost of text COPY on numeric
 tables) and round-trips types exactly — no quoting, no locale, no
 ``\\N`` sentinel collisions.
 
+Contract the text sink does not have: binary payloads are WIDTH-EXACT
+— an int4 payload into a bigint column is a server error ("insufficient
+data left in message"), where text COPY would happily parse "5" into
+any integer width.  Create the target table from the DataFrame's own
+schema (``sinks.ddl.create_table_sql``) or guarantee the widths match.
+
 Scale shape: encoding runs INSIDE ``mapInArrow`` on executors —
 Arrow batches in, one writer per partition, numeric columns encoded
 by whole-array numpy byte-swaps (``astype('>i8')`` — one vectorized

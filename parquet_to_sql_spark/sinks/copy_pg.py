@@ -470,3 +470,14 @@ class CopySink:
             conn.commit()
         finally:
             conn.close()
+
+
+class BinaryCopySink(CopySink):
+    """CopySink whose ``write`` speaks the BINARY COPY wire format
+    (sinks/copy_binary.py) — the type-fidelity variant for schemas
+    binary can encode; raises up front (naming the text fallback) on
+    decimal/interval/nested columns.  Same constructor, identifiers,
+    truncate, and transaction contract as the text sink."""
+
+    def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
+        return self.write_binary(df, table, truncate=truncate)

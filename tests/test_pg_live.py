@@ -750,3 +750,32 @@ def test_binary_copy_rejects_decimal_schema(spark, pg_dsn):
 
     with _pytest.raises(TypeError, match="text sink"):
         CopySink(pg_dsn).write_binary(df, "never_created")
+
+
+def test_binary_sink_kind_dispatch_and_cli_live(spark, pg_dsn):
+    """The 'copy-binary' sink kind: config dispatch returns the binary
+    variant, and an Importer run through it lands typed rows on the
+    live server."""
+    from parquet_to_sql_spark.config import build_sink, load_config
+    from parquet_to_sql_spark.sinks.copy_pg import BinaryCopySink
+
+    from parquet_to_sql_spark.sinks.ddl import create_table_sql
+
+    cfg = load_config(connection=pg_dsn, sink="copy-binary")
+    sink = build_sink(cfg)
+    assert isinstance(sink, BinaryCopySink)
+
+    df = spark.read.parquet(f"{SF_TINY}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    # binary COPY is width-exact: DDL must come from the df schema
+    # (r_regionkey is int32 -> PG integer, NOT bigint)
+    _exec(
+        pg_dsn,
+        "DROP TABLE IF EXISTS bin_sink_kind",
+        create_table_sql("bin_sink_kind", df.schema),
+    )
+    written = sink.write(df, "bin_sink_kind")
+    assert written == df.count()
+    rows = _exec(pg_dsn, "SELECT r_regionkey::text, r_name FROM bin_sink_kind ORDER BY 1")
+    assert len(rows) == written and rows[0][1]
