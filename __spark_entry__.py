@@ -238,6 +238,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "ev_wau_mau_stickiness",  # round-6 new: WAU/MAU engagement ratio
     "simsearch_mrr_eval",  # round-6 new: rank-aware retrieval eval
     "sql_engine_session_variables",  # round-6 new: DECLARE/SET VAR handoff
+    "source_binaryfile_manifest",  # round-6 new: blob-source manifest
 )
 
 # Verified queries whose build source OR implementing operator

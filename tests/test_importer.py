@@ -673,3 +673,31 @@ def test_import_requires_path_or_reader(spark):
     imp = Importer(spark, DuckDbSink(":memory:"))
     with pytest.raises(ValueError, match="path or an injected reader"):
         imp.import_(None, "t")
+
+
+def test_binaryfile_manifest_matches_duckdb_read_blob(spark):
+    """source_binaryfile_manifest is rows-only at the driver gate
+    (DuckDB 1.0 read_blob takes only constant paths, and oracle SQL
+    can't know the checker's sf dir) — so the value-exact evidence
+    lives HERE, with the path inlined, at two scale factors."""
+    import duckdb
+
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    q = all_queries()["source_binaryfile_manifest"]
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(
+            (r.fname, r.n_bytes, r.content_sha256)
+            for r in q.build(spark, sf_dir).collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                duckdb.sql(
+                    "SELECT regexp_extract(filename, '([^/]+)$', 1),"
+                    " CAST(size AS BIGINT), sha256(hex(content))"
+                    f" FROM read_blob('{sf_dir}/*.parquet')"
+                ).fetchall(),
+            )
+        )
+        assert got == want and len(got) == 10
