@@ -661,8 +661,8 @@ def bm25_rational_scores(
 _BPE_US = "\x1f"  # unit separator — cannot occur in ^[a-z]+$ words
 
 
-def bpe_symbols_after_merges(word: Column, merges: Column, n_merges: int) -> Column:
-    """Symbol count of ``word`` after greedily applying ``n_merges``
+def bpe_merge_sequence(word: Column, merges: Column, n_merges: int) -> Column:
+    """``word``'s symbol sequence after greedily applying ``n_merges``
     character-pair merges (``merges`` = array of 2-char pair strings,
     highest-priority first), BPE-style: each merge scans left to
     right, earlier merges win, merged symbols are atomic for later
@@ -676,8 +676,11 @@ def bpe_symbols_after_merges(word: Column, merges: Column, n_merges: int) -> Col
     continue searching the original string after each match, so a
     chain like 'aaaa' under merge ('a','a') yields exactly [aa, aa]),
     and a merged symbol's interior has no double separator, so later
-    merges can never match inside it.  Symbol count recovers as
-    (#separator chars) / 2 — each symbol contributes exactly two."""
+    merges can never match inside it.
+
+    STAGE THE RESULT AS A NAMED COLUMN before consuming it more than
+    once — the nested replace chain is inlined per reference by
+    codegen (same warning as word_hashes)."""
     us = F.lit(_BPE_US)
     seq = F.concat(us, F.array_join(F.split(word, ""), _BPE_US + _BPE_US), us)
     for i in range(1, n_merges + 1):
@@ -687,8 +690,23 @@ def bpe_symbols_after_merges(word: Column, merges: Column, n_merges: int) -> Col
             F.concat(us, F.substring(mg, 1, 1), us, us, F.substring(mg, 2, 1), us),
             F.concat(us, mg, us),
         )
+    return seq
+
+
+def bpe_symbol_count(seq: Column) -> Column:
+    """Symbol count of a (STAGED) merge sequence: (#separator chars)/2
+    — each symbol contributes exactly two chr(31)s."""
+    us = F.lit(_BPE_US)
     n_seps = (F.length(seq) - F.length(F.replace(seq, us, F.lit("")))).cast("long")
-    return F.shiftright(n_seps, 1)  # exactly 2 separators per symbol
+    return F.shiftright(n_seps, 1)
+
+
+def bpe_symbols_after_merges(word: Column, merges: Column, n_merges: int) -> Column:
+    """Convenience compose of bpe_merge_sequence + bpe_symbol_count for
+    single-use sites (tests, one-shot expressions).  Hot paths should
+    stage the sequence column and count from it — this compose embeds
+    the merge chain twice (length + replace both reference it)."""
+    return bpe_symbol_count(bpe_merge_sequence(word, merges, n_merges))
 
 
 CLS_BUCKETS = 256

@@ -1232,45 +1232,53 @@ def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_time_to_convert",
     tags=("events", "funnel", "sequence"),
     oracle="""
-    WITH f AS (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'view'
-                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_view_us,
-             MIN(CASE WHEN event_type = 'purchase'
-                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_buy_us
-      FROM events GROUP BY user_id
+    WITH fv AS (
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), b AS (
+      SELECT e.user_id, fv.first_view_us,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_buy_us
+      FROM events e JOIN fv USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(CAST(ts AS TIMESTAMP)) > fv.first_view_us
+      GROUP BY e.user_id, fv.first_view_us
     )
     SELECT user_id,
            CAST((first_buy_us - first_view_us) // 1000000 AS BIGINT)
              AS secs_to_convert
-    FROM f
-    WHERE first_view_us IS NOT NULL AND first_buy_us > first_view_us
+    FROM b
     """,
 )
 def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency per user: seconds from the first 'view' to the
-    first later 'purchase' — the time-to-convert distribution input.
-    ONE conditional-min aggregation over the raw log (map-side
-    partials, no window, no self-join: the classic two-event funnel
-    does NOT need the generic funnel machinery), then a row-local
-    subtraction.  Users who never viewed, never purchased, or
-    purchased only before their first view are excluded by
-    construction.  Microsecond epochs subtract exactly; the seconds
-    division truncates identically in both engines (non-negative by
-    the filter)."""
+    first purchase STRICTLY AFTER it — true sequence semantics, so a
+    user who purchased both before and after their first view still
+    converts (a single conditional-min over all purchases would
+    compare against the pre-view purchase and silently drop them —
+    the code-review catch this rewrite fixes).  Shape: one filtered
+    min-agg for first views, one user-keyed join filtering purchases
+    to t > first_view, one more min-agg — all map-side-partial
+    aggregations and a user-keyed equality join, no window, no
+    self-join over the raw log.  Users who never viewed or never
+    purchased after viewing are absent.  Microsecond epochs subtract
+    exactly; the seconds division truncates identically in both
+    engines (non-negative by the filter)."""
     ev = load_table(spark, sf_dir, "events")
-    f = ev.groupBy("user_id").agg(
-        F.min(
-            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
-        ).alias("first_view_us"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
-        ).alias("first_buy_us"),
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_view_us"))
     )
-    return f.where(
-        F.col("first_view_us").isNotNull()
-        & (F.col("first_buy_us") > F.col("first_view_us"))
-    ).selectExpr(
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("buy_us")
+    )
+    b = (
+        buys.join(fv, "user_id")
+        .where(F.col("buy_us") > F.col("first_view_us"))
+        .groupBy("user_id", "first_view_us")
+        .agg(F.min("buy_us").alias("first_buy_us"))
+    )
+    return b.selectExpr(
         "user_id",
         "CAST((first_buy_us - first_view_us) div 1000000 AS BIGINT) AS secs_to_convert",
     )

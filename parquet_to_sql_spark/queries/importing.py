@@ -170,10 +170,13 @@ def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's read_blob over the same glob; the digest is sha-256 of
     the UPPERCASE hex rendering because both engines hash strings but
     only one hashes blobs, and hex() agrees byte-for-byte.  Scale
-    shape: binaryFile is a regular FileScan — one task per file (or
-    per split for large blobs), digests computed where the bytes live,
-    a manifest-sized result; at 100 TB of assets this is the
-    partition-parallel checksum pass every archival ingest runs."""
+    shape: binaryFile is a FileScan that reads each file WHOLE into
+    one row — it never splits a file, and files over
+    spark.sql.sources.binaryFile.maxLength (default 2 GB) fail rather
+    than split — so parallelism is one task per file and giant blobs
+    need chunked ingestion upstream; across millions of normal-sized
+    assets the digests still compute where the bytes live with a
+    manifest-sized result."""
     df = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     return df.select(
         F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),

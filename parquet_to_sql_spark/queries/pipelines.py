@@ -901,6 +901,21 @@ _EPOCH_SEED = 3
 _SHUF_MOD = 2_147_483_647
 _SHUF_MIX = 506_952_114  # 2654435761 mod 2^31-1, reduced so products fit int64
 
+# ONE definition of the epoch-shuffle key, Spark + DuckDB spellings —
+# pipeline_epoch_shuffle and pipeline_shard_manifest must rank by the
+# IDENTICAL permutation, so the formula lives here and only here.
+_DUCK_SHUFFLE_KEY = (
+    f"((doc_id % {_SHUF_MOD} + {_EPOCH_SEED}) % {_SHUF_MOD})"
+    f" * {_SHUF_MIX} % {_SHUF_MOD}"
+)
+
+
+def _shuffle_key_col():
+    return (
+        (F.col("doc_id") % _SHUF_MOD + _EPOCH_SEED) % _SHUF_MOD
+        * _SHUF_MIX % _SHUF_MOD
+    ).cast("bigint")
+
 
 @query(
     "pipeline_epoch_shuffle",
@@ -908,8 +923,7 @@ _SHUF_MIX = 506_952_114  # 2654435761 mod 2^31-1, reduced so products fit int64
     oracle=f"""
     WITH k AS (
       SELECT doc_id,
-             ((doc_id % {_SHUF_MOD} + {_EPOCH_SEED}) % {_SHUF_MOD})
-               * {_SHUF_MIX} % {_SHUF_MOD} AS shuffle_key
+             {_DUCK_SHUFFLE_KEY} AS shuffle_key
       FROM documents
     )
     SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
@@ -936,10 +950,7 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
-        (
-            (F.col("doc_id") % _SHUF_MOD + _EPOCH_SEED) % _SHUF_MOD
-            * _SHUF_MIX % _SHUF_MOD
-        ).cast("bigint").alias("shuffle_key"),
+        _shuffle_key_col().alias("shuffle_key"),
         F.lit(1).cast("long").alias("_one"),
     )
     ranked = prefix_sum(keyed, ["shuffle_key", "doc_id"], "_one", "shuffle_rank")
@@ -958,8 +969,7 @@ _SHARD_SIZE = 100
     WITH k AS (
       SELECT doc_id,
              len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-             ((doc_id % {_SHUF_MOD} + {_EPOCH_SEED}) % {_SHUF_MOD})
-               * {_SHUF_MIX} % {_SHUF_MOD} AS shuffle_key
+             {_DUCK_SHUFFLE_KEY} AS shuffle_key
       FROM documents
     ), r AS (
       SELECT doc_id, n_tok,
@@ -991,10 +1001,7 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id",
         F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
-        (
-            (F.col("doc_id") % _SHUF_MOD + _EPOCH_SEED) % _SHUF_MOD
-            * _SHUF_MIX % _SHUF_MOD
-        ).cast("bigint").alias("shuffle_key"),
+        _shuffle_key_col().alias("shuffle_key"),
         F.lit(1).cast("long").alias("_one"),
     )
     ranked = prefix_sum(keyed, ["shuffle_key", "doc_id"], "_one", "rnk")

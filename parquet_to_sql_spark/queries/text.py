@@ -1176,7 +1176,6 @@ def text_hash_feature_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_TOP = 5
-_US = "\x1f"  # unit separator: cannot occur in ^[a-z]+$ words
 
 
 def _duck_bpe_encode_oracle() -> str:
@@ -1276,14 +1275,26 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["pair"],
         ).alias("ms")
     )
-    from parquet_to_sql_spark.operators.text import bpe_symbols_after_merges
+    from parquet_to_sql_spark.operators.text import (
+        bpe_merge_sequence,
+        bpe_symbol_count,
+    )
 
-    enc = aw.crossJoin(F.broadcast(merges)).select(
-        "doc_id",
-        F.length("word").cast("long").alias("n_before"),
-        bpe_symbols_after_merges(F.col("word"), F.col("ms"), _BPE_TOP).alias(
-            "n_after"
-        ),
+    # the merge chain is staged as a real column so codegen evaluates
+    # the nested replaces ONCE per word (length + separator-strip both
+    # consume it — unstaged, the chain would run twice per row)
+    enc = (
+        aw.crossJoin(F.broadcast(merges))
+        .select(
+            "doc_id",
+            F.length("word").cast("long").alias("n_before"),
+            bpe_merge_sequence(F.col("word"), F.col("ms"), _BPE_TOP).alias("_seq"),
+        )
+        .select(
+            "doc_id",
+            "n_before",
+            bpe_symbol_count(F.col("_seq")).alias("n_after"),
+        )
     )
     return enc.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),

@@ -225,14 +225,20 @@ class CopySink:
         """Write via PostgreSQL's BINARY COPY format and return rows
         written.  Typed wire encoding (sinks/copy_binary.py): numeric
         columns leave as whole-array byte swaps instead of per-value
-        text rendering, and the server skips its text parsers — the
-        fast path for numeric-heavy tables.  Schema-gated: columns
+        text rendering, and the server skips its text parsers —
+        measured at 0.78-0.87x the text path on lineitem (BASELINE.md;
+        the value is type FIDELITY, not throughput).  Schema-gated:
+        columns
         binary COPY can't encode (decimals, intervals, nested) raise
         up front with the fallback spelled out (the text ``write``
         renders everything).  Same partition/transaction contract as
         the text path: one writer per partition, batch_size-row
-        transactions, at-least-once under task retry (write_atomic /
-        write_idempotent wrap it for exactly-once)."""
+        transactions, at-least-once under task retry.  NOTE:
+        write_atomic / write_idempotent are TEXT-format paths (their
+        per-partition ledger transactions render COPY lines
+        internally) — they do not currently compose with the binary
+        encoding, so exactly-once loads forgo binary's type fidelity
+        until a binary ledger path exists."""
         import pyspark.sql.functions as F
 
         from parquet_to_sql_spark.sinks.copy_binary import (
@@ -477,7 +483,10 @@ class BinaryCopySink(CopySink):
     (sinks/copy_binary.py) — the type-fidelity variant for schemas
     binary can encode; raises up front (naming the text fallback) on
     decimal/interval/nested columns.  Same constructor, identifiers,
-    truncate, and transaction contract as the text sink."""
+    truncate, and transaction contract as the text sink.  Inherited
+    ``write_atomic`` / ``write_idempotent`` still speak TEXT format
+    (they render lines inside their ledger transactions) — only
+    ``write`` is binary on this class."""
 
     def write(self, df: DataFrame, table: str, truncate: bool = False) -> int:
         return self.write_binary(df, table, truncate=truncate)

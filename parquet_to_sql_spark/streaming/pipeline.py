@@ -648,7 +648,10 @@ def classifier_screen_stream(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return stream_docs.select(
+    # NULL-text docs are ABSENT from the batch formulation (explode of
+    # a null token array drops the row); drop them here too so the
+    # row-for-row equivalence holds on dirty inputs, not just fixtures
+    return stream_docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         score.alias("score"),
