@@ -26,11 +26,14 @@ Window 6 composition (installed per VERDICT r05 "Next round" #1):
      oldest oracle-backed evidence in the ledger (all r01 rows),
      refreshed under the standing LRV-rotation policy.
 
-Green across the board => 229/229 queries with driver evidence and
-zero stale rows.  From window 7 on, every window is pure LRV
-rotation, front-loading any query whose implementing source changed
-since its last green row (``_REVERIFY`` declares those so the parity
-test can tell a deliberate re-check from a wasted slot).
+Green across the board => all 229 queries that existed at the freeze
+get driver evidence with zero stale rows (the registry has since
+grown to 255 — round-6 additions queue in ``_QUEUED_POST_WINDOW`` and
+front window 7 with the ``_REVERIFY_QUEUED`` operator-rewrite names;
+recipe in ROUND_NOTES R6-25).  From window 7 on, every window is pure
+LRV rotation, front-loading any query whose implementing source
+changed since its last green row (``_REVERIFY`` declares those so the
+parity test can tell a deliberate re-check from a wasted slot).
 """
 
 from __future__ import annotations

@@ -53,7 +53,14 @@ def test_post_window_queries_match_oracle_at_sf01(spark):
 
     for name in e._QUEUED_POST_WINDOW:
         q = QUERIES[name]
-        assert q.oracle is not None
+        if q.oracle is None:
+            # the driver contract's rows-only class (e.g. the blob
+            # manifest — DuckDB 1.0 read_blob takes constant paths
+            # only); its VALUE-exact mirror lives in a dedicated test
+            # with the path inlined.  Here: the same rows-present
+            # check the driver records.
+            assert q.build(spark, "/root/testdata/sf0.1").count() > 0
+            continue
         assert_matches_oracle(
             q.build(spark, "/root/testdata/sf0.1"), q.oracle,
             "/root/testdata/sf0.1",
