@@ -242,6 +242,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "simsearch_mrr_eval",  # round-6 new: rank-aware retrieval eval
     "sql_engine_session_variables",  # round-6 new: DECLARE/SET VAR handoff
     "source_binaryfile_manifest",  # round-6 new: blob-source manifest
+    "ev_interarrival_histogram",  # round-6 new: gap distribution
+    "ev_dow_hour_heatmap",  # round-6 new: load-shape heatmap
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1338,3 +1338,90 @@ def ev_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness_ppm"),
         )
     )
+
+
+@query(
+    "ev_interarrival_histogram",
+    tags=("events", "sequence", "corpus-stats"),
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      FROM events
+    ), g AS (
+      SELECT length(bin(gap_us // 1000)) - 1 AS bucket FROM o
+      WHERE gap_us IS NOT NULL AND gap_us > 0
+    )
+    SELECT CAST(bucket AS BIGINT) AS log2_gap_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST((1000000::HUGEINT * COUNT(*)) // SUM(COUNT(*)) OVER ()
+                AS BIGINT) AS share_ppm
+    FROM g GROUP BY 1
+    """,
+)
+def ev_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution: per-user event gaps bucketed
+    by power-of-two milliseconds — the latency/burstiness fingerprint
+    that sizes session-gap thresholds and stream watermarks (the 30
+    min session gap and the watermark horizon should both come from
+    THIS histogram, not folklore).  The lag window partitions by user
+    (never global), the histogram is <=64 rows, and the normalizing
+    window runs over that bounded result.  Zero-gap pairs (identical
+    microsecond timestamps) are excluded — log2 of 0 is undefined and
+    both engines' ordering under exact ties is the (ts, event_id)
+    total order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    g = o.groupBy(
+        (F.length(F.bin(F.expr("gap_us div 1000"))) - 1)
+        .cast("bigint")
+        .alias("log2_gap_ms")
+    ).agg(F.count(F.lit(1)).alias("n_gaps"))
+    return g.select(
+        "log2_gap_ms",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_gaps)"
+            " div (SUM(n_gaps) OVER ()) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+@query(
+    "ev_dow_hour_heatmap",
+    tags=("events", "window-agg", "dataset-card"),
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-of-week x hour-of-day activity heatmap (events and
+    distinct users per cell) — the load-shape table capacity planning
+    reads.  One aggregation, 168-cell-bounded output at any volume;
+    the distinct count shuffles pre-deduplicated (cell, user) pairs.
+    Day numbering: Spark's dayofweek is 1=Sunday..7; DuckDB's
+    dayofweek is 0=Sunday..6, so the oracle adds 1 — pinned here so
+    nobody 'fixes' the off-by-one into existence."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
