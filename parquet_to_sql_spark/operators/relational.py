@@ -121,6 +121,15 @@ def binned_overlap_join(
     bin_width + 2 per row, so pick the width near the typical interval
     length.  Returns all columns of both inputs for each overlapping
     pair.
+
+    Contract: every interval must satisfy ``lo <= hi`` (min/max
+    aggregates guarantee it at the call sites).  An inverted row
+    would make ``sequence(lo div W, hi div W)`` count DOWN (Spark
+    sequences descend when start > stop — same hazard the range join
+    documents), replicating the row to bins it cannot match in;
+    results stay correct (the exact predicate rejects) but the
+    replication is wasted work — validate upstream if inputs are
+    untrusted.
     """
     lb = left.withColumn(
         "_bin",
