@@ -657,3 +657,80 @@ def classifier_screen_stream(
         score.alias("score"),
         (score >= 0).alias("keep"),
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matching ev_session_windows
+_SESS_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESS_STATE = "start_us long, end_us long, n long"
+
+
+def _session_fn(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    closed: list[tuple[int, int, int]] = []
+    if state.hasTimedOut:
+        # the watermark passed end + gap with no new event: the open
+        # session is final — emit it and CLEAR the state (bounded
+        # state via eviction, not via unbounded key retention)
+        closed.append(state.get)
+        state.remove()
+    else:
+        batches = [p for p in pdf_iter if len(p)]
+        if batches:
+            rows = pd.concat(batches, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            if state.exists:
+                s, e, n = state.get
+            else:
+                s = e = None  # type: ignore[assignment]
+                n = 0
+            for t in map(int, ts_us):
+                if s is None:
+                    s, e, n = t, t, 1
+                elif t - e < _SESSION_GAP_US:
+                    # same close rule as the batch session_window:
+                    # a gap >= 30 min STARTS a new session
+                    e, n = t, n + 1
+                else:
+                    closed.append((s, e, n))
+                    s, e, n = t, t, 1
+            state.update((s, e, n))
+            # evict when event-time passes the gap horizon (ms epoch)
+            state.setTimeoutTimestamp(e // 1000 + _SESSION_GAP_US // 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+            "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+            "n_events": [c[2] for c in closed],
+        }
+    )
+
+
+def user_sessions_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom sessionizer with EVENT-TIME TIMEOUT eviction — the
+    applyInPandasWithState capability the built-in session_window
+    hides: per-user state is ONE (start, end, count) triple, sessions
+    that close INSIDE a micro-batch (next event >= 30 min later) emit
+    immediately, and the still-open session emits when the watermark
+    passes its gap horizon (``state.hasTimedOut`` -> emit + remove —
+    state is evicted, not retained forever).  Same session semantics
+    as the oracle-checked ev_session_windows batch query, so the
+    equivalence test compares (user, session_start, n_events) exactly.
+    Cross-batch in-order arrival is the source's responsibility, the
+    standing caveat of every sequence-stateful operator here."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESS_OUTPUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

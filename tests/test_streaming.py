@@ -1178,3 +1178,72 @@ def test_streaming_classifier_screen_matches_batch(spark, tmp_path):
         for r in all_queries()["text_hash_feature_classify"].build(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_sessions_timeout_eviction_matches_batch(spark, events_dir, tmp_path):
+    """The EventTimeTimeout sessionizer: run 1 emits every session
+    that CLOSED inside the batch (a later event >= 30 min after it);
+    run 2 advances the watermark with a far-future event, which must
+    flush every user's held-open last session via state.hasTimedOut +
+    remove.  The union of emissions equals the built-in session_window
+    batch query exactly on (user_id, session_start, n_events)."""
+    import pandas as pd
+
+    from parquet_to_sql_spark.streaming import user_sessions_stream
+
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def run_once():
+        rows: list = []
+
+        def collect_batch(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        stream = events_stream(spark, events_dir)
+        q = (
+            user_sessions_stream(stream)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return rows
+
+    r1 = run_once()
+    assert len(r1) > 0  # intra-batch closed sessions emit immediately
+
+    batch = _batch_events(spark)
+    # a single far-future event pushes the GLOBAL watermark past every
+    # held session's gap horizon
+    newer = pd.DataFrame(
+        {
+            "event_id": [30_000_001],
+            "ts": pd.to_datetime("2032-01-01 00:00:00"),
+            "user_id": [batch.agg(F.min("user_id")).collect()[0][0]],
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(newer, schema=batch.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    r2 = run_once()
+    assert len(r2) > 0  # the timed-out flush happened
+
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in r1 + r2
+        if r.session_start.year < 2032  # the new event's own open session never emits
+    )
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in (
+            batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        ).collect()
+    )
+    assert got == want and len(got) > 100
