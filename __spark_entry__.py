@@ -244,6 +244,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "source_binaryfile_manifest",  # round-6 new: blob-source manifest
     "ev_interarrival_histogram",  # round-6 new: gap distribution
     "ev_dow_hour_heatmap",  # round-6 new: load-shape heatmap
+    "profile_sequence_gaps",  # round-6 new: distributed global lead
 )
 
 # Verified queries whose build source OR implementing operator

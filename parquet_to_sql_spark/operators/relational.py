@@ -10,7 +10,7 @@ big side — so results are reproducible run to run.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def salted_join(
@@ -147,4 +147,63 @@ def binned_overlap_join(
             & (F.col("_bin") == F.expr(f"greatest({l_lo}, {r_lo}) div {bin_width}"))
         )
         .drop("_bin")
+    )
+
+
+def sequence_gaps(df: DataFrame, key: str) -> DataFrame:
+    """Missing ranges in an integer key sequence — the data-quality
+    scan ("which IDs were never assigned / got lost") — WITHOUT the
+    single-task global lead() the textbook spelling uses.
+
+    Decomposition (the same two-level trick as operators.prefix):
+    range-partition on the key, detect gaps INSIDE each partition with
+    an ordinary keyed lead window, then close the seams with the
+    O(#partitions) boundary rows — each partition's (min, max) —
+    collected to the driver (the bounded-collect class) and compared
+    pairwise in sorted order.  No task ever sorts more than its own
+    partition; the oracle is the unpartitioned lead() spelling DuckDB
+    can afford at fixture scale.
+
+    The localCheckpoint pins the non-deterministic range boundaries so
+    the window pass and the boundary aggregation see the SAME routing
+    (same reasoning as prefix_sum).  Duplicate keys are fine (lead
+    skips zero-width "gaps"); returns (gap_start, gap_end, gap_len)
+    for every maximal missing run strictly inside [min(key), max(key)].
+    """
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.select(F.col(key).cast("long").alias("_k"))
+        .repartitionByRange(n_parts, F.col("_k"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy("_k")
+    inner = (
+        ranged.withColumn("_next", F.lead("_k").over(w))
+        .where(F.col("_next") > F.col("_k") + 1)
+        .select(
+            (F.col("_k") + 1).alias("gap_start"),
+            (F.col("_next") - 1).alias("gap_end"),
+        )
+    )
+    # seams: consecutive partitions' (max, next-min) — O(#partitions)
+    bounds = sorted(
+        (r._pid, r.lo, r.hi)
+        for r in ranged.groupBy("_pid")
+        .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"))
+        .collect()
+    )
+    seams = [
+        (prev_hi + 1, lo - 1)
+        for (_, _, prev_hi), (_, lo, _) in zip(bounds, bounds[1:])
+        if lo > prev_hi + 1
+    ]
+    seam_df = spark.createDataFrame(
+        seams or [], "gap_start long, gap_end long"
+    )
+    return inner.unionByName(seam_df).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
     )

@@ -618,3 +618,37 @@ def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "nationkey", "multiplicity")
     )
     return i.unionByName(x)
+
+
+@query(
+    "profile_sequence_gaps",
+    tags=("profiling", "data-quality", "scale-path"),
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+           CAST(nxt - 1 AS BIGINT) AS gap_end,
+           CAST(nxt - k - 1 AS BIGINT) AS gap_len
+    FROM o WHERE nxt > k + 1
+    """,
+)
+def profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every missing o_orderkey range among FINISHED orders — the
+    sequence-integrity scan a data-quality suite runs on any ID column
+    (this fixture's keys are dense over all orders, so the status
+    subset supplies the ~3k real gaps the operator must merge).  The
+    oracle is the textbook unpartitioned lead(), which drags the whole
+    table through ONE task; the engine side is
+    operators.relational.sequence_gaps — range partition, keyed
+    in-partition lead, and O(#partitions) boundary seams collected to
+    the driver — the same decomposition that makes the global prefix
+    sum scale."""
+    from parquet_to_sql_spark.operators.relational import sequence_gaps
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return sequence_gaps(orders, "o_orderkey")

@@ -860,3 +860,34 @@ def test_binned_overlap_join_matches_bruteforce(spark):
             ).collect()
         )
         assert got == want, f"trial {trial}"
+
+
+def test_sequence_gaps_matches_bruteforce(spark):
+    """sequence_gaps vs a sequential scan on random sparse key sets,
+    across shuffle-partition counts — the partition SEAMS (a gap
+    spanning two range partitions) are the part the decomposition
+    must get right; duplicates must not fabricate gaps."""
+    import random
+
+    from parquet_to_sql_spark.operators.relational import sequence_gaps
+
+    rng = random.Random(67)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for trial, n_parts in ((0, "1"), (1, "5"), (2, "13")):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            keys = sorted(rng.sample(range(0, 3000), 400))
+            keys += keys[:25]  # duplicates
+            want = []
+            uniq = sorted(set(keys))
+            for a, b in zip(uniq, uniq[1:]):
+                if b > a + 1:
+                    want.append((a + 1, b - 1, b - a - 1))
+            df = spark.createDataFrame([(k,) for k in keys], "o_orderkey long")
+            got = sorted(
+                (r.gap_start, r.gap_end, r.gap_len)
+                for r in sequence_gaps(df, "o_orderkey").collect()
+            )
+            assert got == sorted(want), f"trial {trial} parts {n_parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
