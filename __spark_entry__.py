@@ -15,25 +15,28 @@ alias layer is needed — ``queries()`` emits the 50-slot priority
 window first, then every remaining query in least-recently-verified
 order.  Exactly one registry entry per query.
 
-Window 6 composition (installed per VERDICT r05 "Next round" #1):
+Window 7 composition (installed per VERDICT r06 "Next round" #1,
+recipe ROUND_NOTES R6-25; CORRECTNESS_r06 came back 50/50 green and
+is folded into ``_DRIVER_VERIFIED`` below):
 
-  1. the 17 round-5-new queries — the only names with ZERO driver
-     evidence across CORRECTNESS_r01..r05 (``_NEVER_VERIFIED``);
-  2. the 15 stale-evidence names whose build source changed after
-     their last driver-green round (``_REVERIFY`` — formerly
-     ``_REVERIFY_QUEUED``, now spending real slots);
-  3. 18 least-recently-verified spares (``_LRV_SPARES``) — the
-     oldest oracle-backed evidence in the ledger (all r01 rows),
+  1. the 29 round-6-new queries — the only names with ZERO driver
+     evidence across CORRECTNESS_r01..r06 (``_NEVER_VERIFIED``,
+     the former ``_QUEUED_POST_WINDOW``);
+  2. the 7 stale-evidence names whose implementing operator was
+     rewritten after their last driver-green round (``_REVERIFY``
+     — the r6 simhash single-fold family ×5 and the ADC map-lookup
+     pair ×2, all re-proven bit-identical locally at sf0.1);
+  3. 14 least-recently-verified spares (``_LRV_SPARES``) — the
+     oldest oracle-backed evidence in the ledger (r01/r02 rows),
      refreshed under the standing LRV-rotation policy.
 
-Green across the board => all 229 queries that existed at the freeze
-get driver evidence with zero stale rows (the registry has since
-grown to 255 — round-6 additions queue in ``_QUEUED_POST_WINDOW`` and
-front window 7 with the ``_REVERIFY_QUEUED`` operator-rewrite names;
-recipe in ROUND_NOTES R6-25).  From window 7 on, every window is pure
-LRV rotation, front-loading any query whose implementing source
-changed since its last green row (``_REVERIFY`` declares those so the
-parity test can tell a deliberate re-check from a wasted slot).
+Green across the board => 258/258 registered queries carry driver
+evidence with ZERO stale rows — the first round the entire registry
+is hard-signal-verified.  From here every window is pure LRV
+rotation, front-loading any query whose implementing source changed
+since its last green row (``_REVERIFY`` declares those so the parity
+test can tell a deliberate re-check from a wasted slot) and any
+post-freeze additions (``_QUEUED_POST_WINDOW``).
 """
 
 from __future__ import annotations
@@ -49,12 +52,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from parquet_to_sql_spark.queries.registry import all_queries  # noqa: E402
 from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 
-# Canonical names with >=1 CORRECTNESS_r01..r05 row (hash-green, or
+# Canonical names with >=1 CORRECTNESS_r01..r06 row (hash-green, or
 # the rows-only self-verifying sketch queries).  Derived from the
 # recorded artifacts; tests/test_oracle_parity.py re-derives and
 # asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r06 window first-timers (CORRECTNESS_r06.json, 50/50
+        #     green; the other 33 window-6 names were re-verifies of
+        #     rows already listed in the r01-r05 blocks below) ---
+        "dedup_kcore_3", "dedup_minhash_error_audit",
+        "dedup_prefix_jaccard", "dedup_repeated_spans",
+        "dedup_snm_recall_audit", "dedup_sorted_neighborhood",
+        "join_asof_nearest", "pipeline_bloom_screen_orders",
+        "profile_gini_concentration", "sample_weighted_pps",
+        "simsearch_int_matmul_topk", "simsearch_mmr_rerank",
+        "sql_engine_execute_immediate", "sql_engine_identifier_clause",
+        "sql_engine_sql_table_udf", "sql_engine_sql_udf",
+        "window_global_prefix_sum",
         # --- r05 window (CORRECTNESS_r05.json, 50/50 green) ---
         "agg_argmax_per_group", "agg_bitmap_distinct",
         "agg_group_ols_price_qty", "agg_heavy_hitters_mg",
@@ -161,97 +176,34 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# The 17 names with zero driver evidence across CORRECTNESS_r01..r05
-# (all round-5 additions; each already passes the local oracle at
-# sf0.01 AND sf0.1 — tests/test_oracle_parity.py).  Window slots 1-17.
+# The 29 names with zero driver evidence across CORRECTNESS_r01..r06
+# (all round-6 additions, the former _QUEUED_POST_WINDOW; each passes
+# the local oracle at sf0.01 AND sf0.1 — tests/test_oracle_parity.py).
+# Sorted by name (the parity test's derivation order).  Slots 1-29.
 _NEVER_VERIFIED = (
-    "dedup_kcore_3", "dedup_minhash_error_audit", "dedup_prefix_jaccard",
-    "dedup_repeated_spans", "dedup_snm_recall_audit",
-    "dedup_sorted_neighborhood", "join_asof_nearest",
-    "pipeline_bloom_screen_orders", "profile_gini_concentration",
-    "sample_weighted_pps", "simsearch_int_matmul_topk",
-    "simsearch_mmr_rerank", "sql_engine_execute_immediate",
-    "sql_engine_identifier_clause", "sql_engine_sql_table_udf",
-    "sql_engine_sql_udf", "window_global_prefix_sum",
+    "agg_exact_quantiles_histogram", "agg_mode_per_group",
+    "agg_weighted_quantiles_tokens", "dedup_cluster_size_profile",
+    "dedup_span_excision", "dedup_span_excision_apply",
+    "ev_dow_hour_heatmap", "ev_event_transitions",
+    "ev_interarrival_histogram", "ev_rfm_segments",
+    "ev_time_to_convert", "ev_wau_mau_stickiness",
+    "join_interval_overlap", "pipeline_decontamination_report",
+    "pipeline_epoch_shuffle", "pipeline_mix_rebalance_report",
+    "pipeline_quality_ablation_report", "pipeline_shard_manifest",
+    "pipeline_token_budget_select", "profile_sequence_gaps",
+    "simsearch_hard_negatives", "simsearch_mrr_eval",
+    "source_binaryfile_manifest", "sql_engine_session_variables",
+    "text_bpe_encode", "text_decontamination_offsets",
+    "text_hash_feature_classify", "text_ngram_novelty",
+    "text_zipf_histogram",
 )
 
 # Deliberate re-verification slots: driver-green under an OLDER
-# formulation; build source changed since (detected by
+# formulation; the implementing operator was rewritten in round 6
+# (detected by
 # tests/test_oracle_parity.py::test_changed_queries_have_a_reverify_plan).
-# All re-proven locally at sf0.1.  Window slots 18-32.
+# All re-proven bit-identical locally at sf0.1.  Slots 30-36.
 _REVERIFY = (
-    # r4 integer-cents rewrites (green r3)
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q10_returned_items",
-    # r5 assume_unique parameter (green r4)
-    "dedup_graph_triangles", "dedup_graph_pagerank",
-    # r3/r4 edits after r1/r2 green rows (historical blind spot,
-    # surfaced when the change detector landed in r5)
-    "agg_grouping_id", "agg_sketch_rollup_union",
-    "join_asof_purchases", "join_asof_tolerance",
-    "ev_gaps_and_islands", "ev_scd2_intervals",
-    "dedup_embedding_cosine", "dedup_embedding_lsh_verified",
-    "dedup_embedding_ivf_blocked", "simsearch_ivf_topk",
-)
-
-# Least-recently-verified spares: the 18 oracle-backed names with the
-# oldest driver evidence (all r01 rows) not already in this window —
-# the head of the standing LRV ordering, re-derived and asserted by
-# the parity test.  Window slots 33-50.
-_LRV_SPARES = (
-    "ev_session_windows", "ev_sliding_windows", "ev_tumbling_hourly",
-    "fn_array_documents", "fn_conditional", "fn_date_orders",
-    "fn_epoch_seconds", "fn_from_json_struct", "fn_json_events",
-    "fn_map_expressions", "fn_math_customer", "fn_posexplode_words",
-    "fn_regexp_replace_backref", "fn_string_part", "fn_try_cast",
-    "import_bool_null_render", "import_copy_wire_format",
-    "import_rename_projection",
-)
-
-# Round-6 window: 17 never-verified + 15 stale re-verifies + 18 LRV
-# spares, in the insertion order the driver will check them.  Green
-# across the board => 229/229 with driver evidence, zero stale rows.
-_PRIORITY_R06 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
-
-# Queries added AFTER this round's window was frozen.  They queue at
-# the head of the least-recently-verified tail and front window 7.
-_QUEUED_POST_WINDOW: tuple[str, ...] = (
-    "dedup_span_excision",    # round-6 new: keep-first excision offsets
-    "agg_exact_quantiles_histogram",  # round-6 new: exact quantiles, no sort
-    "dedup_span_excision_apply",  # round-6 new: apply the cuts row-locally
-    "text_decontamination_offsets",  # round-6 new: eval-set decontamination
-    "pipeline_decontamination_report",  # round-6 new: per-source cut stats
-    "ev_rfm_segments",  # round-6 new: scale-safe quintile segmentation
-    "simsearch_hard_negatives",  # round-6 new: contrastive negative mining
-    "pipeline_token_budget_select",  # round-6 new: budget-capped selection
-    "agg_weighted_quantiles_tokens",  # round-6 new: token-mass percentiles
-    "pipeline_mix_rebalance_report",  # round-6 new: mixture rebalance factors
-    "text_ngram_novelty",  # round-6 new: corpus-order shingle novelty
-    "agg_mode_per_group",  # round-6 new: skew-safe exact mode
-    "pipeline_quality_ablation_report",  # round-6 new: per-rule attribution
-    "text_hash_feature_classify",  # round-6 new: hashing-trick linear model
-    "join_interval_overlap",  # round-6 new: binned interval-overlap join
-    "pipeline_epoch_shuffle",  # round-6 new: distributed epoch permutation
-    "text_bpe_encode",  # round-6 new: apply learned BPE merges, row-local
-    "ev_event_transitions",  # round-6 new: Markov transition matrix
-    "ev_time_to_convert",  # round-6 new: two-event funnel latency
-    "text_zipf_histogram",  # round-6 new: log-log type/token curve
-    "pipeline_shard_manifest",  # round-6 new: sharded-export manifest
-    "dedup_cluster_size_profile",  # round-6 new: dup-cluster histogram
-    "ev_wau_mau_stickiness",  # round-6 new: WAU/MAU engagement ratio
-    "simsearch_mrr_eval",  # round-6 new: rank-aware retrieval eval
-    "sql_engine_session_variables",  # round-6 new: DECLARE/SET VAR handoff
-    "source_binaryfile_manifest",  # round-6 new: blob-source manifest
-    "ev_interarrival_histogram",  # round-6 new: gap distribution
-    "ev_dow_hour_heatmap",  # round-6 new: load-shape heatmap
-    "profile_sequence_gaps",  # round-6 new: distributed global lead
-)
-
-# Verified queries whose build source OR implementing operator
-# changed after their last driver-green round but could not get a
-# slot this round (window full).  Each must pass sf0.1 oracle parity
-# while it waits; they front window 7 alongside _QUEUED_POST_WINDOW.
-_REVERIFY_QUEUED: tuple[str, ...] = (
     # r6 simhash single-fold rewrite (operators/text.py: simhash_col /
     # simhash_sketch / new simhash_from_hashes) — bit-identical on the
     # full sf0.1 corpus, but the shipped code differs from what the
@@ -262,6 +214,33 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     # r6 ADC map-lookup rewrite (operators/simsearch.py)
     "simsearch_pq_adc_topk", "simsearch_ivfpq_adc_topk",
 )
+
+# Least-recently-verified spares: the 14 oracle-backed names with the
+# oldest driver evidence (6 r01 rows + 8 r02 rows) not already in
+# this window — the head of the standing LRV ordering, re-derived and
+# asserted by the parity test.  Slots 37-50.
+_LRV_SPARES = (
+    "import_timestamp_render", "join_anti", "join_cross",
+    "join_full_outer", "join_left_outer", "join_range_bands",
+    "agg_boolean_filtered", "agg_cube_orders", "agg_distinct_suppliers",
+    "agg_grouping_sets", "agg_having", "agg_percentiles",
+    "agg_pivot_status", "agg_price_histogram",
+)
+
+# Round-7 window: 29 never-verified + 7 stale re-verifies + 14 LRV
+# spares, in the insertion order the driver will check them.  Green
+# across the board => 258/258 with driver evidence, zero stale rows.
+_PRIORITY_R07 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
+
+# Queries added AFTER this round's window was frozen.  They queue at
+# the head of the least-recently-verified tail and front window 8.
+_QUEUED_POST_WINDOW: tuple[str, ...] = ()
+
+# Verified queries whose build source OR implementing operator
+# changed after their last driver-green round but could not get a
+# slot this round (window full).  Each must pass sf0.1 oracle parity
+# while it waits; they front window 8 alongside _QUEUED_POST_WINDOW.
+_REVERIFY_QUEUED: tuple[str, ...] = ()
 
 
 def _last_verified_round() -> dict[str, int]:
@@ -303,12 +282,12 @@ def _ordered_names() -> list[str]:
     fresh green rows — and future rounds build their priority batch by
     taking the head of this same ordering."""
     last = _last_verified_round()
-    in_window = set(_PRIORITY_R06)
+    in_window = set(_PRIORITY_R07)
     rest = sorted(
         (n for n in all_queries() if n not in in_window),
         key=lambda n: (last.get(n, 0), n),
     )
-    return list(_PRIORITY_R06) + rest
+    return list(_PRIORITY_R07) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:
