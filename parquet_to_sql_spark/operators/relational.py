@@ -167,13 +167,18 @@ def sequence_gaps(df: DataFrame, key: str) -> DataFrame:
     The localCheckpoint pins the non-deterministic range boundaries so
     the window pass and the boundary aggregation see the SAME routing
     (same reasoning as prefix_sum).  Duplicate keys are fine (lead
-    skips zero-width "gaps"); returns (gap_start, gap_end, gap_len)
-    for every maximal missing run strictly inside [min(key), max(key)].
+    skips zero-width "gaps"); NULL keys are dropped up front — a NULL
+    ID is "unassigned", not a point on the sequence, and without the
+    filter an all-null range partition would surface as a (None, None)
+    boundary row and break the driver-side seam arithmetic.  Returns
+    (gap_start, gap_end, gap_len) for every maximal missing run
+    strictly inside [min(key), max(key)].
     """
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         df.select(F.col(key).cast("long").alias("_k"))
+        .where(F.col("_k").isNotNull())
         .repartitionByRange(n_parts, F.col("_k"))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()

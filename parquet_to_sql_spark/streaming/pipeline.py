@@ -559,32 +559,55 @@ _TRANS_OUTPUT = "user_id long, prev_type string, next_type string"
 _TRANS_STATE = "last_type string"
 
 
-def _transitions_fn(key, pdf_iter, state: GroupState):
-    (user_id,) = key
-    last = state.get[0] if state.exists else None
-    batches = [pdf for pdf in pdf_iter if len(pdf)]
-    prevs: list[str] = []
-    nexts: list[str] = []
-    if batches:
-        rows = pd.concat(batches, ignore_index=True).sort_values(
-            ["ts", "event_id"], kind="mergesort"
+def _make_transitions_fn(ttl_us: int | None):
+    def _transitions_fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            # idle past the TTL horizon: drop the user's last_type.
+            # Nothing to emit — a transition row needs a NEXT event,
+            # and a timed-out group has none in this batch.
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [], "prev_type": [], "next_type": []}
+            )
+            return
+        last = state.get[0] if state.exists else None
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        prevs: list[str] = []
+        nexts: list[str] = []
+        if batches:
+            rows = pd.concat(batches, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            for t in rows["event_type"]:
+                if last is not None:
+                    prevs.append(last)
+                    nexts.append(t)
+                last = t
+            state.update((last,))
+            if ttl_us is not None:
+                # evict when event-time passes last-seen + TTL
+                # (ms epoch, same convention as the sessionizer)
+                ts_us = (
+                    rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                )
+                state.setTimeoutTimestamp(int(ts_us.max()) // 1000 + ttl_us // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(prevs),
+                "prev_type": prevs,
+                "next_type": nexts,
+            }
         )
-        for t in rows["event_type"]:
-            if last is not None:
-                prevs.append(last)
-                nexts.append(t)
-            last = t
-        state.update((last,))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id] * len(prevs),
-            "prev_type": prevs,
-            "next_type": nexts,
-        }
-    )
+
+    return _transitions_fn
 
 
-def event_transitions_stream(stream: DataFrame) -> DataFrame:
+def event_transitions_stream(
+    stream: DataFrame,
+    ttl_minutes: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
     """Streaming twin of the batch ev_event_transitions lag: emits one
     (user_id, prev_type, next_type) row per consecutive event pair in
     each user's stream — including the pair that SPANS a micro-batch
@@ -596,16 +619,37 @@ def event_transitions_stream(stream: DataFrame) -> DataFrame:
     anomaly screen) as an ordinary chained stateful pipeline.
     In-batch order is (ts, event_id) — the batch query's total order;
     cross-batch order is the source's responsibility, same caveat as
-    the EWMA fold."""
+    the EWMA fold.
+
+    State retention: by default one last_type row per user is kept
+    FOREVER — exact pairing at the cost of state linear in the number
+    of distinct users ever seen, which is fine for bounded key spaces
+    but unbounded in a long-running stream of churning users.  Pass
+    ``ttl_minutes`` to bound it: the stream must then carry a
+    watermark (EventTimeTimeout's requirement), and a user idle past
+    the TTL has their last_type evicted — their NEXT event starts a
+    fresh chain instead of pairing across the idle gap, i.e. the
+    (prev, next) pair spanning a > TTL silence is deliberately not
+    emitted.  That is the trade-off, chosen per the sessionizer
+    precedent: bounded state via eviction, not unbounded retention.
+    ``watermark`` is applied (and only needed) in TTL mode."""
+    if ttl_minutes is not None:
+        stream = stream.withWatermark("ts", watermark)
     return (
         stream.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _transitions_fn,
+            _make_transitions_fn(
+                None if ttl_minutes is None else ttl_minutes * 60 * 1_000_000
+            ),
             outputStructType=_TRANS_OUTPUT,
             stateStructType=_TRANS_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_minutes is None
+                else GroupStateTimeout.EventTimeTimeout
+            ),
         )
     )
 
@@ -624,7 +668,13 @@ def classifier_screen_stream(
     store, no watermark, append at ingest rate; re-deploying a
     retrained model is swapping the weights DataFrame.  The
     equivalence test pins this fold against the batch join+rollup
-    formulation row for row."""
+    formulation row for row — INCLUDING on models that do not cover
+    all 256 buckets: the batch inner join silently drops unmatched
+    tokens from both n_tokens and score (and drops a doc whose tokens
+    ALL miss the model), so the fold filters out the NULL lookups
+    element_at returns for absent buckets and keeps only docs with at
+    least one matched token, rather than letting one NULL poison the
+    whole sum."""
     import pyspark.sql.functions as F
 
     from parquet_to_sql_spark.functions.hashing import char_fold_hash
@@ -637,25 +687,35 @@ def classifier_screen_stream(
             for c in (F.lit(int(r.bkt)), F.lit(int(r.w)))
         ]
     )
-    toks = ws_tokens(F.col("text"))
-    score = F.aggregate(
+    # stage the matched-weight array once; n_tokens/score/keep all
+    # derive from it (join-consistent: unmatched buckets vanish)
+    matched = F.filter(
         F.transform(
-            toks,
+            ws_tokens(F.col("text")),
             lambda t: F.element_at(
                 wmap, (char_fold_hash(t) % CLS_BUCKETS).cast("int")
             ),
         ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+        lambda x: x.isNotNull(),
+    )
+    score = F.aggregate(
+        F.col("_w"), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
     # NULL-text docs are ABSENT from the batch formulation (explode of
-    # a null token array drops the row); drop them here too so the
-    # row-for-row equivalence holds on dirty inputs, not just fixtures
-    return stream_docs.where(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        score.alias("score"),
-        (score >= 0).alias("keep"),
+    # a null token array drops the row), as are docs with zero matched
+    # tokens (no group survives the inner join); drop both here too so
+    # the row-for-row equivalence holds on dirty inputs, not just
+    # fixtures
+    return (
+        stream_docs.where(F.col("text").isNotNull())
+        .withColumn("_w", matched)
+        .where(F.size("_w") > 0)
+        .select(
+            "doc_id",
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            score.alias("score"),
+            (score >= 0).alias("keep"),
+        )
     )
 
 

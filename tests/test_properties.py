@@ -891,3 +891,21 @@ def test_sequence_gaps_matches_bruteforce(spark):
             assert got == sorted(want), f"trial {trial} parts {n_parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_sequence_gaps_ignores_null_keys(spark):
+    """A NULL ID is 'unassigned', not a point on the sequence: nulls
+    must neither crash the driver-side seam arithmetic (an all-null
+    range partition used to surface as a (None, None) boundary row and
+    raise TypeError on `lo > prev_hi + 1`) nor perturb the gaps.  The
+    null count deliberately dwarfs the key count so several range
+    partitions are entirely null."""
+    from parquet_to_sql_spark.operators.relational import sequence_gaps
+
+    keys = [1, 2, 5, 9, 10] + [None] * 500
+    df = spark.createDataFrame([(k,) for k in keys], "o_orderkey long")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in sequence_gaps(df, "o_orderkey").collect()
+    )
+    assert got == [(3, 4, 2), (6, 8, 3)]

@@ -1180,6 +1180,131 @@ def test_streaming_classifier_screen_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_classifier_screen_partial_model_matches_batch(spark, tmp_path):
+    """A trained model need not cover all 256 buckets.  The batch
+    inner join silently drops unmatched tokens from both n_tokens and
+    score (and drops a doc whose tokens ALL miss the model); the
+    streaming fold must reproduce exactly that, instead of letting one
+    NULL element_at lookup poison the whole sum while n_tokens keeps
+    counting everything."""
+    import shutil as _sh
+
+    from parquet_to_sql_spark.catalog import load_table
+    from parquet_to_sql_spark.operators.text import (
+        hash_feature_scores,
+        hash_feature_weights,
+    )
+    from parquet_to_sql_spark.streaming import (
+        classifier_screen_stream,
+        documents_stream,
+    )
+
+    weights = hash_feature_weights(spark).where("bkt % 3 != 0")  # 2/3 coverage
+    d = str(tmp_path / "docs_part_in")
+    os.makedirs(d)
+    _sh.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"), os.path.join(d, "part0.parquet")
+    )
+    stream = documents_stream(spark, d)
+    run_to_memory(
+        classifier_screen_stream(stream, weights), "cls_part_out", "append"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.score, r.keep)
+        for r in spark.sql("SELECT * FROM cls_part_out").collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = {
+        r.doc_id: (r.n_tokens, r.score, r.keep)
+        for r in hash_feature_scores(docs, "doc_id", "text", weights).collect()
+    }
+    assert got == want and len(got) > 0
+    # non-vacuous: the coverage gap actually dropped tokens somewhere
+    full = {
+        r.doc_id: r.n_tokens
+        for r in hash_feature_scores(
+            docs, "doc_id", "text", hash_feature_weights(spark)
+        ).collect()
+    }
+    assert any(got[i][0] < full[i] for i in got)
+
+
+def test_streaming_transitions_ttl_evicts_idle_state(spark, tmp_path):
+    """event_transitions_stream(ttl_minutes=...): a user idle past the
+    TTL horizon has their last_type state EVICTED once the watermark
+    passes last-seen + TTL, so their next event starts a fresh chain
+    instead of pairing across the idle gap — bounded state for
+    long-running streams with churning users.  The default NoTimeout
+    variant over the same data DOES pair across the gap (the retention
+    trade-off, asserted as the contrast at the end)."""
+    import pandas as pd
+
+    batch_schema = _batch_events(spark).schema
+    d = str(tmp_path / "ttl_events_in")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "ttl_ckpt")
+
+    def add(eid, ts, uid, etype):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [eid],
+                "ts": pd.to_datetime([ts]),
+                "user_id": [uid],
+                "event_type": [etype],
+                "value": [1.0],
+                "props": ["{}"],
+            }
+        )
+        spark.createDataFrame(pdf, schema=batch_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    def run_once(ck, **kw):
+        rows: list = []
+
+        def collect_batch(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        from parquet_to_sql_spark.streaming import event_transitions_stream
+
+        q = (
+            event_transitions_stream(events_stream(spark, d), **kw)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.user_id, r.prev_type, r.next_type) for r in rows}
+
+    add(1, "2030-01-01 10:00:00", 1, "click")
+    add(2, "2030-01-01 10:05:00", 1, "view")
+    add(3, "2030-01-01 10:00:00", 2, "click")
+    r1 = run_once(ckpt, ttl_minutes=30, watermark="0 seconds")
+    assert r1 == {(1, "click", "view")}
+    # eviction is WATERMARK-driven, not wall-gap-driven: user 2's
+    # state is still live when this batch runs (watermark is only at
+    # 10:05), so the 2-hour-gap pair still emits — lag semantics
+    add(4, "2030-01-01 12:00:00", 2, "purchase")
+    r2 = run_once(ckpt, ttl_minutes=30, watermark="0 seconds")
+    assert r2 == {(2, "click", "purchase")}
+    # this batch's start watermark (12:00) is past user 1's timeout
+    # (10:05 + 30 min): their idle state evicts silently here
+    add(5, "2030-01-01 12:30:00", 3, "click")
+    r3 = run_once(ckpt, ttl_minutes=30, watermark="0 seconds")
+    assert r3 == set()
+    # evicted: user 1's return does NOT pair across the idle gap
+    add(6, "2030-01-01 13:00:00", 1, "signup")
+    r4 = run_once(ckpt, ttl_minutes=30, watermark="0 seconds")
+    assert r4 == set()
+
+    # contrast: default NoTimeout over the same final data keeps every
+    # user's last_type forever and DOES emit the cross-gap pair
+    r_all = run_once(str(tmp_path / "nottl_ckpt"))
+    assert (1, "view", "signup") in r_all
+
+
 def test_streaming_sessions_timeout_eviction_matches_batch(spark, events_dir, tmp_path):
     """The EventTimeTimeout sessionizer: run 1 emits every session
     that CLOSED inside the batch (a later event >= 30 min after it);
