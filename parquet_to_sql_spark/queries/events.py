@@ -1065,6 +1065,7 @@ def _duck_rfm_bounds(metric: str, alias: str) -> str:
 
 @query(
     "ev_rfm_segments",
+    headline=True,
     tags=("events", "quantiles", "segmentation", "scale-path"),
     oracle=f"""
     WITH u AS (

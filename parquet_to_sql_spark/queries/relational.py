@@ -622,6 +622,7 @@ def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "profile_sequence_gaps",
+    headline=True,
     tags=("profiling", "data-quality", "scale-path"),
     oracle="""
     WITH o AS (
