@@ -234,7 +234,10 @@ _PRIORITY_R07 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
 # the head of the least-recently-verified tail and front window 8.
-_QUEUED_POST_WINDOW: tuple[str, ...] = ()
+_QUEUED_POST_WINDOW: tuple[str, ...] = (
+    "text_bpe_train_merges",  # round-7 new: iterative multi-round BPE training
+    "text_bpe_encode_deep",  # round-7 new: general merge-table application
+)
 
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a

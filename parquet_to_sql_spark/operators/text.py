@@ -709,6 +709,150 @@ def bpe_symbols_after_merges(word: Column, merges: Column, n_merges: int) -> Col
     return bpe_symbol_count(bpe_merge_sequence(word, merges, n_merges))
 
 
+# Depth bound for expression-algebra merge application.  Each merge is
+# one boundary-anchored replace() — a full scan of the encoded
+# sequence — so row cost is O(n_merges * encoded_len) and the generated
+# expression tree is n_merges calls deep.  Both are fine into the low
+# hundreds (codegen splits long chains; plan build is linear); past
+# that, plan construction/compilation dominates the query and the
+# right tool is an Arrow-batched Pandas UDF wrapping a compiled
+# tokenizer, not expression algebra — so the bound fails fast with
+# that guidance instead of letting a 32k-merge table grind the driver.
+BPE_MAX_MERGES = 256
+
+
+def bpe_word_to_sequence(word: Column) -> Column:
+    """Initial BPE encoding of a word: every character wrapped in
+    chr(31) separators ('<us>c<us><us>c<us>...'), the representation
+    all merge application operates on (see bpe_merge_sequence)."""
+    us = F.lit(_BPE_US)
+    return F.concat(us, F.array_join(F.split(word, ""), _BPE_US + _BPE_US), us)
+
+
+def bpe_apply_merge_table(
+    seq: Column, lefts: Column, rights: Column, n_merges: int
+) -> Column:
+    """Apply a GENERAL BPE merge table — multi-symbol merges, the
+    shape iterative training produces — to an encoded sequence column
+    (from bpe_word_to_sequence, or a previous application's output).
+
+    ``lefts``/``rights`` are array<string> columns in priority order:
+    merge i fuses adjacent symbols (lefts[i], rights[i]) into one.
+    This generalizes bpe_merge_sequence, whose merges are single
+    characters only (a first-iteration merge table): here a left or
+    right side may itself be a merged multi-char symbol, e.g. the
+    table [('t','h'), ('th','e')] learned by two training rounds.
+
+    Same algebra, same guarantees: one boundary-anchored
+    replace('<us>l<us><us>r<us>' -> '<us>lr<us>') per merge IS the
+    greedy left-to-right scan, and merged symbols stay atomic because
+    their interior carries no double separator.  n_merges is bounded
+    by BPE_MAX_MERGES (see its comment for the cost model); pass the
+    exact table depth you trained.  STAGE the result as a named column
+    before consuming it twice (codegen inlines per reference)."""
+    if n_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"bpe_apply_merge_table: n_merges={n_merges} exceeds "
+            f"BPE_MAX_MERGES={BPE_MAX_MERGES}. Expression-algebra "
+            f"application costs O(n_merges * encoded_len) per row with "
+            f"an n_merges-deep expression tree; for production-size "
+            f"merge tables use an Arrow-batched Pandas UDF with a "
+            f"compiled tokenizer instead."
+        )
+    us = F.lit(_BPE_US)
+    for i in range(1, n_merges + 1):
+        left, right = F.element_at(lefts, i), F.element_at(rights, i)
+        seq = F.replace(
+            seq,
+            F.concat(us, left, us, us, right, us),
+            F.concat(us, left, right, us),
+        )
+    return seq
+
+
+def bpe_train_merges(
+    vocab: DataFrame, n_iters: int, word_col: str = "word", wc_col: str = "wc"
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """TRUE iterative BPE training (Sennrich et al., ACL 2016 —
+    algorithm from the public record): n_iters rounds of "count all
+    adjacent symbol pairs, fuse the most frequent" over a weighted
+    vocabulary, where later rounds pair MERGED multi-char symbols —
+    the part the single-round text_bpe_pair_merges ranking cannot do.
+
+    Returns (merge_table, encoded_vocab):
+      * merge_table — [(step, left, right, merge_count)], step 1-based
+        in training order; may be shorter than n_iters if the vocab
+        runs out of adjacent pairs.  Ties break (count DESC, left ASC,
+        right ASC) so training is deterministic cross-engine.
+      * encoded_vocab — (word_col, wc_col, _seq) with _seq the final
+        chr(31)-encoded symbol sequence of every vocab word.  Encoding
+        the VOCABULARY (not the corpus) is the scale story: a 100 TB
+        corpus with a 10M-type vocabulary does all per-iteration work
+        on 10M weighted rows; corpus-sized relations only ever join
+        the finished vocab by word.
+
+    Scale shape per round: one explode of adjacent pairs (vocab-sized,
+    guarded so fully-merged words contribute nothing), one map-side-
+    combined groupBy(l, r), one TakeOrderedAndProject(1), ONE ROW
+    collected to the driver (the bounded-collect class — the argmax
+    merge), then one row-local replace with that merge as a LITERAL
+    (no join of any kind).  localCheckpoint after each round keeps the
+    lineage flat so round k never replays rounds 1..k-1 — the same
+    iterative-training precedent as the in-query k-means.
+    """
+    if n_iters > BPE_MAX_MERGES:
+        raise ValueError(
+            f"bpe_train_merges: n_iters={n_iters} exceeds "
+            f"BPE_MAX_MERGES={BPE_MAX_MERGES} (the application-side "
+            f"depth bound — training more merges than any query could "
+            f"apply is a driver-side loop of n_iters Spark jobs; use a "
+            f"dedicated training pipeline for production vocabularies)."
+        )
+    us = F.lit(_BPE_US)
+    cur = vocab.select(
+        word_col, wc_col, bpe_word_to_sequence(F.col(word_col)).alias("_seq")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_iters + 1):
+        syms = F.split(
+            F.expr("substring(_seq, 2, length(_seq) - 2)"), _BPE_US + _BPE_US
+        )
+        pairs = (
+            cur.select(wc_col, syms.alias("_syms"))
+            .where(F.size("_syms") >= 2)
+            .select(
+                wc_col,
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_syms) - 1),"
+                        " i -> struct(_syms[i-1] AS l, _syms[i] AS r))"
+                    )
+                ).alias("_p"),
+            )
+            .select("_p.l", "_p.r", wc_col)
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum(wc_col).alias("mc"))
+            .orderBy(F.desc("mc"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged — nothing left to pair
+        left, right, mc = top[0].l, top[0].r, int(top[0].mc)
+        merges.append((step, left, right, mc))
+        cur = cur.withColumn(
+            "_seq",
+            F.replace(
+                F.col("_seq"),
+                F.concat(us, F.lit(left), us, us, F.lit(right), us),
+                F.concat(us, F.lit(left + right), us),
+            ),
+        ).localCheckpoint()
+    return merges, cur
+
+
 CLS_BUCKETS = 256
 CLS_MIX = 2_654_435_761  # Knuth multiplicative constant (public record)
 CLS_WMOD = 1_000_003

@@ -1307,6 +1307,180 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_ITERS = 6
+
+
+def _duck_bpe_train_ctes(n: int) -> str:
+    """Shared oracle CTE chain for iterative BPE training: v0 is the
+    chr(31)-encoded weighted vocabulary; each round i extracts adjacent
+    symbol pairs from v{i-1} (p{i}), takes the deterministic argmax
+    (t{i}: count DESC, left, right), and applies it (v{i}).  Mirrors
+    operators.text.bpe_train_merges round for round."""
+    us = "chr(31)"
+    ctes = [
+        f"""v0 AS (
+      SELECT word, wc,
+             {us} || array_to_string(string_split(word, ''), {us} || {us}) || {us} AS seq
+      FROM (
+        SELECT word, COUNT(*) AS wc
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+              FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word))"""
+    ]
+    for i in range(1, n + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT s.sym[t.j] AS l, s.sym[t.j + 1] AS r, s.wc
+      FROM (SELECT wc, string_split(substr(seq, 2, length(seq) - 2), {us} || {us}) AS sym
+            FROM v{i - 1}) s,
+           LATERAL (SELECT unnest(range(1, len(s.sym))) AS j) t)"""
+        )
+        ctes.append(
+            f"""t{i} AS (
+      SELECT l, r, SUM(wc) AS mc FROM p{i} GROUP BY l, r
+      ORDER BY mc DESC, l, r LIMIT 1)"""
+        )
+        ctes.append(
+            f"""v{i} AS (
+      SELECT v.word, v.wc,
+             replace(v.seq, {us} || t.l || {us} || {us} || t.r || {us},
+                     {us} || t.l || t.r || {us}) AS seq
+      FROM v{i - 1} v, t{i} t)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _duck_bpe_train_oracle() -> str:
+    steps = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, "
+        f"CAST(mc AS BIGINT) AS merge_count FROM t{i}"
+        for i in range(1, _BPE_TRAIN_ITERS + 1)
+    )
+    return f"""
+    WITH {_duck_bpe_train_ctes(_BPE_TRAIN_ITERS)}
+    SELECT * FROM ({steps}) ORDER BY step
+    """
+
+
+@query(
+    "text_bpe_train_merges",
+    tags=("text-analysis", "tokenizer", "llm-pipeline", "scale-path"),
+    oracle=_duck_bpe_train_oracle(),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE multi-round BPE training: 6 iterations of "count adjacent
+    symbol pairs, fuse the most frequent" over the weighted vocabulary
+    — where rounds 2+ pair MERGED multi-char symbols, the capability
+    the single-round text_bpe_pair_merges ranking demonstrates only
+    the first step of.  Output is the learned merge table
+    (step, left_sym, right_sym, merge_count) in training order,
+    deterministic cross-engine via (count DESC, left, right)
+    tie-breaks; the DuckDB oracle unrolls the identical 6 rounds as a
+    CTE chain.  Scale shape (operators/text.py:bpe_train_merges):
+    corpus->vocab compression first, then per round one vocab-sized
+    pair explode + map-side-combined groupBy + TakeOrdered(1) + a
+    ONE-ROW argmax collect applied as a literal replace — no joins,
+    lineage kept flat by per-round localCheckpoint (the k-means
+    iterative-training precedent)."""
+    from parquet_to_sql_spark.operators.text import bpe_train_merges, ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    merges, _ = bpe_train_merges(vocab, _BPE_TRAIN_ITERS)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, merge_count bigint"
+    ).orderBy("step")
+
+
+def _duck_bpe_encode_deep_oracle() -> str:
+    n = _BPE_TRAIN_ITERS
+    return f"""
+    WITH {_duck_bpe_train_ctes(n)},
+    encv AS (
+      SELECT word,
+             length(word) AS n_before,
+             (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS n_after
+      FROM v{n}
+    ), aw AS (
+      SELECT source, word
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$')
+    ), j AS (
+      SELECT a.source, e.n_before, e.n_after FROM aw a JOIN encv e USING (word)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_before) AS BIGINT) AS n_sym_before,
+           CAST(SUM(n_after) AS BIGINT) AS n_sym_after,
+           CAST((1000000::HUGEINT * (SUM(n_before) - SUM(n_after)))
+                // SUM(n_before) AS BIGINT) AS saved_ppm
+    FROM j GROUP BY source
+    """
+
+
+@query(
+    "text_bpe_encode_deep",
+    tags=("text-analysis", "tokenizer", "llm-pipeline", "scale-path"),
+    oracle=_duck_bpe_encode_deep_oracle(),
+)
+def text_bpe_encode_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply with a GENERAL merge table: learns 6 merges by
+    true iterative training (multi-symbol pairs included), then
+    encodes the vocabulary with bpe_apply_merge_table — the
+    parameterized-depth application operator, fed the trained table as
+    literal arrays — and rolls per-source compression up through a
+    word-keyed join.  Completes the tokenizer story end to end: train
+    (this query's first half), apply-to-anything (the operator under
+    test; depth bounded at BPE_MAX_MERGES with a documented cost
+    model), measure (saved_ppm per source).  Scale shape: training and
+    application both run on the VOCABULARY; the only corpus-sized
+    exchanges are the word explode and the vocab join + source rollup.
+    The oracle re-derives the identical table via the unrolled CTE
+    chain and encodes with the same replace algebra."""
+    from parquet_to_sql_spark.operators.text import (
+        bpe_apply_merge_table,
+        bpe_symbol_count,
+        bpe_train_merges,
+        bpe_word_to_sequence,
+        ws_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aw = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    vocab = aw.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    merges, _ = bpe_train_merges(vocab, _BPE_TRAIN_ITERS)
+    lefts = F.array(*[F.lit(l) for _, l, _r, _ in merges])
+    rights = F.array(*[F.lit(r) for _, _l, r, _ in merges])
+    stats = vocab.select(
+        "word",
+        F.length("word").cast("long").alias("n_before"),
+        bpe_apply_merge_table(
+            bpe_word_to_sequence(F.col("word")), lefts, rights, len(merges)
+        ).alias("_seq"),
+    ).select(
+        "word", "n_before", bpe_symbol_count(F.col("_seq")).alias("n_after")
+    )
+    return aw.join(stats, "word").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_before").cast("bigint").alias("n_sym_before"),
+        F.sum("n_after").cast("bigint").alias("n_sym_after"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (sum(n_before) - sum(n_after)))"
+            " div sum(n_before) AS BIGINT)"
+        ).alias("saved_ppm"),
+    )
+
+
 def _duck_zipf_sh() -> str:
     """Positional (non-distinct) hashed 3-gram stream, DuckDB side —
     same 31-ary word-hash composition as the dedup family, WITHOUT the

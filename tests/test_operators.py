@@ -966,6 +966,119 @@ def test_bpe_symbols_after_merges_greedy_semantics(spark):
     assert got == want
 
 
+def test_bpe_apply_merge_table_multisymbol_greedy_semantics(spark):
+    """The GENERAL merge-table application (multi-symbol lefts/rights,
+    the shape iterative training produces) pinned against a sequential
+    Python reference on adversarial words: a round-2 merge pairing a
+    round-1 merged symbol ('th'+'e'), chains through merged symbols
+    ('es'+'s' on 'esss'), atomicity, and priority order."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.text import (
+        bpe_apply_merge_table,
+        bpe_symbol_count,
+        bpe_word_to_sequence,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("e", "s"), ("es", "s"), ("the", "es")]
+
+    def ref_count(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    words = [
+        "the", "thes", "these", "theses", "esss", "essss", "tthe",
+        "ethes", "thethe", "theess", "sss", "es", "e", "xyz",
+        "thees", "esthes", "ssse", "thessss",
+    ]
+    df = (
+        spark.createDataFrame([(w,) for w in words], "word string")
+        .withColumn("ls", F.array(*[F.lit(a) for a, _ in merges]))
+        .withColumn("rs", F.array(*[F.lit(b) for _, b in merges]))
+    )
+    got = {
+        r.word: r.n
+        for r in df.select(
+            "word",
+            bpe_symbol_count(
+                bpe_apply_merge_table(
+                    bpe_word_to_sequence(F.col("word")),
+                    F.col("ls"),
+                    F.col("rs"),
+                    len(merges),
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    want = {w: ref_count(w) for w in words}
+    assert got == want
+
+
+def test_bpe_merge_depth_bound_enforced(spark):
+    """Both the application chain and the training loop refuse depths
+    past BPE_MAX_MERGES with guidance (expression-algebra cost model:
+    O(n_merges * len) per row, n_merges-deep tree)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from parquet_to_sql_spark.operators.text import (
+        BPE_MAX_MERGES,
+        bpe_apply_merge_table,
+        bpe_train_merges,
+    )
+
+    with _pytest.raises(ValueError, match="BPE_MAX_MERGES"):
+        bpe_apply_merge_table(
+            F.lit("x"), F.array(), F.array(), BPE_MAX_MERGES + 1
+        )
+    vocab = spark.createDataFrame([("ab", 1)], "word string, wc long")
+    with _pytest.raises(ValueError, match="BPE_MAX_MERGES"):
+        bpe_train_merges(vocab, BPE_MAX_MERGES + 1)
+
+
+def test_bpe_train_merges_learns_known_table(spark):
+    """Iterative training on a hand-computable weighted vocabulary:
+    round 1 must fuse the globally most frequent character pair, and a
+    later round must fuse a MERGED symbol with its neighbor — the
+    multi-symbol capability single-round pair ranking lacks.  Counts
+    verified by hand; ties impossible by construction."""
+    from parquet_to_sql_spark.operators.text import (
+        bpe_symbol_count,
+        bpe_train_merges,
+    )
+
+    # 'abab' x10: pairs ab(x2 each => 20), ba(10); 'abc' x4: ab 4, bc 4
+    # round 1: (a,b) mc=24 -> words become [ab,ab]x10, [ab,c]x4
+    # round 2 pairs: (ab,ab)=10, (ab,c)=4 -> (ab,ab) mc=10
+    # round 3 pairs: (ab,c)=4 -> (ab,c) mc=4; then nothing pairable
+    vocab = spark.createDataFrame(
+        [("abab", 10), ("abc", 4)], "word string, wc long"
+    )
+    merges, encoded = bpe_train_merges(vocab, 6)
+    assert merges == [
+        (1, "a", "b", 24),
+        (2, "ab", "ab", 10),
+        (3, "ab", "c", 4),
+    ]  # early stop: fewer than 6 rounds available
+    import pyspark.sql.functions as F
+
+    final = {
+        r.word: r.n
+        for r in encoded.select(
+            "word", bpe_symbol_count(F.col("_seq")).alias("n")
+        ).collect()
+    }
+    assert final == {"abab": 1, "abc": 1}
+
+
 def test_binary_copy_encoding_golden_bytes():
     """The PGCOPY binary tuple encoding against hand-packed expected
     bytes — every supported type, with NULLs, including the PG-epoch
