@@ -237,6 +237,7 @@ _PRIORITY_R07 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_bpe_train_merges",  # round-7 new: iterative multi-round BPE training
     "text_bpe_encode_deep",  # round-7 new: general merge-table application
+    "pipeline_domain_cap_screen",  # round-7 new: URL/domain quota + blocklist
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1149,3 +1149,74 @@ def test_binary_copy_rejects_unsupported_schema(spark):
         "array(1, 2) AS bad_arr, 'x' AS ok_str"
     )
     assert unsupported_columns(df) == ["bad_dec", "bad_arr"]
+
+
+def test_cap_per_domain_matches_bruteforce(spark):
+    """The over-cap-only-shuffle quota screen vs a sequential
+    reference on random skewed domain distributions: rows in under-cap
+    domains pass untouched, over-cap domains keep exactly the first
+    `cap` rows in order, deterministically — across cap values that
+    put different domains on different sides of the split."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import cap_per_domain
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(400):
+        dom = f"d{min(int(rng.expovariate(0.35)), 9)}.com"  # skewed
+        rows.append((i, dom, rng.randrange(1000)))
+    df = spark.createDataFrame(rows, "doc_id long, domain string, pri long")
+    for cap in (1, 3, 7, 50, 1000):
+        got = sorted(
+            (r.doc_id, r.domain)
+            for r in cap_per_domain(
+                df, "domain", cap, [F.desc("pri"), F.asc("doc_id")]
+            ).collect()
+        )
+        want = []
+        by_dom: dict[str, list[tuple[int, int]]] = {}
+        for i, dom, pri in rows:
+            by_dom.setdefault(dom, []).append((-pri, i))
+        for dom, members in by_dom.items():
+            for _, i in sorted(members)[:cap]:
+                want.append((i, dom))
+        assert got == sorted(want), f"cap={cap}"
+
+
+def test_registrable_domain_and_blocklist(spark):
+    """Host->registrable reduction (naive 2-label rule, documented)
+    and the broadcast-anti blocklist, end to end over parse_url on
+    literal URLs — including a single-label host (reduces to itself)
+    and an unparseable URL (NULL host, dropped by neither helper)."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import (
+        apply_domain_blocklist,
+        registrable_domain,
+        url_host,
+    )
+
+    urls = [
+        (1, "https://www.good.com/a?x=1"),
+        (2, "https://cdn.static.bad.net/b"),
+        (3, "http://localhost/c"),
+        (4, "https://Mixed.Case.GOOD.com/d"),
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string").select(
+        "id", registrable_domain(url_host(F.col("url"))).alias("domain")
+    )
+    got = {r.id: r.domain for r in df.collect()}
+    assert got == {
+        1: "good.com",
+        2: "bad.net",
+        3: "localhost",
+        4: "good.com",
+        5: None,
+    }
+    blocked = spark.createDataFrame([("bad.net",)], "domain string")
+    kept = {r.id for r in apply_domain_blocklist(df, "domain", blocked).collect()}
+    assert kept == {1, 3, 4, 5}
