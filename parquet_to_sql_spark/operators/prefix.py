@@ -96,6 +96,72 @@ def prefix_sum(
     )
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Per-GROUP inclusive running sums — ``SUM(v) OVER (PARTITION BY
+    g ORDER BY k)`` — built for the case the plain window can't
+    survive: groups big or skewed enough that one group per task
+    spills (a single hot group is exactly the unpartitioned-window
+    trap with extra steps).
+
+    Same two-level scan as prefix_sum, with one improvement: the
+    offset stage needs NO driver collect.  Range-partition on
+    (group, order) so each group spans a contiguous run of
+    partitions; per-(partition, group) totals form a relation of at
+    most #partitions + #groups rows; each group's cross-partition
+    offsets are then an ordinary window over THAT small relation
+    (per group, at most #partitions rows — bounded work per task no
+    matter how many groups or how big each one is).  Fully
+    distributed at both levels: works for 3 groups of a billion rows
+    and for a billion groups of 3 rows.
+
+    The localCheckpoint pins non-deterministic range boundaries
+    across the two consuming passes, same reasoning as prefix_sum.
+    Exact for integer values; callers pass a total order within each
+    group (include a tiebreaker)."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = [F.col(c) for c in group_cols + order_cols]
+    ranged = df.repartitionByRange(n_parts, *keys)
+    staged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+
+    totals = staged.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_t")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+    )
+
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # broadcast: offsets is <= #partitions + #groups rows — dimension-
+    # join class through ~10^7 groups; a plain join here would re-
+    # shuffle the corpus the range exchange just placed.  (At extreme
+    # group cardinality, drop the hint and let AQE shuffle-join the
+    # already-partitioned sides.)
+    return (
+        staged.withColumn("_local", F.sum(value_col).over(w))
+        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
 def weighted_systematic_sample(
     df: DataFrame,
     order_cols: list[str],

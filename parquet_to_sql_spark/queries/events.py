@@ -1107,21 +1107,23 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation is ``ntile(5) OVER (ORDER BY metric)`` three times,
     each an unpartitioned global sort of every user row in ONE task.
     Here each metric's quintile boundaries come from the exact
-    count-histogram method instead (per-value counts, then the
-    DISTRIBUTED prefix sum of operators.prefix over the distinct
-    values — no unpartitioned window anywhere), and the four
-    boundaries per metric ride a 1-row broadcast attach; scoring is
-    then row-local comparisons.  All integer (epoch seconds, counts,
-    cents): value-exact cross-engine.  Higher epoch = more recent =
-    higher r_score, matching the marketing convention."""
-    from parquet_to_sql_spark.operators.prefix import prefix_sum
+    count-histogram method instead (per-value counts, then ONE
+    GROUPED distributed prefix sum over all three metrics' distinct
+    values stacked — operators.prefix.grouped_prefix_sum; r7 rewrite
+    of the r6 three-independent-prefix-sum formulation, collapsing
+    three eager checkpoint+collect pipelines into a single
+    collect-free one), and the 12 boundaries ride a 1-row broadcast
+    attach; scoring is then row-local comparisons.  All integer
+    (epoch seconds, counts, cents): value-exact cross-engine.  Higher
+    epoch = more recent = higher r_score, matching the marketing
+    convention."""
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
 
     ev = load_table(spark, sf_dir, "events")
-    # materialized ONCE: the relation feeds three bounds() pipelines
-    # (each eagerly executed by prefix_sum's driver collect) plus the
-    # scoring pass — without truncation that is four events scans and
-    # four per-user aggregate shuffles for one logical aggregate
-    # (r6 review; same pattern as mmr_rerank_int's pool)
+    # materialized ONCE: the relation feeds the stacked bounds
+    # pipeline (eagerly executed by the prefix scan's checkpoint)
+    # plus the scoring pass (r6 review; same pattern as
+    # mmr_rerank_int's pool)
     users = ev.groupBy("user_id").agg(
         F.max(F.unix_timestamp("ts")).cast("long").alias("r"),
         F.count(F.lit(1)).cast("long").alias("f"),
@@ -1130,28 +1132,40 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m"),
     ).localCheckpoint()
 
-    def bounds(metric: str) -> DataFrame:
-        counts = users.groupBy(F.col(metric).alias("v")).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
+    # one prefix scan for all three metrics: stack to (metric, v),
+    # count per distinct value, grouped running sum, then the
+    # smallest v at-or-past each 20% rank per metric
+    counts = (
+        users.selectExpr("stack(3, 'r', r, 'f', f, 'm', m) AS (metric, v)")
+        .groupBy("metric", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cum = grouped_prefix_sum(counts, ["metric"], ["v"], "cnt", "cum")
+    totals = cum.groupBy("metric").agg(F.max("cum").alias("n"))
+    per_metric = (
+        cum.join(F.broadcast(totals), "metric")  # 3-row attach
+        .groupBy("metric")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.lit(q) * F.col("n"),
+                        F.col("v"),
+                    )
+                ).alias(f"b{q}")
+                for q in (20, 40, 60, 80)
+            ]
         )
-        cum = prefix_sum(counts, ["v"], "cnt", "cum")
-        total = cum.agg(F.max("cum").alias("n"))
-        return (
-            cum.crossJoin(F.broadcast(total))  # 1-row attach
-            .agg(
-                *[
-                    F.min(
-                        F.when(
-                            F.col("cum") * 100 >= F.lit(q) * F.col("n"),
-                            F.col("v"),
-                        )
-                    ).alias(f"{metric}{q}")
-                    for q in (20, 40, 60, 80)
-                ]
-            )
-        )
-
-    b = bounds("r").crossJoin(bounds("f")).crossJoin(bounds("m"))
+    )
+    # pivot the 3 boundary rows into the single broadcast row the
+    # scoring pass consumes (r20..m80)
+    b = per_metric.agg(
+        *[
+            F.min(F.when(F.col("metric") == m, F.col(f"b{q}"))).alias(f"{m}{q}")
+            for m in ("r", "f", "m")
+            for q in (20, 40, 60, 80)
+        ]
+    )
 
     def score(metric: str) -> F.Column:
         s = F.lit(1)

@@ -463,3 +463,43 @@ def window_global_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_sum(orders, ["o_orderkey"], "_cents", out_col="running_cents").select(
         "o_orderkey", "running_cents"
     )
+
+
+@query(
+    "window_grouped_prefix_sum",
+    tags=("window", "scale-path", "prefix-sum"),
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_custkey % 8
+                        ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS running_cents
+    FROM orders
+    """,
+)
+def window_grouped_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP running revenue over 8 deliberately HUGE groups
+    (custkey % 8 — each holds 1/8 of all orders), semantically
+    ``SUM(x) OVER (PARTITION BY g ORDER BY k)``, computed by the
+    grouped two-level prefix sum (operators.prefix.grouped_prefix_sum)
+    instead of the plain window.  The plain window puts each group in
+    ONE task — fine for many small groups, fatal when a group is
+    corpus-sized or skew-hot; the grouped scan range-partitions on
+    (group, key), windows inside each partition, and chains the
+    cross-partition offsets with a window over the tiny
+    (partition x group) totals relation — NO driver collect, bounded
+    work per task for any group size or count.  The oracle IS the
+    plain-window spelling — exact equality is the point."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.col("o_orderkey"),
+        (F.col("o_custkey") % 8).alias("_g"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("_cents"),
+    )
+    return grouped_prefix_sum(
+        orders, ["_g"], ["o_orderkey"], "_cents", out_col="running_cents"
+    ).select("o_custkey", "o_orderkey", "running_cents")

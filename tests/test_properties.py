@@ -909,3 +909,37 @@ def test_sequence_gaps_ignores_null_keys(spark):
         for r in sequence_gaps(df, "o_orderkey").collect()
     )
     assert got == [(3, 4, 2), (6, 8, 3)]
+
+
+def test_grouped_prefix_sum_matches_bruteforce(spark):
+    """grouped_prefix_sum vs sequential per-group running sums on a
+    skewed random input (one hot group holding most rows — the case a
+    plain PARTITION BY window handles in one task), swept across
+    shuffle-partition counts so group/partition seams land
+    differently each trial."""
+    import random
+
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(600):
+        g = "hot" if rng.random() < 0.7 else f"g{rng.randrange(8)}"
+        rows.append((g, i, rng.randrange(-50, 100)))
+    want = {}
+    acc: dict[str, int] = {}
+    for g, i, v in sorted(rows, key=lambda r: (r[1],)):
+        acc[g] = acc.get(g, 0) + v
+        want[(g, i)] = acc[g]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_parts in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            got = {
+                (r.g, r.k): r.rt
+                for r in grouped_prefix_sum(df, ["g"], ["k"], "v", "rt").collect()
+            }
+            assert got == want, f"parts {n_parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
