@@ -239,6 +239,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_bpe_encode_deep",  # round-7 new: general merge-table application
     "pipeline_domain_cap_screen",  # round-7 new: URL/domain quota + blocklist
     "window_grouped_prefix_sum",  # round-7 new: collect-free grouped scan
+    "dedup_url_canonical",  # round-7 new: canonical-URL dedup screen
 )
 
 # Verified queries whose build source OR implementing operator

@@ -112,3 +112,62 @@ def domain_counts(df: DataFrame, domain_col: str) -> DataFrame:
     """Rows per domain: (domain_col, n_docs).  One map-side-combined
     aggregate; output is domain-cardinality."""
     return df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# Tracking parameters every crawl-dedup recipe strips (public record:
+# the utm_* convention plus the big platforms' click ids).  Checked by
+# PREFIX for utm_ and exact name otherwise.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "referrer")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for URL-level dedup — the screen crawl
+    pipelines run BEFORE content dedup (the same page fetched via ten
+    tracking links is one document):
+
+      * scheme and host lower-cased (parse_url host; scheme is taken
+        as the text before '://', lower-cased),
+      * fragment dropped (never sent to the server),
+      * trailing '/' stripped from non-root paths,
+      * tracking parameters removed (utm_* prefix + known click ids),
+      * surviving query parameters SORTED by full 'k=v' text so
+        parameter order doesn't split identical resources.
+
+    All row-local expression algebra (split / filter / array_sort /
+    array_join over the query string) — no UDF, no shuffle; NULL for
+    unparseable URLs (try_parse_url semantics), which downstream
+    dedup should treat as "no URL evidence", not as one giant NULL
+    group."""
+    scheme = F.lower(F.substring_index(url, "://", 1))
+    host = url_host(url)
+    path = F.try_parse_url(url, F.lit("PATH"))
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - F.lit(1)),
+    ).otherwise(path)
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda kv: ~_is_tracking_param(F.substring_index(kv, "=", 1))
+            & (kv != ""),
+        )
+    )
+    qtail = F.when(
+        query.isNotNull() & (F.size(kept) > 0),
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        host.isNotNull(),
+        F.concat(scheme, F.lit("://"), host, F.coalesce(path, F.lit("")), qtail),
+    )
+
+
+def _is_tracking_param(name: Column) -> Column:
+    cond = F.lit(False)
+    for p in TRACKING_PARAM_PREFIXES:
+        cond = cond | name.startswith(p)
+    for p in TRACKING_PARAMS:
+        cond = cond | (name == p)
+    return cond

@@ -1559,3 +1559,54 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("bigint").alias("n_docs"),
         (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    tags=("dedup", "url", "llm-pipeline", "curation"),
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id // 2 AS lid FROM documents)
+    SELECT 'https://www.d' || CAST(lid % 20 AS VARCHAR) || '.example.com/page/'
+             || CAST(lid AS VARCHAR) || '?a=1&b=2' AS canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM m GROUP BY lid
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the screen crawl pipelines run BEFORE any
+    content dedup: the same logical page fetched through different
+    tracking links, parameter orders, fragments, letter cases, and
+    trailing slashes is ONE document.  The fixture has no URL column,
+    so each doc gets a deterministically MESSY url (two docs per
+    logical page; odd docs add utm noise + fragment + trailing slash
+    + scrambled parameter order, even docs scream in uppercase) and
+    the real canonicalizer (operators/urls.py:canonical_url — JVM
+    try_parse_url components, tracking-param strip, param sort, all
+    row-local HOF algebra) must collapse every pair.  The oracle
+    reconstructs the canonical identity directly, so any
+    normalization miss splits a group and breaks the hash.  Scale
+    shape: one projection + one map-side-combined groupBy on the
+    canonical string."""
+    from parquet_to_sql_spark.operators.urls import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    lid = (F.col("doc_id") / 2).cast("long")
+    host = F.concat(F.lit("www.d"), (lid % 20).cast("string"),
+                    F.lit(".example.com"))
+    base = F.concat(F.lit("/page/"), lid.cast("string"))
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://"), F.upper(host), base, F.lit("?b=2&a=1")),
+    ).otherwise(
+        F.concat(F.lit("https://"), host, base,
+                 F.lit("/?utm_source=feed&b=2&fbclid=xyz&a=1#top")),
+    )
+    return (
+        docs.select(canonical_url(messy).alias("canonical"), "doc_id")
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )

@@ -1220,3 +1220,32 @@ def test_registrable_domain_and_blocklist(spark):
     blocked = spark.createDataFrame([("bad.net",)], "domain string")
     kept = {r.id for r in apply_domain_blocklist(df, "domain", blocked).collect()}
     assert kept == {1, 3, 4, 5}
+
+
+def test_canonical_url_normalization_cases(spark):
+    """The URL canonicalizer's contract, case by case: tracking-param
+    strip (utm_* prefix + click ids), query-param sort, fragment drop,
+    case folding, trailing-slash strip on non-root paths only, root
+    path preserved, bare-query '?' dropped, NULL for unparseable."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import canonical_url
+
+    cases = [
+        (1, "https://Ex.COM/a/b?utm_source=x&z=1&a=2#frag",
+         "https://ex.com/a/b?a=2&z=1"),
+        (2, "https://ex.com/a/b?a=2&z=1", "https://ex.com/a/b?a=2&z=1"),
+        (3, "https://ex.com/a/b/", "https://ex.com/a/b"),
+        (4, "https://ex.com/", "https://ex.com/"),
+        (5, "https://ex.com/x?utm_campaign=c&fbclid=y&gclid=z", "https://ex.com/x"),
+        (6, "HTTP://ex.com/x", "http://ex.com/x"),
+        (7, "https://ex.com/x?ref=home&keep=1", "https://ex.com/x?keep=1"),
+        (8, "totally not a url", None),
+        (9, "https://ex.com", "https://ex.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, url string")
+    got = {
+        r.id: r.c
+        for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == {i: want for i, _, want in cases}
