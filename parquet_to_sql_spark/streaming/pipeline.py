@@ -654,6 +654,88 @@ def event_transitions_stream(
     )
 
 
+_ASOF_OUTPUT = (
+    "event_id long, ts timestamp, purchase_event_id long, purchase_ts timestamp"
+)
+_ASOF_STATE = "p_ts_us long, p_id long"
+
+
+def _asof_enrich_fn(key, pdf_iter, state: GroupState):
+    batches = [p for p in pdf_iter if len(p)]
+    out_eid: list[int] = []
+    out_ts: list[int] = []
+    out_pid: list[int] = []
+    out_pts: list[int] = []
+    if batches:
+        rows = pd.concat(batches, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        p_ts, p_id = state.get if state.exists else (None, None)
+        etypes = rows["event_type"].to_list()
+        eids = rows["event_id"].to_list()
+        i, n = 0, len(rows)
+        while i < n:
+            # one timestamp group at a time: ingest EVERY same-ts
+            # purchase before enriching any same-ts event, so
+            # "at-or-before" includes ties exactly like the batch
+            # window's (pts DESC, p_id DESC) pick
+            j = i
+            while j < n and ts_us[j] == ts_us[i]:
+                j += 1
+            for k in range(i, j):
+                if etypes[k] == "purchase":
+                    p_ts, p_id = int(ts_us[k]), int(eids[k])  # id asc: max wins
+            if p_ts is not None:
+                for k in range(i, j):
+                    out_eid.append(int(eids[k]))
+                    out_ts.append(int(ts_us[k]))
+                    out_pid.append(p_id)
+                    out_pts.append(p_ts)
+            i = j
+        if p_ts is not None:
+            state.update((p_ts, p_id))
+    yield pd.DataFrame(
+        {
+            "event_id": out_eid,
+            "ts": pd.to_datetime(out_ts, unit="us"),
+            "purchase_event_id": out_pid,
+            "purchase_ts": pd.to_datetime(out_pts, unit="us"),
+        }
+    )
+
+
+def asof_enrich_stream(stream: DataFrame) -> DataFrame:
+    """STREAMING as-of join — the at-ingest twin of the batch
+    join_asof_purchases: every arriving event is enriched with the
+    most recent purchase by the same user at-or-before it (ties at
+    equal ts resolved to the highest purchase event_id, exactly the
+    batch window's (pts DESC, p_id DESC) pick — the fold ingests all
+    same-ts purchases before enriching any same-ts event).  Batch
+    as-of needs the union-and-window pattern; at ingest it collapses
+    to O(1) state per user — ONE (purchase_ts, purchase_id) pair —
+    because "most recent at-or-before" is precisely what a running
+    last-value fold maintains.  Events with no prior purchase emit
+    nothing (the batch query's inner-join semantics); emitted rows are
+    final facts, so append mode composes downstream.  In-batch order
+    is (ts, event_id); cross-batch order is the source's
+    responsibility, and state is retained per user indefinitely —
+    both caveats shared with, and solvable the same way as, the
+    transitions fold (see event_transitions_stream's ttl_minutes
+    precedent)."""
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_enrich_fn,
+            outputStructType=_ASOF_OUTPUT,
+            stateStructType=_ASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def classifier_screen_stream(
     stream_docs: DataFrame, weights: DataFrame
 ) -> DataFrame:

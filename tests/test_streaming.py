@@ -1372,3 +1372,86 @@ def test_streaming_sessions_timeout_eviction_matches_batch(spark, events_dir, tm
         ).collect()
     )
     assert got == want and len(got) > 100
+
+
+def test_streaming_asof_enrich_matches_batch(spark, events_dir):
+    """The O(1)-state streaming as-of fold must equal the batch
+    union-and-window as-of join (join_asof_purchases) row for row —
+    including purchase-ts ties resolved to the highest purchase id
+    and purchases enriching themselves."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from parquet_to_sql_spark.streaming import asof_enrich_stream
+
+    stream = events_stream(spark, events_dir)
+    run_to_memory(asof_enrich_stream(stream), "asof_out", "append")
+    got = {
+        r.event_id: (r.purchase_event_id, r.purchase_ts)
+        for r in spark.sql("SELECT * FROM asof_out").collect()
+    }
+    want = {
+        r.event_id: (r.purchase_event_id, r.purchase_ts)
+        for r in all_queries()["join_asof_purchases"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_streaming_asof_enrich_spans_batch_boundary(spark, events_dir, tmp_path):
+    """An event arriving in run 2 must enrich against the user's last
+    purchase from run 1 — the carried state is the whole point."""
+    import pandas as pd
+
+    from parquet_to_sql_spark.streaming import asof_enrich_stream
+
+    ckpt = str(tmp_path / "asof_ckpt")
+
+    def run_once():
+        rows: list = []
+
+        def collect_batch(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            asof_enrich_stream(events_stream(spark, events_dir))
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    r1 = run_once()
+    assert len(r1) > 0
+    batch = _batch_events(spark)
+    last_purchase = {
+        r.user_id: (r.p_id, r.p_ts)
+        for r in batch.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("p_id"),
+            F.max("ts").alias("p_ts"),
+        )
+        .collect()
+    }
+    users = sorted(last_purchase)[:3]
+    newer = pd.DataFrame(
+        {
+            "event_id": [40_000_001 + i for i in range(len(users))],
+            "ts": pd.to_datetime("2031-06-01 00:00:00"),
+            "user_id": users,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(newer, schema=batch.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    r2 = run_once()
+    got = {r.event_id: r.purchase_event_id for r in r2}
+    for i, u in enumerate(users):
+        eid = 40_000_001 + i
+        assert got.get(eid) == last_purchase[u][0]
