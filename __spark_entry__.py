@@ -240,6 +240,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_domain_cap_screen",  # round-7 new: URL/domain quota + blocklist
     "window_grouped_prefix_sum",  # round-7 new: collect-free grouped scan
     "dedup_url_canonical",  # round-7 new: canonical-URL dedup screen
+    "pipeline_web_curation",  # round-7 new: composed URL-family pipeline
 )
 
 # Verified queries whose build source OR implementing operator

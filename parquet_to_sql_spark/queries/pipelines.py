@@ -1112,3 +1112,102 @@ def pipeline_domain_cap_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_chars",
         "min_kept_doc",
     )
+
+
+@query(
+    "pipeline_web_curation",
+    tags=("llm-pipeline", "curation", "url", "dedup", "scale-path"),
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, n_chars, doc_id // 2 AS lid FROM documents
+    ), pages AS (
+      SELECT lid,
+             MIN(doc_id) AS rep_doc,
+             CAST(COUNT(*) AS BIGINT) AS n_fetches,
+             MIN_BY(n_chars, doc_id) AS n_chars,
+             'example-d' || CAST(lid % 12 AS VARCHAR) || '.com' AS domain
+      FROM m GROUP BY lid
+    ), ranked AS (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY domain) AS dn,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, rep_doc) AS rn
+      FROM pages
+    )
+    SELECT domain,
+           CAST(MAX(dn) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(SUM(n_fetches) AS BIGINT) AS kept_fetches,
+           CAST(MIN(rep_doc) AS BIGINT) AS first_doc
+    FROM ranked WHERE rn <= 8 GROUP BY domain
+    """,
+)
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 URL family composed end to end, the way a crawl
+    pipeline actually chains it: messy URL -> canonical_url ->
+    URL-level dedup (one representative fetch per logical page, min
+    doc_id, carrying its char count and the fetch count) ->
+    registrable domain -> per-domain quota (cap 8, keep longest pages,
+    over-cap-only shuffle) -> per-domain curation stats.  One
+    oracle-checked plan; the oracle reconstructs each stage by
+    identity (the synthesized-URL convention of dedup_url_canonical),
+    so a miss in ANY stage — normalization, representative pick,
+    domain reduction, quota — breaks the hash.  Scale shape: one
+    corpus scan into a canonical-keyed rollup, then everything
+    downstream is page- or domain-cardinality."""
+    from parquet_to_sql_spark.operators.urls import (
+        canonical_url,
+        cap_per_domain,
+        domain_counts,
+        registrable_domain,
+        url_host,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lid = (F.col("doc_id") / 2).cast("long")
+    host = F.concat(F.lit("www.example-d"), (lid % 12).cast("string"),
+                    F.lit(".com"))
+    base = F.concat(F.lit("/page/"), lid.cast("string"))
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://"), F.upper(host), base, F.lit("/#top")),
+    ).otherwise(
+        F.concat(F.lit("https://"), host, base, F.lit("?utm_medium=x&gclid=q")),
+    )
+    pages = (
+        docs.select(
+            canonical_url(messy).alias("canonical"), "doc_id", "n_chars"
+        )
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
+        .select(
+            registrable_domain(url_host(F.col("canonical"))).alias("domain"),
+            "rep_doc",
+            "n_fetches",
+            "n_chars",
+        )
+    )
+    counts = domain_counts(pages, "domain")
+    kept = cap_per_domain(
+        pages, "domain", 8, [F.desc("n_chars"), F.asc("rep_doc")],
+        counts=counts,
+    )
+    stats = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        F.sum("n_fetches").cast("bigint").alias("kept_fetches"),
+        F.min("rep_doc").cast("bigint").alias("first_doc"),
+    )
+    return stats.join(counts, "domain").select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_pages"),
+        "n_kept",
+        "kept_chars",
+        "kept_fetches",
+        "first_doc",
+    )
