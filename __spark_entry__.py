@@ -241,6 +241,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "window_grouped_prefix_sum",  # round-7 new: collect-free grouped scan
     "dedup_url_canonical",  # round-7 new: canonical-URL dedup screen
     "pipeline_web_curation",  # round-7 new: composed URL-family pipeline
+    "pipeline_domain_quality_blocklist",  # round-7 new: learned blocklist
 )
 
 # Verified queries whose build source OR implementing operator

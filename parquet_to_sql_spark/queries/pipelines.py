@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from parquet_to_sql_spark.catalog import load_table
 from parquet_to_sql_spark.functions.hashing import char_fold_hash
 from parquet_to_sql_spark.queries.registry import query
-from parquet_to_sql_spark.queries.text import DUCK_FOLD, DUCK_WORDS, _DUCK_QUALITY
+from parquet_to_sql_spark.queries.text import (
+    DUCK_FOLD,
+    DUCK_WORDS,
+    _DUCK_GOPHER,
+    _DUCK_QUALITY,
+)
 
 
 @query(
@@ -1210,4 +1215,74 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_chars",
         "kept_fetches",
         "first_doc",
+    )
+
+
+@query(
+    "pipeline_domain_quality_blocklist",
+    tags=("llm-pipeline", "curation", "url", "quality-filter"),
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, passes FROM ({GOPHER}) gsub
+    ), d AS (
+      SELECT doc_id,
+             'example-d' || CAST(doc_id % 15 AS VARCHAR) || '.com' AS domain
+      FROM documents
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+           CAST((1000000::HUGEINT * SUM(CASE WHEN passes THEN 0 ELSE 1 END))
+                // COUNT(*) AS BIGINT) AS fail_ppm,
+           ((1000000::HUGEINT * SUM(CASE WHEN passes THEN 0 ELSE 1 END))
+                // COUNT(*) > 400000) AS blocked
+    FROM d JOIN g USING (doc_id)
+    GROUP BY domain
+    """.format(GOPHER=_DUCK_GOPHER),
+)
+def pipeline_domain_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED domain blocklist — the data-driven counterpart of
+    pipeline_domain_cap_screen's manual list: per-domain Gopher-rule
+    fail rate in exact ppm (the all-integer rule verdicts of
+    text_gopher_rules rolled up by registrable domain), with domains
+    past a 40% fail-rate threshold flagged for blocking.  The output
+    IS a blocklist relation (domain, evidence columns, blocked) ready
+    to feed apply_domain_blocklist — closing the curation loop:
+    manual list -> quota -> measured quality -> next round's list.
+    Domain synthesis is the established deterministic convention;
+    everything else is the real machinery.  Scale shape: one narrow
+    rule projection (no shuffle), one doc-keyed join, one
+    domain-cardinality rollup."""
+    from parquet_to_sql_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    gop = gopher_rules(docs, "doc_id", "text").select("doc_id", "passes")
+    dom = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("example-d"), (F.col("doc_id") % 15).cast("string"),
+            F.lit(".com"),
+        ).alias("domain"),
+    )
+    fail = F.sum(F.when(F.col("passes"), 0).otherwise(1))
+    return (
+        dom.join(gop, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            fail.cast("bigint").alias("n_fail"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * sum(CASE WHEN passes THEN 0 ELSE 1 END))"
+                " div count(1) AS BIGINT)"
+            ).alias("fail_ppm"),
+            (
+                F.expr(
+                    "(CAST(1000000 AS DECIMAL(38,0))"
+                    " * sum(CASE WHEN passes THEN 0 ELSE 1 END))"
+                    " div count(1)"
+                )
+                > 400000
+            ).alias("blocked"),
+        )
     )
