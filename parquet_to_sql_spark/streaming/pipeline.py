@@ -654,6 +654,69 @@ def event_transitions_stream(
     )
 
 
+_QUOTA_OUTPUT = "user_id long, event_id long, ts timestamp, admit_rank long"
+_QUOTA_STATE = "n_admitted long"
+
+
+def _make_quota_fn(cap: int):
+    def _quota_fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n = state.get[0] if state.exists else 0
+        out_eid: list[int] = []
+        out_ts = []
+        out_rank: list[int] = []
+        batches = [p for p in pdf_iter if len(p)]
+        if batches:
+            rows = pd.concat(batches, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            for eid, ts in zip(rows["event_id"], rows["ts"]):
+                if n >= cap:
+                    break  # quota exhausted — nothing later admits
+                n += 1
+                out_eid.append(int(eid))
+                out_ts.append(ts)
+                out_rank.append(n)
+            state.update((n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_eid),
+                "event_id": out_eid,
+                "ts": pd.to_datetime(out_ts),
+                "admit_rank": out_rank,
+            }
+        )
+
+    return _quota_fn
+
+
+def quota_admit_stream(stream: DataFrame, cap: int = 10) -> DataFrame:
+    """At-ingest per-key admission quota — the streaming counterpart
+    of cap_per_domain for the case where the cap criterion is ARRIVAL
+    order rather than a quality ranking: admit each key's first
+    ``cap`` events (in (ts, event_id) order), drop the rest forever.
+    The crawl-pipeline use is per-domain fetch budgets enforced at
+    ingest instead of in a nightly batch; keyed here by user_id since
+    that is the fixture's key column — the operator is key-agnostic.
+    State is ONE counter per key (no retained rows, unlike a batch
+    window); admitted rows carry their admit_rank and are final facts
+    (append mode).  Batch equivalence: row_number() OVER
+    (PARTITION BY key ORDER BY ts, event_id) <= cap, pinned by test
+    along with the cross-run carry (a key whose quota filled in run 1
+    admits nothing in run 2)."""
+    return (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_quota_fn(cap),
+            outputStructType=_QUOTA_OUTPUT,
+            stateStructType=_QUOTA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _ASOF_OUTPUT = (
     "event_id long, ts timestamp, purchase_event_id long, purchase_ts timestamp"
 )

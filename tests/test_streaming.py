@@ -1455,3 +1455,81 @@ def test_streaming_asof_enrich_spans_batch_boundary(spark, events_dir, tmp_path)
     for i, u in enumerate(users):
         eid = 40_000_001 + i
         assert got.get(eid) == last_purchase[u][0]
+
+
+def test_streaming_quota_admit_matches_batch_window(spark, events_dir):
+    """Per-key admission quota vs the batch row_number formulation:
+    each user's first 10 events in (ts, event_id) order admit with
+    their rank, everything later drops."""
+    from pyspark.sql import Window
+
+    from parquet_to_sql_spark.streaming import quota_admit_stream
+
+    stream = events_stream(spark, events_dir)
+    run_to_memory(quota_admit_stream(stream, cap=10), "quota_out", "append")
+    got = {
+        (r.user_id, r.event_id): r.admit_rank
+        for r in spark.sql("SELECT * FROM quota_out").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_id): r.rn
+        for r in _batch_events(spark)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_streaming_quota_carries_across_runs(spark, events_dir, tmp_path):
+    """A key whose quota filled in run 1 admits NOTHING in run 2 —
+    the counter state is the whole point; a fresh key in run 2 starts
+    its own quota at rank 1."""
+    import pandas as pd
+
+    from parquet_to_sql_spark.streaming import quota_admit_stream
+
+    ckpt = str(tmp_path / "quota_ckpt")
+
+    def run_once():
+        rows: list = []
+
+        def collect_batch(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            quota_admit_stream(events_stream(spark, events_dir), cap=3)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    r1 = run_once()
+    batch = _batch_events(spark)
+    counts = {
+        r.user_id: r.n
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    full_user = next(u for u in sorted(counts) if counts[u] >= 3)
+    newer = pd.DataFrame(
+        {
+            "event_id": [50_000_001, 50_000_002],
+            "ts": pd.to_datetime("2031-06-01 00:00:00"),
+            "user_id": [full_user, 999_999_999],
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(newer, schema=batch.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    r2 = run_once()
+    by_eid = {r.event_id: r for r in r2}
+    assert 50_000_001 not in by_eid  # quota filled in run 1
+    assert by_eid[50_000_002].admit_rank == 1  # fresh key starts fresh
