@@ -242,6 +242,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_url_canonical",  # round-7 new: canonical-URL dedup screen
     "pipeline_web_curation",  # round-7 new: composed URL-family pipeline
     "pipeline_domain_quality_blocklist",  # round-7 new: learned blocklist
+    "agg_grouped_weighted_quantiles",  # round-7 new: per-source token mass
 )
 
 # Verified queries whose build source OR implementing operator

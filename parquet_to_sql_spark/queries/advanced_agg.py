@@ -761,3 +761,69 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("_m._neg_cnt")).cast("bigint").alias("n_rows"),
         )
     )
+
+
+@query(
+    "agg_grouped_weighted_quantiles",
+    tags=("aggregation", "quantiles", "profiling", "llm-pipeline",
+          "scale-path"),
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS v
+      FROM documents
+    ),
+    c AS (SELECT source, v, SUM(v) AS w FROM t GROUP BY source, v),
+    s AS (
+      SELECT source, v,
+             SUM(w) OVER (PARTITION BY source ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS tot
+      FROM c
+    )
+    SELECT source,
+      MIN(CASE WHEN cum*100 >= 25*tot THEN v END) AS p25_tokens,
+      MIN(CASE WHEN cum*100 >= 50*tot THEN v END) AS p50_tokens,
+      MIN(CASE WHEN cum*100 >= 75*tot THEN v END) AS p75_tokens,
+      MIN(CASE WHEN cum*100 >= 90*tot THEN v END) AS p90_tokens,
+      MIN(CASE WHEN cum*100 >= 99*tot THEN v END) AS p99_tokens
+    FROM s GROUP BY source
+    """,
+)
+def agg_grouped_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE token-mass-weighted length percentiles — the
+    per-corpus data-card row ('half of src7's TOKEN mass lives in
+    docs of <= p50 tokens'), i.e. agg_weighted_quantiles_tokens
+    partitioned by source.  Built on the r7 GROUPED distributed
+    prefix sum (operators.prefix.grouped_prefix_sum): one scan into a
+    (source, length)-keyed histogram, ONE grouped two-level cumulative
+    scan with no driver collect and no per-source single-task window
+    — the formulation that survives both a handful of huge sources
+    and millions of tiny ones — then per-source totals attach at
+    GROUP granularity (source x source join, never row-level) and the
+    boundary pick is a conditional min.  All integer, value-exact;
+    the oracle is the plain partitioned-window spelling."""
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.size(ws_tokens(F.col("text"))).cast("long").alias("v")
+    )
+    c = t.groupBy("source", "v").agg(F.sum("v").alias("w"))
+    s = grouped_prefix_sum(c, ["source"], ["v"], "w", "cum")
+    tot = s.groupBy("source").agg(F.max("cum").alias("tot"))
+    return (
+        s.join(F.broadcast(tot), "source")  # group-cardinality attach
+        .groupBy("source")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.lit(p) * F.col("tot"),
+                        F.col("v"),
+                    )
+                ).alias(f"p{p}_tokens")
+                for p in (25, 50, 75, 90, 99)
+            ]
+        )
+    )
