@@ -943,3 +943,83 @@ def test_grouped_prefix_sum_matches_bruteforce(spark):
             assert got == want, f"parts {n_parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_URL_LABEL = st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True)
+_URL_KEY = st.one_of(
+    _URL_LABEL,
+    st.sampled_from(["utm_source", "utm_x", "fbclid", "gclid", "ref", "keep"]),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https"]),
+            st.lists(_URL_LABEL, min_size=1, max_size=3),  # host labels
+            st.lists(_URL_LABEL, min_size=0, max_size=3),  # path segments
+            st.booleans(),  # trailing slash
+            st.lists(st.tuples(_URL_KEY, _URL_LABEL), min_size=0, max_size=4),
+            st.booleans(),  # fragment
+            st.booleans(),  # uppercase host
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_canonical_url_matches_reference(spark, specs):
+    """canonical_url vs a sequential Python reference over randomized
+    well-formed URL structures: host label counts, empty/root paths,
+    trailing slashes, duplicate/tracking/empty param mixes, fragments,
+    case variance.  (Malformed-URL behavior is pinned separately by
+    the case test; generation stays inside the shapes where
+    java.net.URI and the reference agree on component splitting.)"""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import (
+        TRACKING_PARAM_PREFIXES,
+        TRACKING_PARAMS,
+        canonical_url,
+    )
+
+    def build(spec):
+        scheme, hl, pseg, slash, params, frag, up = spec
+        host = ".".join(hl)
+        path = ("/" + "/".join(pseg)) if pseg else ""
+        if slash:
+            path += "/"
+        url = f"{scheme.upper() if up else scheme}://{host.upper() if up else host}{path}"
+        if params:
+            url += "?" + "&".join(f"{k}={v}" for k, v in params)
+        if frag:
+            url += "#frag"
+        return url
+
+    def ref(spec):
+        scheme, hl, pseg, slash, params, frag, up = spec
+        host = ".".join(hl)
+        path = ("/" + "/".join(pseg)) if pseg else ""
+        if slash:
+            path += "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        kept = sorted(
+            f"{k}={v}"
+            for k, v in params
+            if k not in TRACKING_PARAMS
+            and not any(k.startswith(p) for p in TRACKING_PARAM_PREFIXES)
+        )
+        q = ("?" + "&".join(kept)) if kept else ""
+        return f"{scheme}://{host}{path}{q}"
+
+    urls = [build(s) for s in specs]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    want = {i: ref(s) for i, s in enumerate(specs)}
+    assert got == want
