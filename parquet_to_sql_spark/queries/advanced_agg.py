@@ -827,3 +827,70 @@ def agg_grouped_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
             ]
         )
     )
+
+
+@query(
+    "agg_grouped_exact_quantiles",
+    tags=("aggregation", "quantiles", "scale-path"),
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             COUNT(*) AS w
+      FROM lineitem GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT l_returnflag, l_linestatus, v,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+      FROM c
+    )
+    SELECT l_returnflag, l_linestatus,
+      MIN(CASE WHEN cum*100 >= 25*tot THEN v END) AS p25_cents,
+      MIN(CASE WHEN cum*100 >= 50*tot THEN v END) AS p50_cents,
+      MIN(CASE WHEN cum*100 >= 75*tot THEN v END) AS p75_cents,
+      MIN(CASE WHEN cum*100 >= 99*tot THEN v END) AS p99_cents
+    FROM s GROUP BY 1, 2
+    """,
+)
+def agg_grouped_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles over the biggest fixture table —
+    price-cents quartiles per (returnflag, linestatus) — by the
+    count-histogram method on the GROUPED two-level scan: one
+    map-side-combined (group, value) count (the only corpus-sized
+    exchange), one grouped_prefix_sum over the distinct-value
+    histogram (no driver collect, no per-group single-task sort — the
+    plain percentile_disc window moves each group's every row to one
+    task), group totals attached at group granularity, boundary =
+    smallest value whose cumulative count reaches p%.  That is
+    percentile_disc semantics in exact integers; the oracle is the
+    partitioned-window spelling DuckDB can afford at fixture scale."""
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    s = grouped_prefix_sum(
+        c, ["l_returnflag", "l_linestatus"], ["v"], "w", "cum"
+    )
+    tot = s.groupBy("l_returnflag", "l_linestatus").agg(
+        F.max("cum").alias("tot")
+    )
+    return (
+        s.join(F.broadcast(tot), ["l_returnflag", "l_linestatus"])
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.lit(p) * F.col("tot"),
+                        F.col("v"),
+                    )
+                ).alias(f"p{p}_cents")
+                for p in (25, 50, 75, 99)
+            ]
+        )
+    )
