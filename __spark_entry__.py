@@ -244,6 +244,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_domain_quality_blocklist",  # round-7 new: learned blocklist
     "agg_grouped_weighted_quantiles",  # round-7 new: per-source token mass
     "agg_grouped_exact_quantiles",  # round-7 new: per-group percentiles
+    "ev_session_attribution",  # round-7 new: first-touch revenue cube
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1440,3 +1440,99 @@ def ev_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "ev_session_attribution",
+    tags=("events", "sessionization", "attribution"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             value
+      FROM events
+    ), o AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl0 AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    ), isl AS (
+      SELECT user_id, event_type, value, island,
+             first_value(event_type) OVER (
+               PARTITION BY user_id, island
+               ORDER BY ts, event_id) AS first_touch
+      FROM isl0
+    ), sess AS (
+      SELECT user_id, island,
+             MIN(first_touch) AS first_touch,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS purchase_cents,
+             COUNT(*) AS n_events
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN purchase_cents > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converting,
+           CAST(SUM(purchase_cents) AS BIGINT) AS attributed_cents,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM sess GROUP BY first_touch
+    """,
+)
+def ev_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH revenue attribution — the marketing-analytics cube:
+    sessionize each user's stream (same 30-min gaps-and-islands
+    construction as ev_gaps_and_islands), credit every session's
+    purchase value (exact cents) to the session's FIRST event type,
+    and roll up per first-touch channel: sessions, converting
+    sessions, attributed revenue, event volume.  Three window passes
+    share ONE user-keyed shuffle+sort (lag flag, running island id,
+    first_value within island — Catalyst reuses the exchange); the
+    rollups are map-side-combined aggregates on (user, island) then
+    the tiny channel key.  All integer; value-exact cross-engine."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) >= gap_us),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (
+        e.withColumn("is_new", is_new)
+        .withColumn("island", F.sum("is_new").over(run).cast("long"))
+        .withColumn(
+            "first_touch",
+            F.first("event_type").over(
+                Window.partitionBy("user_id", "island").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    sess = isl.groupBy("user_id", "island").agg(
+        F.min("first_touch").alias("first_touch"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("purchase_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sess.groupBy("first_touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("purchase_cents") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converting"),
+        F.sum("purchase_cents").cast("bigint").alias("attributed_cents"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
