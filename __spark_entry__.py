@@ -245,6 +245,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "agg_grouped_weighted_quantiles",  # round-7 new: per-source token mass
     "agg_grouped_exact_quantiles",  # round-7 new: per-group percentiles
     "ev_session_attribution",  # round-7 new: first-touch revenue cube
+    "agg_equidepth_bins",  # round-7 new: equi-depth profiling bins
 )
 
 # Verified queries whose build source OR implementing operator

@@ -894,3 +894,93 @@ def agg_grouped_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+@query(
+    "agg_equidepth_bins",
+    tags=("aggregation", "profiling", "quantiles", "scale-path"),
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, COUNT(*) AS w
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT v, w,
+             SUM(w) OVER (ORDER BY v) AS cum,
+             SUM(w) OVER () AS tot
+      FROM c
+    ), e AS (
+      SELECT
+        MIN(CASE WHEN cum*8 >= 1*tot THEN v END) AS e1,
+        MIN(CASE WHEN cum*8 >= 2*tot THEN v END) AS e2,
+        MIN(CASE WHEN cum*8 >= 3*tot THEN v END) AS e3,
+        MIN(CASE WHEN cum*8 >= 4*tot THEN v END) AS e4,
+        MIN(CASE WHEN cum*8 >= 5*tot THEN v END) AS e5,
+        MIN(CASE WHEN cum*8 >= 6*tot THEN v END) AS e6,
+        MIN(CASE WHEN cum*8 >= 7*tot THEN v END) AS e7
+      FROM s
+    ), b AS (
+      SELECT (CASE WHEN v > e1 THEN 1 ELSE 0 END)
+           + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+           + (CASE WHEN v > e3 THEN 1 ELSE 0 END)
+           + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+           + (CASE WHEN v > e5 THEN 1 ELSE 0 END)
+           + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+           + (CASE WHEN v > e7 THEN 1 ELSE 0 END) AS bin,
+             v, w
+      FROM s, e
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(SUM(w) AS BIGINT) AS n_orders,
+           CAST(MIN(v) AS BIGINT) AS lo_cents,
+           CAST(MAX(v) AS BIGINT) AS hi_cents,
+           CAST(SUM(v * w) AS BIGINT) AS total_cents
+    FROM b GROUP BY bin
+    """,
+)
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH binning — the profiling complement of the
+    fixed-width agg_price_histogram: 8 bins each holding ~1/8 of the
+    orders, edges = the smallest value whose cumulative count reaches
+    k/8 of the total (exact count-histogram + distributed prefix sum,
+    the established no-global-sort method), membership = row-local
+    edge comparisons after a 1-row broadcast edge attach, then
+    per-bin (count, lo, hi, mass) from the HISTOGRAM relation — the
+    corpus is scanned once for the value counts and never again.
+    Equi-depth edges are what optimizers and data-skew dashboards
+    actually want (fixed-width bins collapse under long tails).  All
+    integer cents; the oracle is the plain-window spelling."""
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    s = prefix_sum(c, ["v"], "w", "cum")
+    tot = s.agg(F.max("cum").alias("tot"))
+    edges = (
+        s.crossJoin(F.broadcast(tot))  # 1-row total attach
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * 8 >= F.lit(k) * F.col("tot"), F.col("v")
+                    )
+                ).alias(f"e{k}")
+                for k in range(1, 8)
+            ]
+        )
+    )
+    bin_col = sum(
+        F.when(F.col("v") > F.col(f"e{k}"), 1).otherwise(0) for k in range(1, 8)
+    )
+    return (
+        s.crossJoin(F.broadcast(edges))  # 1-row edge attach
+        .select(bin_col.cast("int").alias("bin"), "v", "w")
+        .groupBy("bin")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_orders"),
+            F.min("v").cast("bigint").alias("lo_cents"),
+            F.max("v").cast("bigint").alias("hi_cents"),
+            F.sum(F.col("v") * F.col("w")).cast("bigint").alias("total_cents"),
+        )
+    )
