@@ -1,7 +1,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].  The LAST stdout line is one compact JSON
+summary (the driver captures only the final ~2 KB of output —
+VERDICT r07 #2: the r7 line with inline per-query spreads outgrew
+that capture and truncated):
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: median_sec, ...}, "reps": N, "sf": 0.1,
+   "loadavg_start": [...], "loadavg_end": [...],
+   "control": {"median": s, "spread": [lo, hi]}}
+Per-query [min, max] spreads and raw samples are printed as an
+EARLIER detail line and written to BENCH_DETAIL.json alongside.
+
+Noise adjudication (VERDICT r07 #3): `loadavg_*` records external
+host load at run boundaries, and `control` times a data-independent
+fixed computation (spark.range sum — pure JVM work, no scan, no
+shuffle of interest, untouched by any operator change) with the same
+rep discipline; a control spread drifting between rounds proves host
+wave, not regression, from the artifact alone.
 
 Methodology (BASELINE.md): warm SparkSession, one warmup execution of
 EVERY headline query (so one-time JVM JIT / codegen compilation is
@@ -92,9 +106,25 @@ def main() -> int:
         build(spark, sf_dir).collect()
         spark.catalog.clearCache()
 
+    # Data-independent noise control: pure JVM range-sum, no table
+    # scan, unaffected by any operator/plan change in this repo.
+    # Timed with the same rep discipline so host waves show up in the
+    # artifact itself.
+    import pyspark.sql.functions as F
+
+    def control(s):
+        return s.range(0, 1 << 24, 1, 32).agg(F.sum("id").alias("s"))
+
+    control(spark).collect()  # warmup, same as the headliners
+
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     samples: dict[str, list[float]] = {n: [] for n in headline}
+    control_samples: list[float] = []
     for _ in range(reps):
+        t0 = time.monotonic()
+        control(spark).collect()
+        control_samples.append(time.monotonic() - t0)
         for name, build in headline.items():
             t0 = time.monotonic()
             build(spark, sf_dir).collect()
@@ -103,6 +133,7 @@ def main() -> int:
             # relation); release between queries so a long bench loop
             # doesn't accumulate executor memory
             spark.catalog.clearCache()
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -113,19 +144,41 @@ def main() -> int:
     spread = {n: [round(min(xs), 3), round(max(xs), 3)] for n, xs in samples.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "spread": spread,
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_detail",
+        "spread": spread,
+        "samples": {n: [round(x, 3) for x in xs] for n, xs in samples.items()},
+        "control_samples": [round(x, 3) for x in control_samples],
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "reps": reps,
+        "sf": sf,
+    }
+    summary = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "sf": sf,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "control": {
+            "median": round(median(control_samples), 3),
+            "spread": [
+                round(min(control_samples), 3),
+                round(max(control_samples), 3),
+            ],
+        },
+    }
+    # Sidecar keeps the full detail queryable even if stdout scrolls.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps(detail))
+    # The summary MUST be the final line and stay well under the
+    # driver's ~2 KB tail capture (currently ~1.3 KB at 29 queries).
+    print(json.dumps(summary))
     spark.stop()
     return 0
 
