@@ -279,8 +279,14 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = ()
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a
 # slot this round (window full).  Each must pass sf0.1 oracle parity
-# while it waits; they front window 8 alongside _QUEUED_POST_WINDOW.
-_REVERIFY_QUEUED: tuple[str, ...] = ()
+# while it waits; they front window 9 alongside _QUEUED_POST_WINDOW.
+_REVERIFY_QUEUED: tuple[str, ...] = (
+    # r8: operators/prefix.py grouped_prefix_sum grew a null-safe
+    # join-back + broadcast toggle (ADVICE r07); ev_rfm_segments is
+    # the one driver-green consumer outside window 8 — re-proven
+    # oracle-exact at sf0.1 locally, queued for a window-9 slot.
+    "ev_rfm_segments",
+)
 
 
 def _last_verified_round(max_round: int | None = None) -> dict[str, int]:

@@ -102,6 +102,7 @@ def grouped_prefix_sum(
     order_cols: list[str],
     value_col: str,
     out_col: str = "running_total",
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Per-GROUP inclusive running sums — ``SUM(v) OVER (PARTITION BY
     g ORDER BY k)`` — built for the case the plain window can't
@@ -116,9 +117,22 @@ def grouped_prefix_sum(
     most #partitions + #groups rows; each group's cross-partition
     offsets are then an ordinary window over THAT small relation
     (per group, at most #partitions rows — bounded work per task no
-    matter how many groups or how big each one is).  Fully
-    distributed at both levels: works for 3 groups of a billion rows
-    and for a billion groups of 3 rows.
+    matter how many groups or how big each one is).
+
+    NULL group keys form their own partition, exactly like
+    ``SUM(v) OVER (PARTITION BY g ORDER BY k)`` — both the offsets
+    window and the join-back are null-safe (``eqNullSafe``), so
+    NULL-group rows get correct running totals instead of being
+    dropped by a null-blind equi-join (ADVICE r07).
+
+    ``broadcast_offsets``: the offsets relation is
+    O(#partitions + #groups) rows — dimension-join class through
+    ~10^7 groups, so the default broadcasts it back (a plain join
+    would re-shuffle the corpus the range exchange just placed).
+    Past that cardinality the broadcast itself overflows driver and
+    executor memory: pass ``False`` to let AQE shuffle-join the two
+    already-co-partitioned sides instead — the extreme-group-count
+    escape hatch, traded one exchange at a time, not a comment.
 
     The localCheckpoint pins non-deterministic range boundaries
     across the two consuming passes, same reasoning as prefix_sum.
@@ -149,16 +163,26 @@ def grouped_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # broadcast: offsets is <= #partitions + #groups rows — dimension-
-    # join class through ~10^7 groups; a plain join here would re-
-    # shuffle the corpus the range exchange just placed.  (At extreme
-    # group cardinality, drop the hint and let AQE shuffle-join the
-    # already-partitioned sides.)
+    # null-safe join back: a plain `on=[cols]` equi-join never matches
+    # NULL group keys, silently dropping the NULL partition's rows.
+    # The offsets side's join columns are renamed so the condition is
+    # unambiguous and the output keeps the input's columns untouched.
+    off = offsets.select(
+        F.col("_pid").alias("_opid"),
+        *[F.col(c).alias(f"_og{i}") for i, c in enumerate(group_cols)],
+        "_off",
+    )
+    if broadcast_offsets:
+        off = F.broadcast(off)
+    cond = F.col("_pid") == F.col("_opid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_og{i}"))
     return (
         staged.withColumn("_local", F.sum(value_col).over(w))
-        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .join(off, cond)
         .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
-        .drop("_pid", "_local", "_off")
+        .drop("_pid", "_local", "_off", "_opid",
+              *[f"_og{i}" for i in range(len(group_cols))])
     )
 
 

@@ -87,6 +87,13 @@ def cap_per_domain(
     before the window — not implemented; documented as the 1000x
     escape hatch.
 
+    NULL domains (upstream canonical_url / url_host deliberately emit
+    NULL for unparseable URLs) are capped as their own group, via
+    null-safe joins — in a real crawl the dirty-URL bucket is often
+    the LARGEST "domain", and a null-blind equi-join would wave it
+    through the quota unbounded (ADVICE r07).  Callers who want the
+    dirty bucket gone entirely should filter NULLs out before the cap.
+
     ``counts``: optionally pass a precomputed domain_counts() result
     so pass 1 isn't re-derived.  The counts relation itself is
     domain-cardinality — NEVER broadcast it wholesale (only the
@@ -96,9 +103,14 @@ def cap_per_domain(
     """
     if counts is None:
         counts = domain_counts(df, domain_col)
-    over = counts.filter(F.col("n_docs") > cap).select(domain_col)
-    under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
-    over_rows = df.join(F.broadcast(over), domain_col, "left_semi")
+    over = counts.filter(F.col("n_docs") > cap).select(
+        F.col(domain_col).alias("_over_dom")
+    )
+    # eqNullSafe keeps these broadcast HASH joins (<=> is an equi-join
+    # key) while routing the NULL-domain group through the quota path
+    cond = F.col(domain_col).eqNullSafe(F.col("_over_dom"))
+    under_rows = df.join(F.broadcast(over), cond, "left_anti")
+    over_rows = df.join(F.broadcast(over), cond, "left_semi")
     w = Window.partitionBy(domain_col).orderBy(*order_by)
     capped = (
         over_rows.withColumn("_rn", F.row_number().over(w))

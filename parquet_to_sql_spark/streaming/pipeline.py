@@ -587,11 +587,22 @@ def _make_transitions_fn(ttl_us: int | None):
             state.update((last,))
             if ttl_us is not None:
                 # evict when event-time passes last-seen + TTL
-                # (ms epoch, same convention as the sessionizer)
+                # (ms epoch, same convention as the sessionizer).
+                # Clamped to watermark + 1: a within-watermark but
+                # LATE batch can put ts_max + ttl behind the already-
+                # advanced watermark, and setTimeoutTimestamp throws
+                # on that — which would fail the whole streaming
+                # query (ADVICE r07).  The clamp defers eviction to
+                # the next timeout sweep; pairing semantics unchanged.
                 ts_us = (
                     rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
                 )
-                state.setTimeoutTimestamp(int(ts_us.max()) // 1000 + ttl_us // 1000)
+                state.setTimeoutTimestamp(
+                    max(
+                        int(ts_us.max()) // 1000 + ttl_us // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(prevs),
@@ -903,8 +914,19 @@ def _session_fn(key, pdf_iter, state: GroupState):
                     closed.append((s, e, n))
                     s, e, n = t, t, 1
             state.update((s, e, n))
-            # evict when event-time passes the gap horizon (ms epoch)
-            state.setTimeoutTimestamp(e // 1000 + _SESSION_GAP_US // 1000)
+            # evict when event-time passes the gap horizon (ms epoch),
+            # clamped to watermark + 1 — a late within-watermark batch
+            # whose gap horizon is already behind the watermark would
+            # otherwise make setTimeoutTimestamp throw and kill the
+            # query (same fix as the transitions TTL; ADVICE r07).
+            # Deferred eviction only delays the timed-out emit to the
+            # next sweep; the session's (start, end, n) are unchanged.
+            state.setTimeoutTimestamp(
+                max(
+                    e // 1000 + _SESSION_GAP_US // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
     yield pd.DataFrame(
         {
             "user_id": [user_id] * len(closed),

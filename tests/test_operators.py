@@ -1156,7 +1156,10 @@ def test_cap_per_domain_matches_bruteforce(spark):
     reference on random skewed domain distributions: rows in under-cap
     domains pass untouched, over-cap domains keep exactly the first
     `cap` rows in order, deterministically — across cap values that
-    put different domains on different sides of the split."""
+    put different domains on different sides of the split.  ~15% of
+    rows carry a NULL domain (unparseable URLs): they are capped as
+    their own group via the null-safe joins instead of bypassing the
+    quota unbounded (ADVICE r07)."""
     import random
 
     import pyspark.sql.functions as F
@@ -1166,24 +1169,32 @@ def test_cap_per_domain_matches_bruteforce(spark):
     rng = random.Random(41)
     rows = []
     for i in range(400):
-        dom = f"d{min(int(rng.expovariate(0.35)), 9)}.com"  # skewed
+        if rng.random() < 0.15:
+            dom = None  # the dirty-URL bucket
+        else:
+            dom = f"d{min(int(rng.expovariate(0.35)), 9)}.com"  # skewed
         rows.append((i, dom, rng.randrange(1000)))
     df = spark.createDataFrame(rows, "doc_id long, domain string, pri long")
     for cap in (1, 3, 7, 50, 1000):
         got = sorted(
-            (r.doc_id, r.domain)
-            for r in cap_per_domain(
-                df, "domain", cap, [F.desc("pri"), F.asc("doc_id")]
-            ).collect()
+            (
+                (r.doc_id, r.domain)
+                for r in cap_per_domain(
+                    df, "domain", cap, [F.desc("pri"), F.asc("doc_id")]
+                ).collect()
+            ),
+            key=lambda t: (t[0],),
         )
         want = []
-        by_dom: dict[str, list[tuple[int, int]]] = {}
+        by_dom: dict[str | None, list[tuple[int, int]]] = {}
         for i, dom, pri in rows:
             by_dom.setdefault(dom, []).append((-pri, i))
         for dom, members in by_dom.items():
             for _, i in sorted(members)[:cap]:
                 want.append((i, dom))
-        assert got == sorted(want), f"cap={cap}"
+        assert got == sorted(want, key=lambda t: (t[0],)), f"cap={cap}"
+        n_null = sum(1 for i, d in got if d is None)
+        assert n_null == min(cap, len(by_dom.get(None, []))), f"cap={cap}"
 
 
 def test_registrable_domain_and_blocklist(spark):

@@ -916,7 +916,12 @@ def test_grouped_prefix_sum_matches_bruteforce(spark):
     skewed random input (one hot group holding most rows — the case a
     plain PARTITION BY window handles in one task), swept across
     shuffle-partition counts so group/partition seams land
-    differently each trial."""
+    differently each trial.  ~10% of rows carry a NULL group key:
+    PARTITION BY treats NULL as its own partition, and the null-safe
+    join-back must return those rows with correct totals instead of
+    dropping them (ADVICE r07).  The broadcast_offsets=False escape
+    hatch (AQE shuffle-join at extreme group cardinality) is asserted
+    value-identical on one sweep."""
     import random
 
     from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
@@ -924,10 +929,11 @@ def test_grouped_prefix_sum_matches_bruteforce(spark):
     rng = random.Random(29)
     rows = []
     for i in range(600):
-        g = "hot" if rng.random() < 0.7 else f"g{rng.randrange(8)}"
+        r = rng.random()
+        g = None if r < 0.1 else ("hot" if r < 0.7 else f"g{rng.randrange(8)}")
         rows.append((g, i, rng.randrange(-50, 100)))
     want = {}
-    acc: dict[str, int] = {}
+    acc: dict[str | None, int] = {}
     for g, i, v in sorted(rows, key=lambda r: (r[1],)):
         acc[g] = acc.get(g, 0) + v
         want[(g, i)] = acc[g]
@@ -941,6 +947,13 @@ def test_grouped_prefix_sum_matches_bruteforce(spark):
                 for r in grouped_prefix_sum(df, ["g"], ["k"], "v", "rt").collect()
             }
             assert got == want, f"parts {n_parts}"
+        got_shuffle = {
+            (r.g, r.k): r.rt
+            for r in grouped_prefix_sum(
+                df, ["g"], ["k"], "v", "rt", broadcast_offsets=False
+            ).collect()
+        }
+        assert got_shuffle == want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

@@ -1305,6 +1305,116 @@ def test_streaming_transitions_ttl_evicts_idle_state(spark, tmp_path):
     assert (1, "view", "signup") in r_all
 
 
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing state functions'
+    timeout arithmetic without a streaming query."""
+
+    def __init__(self, watermark_ms: int, value=None):
+        self._wm = watermark_ms
+        self._value = value
+        self.hasTimedOut = False
+        self.timeout_set: list[int] = []
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ts_ms: int):
+        # mirror Spark's validation (GroupStateImpl): a timestamp at
+        # or behind the current watermark is an IllegalArgumentException
+        # that fails the whole streaming query
+        if ts_ms <= self._wm:
+            raise ValueError(
+                f"Timeout timestamp ({ts_ms}) cannot be earlier than the "
+                f"current watermark ({self._wm})"
+            )
+        self.timeout_set.append(ts_ms)
+
+
+def test_transitions_ttl_clamps_timeout_to_watermark():
+    """ADVICE r07: a batch whose ts_max + TTL lands behind the
+    operator's current watermark used to call setTimeoutTimestamp
+    with a stale timestamp — an IllegalArgumentException that kills
+    the whole query.  Spark 4 DOES filter late input rows at this
+    operator's boundary, but under chained stateful operators the
+    late-event filter and the eviction validation use two DIFFERENT
+    watermarks (SPARK-42376 propagation), so a row can pass the
+    filter while its TTL horizon is already behind the eviction
+    watermark.  The fix clamps to watermark + 1 ms; this unit test
+    pins the clamp directly against a GroupState stand-in that
+    mirrors Spark's validation."""
+    import pandas as pd
+
+    from parquet_to_sql_spark.streaming.pipeline import _make_transitions_fn
+
+    ttl_us = 30 * 60 * 1_000_000
+    wm_ms = int(pd.Timestamp("2030-01-01 10:00:00").value // 1_000_000)
+    state = _FakeGroupState(wm_ms, value=("click",))
+    batch = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2030-01-01 09:00:00"]),  # + TTL < wm
+            "event_id": [2],
+            "event_type": ["view"],
+        }
+    )
+    out = pd.concat(list(_make_transitions_fn(ttl_us)((1,), iter([batch]), state)))
+    # no exception, pair emitted, timeout clamped to wm + 1
+    assert list(zip(out["prev_type"], out["next_type"])) == [("click", "view")]
+    assert state.timeout_set == [wm_ms + 1]
+    # and a NON-late batch still gets the exact ts_max + TTL horizon
+    state2 = _FakeGroupState(wm_ms, value=("click",))
+    late_ok = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2030-01-01 11:00:00"]),
+            "event_id": [3],
+            "event_type": ["buy"],
+        }
+    )
+    list(_make_transitions_fn(ttl_us)((1,), iter([late_ok]), state2))
+    expected = int(pd.Timestamp("2030-01-01 11:00:00").value // 1_000_000) + (
+        ttl_us // 1000
+    )
+    assert state2.timeout_set == [expected]
+
+
+def test_session_fn_clamps_timeout_to_watermark():
+    """Same clamp for the EventTimeTimeout sessionizer (the duplicated
+    pattern ADVICE r07 called out): a batch whose gap horizon is
+    behind the eviction watermark must not raise, and the open
+    session's (start, end, n) arithmetic is unchanged by the clamp."""
+    import pandas as pd
+
+    from parquet_to_sql_spark.streaming.pipeline import _session_fn
+
+    wm_ms = int(pd.Timestamp("2030-01-01 12:00:00").value // 1_000_000)
+    state = _FakeGroupState(wm_ms)
+    batch = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2030-01-01 09:00:00"]),  # + 30 min < wm
+            "event_id": [1],
+        }
+    )
+    list(_session_fn((2,), iter([batch]), state))
+    assert state.timeout_set == [wm_ms + 1]
+    s, e, n = state.get
+    assert n == 1 and s == e == int(
+        pd.Timestamp("2030-01-01 09:00:00").value // 1000
+    )
+
+
 def test_streaming_sessions_timeout_eviction_matches_batch(spark, events_dir, tmp_path):
     """The EventTimeTimeout sessionizer: run 1 emits every session
     that CLOSED inside the batch (a later event >= 30 min after it);
