@@ -274,7 +274,12 @@ _PRIORITY_R08 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
 # the head of the least-recently-verified tail and front window 9.
-_QUEUED_POST_WINDOW: tuple[str, ...] = ()
+_QUEUED_POST_WINDOW: tuple[str, ...] = (
+    "ev_quota_admission",  # round-8 new: batch twin of quota_admit_stream
+    "window_grouped_pareto_abc",  # round-8 new: per-nation ABC via grouped scan
+    "dedup_url_registrable_psl",  # round-8 new: PSL multi-label eTLD evidence
+    "text_bigram_lm_scores",  # round-8 new: integer bigram-LM quality scores
+)
 
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a

@@ -1610,3 +1610,71 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+@query(
+    "dedup_url_registrable_psl",
+    tags=("llm-pipeline", "curation", "url", "dedup"),
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             'site' || CAST(doc_id % 9 AS VARCHAR) AS stem,
+             CASE doc_id % 6
+               WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.au'
+               WHEN 2 THEN 'github.io' WHEN 3 THEN 'ck'
+               WHEN 4 THEN 'com' ELSE 'nonexistenttld' END AS suffix
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN suffix = 'ck'
+                  THEN 'www.' || stem || '.ck'
+                  ELSE stem || '.' || suffix
+             END AS domain
+      FROM h
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM d GROUP BY domain
+    """,
+)
+def dedup_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-Suffix-List registrable-domain rollup — driver-row
+    evidence for the PSL lookup itself (VERDICT r07 #4) on hosts the
+    naive 2-label rule gets WRONG.  Hosts are synthesized
+    (www.siteN.<suffix>, the established deterministic convention)
+    over a suffix mix that exercises every PSL behavior class:
+    multi-label ICANN eTLDs (co.uk, com.au), a PRIVATE-section suffix
+    (github.io), a wildcard family (*.ck — the whole 3-label host is
+    the registrable domain there), a plain TLD, and an unknown TLD
+    (the default * rule).  The oracle reconstructs each class by
+    identity — so a wrong suffix match in ANY class breaks the hash.
+    Scale shape: with_registrable_domain's five per-depth broadcast
+    lookups (no shuffle) into one domain-cardinality rollup."""
+    from parquet_to_sql_spark.operators.urls import with_registrable_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("co.uk"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("com.au"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("github.io"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("ck"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("com"))
+        .otherwise(F.lit("nonexistenttld"))
+    )
+    host = F.concat(
+        F.lit("www.site"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("."),
+        suffix,
+    )
+    d = with_registrable_domain(
+        docs.select("doc_id", "n_chars", host.alias("_host")),
+        "_host",
+        "domain",
+    )
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )

@@ -1536,3 +1536,49 @@ def ev_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("purchase_cents").cast("bigint").alias("attributed_cents"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "ev_quota_admission",
+    tags=("events", "curation", "streaming-equivalent", "scale-path"),
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(admit_rank AS BIGINT) AS admit_rank
+    FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS admit_rank
+      FROM events
+    ) r WHERE admit_rank <= 7
+    """,
+)
+def ev_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ADMISSION quota in arrival order — the oracle-checked
+    batch twin of streaming/pipeline.quota_admit_stream (VERDICT r07
+    #7): keep each user's first 7 events by (ts, event_id), with their
+    admit rank, drop the rest.  The crawl-pipeline reading is a
+    per-domain fetch budget enforced retroactively over a day's batch,
+    exactly matching what the at-ingest stream admits (the
+    batch==stream equivalence test pins the two outputs equal row for
+    row).
+
+    Scale shape: the keep decision reuses cap_per_domain's
+    OVER-CAP-ONLY shuffle (operators/urls.py — the operator is
+    key-agnostic; 'domain' is any key column): under-quota users pass
+    through unshuffled via a broadcast anti-join against the
+    cap-bounded violator list, and only over-quota users' rows pay a
+    window sort.  The admit_rank window then runs on the KEPT relation
+    only — at most `cap` rows per key by construction, so its
+    per-group sort work is bounded however skewed the input.  The
+    oracle affords the single global window at fixture scale."""
+    from parquet_to_sql_spark.operators.urls import cap_per_domain
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    kept = cap_per_domain(e, "user_id", 7, [F.asc("ts"), F.asc("event_id")])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return kept.withColumn(
+        "admit_rank", F.row_number().over(w).cast("bigint")
+    )

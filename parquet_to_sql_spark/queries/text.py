@@ -1559,3 +1559,85 @@ def text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (SUM(occ) OVER ()) AS BIGINT)"
         ).alias("occ_ppm"),
     )
+
+
+@query(
+    "text_bigram_lm_scores",
+    tags=("text-analysis", "llm-pipeline", "quality-filter", "scale-path"),
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {DUCK_WORDS} AS w FROM documents
+    ), big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM staged, LATERAL unnest(range(1, len(w))) AS u(i)
+    ), pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM big GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pairs GROUP BY w1
+    ), model AS (
+      SELECT w1, w2, CAST((1000000::HUGEINT * c2) // c1 AS BIGINT) AS ppm
+      FROM pairs JOIN uni USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(ppm)::HUGEINT // COUNT(*) AS BIGINT) AS mean_cond_ppm,
+           CAST(MIN(ppm) AS BIGINT) AS min_cond_ppm
+    FROM big JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained word-BIGRAM language-model scoring — the
+    all-integer stand-in for perplexity filtering (the classic
+    quality screen: documents whose word transitions are improbable
+    under the corpus's own statistics are boilerplate, spam, or
+    garbled extraction).  The 'model' is the maximum-likelihood
+    conditional p(w2|w1) in exact ppm integers
+    (1,000,000 * c(w1,w2) div c(w1)); each document scores its mean
+    and minimum transition probability over its own bigrams — low
+    mean = globally unusual text, low min = at least one
+    never-otherwise-seen transition.  Everything is integer
+    arithmetic on counts, so the DuckDB oracle is value-exact; logs
+    and floats never appear.
+
+    Scale shape: the bigram relation is exploded once per consuming
+    pass; pair counts exit via a MAP-SIDE-COMBINED aggregate (the
+    exchange is pair-vocabulary-sized, not token-count-sized), the
+    unigram table derives from the pair table (pair-cardinality
+    input, NOT a second corpus pass), and the only corpus-scale
+    exchange is the final score join, hash-partitioned on the pair
+    key.  The model relation is vocabulary-squared-bounded —
+    shuffle-joined, never broadcast (real vocabularies outgrow any
+    broadcast threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
+                F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = pairs.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = pairs.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * c2) div c1 AS BIGINT)"
+        ).alias("ppm"),
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST(CAST(SUM(ppm) AS DECIMAL(38,0)) div COUNT(*) AS BIGINT)"
+            ).alias("mean_cond_ppm"),
+            F.min("ppm").cast("bigint").alias("min_cond_ppm"),
+        )
+    )

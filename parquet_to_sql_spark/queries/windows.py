@@ -503,3 +503,92 @@ def window_grouped_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_prefix_sum(
         orders, ["_g"], ["o_orderkey"], "_cents", out_col="running_cents"
     ).select("o_custkey", "o_orderkey", "running_cents")
+
+
+@query(
+    "window_grouped_pareto_abc",
+    tags=("window", "scale-path", "prefix-sum", "aggregation"),
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, c_custkey
+    ), ranked AS (
+      SELECT n_name, c_custkey, cents,
+             CAST(SUM(cents) OVER (PARTITION BY n_name
+                                   ORDER BY cents DESC, c_custkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents,
+             CAST(SUM(cents) OVER (PARTITION BY n_name) AS BIGINT)
+               AS nation_cents
+      FROM rev
+    )
+    SELECT n_name, c_custkey, cents, cum_cents,
+           CASE WHEN cum_cents::HUGEINT * 100 <= 80 * nation_cents::HUGEINT
+                THEN 'A'
+                WHEN cum_cents::HUGEINT * 100 <= 95 * nation_cents::HUGEINT
+                THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def window_grouped_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP Pareto/ABC classification — customers ranked by
+    revenue within their nation, cumulative revenue share, 80/95 ABC
+    classes.  The grouped-prefix-sum consumer shape VERDICT r07 #7
+    called out as uncovered: window_pareto_abc decomposes ONE global
+    revenue-ranked running sum; here every nation needs its own, and
+    a single hot nation is the unpartitioned-window trap all over
+    again.  operators.prefix.grouped_prefix_sum handles it with NO
+    driver collect at any group count: range-partition on
+    (nation, -cents, custkey), per-(partition, nation) totals, the
+    cross-partition offsets an ordinary window over that tiny
+    relation, broadcast back.  Descending revenue order rides the
+    ascending operator via the negated-cents column.  Nation totals
+    are the running sum's own per-group MAX (cents > 0), a
+    group-cardinality aggregate broadcast back — no second scan of
+    the join lineage.  ABC thresholds are cross-multiplied integer
+    comparisons, exact in both engines; the oracle affords the plain
+    per-nation window at fixture scale."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+            ).alias("cents")
+        )
+        .withColumn("_negcents", -F.col("cents"))
+    )
+    cum = grouped_prefix_sum(
+        rev, ["n_name"], ["_negcents", "c_custkey"], "cents", "cum_cents"
+    )
+    totals = cum.groupBy("n_name").agg(
+        F.max("cum_cents").alias("nation_cents")
+    )
+    cum_d = F.col("cum_cents").cast("decimal(38,0)")
+    tot_d = F.col("nation_cents").cast("decimal(38,0)")
+    return (
+        cum.join(F.broadcast(totals), "n_name")
+        .select(
+            "n_name",
+            "c_custkey",
+            "cents",
+            "cum_cents",
+            F.when(cum_d * 100 <= 80 * tot_d, "A")
+            .when(cum_d * 100 <= 95 * tot_d, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

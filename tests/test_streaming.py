@@ -1592,6 +1592,27 @@ def test_streaming_quota_admit_matches_batch_window(spark, events_dir):
     assert got == want and len(got) > 100
 
 
+def test_streaming_quota_admit_matches_gate_query(spark, events_dir):
+    """The at-ingest quota stream and the ORACLE-CHECKED batch gate
+    query (ev_quota_admission, cap 7 — VERDICT r07 #7's missing gate
+    entry) admit exactly the same (user, event, rank) set, tying the
+    streaming operator to driver-row evidence through its twin."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from parquet_to_sql_spark.streaming import quota_admit_stream
+
+    stream = events_stream(spark, events_dir)
+    run_to_memory(quota_admit_stream(stream, cap=7), "quota_gate_out", "append")
+    got = {
+        (r.user_id, r.event_id, r.admit_rank)
+        for r in spark.sql("SELECT * FROM quota_gate_out").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.admit_rank)
+        for r in all_queries()["ev_quota_admission"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 50
+
+
 def test_streaming_quota_carries_across_runs(spark, events_dir, tmp_path):
     """A key whose quota filled in run 1 admits NOTHING in run 2 —
     the counter state is the whole point; a fresh key in run 2 starts
