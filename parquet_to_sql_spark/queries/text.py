@@ -1563,6 +1563,7 @@ def text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bigram_lm_scores",
+    headline=True,
     tags=("text-analysis", "llm-pipeline", "quality-filter", "scale-path"),
     oracle=f"""
     WITH staged AS (
