@@ -279,6 +279,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "window_grouped_pareto_abc",  # round-8 new: per-nation ABC via grouped scan
     "dedup_url_registrable_psl",  # round-8 new: PSL multi-label eTLD evidence
     "text_bigram_lm_scores",  # round-8 new: integer bigram-LM quality scores
+    "agg_countmin_words",  # round-8 new: value-exact Count-Min sketch
+    "dedup_exact_lines_apply",  # round-8 new: C4-style exact line dedup
 )
 
 # Verified queries whose build source OR implementing operator

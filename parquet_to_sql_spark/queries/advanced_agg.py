@@ -984,3 +984,129 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v") * F.col("w")).cast("bigint").alias("total_cents"),
         )
     )
+
+
+@query(
+    "agg_countmin_words",
+    tags=("aggregation", "sketch", "llm-pipeline", "scale-path"),
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ), h AS (
+      SELECT word,
+             list_reduce(list_transform(string_split(word, ''),
+                         c -> CAST(ascii(c) AS BIGINT)),
+                         (acc, x) -> (acc*31 + x) % 2147483647) AS hx
+      FROM w
+    ), probes AS (
+      SELECT word, hx, i,
+             CASE i WHEN 0 THEN (7*hx + 3) WHEN 1 THEN (11*hx + 5)
+                    WHEN 2 THEN (13*hx + 7) ELSE (17*hx + 11) END
+               % 2147483647 % 1024 AS bucket
+      FROM h, unnest([0, 1, 2, 3]) AS u(i)
+    ), cm AS (
+      SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM probes GROUP BY i, bucket
+    ), exact AS (
+      SELECT word, hx, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM h GROUP BY word, hx
+      ORDER BY n_exact DESC, word LIMIT 20
+    ), probe20 AS (
+      SELECT word, n_exact, i,
+             CASE i WHEN 0 THEN (7*hx + 3) WHEN 1 THEN (11*hx + 5)
+                    WHEN 2 THEN (13*hx + 7) ELSE (17*hx + 11) END
+               % 2147483647 % 1024 AS bucket
+      FROM exact, unnest([0, 1, 2, 3]) AS u(i)
+    )
+    SELECT word, n_exact,
+           CAST(MIN(c) AS BIGINT) AS n_est,
+           (MIN(c) >= n_exact) AS never_underestimates
+    FROM probe20 JOIN cm USING (i, bucket)
+    GROUP BY word, n_exact
+    """,
+)
+def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus word stream (Cormode &
+    Muthukrishnan 2005, public record) — depth 4 x width 1024, the
+    mergeable fixed-size frequency summary every streaming top-k
+    system carries.  Unlike the HLL/KLL sketch queries (rows-only by
+    necessity: engine-specific binary state), Count-Min is PURE
+    integer arithmetic over deterministic hashes, so the whole sketch
+    — build, probe, and the one-sided error guarantee — is
+    VALUE-EXACT against the DuckDB oracle: the 20 most frequent words
+    are probed back through the sketch, and
+    ``never_underestimates`` (est >= exact, CM's defining property)
+    must come back TRUE on every row in both engines.
+
+    Scale shape: one corpus scan; each token emits its 4 (row,
+    bucket) cells ROW-LOCALLY (inline explode of a 4-struct array);
+    the map-side-combined aggregate exchanges at most
+    4 x 1024 = 4,096 cells however large the corpus — the sketch IS
+    the shuffle bound.  The probe side broadcasts the 4,096-cell
+    sketch against the exact top-20 (TakeOrdered), so nothing
+    corpus-scale moves twice.  The hashes are the shared 31-ary
+    codepoint fold with the minhash (a, b) pair family."""
+    from parquet_to_sql_spark.functions.hashing import (
+        FOLD_MOD,
+        char_fold_hash,
+        minhash_constants,
+    )
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    depth, width = 4, 1024
+    pairs = minhash_constants(depth)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(ws_tokens(F.col("text"))).alias("word")
+    ).select("word", char_fold_hash(F.col("word")).alias("hx"))
+
+    def bucket(i: int) -> F.Column:
+        a, b = pairs[i]
+        return (
+            (F.lit(a) * F.col("hx") + F.lit(b)) % F.lit(FOLD_MOD)
+        ) % F.lit(width)
+
+    cells = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), bucket(i).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.i", "cell.bucket")
+    cm = cells.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = (
+        words.groupBy("word", "hx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "word")
+        .limit(20)
+    )
+    probes = exact.select(
+        "word",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), bucket(i).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("word", "n_exact", "cell.i", "cell.bucket")
+    return (
+        probes.join(F.broadcast(cm), ["i", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(
+            F.min("c").cast("bigint").alias("n_est"),
+            (F.min("c") >= F.col("n_exact")).alias("never_underestimates"),
+        )
+    )

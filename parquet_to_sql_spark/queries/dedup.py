@@ -1678,3 +1678,91 @@ def dedup_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+@query(
+    "dedup_exact_lines_apply",
+    tags=("dedup", "llm-pipeline", "curation", "scale-path"),
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, i - 1 AS pos, lines[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+            FROM documents) s,
+           LATERAL unnest(range(1, len(lines) + 1)) AS u(i)
+    ), cand AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN trim(line) <> '' THEN sha256(line) END AS h
+      FROM l
+    ), firsts AS (
+      SELECT h, MIN({'d': doc_id, 'p': pos}) AS first
+      FROM cand WHERE h IS NOT NULL GROUP BY h
+    ), marked AS (
+      SELECT c.doc_id, c.line,
+             (c.h IS NULL OR (c.doc_id = f.first.d AND c.pos = f.first.p))
+               AS keep
+      FROM cand c LEFT JOIN firsts f ON c.h = f.h
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN keep THEN length(line) ELSE 0 END)
+                + GREATEST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) - 1, 0)
+                AS BIGINT) AS cleaned_chars
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_exact_lines_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide EXACT LINE dedup, applied — the C4/RefinedWeb
+    recipe the span family doesn't cover: every non-blank line that
+    appears anywhere else in the corpus keeps only its FIRST
+    occurrence (smallest (doc_id, position)); later copies are excised
+    from their documents.  This is the boilerplate killer (nav bars,
+    cookie banners, footers repeat verbatim across a site's pages)
+    that runs BEFORE fuzzy dedup in the public web-corpus recipes.
+    Output per document: kept/dropped line counts and the cleaned
+    character count (kept line lengths + rejoining newlines), so the
+    oracle pins the reassembled text's exact shape without shipping
+    it.
+
+    Scale shape: one corpus scan into a posexploded line relation;
+    first-occurrence is a MAP-SIDE-COMBINED min-struct aggregate
+    (exchange = distinct-line cardinality, no window sort); the
+    verdict joins back hash-partitioned on the 256-bit line hash
+    (sha2 — collision-safe at any corpus size, unlike the 31-bit
+    fold, because a collision here DELETES text); blank lines skip
+    the pipeline entirely (NULL hash, kept unconditionally).  Per-doc
+    reassembly is the final doc-keyed exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line")
+    )
+    cand = lines.withColumn(
+        "_h",
+        F.when(F.trim(F.col("line")) != "", F.sha2(F.col("line"), 256)),
+    )
+    firsts = (
+        cand.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    )
+    marked = cand.join(firsts, "_h", "left").withColumn(
+        "_keep",
+        F.col("_h").isNull()
+        | (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        ),
+    )
+    kept_n = F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+    return marked.groupBy("doc_id").agg(
+        kept_n.cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dropped"),
+        (
+            F.sum(F.when(F.col("_keep"), F.length("line")).otherwise(0))
+            + F.greatest(kept_n - 1, F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cleaned_chars"),
+    )
