@@ -281,6 +281,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_bigram_lm_scores",  # round-8 new: integer bigram-LM quality scores
     "agg_countmin_words",  # round-8 new: value-exact Count-Min sketch
     "dedup_exact_lines_apply",  # round-8 new: C4-style exact line dedup
+    "pipeline_source_overlap_matrix",  # round-8 new: cross-source leakage
+    "pipeline_source_token_budget",  # round-8 new: per-source token quotas
 )
 
 # Verified queries whose build source OR implementing operator

@@ -75,6 +75,11 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # External-noise indicator: sampled BEFORE any Spark work, so it
+    # reflects the host, not this benchmark's own 32-thread load
+    # (sampling after warmup polluted the r8 closing run's value).
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark(app_name="bench")
     headline = {n: q.build for n, q in sorted(all_queries().items()) if q.headline}
     headline["import_render_lineitem"] = import_render_lineitem
@@ -117,7 +122,6 @@ def main() -> int:
 
     control(spark).collect()  # warmup, same as the headliners
 
-    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     samples: dict[str, list[float]] = {n: [] for n in headline}
     control_samples: list[float] = []

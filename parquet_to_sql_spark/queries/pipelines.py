@@ -1294,3 +1294,159 @@ def pipeline_domain_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("blocked"),
         )
     )
+
+
+def _duck_src_fragments() -> tuple[str, str]:
+    from parquet_to_sql_spark.functions.hashing import (
+        DUCK_WORD_HASHES,
+        duck_hashed_word_shingles,
+    )
+
+    return (
+        DUCK_WORD_HASHES.format(words=DUCK_WORDS),
+        duck_hashed_word_shingles(3),
+    )
+
+
+_DUCK_SRC_HW, _DUCK_SRC_SHINGLES = _duck_src_fragments()
+
+
+@query(
+    "pipeline_source_overlap_matrix",
+    tags=("pipeline", "llm-pipeline", "contamination", "dedup", "scale-path"),
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT source AS src,
+             unnest(list_distinct({_DUCK_SRC_SHINGLES})) AS shingle
+      FROM (SELECT source, {_DUCK_SRC_HW} AS hw FROM documents)
+    ), sh AS (
+      SELECT DISTINCT src, shingle FROM sh0
+    ), sizes AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY src
+    ), common AS (
+      SELECT a.src AS src1, b.src AS src2, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT src1, src2, common,
+           s1.n_sh AS n_sh1, s2.n_sh AS n_sh2,
+           CAST((1000000::HUGEINT * common) // LEAST(s1.n_sh, s2.n_sh)
+                AS BIGINT) AS containment_ppm
+    FROM common
+    JOIN sizes s1 ON src1 = s1.src
+    JOIN sizes s2 ON src2 = s2.src
+    """,
+)
+def pipeline_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix — which corpus sources share
+    verbatim 3-gram shingles, and how much: the leakage diagnostic run
+    before mixing sources into a training set (an eval split sharing
+    half its shingles with a train source is the classic silent
+    contamination).  For every source pair: shared distinct hashed
+    shingles, each side's distinct total, and containment in exact
+    ppm of the SMALLER side (the asymmetric-size-robust measure).
+
+    Scale shape: this is the dedup self-join made SAFE BY
+    CONSTRUCTION — the join runs on the distinct (source, shingle)
+    relation, so a shingle's fanout is bounded by #sources^2 (~144
+    here) no matter how many documents contain it; no doc-frequency
+    cap is needed, unlike the doc-level Jaccard family.  One corpus
+    scan -> per-doc distinct hashed shingles (the shared 31-ary fold,
+    row-local) -> one (source, shingle) distinct exchange -> a
+    shingle-keyed self-join whose output is source-pair cardinality.
+    Sizes broadcast back (source-cardinality)."""
+    from parquet_to_sql_spark.functions.hashing import (
+        shingle_hashes_from,
+        word_hashes,
+    )
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source", word_hashes(ws_tokens(F.col("text"))).alias("hw")
+    )
+    sh = (
+        staged.select(
+            F.col("source").alias("src"),
+            F.explode(
+                F.array_distinct(shingle_hashes_from(F.col("hw"), 3))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = sh.select(F.col("src").alias("src1"), "shingle")
+    b = sh.select(F.col("src").alias("src2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    s1 = sizes.select(F.col("src").alias("src1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("src").alias("src2"), F.col("n_sh").alias("n_sh2"))
+    return (
+        common.join(F.broadcast(s1), "src1")
+        .join(F.broadcast(s2), "src2")
+        .select(
+            "src1",
+            "src2",
+            "common",
+            "n_sh1",
+            "n_sh2",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * common)"
+                " div least(n_sh1, n_sh2) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+@query(
+    "pipeline_source_token_budget",
+    tags=("pipeline", "sampling", "curation", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, n_chars,
+             CAST(len({{DUCK_WORDS}}) AS BIGINT) AS n_tok
+      FROM documents
+    ), w AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY -n_chars, doc_id) AS cum
+      FROM t
+    )
+    SELECT source, doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens
+    FROM w WHERE cum <= 800
+    """.format(DUCK_WORDS=DUCK_WORDS),
+)
+def pipeline_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE token budgets — every source independently keeps its
+    longest documents until ITS 800-token quota fills: the
+    mixture-assembly refinement of pipeline_token_budget_select's
+    single global budget (real training mixes budget per source, not
+    in aggregate, so one huge source can't starve the others).
+
+    Scale shape: the per-source running total is
+    operators.prefix.grouped_prefix_sum — the same collect-free
+    two-level scan as window_grouped_prefix_sum (offsets are a window
+    over a #partitions+#sources relation), so the query survives both
+    3 giant sources and a million tiny ones; priority order
+    (n_chars DESC, doc_id) rides the negated-column trick; the 800-token budget binds at every fixture scale (per-source totals are ~1.1k+ even at sf0.001).  All
+    integer, value-exact cross-engine."""
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        (-F.col("n_chars")).alias("_neg_pri"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    ranked = grouped_prefix_sum(
+        t, ["source"], ["_neg_pri", "doc_id"], "n_tok", "cum_tokens"
+    )
+    return ranked.filter(F.col("cum_tokens") <= 800).select(
+        "source", "doc_id", "n_tok", "cum_tokens"
+    )
