@@ -143,3 +143,25 @@ def minhash_constants(k: int = 8) -> list[tuple[int, int]]:
     if k > len(a):
         raise ValueError(f"k <= {len(a)} supported")
     return list(zip(a[:k], b[:k]))
+
+
+def countmin_cells(hx: Column, depth: int = 4, width: int = 1024) -> Column:
+    """The Count-Min sketch update set for one hashed item: an array
+    of (i, bucket) structs, one per sketch row, with
+    bucket_i = ((a_i*hx + b_i) mod (2^31-1)) mod width over the
+    minhash (a, b) pair family.  Row-local; shared by the batch
+    agg_countmin_words query and the streaming countmin_stream twin
+    so both maintain the IDENTICAL sketch."""
+    pairs = minhash_constants(depth)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (
+                    ((F.lit(a) * hx + F.lit(b)) % F.lit(FOLD_MOD))
+                    % F.lit(width)
+                ).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )

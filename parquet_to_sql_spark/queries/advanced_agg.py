@@ -1048,36 +1048,19 @@ def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale moves twice.  The hashes are the shared 31-ary
     codepoint fold with the minhash (a, b) pair family."""
     from parquet_to_sql_spark.functions.hashing import (
-        FOLD_MOD,
         char_fold_hash,
-        minhash_constants,
+        countmin_cells,
     )
     from parquet_to_sql_spark.operators.text import ws_tokens
 
     depth, width = 4, 1024
-    pairs = minhash_constants(depth)
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(ws_tokens(F.col("text"))).alias("word")
     ).select("word", char_fold_hash(F.col("word")).alias("hx"))
 
-    def bucket(i: int) -> F.Column:
-        a, b = pairs[i]
-        return (
-            (F.lit(a) * F.col("hx") + F.lit(b)) % F.lit(FOLD_MOD)
-        ) % F.lit(width)
-
     cells = words.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"), bucket(i).alias("bucket")
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("cell")
+        F.explode(countmin_cells(F.col("hx"), depth, width)).alias("cell")
     ).select("cell.i", "cell.bucket")
     cm = cells.groupBy("i", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -1091,16 +1074,7 @@ def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = exact.select(
         "word",
         "n_exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"), bucket(i).alias("bucket")
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("cell"),
+        F.explode(countmin_cells(F.col("hx"), depth, width)).alias("cell"),
     ).select("word", "n_exact", "cell.i", "cell.bucket")
     return (
         probes.join(F.broadcast(cm), ["i", "bucket"])

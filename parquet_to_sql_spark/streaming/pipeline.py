@@ -961,3 +961,35 @@ def user_sessions_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFr
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def countmin_stream(
+    stream_docs: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Streaming Count-Min sketch maintenance — the at-ingest twin of
+    the oracle-checked agg_countmin_words: arriving documents' word
+    stream updates the depth x width counter table incrementally (a
+    COMPLETE-mode running aggregate; the sketch IS the state, bounded
+    at depth*width rows forever — the memory-safe way to track
+    frequencies over an unbounded stream).  Cell emission is the
+    shared functions.hashing.countmin_cells, so after any prefix of
+    the input the streamed sketch equals the batch sketch over the
+    same rows EXACTLY (pinned by test), and a sketch snapshot can be
+    probed with the batch query's min-over-rows estimate at any time.
+    No watermark: a frequency sketch wants all history; callers who
+    need decay should window the input first."""
+    from parquet_to_sql_spark.functions.hashing import (
+        char_fold_hash,
+        countmin_cells,
+    )
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    words = stream_docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+    cells = words.select(
+        F.explode(
+            countmin_cells(char_fold_hash(F.col("word")), depth, width)
+        ).alias("cell")
+    ).select("cell.i", "cell.bucket")
+    return cells.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )

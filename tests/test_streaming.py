@@ -1664,3 +1664,76 @@ def test_streaming_quota_carries_across_runs(spark, events_dir, tmp_path):
     by_eid = {r.event_id: r for r in r2}
     assert 50_000_001 not in by_eid  # quota filled in run 1
     assert by_eid[50_000_002].admit_rank == 1  # fresh key starts fresh
+
+
+def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
+    """countmin_stream after consuming all input equals the batch
+    Count-Min table (the cm relation inside the oracle-checked
+    agg_countmin_words) cell for cell — both run the shared
+    countmin_cells emission, so the streamed sketch is probe-able
+    with the batch estimate at any snapshot.  A second file landing
+    mid-stream exercises the incremental update path."""
+    import shutil
+
+    import pandas as pd
+
+    from parquet_to_sql_spark.functions.hashing import (
+        char_fold_hash,
+        countmin_cells,
+    )
+    from parquet_to_sql_spark.operators.text import ws_tokens
+    from parquet_to_sql_spark.streaming import countmin_stream, documents_stream
+
+    d = str(tmp_path / "cm_docs_in")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        os.path.join(d, "part0.parquet"),
+    )
+
+    def run_once(name):
+        run_to_memory(countmin_stream(documents_stream(spark, d)), name,
+                      "complete")
+        return {
+            (r.i, r.bucket): r.c
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    def batch_cm():
+        docs = spark.read.parquet(d)
+        return {
+            (r.i, r.bucket): r.c
+            for r in (
+                docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+                .select(
+                    F.explode(
+                        countmin_cells(char_fold_hash(F.col("word")))
+                    ).alias("cell")
+                )
+                .groupBy("cell.i", "cell.bucket")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+                .collect()
+            )
+        }
+
+    got1 = run_once("cm_out_1")
+    assert got1 == batch_cm() and len(got1) > 100
+    # incremental: new documents land; the re-run sketch equals the
+    # batch sketch over the ENLARGED input
+    extra = pd.DataFrame(
+        {
+            "doc_id": [9_000_001, 9_000_002],
+            "text": ["the quick brown fox", "the the the lazy dog"],
+            "lang": ["en", "en"],
+            "source": ["src0", "src0"],
+            "n_chars": [19, 20],
+        }
+    )
+    spark.createDataFrame(
+        extra, schema=spark.read.parquet(d).schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    got2 = run_once("cm_out_2")
+    assert got2 == batch_cm()
+    # the sketch never shrinks and stays within its fixed footprint
+    assert all(got2[k] >= got1.get(k, 0) for k in got2)
+    assert len(got2) <= 4 * 1024
