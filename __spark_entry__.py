@@ -283,6 +283,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_exact_lines_apply",  # round-8 new: C4-style exact line dedup
     "pipeline_source_overlap_matrix",  # round-8 new: cross-source leakage
     "pipeline_source_token_budget",  # round-8 new: per-source token quotas
+    "sql_engine_sql_scripting",  # round-8 new: BEGIN/WHILE SQL scripting
 )
 
 # Verified queries whose build source OR implementing operator

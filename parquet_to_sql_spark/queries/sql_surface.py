@@ -587,3 +587,52 @@ def sql_engine_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(MIN(p_size) AS BIGINT) AS min_size "
         "FROM part WHERE p_retailprice >= price_floor GROUP BY p_brand"
     )
+
+
+@query(
+    "sql_engine_sql_scripting",
+    tags=("sql-surface", "spark4", "dynamic-sql"),
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders)
+    SELECT n_orders,
+           CAST(1 << length(bin(n_orders - 1)) AS BIGINT) AS pow2_capacity,
+           CAST(length(bin(n_orders - 1)) AS BIGINT) AS n_doublings
+    FROM n
+    """,
+)
+def sql_engine_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN ... END with DECLARE / SET /
+    WHILE): procedural control flow INSIDE one spark.sql() call — the
+    last piece of the dynamic-SQL family (EXECUTE IMMEDIATE,
+    IDENTIFIER(), session variables).  The script seeds a scalar from
+    a table aggregate, then a WHILE loop doubles a capacity until it
+    covers the row count, counting iterations — the classic
+    hash-table-sizing computation, here expressed entirely in SQL.
+    Control flow runs on the driver over 1-row scalars (each SET's
+    subquery is a bounded aggregate job); nothing corpus-sized ever
+    leaves the executors.  The oracle computes the same power-of-two
+    with the engine-neutral msb recipe (1 << length(bin(n-1)), the
+    floor-log2 identity both engines share).  The scripting conf is a
+    RUNTIME conf set inside the build, so the driver's plain session
+    works unchanged."""
+    from parquet_to_sql_spark.sql import Engine
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    eng = Engine(spark)
+    eng.register_fixtures(sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE cap BIGINT DEFAULT 1;
+          DECLARE iters BIGINT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM orders);
+          WHILE cap < n DO
+            SET cap = cap * 2;
+            SET iters = iters + 1;
+          END WHILE;
+          SELECT n AS n_orders, cap AS pow2_capacity,
+                 iters AS n_doublings;
+        END
+        """
+    )
