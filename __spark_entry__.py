@@ -284,6 +284,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_source_overlap_matrix",  # round-8 new: cross-source leakage
     "pipeline_source_token_budget",  # round-8 new: per-source token quotas
     "sql_engine_sql_scripting",  # round-8 new: BEGIN/WHILE SQL scripting
+    "ev_user_paths_topk",  # round-8 new: 3-step journey mining
+    "text_rake_keyphrases",  # round-8 new: RAKE keyphrase extraction
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1582,3 +1582,55 @@ def ev_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.withColumn(
         "admit_rank", F.row_number().over(w).cast("bigint")
     )
+
+
+@query(
+    "ev_user_paths_topk",
+    tags=("events", "sequence", "scale-path"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def ev_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 20 most common 3-step event paths
+    (consecutive event-type triples within a user's stream, total
+    order (ts, event_id)) — the sequence-level counterpart of the
+    pairwise transition matrix, and the standard input to funnel
+    discovery (which 3-step journeys actually happen, vs the funnels
+    we guessed).
+
+    Scale shape: one user-keyed window exchange produces the triples
+    via lead(1)/lead(2) (no self-joins — the naive formulation joins
+    events to itself twice on adjacency); the path rollup is
+    map-side-combined with cardinality bounded by |event types|^3
+    regardless of corpus size, and the top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

@@ -1642,3 +1642,123 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ppm").cast("bigint").alias("min_cond_ppm"),
         )
     )
+
+
+@query(
+    "text_rake_keyphrases",
+    tags=("text-analysis", "llm-pipeline", "keyphrase", "scale-path"),
+    oracle="""
+    WITH phr0 AS (
+      SELECT list_filter(
+               list_transform(
+                 string_split_regex(
+                   array_to_string(
+                     list_transform(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       w -> CASE WHEN regexp_matches(w, '^[a-z]+$')
+                                  AND NOT list_contains({stops}, w)
+                             THEN w ELSE '|' END),
+                     ' '),
+                   ' *\\| *'),
+                 p -> trim(p)),
+               p -> p <> '') AS phrases
+      FROM documents
+    ), phr AS (
+      SELECT unnest(phrases) AS phrase FROM phr0
+    ), pw AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+             len(string_split(phrase, ' ')) AS plen
+      FROM phr
+    ), wstat AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree
+      FROM pw GROUP BY w
+    ), wscore AS (
+      SELECT w, CAST((1000000::HUGEINT * degree) // freq AS BIGINT) AS wppm
+      FROM wstat
+    ), pcount AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n FROM phr GROUP BY phrase
+    ), pscore AS (
+      SELECT d.phrase, CAST(SUM(s.wppm) AS BIGINT) AS score_ppm
+      FROM (SELECT DISTINCT phrase FROM phr) d,
+           LATERAL unnest(string_split(d.phrase, ' ')) AS t(w),
+           wscore s
+      WHERE s.w = t.w
+      GROUP BY d.phrase
+    )
+    SELECT phrase, n, score_ppm
+    FROM pscore JOIN pcount USING (phrase)
+    ORDER BY score_ppm DESC, phrase LIMIT 20
+    """.format(stops=_ALL_STOP_LIST),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyphrase extraction (Rose et al. 2010,
+    public record): candidate phrases are maximal runs of
+    non-stopword alphabetic tokens (stopwords and punctuation-bearing
+    tokens are boundaries); each word scores degree/frequency over
+    the candidate-phrase corpus (degree = total length of phrases
+    containing it — co-occurrence weight); a phrase scores the sum of
+    its words' scores.  The top-20 corpus keyphrases with occurrence
+    counts.  All arithmetic is exact-ppm integers (per-word
+    1,000,000*degree div freq, summed), so the oracle is value-exact
+    — the boundary-mapping, the word statistics, and the scoring each
+    break the hash if they diverge.
+
+    Scale shape: phrase extraction is row-local expression algebra
+    (map stopwords to '|', join, split — no UDF); word stats are one
+    map-side-combined vocab-sized aggregate; phrase scoring joins the
+    distinct-phrase word list to word scores hash-partitioned on the
+    word, then rolls up per phrase; top-20 is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    mapped = F.transform(
+        toks,
+        lambda w: F.when(
+            w.rlike("^[a-z]+$") & ~w.isin(*_ALL_STOP), w
+        ).otherwise(F.lit("|")),
+    )
+    phrases_arr = F.filter(
+        F.transform(
+            F.split(F.array_join(mapped, " "), r" *\| *"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    phr = docs.select(F.explode(phrases_arr).alias("phrase"))
+    pw = phr.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+    )
+    wscore = (
+        pw.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .select(
+            "w",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * degree) div freq"
+                " AS BIGINT)"
+            ).alias("wppm"),
+        )
+    )
+    pcount = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dwords = pcount.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    pscore = (
+        dwords.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("wppm").cast("bigint").alias("score_ppm"))
+    )
+    return (
+        pscore.join(pcount, "phrase")
+        .select("phrase", "n", "score_ppm")
+        .orderBy(F.desc("score_ppm"), "phrase")
+        .limit(20)
+    )
