@@ -1036,3 +1036,129 @@ def test_canonical_url_matches_reference(spark, specs):
     }
     want = {i: ref(s) for i, s in enumerate(specs)}
     assert got == want
+
+
+_RAKE_TOKEN = st.one_of(
+    st.from_regex(r"[a-z]{1,6}", fullmatch=True),      # phrase words
+    st.sampled_from(["the", "and", "of", "la", "und"]),  # stopwords
+    st.sampled_from(["x.y", "a,b", "1st", "--", "Mixed", "é"]),  # boundaries
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.lists(_RAKE_TOKEN, min_size=0, max_size=12), min_size=1,
+                max_size=5))
+def test_rake_phrase_extraction_matches_reference(spark, docs_tokens):
+    """The RAKE boundary mapping (stopword / non-[a-z]+ token ->
+    phrase break) against a sequential reference, over random token
+    streams mixing phrase words, stopwords, punctuation-bearing
+    tokens, digits, and non-ASCII — the inputs where a regex-split
+    divergence between the Spark expression chain and the oracle's
+    string round-trip would hide."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.text import _ALL_STOPWORDS, ws_tokens
+
+    stops = set(_ALL_STOPWORDS)
+
+    def ref_phrases(tokens):
+        out, cur = [], []
+        for t in tokens:
+            if re.fullmatch(r"[a-z]+", t) and t not in stops:
+                cur.append(t)
+            else:
+                if cur:
+                    out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    toks = ws_tokens(F.lower(F.col("text")))
+    mapped = F.transform(
+        toks,
+        lambda w: F.when(
+            w.rlike("^[a-z]+$") & ~w.isin(*_ALL_STOPWORDS), w
+        ).otherwise(F.lit("|")),
+    )
+    phrases_arr = F.filter(
+        F.transform(
+            F.split(F.array_join(mapped, " "), r" *\| *"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    got = {r.i: r.p for r in df.select("i", phrases_arr.alias("p")).collect()}
+    for i, toks_list in enumerate(docs_tokens):
+        # ws_tokens lower-cases AFTER our text join; reference lowers
+        # each token the same way
+        want = ref_phrases([t.lower() for t in " ".join(toks_list).split()])
+        assert got[i] == want, (toks_list, got[i], want)
+
+
+def test_exact_line_dedup_matches_bruteforce(spark):
+    """dedup_exact_lines_apply's keep/drop verdicts against a
+    sequential reference on constructed documents with shared
+    boilerplate lines, blank lines, and order-dependent first
+    occurrences."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    import random
+
+    rng = random.Random(17)
+    boiler = [f"boilerplate {i}" for i in range(5)]
+    docs = []
+    for d in range(12):
+        lines = []
+        for _ in range(rng.randrange(1, 9)):
+            r = rng.random()
+            if r < 0.35:
+                lines.append(rng.choice(boiler))
+            elif r < 0.45:
+                lines.append("   " if r < 0.40 else "")
+            else:
+                lines.append(f"unique {d} {rng.randrange(1000)}")
+        docs.append((d, "\n".join(lines)))
+
+    # sequential reference
+    seen: set[str] = set()
+    want = {}
+    for d, text in sorted(docs):
+        kept = dropped = chars = 0
+        for line in text.split("\n"):
+            if line.strip() == "":
+                kept += 1
+                chars += len(line)
+            elif line in seen:
+                dropped += 1
+            else:
+                seen.add(line)
+                kept += 1
+                chars += len(line)
+        want[d] = (kept, dropped, chars + max(kept - 1, 0))
+
+    import pandas as pd
+
+    sf = str  # quiet lints
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": "en",
+            "source": "src0",
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "documents.parquet")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+        q = all_queries()["dedup_exact_lines_apply"]
+        got = {
+            r.doc_id: (r.n_kept, r.n_dropped, r.cleaned_chars)
+            for r in q.build(spark, tmp).collect()
+        }
+    assert got == want
