@@ -286,6 +286,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "sql_engine_sql_scripting",  # round-8 new: BEGIN/WHILE SQL scripting
     "ev_user_paths_topk",  # round-8 new: 3-step journey mining
     "text_rake_keyphrases",  # round-8 new: RAKE keyphrase extraction
+    "profile_key_skew_report",  # round-8 new: join-key skew pre-flight
 )
 
 # Verified queries whose build source OR implementing operator

@@ -653,3 +653,89 @@ def profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     )
     return sequence_gaps(orders, "o_orderkey")
+
+
+@query(
+    "profile_key_skew_report",
+    tags=("profiling", "scale-path", "aggregation"),
+    oracle="""
+    WITH counts AS (
+      SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+    ), cc AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS k FROM counts GROUP BY n
+    ), t AS (
+      SELECT CAST(SUM(k) AS BIGINT) AS n_keys,
+             CAST(SUM(n * k) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_freq
+      FROM cc
+    ), cum AS (
+      SELECT n, SUM(k) OVER (ORDER BY n) AS cumk FROM cc
+    )
+    SELECT n_rows, n_keys, max_freq,
+           CAST(MIN(CASE WHEN cumk * 2 >= n_keys THEN n END) AS BIGINT)
+             AS median_freq,
+           CAST(MIN(CASE WHEN cumk * 100 >= n_keys * 99 THEN n END) AS BIGINT)
+             AS p99_freq,
+           CAST((1000000::HUGEINT * max_freq) // n_rows AS BIGINT)
+             AS top_share_ppm,
+           CAST((1000000::HUGEINT
+                 * MIN(CASE WHEN cumk * 100 >= n_keys * 99 THEN n END))
+                // MIN(CASE WHEN cumk * 2 >= n_keys THEN n END) AS BIGINT)
+             AS p99_over_median_ppm
+    FROM cum, t
+    GROUP BY n_rows, n_keys, max_freq
+    """,
+)
+def profile_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW profiling — the pre-flight check for every big
+    shuffle: the distribution of per-key multiplicities for
+    lineitem.l_orderkey (the engine's hottest join key), reduced to
+    the numbers a planner acts on — max key frequency and its share
+    of all rows (ppm), the median and p99 key frequencies (exact,
+    from the count-of-counts), and p99/median in ppm (the skew ratio
+    that says whether to salt).  A ratio near 10^6 means uniform
+    keys; orders of magnitude above means a salted or AQE-skew join.
+
+    Scale shape: one map-side-combined count per key (key-cardinality
+    exchange), then the COUNT-OF-COUNTS reduction — a relation
+    bounded by the number of DISTINCT multiplicities (for lineitem,
+    1..7 rows at any corpus size), on which the unpartitioned
+    quantile window is free; the totals attach is a sanctioned 1-row
+    broadcast.  Exact quantiles of the frequency distribution without
+    ever sorting the key relation."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    cc = counts.groupBy("n").agg(F.count(F.lit(1)).alias("k"))
+    totals = cc.agg(
+        F.sum("k").cast("bigint").alias("n_keys"),
+        F.sum(F.col("n") * F.col("k")).cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_freq"),
+    )
+    w = Window.orderBy("n").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cc.withColumn("cumk", F.sum("k").over(w)).join(F.broadcast(totals))
+    med = F.min(F.when(F.col("cumk") * 2 >= F.col("n_keys"), F.col("n")))
+    p99 = F.min(
+        F.when(F.col("cumk") * 100 >= F.col("n_keys") * 99, F.col("n"))
+    )
+    return (
+        cum.groupBy("n_rows", "n_keys", "max_freq")
+        .agg(
+            med.cast("bigint").alias("median_freq"),
+            p99.cast("bigint").alias("p99_freq"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * max_freq) div n_rows"
+                " AS BIGINT)"
+            ).alias("top_share_ppm"),
+        )
+        .withColumn(
+            "p99_over_median_ppm",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * p99_freq)"
+                " div median_freq AS BIGINT)"
+            ),
+        )
+    )
