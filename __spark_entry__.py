@@ -287,6 +287,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "ev_user_paths_topk",  # round-8 new: 3-step journey mining
     "text_rake_keyphrases",  # round-8 new: RAKE keyphrase extraction
     "profile_key_skew_report",  # round-8 new: join-key skew pre-flight
+    "pipeline_mixture_temperature",  # round-8 new: alpha=0.5 mixture weights
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1450,3 +1450,91 @@ def pipeline_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("cum_tokens") <= 800).select(
         "source", "doc_id", "n_tok", "cum_tokens"
     )
+
+
+@query(
+    "pipeline_mixture_temperature",
+    tags=("pipeline", "mixture", "sampling", "llm-pipeline"),
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len({{DUCK_WORDS}})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, tokens,
+             CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS w_sqrt,
+             CAST(SUM(CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT))
+                  OVER () AS BIGINT) AS w_total,
+             CAST(SUM(tokens) OVER () AS BIGINT) AS t_total
+      FROM t
+    )
+    SELECT source, tokens, w_sqrt,
+           CAST((1000000::HUGEINT * w_sqrt) // w_total AS BIGINT)
+             AS weight_ppm,
+           CAST((1000000::HUGEINT * tokens) // t_total AS BIGINT)
+             AS natural_ppm,
+           CAST((1000000::HUGEINT
+                 * ((1000000::HUGEINT * w_sqrt) // w_total))
+                // ((1000000::HUGEINT * tokens) // t_total) AS BIGINT)
+             AS boost_ppm
+    FROM w
+    """.format(DUCK_WORDS=DUCK_WORDS),
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (alpha = 0.5) — the
+    multilingual/multi-source sampling recipe (public record: the
+    mBERT/XLM-R exponent-smoothed sampling, w_s proportional to
+    tokens_s^alpha) that upsamples small sources and downsamples
+    dominant ones.  Per source: raw token mass, its integer square
+    root (alpha = 0.5 — FLOOR(SQRT(double)) is identical cross-engine
+    because IEEE sqrt is correctly rounded, verified on boundary
+    cases), the smoothed sampling weight and the natural share in
+    exact ppm, and the boost ratio (smoothed/natural, ppm) that a
+    mixture sampler multiplies into per-source rates.
+
+    Scale shape: one map-side-combined per-source token rollup (the
+    corpus never moves), then everything runs on the SOURCE-
+    cardinality relation where the unpartitioned totals window is
+    free — no 1-row attaches, no collects."""
+    from parquet_to_sql_spark.operators.text import ws_tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(ws_tokens(F.col("text")))).cast("bigint").alias("tokens")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = t.select(
+        "source",
+        "tokens",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)"
+        ).alias("w_sqrt"),
+    ).select(
+        "source",
+        "tokens",
+        "w_sqrt",
+        F.sum("w_sqrt").over(w_all).alias("_wt"),
+        F.sum("tokens").over(w_all).alias("_tt"),
+    )
+    weight = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * w_sqrt) div _wt AS BIGINT)"
+    )
+    natural = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * tokens) div _tt AS BIGINT)"
+    )
+    return w.select(
+        "source",
+        "tokens",
+        "w_sqrt",
+        weight.alias("weight_ppm"),
+        natural.alias("natural_ppm"),
+    ).withColumn(
+        "boost_ppm",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * weight_ppm)"
+            " div natural_ppm AS BIGINT)"
+        ),
+    )
