@@ -15,22 +15,22 @@ alias layer is needed — ``queries()`` emits the 50-slot priority
 window first, then every remaining query in least-recently-verified
 order.  Exactly one registry entry per query.
 
-Window 8 composition (installed per VERDICT r07 "Next round" #1,
-recipe ROUND_NOTES R6-25; CORRECTNESS_r07 came back 50/50 green and
-is folded into ``_DRIVER_VERIFIED`` below):
+Window 9 composition (installed per VERDICT r08 "Next round" #1,
+the proven recipe, fourth round running; CORRECTNESS_r08 came back
+50/50 green and is folded into ``_DRIVER_VERIFIED`` below):
 
-  1. the 11 round-7-new queries — the only names with ZERO driver
-     evidence across CORRECTNESS_r01..r07 (``_NEVER_VERIFIED``,
+  1. the 13 round-8-new queries — the only names with ZERO driver
+     evidence across CORRECTNESS_r01..r08 (``_NEVER_VERIFIED``,
      the former ``_QUEUED_POST_WINDOW``; all locally oracle-exact
      at sf0.01 AND sf0.1);
-  2. zero stale re-verifies (``_REVERIFY`` is empty — no
-     driver-green query's implementing source changed since its
-     last green row at window-freeze time);
-  3. 39 least-recently-verified spares (``_LRV_SPARES``) — the
-     oldest oracle-backed evidence in the ledger (r02/r03 rows),
+  2. one stale re-verify (``_REVERIFY``): ``ev_rfm_segments``,
+     whose ``grouped_prefix_sum`` dependency changed in R8-2 after
+     its r7 green row (carried from ``_REVERIFY_QUEUED``);
+  3. 36 least-recently-verified spares (``_LRV_SPARES``) — the
+     oldest oracle-backed evidence in the ledger (r03/r04 rows),
      refreshed under the standing LRV-rotation policy.
 
-Green across the board => 269/269 registered queries carry driver
+Green across the board => 282/282 registered queries carry driver
 evidence with ZERO stale rows.  Every window is pure LRV rotation,
 front-loading any query whose implementing source changed since its
 last green row (``_REVERIFY`` declares those so the parity test can
@@ -63,8 +63,8 @@ from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 # from rounds < _WINDOW_ROUND are frozen evidence (folded into
 # _DRIVER_VERIFIED); any artifact from round >= _WINDOW_ROUND is the
 # driver's post-session output for THIS window and is asserted
-# against _PRIORITY_R08 instead (tests/test_oracle_parity.py).
-_WINDOW_ROUND = 8
+# against _PRIORITY_R09 instead (tests/test_oracle_parity.py).
+_WINDOW_ROUND = 9
 
 # By-design rows-only gate queries (no DuckDB oracle is possible):
 # the two self-verifying sketch queries carry in-query error-bound
@@ -85,6 +85,16 @@ _ROWS_ONLY_BY_DESIGN = frozenset(
 # asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r08 window first-timers (CORRECTNESS_r08.json, 50/50
+        #     green, all hash-exact; the other 39 window-8 names were
+        #     LRV re-verifies of rows already listed in the r01-r07
+        #     blocks below) ---
+        "agg_equidepth_bins", "agg_grouped_exact_quantiles",
+        "agg_grouped_weighted_quantiles", "dedup_url_canonical",
+        "ev_session_attribution", "pipeline_domain_cap_screen",
+        "pipeline_domain_quality_blocklist", "pipeline_web_curation",
+        "text_bpe_encode_deep", "text_bpe_train_merges",
+        "window_grouped_prefix_sum",
         # --- r07 window first-timers (CORRECTNESS_r07.json, 50/50
         #     green: 49 hash-exact + the by-design rows-only blob
         #     manifest; the other 21 window-7 names were re-verifies
@@ -222,85 +232,69 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# The 11 names with zero driver evidence across CORRECTNESS_r01..r07
-# (all round-7 additions, the former _QUEUED_POST_WINDOW; each passes
+# The 13 names with zero driver evidence across CORRECTNESS_r01..r08
+# (all round-8 additions, the former _QUEUED_POST_WINDOW; each passes
 # the local oracle at sf0.01 AND sf0.1 — tests/test_oracle_parity.py).
-# Sorted by name (the parity test's derivation order).  Slots 1-11.
+# Sorted by name (the parity test's derivation order).  Slots 1-13.
 _NEVER_VERIFIED = (
-    "agg_equidepth_bins", "agg_grouped_exact_quantiles",
-    "agg_grouped_weighted_quantiles", "dedup_url_canonical",
-    "ev_session_attribution", "pipeline_domain_cap_screen",
-    "pipeline_domain_quality_blocklist", "pipeline_web_curation",
-    "text_bpe_encode_deep", "text_bpe_train_merges",
-    "window_grouped_prefix_sum",
+    "agg_countmin_words", "dedup_exact_lines_apply",
+    "dedup_url_registrable_psl", "ev_quota_admission",
+    "ev_user_paths_topk", "pipeline_mixture_temperature",
+    "pipeline_source_overlap_matrix", "pipeline_source_token_budget",
+    "profile_key_skew_report", "sql_engine_sql_scripting",
+    "text_bigram_lm_scores", "text_rake_keyphrases",
+    "window_grouped_pareto_abc",
 )
 
 # Deliberate re-verification slots: driver-green under an OLDER
 # formulation whose implementing operator has since been rewritten
 # (detected by
 # tests/test_oracle_parity.py::test_changed_queries_have_a_reverify_plan).
-# Empty this round: no driver-green query's source changed between
-# its last green row and the window-8 freeze.
-_REVERIFY: tuple[str, ...] = ()
+# One this round, carried from r8's _REVERIFY_QUEUED: ev_rfm_segments'
+# grouped_prefix_sum dependency grew a null-safe join-back +
+# broadcast toggle in R8-2 after its r7 green row (re-proven
+# oracle-exact at sf0.1 locally while it waited).  Slot 14.
+_REVERIFY: tuple[str, ...] = ("ev_rfm_segments",)
 
-# Least-recently-verified spares: the 39 oracle-backed names with the
-# oldest driver evidence (18 r02 rows + 21 r03 rows) not already in
+# Least-recently-verified spares: the 36 oracle-backed names with the
+# oldest driver evidence (24 r03 rows + 12 r04 rows) not already in
 # this window — the head of the standing LRV ordering, re-derived and
-# asserted by the parity test.  Slots 12-50.
+# asserted by the parity test.  Slots 15-50.
 _LRV_SPARES = (
-    "agg_rollup_geo", "agg_salted_two_phase", "agg_stats_dispersion",
-    "agg_string_collect", "agg_unpivot_part_measures",
-    "cogroup_customer_orders", "dedup_connected_components",
-    "dedup_exact_sha256", "dedup_minhash_lsh",
-    "dedup_minhash_signatures", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_hashed", "embedding_norm_stats",
-    "embedding_quantize_int8", "ev_dedup_first_per_key",
-    "ev_funnel_signup_purchase", "ev_gapfill_daily",
-    "ev_retention_day1",
-    "import_job_spec_roundtrip", "multimodal_pack_metadata",
-    "q11_value_concentration", "q12_priority_shipping",
-    "q13_customer_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
-    "q18_large_orders", "q19_disjunctive", "q20_excess_shippers",
-    "q21_waiting_suppliers", "q22_global_sales", "q2_min_per_group",
-    "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "setop_except",
+    "setop_intersect_except_all", "setop_union_all",
+    "setop_union_by_name", "simsearch_cosine_topk",
+    "simsearch_hyperplane_lsh", "simsearch_ivf_kmeans_topk",
+    "sort_nulls_explicit", "sub_in_top_nations",
+    "sub_scalar_above_avg_price", "text_profile_documents",
+    "topk_expensive_orders", "udaf_pandas_weighted_avg",
+    "udf_iter_quantized_norm", "udtf_chunk_documents",
+    "window_first_last", "window_ignore_nulls",
+    "window_lag_lead_events", "window_moving_avg",
+    "window_pct_cume_nth", "window_range_frame",
+    "window_rank_dense_ntile", "window_running_sum",
+    "window_time_range_frame", "window_topn_per_customer",
+    "dedup_cc_star", "groupedmap_spend_share",
+    "multimodal_ahash_neardup", "multimodal_audio_features",
+    "multimodal_decode_features", "multimodal_frame_samples",
+    "multimodal_resize_thumbnail", "pipeline_cdc_upsert",
+    "pipeline_corpus_clean", "pipeline_corpus_curation",
+    "pipeline_curriculum_bins", "pipeline_dataset_card",
 )
 
-# Round-8 window: 11 never-verified + 0 stale re-verifies + 39 LRV
+# Round-9 window: 13 never-verified + 1 stale re-verify + 36 LRV
 # spares, in the insertion order the driver will check them.  Green
-# across the board => 269/269 with driver evidence, zero stale rows.
-_PRIORITY_R08 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
+# across the board => 282/282 with driver evidence, zero stale rows.
+_PRIORITY_R09 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
-# the head of the least-recently-verified tail and front window 9.
-_QUEUED_POST_WINDOW: tuple[str, ...] = (
-    "ev_quota_admission",  # round-8 new: batch twin of quota_admit_stream
-    "window_grouped_pareto_abc",  # round-8 new: per-nation ABC via grouped scan
-    "dedup_url_registrable_psl",  # round-8 new: PSL multi-label eTLD evidence
-    "text_bigram_lm_scores",  # round-8 new: integer bigram-LM quality scores
-    "agg_countmin_words",  # round-8 new: value-exact Count-Min sketch
-    "dedup_exact_lines_apply",  # round-8 new: C4-style exact line dedup
-    "pipeline_source_overlap_matrix",  # round-8 new: cross-source leakage
-    "pipeline_source_token_budget",  # round-8 new: per-source token quotas
-    "sql_engine_sql_scripting",  # round-8 new: BEGIN/WHILE SQL scripting
-    "ev_user_paths_topk",  # round-8 new: 3-step journey mining
-    "text_rake_keyphrases",  # round-8 new: RAKE keyphrase extraction
-    "profile_key_skew_report",  # round-8 new: join-key skew pre-flight
-    "pipeline_mixture_temperature",  # round-8 new: alpha=0.5 mixture weights
-)
+# the head of the least-recently-verified tail and front window 10.
+_QUEUED_POST_WINDOW: tuple[str, ...] = ()
 
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a
 # slot this round (window full).  Each must pass sf0.1 oracle parity
-# while it waits; they front window 9 alongside _QUEUED_POST_WINDOW.
-_REVERIFY_QUEUED: tuple[str, ...] = (
-    # r8: operators/prefix.py grouped_prefix_sum grew a null-safe
-    # join-back + broadcast toggle (ADVICE r07); ev_rfm_segments is
-    # the one driver-green consumer outside window 8 — re-proven
-    # oracle-exact at sf0.1 locally, queued for a window-9 slot.
-    "ev_rfm_segments",
-)
+# while it waits; they front window 10 alongside _QUEUED_POST_WINDOW.
+_REVERIFY_QUEUED: tuple[str, ...] = ()
 
 
 def _last_verified_round(max_round: int | None = None) -> dict[str, int]:
@@ -347,12 +341,12 @@ def _ordered_names() -> list[str]:
     fresh green rows — and future rounds build their priority batch by
     taking the head of this same ordering."""
     last = _last_verified_round()
-    in_window = set(_PRIORITY_R08)
+    in_window = set(_PRIORITY_R09)
     rest = sorted(
         (n for n in all_queries() if n not in in_window),
         key=lambda n: (last.get(n, 0), n),
     )
-    return list(_PRIORITY_R08) + rest
+    return list(_PRIORITY_R09) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:
