@@ -294,7 +294,14 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = ()
 # changed after their last driver-green round but could not get a
 # slot this round (window full).  Each must pass sf0.1 oracle parity
 # while it waits; they front window 10 alongside _QUEUED_POST_WINDOW.
-_REVERIFY_QUEUED: tuple[str, ...] = ()
+_REVERIFY_QUEUED: tuple[str, ...] = (
+    # r9: operators/urls.py with_registrable_domain grew an IPv6
+    # passthrough + fail-loud PSL private-marker parse (ADVICE r08);
+    # these two are the driver-green consumers outside window 9 —
+    # both re-proven oracle-exact at sf0.1 after the change.
+    "pipeline_domain_cap_screen",
+    "pipeline_web_curation",
+)
 
 
 def _last_verified_round(max_round: int | None = None) -> dict[str, int]:

@@ -106,6 +106,16 @@ def _psl_rules(icann_only: bool = False) -> dict[str, list[bool]] | None:
                     pass
             for k in forms:
                 rules.setdefault(k, [False, False, False])[kind] = True
+    # fail loudly on a bad refresh: the private section is detected
+    # solely via the '// ===BEGIN PRIVATE' comment marker, so a future
+    # PSL snapshot without it would silently classify private rules as
+    # ICANN and change icann_only=True results with no error (ADVICE
+    # r08)
+    if section != "private":
+        raise ValueError(
+            f"PSL data at {_PSL_PATH} has no BEGIN PRIVATE marker — "
+            "refresh from publicsuffix.org or fix the vendored file"
+        )
     return rules
 
 
@@ -128,9 +138,10 @@ def with_registrable_domain(
     key); if nothing matches, the default rule ``*`` applies (public
     suffix = the last label).  The registrable domain is the public
     suffix plus one preceding label — NULL when the host IS a public
-    suffix (or sits inside one), and NULL for NULL hosts.  IPv4
-    literals pass through unchanged (the PSL says nothing about IPs;
-    an address is its own 'domain' for capping purposes).
+    suffix (or sits inside one), and NULL for NULL hosts.  IP
+    literals (IPv4 dotted quads, IPv6 bracketed or bare) pass through
+    unchanged (the PSL says nothing about IPs; an address is its own
+    'domain' for capping purposes).
 
     Scale shape: the PSL groups into one small table per rule depth
     (1..5, ~9.5k keys total), each LEFT-BROADCAST-joined against the
@@ -147,7 +158,13 @@ def with_registrable_domain(
     """
     rules = _psl_rules(icann_only)
     if rules is None:
-        return df.withColumn(out_col, registrable_domain(F.col(host_col)))
+        # lower-case first so both paths normalize case identically
+        # (ADVICE r08: the PSL path lowercases; mixed-case hosts must
+        # not produce different-cased domains depending on whether the
+        # data file is present)
+        return df.withColumn(
+            out_col, registrable_domain(F.lower(F.col(host_col)))
+        )
     spark = df.sparkSession
     by_depth: dict[int, list[tuple[str, bool, bool, bool]]] = {}
     for key, (p, w, x) in rules.items():
@@ -190,10 +207,15 @@ def with_registrable_domain(
         ],
     )
     ps = F.coalesce(*exc_pick, base)
-    ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    # IP-literal passthrough: IPv4 dotted quads, plus IPv6 in either
+    # bracketed ('[::1]') or bare ('::1') form — an IPv6 host has no
+    # dot-labels, so without this it would resolve ps=1=nlab and
+    # silently become a NULL domain (landing in the dirty-URL quota
+    # bucket) instead of being its own 'domain' like IPv4 (ADVICE r08)
+    ip_lit = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.contains(":")
     dom = (
         F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(ipv4, host)
+        .when(ip_lit, host)
         .when(
             ps < nlab,
             F.array_join(F.slice(labels, nlab - ps, ps + F.lit(1)), "."),

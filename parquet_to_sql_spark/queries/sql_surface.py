@@ -595,8 +595,12 @@ def sql_engine_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders)
     SELECT n_orders,
-           CAST(1 << length(bin(n_orders - 1)) AS BIGINT) AS pow2_capacity,
-           CAST(length(bin(n_orders - 1)) AS BIGINT) AS n_doublings
+           CAST(CASE WHEN n_orders <= 1 THEN 1
+                     ELSE 1 << length(bin(n_orders - 1)) END
+                AS BIGINT) AS pow2_capacity,
+           CAST(CASE WHEN n_orders <= 1 THEN 0
+                     ELSE length(bin(n_orders - 1)) END
+                AS BIGINT) AS n_doublings
     FROM n
     """,
 )
@@ -612,27 +616,38 @@ def sql_engine_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery is a bounded aggregate job); nothing corpus-sized ever
     leaves the executors.  The oracle computes the same power-of-two
     with the engine-neutral msb recipe (1 << length(bin(n-1)), the
-    floor-log2 identity both engines share).  The scripting conf is a
-    RUNTIME conf set inside the build, so the driver's plain session
-    works unchanged."""
+    floor-log2 identity both engines share), CASE-guarded for n <= 1
+    where the WHILE loop never runs (cap=1, iters=0) but the msb
+    formula would say 2/1 — ADVICE r08: a degenerate fixture must not
+    go hash-red.  The scripting conf is a RUNTIME conf set inside the
+    build and RESTORED after (the script executes inside spark.sql),
+    so the driver's plain shared session is left exactly as found."""
     from parquet_to_sql_spark.sql import Engine
 
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     eng = Engine(spark)
     eng.register_fixtures(sf_dir)
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE n BIGINT DEFAULT 0;
-          DECLARE cap BIGINT DEFAULT 1;
-          DECLARE iters BIGINT DEFAULT 0;
-          SET n = (SELECT COUNT(*) FROM orders);
-          WHILE cap < n DO
-            SET cap = cap * 2;
-            SET iters = iters + 1;
-          END WHILE;
-          SELECT n AS n_orders, cap AS pow2_capacity,
-                 iters AS n_doublings;
-        END
-        """
-    )
+    conf_key = "spark.sql.scripting.enabled"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE n BIGINT DEFAULT 0;
+              DECLARE cap BIGINT DEFAULT 1;
+              DECLARE iters BIGINT DEFAULT 0;
+              SET n = (SELECT COUNT(*) FROM orders);
+              WHILE cap < n DO
+                SET cap = cap * 2;
+                SET iters = iters + 1;
+              END WHILE;
+              SELECT n AS n_orders, cap AS pow2_capacity,
+                     iters AS n_doublings;
+            END
+            """
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)

@@ -1235,6 +1235,13 @@ def test_psl_registrable_domain_semantics(spark):
         ("nonexistenttld", None, None),
         ("com", None, None),  # a TLD is never registrable
         ("10.1.2.3", "10.1.2.3", "10.1.2.3"),  # IPv4 passthrough
+        # IPv6 passthrough, bracketed and bare (ADVICE r08: parity
+        # with IPv4 — an address is its own 'domain' for capping, not
+        # a NULL landing in the dirty-URL quota bucket)
+        ("[::1]", "[::1]", "[::1]"),
+        ("::1", "::1", "::1"),
+        ("[2001:db8::8a2e:370:7334]", "[2001:db8::8a2e:370:7334]",
+         "[2001:db8::8a2e:370:7334]"),
         ("MiXeD.Example.CO.UK", "example.co.uk", "example.co.uk"),
         (None, None, None),
     ]
@@ -1284,6 +1291,52 @@ def test_psl_lookup_agrees_with_naive_rule_on_simple_tlds(spark):
     )
     diff = both.filter(~F.col("psl_dom").eqNullSafe(F.col("naive_dom")))
     assert diff.count() == 0
+
+
+def test_psl_fallback_lowercases_like_psl_path(spark, monkeypatch):
+    """ADVICE r08: when the vendored PSL file is absent the fallback
+    applies the naive rule to a LOWER-CASED host, so mixed-case hosts
+    produce identically-cased domains on both paths (the PSL path
+    always lowercases)."""
+    from parquet_to_sql_spark.operators import urls
+
+    monkeypatch.setattr(urls, "_psl_rules", lambda icann_only=False: None)
+    df = spark.createDataFrame(
+        [(1, "MiXeD.Example.COM"), (2, "WWW.GOOD.ORG"), (3, None)],
+        "i long, host string",
+    )
+    got = {
+        r.i: r.domain
+        for r in urls.with_registrable_domain(df, "host", "domain").collect()
+    }
+    assert got == {1: "example.com", 2: "good.org", 3: None}
+
+
+def test_psl_parse_fails_loudly_without_private_marker(tmp_path, monkeypatch):
+    """ADVICE r08: the private section is detected via the
+    '===BEGIN PRIVATE' comment marker; a refreshed snapshot without it
+    must raise instead of silently classifying private rules as ICANN
+    (which would change icann_only=True results with no error)."""
+    import pytest
+
+    from parquet_to_sql_spark.operators import urls
+
+    bad = tmp_path / "psl.dat"
+    bad.write_text("// no private marker here\ncom\norg\nco.uk\n")
+    monkeypatch.setattr(urls, "_PSL_PATH", str(bad))
+    urls._psl_rules.cache_clear()
+    try:
+        with pytest.raises(ValueError, match="BEGIN PRIVATE"):
+            urls._psl_rules()
+        # a missing file is still the documented soft fallback, not a raise
+        monkeypatch.setattr(urls, "_PSL_PATH", str(tmp_path / "absent.dat"))
+        urls._psl_rules.cache_clear()
+        assert urls._psl_rules() is None
+    finally:
+        monkeypatch.undo()
+        urls._psl_rules.cache_clear()
+    # the real vendored file parses (and re-primes the cache)
+    assert isinstance(urls._psl_rules(), dict)
 
 
 def test_registrable_domain_and_blocklist(spark):
