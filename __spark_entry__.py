@@ -288,7 +288,9 @@ _PRIORITY_R09 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
 # the head of the least-recently-verified tail and front window 10.
-_QUEUED_POST_WINDOW: tuple[str, ...] = ()
+_QUEUED_POST_WINDOW: tuple[str, ...] = (
+    "multimodal_png_decode_real",  # round-9 new: REAL stdlib PNG decode
+)
 
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a
