@@ -290,6 +290,7 @@ _PRIORITY_R09 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 # the head of the least-recently-verified tail and front window 10.
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_png_decode_real",  # round-9 new: REAL stdlib PNG decode
+    "text_backoff_lm_scores",  # round-9 new: stupid-backoff LM, held-out split
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1645,6 +1645,135 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_backoff_lm_scores",
+    headline=True,
+    tags=("text-analysis", "llm-pipeline", "quality-filter", "scale-path"),
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {DUCK_WORDS} AS w FROM documents
+    ), big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM staged, LATERAL unnest(range(1, len(w))) AS u(i)
+    ), tbig AS (
+      SELECT * FROM big WHERE doc_id % 2 = 0
+    ), pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM tbig GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pairs GROUP BY w1
+    ), bi_model AS (
+      SELECT w1, w2, CAST((1000000::HUGEINT * c2) // c1 AS BIGINT) AS ppm2
+      FROM pairs JOIN ctx USING (w1)
+    ), ttok AS (
+      SELECT unnest(w) AS wd FROM staged WHERE doc_id % 2 = 0
+    ), uni AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS cu FROM ttok GROUP BY wd
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ttok
+    ), uni_model AS (
+      SELECT wd AS w2, CAST((400000::HUGEINT * cu) // n AS BIGINT) AS bo_ppm
+      FROM uni, tot
+    ), scored AS (
+      SELECT b.doc_id,
+             COALESCE(m.ppm2, u.bo_ppm, 0) AS score_ppm,
+             CASE WHEN m.ppm2 IS NULL THEN 1 ELSE 0 END AS backed
+      FROM big b
+      LEFT JOIN bi_model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      LEFT JOIN uni_model u ON b.w2 = u.w2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(backed) AS BIGINT) AS n_backed_off,
+           CAST(SUM(score_ppm)::HUGEINT // COUNT(*) AS BIGINT)
+               AS mean_score_ppm,
+           CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_backoff_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUPID-BACKOFF bigram language-model scoring (Brants et al.
+    2007, the web-scale backoff the real perplexity screens —
+    CCNet/Gopher — actually run): the model trains on a HELD-OUT
+    split (even doc_ids — the realistic shape: CCNet trains on
+    Wikipedia, scores the crawl) and scores EVERY document, so
+    held-out documents genuinely contain unseen bigrams and exercise
+    the backoff path (VERDICT r08 #4: the plain bigram LM, trained on
+    what it scores, can never see an unseen transition).
+
+    Score per bigram, all-integer ppm:
+      seen (w1,w2) in model:  1,000,000 * c(w1,w2) div c(w1)
+      unseen pair, seen w2:     400,000 * c(w2)   div N
+          (stupid backoff's fixed alpha = 0.4, exact-integer form)
+      unseen w2:              0  (the floor; out-of-vocabulary word)
+    Per document: bigram count, how many backed off, mean and min
+    score — low mean = globally unusual text, high backoff share =
+    out-of-domain vocabulary.  Integer counts end to end, so the
+    DuckDB oracle is value-exact; no logs, no floats.
+
+    Scale shape: pair and unigram counts exit via map-side-combined
+    aggregates (vocabulary-bounded exchanges); the context table
+    derives from the pair table (no second corpus pass); the 1-row
+    token total is broadcast; the two scoring joins are
+    hash-partitioned corpus-scale exchanges against
+    vocabulary-bounded models — shuffle-joined, never broadcast
+    (real vocabularies outgrow any broadcast threshold; same
+    documented call as text_bigram_lm_scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
+                F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    tbig = big.filter(F.col("doc_id") % 2 == 0)
+    pairs = tbig.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = pairs.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    bi_model = pairs.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * c2) div c1 AS BIGINT)"
+        ).alias("ppm2"),
+    )
+    ttok = toks.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode("_t").alias("wd")
+    )
+    uni = ttok.groupBy("wd").agg(F.count(F.lit(1)).alias("cu"))
+    # the token total derives from the VOCAB table (sum of counts),
+    # not a second corpus pass — Spark reuses uni's shuffle exchange
+    tot = uni.agg(F.sum("cu").alias("n"))
+    uni_model = uni.crossJoin(F.broadcast(tot)).select(
+        F.col("wd").alias("w2"),
+        F.expr(
+            "CAST((CAST(400000 AS DECIMAL(38,0)) * cu) div n AS BIGINT)"
+        ).alias("bo_ppm"),
+    )
+    scored = (
+        big.join(bi_model, ["w1", "w2"], "left")
+        .join(uni_model, "w2", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ppm2", "bo_ppm", F.lit(0).cast("bigint")).alias(
+                "score_ppm"
+            ),
+            F.when(F.col("ppm2").isNull(), 1).otherwise(0).alias("backed"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("backed").cast("bigint").alias("n_backed_off"),
+        F.expr(
+            "CAST(CAST(SUM(score_ppm) AS DECIMAL(38,0)) div COUNT(*) AS BIGINT)"
+        ).alias("mean_score_ppm"),
+        F.min("score_ppm").cast("bigint").alias("min_score_ppm"),
+    )
+
+
+@query(
     "text_rake_keyphrases",
     tags=("text-analysis", "llm-pipeline", "keyphrase", "scale-path"),
     oracle="""

@@ -1162,3 +1162,91 @@ def test_exact_line_dedup_matches_bruteforce(spark):
             for r in q.build(spark, tmp).collect()
         }
     assert got == want
+
+
+def test_backoff_lm_scores_match_sequential_reference(spark):
+    """text_backoff_lm_scores against a sequential stupid-backoff
+    reference over random token corpora with a deliberately split
+    vocabulary: shared words (bigram path), words only ODD docs use
+    (backoff-to-unigram misses too -> OOV floor 0), and rare words
+    that appear in train only once — covering all three score
+    branches, which the fixture corpus barely exercises (its
+    vocabulary overlap leaves ~0.05% backoff share)."""
+    import os
+    import random
+    import tempfile
+
+    import pandas as pd
+
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    rng = random.Random(929)
+    shared = [f"w{i}" for i in range(8)]
+    odd_only = [f"odd{i}" for i in range(4)]
+    docs = []
+    for d in range(14):
+        n = rng.randrange(0, 12)
+        pool = shared if d % 2 == 0 else shared + odd_only
+        docs.append((d, [rng.choice(pool) for _ in range(n)]))
+
+    # sequential stupid-backoff reference (alpha = 0.4 exact-integer)
+    from collections import Counter
+
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    cu: Counter = Counter()
+    n_tok = 0
+    for d, toks in docs:
+        if d % 2 != 0:
+            continue
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+        for w in toks:
+            cu[w] += 1
+            n_tok += 1
+    want = {}
+    for d, toks in docs:
+        # ws_tokens of the joined text: '' -> [''] like DUCK_WORDS
+        eff = toks if toks else [""]
+        bigs = list(zip(eff, eff[1:]))
+        if not bigs:
+            continue
+        scores, backed = [], 0
+        for a, b in bigs:
+            if (a, b) in c2:
+                scores.append(1_000_000 * c2[(a, b)] // c1[a])
+            else:
+                backed += 1
+                scores.append(400_000 * cu[b] // n_tok if b in cu else 0)
+        want[d] = (len(bigs), backed, sum(scores) // len(bigs), min(scores))
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [" ".join(t) for _, t in docs],
+            "lang": "en",
+            "source": "src0",
+            "n_chars": [len(" ".join(t)) for _, t in docs],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "documents.parquet")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+        q = all_queries()["text_backoff_lm_scores"]
+        got = {
+            r.doc_id: (
+                r.n_bigrams,
+                r.n_backed_off,
+                r.mean_score_ppm,
+                r.min_score_ppm,
+            )
+            for r in q.build(spark, tmp).collect()
+        }
+    assert got == want
+    # the constructed corpus must actually hit all three branches
+    assert any(b == 0 for (_, b, _, _) in want.values()), "no pure-bigram doc"
+    assert any(b > 0 for (_, b, _, _) in want.values()), "no backoff hit"
+    assert any(m == 0 for (_, _, _, m) in want.values()), (
+        "no OOV-floor hit (odd-only words must score 0)"
+    )
