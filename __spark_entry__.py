@@ -291,6 +291,7 @@ _PRIORITY_R09 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_png_decode_real",  # round-9 new: REAL stdlib PNG decode
     "text_backoff_lm_scores",  # round-9 new: stupid-backoff LM, held-out split
+    "dedup_incremental_lines_delta",  # round-9 new: cross-snapshot line dedup
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1552,3 +1552,103 @@ def apply_excisions(
             "tokens_removed"
         ),
     )
+
+
+def line_ledger(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The PERSISTABLE exact-line-dedup state: one row per distinct
+    non-blank line hash seen in ``docs`` — column ``line_h`` (sha2-256;
+    collision-safe at any corpus size, because a collision here deletes
+    text from future snapshots).
+
+    This is the cross-snapshot half of ``dedup_exact_lines_apply``
+    (VERDICT r08 #5): a recurring crawl persists this relation as a
+    parquet table BUCKETED on ``line_h`` (plans/bucketing.py layout),
+    so each new slice dedups against stored state with the ledger side
+    of the join pre-partitioned — the base corpus is never rescanned,
+    and the ledger never reshuffles.  After each batch, append
+    ``ledger_delta`` (below) and the state stays current.
+
+    Scale shape: one scan of the slice, explode to lines, DISTINCT via
+    map-side-combined aggregate — the exchange is distinct-line
+    cardinality, not token volume."""
+    lines = docs.select(
+        F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    )
+    return (
+        lines.filter(F.trim(F.col("line")) != "")
+        .select(F.sha2(F.col("line"), 256).alias("line_h"))
+        .distinct()
+    )
+
+
+def dedup_lines_against_ledger(
+    new_docs: DataFrame,
+    ledger: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact-line dedup of a NEW snapshot against stored
+    state: the production recurring-crawl shape (VERDICT r08 #5).
+
+    Semantics (snapshot ordering): every line whose hash is already in
+    ``ledger`` is dropped from the new slice entirely (its first
+    occurrence lives in an earlier snapshot); lines new to the corpus
+    keep their first occurrence within this slice (smallest
+    (doc_id, pos)) and drop later copies; blank lines always pass.
+    Processing batches 1..N this way yields exactly the from-scratch
+    result over the concatenated corpus ordered (batch, doc_id, pos) —
+    tests/test_operators.py proves the two-batch case.
+
+    Returns ``(verdicts, ledger_delta)``:
+      * ``verdicts``: one row per line of the new slice —
+        (doc_id, pos, line, keep, dropped_base) where ``dropped_base``
+        marks drops caused by the stored ledger (vs within-slice dups);
+      * ``ledger_delta``: the distinct hashes this slice adds — append
+        to the stored ledger to advance the state.
+
+    Scale shape: the new slice explodes once; within-slice firsts are
+    a map-side-combined min aggregate (distinct-line-of-slice
+    exchange); the ledger probe is ONE equi-join on line_h — with the
+    ledger bucketed on line_h only the (much smaller) new slice
+    shuffles, and the base corpus is never read at all.  The encoded
+    first-position min (doc_id * 2^20 + pos) matches the DuckDB
+    oracle's integer arithmetic exactly (pos < 2^20 asserted by the
+    split cap in load; real crawls key by (shard, offset) the same
+    way)."""
+    lines = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    cand = lines.withColumn(
+        "_h",
+        F.when(F.trim(F.col("line")) != "", F.sha2(F.col("line"), 256)),
+    ).withColumn(
+        "_enc", F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+    )
+    led = ledger.select(F.col("line_h").alias("_h"), F.lit(True).alias("_in_base"))
+    probed = cand.join(led, "_h", "left")
+    firsts = (
+        cand.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min("_enc").alias("_first_enc"))
+    )
+    marked = probed.join(firsts, "_h", "left").select(
+        "doc_id",
+        "pos",
+        "line",
+        (
+            F.col("_h").isNull()
+            | (
+                F.col("_in_base").isNull()
+                & (F.col("_enc") == F.col("_first_enc"))
+            )
+        ).alias("keep"),
+        F.coalesce(F.col("_in_base"), F.lit(False)).alias("dropped_base"),
+    )
+    delta = (
+        cand.filter(F.col("_h").isNotNull())
+        .select(F.col("_h").alias("line_h"))
+        .distinct()
+        .join(ledger.select("line_h"), "line_h", "left_anti")
+    )
+    return marked, delta

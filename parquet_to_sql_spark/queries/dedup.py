@@ -1766,3 +1766,98 @@ def dedup_exact_lines_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cleaned_chars"),
     )
+
+
+@query(
+    "dedup_incremental_lines_delta",
+    tags=("dedup", "llm-pipeline", "curation", "incremental", "scale-path"),
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, i - 1 AS pos, lines[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+            FROM documents) s,
+           LATERAL unnest(range(1, len(lines) + 1)) AS u(i)
+    ), base_h AS (
+      SELECT DISTINCT sha256(line) AS h FROM l
+      WHERE doc_id % 10 != 0 AND trim(line) <> ''
+    ), delta AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN trim(line) <> '' THEN sha256(line) END AS h,
+             doc_id * 1048576 + pos AS enc
+      FROM l WHERE doc_id % 10 = 0
+    ), firsts AS (
+      SELECT h, MIN(enc) AS first_enc
+      FROM delta WHERE h IS NOT NULL GROUP BY h
+    ), verdict AS (
+      SELECT d.doc_id, d.line,
+             (d.h IS NULL OR (b.h IS NULL AND d.enc = f.first_enc)) AS keep,
+             (d.h IS NOT NULL AND b.h IS NOT NULL) AS dropped_base
+      FROM delta d
+      LEFT JOIN base_h b ON d.h = b.h
+      LEFT JOIN firsts f ON d.h = f.h
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN dropped_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_base,
+           CAST(SUM(CASE WHEN NOT keep AND NOT dropped_base THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_new,
+           CAST(SUM(CASE WHEN keep THEN length(line) ELSE 0 END)
+                + GREATEST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) - 1, 0)
+                AS BIGINT) AS cleaned_chars
+    FROM verdict GROUP BY doc_id
+    """,
+)
+def dedup_incremental_lines_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SNAPSHOT incremental exact-line dedup — the production
+    recurring-crawl shape no gate query covered (VERDICT r08 #5):
+    snapshot 1 (doc_id % 10 != 0) has already been processed and its
+    first-occurrence LEDGER persisted (operators.dedup.line_ledger —
+    in production a parquet table bucketed on line_h, see the
+    two-batch equivalence test); snapshot 2 (doc_id % 10 == 0, the
+    new crawl slice) is deduped against that stored state WITHOUT
+    rescanning the base corpus: lines already in the ledger drop
+    everywhere, lines new to the corpus keep their first in-slice
+    occurrence, blank lines pass.  Output per new-slice document:
+    kept count, drops charged to the base ledger vs within-slice
+    duplicates (the split a crawl operator watches — a rising
+    base-drop share means the new crawl is re-fetching old pages),
+    and the cleaned character count pinning reassembly.
+
+    Equivalence: batch-by-batch processing in (batch, doc_id, pos)
+    order gives exactly the from-scratch result over the concatenated
+    corpus — tests/test_operators.py proves it with a materialized
+    BUCKETED ledger between the batches.
+
+    Scale shape: the new slice explodes once; in-slice firsts are a
+    map-side-combined min aggregate; the ledger probe is one
+    equi-join on the 256-bit hash — bucketed state means only the
+    (much smaller) delta shuffles, and at 100 TB the base corpus is
+    never read.  Here both sides derive in-plan from the fixture
+    (the driver's query contract is (spark, sf_dir)); the ledger
+    build is itself one scan + distinct, state-sized thereafter."""
+    from parquet_to_sql_spark.operators.dedup import (
+        dedup_lines_against_ledger,
+        line_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    verdicts, _ = dedup_lines_against_ledger(delta, line_ledger(base))
+    kept_n = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return verdicts.groupBy("doc_id").agg(
+        kept_n.cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("dropped_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_base"),
+        F.sum(F.when(~F.col("keep") & ~F.col("dropped_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_new"),
+        (
+            F.sum(F.when(F.col("keep"), F.length("line")).otherwise(0))
+            + F.greatest(kept_n - 1, F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cleaned_chars"),
+    )
