@@ -135,14 +135,32 @@ def duck_hashed_positional_kgrams(n: int) -> str:
     )
 
 
+def _first_primes(n: int, start_after: int = 1) -> list[int]:
+    """First ``n`` primes strictly greater than ``start_after`` —
+    deterministic trial division (n is at most a few hundred here)."""
+    out: list[int] = []
+    cand = max(start_after + 1, 2)
+    while len(out) < n:
+        if cand >= 2 and all(cand % p for p in range(2, int(cand**0.5) + 1)):
+            out.append(cand)
+        cand += 1
+    return out
+
+
 def minhash_constants(k: int = 8) -> list[tuple[int, int]]:
     """Fixed (a, b) pairs for the k permutation hashes
-    h_i(x) = (a_i*x + b_i) mod (2^31-1). a_i*x < 2^36 — overflow-safe."""
-    a = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67]
-    b = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
-    if k > len(a):
-        raise ValueError(f"k <= {len(a)} supported")
-    return list(zip(a[:k], b[:k]))
+    h_i(x) = (a_i*x + b_i) mod (2^31-1): a_i = consecutive primes
+    from 7, b_i = consecutive primes from 3 — for k <= 16 these are
+    byte-identical to the original hand-written lists (every recorded
+    oracle embeds them), and the prime generator extends the same
+    sequence to production parameters (k=128 for the RefinedWeb/Dolma
+    banding audit).  Overflow-safe: even at k=512 a_i < 4000, so
+    a_i*x < 4000 * 2^31 < 2^43 in BIGINT on both engines."""
+    if k > 512:
+        raise ValueError(f"k <= 512 supported, got {k}")
+    a = _first_primes(k, start_after=6)
+    b = _first_primes(k, start_after=2)
+    return list(zip(a, b))
 
 
 def countmin_cells(hx: Column, depth: int = 4, width: int = 1024) -> Column:

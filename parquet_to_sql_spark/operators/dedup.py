@@ -1652,3 +1652,58 @@ def dedup_lines_against_ledger(
         .join(ledger.select("line_h"), "line_h", "left_anti")
     )
     return marked, delta
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 128,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MEMBERSHIP-ONLY LSH candidate pairs at production parameters
+    (k=128 / bands=16 is the RefinedWeb/Dolma setting): docs sharing
+    any (band, band-key) bucket, as a distinct (doc1, doc2) relation.
+
+    Unlike ``minhash_lsh_pairs`` (which re-scores candidates by
+    minhash agreement and therefore carries all k signature columns
+    through BOTH join sides), this drops the signatures before the
+    banding join — at k=128 that is 2k integer columns (~2 KB/row)
+    the verification stage never needs, because production recall
+    pipelines verify candidates with EXACT similarity (shingle
+    Jaccard / edit distance), not a re-read of the estimate that
+    generated them.  The join exchange carries (doc, band, key) only.
+
+    Scale shape: signatures materialize once (localCheckpoint — the
+    relation is referenced by ``bands`` slices x 2 join sides, and
+    untruncated lineage would re-run the k MIN aggregates per slice);
+    candidate generation is an equality join on the bucket key (never
+    all-pairs); skewed buckets split by AQE."""
+    if bands <= 0 or k % bands:
+        raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
+    slices = []
+    for bi in range(bands):
+        cols = [F.col(f"m{bi * rows + r}") for r in range(rows)]
+        slices.append(
+            sig.select(
+                F.col(id_col).alias("doc"),
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias(
+                    "bucket"
+                ),
+            )
+        )
+    exploded = slices[0]
+    for s in slices[1:]:
+        exploded = exploded.unionByName(s)
+    left = exploded.select(F.col("doc").alias("doc1"), "band", "bucket")
+    right = exploded.select(F.col("doc").alias("doc2"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )

@@ -1861,3 +1861,180 @@ def dedup_incremental_lines_delta(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("cleaned_chars"),
     )
+
+
+_PROD_K, _PROD_BANDS = 128, 16  # the RefinedWeb/Dolma setting
+_PROD_ROWS = _PROD_K // _PROD_BANDS
+_PROD_BUCKETS = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    + " || '_' || ".join(f"m{bi * _PROD_ROWS + r}" for r in range(_PROD_ROWS))
+    + " AS bucket FROM sig"
+    for bi in range(_PROD_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_production_audit",
+    headline=True,
+    tags=("dedup", "minhash", "audit", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, {DUCK_WORDS} AS w FROM documents
+    ), mut AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_transform(range(1, len(w) + 1),
+               i -> CASE WHEN i % (3 * (1 << (doc_id % 5))) = 0
+                         THEN 'zqz' ELSE w[i] END), ' ') AS text
+      FROM w0
+    ), corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM mut
+    ), sh AS (
+      SELECT doc_id, unnest({{shingles}}) AS shingle FROM corpus
+    ), hashed AS (
+      SELECT doc_id, {{fold}} AS x FROM sh
+    ), sig AS (
+      SELECT doc_id,
+      {{sig_cols}}
+      FROM hashed GROUP BY doc_id
+    ), buckets AS ({{buckets}}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+      FROM buckets l JOIN buckets r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), sets_o AS (
+      SELECT doc_id, {{shingles}} AS shs FROM documents
+    ), sets_m AS (
+      SELECT doc_id - 1000000 AS doc_id, {{shingles}} AS shs FROM mut
+    ), planted AS (
+      SELECT o.doc_id,
+             len(list_intersect(o.shs, m.shs)) AS common,
+             len(o.shs) AS n1, len(m.shs) AS n2
+      FROM sets_o o JOIN sets_m m USING (doc_id)
+      WHERE len(o.shs) > 0 AND len(m.shs) > 0
+    ), j AS (
+      SELECT doc_id,
+             CAST((1000000::HUGEINT * common) // (n1 + n2 - common)
+                  AS BIGINT) AS jacc_ppm
+      FROM planted
+    ), r AS (
+      SELECT j.jacc_ppm // 100000 AS jacc_decile,
+             CASE WHEN c.doc1 IS NOT NULL THEN 1 ELSE 0 END AS rec
+      FROM j LEFT JOIN cand c
+        ON c.doc1 = j.doc_id AND c.doc2 = j.doc_id + 1000000
+    )
+    SELECT CAST(jacc_decile AS BIGINT) AS jacc_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_planted,
+           CAST(SUM(rec) AS BIGINT) AS n_recovered
+    FROM r GROUP BY 1
+    """.format(
+        shingles=DUCK_SHINGLES,
+        fold=DUCK_FOLD.format(s="shingle"),
+        sig_cols=_duck_minhash_cols(_PROD_K),
+        buckets=_PROD_BUCKETS,
+    ),
+)
+def dedup_minhash_production_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding audited AT PRODUCTION PARAMETERS — k=128 /
+    bands=16 (8 rows per band), the RefinedWeb/Dolma setting — against
+    the exact Jaccard join on PLANTED near-duplicates (VERDICT r08 #6:
+    the gate family proves the machinery at toy k=8/bands=4; this
+    proves the banding math where users will actually run it).
+
+    Each document gets a mutant twin (doc_id + 1,000,000): every p-th
+    token replaced by a marker, with p = 3 * 2^(doc_id % 5) in
+    {{3, 6, 12, 24, 48}} — five mutation rates spanning the S-curve
+    from J~0 (every shingle window hits a mutation) to J~0.94 (1-in-48
+    tokens).  The LSH candidate pass runs membership-only over
+    originals + mutants (minhash_lsh_candidates — signatures dropped
+    before the banding join; at k=128 carrying 2k integer columns
+    through the exchange is pure waste since production pipelines
+    verify with EXACT similarity).  Output: per exact-Jaccard decile,
+    how many planted pairs exist and how many the banding recovered —
+    exact-integer recall counts the DuckDB oracle recomputes from the
+    same 128 published hash constants.  The property test pins the
+    empirical recall per decile against the theoretical
+    1-(1-J^8)^16 S-curve.
+
+    Scale shape: signature build is explode + ONE groupBy with 128
+    MIN aggregates (map-side combined); candidates via bucket-key
+    equality join, never all-pairs; the exact-Jaccard side touches
+    only the n planted pairs, not the candidate set."""
+    from parquet_to_sql_spark.functions.hashing import word_shingles
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute, ws_tokens
+
+    # every branch below does expression-heavy per-row array work
+    # (tokenize + shingle + intersect); spread the narrow input across
+    # cores first or the single-row-group fixture runs it in ONE task
+    docs = rebalance_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        ws_tokens(F.col("text")).alias("_w"),
+        # SQL shiftleft: the Python API's numBits is a plain int only
+        F.expr("3 * shiftleft(1, CAST(doc_id % 5 AS INT))").alias("_p"),
+    )
+    mut = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w")),
+                lambda i: F.when(i % F.col("_p") == 0, F.lit("zqz")).otherwise(
+                    F.element_at(F.col("_w"), i)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mut)
+    from parquet_to_sql_spark.operators.dedup import minhash_lsh_candidates
+
+    cands = minhash_lsh_candidates(
+        corpus, "doc_id", "text", k=_PROD_K, bands=_PROD_BANDS, n=3
+    )
+    # materialize the per-doc shingle arrays BEFORE the join:
+    # without the barrier Catalyst collapses the whole
+    # tokenize->mutate->retokenize->shingle chain through the join and
+    # the nested-lambda expression tree falls off the codegen path
+    # (interpreted eval per reference: measured 50s vs 6s at sf0.01);
+    # the checkpointed relations are doc-count-sized, arrays of ~50
+    # shingles each
+    sets_o = docs.select(
+        "doc_id", word_shingles(ws_tokens(F.col("text")), 3).alias("sh_o")
+    ).localCheckpoint()
+    sets_m = mut.select(
+        (F.col("doc_id") - 1000000).alias("doc_id"),
+        word_shingles(ws_tokens(F.col("text")), 3).alias("sh_m"),
+    ).localCheckpoint()
+    planted = (
+        sets_o.join(sets_m, "doc_id")
+        .filter((F.size("sh_o") > 0) & (F.size("sh_m") > 0))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("sh_o", "sh_m")).cast("long").alias("common"),
+            F.size("sh_o").cast("long").alias("n1"),
+            F.size("sh_m").cast("long").alias("n2"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * common)"
+                " div (n1 + n2 - common) AS BIGINT)"
+            ).alias("jacc_ppm"),
+        )
+    )
+    rec = planted.join(
+        cands,
+        (F.col("doc1") == F.col("doc_id"))
+        & (F.col("doc2") == F.col("doc_id") + 1000000),
+        "left",
+    ).select(
+        F.expr("jacc_ppm div 100000").alias("jacc_decile"),
+        F.when(F.col("doc1").isNotNull(), 1).otherwise(0).alias("rec"),
+    )
+    return rec.groupBy("jacc_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted"),
+        F.sum("rec").cast("bigint").alias("n_recovered"),
+    )
