@@ -82,3 +82,48 @@ def test_scaling_artifact_has_no_superlinear_queries():
         if r["top_step_ratio"] > flag or r["top_step_ratio"] <= 0
     }
     assert bad == {}, f"super-linear or errored snapshot rows: {bad}"
+
+
+def test_psl_curation_broadcast_counts_pinned(spark):
+    """VERDICT r08 'What's wrong' #2 / 'Next round' #9: the five
+    per-depth PSL rule-table broadcasts replicate textually across the
+    curation queries' branches, which jumped the static PLAN_BASELINE
+    broadcast counts (3->27, 8->32) and locked in a high floor the
+    growth-only regression gate can't look under.  Pin the claim made
+    when the baseline moved: (a) the FINAL executed plan's distinct
+    BroadcastExchange count stays at or under today's ceiling, and
+    (b) runtime exchange reuse actually happens (ReusedExchange > 0).
+    If a future branch addition grows either ceiling, this fails until
+    the commit justifies a new baseline."""
+    import contextlib
+    import io
+    import re
+
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    # (query, max distinct BroadcastExchange in the final AQE plan,
+    #  measured 34/40 at r9 freeze — small headroom for AQE jitter)
+    ceilings = {
+        "pipeline_web_curation": 36,
+        "pipeline_domain_cap_screen": 42,
+    }
+    for name, cap in ceilings.items():
+        df = all_queries()[name].build(spark, SF_CORRECT)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        fmt = buf.getvalue()
+        bcast = len(re.findall(r"\(\d+\) BroadcastExchange", fmt))
+        reused = len(re.findall(r"\(\d+\) ReusedExchange", fmt))
+        assert bcast <= cap, (
+            f"{name}: {bcast} distinct BroadcastExchange in the final "
+            f"plan (ceiling {cap}) — a branch grew the PSL broadcast "
+            f"replication; justify and update the ceiling"
+        )
+        assert reused > 0, (
+            f"{name}: no runtime exchange reuse at all — the rationale "
+            f"for accepting the static broadcast growth (R8-3) no "
+            f"longer holds"
+        )
