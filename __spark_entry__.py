@@ -293,6 +293,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_backoff_lm_scores",  # round-9 new: stupid-backoff LM, held-out split
     "dedup_incremental_lines_delta",  # round-9 new: cross-snapshot line dedup
     "dedup_minhash_production_audit",  # round-9 new: k=128/bands=16 recall audit
+    "multimodal_wav_decode_real",  # round-9 new: REAL stdlib PCM WAV decode
 )
 
 # Verified queries whose build source OR implementing operator

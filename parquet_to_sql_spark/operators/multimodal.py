@@ -14,13 +14,14 @@ pickling).
 Real decoders: `decode_image_features(fake=False)` decodes PNG
 end-to-end via the pure-stdlib codec in `operators/png.py` (zlib
 inflate + scanline unfiltering — no third-party imaging library
-needed; VERDICT r08 #2).  Non-PNG image payloads raise
-`PngFormatError` with the reason, or are routed to NULL-feature rows
-under `on_error="null"` (the quarantine shape a 100 TB crawl job
-needs — one corrupt payload must not kill the stage).  Audio/video
-still ship the deterministic fake decoders behind `fake=True` and
-raise honestly otherwise (soundfile/ffmpeg absent in this
-environment; re-checked each round).
+needed; VERDICT r08 #2), and `decode_audio_features(fake=False)`
+decodes PCM WAV via the stdlib `wave` module.  Out-of-scope payloads
+raise a typed format error with the reason, or are routed to
+NULL-feature rows under `on_error="null"` (the quarantine shape a
+100 TB crawl job needs — one corrupt payload must not kill the
+stage).  Video/compressed-audio still ship the deterministic fake
+decoders behind `fake=True` and raise honestly otherwise (ffmpeg/
+soundfile absent in this environment; re-checked each round).
 """
 
 from __future__ import annotations
@@ -139,23 +140,75 @@ def _fake_decode_audio(payload: bytes) -> tuple[int, int, int, int]:
     return sample_rate, channels, duration_ms, peak_amp
 
 
-def decode_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+class WavFormatError(ValueError):
+    """Raised for non-WAV / corrupt / out-of-scope audio payloads so
+    pipelines can route them to a quarantine bucket by reason."""
+
+
+def _real_decode_audio(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL audio decode (PCM WAV via the stdlib ``wave`` module — the
+    second env-independent real decoder after PNG): sample rate,
+    channels, duration in ms, and peak amplitude (max |sample| over
+    every frame of every channel).  Scope: the PCM widths ``wave``
+    itself supports with exact integer semantics — 16-bit signed and
+    8-bit unsigned (peak measured around the 128 midpoint).  Anything
+    else (compressed WAV, 24/32-bit, non-RIFF bytes) raises
+    WavFormatError naming the reason."""
+    import io
+    import sys
+    import wave
+    from array import array
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as r:
+            nch = r.getnchannels()
+            rate = r.getframerate()
+            nframes = r.getnframes()
+            width = r.getsampwidth()
+            frames = r.readframes(nframes)
+    except (wave.Error, EOFError) as exc:
+        raise WavFormatError(f"not a decodable PCM WAV: {exc}") from exc
+    if width == 2:
+        if len(frames) % 2:
+            raise WavFormatError("odd byte count for 16-bit PCM")
+        samples = array("h", frames)
+        if sys.byteorder == "big":  # WAV is little-endian
+            samples.byteswap()
+        peak = max((abs(s) for s in samples), default=0)
+    elif width == 1:
+        peak = max((abs(b - 128) for b in frames), default=0)
+    else:
+        raise WavFormatError(f"sample width {width * 8}-bit not supported (8/16)")
+    if rate <= 0:
+        raise WavFormatError("non-positive frame rate")
+    return rate, nch, nframes * 1000 // rate, peak
+
+
+def decode_audio_features(
+    df: DataFrame, fake: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """Audio-stream feature extraction via mapInPandas — same Arrow
-    plumbing as image decode; real decoders (soundfile/ffmpeg) are
-    absent here by design, so fake=False raises."""
-    if not fake:
-        raise NotImplementedError(
-            "real audio decoding requires soundfile/ffmpeg on executors; "
-            "this environment ships the deterministic fake decoder only"
-        )
+    plumbing as image decode.  ``fake=False`` is REAL for PCM WAV
+    (stdlib ``wave``); other formats raise WavFormatError, or emit a
+    NULL-feature quarantine row under ``on_error='null'``.  ffmpeg/
+    soundfile remain the production path for compressed formats and
+    stay honestly absent here."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    decode_one = _fake_decode_audio if fake else _real_decode_audio
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for uri, data in zip(pdf["uri"], pdf["data"]):
                 payload = bytes(data) if data is not None else b""
-                sr, ch, dur, peak = _fake_decode_audio(payload)
-                rows.append((uri, len(payload), sr, ch, dur, peak))
+                try:
+                    sr, ch, dur, peak = decode_one(payload)
+                    rows.append((uri, len(payload), sr, ch, dur, peak))
+                except WavFormatError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((uri, len(payload), None, None, None, None))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -368,3 +368,123 @@ def multimodal_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_px long, pixel_sum long, roundtrip_exact boolean"
         ),
     )
+
+
+@query(
+    "multimodal_wav_decode_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS nch,
+             8000 + 1000 * (doc_id % 8) AS rate,
+             64 + doc_id % 128 AS nframes,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS width
+      FROM documents
+    ), s AS (
+      SELECT doc_id, nch, rate, nframes,
+             list_transform(range(nframes * nch),
+               j -> CASE WHEN width = 1
+                         THEN abs((doc_id * 37 + j * 173) % 256 - 128)
+                         ELSE abs(((doc_id * 37 + j * 173) % 32768) - 16384)
+                    END) AS a
+      FROM p
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(nch AS INT) AS channels,
+           CAST(nframes * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(list_max(a) AS INT) AS peak_amp,
+           CAST(nframes * nch AS BIGINT) AS n_samples,
+           CAST(list_sum(a) AS BIGINT) AS samp_abs_sum
+    FROM s
+    """,
+)
+def multimodal_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding inside mapInPandas — the WAV twin of
+    multimodal_png_decode_real: each document id becomes a
+    deterministic PCM sample stream (sample j = (doc_id*37 + j*173)
+    mod the width's range, centered), written to an actual RIFF WAV
+    by the stdlib ``wave`` writer — 16-bit for most docs, 8-bit
+    unsigned for doc_id % 3 == 0, mono/stereo and eight sample rates
+    cycling by id — then decoded back by the REAL decoder
+    (operators/multimodal._real_decode_audio, stdlib ``wave``).  The
+    oracle regenerates the absolute-sample relation arithmetically
+    WITHOUT decoding, so a header-parse, stride, endianness, or
+    signedness bug surfaces as a peak/abs-sum value mismatch.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — identical plumbing to the image path; a real corpus
+    swaps synthesis for binaryFile payloads."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import sys
+        import wave
+        from array import array
+
+        from parquet_to_sql_spark.operators.multimodal import (
+            _real_decode_audio,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nch = 1 + did % 2
+                rate = 8000 + 1000 * (did % 8)
+                nframes = 64 + did % 128
+                width = 1 if did % 3 == 0 else 2
+                nsamp = nframes * nch
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(nch)
+                    w.setsampwidth(width)
+                    w.setframerate(rate)
+                    if width == 1:
+                        w.writeframes(
+                            bytes((did * 37 + j * 173) % 256 for j in range(nsamp))
+                        )
+                    else:
+                        w.writeframes(
+                            b"".join(
+                                struct.pack(
+                                    "<h", ((did * 37 + j * 173) % 32768) - 16384
+                                )
+                                for j in range(nsamp)
+                            )
+                        )
+                payload = buf.getvalue()
+                sr, ch, dur, peak = _real_decode_audio(payload)
+                # abs-sum from the DECODED frames (not the formula),
+                # so the oracle cross-checks the decode end to end
+                with wave.open(io.BytesIO(payload), "rb") as r:
+                    frames = r.readframes(r.getnframes())
+                if width == 1:
+                    asum = sum(abs(b - 128) for b in frames)
+                else:
+                    arr = array("h", frames)
+                    if sys.byteorder == "big":
+                        arr.byteswap()
+                    asum = sum(abs(s) for s in arr)
+                rows.append((did, sr, ch, dur, peak, nsamp, asum))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "duration_ms",
+                    "peak_amp", "n_samples", "samp_abs_sum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        encode_decode,
+        schema=(
+            "doc_id long, sample_rate int, channels int, duration_ms long, "
+            "peak_amp int, n_samples long, samp_abs_sum long"
+        ),
+    )

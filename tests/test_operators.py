@@ -241,16 +241,68 @@ def test_multimodal_real_decode_rejects_and_routes_non_png(spark):
         decode_image_features(packed, fake=False, on_error="quarantine")
 
 
-def test_multimodal_audio_real_decoder_still_stubbed(spark):
-    """Audio keeps the honest env-gated raise (soundfile/ffmpeg absent;
-    re-checked each round) — only PNG has a real stdlib path."""
-    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    packed = pack_binary(df, F.encode(F.col("text"), "utf-8"),
-                         F.lit("doc://1"), "audio/wav")
+def test_multimodal_real_wav_decode_end_to_end(spark):
+    """fake=False audio is REAL since round 9: stdlib-`wave` PCM
+    decode inside mapInPandas recovers exact rate/channels/duration
+    and peak amplitude for synthesized 16-bit and 8-bit WAVs; non-WAV
+    payloads raise with the reason or quarantine under
+    on_error='null'."""
+    import io
+    import struct
+    import wave
+
     from parquet_to_sql_spark.operators.multimodal import decode_audio_features
 
-    with pytest.raises(NotImplementedError, match="decoder"):
-        decode_audio_features(packed, fake=False)
+    def wav16(rate, nch, samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    def wav8(rate, nch, samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(1)
+            w.setframerate(rate)
+            w.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    s16 = [((i * 173) % 32768) - 16384 for i in range(300)]  # 150 stereo frames
+    s8 = [(i * 7) % 256 for i in range(200)]
+    rows = [
+        (1, bytearray(wav16(16000, 2, s16))),
+        (2, bytearray(wav8(8000, 1, s8))),
+        (3, bytearray(b"OggS this is not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    packed = pack_binary(
+        df,
+        data=F.col("payload"),
+        uri=F.concat(F.lit("au://"), F.col("doc_id").cast("string")),
+        media_type="audio/wav",
+    )
+    with pytest.raises(Exception, match="not a decodable PCM WAV"):
+        decode_audio_features(packed, fake=False).collect()
+    got = {
+        r.uri: r
+        for r in decode_audio_features(
+            packed, fake=False, on_error="null"
+        ).collect()
+    }
+    r1 = got["au://1"]
+    assert (r1.sample_rate, r1.channels) == (16000, 2)
+    assert r1.duration_ms == 150 * 1000 // 16000
+    assert r1.peak_amp == max(abs(s) for s in s16)
+    r2 = got["au://2"]
+    assert (r2.sample_rate, r2.channels) == (8000, 1)
+    assert r2.duration_ms == 200 * 1000 // 8000
+    assert r2.peak_amp == max(abs(b - 128) for b in s8)
+    assert got["au://3"].sample_rate is None  # quarantined, not fatal
+    assert got["au://3"].n_bytes == 22
 
 
 def test_multimodal_frame_sampling(spark):
