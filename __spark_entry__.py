@@ -294,6 +294,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_incremental_lines_delta",  # round-9 new: cross-snapshot line dedup
     "dedup_minhash_production_audit",  # round-9 new: k=128/bands=16 recall audit
     "multimodal_wav_decode_real",  # round-9 new: REAL stdlib PCM WAV decode
+    "dedup_minhash_incremental_screen",  # round-9 new: stored-index near-dup probe
 )
 
 # Verified queries whose build source OR implementing operator

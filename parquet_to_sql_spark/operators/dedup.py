@@ -1707,3 +1707,79 @@ def minhash_lsh_candidates(
         .select("doc1", "doc2")
         .distinct()
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE MinHash-LSH state: (doc, band, bucket) — one
+    row per banded signature slice of every document.  A recurring
+    crawl stores this relation as a parquet table BUCKETED on
+    (band, bucket) (plans/bucketing.py layout); each new snapshot then
+    near-dup-screens against the stored index with the index side of
+    the probe join pre-partitioned — the base corpus text is never
+    re-shingled, and appending the new slice's index rows advances the
+    state (the banded twin of line_ledger's exact-dedup state).
+
+    Scale shape: one scan of the slice, explode to shingles, k MIN
+    aggregates (map-side combined), a row-local band slice — the
+    output is bands x doc-count rows of three narrow columns."""
+    if bands <= 0 or k % bands:
+        raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
+    slices = []
+    for bi in range(bands):
+        cols = [F.col(f"m{bi * rows + r}") for r in range(rows)]
+        slices.append(
+            sig.select(
+                F.col(id_col).alias("doc"),
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias(
+                    "bucket"
+                ),
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def minhash_screen_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup screen of ARRIVING documents against a stored MinHash
+    band index (minhash_band_index) — the cross-snapshot incremental
+    shape for FUZZY dedup (VERDICT r08 #5 extended beyond exact
+    lines): sketch only the new slice, probe the index band-wise,
+    return the distinct (new_id, corpus_id) candidate pairs for the
+    caller's exact-verification stage.
+
+    The k/bands/n parameters MUST match the ones the index was built
+    with — the bucket keys are parameter-specific (same contract as
+    any LSH index).  With the index bucketed on (band, bucket) only
+    the new slice shuffles; the base corpus is never read."""
+    new_idx = minhash_band_index(new_docs, id_col, text_col, k, bands, n)
+    return (
+        new_idx.select(
+            F.col("doc").alias("new_id"), "band", "bucket"
+        )
+        .join(
+            index.select(F.col("doc").alias("corpus_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

@@ -2038,3 +2038,65 @@ def dedup_minhash_production_audit(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("bigint").alias("n_planted"),
         F.sum("rec").cast("bigint").alias("n_recovered"),
     )
+
+
+@query(
+    "dedup_minhash_incremental_screen",
+    tags=("dedup", "minhash", "llm-pipeline", "incremental", "scale-path"),
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, {DUCK_FOLD.format(s="shingle")} AS x FROM sh
+    ), sig AS (
+      SELECT doc_id,
+      {_duck_minhash_cols(8)}
+      FROM hashed GROUP BY doc_id
+    ), buckets AS ({_DUCK_BUCKETS}),
+    base AS (SELECT * FROM buckets WHERE doc_id % 10 != 0),
+    delta AS (SELECT * FROM buckets WHERE doc_id % 10 = 0),
+    pairs AS (
+      SELECT DISTINCT d.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM delta d JOIN base b
+        ON d.band = b.band AND d.bucket = b.bucket
+    )
+    SELECT CAST(new_id AS BIGINT) AS new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(corpus_id) AS BIGINT) AS min_corpus_id
+    FROM pairs GROUP BY new_id
+    """,
+)
+def dedup_minhash_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SNAPSHOT incremental NEAR-dup screening — the fuzzy twin
+    of dedup_incremental_lines_delta: snapshot 1 (doc_id % 10 != 0)
+    has its MinHash band index persisted (minhash_band_index — in
+    production a parquet table bucketed on (band, bucket), proven by
+    the two-batch test); snapshot 2 (the new crawl slice) sketches
+    ONLY its own documents and probes the stored index band-wise.
+    Output per new document: how many base-corpus near-dup candidates
+    it bucket-collides with and the smallest such corpus id — the
+    relation a crawl pipeline feeds to exact verification before
+    deciding the new page is a re-crawl.
+
+    Scale shape: the new slice is shingled/hashed once (k MIN
+    aggregates, map-side combined); the probe is one equi-join on
+    (band, bucket) — with the index bucketed, only the (much smaller)
+    delta shuffles and the base corpus text is never re-read.  Here
+    both sides derive in-plan from the fixture per the driver's
+    (spark, sf_dir) contract; the index build is itself one scan."""
+    from parquet_to_sql_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_screen_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = minhash_band_index(base, "doc_id", "text", k=8, bands=4, n=3)
+    pairs = minhash_screen_against_index(
+        delta, idx, "doc_id", "text", k=8, bands=4, n=3
+    )
+    return pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("corpus_id").cast("bigint").alias("min_corpus_id"),
+    )

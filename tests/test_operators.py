@@ -1632,3 +1632,79 @@ def test_incremental_line_dedup_two_batches_equal_from_scratch(spark):
         assert "line_ledger_state" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS line_ledger_state")
+
+
+def test_minhash_incremental_screen_with_stored_bucketed_index(spark):
+    """The fuzzy twin of the line-ledger two-batch test: batch 1's
+    MinHash band index materialized as a parquet table bucketed on
+    (band, bucket), batch 2 screened reading ONLY the stored state —
+    the candidate pairs must equal an in-plan probe of the same two
+    batches, and appending batch 2's index rows must advance the state
+    to exactly the from-scratch index over batch1+batch2."""
+    import random
+
+    from parquet_to_sql_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_screen_against_index,
+    )
+
+    rng = random.Random(71)
+    vocab = [f"tok{i}" for i in range(30)]
+
+    def make(doc_ids, mutate_of=None):
+        out = []
+        for d in doc_ids:
+            if mutate_of is not None and rng.random() < 0.5:
+                # near-dup of an earlier doc: copy + one token swap
+                src = rng.choice(mutate_of)
+                toks = src[1].split()
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                out.append((d, " ".join(toks)))
+            else:
+                out.append(
+                    (d, " ".join(rng.choice(vocab) for _ in range(20)))
+                )
+        return out
+
+    batch1 = make(range(0, 15))
+    batch2 = make(range(15, 30), mutate_of=batch1)
+    df1 = spark.createDataFrame(batch1, "doc_id long, text string")
+    df2 = spark.createDataFrame(batch2, "doc_id long, text string")
+
+    spark.sql("DROP TABLE IF EXISTS mh_band_index")
+    minhash_band_index(df1, "doc_id", "text", k=8, bands=4, n=3).write.bucketBy(
+        8, "band", "bucket"
+    ).sortBy("band", "bucket").saveAsTable("mh_band_index")
+    try:
+        stored = spark.table("mh_band_index")
+        got = {
+            (r.new_id, r.corpus_id)
+            for r in minhash_screen_against_index(
+                df2, stored, "doc_id", "text", k=8, bands=4, n=3
+            ).collect()
+        }
+        inplan_idx = minhash_band_index(df1, "doc_id", "text", k=8, bands=4, n=3)
+        want = {
+            (r.new_id, r.corpus_id)
+            for r in minhash_screen_against_index(
+                df2, inplan_idx, "doc_id", "text", k=8, bands=4, n=3
+            ).collect()
+        }
+        assert got == want
+        assert len(got) > 0, "mutated batch-2 docs must collide with batch 1"
+        # advancing the state: stored + batch2 index == from-scratch
+        # index over the concatenated corpus
+        b2_idx = minhash_band_index(df2, "doc_id", "text", k=8, bands=4, n=3)
+        advanced = {
+            tuple(r)
+            for r in stored.unionByName(b2_idx).distinct().collect()
+        }
+        scratch = {
+            tuple(r)
+            for r in minhash_band_index(
+                df1.unionByName(df2), "doc_id", "text", k=8, bands=4, n=3
+            ).collect()
+        }
+        assert advanced == scratch
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_band_index")
