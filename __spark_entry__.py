@@ -295,6 +295,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_minhash_production_audit",  # round-9 new: k=128/bands=16 recall audit
     "multimodal_wav_decode_real",  # round-9 new: REAL stdlib PCM WAV decode
     "dedup_minhash_incremental_screen",  # round-9 new: stored-index near-dup probe
+    "simsearch_matryoshka_recall",  # round-9 new: truncated-dim recall audit
+    "dedup_semdedup_clusters",  # round-9 new: SemDeDup within-cluster dedup
 )
 
 # Verified queries whose build source OR implementing operator

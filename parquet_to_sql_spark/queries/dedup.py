@@ -2100,3 +2100,132 @@ def dedup_minhash_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.min("corpus_id").cast("bigint").alias("min_corpus_id"),
     )
+
+
+_SEMDEDUP_SEEDS = 16
+_SEMDEDUP_TAU = 0.30
+
+_DUCK_COS_FIELDS = """
+  list_reduce(list_transform(range(1, len({l})+1), k -> {l}[k]*{r}[k]), (x,y) -> x+y)
+  / (sqrt(list_reduce(list_transform({l}, x -> x*x), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform({r}, x -> x*x), (x,y) -> x+y)))
+"""
+
+
+@query(
+    "dedup_semdedup_clusters",
+    tags=("dedup", "embeddings", "semantic", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), s AS (
+      SELECT vec_id AS sid, ve AS se FROM v WHERE vec_id < {_SEMDEDUP_SEEDS}
+    ), asg AS (
+      SELECT vec_id, sid AS cluster FROM (
+        SELECT v.vec_id, s.sid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_DUCK_COS_FIELDS.format(l="v.ve", r="s.se")} DESC, s.sid) AS r
+        FROM v, s) WHERE r = 1
+    ), av AS (
+      SELECT a.vec_id, g.cluster, a.ve FROM v a JOIN asg g USING (vec_id)
+    ), dropped AS (
+      SELECT DISTINCT b.cluster, b.vec_id
+      FROM av a JOIN av b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_DUCK_COS_FIELDS.format(l="a.ve", r="b.ve")} >= {_SEMDEDUP_TAU}
+    )
+    SELECT CAST(g.cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM asg g LEFT JOIN dropped d
+      ON d.cluster = g.cluster AND d.vec_id = g.vec_id
+    GROUP BY g.cluster
+    """,
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023, public
+    record): embeddings are first ASSIGNED to clusters (nearest of
+    16 seed vectors by cosine, ties to the lower seed
+    id — the seeded-IVF convention this repo's ANN family documents),
+    then near-duplicate pairs are found ONLY within each cluster
+    (cosine >= 0.30; the fixtures have no true semantic
+    dups, so the threshold targets the random-similarity tail), and
+    the higher vec_id of each matching pair is dropped (keep-first).
+    Output per cluster: member/dropped/kept counts — the cluster-level
+    report a SemDeDup pass emits before the epsilon sweep.
+
+    Exactness: cosine via the left-fold double recipe both engines
+    evaluate in the same order (the dedup_embedding_cosine precedent),
+    so assignment ranks and threshold verdicts hash-match.
+
+    Scale shape: assignment is a broadcast of the seed table (k
+    centroids) against the corpus — one narrow pass, no shuffle of
+    the embedding relation beyond the cluster-keyed exchange; the
+    quadratic pair step is QUARANTINED inside clusters (SemDeDup's
+    core trick — k ~ sqrt(N) clusters bound the all-pairs cost), and
+    a skewed cluster splits under AQE.  At 100 TB the per-cluster
+    pair join is the dominant cost and is embarrassingly parallel
+    across clusters."""
+    from pyspark.sql import Window
+
+    from parquet_to_sql_spark.operators.simsearch import cosine_expr, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = with_norm(emb, "vec_id", "embedding", prefix="v")
+    seeds = with_norm(
+        emb.filter(F.col("vec_id") < _SEMDEDUP_SEEDS),
+        "vec_id",
+        "embedding",
+        prefix="s",
+    )
+    asg = (
+        v.crossJoin(F.broadcast(seeds))
+        .withColumn("cos", cosine_expr("v_vec", "s_vec", "v_norm", "s_norm"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("v_vec_id").orderBy(
+                    F.desc("cos"), F.col("s_vec_id")
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("v_vec_id").alias("vec_id"),
+            F.col("s_vec_id").alias("cluster"),
+            F.col("v_vec").alias("ve"),
+            F.col("v_norm").alias("vn"),
+        )
+        .localCheckpoint()  # referenced by 2 pair-join sides + the rollup
+    )
+    a = asg.select(
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("ve").alias("a_vec"),
+        F.col("vn").alias("a_norm"),
+    )
+    b = asg.select(
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("ve").alias("b_vec"),
+        F.col("vn").alias("b_norm"),
+    )
+    dropped = (
+        a.join(b, ["cluster"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine_expr("a_vec", "b_vec", "a_norm", "b_norm"))
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .select("cluster", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    marked = asg.select("cluster", "vec_id").join(
+        dropped.withColumn("_d", F.lit(1)), ["cluster", "vec_id"], "left"
+    )
+    return marked.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.coalesce(F.col("_d"), F.lit(0))).cast("bigint").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("_d"), F.lit(0))))
+        .cast("bigint")
+        .alias("n_kept"),
+    )

@@ -1272,3 +1272,128 @@ def simsearch_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("rr_ppm"),
     )
+
+
+_MAT_DIMS = (32, 16, 8)  # matryoshka truncation depths (full = 64)
+
+
+def _duck_mat_recall() -> str:
+    full = f"""
+    v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 4096) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, qv AS qq FROM v WHERE vec_id < {_N_QUERIES}),
+    pairs AS (SELECT qid, qq, vec_id AS cid, qv AS cv
+              FROM qs JOIN v ON vec_id <> qid),
+    gt AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY list_dot_product(qq, cv) DESC, cid) AS r
+        FROM pairs) WHERE r <= {_K}
+    )"""
+    per_dim = []
+    for d in _MAT_DIMS:
+        per_dim.append(f"""
+    t{d} AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY list_dot_product(qq[1:{d}], cv[1:{d}]) DESC, cid) AS r
+        FROM pairs) WHERE r <= {_K}
+    ),
+    r{d} AS (
+      SELECT {d} AS trunc_dim, CAST(COUNT(*) AS BIGINT) AS recall_hits
+      FROM t{d} JOIN gt USING (qid, cid)
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST(trunc_dim AS INT) AS trunc_dim, recall_hits, "
+        f"CAST({_N_QUERIES * _K} AS BIGINT) AS n_possible FROM r{d}"
+        for d in _MAT_DIMS
+    )
+    return "WITH " + full + "," + ",".join(per_dim) + "\n" + union
+
+
+@query(
+    "simsearch_matryoshka_recall",
+    tags=("simsearch", "embeddings", "eval", "llm-pipeline"),
+    oracle=_duck_mat_recall(),
+)
+def simsearch_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation audit (Kusupati et al. 2022, public
+    record): how much of the full-dimension top-k survives when the
+    search uses only the first 32/16/8 of the 64 embedding dimensions
+    — the measurement behind the storage/recall dial every
+    vector-index deployment tunes (truncate to d dims = d/64 of the
+    index bytes).  Scores are floor(x*4096) integer dots (the
+    repo's exact-by-construction recipe), ground truth is the full-
+    dim top-{_K} per query, and recall_hits counts exact (query,
+    neighbor) membership — all integers, DuckDB-mirrored.
+
+    Scale shape: one corpus pass per truncation depth over the same
+    broadcast-query candidate relation (prefix dots share the pair
+    join); only Q*k rows per depth survive the rank window.  At
+    production scale the truncated search runs against the IVF/PQ
+    paths; the flat relation here isolates the truncation effect from
+    index approximation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * 4096) AS BIGINT))"
+        ).alias("qv"),
+    )
+    qs = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
+    )
+    pairs = (
+        F.broadcast(qs)
+        .join(v, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qq",
+            F.col("vec_id").alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    )
+
+    def topk(dot_expr: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        scored = pairs.withColumn("score", F.expr(dot_expr))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("cid"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _K)
+            .select("qid", "cid")
+        )
+
+    full_dot = (
+        "aggregate(zip_with(qq, cv, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    gt = topk(full_dot).localCheckpoint()  # referenced by every depth
+    outs = []
+    for d in _MAT_DIMS:
+        dot_d = (
+            f"aggregate(zip_with(slice(qq, 1, {d}), slice(cv, 1, {d}), "
+            f"(x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+        hits = topk(dot_d).join(gt, ["qid", "cid"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("recall_hits")
+        )
+        outs.append(
+            hits.select(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                "recall_hits",
+                F.lit(_N_QUERIES * _K).cast("bigint").alias("n_possible"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -73,6 +73,7 @@ _SANCTIONED_NL = {
     "simsearch_mrr_eval",  # same broadcast query-set probes as recall_audit
     "simsearch_rrf_fusion",
     "simsearch_filtered_topk",
+    "simsearch_matryoshka_recall",  # broadcast 5-query probe side (r9)
     "simsearch_hard_negatives",
     "dedup_embedding_cosine",
     "dedup_embedding_ivf_blocked",

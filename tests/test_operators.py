@@ -481,8 +481,12 @@ def test_mapinarrow_decode_matches_mapinpandas(spark):
     via_pandas = sorted(decode_image_features(packed).collect())
     via_arrow = sorted(decode_image_features_arrow(packed).collect())
     assert via_pandas == via_arrow
-    with pytest.raises(NotImplementedError):
-        decode_image_features_arrow(packed, fake=False)
+    # fake=False is REAL since round 9 (stdlib PNG); on non-PNG bytes
+    # it raises the format error from inside the executor — the
+    # real-path twin equivalence is covered in
+    # test_multimodal_real_png_decode_end_to_end
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_image_features_arrow(packed, fake=False).collect()
 
 
 def test_simhash_col_matches_simhash_sketch(spark):
