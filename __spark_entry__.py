@@ -297,6 +297,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_minhash_incremental_screen",  # round-9 new: stored-index near-dup probe
     "simsearch_matryoshka_recall",  # round-9 new: truncated-dim recall audit
     "dedup_semdedup_clusters",  # round-9 new: SemDeDup within-cluster dedup
+    "multimodal_resize_real",  # round-9 new: REAL decode + NN resample
 )
 
 # Verified queries whose build source OR implementing operator

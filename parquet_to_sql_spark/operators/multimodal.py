@@ -337,26 +337,44 @@ def _fake_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
     )
 
 
+def _real_resize(payload: bytes, out_w: int, out_h: int):
+    """REAL thumbnail: decode the PNG payload (operators/png.py) and
+    nearest-neighbor-resample the actual reconstructed pixels to
+    (out_w, out_h), all channels — the standard index map
+    (src_row = (r*h)//out_h, src_col = (c*w)//out_w).  Returns
+    (src_w, src_h, resized_bytes: out_w*out_h*channels)."""
+    from parquet_to_sql_spark.operators.png import png_decode
+
+    w, h, c, px = png_decode(payload)
+    stride = w * c
+    out = bytearray(out_w * out_h * c)
+    i = 0
+    for r in range(out_h):
+        base = ((r * h) // out_h) * stride
+        for col in range(out_w):
+            o = base + ((col * w) // out_w) * c
+            out[i : i + c] = px[o : o + c]
+            i += c
+    return w, h, bytes(out)
+
+
 def resize_image_features(
     df: DataFrame, out_w: int = 8, out_h: int = 8, fake: bool = True
 ) -> DataFrame:
     """Resize every binary image asset to (out_w, out_h) via
     mapInPandas and fingerprint the result — the thumbnail /
     normalization step a vision-training pipeline runs before feature
-    extraction.  `fake=False` is the production path (PIL/libvips on
-    executors — unavailable here by design); the fake is the
-    deterministic nearest-neighbor byte sampler above, which keeps the
-    whole Arrow path value-exact checkable: the oracle recomputes the
-    sampled byte sum and the sha256 of the resampled bytes in SQL.
+    extraction.  `fake=False` is REAL since round 9: the payload is
+    decoded as PNG (stdlib codec) and the ACTUAL reconstructed pixels
+    are nearest-neighbor-resampled, every channel (PIL/libvips remain
+    the production path for other formats and fancier kernels).  The
+    fake is the deterministic byte sampler above; both keep the whole
+    Arrow path value-exact checkable — the oracle recomputes sampled
+    byte sums (and for the fake, the sha256) in SQL.
 
     Scale shape: narrow map over the asset column, Arrow-batched, no
-    shuffle; output is out_w*out_h bytes per row regardless of input
-    size — the bandwidth-bounding property real resize has."""
-    if not fake:
-        raise NotImplementedError(
-            "real image resize requires PIL/libvips on executors; "
-            "this environment ships the deterministic fake resizer only"
-        )
+    shuffle; output is out_w*out_h*channels bytes per row regardless
+    of input size — the bandwidth-bounding property real resize has."""
     import hashlib
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -364,14 +382,17 @@ def resize_image_features(
             rows = []
             for uri, data in zip(pdf["uri"], pdf["data"]):
                 payload = bytes(data) if data is not None else b""
-                n = len(payload)
-                sw = 16 + (n % 64)
-                sh = 16 + ((n // 64) % 64)
-                sampled = _fake_resize(payload, out_w, out_h)
+                if fake:
+                    n = len(payload)
+                    sw = 16 + (n % 64)
+                    sh = 16 + ((n // 64) % 64)
+                    sampled = _fake_resize(payload, out_w, out_h)
+                else:
+                    sw, sh, sampled = _real_resize(payload, out_w, out_h)
                 rows.append(
                     (
                         uri,
-                        n,
+                        len(payload),
                         sw,
                         sh,
                         out_w,

@@ -488,3 +488,77 @@ def multimodal_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_amp int, n_samples long, samp_abs_sum long"
         ),
     )
+
+
+@query(
+    "multimodal_resize_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             4 + doc_id % 7 AS h
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INT) AS src_width,
+           CAST(h AS INT) AS src_height,
+           CAST(4 AS INT) AS out_width,
+           CAST(4 AS INT) AS out_height,
+           CAST(48 AS BIGINT) AS n_out,
+           CAST(list_sum(list_transform(range(48),
+             t -> (doc_id * 31
+                   + (((((t // 12) * h) // 4) * (w * 3))
+                      + ((((t % 12) // 3) * w) // 4) * 3
+                      + (t % 3)) * 7) % 256)) AS BIGINT) AS resized_sum
+    FROM dims
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image thumbnailing end to end: the deterministic pixel
+    pattern of multimodal_png_decode_real is encoded to an actual PNG
+    (filter cycling id%5), REALLY decoded (zlib inflate + unfilter),
+    and the reconstructed pixels nearest-neighbor-resampled to 4x4 RGB
+    (operators/multimodal._real_resize) — decode AND resample in one
+    mapInPandas pass, the vision-pipeline normalization step.  The
+    oracle regenerates the resized byte sum purely arithmetically
+    (the nearest-neighbor index map applied to the pattern formula),
+    so a decode, stride, index-map, or channel-interleave bug surfaces
+    as a value mismatch.
+
+    Scale shape: narrow map over one pruned column, no shuffle;
+    output is 48 bytes/row regardless of source size — the bandwidth
+    bound real thumbnailing has."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.multimodal import _real_resize
+        from parquet_to_sql_spark.operators.png import png_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 4 + did % 7
+                px = bytes((did * 31 + i * 7) % 256 for i in range(w * h * 3))
+                payload = png_encode(w, h, px, 3, filter_type=did % 5)
+                sw, sh, out = _real_resize(payload, 4, 4)
+                rows.append((did, sw, sh, 4, 4, len(out), sum(out)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_width", "src_height", "out_width",
+                    "out_height", "n_out", "resized_sum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, src_width int, src_height int, out_width int, "
+            "out_height int, n_out long, resized_sum long"
+        ),
+    )

@@ -633,20 +633,43 @@ def test_winnow_overlap_pairs_find_shared_passage(spark):
     assert p.common >= 2 and p.n1 >= p.common and p.n2 >= p.common
 
 
-def test_multimodal_resize_real_path_is_stubbed_and_fake_is_bounded(spark):
-    """fake=False must raise (no decoder libs here by design); the
-    fake path emits exactly out_w*out_h sampled bytes per asset."""
+def test_multimodal_resize_real_and_fake_paths(spark):
+    """fake=False REALLY resizes since round 9: the PNG payload is
+    decoded and its reconstructed pixels nearest-neighbor-resampled
+    across all channels; non-PNG bytes raise the format error.  The
+    fake path still emits exactly out_w*out_h sampled bytes."""
+    import hashlib
+
     from parquet_to_sql_spark.operators.multimodal import (
         _fake_resize,
+        _real_resize,
         resize_image_features,
     )
+    from parquet_to_sql_spark.operators.png import png_encode
 
+    # real path, end to end through Spark
+    px = bytes((i * 11) % 256 for i in range(12 * 5 * 3))
+    payload = png_encode(12, 5, px, 3, filter_type=2)
+    want_sw, want_sh, want_bytes = _real_resize(payload, 4, 4)
+    assert (want_sw, want_sh) == (12, 5)
+    rdf = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rpacked = pack_binary(rdf, F.col("payload"), F.lit("img://r"), "image/png")
+    rr = resize_image_features(rpacked, out_w=4, out_h=4, fake=False).collect()[0]
+    assert (rr.src_width, rr.src_height) == (12, 5)
+    assert rr.sampled_sum == sum(want_bytes)
+    assert rr.sampled_sha256 == hashlib.sha256(want_bytes).hexdigest()
+
+    # non-PNG payloads raise through the executor
     df = spark.createDataFrame([(1, "0123456789abcdef")], "doc_id long, text string")
     packed = pack_binary(
         df, F.encode(F.col("text"), "utf-8"), F.lit("img://1"), "image/png"
     )
-    with pytest.raises(NotImplementedError, match="resize"):
-        resize_image_features(packed, fake=False)
+    with pytest.raises(Exception, match="not a PNG"):
+        resize_image_features(packed, fake=False).collect()
+
+    # fake path unchanged
     assert len(_fake_resize(b"0123456789abcdef", 8, 8)) == 64
     assert _fake_resize(b"", 8, 8) == b""
     r = resize_image_features(packed, out_w=8, out_h=8, fake=True).collect()[0]
