@@ -298,6 +298,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "simsearch_matryoshka_recall",  # round-9 new: truncated-dim recall audit
     "dedup_semdedup_clusters",  # round-9 new: SemDeDup within-cluster dedup
     "multimodal_resize_real",  # round-9 new: REAL decode + NN resample
+    "dedup_minhash_dedup_apply",  # round-9 new: end-to-end LSH->verify->CC->manifest
 )
 
 # Verified queries whose build source OR implementing operator

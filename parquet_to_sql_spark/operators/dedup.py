@@ -1783,3 +1783,54 @@ def minhash_screen_against_index(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def minhash_dedup_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """The end-to-end production near-dedup chain (RefinedWeb/Dolma
+    recipe): banded MinHash-LSH candidates -> EXACT hashed-n-gram
+    Jaccard verification (>= tau) -> connected-component closure ->
+    per-document manifest (doc_id, component, cluster_size, is_keep,
+    n_chars).  Every input doc appears exactly once; singletons keep
+    themselves; the min id of each component is the canonical keep.
+
+    Scale shape: candidates via the membership-only banding join
+    (signatures never cross the exchange); verification scores
+    candidate pairs row-locally against the per-doc DISTINCT hashed
+    shingle arrays (localCheckpointed — referenced by both pair
+    sides; no explode, no per-shingle shuffle); closure via hash-min
+    label propagation (one join + one groupBy-min per round).  The
+    LSH estimate is never trusted for the drop decision — exactly
+    the production discipline."""
+    from pyspark.sql import Window
+
+    cand = minhash_lsh_candidates(df, id_col, text_col, k=k, bands=bands, n=n)
+    arrays = hashed_shingle_arrays(df, id_col, text_col, n=n).localCheckpoint()
+    a1 = arrays.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
+    a2 = arrays.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
+    common = F.size(F.array_intersect(F.col("shs1"), F.col("shs2")))
+    union_sz = F.size("shs1") + F.size("shs2") - common
+    verified = (
+        cand.join(a1, "doc1")
+        .join(a2, "doc2")
+        .withColumn("_j", common.cast("double") / union_sz.cast("double"))
+        .filter(F.col("_j") >= F.lit(tau))
+        .select("doc1", "doc2")
+    )
+    comp = connected_components(
+        verified, df.select(id_col), "doc1", "doc2", id_col
+    )
+    return comp.join(df, comp["node"] == df[id_col]).select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("component"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_keep"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )

@@ -2229,3 +2229,97 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+@query(
+    "dedup_minhash_dedup_apply",
+    headline=True,
+    tags=("dedup", "minhash", "lsh", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, {DUCK_FOLD.format(s="shingle")} AS x FROM sh
+    ), sig AS (
+      SELECT doc_id,
+      {_duck_minhash_cols(8)}
+      FROM hashed GROUP BY doc_id
+    ),
+    buckets AS ({_DUCK_BUCKETS}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+      FROM buckets l JOIN buckets r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ),
+    hsh AS ({duck_hashed_sh()}),
+    hsizes AS (SELECT doc, COUNT(*) AS n_sh FROM hsh GROUP BY doc),
+    hcommon AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+      FROM hsh a JOIN hsh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.doc1, c.doc2
+      FROM cand c
+      JOIN hcommon m ON m.doc1 = c.doc1 AND m.doc2 = c.doc2
+      JOIN hsizes s1 ON c.doc1 = s1.doc
+      JOIN hsizes s2 ON c.doc2 = s2.doc
+      WHERE CAST(m.common AS DOUBLE)
+            / CAST(s1.n_sh + s2.n_sh - m.common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM verified
+      UNION ALL
+      SELECT doc2, doc1 FROM verified
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT c.doc_id, c.component,
+           COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+           c.doc_id = c.component AS is_keep,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM comp c JOIN documents d USING (doc_id)
+    """,
+)
+def dedup_minhash_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END production near-dedup chain (the RefinedWeb /
+    Dolma recipe) in ONE query: banded MinHash-LSH candidate
+    generation -> EXACT hashed-3-gram Jaccard verification (>= 0.5)
+    -> connected-component closure -> per-document keep/drop manifest
+    with char accounting.  The repo's other minhash queries pin each
+    stage in isolation; this is the composition a user actually runs
+    to dedup a corpus, so the whole chain is value-exact end to end.
+
+    Stage shapes (the 100 TB story):
+      * candidates: membership-only banding join (minhash_lsh_candidates
+        — signatures never cross the exchange; equality join on
+        (band, bucket), AQE-splittable).  Gate params k=8/bands=4 keep
+        the DuckDB oracle tractable; dedup_minhash_production_audit
+        pins the same operator at k=128/bands=16.
+      * verify: candidate pairs join the per-doc DISTINCT hashed
+        shingle arrays (one row per doc, localCheckpointed — referenced
+        by both pair sides) and score EXACT Jaccard row-locally via
+        array_intersect — no explode, no per-shingle shuffle; the
+        estimate that generated a candidate is never trusted for the
+        drop decision.
+      * closure: near-dup similarity is not transitive, so verified
+        pairs go through hash-min label propagation (one join + one
+        groupBy-min per round, rounds = cluster diameter, lineage
+        truncated per round).
+      * manifest: min doc id of each component is the canonical keep;
+        every corpus doc appears (singletons keep themselves), with
+        its char count so downstream accounting (bytes removed per
+        source) is one filtered SUM away.
+    """
+    from parquet_to_sql_spark.operators.dedup import minhash_dedup_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_apply(
+        docs, "doc_id", "text", k=8, bands=4, n=3, tau=0.5
+    )

@@ -1735,3 +1735,53 @@ def test_minhash_incremental_screen_with_stored_bucketed_index(spark):
         assert advanced == scratch
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_band_index")
+
+
+def test_minhash_dedup_apply_closure_and_manifest(spark):
+    """End-to-end apply on planted docs: a near-identical pair, a
+    similarity CHAIN (a~b, b~c, a!~c at the verify threshold — the
+    closure must still retire all three into one cluster), and a
+    singleton.  Keep = min id per component; every doc appears once;
+    n_chars matches the source text."""
+    from parquet_to_sql_spark.operators.dedup import minhash_dedup_apply
+
+    # chain: 20-word windows sliding by 4 over a 28-word vocabulary.
+    # Adjacent windows share 16 words (3-gram shingle Jaccard 0.636,
+    # verified); the endpoints share only 12 (Jaccard 0.385, below
+    # tau AND not an LSH candidate under the repo's fixed hashes) —
+    # so 10-11-12 only collapse through the closure.
+    vocab = [f"w{i:02d}" for i in range(28)]
+    base = " ".join(vocab[0:20])
+    step1 = " ".join(vocab[4:24])
+    step2 = " ".join(vocab[8:28])
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-identical to 1
+            (10, base),
+            (11, step1),
+            (12, step2),
+            (99, "totally unrelated words about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in minhash_dedup_apply(
+            df, "doc_id", "text", k=8, bands=4, n=3, tau=0.5
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 10, 11, 12, 99}
+    # pair collapses; 1 and 10 share identical text so they join too
+    assert rows[1].component == rows[2].component == rows[10].component
+    assert rows[1].is_keep and not rows[2].is_keep
+    # the chain rides the closure into the same cluster as its head
+    assert rows[11].component == rows[10].component
+    assert rows[12].component == rows[10].component
+    assert rows[1].cluster_size == 5
+    # singleton keeps itself
+    assert rows[99].component == 99 and rows[99].is_keep
+    assert rows[99].cluster_size == 1
+    texts = {r[0]: r[1] for r in df.collect()}
+    for did, r in rows.items():
+        assert r.n_chars == len(texts[did])
