@@ -1834,3 +1834,74 @@ def minhash_dedup_apply(
         (F.col("node") == F.col("label")).alias("is_keep"),
         F.length(text_col).cast("bigint").alias("n_chars"),
     )
+
+
+def minhash_signatures_rowlocal(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 3
+) -> DataFrame:
+    """MinHash signatures computed ROW-LOCALLY (array higher-order
+    functions: transform + array_min over the per-doc shingle array)
+    instead of explode + groupBy — VALUE-IDENTICAL to
+    minhash_signatures (same string-fold shingle hash, same (a,b)
+    permutation constants, same FOLD_MOD), but expressible on a
+    STREAMING DataFrame where a grouped aggregation would need a
+    watermark and a state store the sketch doesn't want.
+
+    Batch callers should prefer minhash_signatures (explode + k MIN
+    aggregates gets map-side combine and spreads shingle hashing
+    across tasks after a rebalance); this variant exists for the
+    at-ingest screen, where each micro-batch is small and row-local
+    projection is exactly right.  Documents with < n words (empty
+    shingle array) are dropped, matching the batch contract."""
+    xs = F.transform(
+        word_shingles(ws_tokens(F.col(text_col)), n), char_fold_hash
+    )
+    staged = df.select(F.col(id_col), xs.alias("_xs")).filter(
+        F.size("_xs") > 0
+    )
+    def _perm(a: int, b: int):
+        # pyspark infers lambda arity by signature introspection, so
+        # the permutation constants must be CLOSED OVER, not default
+        # args (a 3-param lambda would be bound as a (x, i, acc) HOF)
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(FOLD_MOD)
+
+    cols = [
+        F.array_min(F.transform(F.col("_xs"), _perm(a, b))).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_constants(k))
+    ]
+    return staged.select(id_col, *cols)
+
+
+def minhash_band_rows_rowlocal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) band rows via the row-local signature path
+    — the streaming-safe twin of minhash_band_index (posexplode is a
+    stateless generator, so the whole relation is watermark-free).
+    Bucket keys are byte-identical to the batch index builder's, so
+    rows from either path probe the same stored index."""
+    if bands <= 0 or k % bands:
+        raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
+    rows = k // bands
+    sig = minhash_signatures_rowlocal(df, id_col, text_col, k, n)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"m{bi * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(band_arr).alias("band", "bucket"),
+    )

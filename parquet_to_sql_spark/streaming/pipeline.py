@@ -993,3 +993,41 @@ def countmin_stream(
     return cells.groupBy("i", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+
+
+def minhash_screen_stream(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming FUZZY-dedup screen: arriving documents are MinHash-
+    sketched ROW-LOCALLY (minhash_signatures_rowlocal — array
+    higher-order functions, value-identical to the batch sketch, no
+    grouped aggregation so no watermark/state store) and their band
+    rows probed against a STORED band index (minhash_band_index) —
+    the at-ingest twin of the oracle-checked gate query
+    dedup_minhash_incremental_screen.
+
+    Emits per-band match rows (new_id, corpus_id, band, bucket); a
+    pair colliding in multiple bands emits one row per band, and the
+    consumer's batch-side DISTINCT (or the downstream exact-verify
+    join, which is idempotent per pair) collapses them — keeping the
+    stream side fully stateless, like span_screen_stream's match
+    rows.  Scale: stream-static equi-join on (band, bucket); with the
+    index bucketed on (band, bucket) only the arriving micro-batch
+    shuffles."""
+    from parquet_to_sql_spark.operators.dedup import minhash_band_rows_rowlocal
+
+    new_idx = minhash_band_rows_rowlocal(
+        stream_docs, "doc_id", "text", k=k, bands=bands, n=n
+    )
+    return (
+        new_idx.select(F.col("doc").alias("new_id"), "band", "bucket")
+        .join(
+            index.select(F.col("doc").alias("corpus_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "corpus_id", "band", "bucket")
+    )

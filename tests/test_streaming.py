@@ -1737,3 +1737,85 @@ def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
     # the sketch never shrinks and stays within its fixed footprint
     assert all(got2[k] >= got1.get(k, 0) for k in got2)
     assert len(got2) <= 4 * 1024
+
+
+def test_rowlocal_minhash_signatures_equal_batch(spark):
+    """The streaming-safe row-local signature path must be VALUE-
+    identical to the batch explode+groupBy sketch for every fixture
+    document (same fold hash, same permutation constants)."""
+    from parquet_to_sql_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_rowlocal,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = {
+        r.doc_id: tuple(r)[1:]
+        for r in minhash_signatures(docs, "doc_id", "text", k=8, n=3).collect()
+    }
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in minhash_signatures_rowlocal(
+            docs, "doc_id", "text", k=8, n=3
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_minhash_screen_stream_matches_batch_probe(spark, tmp_path):
+    """Streaming MinHash screen == the batch incremental screen on the
+    same inputs: planted near-dups of base docs arrive on the stream,
+    probe the stored band index, and the streamed match rows (after
+    the consumer's DISTINCT pair collapse) equal
+    minhash_screen_against_index exactly."""
+    from parquet_to_sql_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_screen_against_index,
+    )
+    from parquet_to_sql_spark.streaming.pipeline import (
+        documents_stream,
+        minhash_screen_stream,
+    )
+
+    base = load_table(spark, SF_SMOKE, "documents").limit(40).localCheckpoint()
+    idx = minhash_band_index(base, "doc_id", "text", k=8, bands=4, n=3)
+    idx = idx.localCheckpoint()  # static side, referenced by both runs
+
+    # new slice: copies of the base docs under shifted ids (guaranteed
+    # band collisions) + one unrelated doc
+    new_docs = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        *[c for c in base.columns if c not in ("doc_id", "text")],
+    ).unionByName(
+        base.limit(1).select(
+            F.lit(999999).alias("doc_id"),
+            F.lit("totally unrelated replacement words only").alias("text"),
+            *[c for c in base.columns if c not in ("doc_id", "text")],
+        )
+    )
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    new_docs.coalesce(1).write.mode("overwrite").parquet(d)
+
+    want = {
+        (r.new_id, r.corpus_id)
+        for r in minhash_screen_against_index(
+            spark.read.parquet(d), idx, "doc_id", "text", k=8, bands=4, n=3
+        ).collect()
+    }
+    assert want, "planted copies must collide with the stored index"
+
+    run_to_memory(
+        minhash_screen_stream(documents_stream(spark, d), idx, k=8, bands=4, n=3),
+        "minhash_screen_out",
+        "append",
+    )
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in spark.sql(
+            "SELECT DISTINCT new_id, corpus_id FROM minhash_screen_out"
+        ).collect()
+    }
+    assert got == want
