@@ -299,6 +299,9 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_semdedup_clusters",  # round-9 new: SemDeDup within-cluster dedup
     "multimodal_resize_real",  # round-9 new: REAL decode + NN resample
     "dedup_minhash_dedup_apply",  # round-9 new: end-to-end LSH->verify->CC->manifest
+    "pipeline_snapshot_diff",  # round-9 new: added/removed/changed reconciliation
+    "agg_winsorized_stats",  # round-9 new: per-group winsorized mean, histogram path
+    "pipeline_crawl_frontier",  # round-9 new: per-host politeness scheduling
 )
 
 # Verified queries whose build source OR implementing operator

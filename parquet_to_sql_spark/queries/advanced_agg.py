@@ -1084,3 +1084,98 @@ def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") >= F.col("n_exact")).alias("never_underestimates"),
         )
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    tags=("aggregation", "quantiles", "robust", "scale-path"),
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             COUNT(*) AS w
+      FROM lineitem GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT l_returnflag, l_linestatus, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+      FROM c
+    ), b AS (
+      SELECT l_returnflag, l_linestatus,
+        MIN(CASE WHEN cum*100 >= 10*tot THEN v END) AS p10_cents,
+        MIN(CASE WHEN cum*100 >= 90*tot THEN v END) AS p90_cents
+      FROM s GROUP BY 1, 2
+    )
+    SELECT c.l_returnflag, c.l_linestatus,
+           b.p10_cents, b.p90_cents,
+           CAST(SUM(c.w) AS BIGINT) AS n_rows,
+           CAST(SUM(GREATEST(b.p10_cents, LEAST(b.p90_cents, c.v)) * c.w)
+                AS BIGINT) AS winsorized_sum_cents,
+           CAST(SUM(GREATEST(b.p10_cents, LEAST(b.p90_cents, c.v)) * c.w)
+                AS DOUBLE) / SUM(c.w) AS winsorized_mean_cents
+    FROM c
+    JOIN b ON c.l_returnflag = b.l_returnflag
+          AND c.l_linestatus = b.l_linestatus
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group WINSORIZED statistics — the robust-mean outlier
+    screen (clip every value into the group's exact [p10, p90] band,
+    then aggregate) quality pipelines run on length/score columns
+    before thresholding.  Built scale-first: the corpus is scanned
+    ONCE into a per-group distinct-value count histogram (map-side
+    combined); the exact percentile_disc boundaries come from
+    grouped_prefix_sum over that histogram (the
+    agg_grouped_exact_quantiles machinery — no per-group single-task
+    sort); and the winsorized re-aggregation runs over the HISTOGRAM
+    rows (value*weight), never re-reading the corpus.  All exact
+    integer cents; the mean is the one end-of-plan double division,
+    IEEE-identical in both engines."""
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    c = (
+        li.groupBy(
+            *keys,
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        # referenced by the boundary pass AND the winsorized
+        # re-aggregation: materialize the (distinct-value-sized)
+        # histogram once so the corpus scan+groupBy doesn't run twice
+        .localCheckpoint()
+    )
+    s = grouped_prefix_sum(c, keys, ["v"], "w", "cum")
+    tot = s.groupBy(*keys).agg(F.max("cum").alias("tot"))
+    b = (
+        s.join(F.broadcast(tot), keys)
+        .groupBy(*keys)
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.lit(p) * F.col("tot"),
+                        F.col("v"),
+                    )
+                ).alias(f"p{p}_cents")
+                for p in (10, 90)
+            ]
+        )
+    )
+    clipped = F.greatest(
+        F.col("p10_cents"), F.least(F.col("p90_cents"), F.col("v"))
+    )
+    return (
+        c.join(F.broadcast(b), keys)
+        .groupBy(*keys, "p10_cents", "p90_cents")
+        .agg(
+            F.sum("w").alias("n_rows"),
+            F.sum(clipped * F.col("w")).alias("winsorized_sum_cents"),
+            (
+                F.sum(clipped * F.col("w")).cast("double") / F.sum("w")
+            ).alias("winsorized_mean_cents"),
+        )
+    )

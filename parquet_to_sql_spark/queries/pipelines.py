@@ -1538,3 +1538,137 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div natural_ppm AS BIGINT)"
         ),
     )
+
+
+@query(
+    "pipeline_snapshot_diff",
+    tags=("pipeline", "reconciliation", "llm-pipeline"),
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), base AS (
+      SELECT o_orderkey, cents AS base_cents
+      FROM snap WHERE o_orderkey % 10 <> 0
+    ), new_s AS (
+      SELECT o_orderkey,
+             cents + (CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END)
+               AS new_cents
+      FROM snap WHERE o_orderkey % 10 <> 1
+    )
+    SELECT o_orderkey,
+           CASE WHEN base_cents IS NULL THEN 'added'
+                WHEN new_cents IS NULL THEN 'removed'
+                ELSE 'changed' END AS verdict,
+           base_cents, new_cents
+    FROM base FULL JOIN new_s USING (o_orderkey)
+    WHERE base_cents IS NULL OR new_cents IS NULL
+       OR base_cents <> new_cents
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RECONCILIATION — the data-versioning diff every
+    recurring ingest needs: given two versions of a table, emit only
+    the delta, classifying each key as added / removed / changed.
+    Two deterministic snapshots are derived from the orders fixture
+    (base drops keys %10==0; the new version drops %10==1 and bumps
+    every %7==0 price by one dollar), then FULL-OUTER-joined on the
+    key with a row-local value compare in exact integer cents.
+
+    Scale shape: ONE key-keyed full outer join — with both snapshot
+    versions stored bucketed on the key (plans/bucketing.py layout)
+    it is shuffle-free and co-located; unchanged rows (the vast
+    majority between real crawls) are filtered before anything is
+    emitted, so the output is delta-sized, not corpus-sized.  A
+    production diff compares a fingerprint hash over all non-key
+    columns instead of one value column; the join/classify shape is
+    identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    base = snap.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", F.col("cents").alias("base_cents")
+    )
+    new_s = snap.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100)).otherwise(
+                F.lit(0)
+            )
+        ).alias("new_cents"),
+    )
+    return (
+        base.join(new_s, "o_orderkey", "full_outer")
+        .withColumn(
+            "verdict",
+            F.when(F.col("base_cents").isNull(), F.lit("added"))
+            .when(F.col("new_cents").isNull(), F.lit("removed"))
+            .when(F.col("base_cents") != F.col("new_cents"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .filter(F.col("verdict") != "unchanged")
+        .select("o_orderkey", "verdict", "base_cents", "new_cents")
+    )
+
+
+@query(
+    "pipeline_crawl_frontier",
+    tags=("pipeline", "crawl", "llm-pipeline"),
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, doc_id % 23 AS host_num FROM documents
+    ), sched AS (
+      SELECT doc_id,
+             'h' || CAST(host_num AS VARCHAR) || '.example.com' AS host,
+             CAST(host_num % 8 AS BIGINT) AS worker,
+             500 + (host_num % 5) * 250 AS delay_ms,
+             ROW_NUMBER() OVER (PARTITION BY host_num ORDER BY doc_id)
+               AS slot,
+             COUNT(*) OVER (PARTITION BY host_num) AS host_depth
+      FROM f
+    )
+    SELECT doc_id, host, worker, CAST(slot AS BIGINT) AS slot,
+           CAST((slot - 1) * delay_ms AS BIGINT) AS fetch_at_ms,
+           CAST(host_depth AS BIGINT) AS host_depth
+    FROM sched
+    """,
+)
+def pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier POLITENESS scheduling — the per-host rate-limit
+    assignment a distributed fetcher needs: every queued URL gets a
+    per-host FIFO slot (priority = doc id), a deterministic fetch
+    time (slot x the host's crawl-delay), a sticky worker (all of a
+    host's URLs land on one fetcher, so politeness is enforceable
+    locally with no cross-worker coordination), and the host queue
+    depth (the frontier back-pressure signal).  The fixture has no
+    URL column, so hosts are synthesized deterministically from the
+    doc id (23 hosts, crawl delays 500-1500 ms by host class).
+
+    Scale shape: ONE shuffle on the host key (the per-host window);
+    slot, fetch time, and worker are row-local arithmetic.  At
+    billions of frontier URLs the host-keyed exchange is exactly how
+    a real frontier shards (politeness is per-host state), and a
+    mega-host hotspot is bounded by its own queue, not by the
+    partitioner."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    host_num = F.col("doc_id") % 23
+    w = Window.partitionBy(host_num).orderBy("doc_id")
+    wd = Window.partitionBy(host_num)
+    delay = F.lit(500) + (host_num % 5) * F.lit(250)
+    slot = F.row_number().over(w)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), host_num.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        (host_num % 8).cast("bigint").alias("worker"),
+        slot.cast("bigint").alias("slot"),
+        ((slot - F.lit(1)) * delay).cast("bigint").alias("fetch_at_ms"),
+        F.count(F.lit(1)).over(wd).cast("bigint").alias("host_depth"),
+    )
