@@ -302,6 +302,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_snapshot_diff",  # round-9 new: added/removed/changed reconciliation
     "agg_winsorized_stats",  # round-9 new: per-group winsorized mean, histogram path
     "pipeline_crawl_frontier",  # round-9 new: per-host politeness scheduling
+    "multimodal_phash_real",  # round-9 new: aHash over REALLY decoded pixels
 )
 
 # Verified queries whose build source OR implementing operator

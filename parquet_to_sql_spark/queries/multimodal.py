@@ -562,3 +562,146 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_height int, n_out long, resized_sum long"
         ),
     )
+
+
+@query(
+    "multimodal_phash_real",
+    tags=("multimodal", "mapInPandas", "dedup", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 2 AS seed,
+             4 + (doc_id // 2) % 13 AS w,
+             4 + (doc_id // 2) % 7 AS h,
+             CASE WHEN doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0
+                  THEN 37 ELSE 31 END AS pa,
+             CASE WHEN doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0
+                  THEN 11 ELSE 7 END AS pb,
+             CASE WHEN doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0
+                  THEN 5 ELSE (doc_id % 2) * 3 END AS delta
+      FROM documents
+    ), g AS (
+      SELECT doc_id, seed,
+        list_transform(
+          list_transform(range(64),
+            t -> ((((t // 8) * h) // 8) * w + (((t % 8) * w) // 8)) * 3),
+          b -> (  ((seed * pa + b       * pb + delta) % 256)
+                + ((seed * pa + (b + 1) * pb + delta) % 256)
+                + ((seed * pa + (b + 2) * pb + delta) % 256)) // 3
+        ) AS gray
+      FROM d
+    ), m AS (
+      SELECT doc_id, seed, gray,
+             CAST(list_sum(gray) AS BIGINT) // 64 AS mu
+      FROM g
+    ), hs AS (
+      SELECT doc_id, seed,
+        CAST(list_sum(list_transform(range(32),
+          t -> CASE WHEN gray[t + 1] >= mu
+               THEN CAST(1 AS BIGINT) << t ELSE 0 END)) AS BIGINT) AS hash_lo,
+        CAST(list_sum(list_transform(range(32),
+          t -> CASE WHEN gray[t + 33] >= mu
+               THEN CAST(1 AS BIGINT) << t ELSE 0 END)) AS BIGINT) AS hash_hi
+      FROM m
+    )
+    SELECT e.seed AS seed,
+           e.doc_id AS doc_even, o.doc_id AS doc_odd,
+           CAST(bit_count(xor(e.hash_hi, o.hash_hi))
+                + bit_count(xor(e.hash_lo, o.hash_lo)) AS INT) AS hamming,
+           (bit_count(xor(e.hash_hi, o.hash_hi))
+            + bit_count(xor(e.hash_lo, o.hash_lo))) <= 8 AS is_neardup
+    FROM hs e JOIN hs o
+      ON e.seed = o.seed AND e.doc_id % 2 = 0 AND o.doc_id % 2 = 1
+    """,
+)
+def multimodal_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over REALLY DECODED pixels — the
+    visual-dedup step of an image-curation pipeline, end to end: each
+    doc pair (seed = doc_id/2) shares a base pixel pattern, the odd
+    twin brightened by +3 per byte (mod 256, so a few high bytes wrap
+    and flip hash bits deterministically) — EXCEPT every 5th seed,
+    whose odd twin is a different image entirely (distinct pattern
+    generator), the planted negatives the <= 8-bit verdict must
+    reject; each image is encoded to an
+    actual PNG (filter cycling id%5), REALLY decoded (zlib inflate +
+    unfilter), grayscale-averaged, nearest-neighbor-pooled to the 8x8
+    aHash grid, thresholded at the integer mean — a 64-bit average
+    hash emitted as two 32-bit halves (BIGINT-safe in both engines) —
+    and twins are paired by seed with popcount-XOR Hamming distance
+    (near-dup at <= 8 bits).  The oracle regenerates hashes purely
+    arithmetically (pattern formula -> NN index map -> mean ->
+    bits), so any decode, stride, pooling, threshold, or bit-packing
+    bug breaks the value hash.
+
+    Scale shape: hashing is a narrow no-shuffle map (48-byte output
+    per asset); the pair stage is an equality join on the seed/bucket
+    key — at corpus scale the same join runs on (hash-band, bucket)
+    exactly like the text SimHash family, never all-pairs."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.png import png_decode, png_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = did // 2
+                w, h = 4 + seed % 13, 4 + seed % 7
+                if did % 2 == 1 and seed % 5 == 0:
+                    # planted NEGATIVE: every 5th odd twin is a
+                    # different image entirely (distinct generator)
+                    pa, pb, delta = 37, 11, 5
+                else:
+                    pa, pb, delta = 31, 7, (did % 2) * 3
+                px = bytes(
+                    (seed * pa + i * pb + delta) % 256
+                    for i in range(w * h * 3)
+                )
+                payload = png_encode(w, h, px, 3, filter_type=did % 5)
+                rw, rh, rc, out = png_decode(payload)
+                gray = []
+                for t in range(64):
+                    sr = ((t // 8) * rh) // 8
+                    sc = ((t % 8) * rw) // 8
+                    b = (sr * rw + sc) * 3
+                    gray.append((out[b] + out[b + 1] + out[b + 2]) // 3)
+                mu = sum(gray) // 64
+                lo = sum(1 << t for t in range(32) if gray[t] >= mu)
+                hi = sum(1 << t for t in range(32) if gray[t + 32] >= mu)
+                rows.append((did, seed, lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "seed", "hash_lo", "hash_hi"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hs = docs.mapInPandas(
+        hash_batch,
+        schema="doc_id long, seed long, hash_lo long, hash_hi long",
+    )
+    e = hs.filter(F.col("doc_id") % 2 == 0).select(
+        "seed",
+        F.col("doc_id").alias("doc_even"),
+        F.col("hash_lo").alias("lo_e"),
+        F.col("hash_hi").alias("hi_e"),
+    )
+    o = hs.filter(F.col("doc_id") % 2 == 1).select(
+        "seed",
+        F.col("doc_id").alias("doc_odd"),
+        F.col("hash_lo").alias("lo_o"),
+        F.col("hash_hi").alias("hi_o"),
+    )
+    hamming = F.bit_count(
+        F.col("hi_e").bitwiseXOR(F.col("hi_o"))
+    ) + F.bit_count(F.col("lo_e").bitwiseXOR(F.col("lo_o")))
+    return (
+        e.join(o, "seed")
+        .select(
+            "seed",
+            "doc_even",
+            "doc_odd",
+            hamming.cast("int").alias("hamming"),
+            (hamming <= 8).alias("is_neardup"),
+        )
+    )

@@ -160,3 +160,21 @@ def test_encoder_rejects_bad_args():
         png_encode(2, 2, bytes(5), channels=3)
     with pytest.raises(PngFormatError, match="filter type"):
         png_encode(1, 1, bytes(3), channels=3, filter_type=9)
+
+
+def test_phash_real_separates_planted_negatives(spark):
+    """The aHash near-dup verdict must accept every brightened twin
+    and reject every planted different-image twin (seed % 5 == 0) —
+    perfect separation on the synthesized corpus."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["multimodal_phash_real"].build(
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.seed % 5 == 0:
+            assert not r.is_neardup and r.hamming > 8, r
+        else:
+            assert r.is_neardup and r.hamming <= 8, r
