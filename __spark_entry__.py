@@ -303,6 +303,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "agg_winsorized_stats",  # round-9 new: per-group winsorized mean, histogram path
     "pipeline_crawl_frontier",  # round-9 new: per-host politeness scheduling
     "multimodal_phash_real",  # round-9 new: aHash over REALLY decoded pixels
+    "pipeline_perplexity_buckets",  # round-9 new: CCNet head/middle/tail terciles
 )
 
 # Verified queries whose build source OR implementing operator

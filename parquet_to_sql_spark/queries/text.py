@@ -1644,11 +1644,9 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_backoff_lm_scores",
-    headline=True,
-    tags=("text-analysis", "llm-pipeline", "quality-filter", "scale-path"),
-    oracle=f"""
+# the stupid-backoff per-doc score relation, shared by the scores
+# gate query and the CCNet-style bucketing compose below
+_BACKOFF_ORACLE = f"""
     WITH staged AS (
       SELECT doc_id, {DUCK_WORDS} AS w FROM documents
     ), big AS (
@@ -1688,7 +1686,15 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS mean_score_ppm,
            CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm
     FROM scored GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "text_backoff_lm_scores",
+    headline=True,
+    tags=("text-analysis", "llm-pipeline", "quality-filter", "scale-path"),
+    oracle=_BACKOFF_ORACLE,
+
 )
 def text_backoff_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STUPID-BACKOFF bigram language-model scoring (Brants et al.
@@ -1890,4 +1896,106 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phrase", "n", "score_ppm")
         .orderBy(F.desc("score_ppm"), "phrase")
         .limit(20)
+    )
+
+
+@query(
+    "pipeline_perplexity_buckets",
+    tags=("text-analysis", "llm-pipeline", "quality-filter", "scale-path"),
+    oracle=f"""
+    WITH sc AS ({_BACKOFF_ORACLE}),
+    persrc AS (
+      SELECT s.doc_id, d.source, s.mean_score_ppm AS v, s.n_bigrams
+      FROM sc s JOIN documents d USING (doc_id)
+    ), hist AS (
+      SELECT source, v, COUNT(*) AS w FROM persrc GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, v,
+             SUM(w) OVER (PARTITION BY source ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS tot
+      FROM hist
+    ), b AS (
+      SELECT source,
+             MIN(CASE WHEN cum * 3 >= tot THEN v END) AS b1,
+             MIN(CASE WHEN cum * 3 >= 2 * tot THEN v END) AS b2
+      FROM cum GROUP BY source
+    )
+    SELECT p.source,
+           CASE WHEN p.v >= b.b2 THEN 'head'
+                WHEN p.v >= b.b1 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_bigrams) AS BIGINT) AS sum_bigrams,
+           CAST(MIN(p.v) AS BIGINT) AS min_score_ppm,
+           CAST(MAX(p.v) AS BIGINT) AS max_score_ppm
+    FROM persrc p JOIN b USING (source)
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-STYLE perplexity bucketing (Wenzek et al. 2020, public
+    record): documents are LM-scored by the held-out stupid-backoff
+    model (text_backoff_lm_scores — same relation, composed whole),
+    then split per SOURCE into head / middle / tail terciles of the
+    mean bigram score (high score = predictable text = head, the
+    slice CCNet keeps; the per-source split is CCNet's per-language
+    split in fixture terms).  Tercile boundaries are EXACT
+    percentile_disc values from a per-source score histogram — no
+    approximate quantiles — and each bucket reports doc count, bigram
+    (token-proxy) budget, and its score range: the report a curation
+    run uses to draw the keep line.
+
+    Scale shape: scoring is the LM compose's vocabulary-bounded
+    exchanges; bucketing adds ONE (source, score) map-side-combined
+    histogram, a per-source prefix window over histogram rows (not
+    corpus rows), a broadcast of the per-source boundary table, and a
+    final per-(source, bucket) aggregate.  All-integer end to end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = text_backoff_lm_scores(spark, sf_dir).select(
+        "doc_id", F.col("mean_score_ppm").alias("v"), "n_bigrams"
+    )
+    # referenced by the boundary pass AND the final classify:
+    # materialize the (doc-count-sized, 4 narrow columns) score
+    # relation once so the whole LM chain doesn't replay twice
+    persrc = sc.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).localCheckpoint()
+    hist = persrc.groupBy("source", "v").agg(F.count(F.lit(1)).alias("w"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "v",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    b = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("tot"), F.col("v"))
+        ).alias("b1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("tot"), F.col("v"))
+        ).alias("b2"),
+    )
+    return (
+        persrc.join(F.broadcast(b), "source")
+        .withColumn(
+            "bucket",
+            F.when(F.col("v") >= F.col("b2"), F.lit("head"))
+            .when(F.col("v") >= F.col("b1"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+            F.min("v").cast("bigint").alias("min_score_ppm"),
+            F.max("v").cast("bigint").alias("max_score_ppm"),
+        )
     )
