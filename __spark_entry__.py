@@ -304,6 +304,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_crawl_frontier",  # round-9 new: per-host politeness scheduling
     "multimodal_phash_real",  # round-9 new: aHash over REALLY decoded pixels
     "pipeline_perplexity_buckets",  # round-9 new: CCNet head/middle/tail terciles
+    "simsearch_ivf_incremental_assign",  # round-9 new: stored-quantizer delta assign
 )
 
 # Verified queries whose build source OR implementing operator

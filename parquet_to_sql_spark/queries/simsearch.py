@@ -1397,3 +1397,75 @@ def simsearch_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+@query(
+    "simsearch_ivf_incremental_assign",
+    tags=("simsearch", "ann", "incremental", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH {_DUCK_V_CTE},
+    cent AS (SELECT vec_id AS cent_id, ve AS cv FROM v WHERE vec_id < 16),
+    {_duck_assigned_cte("cent")}
+    SELECT centroid_id,
+           CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS base_count,
+           CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS delta_count,
+           CAST(COUNT(*) AS BIGINT) AS new_total
+    FROM assigned GROUP BY centroid_id
+    """,
+)
+def simsearch_ivf_incremental_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-snapshot INCREMENTAL ANN indexing — the third leg of the
+    repo's incremental-state trio (exact lines: line_ledger; fuzzy
+    text: minhash_band_index; vectors: THIS): a recurring embedding
+    ingest keeps the coarse quantizer FIXED (the 16 stored seed
+    centroids — retraining would invalidate every stored posting) and
+    per-cell posting counts as state; each new slice is assigned
+    against the stored centroids only, and the stored counts advance
+    by the per-cell delta.  Fixture split: base = vec_id % 10 != 0,
+    delta = the rest; output per cell: stored count, delta count, and
+    the advanced total.  Assignment ties break to the lower centroid
+    id (the repo-wide IVF convention), so the result is value-exact.
+
+    Scale shape: the centroid table is a broadcast (K vectors); each
+    slice's assignment is ONE narrow broadcast-join pass over that
+    slice only — the base corpus is never re-read (its counts are the
+    stored state); the merge is a full outer join at CELL granularity
+    (K rows).  Two-batch equivalence (stored state materialized
+    bucketed, stored + delta == from-scratch) is pinned in
+    tests/test_operators.py."""
+    from parquet_to_sql_spark.operators.simsearch import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    bc = (
+        ivf_assign(base, "vec_id", "embedding", cent)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("base_count"))
+    )
+    dc = (
+        ivf_assign(delta, "vec_id", "embedding", cent)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("delta_count"))
+    )
+    return (
+        bc.join(dc, "centroid_id", "full_outer")
+        .select(
+            "centroid_id",
+            F.coalesce("base_count", F.lit(0)).cast("bigint").alias(
+                "base_count"
+            ),
+            F.coalesce("delta_count", F.lit(0)).cast("bigint").alias(
+                "delta_count"
+            ),
+            (
+                F.coalesce("base_count", F.lit(0))
+                + F.coalesce("delta_count", F.lit(0))
+            ).cast("bigint").alias("new_total"),
+        )
+    )

@@ -67,6 +67,7 @@ _SANCTIONED_NL = {
     "simsearch_cosine_topk",
     "simsearch_ivf_topk",
     "simsearch_ivf_kmeans_topk",
+    "simsearch_ivf_incremental_assign",  # broadcast 16-centroid quantizer x 2 slices (r9)
     "simsearch_pq_adc_topk",
     "simsearch_ivfpq_adc_topk",
     "simsearch_knn_classify",

@@ -1785,3 +1785,72 @@ def test_minhash_dedup_apply_closure_and_manifest(spark):
     texts = {r[0]: r[1] for r in df.collect()}
     for did, r in rows.items():
         assert r.n_chars == len(texts[did])
+
+
+def test_ivf_incremental_assign_with_stored_cell_counts(spark):
+    """The vector twin of the ledger/band-index two-batch tests: the
+    coarse quantizer (centroid table) and batch 1's per-cell counts
+    materialized as parquet state; batch 2 assigned reading ONLY the
+    stored centroids; stored counts + the delta must equal the
+    from-scratch per-cell counts over batch1+batch2."""
+    import random
+
+    from parquet_to_sql_spark.operators.simsearch import ivf_assign
+
+    rng = random.Random(73)
+
+    def vecs(ids):
+        return [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in ids
+        ]
+
+    cent = spark.createDataFrame(
+        vecs(range(4)), "vec_id long, embedding array<double>"
+    )
+    df1 = spark.createDataFrame(
+        vecs(range(100, 140)), "vec_id long, embedding array<double>"
+    )
+    df2 = spark.createDataFrame(
+        vecs(range(140, 170)), "vec_id long, embedding array<double>"
+    )
+    spark.sql("DROP TABLE IF EXISTS ivf_cell_counts")
+    spark.sql("DROP TABLE IF EXISTS ivf_centroids")
+    try:
+        cent.write.saveAsTable("ivf_centroids")
+        ivf_assign(df1, "vec_id", "embedding", cent).groupBy(
+            "centroid_id"
+        ).count().withColumnRenamed("count", "n").write.bucketBy(
+            4, "centroid_id"
+        ).saveAsTable("ivf_cell_counts")
+
+        stored_cent = spark.table("ivf_centroids")
+        stored = spark.table("ivf_cell_counts")
+        delta = (
+            ivf_assign(df2, "vec_id", "embedding", stored_cent)
+            .groupBy("centroid_id")
+            .count()
+            .withColumnRenamed("count", "d")
+        )
+        advanced = {
+            (r.centroid_id, r.total)
+            for r in stored.join(delta, "centroid_id", "full_outer")
+            .selectExpr(
+                "centroid_id",
+                "coalesce(n, 0) + coalesce(d, 0) AS total",
+            )
+            .collect()
+        }
+        scratch = {
+            (r.centroid_id, r["count"])
+            for r in ivf_assign(
+                df1.unionByName(df2), "vec_id", "embedding", cent
+            )
+            .groupBy("centroid_id")
+            .count()
+            .collect()
+        }
+        assert advanced == scratch
+        assert sum(t for _, t in advanced) == 70
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_cell_counts")
+        spark.sql("DROP TABLE IF EXISTS ivf_centroids")
