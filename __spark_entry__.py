@@ -305,6 +305,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_phash_real",  # round-9 new: aHash over REALLY decoded pixels
     "pipeline_perplexity_buckets",  # round-9 new: CCNet head/middle/tail terciles
     "simsearch_ivf_incremental_assign",  # round-9 new: stored-quantizer delta assign
+    "pipeline_score_quantile_normalize",  # round-9 new: cross-source calibration
 )
 
 # Verified queries whose build source OR implementing operator

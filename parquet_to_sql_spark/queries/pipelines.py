@@ -1672,3 +1672,110 @@ def pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((slot - F.lit(1)) * delay).cast("bigint").alias("fetch_at_ms"),
         F.count(F.lit(1)).over(wd).cast("bigint").alias("host_depth"),
     )
+
+
+@query(
+    "pipeline_score_quantile_normalize",
+    tags=("pipeline", "calibration", "llm-pipeline", "scale-path"),
+    oracle="""
+    WITH d AS (
+      SELECT source, n_chars AS v FROM documents
+    ), sh AS (
+      SELECT source, v, COUNT(*) AS n_docs FROM d GROUP BY 1, 2
+    ), scum AS (
+      SELECT source, v, n_docs,
+             SUM(n_docs) OVER (PARTITION BY source ORDER BY v) AS cum,
+             SUM(n_docs) OVER (PARTITION BY source) AS tot
+      FROM sh
+    ), src AS (
+      SELECT source, v, n_docs,
+             CAST((1000000 * cum) // tot AS BIGINT) AS rank_ppm
+      FROM scum
+    ), ph AS (
+      SELECT v, COUNT(*) AS w FROM d GROUP BY 1
+    ), pcum AS (
+      SELECT v, w, SUM(w) OVER (ORDER BY v) AS cum_all FROM ph
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM d
+    ), m AS (
+      SELECT s.source, s.v, s.n_docs, s.rank_ppm,
+             (s.rank_ppm * t.n + 999999) // 1000000 AS p
+      FROM src s, tot t
+    )
+    SELECT m.source, m.v,
+           CAST(m.n_docs AS BIGINT) AS n_docs,
+           CAST(m.rank_ppm AS BIGINT) AS rank_ppm,
+           CAST(MIN(CASE WHEN pc.cum_all >= m.p THEN pc.v END)
+                AS BIGINT) AS v_norm
+    FROM m JOIN pcum pc ON pc.cum_all >= m.p
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def pipeline_score_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source SCORE CALIBRATION by quantile normalization: a
+    quality score is only comparable across sources if a source-A p75
+    means the same thing as a source-B p75, so each source's score
+    distribution is mapped onto the POOLED distribution — doc at
+    within-source rank r gets the pooled percentile_disc value at r.
+    (The fixture score is n_chars; any integer score column slots
+    in.)  Output at (source, value) histogram granularity: the
+    original value, its within-source rank (ppm, floor), and the
+    pooled value it calibrates to.  Exact integers end to end; ppm
+    resolution is sufficient below ~1M docs/source (beyond that,
+    switch the two constants to ppb).
+
+    Scale shape — everything runs at HISTOGRAM granularity, never
+    per-doc: per-source ranks via grouped_prefix_sum over the
+    (source, value) count histogram; the pooled CDF via the two-level
+    distributed prefix_sum (no single-task global window); and the
+    rank -> pooled-value lookup is binned_range_join — each pooled
+    value owns the position interval [cum-w+1, cum+1) and each source
+    row probes with its target position, an equality join on the bin
+    id instead of any inequality join.  The 1-row corpus total is a
+    broadcast attach (sanctioned class)."""
+    from parquet_to_sql_spark.operators.prefix import (
+        grouped_prefix_sum,
+        prefix_sum,
+    )
+    from parquet_to_sql_spark.operators.relational import binned_range_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    sh = docs.groupBy("source", "v").agg(F.count(F.lit(1)).alias("n_docs"))
+    scum = grouped_prefix_sum(sh, ["source"], ["v"], "n_docs", "cum")
+    stot = scum.groupBy("source").agg(F.max("cum").alias("tot"))
+    src = (
+        scum.join(F.broadcast(stot), "source")
+        .withColumn(
+            "rank_ppm",
+            F.expr("CAST((1000000 * cum) DIV tot AS BIGINT)"),
+        )
+    )
+    ph = docs.groupBy("v").agg(F.count(F.lit(1)).alias("w"))
+    pcum = prefix_sum(ph, ["v"], "w", "cum_all")
+    tot_all = stot.agg(F.sum("tot").alias("n"))
+    probes = (
+        src.crossJoin(F.broadcast(tot_all))
+        .withColumn(
+            "p",
+            F.expr("CAST((rank_ppm * n + 999999) DIV 1000000 AS BIGINT)"),
+        )
+        .select("source", "v", "n_docs", "rank_ppm", "p")
+    )
+    intervals = pcum.select(
+        F.col("v").alias("v_norm"),
+        (F.col("cum_all") - F.col("w") + 1).alias("lo"),
+        (F.col("cum_all") + 1).alias("hi"),
+    )
+    return binned_range_join(
+        intervals, probes, lo="lo", hi="hi", x="p", bin_width=64
+    ).select(
+        "source",
+        "v",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "rank_ppm",
+        "v_norm",
+    )

@@ -62,6 +62,7 @@ _SANCTIONED_NL = {
     "profile_key_skew_report",  # 1-row totals attach onto the tiny count-of-counts (r8)
     "text_backoff_lm_scores",  # 1-row train-token total onto vocab table (r9)
     "pipeline_perplexity_buckets",  # same 1-row attach, inherited via the LM compose (r9)
+    "pipeline_score_quantile_normalize",  # 1-row corpus-total attach onto histogram rows (r9)
     # broadcast-tiny probe sides (query sets, centroids, codebooks,
     # PQ distance tables, band tables)
     "simsearch_cosine_topk",
