@@ -1031,3 +1031,63 @@ def minhash_screen_stream(
         )
         .select("new_id", "corpus_id", "band", "bucket")
     )
+
+
+_FRONTIER_OUTPUT = "host string, doc_id long, slot long, fetch_at_ms long"
+_FRONTIER_STATE = "next_slot long"
+
+
+def _frontier_fn(key, pdf_iter, state: GroupState):
+    (host,) = key
+    slot = state.get[0] if state.exists else 0
+    out_doc: list[int] = []
+    out_slot: list[int] = []
+    out_at: list[int] = []
+    batches = [p for p in pdf_iter if len(p)]
+    if batches:
+        rows = pd.concat(batches, ignore_index=True).sort_values(
+            "doc_id", kind="mergesort"
+        )
+        for did, delay in zip(rows["doc_id"], rows["delay_ms"]):
+            slot += 1
+            out_doc.append(int(did))
+            out_slot.append(slot)
+            out_at.append((slot - 1) * int(delay))
+        state.update((slot,))
+    yield pd.DataFrame(
+        {
+            "host": [host] * len(out_doc),
+            "doc_id": out_doc,
+            "slot": out_slot,
+            "fetch_at_ms": out_at,
+        }
+    )
+
+
+def frontier_schedule_stream(stream: DataFrame) -> DataFrame:
+    """At-ingest crawl-frontier POLITENESS scheduling — the stateful
+    streaming twin of pipeline_crawl_frontier for the case where URLs
+    arrive continuously: every host keeps ONE counter of slots handed
+    out so far (no retained rows), each arriving URL takes the next
+    per-host FIFO slot (doc-id order within a micro-batch, the gate
+    query's priority order) and a deterministic fetch time
+    (slot x the row's crawl delay).  Admissions are final facts
+    (append mode) and the counter carries across micro-batches AND
+    restarts, so a recurring crawl never double-books a politeness
+    slot — the streaming analogue of the band-index/ledger state
+    pattern, with state one long per host.
+
+    Expects columns (host, doc_id, delay_ms); batch equivalence
+    (streamed slots == row_number over the same rows) and the
+    cross-run slot carry are pinned in tests/test_streaming.py."""
+    return (
+        stream.select("host", "doc_id", "delay_ms")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _frontier_fn,
+            outputStructType=_FRONTIER_OUTPUT,
+            stateStructType=_FRONTIER_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

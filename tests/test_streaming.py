@@ -1819,3 +1819,98 @@ def test_minhash_screen_stream_matches_batch_probe(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def _frontier_rows(ids_texts):
+    """(host, doc_id, delay_ms) rows with the gate query's synth
+    formulas (23 hosts, delays 500-1500 by host class)."""
+    out = []
+    for did in ids_texts:
+        hn = did % 23
+        out.append((f"h{hn}.example.com", did, 500 + (hn % 5) * 250))
+    return out
+
+
+def test_frontier_schedule_stream_matches_batch_window(spark, tmp_path):
+    """Streamed politeness slots == row_number() over the same rows:
+    the stateful scheduler in one availableNow pass must reproduce
+    the batch window formula exactly (slot per host in doc-id order,
+    fetch_at = (slot-1) * delay)."""
+    from pyspark.sql import Window
+
+    from parquet_to_sql_spark.streaming import frontier_schedule_stream
+
+    d = str(tmp_path / "frontier_in")
+    os.makedirs(d)
+    df = spark.createDataFrame(
+        _frontier_rows(range(60)), "host string, doc_id long, delay_ms long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    w = Window.partitionBy("host").orderBy("doc_id")
+    want = {
+        (r.host, r.doc_id, r.slot, r.fetch_at_ms)
+        for r in df.withColumn("slot", F.row_number().over(w).cast("long"))
+        .withColumn("fetch_at_ms", (F.col("slot") - 1) * F.col("delay_ms"))
+        .select("host", "doc_id", "slot", "fetch_at_ms")
+        .collect()
+    }
+
+    stream = spark.readStream.schema(
+        "host string, doc_id long, delay_ms long"
+    ).parquet(d)
+    from parquet_to_sql_spark.streaming import run_to_memory
+
+    run_to_memory(
+        frontier_schedule_stream(stream), "frontier_out", "append"
+    )
+    got = {
+        (r.host, r.doc_id, r.slot, r.fetch_at_ms)
+        for r in spark.sql("SELECT * FROM frontier_out").collect()
+    }
+    assert got == want
+
+
+def test_frontier_schedule_stream_carries_slots_across_runs(spark, tmp_path):
+    """A host's slot counter survives the checkpoint: URLs arriving
+    in run 2 continue the host's FIFO where run 1 left off (no
+    politeness slot double-booked), while a new host starts at 1."""
+    from parquet_to_sql_spark.streaming import frontier_schedule_stream
+
+    d = str(tmp_path / "frontier_in2")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "frontier_ckpt")
+    schema = "host string, doc_id long, delay_ms long"
+
+    def run_once():
+        rows: list = []
+
+        def collect_batch(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            frontier_schedule_stream(
+                spark.readStream.schema(schema).parquet(d)
+            )
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    spark.createDataFrame(
+        [("hA", 1, 500), ("hA", 2, 500), ("hB", 3, 750)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    r1 = {r.doc_id: r for r in run_once()}
+    assert (r1[1].slot, r1[2].slot, r1[3].slot) == (1, 2, 1)
+
+    spark.createDataFrame(
+        [("hA", 10, 500), ("hC", 11, 1000)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    r2 = {r.doc_id: r for r in run_once()}
+    assert set(r2) == {10, 11}
+    assert r2[10].slot == 3 and r2[10].fetch_at_ms == 1000  # hA continues
+    assert r2[11].slot == 1 and r2[11].fetch_at_ms == 0  # hC starts fresh
