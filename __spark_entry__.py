@@ -306,6 +306,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_perplexity_buckets",  # round-9 new: CCNet head/middle/tail terciles
     "simsearch_ivf_incremental_assign",  # round-9 new: stored-quantizer delta assign
     "pipeline_score_quantile_normalize",  # round-9 new: cross-source calibration
+    "ev_funnel_unordered",  # round-9 new: any-order funnel, set semantics
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1634,3 +1634,86 @@ def ev_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@query(
+    "ev_funnel_unordered",
+    tags=("events", "funnel", "set-semantics"),
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view'
+            THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS view_us,
+        MIN(CASE WHEN event_type = 'click'
+            THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS click_us,
+        MIN(CASE WHEN event_type = 'purchase'
+            THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS purchase_us
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT user_id, view_us, click_us, purchase_us,
+           GREATEST(view_us, click_us, purchase_us) AS completed_us,
+           CAST((GREATEST(view_us, click_us, purchase_us)
+                 - LEAST(view_us, click_us, purchase_us)) // 60000000
+                AS BIGINT) AS span_minutes,
+           (GREATEST(view_us, click_us, purchase_us)
+            - LEAST(view_us, click_us, purchase_us))
+             <= 7 * 86400 * 1000000::BIGINT AS within_7d
+    FROM f
+    WHERE view_us IS NOT NULL AND click_us IS NOT NULL
+      AND purchase_us IS NOT NULL
+    """,
+)
+def ev_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-ORDER (set-semantics) funnel — the other funnel family
+    real product analytics ships alongside the ordered one
+    (ev_funnel_three_step): a user completes when they have done ALL
+    of view/click/purchase in any order; the completion instant is
+    the LAST first-occurrence, the span is last-minus-first, and the
+    7-day flag marks completions inside the campaign window.
+    Ordered funnels under-count users who purchase before clicking
+    (impulse + research-later) — the unordered twin is how that gap
+    is measured.
+
+    Shape: ONE filtered scan, one user-keyed conditional-min
+    aggregate (map-side partial; three MIN(CASE) columns — no joins,
+    no window, no per-step self-join over the log), then row-local
+    GREATEST/LEAST arithmetic.  Microsecond epochs subtract exactly;
+    the minutes division truncates identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    f = (
+        ev.where(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("event_type") == t, us)
+                ).alias(f"{t}_us")
+                for t in ("view", "click", "purchase")
+            ]
+        )
+        .where(
+            F.col("view_us").isNotNull()
+            & F.col("click_us").isNotNull()
+            & F.col("purchase_us").isNotNull()
+        )
+    )
+    hi = F.greatest("view_us", "click_us", "purchase_us")
+    lo = F.least("view_us", "click_us", "purchase_us")
+    return f.select(
+        "user_id",
+        "view_us",
+        "click_us",
+        "purchase_us",
+        hi.alias("completed_us"),
+        F.expr(
+            "CAST((GREATEST(view_us, click_us, purchase_us)"
+            " - LEAST(view_us, click_us, purchase_us)) DIV 60000000"
+            " AS BIGINT)"
+        ).alias("span_minutes"),
+        ((hi - lo) <= F.lit(7 * 86400 * 1000000)).alias("within_7d"),
+    )
