@@ -48,11 +48,26 @@ def test_post_window_queries_match_oracle_at_sf01(spark):
     """Every query added after the window froze (the post-window
     queue) gets the deeper 10x-data oracle check before it ever
     reaches a driver window — new operators are the least
-    battle-tested code in the repo."""
+    battle-tested code in the repo.
+
+    Vintage guard: __spark_entry__ is imported when the test RUNS,
+    while the query registry was imported at pytest COLLECTION — a
+    query registered on disk in between (a same-session mid-edit,
+    which the r9 suite run actually hit) would otherwise surface as
+    a bare KeyError; fail with the diagnosis instead."""
     import __spark_entry__ as e
 
+    queries_now = all_queries()
+    missing = [n for n in e._QUEUED_POST_WINDOW if n not in queries_now]
+    if missing:
+        pytest.fail(
+            f"queued names absent from the collected registry: {missing} — "
+            "either a forgotten @query registration, or __spark_entry__ "
+            "was edited after this pytest session collected; re-run the "
+            "suite in a fresh process for an honest verdict"
+        )
     for name in e._QUEUED_POST_WINDOW:
-        q = QUERIES[name]
+        q = queries_now[name]
         if q.oracle is None:
             # the driver contract's rows-only class (e.g. the blob
             # manifest — DuckDB 1.0 read_blob takes constant paths
