@@ -307,6 +307,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "simsearch_ivf_incremental_assign",  # round-9 new: stored-quantizer delta assign
     "pipeline_score_quantile_normalize",  # round-9 new: cross-source calibration
     "ev_funnel_unordered",  # round-9 new: any-order funnel, set semantics
+    "multimodal_avi_frames_real",  # round-9 new: REAL RIFF/DIB video frame decode
 )
 
 # Verified queries whose build source OR implementing operator
@@ -320,6 +321,11 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     # both re-proven oracle-exact at sf0.1 after the change.
     "pipeline_domain_cap_screen",
     "pipeline_web_curation",
+    # r9: operators/multimodal.py sample_frames grew the REAL
+    # uncompressed-AVI decode branch (fake=False); the fake-path gate
+    # query is its driver-green consumer — re-proven oracle-exact at
+    # sf0.01 (fresh driver sim) and sf0.1 after the change.
+    "multimodal_frame_samples",
 )
 
 

@@ -1,0 +1,195 @@
+"""Pure-stdlib AVI (RIFF) codec for uncompressed 24-bit DIB video.
+
+The THIRD real modality decoder (after the PNG image codec and the
+stdlib-``wave`` PCM audio path): the container ships no video library
+(ffmpeg/opencv re-verified absent every round), but an uncompressed
+AVI is just RIFF chunk framing — the same framing WAV uses — around
+raw Windows-DIB frames, all of it byte arithmetic the standard
+library covers with ``struct``.  So real video-container parsing and
+frame extraction run end-to-end inside ``mapInPandas``, and
+compressed codecs (MJPEG/H.264/...) keep their honest
+``AviFormatError`` quarantine instead of a guess.
+
+Scope (documented, asserted): 'RIFF…AVI ' files with one 'vids'
+stream, ``BI_RGB`` (biCompression=0) 24-bit bottom-up DIB frames in
+'00db'/'00dc' movi chunks.  The decoder validates the RIFF framing
+(chunk sizes, odd-size padding), reads geometry from the
+BITMAPINFOHEADER, honors the 4-byte DIB row stride, and returns
+frames as TOP-DOWN RGB byte strings — so a stride, row-order, or
+BGR/RGB interleave bug is a real decode bug, not a cosmetic one.
+Anything else (missing headers, truncated chunks, other bit depths
+or compression tags) raises ``AviFormatError`` naming the reason.
+
+The encoder exists so tests can synthesize golden files round-trip
+and so the gate query builds deterministic fixtures executor-side
+(the PNG-codec convention).
+
+Reference parity note: the reference repo (ParquetImporter.php) has
+no media handling at all; this module is part of the mandated
+LLM-pipeline extension surface (SURVEY.md §2.C multimodal).  Layout
+follows the public AVI RIFF specification (Microsoft "AVI RIFF File
+Reference", OpenDML); the DIB pixel layout is the public BMP v3
+BITMAPINFOHEADER format.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class AviFormatError(ValueError):
+    """Raised for malformed RIFF/AVI payloads and for valid-but-
+    unsupported variants (compressed streams, non-24-bit depths);
+    the message names the reason so pipeline quarantine buckets can
+    group by it."""
+
+
+def _stride(width: int) -> int:
+    """DIB rows pad to 4-byte boundaries (BMP v3 public layout)."""
+    return (width * 3 + 3) & ~3
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE32 size + payload (+ 1 pad byte when
+    the payload size is odd — RIFF chunks are word-aligned)."""
+    out = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def _list(subtype: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", subtype + payload)
+
+
+def avi_encode(
+    width: int, height: int, frames_rgb: list[bytes], fps: int = 10
+) -> bytes:
+    """Encode TOP-DOWN RGB frames (each ``width*height*3`` bytes) as
+    a minimal uncompressed AVI: one 'vids' stream, BI_RGB 24-bit
+    bottom-up DIB '00db' frames with 4-byte row stride."""
+    if width <= 0 or height <= 0:
+        raise AviFormatError(f"bad geometry {width}x{height}")
+    n = width * height * 3
+    for i, fr in enumerate(frames_rgb):
+        if len(fr) != n:
+            raise AviFormatError(
+                f"frame {i}: {len(fr)} bytes, expected {n}"
+            )
+    st = _stride(width)
+    pad = b"\x00" * (st - width * 3)
+    dib_frames = []
+    for fr in frames_rgb:
+        rows = []
+        for r in range(height - 1, -1, -1):  # bottom-up
+            row = fr[r * width * 3 : (r + 1) * width * 3]
+            bgr = bytearray(len(row))
+            bgr[0::3] = row[2::3]  # B <- source R-position swap
+            bgr[1::3] = row[1::3]
+            bgr[2::3] = row[0::3]
+            rows.append(bytes(bgr) + pad)
+        dib_frames.append(b"".join(rows))
+    frame_size = st * height
+
+    # BITMAPINFOHEADER: biSize..biClrImportant (BMP v3, 40 bytes)
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0,
+    )
+    # AVISTREAMHEADER (56 bytes): fccType 'vids', handler 'DIB ',
+    # scale/rate = 1/fps, dwLength = frame count
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        len(frames_rgb), frame_size, 0, -1,
+        0, 0, width, height,
+    )
+    strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    # MainAVIHeader (56 bytes = 14 DWORDs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX off; plain
+        len(frames_rgb), 0, 1, frame_size, width, height, 0, 0, 0, 0,
+    )
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl)
+    movi = _list(b"movi", b"".join(_chunk(b"00db", f) for f in dib_frames))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) over a RIFF chunk
+    span, validating sizes and honoring odd-size padding."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise AviFormatError(f"truncated chunk header at {pos}")
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + size > end:
+            raise AviFormatError(
+                f"chunk {fourcc!r} size {size} overruns container"
+            )
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL decode: parse the RIFF framing, read geometry from
+    BITMAPINFOHEADER, extract every '00db'/'00dc' movi frame, undo
+    the DIB layout (bottom-up rows, BGR, 4-byte stride) and return
+    ``(width, height, frames)`` with frames as top-down RGB bytes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise AviFormatError("not a RIFF container")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise AviFormatError("RIFF size overruns payload")
+    if payload[8:12] != b"AVI ":
+        raise AviFormatError(f"not an AVI (form {payload[8:12]!r})")
+
+    width = height = bits = comp = None
+    raw_frames: list[bytes] = []
+    for fourcc, p, size in _walk(payload, 12, 8 + riff_size):
+        if fourcc != b"LIST":
+            continue
+        subtype = payload[p : p + 4]
+        if subtype == b"hdrl":
+            for f2, p2, s2 in _walk(payload, p + 4, p + size):
+                if f2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                    for f3, p3, s3 in _walk(payload, p2 + 4, p2 + s2):
+                        if f3 == b"strf" and s3 >= 40:
+                            (
+                                _bisz, width, height, _planes, bits,
+                                comp, _szimg, _xp, _yp, _clr, _imp,
+                            ) = struct.unpack_from("<IiiHHIIiiII", payload, p3)
+        elif subtype == b"movi":
+            for f2, p2, s2 in _walk(payload, p + 4, p + size):
+                if f2 in (b"00db", b"00dc"):
+                    raw_frames.append(payload[p2 : p2 + s2])
+    if width is None:
+        raise AviFormatError("no BITMAPINFOHEADER (strf) found")
+    if comp != 0 or bits != 24:
+        raise AviFormatError(
+            f"unsupported DIB (biCompression={comp}, biBitCount={bits}); "
+            "only BI_RGB 24-bit decodes — compressed codecs quarantine"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    st = _stride(width)
+    want = st * height
+    frames: list[bytes] = []
+    for i, raw in enumerate(raw_frames):
+        if len(raw) != want:
+            raise AviFormatError(
+                f"frame {i}: {len(raw)} bytes, expected {want} "
+                f"({width}x{height} stride {st})"
+            )
+        out = bytearray(width * height * 3)
+        for r in range(height):
+            src_r = (height - 1 - r) if bottom_up else r
+            row = raw[src_r * st : src_r * st + width * 3]
+            dst = r * width * 3
+            out[dst + 0 : dst + width * 3 : 3] = row[2::3]  # R <- B pos
+            out[dst + 1 : dst + width * 3 : 3] = row[1::3]
+            out[dst + 2 : dst + width * 3 : 3] = row[0::3]
+        frames.append(bytes(out))
+    return width, height, frames

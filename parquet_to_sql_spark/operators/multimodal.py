@@ -19,9 +19,12 @@ decodes PCM WAV via the stdlib `wave` module.  Out-of-scope payloads
 raise a typed format error with the reason, or are routed to
 NULL-feature rows under `on_error="null"` (the quarantine shape a
 100 TB crawl job needs — one corrupt payload must not kill the
-stage).  Video/compressed-audio still ship the deterministic fake
-decoders behind `fake=True` and raise honestly otherwise (ffmpeg/
-soundfile absent in this environment; re-checked each round).
+stage).  `sample_frames(fake=False)` is REAL for uncompressed AVI
+video via the pure-stdlib RIFF/DIB codec in `operators/avi.py` —
+all three modalities now have a real end-to-end decode path.
+Compressed codecs (MJPEG/H.264, MP3/OGG) still quarantine with a
+typed error rather than guess (ffmpeg/soundfile/opencv absent in
+this environment; re-checked each round).
 """
 
 from __future__ import annotations
@@ -231,16 +234,20 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
     input rows and each carries a slice of the payload).
 
     The fake decoder slices the byte stream at even offsets and
-    fingerprints each slice; a real one would seek keyframes.
+    fingerprints each slice.  ``fake=False`` is REAL since round 9
+    for uncompressed AVI (operators/avi.py — RIFF chunk walk, DIB
+    stride/row-order/BGR undo): it extracts up to `n_frames` evenly
+    spaced DECODED frames, `frame_index` is the frame's index in the
+    movi stream, `offset_bytes` its offset in the decoded top-down
+    RGB stream, and the sha256 fingerprints the reconstructed RGB
+    bytes.  Compressed codecs raise AviFormatError (quarantine, not
+    a guess) — ffmpeg/opencv re-verified absent every round.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real frame extraction requires a video decoder on executors; "
-            "this environment ships the deterministic fake only"
-        )
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        from parquet_to_sql_spark.operators.avi import avi_frames
 
         for pdf in batches:
             rows = []
@@ -248,12 +255,27 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
                 payload = bytes(data) if data is not None else b""
                 if not payload:
                     continue
-                step = max(len(payload) // n_frames, 1)
-                for i in range(min(n_frames, len(payload))):
-                    off = i * step
-                    chunk = payload[off : off + step]
+                if fake:
+                    step = max(len(payload) // n_frames, 1)
+                    for i in range(min(n_frames, len(payload))):
+                        off = i * step
+                        chunk = payload[off : off + step]
+                        rows.append(
+                            (uri, i, off, hashlib.sha256(chunk).hexdigest())
+                        )
+                    continue
+                w, h, frames = avi_frames(payload)
+                fsz = w * h * 3
+                take = min(n_frames, len(frames))
+                for i in range(take):
+                    idx = i * len(frames) // take
                     rows.append(
-                        (uri, i, off, hashlib.sha256(chunk).hexdigest())
+                        (
+                            uri,
+                            idx,
+                            idx * fsz,
+                            hashlib.sha256(frames[idx]).hexdigest(),
+                        )
                     )
             yield pd.DataFrame(
                 rows, columns=["uri", "frame_index", "offset_bytes", "frame_sha256"]

@@ -705,3 +705,89 @@ def multimodal_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hamming <= 8).alias("is_neardup"),
         )
     )
+
+
+@query(
+    "multimodal_avi_frames_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 6 AS w,
+             3 + doc_id % 4 AS h,
+             4 + doc_id % 5 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(range(w * h * 3),
+                j -> j * ((doc_id * 31 + f * 131 + j * 7) % 256)))
+                AS BIGINT) AS wsum
+    FROM fr WHERE f % 3 = 0
+    """,
+)
+def multimodal_avi_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decoding inside mapInPandas — the third
+    modality made real (image: PNG codec; audio: stdlib wave; video:
+    THIS): each document id becomes a deterministic multi-frame
+    pixel sequence (frame f, byte j = (doc_id*31 + f*131 + j*7) mod
+    256, top-down RGB), encoded to an actual uncompressed AVI
+    (operators/avi.py — RIFF chunk framing, BGR bottom-up DIB rows,
+    4-byte stride), then REALLY parsed back (chunk walk + DIB undo)
+    and every 3rd frame sampled.  The emitted statistic is the
+    POSITION-WEIGHTED byte sum over the reconstructed top-down RGB
+    stream — row order, BGR/RGB interleave, and stride bugs all move
+    it, unlike a plain sum, and the oracle regenerates it purely
+    arithmetically without decoding.
+
+    Scale shape: narrow map over one pruned column, 1->N frame
+    expansion inside the same pass, no shuffle — the real video
+    sampling plumbing with output rows outnumbering input rows."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.avi import (
+            avi_encode,
+            avi_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 4 + did % 6, 3 + did % 4, 4 + did % 5
+                frames = [
+                    bytes(
+                        (did * 31 + f * 131 + j * 7) % 256
+                        for j in range(w * h * 3)
+                    )
+                    for f in range(nf)
+                ]
+                payload = avi_encode(w, h, frames)
+                rw, rh, out = avi_frames(payload)
+                for f in range(0, len(out), 3):
+                    rows.append(
+                        (
+                            did,
+                            f,
+                            rw,
+                            rh,
+                            sum(j * b for j, b in enumerate(out[f])),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "wsum"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, width int, height int, wsum long",
+    )
