@@ -308,6 +308,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_score_quantile_normalize",  # round-9 new: cross-source calibration
     "ev_funnel_unordered",  # round-9 new: any-order funnel, set semantics
     "multimodal_avi_frames_real",  # round-9 new: REAL RIFF/DIB video frame decode
+    "multimodal_scene_cuts_real",  # round-9 new: shot boundaries over decoded frames
 )
 
 # Verified queries whose build source OR implementing operator

@@ -791,3 +791,91 @@ def multimodal_avi_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, frame_idx int, width int, height int, wsum long",
     )
+
+
+@query(
+    "multimodal_scene_cuts_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 6 AS w,
+             3 + doc_id % 4 AS h,
+             4 + doc_id % 5 AS nf,
+             (4 + doc_id % 5) // 2 AS cut
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, cut, unnest(range(1, nf)) AS f FROM dims
+    ), d AS (
+      SELECT doc_id, f, w, h,
+        CAST(list_sum(list_transform(range(w * h * 3), j -> abs(
+          ((doc_id * 31 + f * 3 + j * 7
+            + (CASE WHEN f >= cut THEN 128 ELSE 0 END)) % 256)
+        - ((doc_id * 31 + (f - 1) * 3 + j * 7
+            + (CASE WHEN f - 1 >= cut THEN 128 ELSE 0 END)) % 256)
+        ))) AS BIGINT) AS l1_diff
+      FROM fr
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(f AS INT) AS frame_idx,
+           l1_diff,
+           l1_diff >= CAST(w AS BIGINT) * h * 3 * 64 AS is_cut
+    FROM d
+    """,
+)
+def multimodal_scene_cuts_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT-BOUNDARY detection over REALLY DECODED video frames — the
+    frame-sampling pipeline's next step (dedup samples around cuts,
+    not blindly): each document becomes a drifting frame sequence
+    (+3/byte per frame) with ONE planted scene change at the midpoint
+    (a +128 luminance flip — per-byte diff provably in [125, 131]
+    across the cut vs <= ~6 within a scene, so detection is
+    guaranteed, not threshold-lucky), encoded to an actual
+    uncompressed AVI, REALLY parsed back (operators/avi.py), and
+    adjacent decoded frames compared by L1 byte distance; a pair is
+    a cut when the mean per-byte difference reaches 64, and the
+    oracle computes the exact integers either way.
+
+    Scale shape: narrow map, 1 -> (nf-1) row expansion inside the
+    decode pass, no shuffle — frame pairs never leave the worker that
+    decoded them, exactly how a real shot detector runs."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.avi import (
+            avi_encode,
+            avi_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 4 + did % 6, 3 + did % 4, 4 + did % 5
+                cut = nf // 2
+                frames = [
+                    bytes(
+                        (did * 31 + f * 3 + j * 7
+                         + (128 if f >= cut else 0)) % 256
+                        for j in range(w * h * 3)
+                    )
+                    for f in range(nf)
+                ]
+                rw, rh, out = avi_frames(avi_encode(w, h, frames))
+                thresh = rw * rh * 3 * 64
+                for f in range(1, len(out)):
+                    l1 = sum(
+                        abs(a - b) for a, b in zip(out[f], out[f - 1])
+                    )
+                    rows.append((did, f, l1, l1 >= thresh))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "l1_diff", "is_cut"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, l1_diff long, is_cut boolean",
+    )

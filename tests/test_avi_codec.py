@@ -130,3 +130,24 @@ def test_sample_frames_real_path(spark):
         for idx in (0, 2, 4)  # i * 6 // 3 for i in 0..2
     }
     assert got == want
+
+
+def test_scene_cuts_detect_exactly_one_planted_cut_per_doc(spark):
+    """Every fixture doc has ONE +128 scene flip planted at the
+    frame midpoint; the detector must flag exactly that pair and
+    nothing else for every document."""
+    from parquet_to_sql_spark.queries.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["multimodal_scene_cuts_real"].build(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    cuts: dict = {}
+    for r in rows:
+        if r.is_cut:
+            cuts.setdefault(r.doc_id, []).append(r.frame_idx)
+    docs = {r.doc_id for r in rows}
+    assert set(cuts) == docs
+    for did, idxs in cuts.items():
+        nf = 4 + did % 5
+        assert idxs == [nf // 2], (did, idxs)
