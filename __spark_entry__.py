@@ -309,6 +309,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "ev_funnel_unordered",  # round-9 new: any-order funnel, set semantics
     "multimodal_avi_frames_real",  # round-9 new: REAL RIFF/DIB video frame decode
     "multimodal_scene_cuts_real",  # round-9 new: shot boundaries over decoded frames
+    "pipeline_compaction_plan",  # round-9 new: small-file merge-bin planning
 )
 
 # Verified queries whose build source OR implementing operator

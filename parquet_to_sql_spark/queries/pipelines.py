@@ -1779,3 +1779,70 @@ def pipeline_score_quantile_normalize(
         "rank_ppm",
         "v_norm",
     )
+
+
+_COMPACT_TARGET = 16_384  # bytes per compacted output file (fixture-scaled)
+
+
+@query(
+    "pipeline_compaction_plan",
+    tags=("pipeline", "table-maintenance", "scale-path"),
+    oracle=f"""
+    WITH files AS (
+      SELECT doc_id % 41 AS file_id,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1
+    ), small AS (
+      SELECT file_id, bytes,
+             SUM(bytes) OVER (ORDER BY bytes DESC, file_id) AS cum
+      FROM files WHERE bytes < {_COMPACT_TARGET}
+    )
+    SELECT f.file_id, f.bytes,
+           f.bytes < {_COMPACT_TARGET} AS is_small,
+           CAST((s.cum - s.bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin
+    FROM files f LEFT JOIN small s USING (file_id)
+    """,
+)
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planning — the table-maintenance job
+    (Iceberg/Delta OPTIMIZE's planning half) a long-lived lakehouse
+    table needs after many incremental writes: files under the
+    target size are assigned to merge bins by first-fit-on-sorted
+    order (largest small file first, bin = prior-cumulative-bytes
+    div target — the deterministic, engine-neutral spelling of the
+    greedy sorted fill), big files pass through with a NULL bin.
+    File sizes are synthesized as per-shard byte totals (doc_id %
+    41) since the fixture registers tables, not file listings; a
+    real run feeds the parquet file manifest straight in.
+
+    Scale shape: the plan runs over the FILE MANIFEST (one row per
+    file — millions of rows for a petabyte table, not billions), so
+    one map-side-combined size rollup, one ordered prefix sum over
+    manifest rows (distributed two-level, no single-task sort), one
+    row-local bin division.  The plan is what the rewrite job then
+    executes bin-by-bin, embarrassingly parallel."""
+    from parquet_to_sql_spark.operators.prefix import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy((F.col("doc_id") % 41).alias("file_id")).agg(
+        F.sum("n_chars").cast("bigint").alias("bytes")
+    )
+    small = files.filter(F.col("bytes") < _COMPACT_TARGET).withColumn(
+        "_neg", -F.col("bytes")
+    )
+    cum = prefix_sum(small, ["_neg", "file_id"], "bytes", "cum")
+    planned = cum.select(
+        "file_id",
+        F.expr(f"CAST((cum - bytes) DIV {_COMPACT_TARGET} AS BIGINT)").alias(
+            "bin"
+        ),
+    )
+    return (
+        files.join(planned, "file_id", "left")
+        .select(
+            "file_id",
+            "bytes",
+            (F.col("bytes") < _COMPACT_TARGET).alias("is_small"),
+            F.col("bin"),
+        )
+    )
