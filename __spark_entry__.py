@@ -310,6 +310,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_avi_frames_real",  # round-9 new: REAL RIFF/DIB video frame decode
     "multimodal_scene_cuts_real",  # round-9 new: shot boundaries over decoded frames
     "pipeline_compaction_plan",  # round-9 new: small-file merge-bin planning
+    "pipeline_leakage_safe_split",  # round-9 new: cluster-granular train/val/test
 )
 
 # Verified queries whose build source OR implementing operator

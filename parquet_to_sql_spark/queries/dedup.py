@@ -2323,3 +2323,70 @@ def dedup_minhash_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_apply(
         docs, "doc_id", "text", k=8, bands=4, n=3, tau=0.5
     )
+
+
+_SPLIT_HASH = DUCK_FOLD.format(s="CAST(component AS VARCHAR)")
+
+
+@query(
+    "pipeline_leakage_safe_split",
+    tags=("dedup", "pipeline", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH RECURSIVE
+    {duck_hashed_pair_ctes()},
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, component,
+           CASE WHEN {_SPLIT_HASH} % 10 < 8 THEN 'train'
+                WHEN {_SPLIT_HASH} % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment — the split step done
+    at CLUSTER granularity instead of document granularity: a plain
+    per-doc hash split puts near-duplicates of a training document
+    into the eval set (the classic benchmark-inflation leak), so
+    documents are first closed into near-dup components (hashed
+    3-gram Jaccard >= 0.5 pairs -> hash-min label propagation, the
+    dedup_connected_components relation) and the COMPONENT id is
+    what the deterministic 80/10/10 content-independent hash splits
+    — every member of a cluster lands on the same side by
+    construction.  Singletons hash on their own id (their component
+    is themselves), so the split stays reproducible under corpus
+    growth exactly like sample_stratified_hash.
+
+    Scale shape: the pair relation and closure are the CC query's
+    (equality joins + groupBy-min rounds, no all-pairs); the split
+    itself is a row-local hash — no extra exchange beyond the
+    closure's."""
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, hashed=True
+    ).select("doc1", "doc2")
+    comp = connected_components(
+        pairs, docs.select("doc_id"), "doc1", "doc2", "doc_id"
+    )
+    bucket = char_fold_hash(F.col("label").cast("string")) % 10
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
