@@ -311,6 +311,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_scene_cuts_real",  # round-9 new: shot boundaries over decoded frames
     "pipeline_compaction_plan",  # round-9 new: small-file merge-bin planning
     "pipeline_leakage_safe_split",  # round-9 new: cluster-granular train/val/test
+    "text_boilerplate_screen",  # round-9 new: per-source template-line detection
 )
 
 # Verified queries whose build source OR implementing operator

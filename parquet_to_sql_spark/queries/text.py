@@ -1999,3 +1999,109 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").cast("bigint").alias("max_score_ppm"),
         )
     )
+
+
+@query(
+    "text_boilerplate_screen",
+    tags=("text-analysis", "llm-pipeline", "curation", "scale-path"),
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {DUCK_WORDS} AS words FROM documents
+    ), lines AS (
+      SELECT DISTINCT doc_id, source, line FROM (
+        SELECT doc_id, source,
+               'nav menu for ' || source AS line
+        FROM w
+        UNION ALL
+        SELECT doc_id, source,
+               array_to_string(list_slice(words, i * 8 + 1, i * 8 + 8), ' ')
+                 AS line
+        FROM w, LATERAL unnest(range((len(words) + 7) // 8)) AS u(i)
+      )
+    ), srctot AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS n_src_docs
+      FROM documents GROUP BY source
+    ), freq AS (
+      SELECT source, line, COUNT(*) AS n_docs
+      FROM lines GROUP BY 1, 2
+    )
+    SELECT f.source, f.line,
+           CAST(f.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_src_docs AS BIGINT) AS n_src_docs,
+           CAST((1000000 * f.n_docs) // t.n_src_docs AS BIGINT)
+             AS share_ppm
+    FROM freq f JOIN srctot t USING (source)
+    WHERE f.n_docs >= 3
+      AND f.n_docs * 10 >= t.n_src_docs * 3
+    """,
+)
+def text_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE detection — the template-removal screen (CCNet /
+    content-extraction lineage) that catches nav menus, cookie
+    banners, and footers: a line repeated across a large share of
+    ONE source's documents is template, not content.  Documents are
+    segmented into pseudo-lines (8-token chunks; the fixture text is
+    single-line) plus one planted per-source nav line — the
+    detector must surface exactly the planted template (random-salad
+    chunks can't reach 30% document frequency), reported with
+    per-source document frequency and exact ppm share.  A line is
+    counted once per document (DISTINCT), so in-doc repetition can't
+    fake cross-doc boilerplate.
+
+    Scale shape: explode to (doc, line) -> DISTINCT at (source,
+    line, doc) granularity -> ONE map-side-combined frequency count
+    keyed by (source, line); source totals broadcast back at source
+    granularity; the output is the boilerplate list (tiny), which
+    the excision pass then applies row-locally exactly like
+    dedup_exact_lines_apply.  At 100 TB, doc-frequency counting per
+    source is how production template removal actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    nav = F.concat(F.lit("nav menu for "), F.col("source"))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        ws_tokens(F.col("text")).alias("_w"),
+        nav.alias("_nav"),
+    ).withColumn(
+        "_idx",
+        F.when(
+            F.size("_w") > 0,
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr("CAST((size(_w) - 1) DIV 8 AS BIGINT)"),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+    )
+    chunks = F.transform(
+        F.col("_idx"),
+        lambda i: F.array_join(
+            F.slice(F.col("_w"), (i * 8 + 1).cast("int"), 8), " "
+        ),
+    )
+    lines = staged.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.array(F.col("_nav")), chunks)).alias("line"),
+    ).distinct()
+    srctot = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_src_docs")
+    )
+    freq = lines.groupBy("source", "line").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        freq.join(F.broadcast(srctot), "source")
+        .filter(
+            (F.col("n_docs") >= 3)
+            & (F.col("n_docs") * 10 >= F.col("n_src_docs") * 3)
+        )
+        .select(
+            "source",
+            "line",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_src_docs").cast("bigint").alias("n_src_docs"),
+            F.expr(
+                "CAST((1000000 * n_docs) DIV n_src_docs AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
