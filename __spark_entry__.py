@@ -312,6 +312,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_compaction_plan",  # round-9 new: small-file merge-bin planning
     "pipeline_leakage_safe_split",  # round-9 new: cluster-granular train/val/test
     "text_boilerplate_screen",  # round-9 new: per-source template-line detection
+    "text_boilerplate_excision_apply",  # round-9 new: drop all template instances
 )
 
 # Verified queries whose build source OR implementing operator

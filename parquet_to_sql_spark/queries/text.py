@@ -2105,3 +2105,105 @@ def text_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+@query(
+    "text_boilerplate_excision_apply",
+    tags=("text-analysis", "llm-pipeline", "curation", "scale-path"),
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {DUCK_WORDS} AS words FROM documents
+    ), inst AS (
+      SELECT doc_id, source, 'nav menu for ' || source AS line FROM w
+      UNION ALL
+      SELECT doc_id, source,
+             array_to_string(list_slice(words, i * 8 + 1, i * 8 + 8), ' ')
+               AS line
+      FROM w, LATERAL unnest(range((len(words) + 7) // 8)) AS u(i)
+    ), srctot AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS n_src_docs
+      FROM documents GROUP BY source
+    ), freq AS (
+      SELECT source, line, COUNT(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, source, line FROM inst)
+      GROUP BY 1, 2
+    ), bp AS (
+      SELECT f.source, f.line
+      FROM freq f JOIN srctot t USING (source)
+      WHERE f.n_docs >= 3 AND f.n_docs * 10 >= t.n_src_docs * 3
+    ), marked AS (
+      SELECT i.doc_id, i.line, b.line IS NULL AS keep
+      FROM inst i LEFT JOIN bp b
+        ON i.source = b.source AND i.line = b.line
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN keep THEN length(line) ELSE 0 END)
+                + GREATEST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) - 1, 0)
+                AS BIGINT) AS cleaned_chars
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_boilerplate_excision_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPLY the boilerplate screen — the excision half of template
+    removal: every instance of a line the per-source detector
+    (text_boilerplate_screen, same thresholds) flagged as template is
+    dropped from every document (ALL occurrences, unlike
+    first-occurrence line dedup — boilerplate has no canonical keep),
+    and each document reports kept/dropped line counts and its
+    cleaned char size (kept line lengths + newline separators, the
+    dedup_exact_lines_apply accounting).
+
+    Scale shape: the template list is detector output — tiny (per-
+    source frequent lines), so the apply is a BROADCAST left-anti
+    flag against the line instances and one per-doc aggregate; the
+    corpus text shuffles only doc-locally (explode + groupBy on
+    doc_id), and at 100 TB the screen's frequency pass is the only
+    corpus-keyed exchange in the pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    nav = F.concat(F.lit("nav menu for "), F.col("source"))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        ws_tokens(F.col("text")).alias("_w"),
+        nav.alias("_nav"),
+    ).withColumn(
+        "_idx",
+        F.when(
+            F.size("_w") > 0,
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr("CAST((size(_w) - 1) DIV 8 AS BIGINT)"),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+    )
+    chunks = F.transform(
+        F.col("_idx"),
+        lambda i: F.array_join(
+            F.slice(F.col("_w"), (i * 8 + 1).cast("int"), 8), " "
+        ),
+    )
+    inst = staged.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.array(F.col("_nav")), chunks)).alias("line"),
+    )
+    bp = text_boilerplate_screen(spark, sf_dir).select(
+        "source", "line", F.lit(1).alias("_bp")
+    )
+    marked = inst.join(F.broadcast(bp), ["source", "line"], "left")
+    keep = F.col("_bp").isNull()
+    return marked.groupBy("doc_id").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        (
+            F.sum(F.when(keep, F.length("line")).otherwise(0))
+            + F.greatest(
+                F.sum(F.when(keep, 1).otherwise(0)) - 1, F.lit(0)
+            )
+        ).cast("bigint").alias("cleaned_chars"),
+    )
