@@ -313,6 +313,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_leakage_safe_split",  # round-9 new: cluster-granular train/val/test
     "text_boilerplate_screen",  # round-9 new: per-source template-line detection
     "text_boilerplate_excision_apply",  # round-9 new: drop all template instances
+    "agg_skyline_pareto_front",  # round-9 new: per-group dominance skyline
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1179,3 +1179,73 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean_cents"),
         )
     )
+
+
+@query(
+    "agg_skyline_pareto_front",
+    tags=("aggregation", "dominance", "scale-path"),
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      FROM lineitem
+    ), d AS (SELECT DISTINCT l_returnflag, price_c, qty_c FROM pts)
+    SELECT r.l_returnflag, r.price_c, r.qty_c
+    FROM d r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d s
+      WHERE s.l_returnflag = r.l_returnflag
+        AND ((s.price_c <  r.price_c AND s.qty_c >= r.qty_c)
+          OR (s.price_c <= r.price_c AND s.qty_c >  r.qty_c))
+    )
+    """,
+)
+def agg_skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-dominance) query — the multi-criteria
+    short-list no single ORDER BY can produce: per return flag, the
+    line items for which no other item is both cheaper-or-equal AND
+    higher-or-equal quantity (strict in one) — minimize price,
+    maximize quantity.  The oracle is the textbook NOT EXISTS
+    dominance spelling; the Spark plan is the sort-based O(n log n)
+    method: distinct points, then per group two RANGE-frame window
+    maxima over the price order — max qty among STRICTLY cheaper
+    points (dominance with price <) and among cheaper-or-equal
+    points (dominance with price <=, qty >) — a point survives iff
+    neither dominates it.  RANGE frames make the strict/equal price
+    boundaries exact, so ties (equal price, equal qty) survive
+    together, exactly like the quadratic definition.
+
+    Scale shape: one map-side DISTINCT on (group, price, qty), one
+    shuffle on the group key, one in-partition sort, two frame
+    evaluations over the same sort — no self-join, no all-pairs; the
+    skyline of a billion points per group costs one sorted pass."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("qty_c"),
+    ).distinct()
+    w_strict = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("_m_lt", F.max("qty_c").over(w_strict))
+        .withColumn("_m_le", F.max("qty_c").over(w_eq))
+        .filter(
+            (F.col("_m_lt").isNull() | (F.col("_m_lt") < F.col("qty_c")))
+            & (F.col("_m_le") <= F.col("qty_c"))
+        )
+        .select("l_returnflag", "price_c", "qty_c")
+    )
