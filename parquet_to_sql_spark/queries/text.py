@@ -2207,3 +2207,141 @@ def text_boilerplate_excision_apply(
             )
         ).cast("bigint").alias("cleaned_chars"),
     )
+
+
+@query(
+    "text_kneser_ney_scores",
+    tags=("text-analysis", "llm-pipeline", "quality-filter", "scale-path"),
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {DUCK_WORDS} AS w FROM documents
+    ), big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM staged, LATERAL unnest(range(1, len(w))) AS u(i)
+    ), tbig AS (
+      SELECT * FROM big WHERE doc_id % 2 = 0
+    ), pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM tbig GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1
+      FROM pairs GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM pairs GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pairs
+    ), scored AS (
+      SELECT b.doc_id,
+        CASE
+          WHEN x.c1 IS NULL THEN
+            (1000000::HUGEINT * COALESCE(n.nc, 0)) // t.t
+          WHEN p.c2 IS NOT NULL THEN
+            (1000000::HUGEINT * ((4 * p.c2 - 3) * t.t
+                                 + 3 * x.n1 * COALESCE(n.nc, 0)))
+              // (4::HUGEINT * x.c1 * t.t)
+          ELSE
+            (1000000::HUGEINT * (3 * x.n1 * COALESCE(n.nc, 0)))
+              // (4::HUGEINT * x.c1 * t.t)
+        END AS score_ppm,
+        CASE WHEN x.c1 IS NULL THEN 1 ELSE 0 END AS no_ctx,
+        CASE WHEN x.c1 IS NOT NULL AND p.c2 IS NULL THEN 1 ELSE 0 END
+          AS backed
+      FROM big b
+      LEFT JOIN pairs p ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN ctx x ON b.w1 = x.w1
+      LEFT JOIN cont n ON b.w2 = n.w2
+      CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(no_ctx) AS BIGINT) AS n_no_ctx,
+           CAST(SUM(backed) AS BIGINT) AS n_backed_off,
+           CAST(SUM(score_ppm)::HUGEINT // COUNT(*) AS BIGINT)
+             AS mean_score_ppm
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY bigram scoring in EXACT integers — the canonical
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1998's benchmark
+    winner, public record) the stupid-backoff screen approximates:
+    absolute discounting (d = 3/4, an exact rational) plus the
+    CONTINUATION-count back-off — a word's back-off mass reflects how
+    many distinct contexts it follows (nc), not its raw frequency,
+    which is what makes KN beat naive interpolation on "San
+    Francisco"-type collocations.  Trained on the held-out even-doc
+    split and scoring every document (the backoff-LM convention), the
+    per-bigram probability
+
+        seen:      ((c2 - 3/4) + (3/4) n1 Pcont) / c1
+        unseen:    ((3/4) n1 / c1) * Pcont          (Pcont = nc / T)
+        no context: Pcont                           (unseen w2 -> 0)
+
+    is carried as ONE exact integer division per branch (numerators
+    cross-multiplied onto the common denominator 4*c1*T), so the
+    oracle is value-exact with no floats anywhere.
+
+    Scale shape: identical to the backoff LM — vocabulary-bounded
+    model relations (pair counts, context totals + distinct-
+    continuation counts in one aggregate, continuation counts), all
+    shuffle-joined against the corpus bigrams (real vocabularies
+    outgrow broadcast), one 1-row bigram-type total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
+                F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    tbig = big.filter(F.col("doc_id") % 2 == 0)
+    pairs = tbig.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = pairs.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1")
+    )
+    cont = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("t"))
+    d38 = "CAST({} AS DECIMAL(38,0))"
+    seen_num = (
+        f"{d38.format('1000000')} * ((4 * c2 - 3) * t"
+        " + 3 * n1 * COALESCE(nc, 0))"
+    )
+    back_num = f"{d38.format('1000000')} * (3 * n1 * COALESCE(nc, 0))"
+    den = f"{d38.format('4')} * c1 * t"
+    scored = (
+        big.join(pairs, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""CASE
+                  WHEN c1 IS NULL THEN
+                    CAST(({d38.format('1000000')} * COALESCE(nc, 0))
+                         div t AS BIGINT)
+                  WHEN c2 IS NOT NULL THEN
+                    CAST(({seen_num}) div ({den}) AS BIGINT)
+                  ELSE
+                    CAST(({back_num}) div ({den}) AS BIGINT)
+                END"""
+            ).alias("score_ppm"),
+            F.when(F.col("c1").isNull(), 1).otherwise(0).alias("no_ctx"),
+            F.when(
+                F.col("c1").isNotNull() & F.col("c2").isNull(), 1
+            ).otherwise(0).alias("backed"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("no_ctx").cast("bigint").alias("n_no_ctx"),
+        F.sum("backed").cast("bigint").alias("n_backed_off"),
+        F.expr(
+            "CAST(CAST(SUM(score_ppm) AS DECIMAL(38,0)) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("mean_score_ppm"),
+    )

@@ -63,6 +63,7 @@ _SANCTIONED_NL = {
     "text_backoff_lm_scores",  # 1-row train-token total onto vocab table (r9)
     "pipeline_perplexity_buckets",  # same 1-row attach, inherited via the LM compose (r9)
     "pipeline_score_quantile_normalize",  # 1-row corpus-total attach onto histogram rows (r9)
+    "text_kneser_ney_scores",  # 1-row bigram-type total attach (the backoff-LM class, r9)
     # broadcast-tiny probe sides (query sets, centroids, codebooks,
     # PQ distance tables, band tables)
     "simsearch_cosine_topk",

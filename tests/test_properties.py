@@ -1250,3 +1250,96 @@ def test_backoff_lm_scores_match_sequential_reference(spark):
     assert any(m == 0 for (_, _, _, m) in want.values()), (
         "no OOV-floor hit (odd-only words must score 0)"
     )
+
+
+def test_kneser_ney_scores_match_sequential_reference(spark):
+    """text_kneser_ney_scores against a sequential exact-integer KN
+    reference over a split-vocabulary corpus covering all four
+    branches: seen pair, unseen pair under a seen context (the
+    continuation back-off), unseen context (pure Pcont), and unseen
+    word (floor 0)."""
+    import os
+    import random
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    rng = random.Random(1231)
+    shared = [f"w{i}" for i in range(8)]
+    odd_only = [f"odd{i}" for i in range(4)]
+    docs = []
+    for d in range(16):
+        n = rng.randrange(0, 12)
+        pool = shared if d % 2 == 0 else shared + odd_only
+        docs.append((d, [rng.choice(pool) for _ in range(n)]))
+
+    c2: Counter = Counter()
+    for d, toks in docs:
+        if d % 2 != 0:
+            continue
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+    c1: Counter = Counter()
+    n1: Counter = Counter()
+    nc: Counter = Counter()
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1[a] += 1
+        nc[b] += 1
+    T = len(c2)
+
+    want = {}
+    for d, toks in docs:
+        eff = toks if toks else [""]
+        bigs = list(zip(eff, eff[1:]))
+        if not bigs:
+            continue
+        scores, no_ctx, backed = [], 0, 0
+        for a, b in bigs:
+            if a not in c1:
+                no_ctx += 1
+                scores.append(1_000_000 * nc.get(b, 0) // T)
+            elif (a, b) in c2:
+                scores.append(
+                    1_000_000
+                    * ((4 * c2[(a, b)] - 3) * T + 3 * n1[a] * nc.get(b, 0))
+                    // (4 * c1[a] * T)
+                )
+            else:
+                backed += 1
+                scores.append(
+                    1_000_000 * (3 * n1[a] * nc.get(b, 0))
+                    // (4 * c1[a] * T)
+                )
+        want[d] = (len(bigs), no_ctx, backed, sum(scores) // len(bigs))
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [" ".join(t) for _, t in docs],
+            "lang": "en",
+            "source": "src0",
+            "n_chars": [len(" ".join(t)) for _, t in docs],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "documents.parquet")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+        q = all_queries()["text_kneser_ney_scores"]
+        got = {
+            r.doc_id: (
+                r.n_bigrams,
+                r.n_no_ctx,
+                r.n_backed_off,
+                r.mean_score_ppm,
+            )
+            for r in q.build(spark, tmp).collect()
+        }
+    assert got == want
+    # branch coverage of the constructed corpus
+    assert any(nx == 0 and b == 0 for (_, nx, b, _) in want.values())
+    assert any(b > 0 for (_, _, b, _) in want.values()), "no KN backoff hit"
+    assert any(nx > 0 for (_, nx, _, _) in want.values()), "no unseen-context hit"
