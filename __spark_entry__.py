@@ -315,6 +315,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_boilerplate_excision_apply",  # round-9 new: drop all template instances
     "agg_skyline_pareto_front",  # round-9 new: per-group dominance skyline
     "text_kneser_ney_scores",  # round-9 new: exact-integer KN smoothing
+    "ev_max_drawdown",  # round-9 new: per-user peak-to-trough metric
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1717,3 +1717,65 @@ def ev_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("span_minutes"),
         ((hi - lo) <= F.lit(7 * 86400 * 1000000)).alias("within_7d"),
     )
+
+
+@query(
+    "ev_max_drawdown",
+    tags=("events", "time-series", "window"),
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS cum
+      FROM events
+    ), p AS (
+      SELECT user_id, cum,
+             MAX(cum) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+             ) AS peak
+      FROM c
+    )
+    SELECT user_id,
+           CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM p GROUP BY user_id
+    """,
+)
+def ev_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per user — the peak-to-trough metric
+    (running cumulative value, its running maximum, and the largest
+    peak-minus-current gap) every budget/anomaly dashboard computes
+    over per-entity value streams; a spend stream's max drawdown is
+    its worst cumulative slide between refills.  Exact integer
+    cents; the running order is the total (ts, event_id) order, so
+    ties cannot reorder across engines.
+
+    Scale shape: one shuffle on user_id, two stacked running-window
+    passes over the SAME sort (Spark evaluates both frames in one
+    Window exec chain without re-sorting), one per-user final
+    aggregate — no self-join, no collect."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).over(w).alias(
+            "cum"
+        ),
+    )
+    p = c.select(
+        "user_id", "cum", F.max("cum").over(w).alias("peak")
+    )
+    return p.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("bigint").alias(
+            "max_drawdown_cents"
+        ),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
