@@ -15,23 +15,29 @@ alias layer is needed — ``queries()`` emits the 50-slot priority
 window first, then every remaining query in least-recently-verified
 order.  Exactly one registry entry per query.
 
-Window 9 composition (installed per VERDICT r08 "Next round" #1,
-the proven recipe, fourth round running; CORRECTNESS_r08 came back
+Window 10 composition (installed per VERDICT r09 "Next round" #1,
+the proven recipe, fifth round running; CORRECTNESS_r09 came back
 50/50 green and is folded into ``_DRIVER_VERIFIED`` below):
 
-  1. the 13 round-8-new queries — the only names with ZERO driver
-     evidence across CORRECTNESS_r01..r08 (``_NEVER_VERIFIED``,
+  1. the 27 round-9-new queries — the only names with ZERO driver
+     evidence across CORRECTNESS_r01..r09 (``_NEVER_VERIFIED``,
      the former ``_QUEUED_POST_WINDOW``; all locally oracle-exact
-     at sf0.01 AND sf0.1);
-  2. one stale re-verify (``_REVERIFY``): ``ev_rfm_segments``,
-     whose ``grouped_prefix_sum`` dependency changed in R8-2 after
-     its r7 green row (carried from ``_REVERIFY_QUEUED``);
-  3. 36 least-recently-verified spares (``_LRV_SPARES``) — the
-     oldest oracle-backed evidence in the ledger (r03/r04 rows),
+     at sf0.01 AND sf0.1, and judge-verified via verify_driver.py
+     in the r9 session);
+  2. three stale re-verifies (``_REVERIFY``, carried from r9's
+     ``_REVERIFY_QUEUED``): ``pipeline_domain_cap_screen`` and
+     ``pipeline_web_curation`` (urls.py registrable-domain path
+     changed in R9 after their r8 green rows) and
+     ``multimodal_frame_samples`` (sample_frames grew the real-AVI
+     branch; its r9 green row already post-dates the change, kept
+     per VERDICT r09 #1 for an unambiguous ledger);
+  3. 20 least-recently-verified spares (``_LRV_SPARES``) — the
+     oldest oracle-backed evidence in the ledger (r04 rows),
      refreshed under the standing LRV-rotation policy.
 
-Green across the board => 282/282 registered queries carry driver
-evidence with ZERO stale rows.  Every window is pure LRV rotation,
+Green across the board => 309/309 registered queries carry driver
+evidence with ZERO stale rows — including the driver's first
+hash-check of a REAL media decode (``multimodal_png_decode_real``).  Every window is pure LRV rotation,
 front-loading any query whose implementing source changed since its
 last green row (``_REVERIFY`` declares those so the parity test can
 tell a deliberate re-check from a wasted slot) and any post-freeze
@@ -63,8 +69,8 @@ from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 # from rounds < _WINDOW_ROUND are frozen evidence (folded into
 # _DRIVER_VERIFIED); any artifact from round >= _WINDOW_ROUND is the
 # driver's post-session output for THIS window and is asserted
-# against _PRIORITY_R09 instead (tests/test_oracle_parity.py).
-_WINDOW_ROUND = 9
+# against _PRIORITY_R10 instead (tests/test_oracle_parity.py).
+_WINDOW_ROUND = 10
 
 # By-design rows-only gate queries (no DuckDB oracle is possible):
 # the two self-verifying sketch queries carry in-query error-bound
@@ -85,6 +91,17 @@ _ROWS_ONLY_BY_DESIGN = frozenset(
 # asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r09 window first-timers (CORRECTNESS_r09.json, 50/50
+        #     green, all hash-exact; the other 37 window-9 names were
+        #     LRV re-verifies of rows already listed in the r01-r08
+        #     blocks below) ---
+        "agg_countmin_words", "dedup_exact_lines_apply",
+        "dedup_url_registrable_psl", "ev_quota_admission",
+        "ev_user_paths_topk", "pipeline_mixture_temperature",
+        "pipeline_source_overlap_matrix", "pipeline_source_token_budget",
+        "profile_key_skew_report", "sql_engine_sql_scripting",
+        "text_bigram_lm_scores", "text_rake_keyphrases",
+        "window_grouped_pareto_abc",
         # --- r08 window first-timers (CORRECTNESS_r08.json, 50/50
         #     green, all hash-exact; the other 39 window-8 names were
         #     LRV re-verifies of rows already listed in the r01-r07
@@ -232,109 +249,76 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# The 13 names with zero driver evidence across CORRECTNESS_r01..r08
-# (all round-8 additions, the former _QUEUED_POST_WINDOW; each passes
-# the local oracle at sf0.01 AND sf0.1 — tests/test_oracle_parity.py).
-# Sorted by name (the parity test's derivation order).  Slots 1-13.
+# The 27 names with zero driver evidence across CORRECTNESS_r01..r09
+# (all round-9 additions, the former _QUEUED_POST_WINDOW; each passes
+# the local oracle at sf0.01 AND sf0.1 — tests/test_oracle_parity.py —
+# and all 27 were hash-verified by the judge's own verify_driver.py
+# run in the r9 session, 30/30 OK).  Sorted by name (the parity
+# test's derivation order).  Slots 1-27.
 _NEVER_VERIFIED = (
-    "agg_countmin_words", "dedup_exact_lines_apply",
-    "dedup_url_registrable_psl", "ev_quota_admission",
-    "ev_user_paths_topk", "pipeline_mixture_temperature",
-    "pipeline_source_overlap_matrix", "pipeline_source_token_budget",
-    "profile_key_skew_report", "sql_engine_sql_scripting",
-    "text_bigram_lm_scores", "text_rake_keyphrases",
-    "window_grouped_pareto_abc",
+    "agg_skyline_pareto_front", "agg_winsorized_stats",
+    "dedup_incremental_lines_delta", "dedup_minhash_dedup_apply",
+    "dedup_minhash_incremental_screen", "dedup_minhash_production_audit",
+    "dedup_semdedup_clusters", "ev_funnel_unordered",
+    "ev_max_drawdown", "multimodal_avi_frames_real",
+    "multimodal_phash_real", "multimodal_png_decode_real",
+    "multimodal_resize_real", "multimodal_scene_cuts_real",
+    "multimodal_wav_decode_real", "pipeline_compaction_plan",
+    "pipeline_crawl_frontier", "pipeline_leakage_safe_split",
+    "pipeline_perplexity_buckets", "pipeline_score_quantile_normalize",
+    "pipeline_snapshot_diff", "simsearch_ivf_incremental_assign",
+    "simsearch_matryoshka_recall", "text_backoff_lm_scores",
+    "text_boilerplate_excision_apply", "text_boilerplate_screen",
+    "text_kneser_ney_scores",
 )
 
-# Deliberate re-verification slots: driver-green under an OLDER
-# formulation whose implementing operator has since been rewritten
-# (detected by
-# tests/test_oracle_parity.py::test_changed_queries_have_a_reverify_plan).
-# One this round, carried from r8's _REVERIFY_QUEUED: ev_rfm_segments'
-# grouped_prefix_sum dependency grew a null-safe join-back +
-# broadcast toggle in R8-2 after its r7 green row (re-proven
-# oracle-exact at sf0.1 locally while it waited).  Slot 14.
-_REVERIFY: tuple[str, ...] = ("ev_rfm_segments",)
+# Deliberate re-verification slots (carried from r9's
+# _REVERIFY_QUEUED, per VERDICT r09 "Next round" #1):
+# pipeline_domain_cap_screen / pipeline_web_curation consume
+# operators/urls.py with_registrable_domain, which grew an IPv6
+# passthrough + fail-loud PSL private-marker parse in R9 after their
+# r8 green rows; multimodal_frame_samples' sample_frames operator
+# grew the real-AVI branch in R9 (its r9 green row already
+# post-dates that change — kept for an unambiguous ledger).  All
+# three re-proven oracle-exact at sf0.1 locally while they waited.
+# Slots 28-30.
+_REVERIFY: tuple[str, ...] = (
+    "pipeline_domain_cap_screen",
+    "pipeline_web_curation",
+    "multimodal_frame_samples",
+)
 
-# Least-recently-verified spares: the 36 oracle-backed names with the
-# oldest driver evidence (24 r03 rows + 12 r04 rows) not already in
-# this window — the head of the standing LRV ordering, re-derived and
-# asserted by the parity test.  Slots 15-50.
+# Least-recently-verified spares: the 20 oracle-backed names with the
+# oldest driver evidence (all r04 rows) not already in this window —
+# the head of the standing LRV ordering, re-derived and asserted by
+# the parity test.  Slots 31-50.
 _LRV_SPARES = (
-    "setop_intersect_except_all", "setop_union_all",
-    "setop_union_by_name", "simsearch_cosine_topk",
-    "simsearch_hyperplane_lsh", "simsearch_ivf_kmeans_topk",
-    "sort_nulls_explicit", "sub_in_top_nations",
-    "sub_scalar_above_avg_price", "text_profile_documents",
-    "topk_expensive_orders", "udaf_pandas_weighted_avg",
-    "udf_iter_quantized_norm", "udtf_chunk_documents",
-    "window_first_last", "window_ignore_nulls",
-    "window_lag_lead_events", "window_moving_avg",
-    "window_pct_cume_nth", "window_range_frame",
-    "window_rank_dense_ntile", "window_running_sum",
-    "window_time_range_frame", "window_topn_per_customer",
-    "dedup_cc_star", "groupedmap_spend_share",
-    "multimodal_ahash_neardup", "multimodal_audio_features",
-    "multimodal_decode_features", "multimodal_frame_samples",
-    "multimodal_resize_thumbnail", "pipeline_cdc_upsert",
-    "pipeline_corpus_clean", "pipeline_corpus_curation",
-    "pipeline_curriculum_bins", "pipeline_dataset_card",
+    "pipeline_incremental_distinct_bitmap", "pipeline_merge_into_semantics",
+    "pipeline_mixture_sample", "pipeline_pack_sequences",
+    "pipeline_train_split_manifest", "profile_constraints",
+    "profile_orders_columns", "sample_bottom_k",
+    "sample_deterministic", "sample_stratified_hash",
+    "setop_intersect", "sql_engine_distribute_by",
+    "sql_engine_group_by_all", "sql_engine_nation_revenue",
+    "sql_engine_parameterized", "sql_engine_pipe_syntax",
+    "sql_engine_pivot_syntax", "sql_engine_recursive_reach",
+    "sql_engine_star_except", "sql_engine_window_qualify",
 )
 
-# Round-9 window: 13 never-verified + 1 stale re-verify + 36 LRV
+# Round-10 window: 27 never-verified + 3 stale re-verifies + 20 LRV
 # spares, in the insertion order the driver will check them.  Green
-# across the board => 282/282 with driver evidence, zero stale rows.
-_PRIORITY_R09 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
+# across the board => 309/309 with driver evidence, zero stale rows.
+_PRIORITY_R10 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
-# the head of the least-recently-verified tail and front window 10.
-_QUEUED_POST_WINDOW: tuple[str, ...] = (
-    "multimodal_png_decode_real",  # round-9 new: REAL stdlib PNG decode
-    "text_backoff_lm_scores",  # round-9 new: stupid-backoff LM, held-out split
-    "dedup_incremental_lines_delta",  # round-9 new: cross-snapshot line dedup
-    "dedup_minhash_production_audit",  # round-9 new: k=128/bands=16 recall audit
-    "multimodal_wav_decode_real",  # round-9 new: REAL stdlib PCM WAV decode
-    "dedup_minhash_incremental_screen",  # round-9 new: stored-index near-dup probe
-    "simsearch_matryoshka_recall",  # round-9 new: truncated-dim recall audit
-    "dedup_semdedup_clusters",  # round-9 new: SemDeDup within-cluster dedup
-    "multimodal_resize_real",  # round-9 new: REAL decode + NN resample
-    "dedup_minhash_dedup_apply",  # round-9 new: end-to-end LSH->verify->CC->manifest
-    "pipeline_snapshot_diff",  # round-9 new: added/removed/changed reconciliation
-    "agg_winsorized_stats",  # round-9 new: per-group winsorized mean, histogram path
-    "pipeline_crawl_frontier",  # round-9 new: per-host politeness scheduling
-    "multimodal_phash_real",  # round-9 new: aHash over REALLY decoded pixels
-    "pipeline_perplexity_buckets",  # round-9 new: CCNet head/middle/tail terciles
-    "simsearch_ivf_incremental_assign",  # round-9 new: stored-quantizer delta assign
-    "pipeline_score_quantile_normalize",  # round-9 new: cross-source calibration
-    "ev_funnel_unordered",  # round-9 new: any-order funnel, set semantics
-    "multimodal_avi_frames_real",  # round-9 new: REAL RIFF/DIB video frame decode
-    "multimodal_scene_cuts_real",  # round-9 new: shot boundaries over decoded frames
-    "pipeline_compaction_plan",  # round-9 new: small-file merge-bin planning
-    "pipeline_leakage_safe_split",  # round-9 new: cluster-granular train/val/test
-    "text_boilerplate_screen",  # round-9 new: per-source template-line detection
-    "text_boilerplate_excision_apply",  # round-9 new: drop all template instances
-    "agg_skyline_pareto_front",  # round-9 new: per-group dominance skyline
-    "text_kneser_ney_scores",  # round-9 new: exact-integer KN smoothing
-    "ev_max_drawdown",  # round-9 new: per-user peak-to-trough metric
-)
+# the head of the least-recently-verified tail and front window 11.
+_QUEUED_POST_WINDOW: tuple[str, ...] = ()
 
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a
 # slot this round (window full).  Each must pass sf0.1 oracle parity
-# while it waits; they front window 10 alongside _QUEUED_POST_WINDOW.
-_REVERIFY_QUEUED: tuple[str, ...] = (
-    # r9: operators/urls.py with_registrable_domain grew an IPv6
-    # passthrough + fail-loud PSL private-marker parse (ADVICE r08);
-    # these two are the driver-green consumers outside window 9 —
-    # both re-proven oracle-exact at sf0.1 after the change.
-    "pipeline_domain_cap_screen",
-    "pipeline_web_curation",
-    # r9: operators/multimodal.py sample_frames grew the REAL
-    # uncompressed-AVI decode branch (fake=False); the fake-path gate
-    # query is its driver-green consumer — re-proven oracle-exact at
-    # sf0.01 (fresh driver sim) and sf0.1 after the change.
-    "multimodal_frame_samples",
-)
+# while it waits; they front window 11 alongside _QUEUED_POST_WINDOW.
+_REVERIFY_QUEUED: tuple[str, ...] = ()
 
 
 def _last_verified_round(max_round: int | None = None) -> dict[str, int]:
@@ -381,12 +365,12 @@ def _ordered_names() -> list[str]:
     fresh green rows — and future rounds build their priority batch by
     taking the head of this same ordering."""
     last = _last_verified_round()
-    in_window = set(_PRIORITY_R09)
+    in_window = set(_PRIORITY_R10)
     rest = sorted(
         (n for n in all_queries() if n not in in_window),
         key=lambda n: (last.get(n, 0), n),
     )
-    return list(_PRIORITY_R09) + rest
+    return list(_PRIORITY_R10) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:
