@@ -97,18 +97,20 @@ def avi_encode(
         40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0,
     )
     # AVISTREAMHEADER (56 bytes): fccType 'vids', handler 'DIB ',
-    # scale/rate = 1/fps, dwLength = frame count
+    # scale/rate = 1/fps, dwLength = frame count, dwQuality = -1
+    # (driver default), dwSampleSize = 0 (video frames vary per AVI
+    # convention; ADVICE r09 — the two were swapped).
     strh = struct.pack(
-        "<4s4sIHHIIIIIIIi4h",
+        "<4s4sIHHIIIIIIiI4h",
         b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
-        len(frames_rgb), frame_size, 0, -1,
+        len(frames_rgb), frame_size, -1, 0,
         0, 0, width, height,
     )
     strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
     # MainAVIHeader (56 bytes = 14 DWORDs)
     avih = struct.pack(
         "<14I",
-        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX off; plain
+        1_000_000 // fps, frame_size * fps, 0, 0,  # no idx1 chunk => AVIF_HASINDEX must be off (ADVICE r09)
         len(frames_rgb), 0, 1, frame_size, width, height, 0, 0, 0, 0,
     )
     hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl)
@@ -153,8 +155,20 @@ def avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
             continue
         subtype = payload[p : p + 4]
         if subtype == b"hdrl":
+            n_strl = 0
             for f2, p2, s2 in _walk(payload, p + 4, p + size):
                 if f2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                    n_strl += 1
+                    if n_strl > 1:
+                        # a second stream (audio mux, secondary video)
+                        # would silently decode stream-0 frames against
+                        # whatever strf came LAST — quarantine instead
+                        # of failing later with a misleading size error
+                        # (ADVICE r09).
+                        raise AviFormatError(
+                            "multiple streams unsupported (found a second "
+                            "strl); only single-stream 'vids' AVIs decode"
+                        )
                     for f3, p3, s3 in _walk(payload, p2 + 4, p2 + s2):
                         if f3 == b"strf" and s3 >= 40:
                             (

@@ -227,7 +227,10 @@ def decode_audio_features(
 FRAME_SCHEMA = "uri string, frame_index int, offset_bytes long, frame_sha256 string"
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, fake: bool = True,
+    on_error: str = "raise",
+) -> DataFrame:
     """Frame-sampling for video-ish payloads: emit `n_frames` evenly
     spaced "frames" per asset (a 1->N mapInPandas expansion — the
     plumbing shape of real video decode, where output rows outnumber
@@ -241,13 +244,19 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
     movi stream, `offset_bytes` its offset in the decoded top-down
     RGB stream, and the sha256 fingerprints the reconstructed RGB
     bytes.  Compressed codecs raise AviFormatError (quarantine, not
-    a guess) — ffmpeg/opencv re-verified absent every round.
+    a guess) — ffmpeg/opencv re-verified absent every round.  Like
+    `decode_image_features`, ``on_error="null"`` routes malformed /
+    compressed payloads to a single NULL-feature quarantine row
+    instead of failing the whole stage (ADVICE r09 — one corrupt
+    payload must not kill a 100 TB decode stage).
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from parquet_to_sql_spark.operators.avi import avi_frames
+        from parquet_to_sql_spark.operators.avi import AviFormatError, avi_frames
 
         for pdf in batches:
             rows = []
@@ -264,7 +273,13 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
                             (uri, i, off, hashlib.sha256(chunk).hexdigest())
                         )
                     continue
-                w, h, frames = avi_frames(payload)
+                try:
+                    w, h, frames = avi_frames(payload)
+                except AviFormatError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((uri, None, None, None))
+                    continue
                 fsz = w * h * 3
                 take = min(n_frames, len(frames))
                 for i in range(take):

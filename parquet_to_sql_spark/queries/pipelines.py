@@ -1699,7 +1699,7 @@ def pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n FROM d
     ), m AS (
       SELECT s.source, s.v, s.n_docs, s.rank_ppm,
-             (s.rank_ppm * t.n + 999999) // 1000000 AS p
+             GREATEST((s.rank_ppm * t.n + 999999) // 1000000, 1) AS p
       FROM src s, tot t
     )
     SELECT m.source, m.v,
@@ -1760,8 +1760,16 @@ def pipeline_score_quantile_normalize(
     probes = (
         src.crossJoin(F.broadcast(tot_all))
         .withColumn(
+            # floor at 1: past 1e6 docs/source the lowest histogram
+            # rows floor rank_ppm to 0 and p=0 matches no [lo,hi)
+            # interval — the row would silently vanish while the
+            # oracle keeps it (ADVICE r09); position 1 is the correct
+            # pooled minimum for rank 0.
             "p",
-            F.expr("CAST((rank_ppm * n + 999999) DIV 1000000 AS BIGINT)"),
+            F.greatest(
+                F.expr("CAST((rank_ppm * n + 999999) DIV 1000000 AS BIGINT)"),
+                F.lit(1).cast("bigint"),
+            ),
         )
         .select("source", "v", "n_docs", "rank_ppm", "p")
     )

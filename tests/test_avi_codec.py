@@ -151,3 +151,75 @@ def test_scene_cuts_detect_exactly_one_planted_cut_per_doc(spark):
     for did, idxs in cuts.items():
         nf = 4 + did % 5
         assert idxs == [nf // 2], (did, idxs)
+
+
+def test_header_metadata_conventions():
+    """ADVICE r09: the encoder's header metadata must be sane for
+    EXTERNAL readers too — avih dwFlags must not advertise an idx1
+    chunk that is never written, and the stream header must put -1 in
+    dwQuality (driver default) with dwSampleSize=0 (video frames vary),
+    not the other way around."""
+    p = avi_encode(4, 3, _pattern_frames(4, 3, 2))
+    i = p.index(b"avih") + 8
+    flags = struct.unpack_from("<I", p, i + 12)[0]  # 4th DWORD
+    assert flags == 0  # no AVIF_HASINDEX without an idx1 chunk
+    j = p.index(b"strh") + 8
+    # AVISTREAMHEADER: dwQuality at offset 40, dwSampleSize at 44
+    quality = struct.unpack_from("<i", p, j + 40)[0]
+    sample_size = struct.unpack_from("<I", p, j + 44)[0]
+    assert quality == -1 and sample_size == 0
+
+
+def test_multi_stream_quarantines():
+    """ADVICE r09: a second strl (audio mux / secondary video) must
+    raise a typed unsupported-variant error instead of decoding
+    stream-0 frames against whichever strf happened to come last."""
+    p = avi_encode(4, 3, _pattern_frames(4, 3, 1))
+    # graft a copy of the existing strl LIST right after itself
+    i = p.index(b"LIST", p.index(b"hdrl"))  # first LIST inside hdrl walk
+    # locate the strl LIST: search for the subtype marker
+    k = p.index(b"strl") - 8  # LIST header starts 8 bytes before subtype
+    (lsz,) = struct.unpack_from("<I", p, k + 4)
+    strl_chunk = p[k : k + 8 + lsz]
+    grafted = p[: k + 8 + lsz] + strl_chunk + p[k + 8 + lsz :]
+    # fix up enclosing sizes: RIFF and hdrl LIST grow by len(strl_chunk)
+    grow = len(strl_chunk)
+    (riff_sz,) = struct.unpack_from("<I", grafted, 4)
+    grafted = bytearray(grafted)
+    struct.pack_into("<I", grafted, 4, riff_sz + grow)
+    hd = bytes(grafted).index(b"hdrl") - 8
+    (hd_sz,) = struct.unpack_from("<I", grafted, hd + 4)
+    struct.pack_into("<I", grafted, hd + 4, hd_sz + grow)
+    with pytest.raises(AviFormatError, match="multiple streams"):
+        avi_frames(bytes(grafted))
+
+
+def test_sample_frames_null_quarantine(spark):
+    """ADVICE r09: sample_frames(fake=False, on_error='null') routes a
+    malformed payload to ONE null-feature row instead of failing the
+    stage; good payloads in the same batch still decode."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.multimodal import (
+        pack_binary,
+        sample_frames,
+    )
+
+    w, h = 4, 3
+    frames = _pattern_frames(w, h, 2)
+    good = avi_encode(w, h, frames)
+    df = spark.createDataFrame(
+        [("vid://good.avi", good), ("vid://bad.avi", b"not a riff at all")],
+        "uri string, data binary",
+    )
+    packed = pack_binary(df, F.col("data"), F.col("uri"), "video/avi")
+    rows = sample_frames(packed, n_frames=2, fake=False, on_error="null").collect()
+    by_uri = {}
+    for r in rows:
+        by_uri.setdefault(r.uri, []).append(r)
+    assert len(by_uri["vid://good.avi"]) == 2
+    (bad,) = by_uri["vid://bad.avi"]
+    assert bad.frame_index is None and bad.frame_sha256 is None
+    # and the default still fails loud
+    with pytest.raises(Exception, match="RIFF"):
+        sample_frames(packed, n_frames=2, fake=False).collect()

@@ -1081,3 +1081,32 @@ def test_hash_feature_classifier_broadcasts_model(spark):
     plan = _formatted_plan(get("text_hash_feature_classify").build(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_quantile_normalize_keeps_rank_ppm_zero_rows(spark, tmp_path):
+    """ADVICE r09: once a source exceeds 1e6 docs its lowest histogram
+    rows floor rank_ppm to 0; p must clamp to position 1 so the rows
+    calibrate to the pooled minimum instead of silently vanishing
+    (p=0 matches no [lo,hi) interval in the binned range join)."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    n = 1_000_001  # > ppm resolution: doc at rank 1 gets rank_ppm 0
+    docs = spark.range(n).select(
+        F.lit("big").alias("source"),
+        F.when(F.col("id") == 0, F.lit(5))
+        .otherwise(F.lit(100))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = (
+        all_queries()["pipeline_score_quantile_normalize"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    rows = {r.v: r for r in out}
+    assert rows[5].rank_ppm == 0
+    assert rows[5].v_norm == 5  # pooled minimum, not a dropped row
+    assert rows[100].v_norm == 100
