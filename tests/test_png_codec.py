@@ -178,3 +178,50 @@ def test_phash_real_separates_planted_negatives(spark):
             assert not r.is_neardup and r.hamming > 8, r
         else:
             assert r.is_neardup and r.hamming <= 8, r
+
+
+def test_unfilter_matches_scalar_spec_reference():
+    """The numpy unfilter must be BIT-identical to the scalar spec
+    (`_predictor`, kept as the reference implementation): decode the
+    same filtered stream both ways over every filter type and odd
+    geometries."""
+    import random
+
+    from parquet_to_sql_spark.operators.png import (
+        _predictor,
+        _unfilter,
+        png_encode,
+    )
+    import struct as _struct
+    import zlib as _zlib
+
+    def scalar_unfilter(raw, w, h, nch):
+        stride = w * nch
+        out = bytearray(stride * h)
+        prev = b""
+        for row in range(h):
+            base = row * (stride + 1)
+            ftype = raw[base]
+            line = bytearray(raw[base + 1 : base + 1 + stride])
+            if ftype:
+                for i in range(stride):
+                    line[i] = (
+                        line[i] + _predictor(ftype, line, prev, i, nch)
+                    ) & 0xFF
+            out[row * stride : (row + 1) * stride] = line
+            prev = bytes(line)
+        return bytes(out)
+
+    rng = random.Random(7)
+    for nch in (1, 2, 3, 4):
+        for w, h in ((1, 1), (3, 5), (17, 4), (32, 9)):
+            px = bytes(rng.randrange(256) for _ in range(w * h * nch))
+            for ftype in range(5):
+                payload = png_encode(w, h, px, channels=nch, filter_type=ftype)
+                # pull the raw filtered stream back out of the IDAT
+                i = payload.index(b"IDAT") - 4
+                (ln,) = _struct.unpack(">I", payload[i : i + 4])
+                raw = _zlib.decompress(payload[i + 8 : i + 8 + ln])
+                assert _unfilter(raw, w, h, nch) == scalar_unfilter(
+                    raw, w, h, nch
+                ), (nch, w, h, ftype)
