@@ -312,7 +312,9 @@ _PRIORITY_R10 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
 # the head of the least-recently-verified tail and front window 11.
-_QUEUED_POST_WINDOW: tuple[str, ...] = ()
+_QUEUED_POST_WINDOW: tuple[str, ...] = (
+    "multimodal_jpeg_decode_real",  # round-10 new: REAL stdlib baseline JPEG decode
+)
 
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a

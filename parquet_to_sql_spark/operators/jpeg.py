@@ -1,0 +1,662 @@
+"""Pure-stdlib baseline JPEG codec (decoder + minimal encoder).
+
+Extends the real-modality story (VERDICT r09 "next round" #2) to the
+format web crawls are actually made of: baseline sequential DCT JPEG
+per the public ITU-T T.81 spec — marker parsing, canonical Huffman
+decode (F.2.2.3 MINCODE/MAXCODE), coefficient EXTEND, dequantization,
+8x8 inverse DCT (numpy, batched across blocks), chroma upsampling and
+JFIF YCbCr->RGB.  No third-party imaging library exists in the
+container (PIL/libjpeg re-verified absent every round); numpy +
+stdlib `struct` are the only dependencies, exactly like the PNG/AVI
+codecs beside it.
+
+Scope (documented, asserted): baseline (SOF0) and extended
+sequential (SOF1) Huffman scans, 8-bit samples, 1 component
+(grayscale) or 3 components (JFIF YCbCr) with sampling factors 1-2
+(4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn).  Everything
+else raises :class:`JpegFormatError` naming the reason — progressive
+(SOF2), arithmetic coding (SOF9-11), lossless/hierarchical, 12-bit
+precision, 4-component CMYK — so a training pipeline routes those to
+a quarantine bucket rather than guessing (same contract as the PNG
+and AVI codecs).
+
+Determinism contract: the decoder's IDCT is float64 with one
+canonical rounding (numpy round-half-even) and 0..255 clipping; for
+per-block-CONSTANT content the reconstruction is mathematically
+exact (only the DC coefficient is nonzero and the quantizer divides
+it), which is what makes the `multimodal_jpeg_decode_real` gate
+query value-exact against an arithmetic DuckDB oracle that never
+decodes anything.
+
+The encoder exists so tests and the gate query can synthesize
+fixtures executor-side: single-scan baseline, 4:4:4, standard
+Annex K Huffman tables, configurable flat quantization, optional
+restart intervals to exercise the RSTn path.
+
+Reference parity note: the reference repo (ParquetImporter.php) has
+no media handling; this module is mandated LLM-pipeline extension
+surface (SURVEY.md §2.C multimodal).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegFormatError(ValueError):
+    """Malformed JPEGs and valid-but-unsupported variants
+    (progressive / arithmetic / 12-bit / CMYK); the message names the
+    reason so quarantine buckets can group by it."""
+
+
+# zig-zag scan order: index in scan order -> index in the 8x8 block
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8x8 DCT basis: M[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+# forward: S = M @ s @ M.T     inverse: s = M.T @ S @ M
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_M[_u, _x] = (_c / 2.0) * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# ITU-T T.81 Annex K typical Huffman tables: (BITS[1..16], HUFFVAL)
+_K_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_UNSUPPORTED_SOF = {
+    0xC2: "progressive DCT (SOF2)",
+    0xC3: "lossless sequential (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic-coded sequential (SOF9)",
+    0xCA: "arithmetic-coded progressive (SOF10)",
+    0xCB: "arithmetic-coded lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+class _HuffTable:
+    """Canonical Huffman table per T.81 F.2.2.3: MINCODE/MAXCODE/
+    VALPTR indexed by code length."""
+
+    def __init__(self, bits: list[int], huffval: list[int]):
+        if len(bits) != 16 or sum(bits) != len(huffval):
+            raise JpegFormatError("inconsistent DHT (BITS vs HUFFVAL)")
+        self.huffval = huffval
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        # encoder side: value -> (code, length)
+        self.enc: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.enc[huffval[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers,
+    and byte-aligns across RSTn boundaries."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise JpegFormatError("entropy data ran out before EOI")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is None:
+                raise JpegFormatError("dangling 0xFF at end of scan")
+            else:
+                # a real marker: T.81 says fill with 1-bits (the
+                # decoder only lands here on a truncated scan)
+                raise JpegFormatError(
+                    f"marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        while self.nbits < n:
+            self._fill()
+        if n:
+            self.nbits -= n
+            v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = self.bit()
+        length = 1
+        while code > table.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise JpegFormatError("invalid Huffman code (no match in 16 bits)")
+            code = (code << 1) | self.bit()
+        return table.huffval[table.valptr[length] + code - table.mincode[length]]
+
+    def align_and_expect_rst(self, m: int) -> None:
+        """Byte-align and consume the next RSTm marker."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise JpegFormatError("expected RST marker at restart boundary")
+        got = d[self.pos + 1]
+        if got != 0xD0 + m:
+            raise JpegFormatError(
+                f"restart marker out of order: expected RST{m}, "
+                f"got 0xFF{got:02X}"
+            )
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12: map the t-bit magnitude v to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG -> (width, height, channels, pixels).
+
+    ``pixels`` is row-major 8-bit RGB (3 components) or grayscale
+    (1 component), ``width * height * channels`` bytes.  Raises
+    :class:`JpegFormatError` on malformed input and on every variant
+    outside the documented baseline scope.
+    """
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    frame = None  # (w, h, [(cid, hsamp, vsamp, tq)])
+    restart_interval = 0
+    out = None
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > len(data):
+            raise JpegFormatError("truncated marker segment")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise JpegFormatError(f"truncated 0xFF{marker:02X} segment")
+        pos += seglen
+
+        if marker in _UNSUPPORTED_SOF:
+            raise JpegFormatError(
+                f"{_UNSUPPORTED_SOF[marker]} not supported; "
+                "baseline sequential Huffman only — quarantine"
+            )
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    q = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                    i += 64
+                elif pq == 1:
+                    q = np.frombuffer(seg[i : i + 128], dtype=">u2")
+                    i += 128
+                else:
+                    raise JpegFormatError(f"bad DQT precision {pq}")
+                if len(q) != 64:
+                    raise JpegFormatError("truncated DQT table")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = q  # de-zigzag to natural order
+                qtables[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                i += 17 + n
+                t = _HuffTable(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = t
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise JpegFormatError(
+                    f"{prec}-bit precision not supported (8 only) — quarantine"
+                )
+            if nc not in (1, 3):
+                raise JpegFormatError(
+                    f"{nc}-component image not supported (grayscale/YCbCr "
+                    "only; CMYK quarantines)"
+                )
+            if w == 0 or h == 0:
+                raise JpegFormatError("zero-dimension image")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise JpegFormatError(
+                        f"sampling factors {hs}x{vs} not supported (1-2)"
+                    )
+                comps.append((cid, hs, vs, tq))
+            frame = (w, h, comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegFormatError("SOS before SOF")
+            w, h, comps = frame
+            ns = seg[0]
+            if ns != len(comps):
+                raise JpegFormatError(
+                    "partial/multi-scan not supported (baseline single "
+                    "scan only) — quarantine"
+                )
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            out = _decode_scan(
+                data, pos, frame, sel, qtables, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+            pos = out[1]
+            out = out[0]
+        # APPn / COM / others: skipped (length already consumed)
+
+    if out is None:
+        raise JpegFormatError("no scan decoded (missing SOS)")
+    w, h, comps = frame
+    return w, h, len(comps), out
+
+
+def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri):
+    """Entropy-decode the single interleaved scan, inverse-DCT every
+    block (numpy, batched per component), upsample and color-convert.
+    Returns (pixels, new_pos)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    per = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qtables:
+            raise JpegFormatError(f"missing quant table {tq}")
+        if cid not in sel:
+            raise JpegFormatError(f"component {cid} missing from SOS")
+        td, ta = sel[cid]
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise JpegFormatError(f"missing Huffman table (DC {td} / AC {ta})")
+        bw, bh = mcux * hs, mcuy * vs
+        per.append({
+            "hs": hs, "vs": vs, "q": qtables[tq],
+            "dc": dc_tabs[td], "ac": ac_tabs[ta],
+            "coef": np.zeros((bh * bw, 8, 8), dtype=np.int64),
+            "bw": bw, "pred": 0,
+        })
+
+    r = _BitReader(data, pos)
+    zz = _ZIGZAG
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if ri and m and m % ri == 0:
+            r.align_and_expect_rst(rst)
+            rst = (rst + 1) & 7
+            for st in per:
+                st["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for st in per:
+            hs, vs, bw = st["hs"], st["vs"], st["bw"]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, dtype=np.int64)
+                    t = r.decode(st["dc"])
+                    if t > 15:
+                        raise JpegFormatError(f"bad DC category {t}")
+                    st["pred"] += _extend(r.receive(t), t)
+                    coef[0] = st["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = r.decode(st["ac"])
+                        rr, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if rr == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rr
+                        if k > 63:
+                            raise JpegFormatError("AC run past block end")
+                        coef[zz[k]] = _extend(r.receive(s), s)
+                        k += 1
+                    idx = (my * vs + by) * bw + (mx * hs + bx)
+                    st["coef"][idx] = coef.reshape(8, 8)
+
+    # consume any trailing fill bits; leave pos at the next marker
+    new_pos = r.pos
+
+    planes = []
+    for st in per:
+        deq = st["coef"] * st["q"]  # (n, 8, 8) * (8, 8) broadcast
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_M, deq.astype(np.float64),
+                            _DCT_M, optimize=True)
+        px = np.clip(np.round(spatial) + 128.0, 0, 255).astype(np.uint8)
+        bw = st["bw"]
+        bh = px.shape[0] // bw
+        plane = (
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # replicate-upsample to full MCU-grid resolution
+        fy, fx = vmax // st["vs"], hmax // st["hs"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0].tobytes(), new_pos
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return (
+        np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes(),
+        new_pos,
+    )
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per T.81
+
+
+def _encode_block(wtr, coef_zz, pred, dc_tab, ac_tab):
+    """Huffman-encode one quantized block given in zigzag order;
+    returns the new DC predictor."""
+    diff = int(coef_zz[0]) - pred
+    t = 0 if diff == 0 else int(diff if diff > 0 else -diff).bit_length()
+    code, ln = dc_tab.enc[t]
+    wtr.put(code, ln)
+    if t:
+        wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coef_zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab.enc[0xF0]  # ZRL
+            wtr.put(code, ln)
+            run -= 16
+        s = int(v if v > 0 else -v).bit_length()
+        code, ln = ac_tab.enc[(run << 4) | s]
+        wtr.put(code, ln)
+        wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab.enc[0x00]  # EOB
+        wtr.put(code, ln)
+    return int(coef_zz[0])
+
+
+def jpeg_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit pixels as a baseline JPEG (grayscale or 4:4:4
+    YCbCr), standard Annex K Huffman tables, FLAT quantization table
+    of value ``quant`` everywhere.
+
+    ``quant=8`` makes per-8x8-block-CONSTANT content decode EXACTLY
+    (the DC coefficient of a flat block is 8*(v-128), an exact
+    multiple of 8), which is what the gate query's arithmetic oracle
+    relies on; smaller/larger values trade fidelity like a normal
+    quality knob.  ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that-many MCUs (exercises the decoder's restart path).
+    """
+    if channels not in (1, 3):
+        raise JpegFormatError(f"channels {channels} not supported (1/3)")
+    if len(pixels) != width * height * channels:
+        raise JpegFormatError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
+        )
+    if not 1 <= quant <= 255:
+        raise JpegFormatError(f"quant {quant} out of range 1..255")
+
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [px[..., 0]]
+
+    bw, bh = -(-width // 8), -(-height // 8)
+    qt = np.full((8, 8), float(quant))
+    dc_l, ac_l = _HuffTable(*_K_DC_LUMA), _HuffTable(*_K_AC_LUMA)
+    dc_c, ac_c = _HuffTable(*_K_DC_CHROMA), _HuffTable(*_K_AC_CHROMA)
+
+    blocks_per_comp = []
+    for plane in planes:
+        # edge-pad by replication to a whole number of blocks
+        p = np.pad(
+            plane,
+            ((0, bh * 8 - height), (0, bw * 8 - width)),
+            mode="edge",
+        )
+        blk = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        S = np.einsum("ux,nxy,vy->nuv", _DCT_M, blk - 128.0, _DCT_M,
+                      optimize=True)
+        q = np.round(S / qt).astype(np.int64)
+        blocks_per_comp.append(q.reshape(-1, 64)[:, _ZIGZAG])
+
+    wtr = _BitWriter()
+    preds = [0] * channels
+    n_mcu = bw * bh
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = [0] * channels
+        for c in range(channels):
+            preds[c] = _encode_block(
+                wtr,
+                blocks_per_comp[c][m],
+                preds[c],
+                dc_l if c == 0 else dc_c,
+                ac_l if c == 0 else ac_c,
+            )
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_inv = np.zeros(64, dtype=np.int64)
+    zz_inv[_ZIGZAG] = np.arange(64)
+    qt_zz = np.full(64, quant, dtype=np.uint8)  # flat: zigzag == natural
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0x00]) + qt_zz.tobytes())  # DQT id 0
+    if channels == 3:
+        out += seg(0xDB, bytes([0x01]) + qt_zz.tobytes())  # DQT id 1
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _K_DC_LUMA) + dht(1, 0, _K_AC_LUMA)
+    if channels == 3:
+        out += dht(0, 1, _K_DC_CHROMA) + dht(1, 1, _K_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([channels])
+    for c in range(channels):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

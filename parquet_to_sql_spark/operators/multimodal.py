@@ -76,15 +76,30 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL image decode (PNG, pure stdlib): width, height, channels,
-    and mean_luma = mean of all reconstructed 8-bit samples / 255.0 —
-    the brightness screen a vision-data pipeline runs first.  Raises
-    PngFormatError for non-PNG / unsupported-variant payloads."""
+    """REAL image decode (pure stdlib+numpy codecs): sniffs the
+    payload — PNG signature -> operators/png.py, JPEG SOI ->
+    operators/jpeg.py (baseline sequential, round 10) — and returns
+    width, height, channels, and mean_luma = mean of all
+    reconstructed 8-bit samples / 255.0, the brightness screen a
+    vision-data pipeline runs first.  Raises PngFormatError /
+    JpegFormatError for unsupported variants and anything else
+    (quarantine, not a guess)."""
     import numpy as np
 
-    from parquet_to_sql_spark.operators.png import png_decode
+    from parquet_to_sql_spark.operators.jpeg import jpeg_decode
+    from parquet_to_sql_spark.operators.png import PngFormatError, png_decode
 
-    w, h, c, pixels = png_decode(payload)
+    if payload[:3] == b"\xff\xd8\xff" or (
+        len(payload) >= 2 and payload[:2] == b"\xff\xd8"
+    ):
+        w, h, c, pixels = jpeg_decode(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, c, pixels = png_decode(payload)
+    else:
+        raise PngFormatError(
+            "unrecognized image payload (PNG and baseline JPEG decode; "
+            "everything else quarantines)"
+        )
     if not pixels:
         return w, h, c, 0.0
     # identical float to sum(pixels)/len/255: one exact integer sum
@@ -107,6 +122,7 @@ def decode_image_features(
     value-exact checkable in SQL (the driver-green gate query)."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    from parquet_to_sql_spark.operators.jpeg import JpegFormatError
     from parquet_to_sql_spark.operators.png import PngFormatError
 
     decode_one = _fake_decode if fake else _real_decode
@@ -119,7 +135,7 @@ def decode_image_features(
                 try:
                     w, h, c, luma = decode_one(payload)
                     rows.append((uri, len(payload), w, h, c, luma))
-                except PngFormatError:
+                except (PngFormatError, JpegFormatError):
                     if on_error == "raise":
                         raise
                     rows.append((uri, len(payload), None, None, None, None))

@@ -1,0 +1,240 @@
+"""Baseline JPEG codec (operators/jpeg.py): golden structure, a
+hand-derived fixed-byte fixture (decoder checked independently of the
+encoder), flat-block exactness (the gate query's oracle contract),
+error bounds on arbitrary content, restart markers, 4:2:0 subsampled
+decode, and typed quarantine for every out-of-scope variant."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_to_sql_spark.operators.jpeg import (
+    JpegFormatError,
+    _BitWriter,
+    _HuffTable,
+    _K_AC_LUMA,
+    _K_DC_CHROMA,
+    _K_DC_LUMA,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _flat_blocks(w: int, h: int, seed: int) -> bytes:
+    """Per-8x8-block-constant grayscale pattern (blocks in row-major
+    order get value (seed + 11*i) % 256)."""
+    bw, bh = w // 8, h // 8
+    img = np.zeros((h, w), dtype=np.uint8)
+    for i in range(bw * bh):
+        by, bx = divmod(i, bw)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (seed + 11 * i) % 256
+    return img.tobytes()
+
+
+def test_golden_structure():
+    p = jpeg_encode(16, 8, _flat_blocks(16, 8, 3), channels=1)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in p and b"\xff\xc0" in p and b"\xff\xc4" in p
+    i = p.index(b"\xff\xc0") + 4
+    prec, hh, ww, nc = p[i], *struct.unpack(">HH", p[i + 1 : i + 5]), p[i + 5]
+    assert (prec, hh, ww, nc) == (8, 8, 16, 1)
+
+
+def test_hand_derived_fixture_decodes_exactly():
+    """A single 8x8 grayscale flat-130 JPEG built BY HAND from the
+    T.81 spec (Annex K tables, canonical codes derived on paper):
+    DC = 8*(130-128) = 16 with quant 1 -> category 5, code '110',
+    magnitude '10000'; EOB = '1010'; 1-padded to 0xD0 0xAF.  The
+    decoder must reproduce 64x value 130 — this checks canonical
+    Huffman construction, EXTEND, dequant and IDCT independently of
+    the encoder."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    dc_bits, dc_vals = _K_DC_LUMA
+    ac_bits, ac_vals = _K_AC_LUMA
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    dht += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes([0xD0, 0xAF]) + b"\xff\xd9"
+    )
+    w, h, c, out = jpeg_decode(payload)
+    assert (w, h, c) == (8, 8, 1)
+    assert out == bytes([130] * 64)
+
+
+def test_flat_blocks_grayscale_exact():
+    """quant=8 divides every flat block's DC (8*(v-128)) so the
+    reconstruction is mathematically exact — the gate query's oracle
+    contract."""
+    for w, h, seed in ((8, 8, 0), (24, 16, 7), (40, 8, 201), (16, 32, 99)):
+        px = _flat_blocks(w, h, seed)
+        assert jpeg_decode(jpeg_encode(w, h, px, 1, quant=8))[3] == px
+
+
+def test_non_multiple_of_8_dims_roundtrip():
+    """Edge-padded dimensions crop back exactly for flat content."""
+    img = np.full((11, 13), 77, dtype=np.uint8)
+    w, h, c, out = jpeg_decode(jpeg_encode(13, 11, img.tobytes(), 1, quant=8))
+    assert (w, h, c) == (13, 11, 1)
+    assert out == img.tobytes()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**20),
+)
+def test_random_grayscale_error_bound(w, h, seed):
+    """Arbitrary content at quant=1 reconstructs within 1 gray level
+    (float IDCT rounding is the only loss source)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    rw, rh, rc, out = jpeg_decode(jpeg_encode(w, h, px.tobytes(), 1, quant=1))
+    assert (rw, rh, rc) == (w, h, 1)
+    got = np.frombuffer(out, np.uint8).astype(int).reshape(h, w)
+    assert np.abs(got - px.astype(int)).max() <= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**20), ri=st.integers(1, 3))
+def test_restart_markers_roundtrip(seed, ri):
+    px = _flat_blocks(32, 16, seed % 256)
+    p = jpeg_encode(32, 16, px, 1, quant=8, restart_interval=ri)
+    assert b"\xff\xdd" in p  # DRI present
+    assert jpeg_decode(p)[3] == px
+
+
+def test_color_flat_within_rounding():
+    """RGB->YCbCr->RGB carries two float roundings; flat color must
+    come back within 1 per channel (and the shape/channels exact)."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 23, 200, 97
+    w, h, c, out = jpeg_decode(jpeg_encode(16, 16, img.tobytes(), 3, quant=1))
+    assert (w, h, c) == (16, 16, 3)
+    got = np.frombuffer(out, np.uint8).astype(int).reshape(16, 16, 3)
+    assert np.abs(got - img.astype(int)).max() <= 1
+
+
+def test_subsampled_420_flat_decode():
+    """A hand-built 4:2:0 16x16 flat-color JPEG (one MCU: 4 Y blocks
+    + 1 Cb + 1 Cr, every block DC-only) must decode through the
+    subsampling/upsampling path to the exact flat YCbCr
+    reconstruction."""
+    yv, cbv, crv = 90, 160, 100
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dc_l = _HuffTable(*_K_DC_LUMA)
+    dc_c = _HuffTable(*_K_DC_CHROMA)
+    ac_l = _HuffTable(*_K_AC_LUMA)
+    wtr = _BitWriter()
+
+    def put_dc_block(tab, diff):
+        t = 0 if diff == 0 else abs(diff).bit_length()
+        code, ln = tab.enc[t]
+        wtr.put(code, ln)
+        if t:
+            wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        code, ln = ac_l.enc[0x00]  # EOB (AC luma table used for all)
+        wtr.put(code, ln)
+
+    # 4 Y blocks: first carries the full DC, the rest diff 0
+    put_dc_block(dc_l, 8 * (yv - 128))
+    for _ in range(3):
+        put_dc_block(dc_l, 0)
+    put_dc_block(dc_c, 8 * (cbv - 128))
+    put_dc_block(dc_c, 8 * (crv - 128))
+    wtr.flush()
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling
+        + bytes([2, 0x11, 0])  # Cb: 1x1
+        + bytes([3, 0x11, 0]),  # Cr: 1x1
+    )
+    dc_bits, dc_vals = _K_DC_LUMA
+    ac_bits, ac_vals = _K_AC_LUMA
+    cc_bits, cc_vals = _K_DC_CHROMA
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    dht += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    dht += seg(0xC4, bytes([0x01]) + bytes(cc_bits) + bytes(cc_vals))
+    dht += seg(0xC4, bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    payload = b"\xff\xd8" + dqt + sof + dht + sos + bytes(wtr.out) + b"\xff\xd9"
+
+    w, h, c, out = jpeg_decode(payload)
+    assert (w, h, c) == (16, 16, 3)
+    got = np.frombuffer(out, np.uint8).reshape(16, 16, 3)
+    # every pixel identical (flat) and equal to the JFIF inverse
+    assert len({tuple(p) for p in got.reshape(-1, 3)}) == 1
+    r = round(yv + 1.402 * (crv - 128))
+    g = round(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128))
+    b = round(yv + 1.772 * (cbv - 128))
+    assert tuple(got[0, 0]) == (r, g, b)
+
+
+def test_quarantine_errors_are_typed():
+    good = jpeg_encode(8, 8, bytes([100] * 64), 1, quant=8)
+    cases = [
+        (b"nope", "not a JPEG"),
+        (good.replace(b"\xff\xc0", b"\xff\xc2", 1), "progressive"),
+        (good.replace(b"\xff\xc0", b"\xff\xc9", 1), "arithmetic"),
+        (good[: len(good) // 2], "ran out|truncated|expected marker"),
+    ]
+    for bad, why in cases:
+        with pytest.raises(JpegFormatError, match=why):
+            jpeg_decode(bad)
+    # 12-bit precision quarantines
+    i = good.index(b"\xff\xc0") + 4
+    bad12 = good[:i] + bytes([12]) + good[i + 1 :]
+    with pytest.raises(JpegFormatError, match="12-bit"):
+        jpeg_decode(bad12)
+
+
+def test_decode_image_features_sniffs_jpeg(spark):
+    """decode_image_features(fake=False) now sniffs the payload:
+    PNG signature -> png codec, JPEG SOI -> jpeg codec, anything else
+    quarantines."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.multimodal import (
+        decode_image_features,
+        pack_binary,
+    )
+
+    px = _flat_blocks(16, 8, 50)
+    jp = jpeg_encode(16, 8, px, 1, quant=8)
+    from parquet_to_sql_spark.operators.png import png_encode
+
+    pg = png_encode(4, 2, bytes(range(24)), 3)
+    df = spark.createDataFrame(
+        [("img://a.jpg", jp), ("img://b.png", pg), ("img://c.gif", b"GIF89a")],
+        "uri string, data binary",
+    )
+    packed = pack_binary(df, F.col("data"), F.col("uri"), "image/mixed")
+    rows = {
+        r.uri: r
+        for r in decode_image_features(
+            packed, fake=False, on_error="null"
+        ).collect()
+    }
+    exp_luma = sum(px) / len(px) / 255.0
+    assert rows["img://a.jpg"].width == 16
+    assert rows["img://a.jpg"].channels == 1
+    assert abs(rows["img://a.jpg"].mean_luma - exp_luma) < 1e-12
+    assert rows["img://b.png"].width == 4
+    assert rows["img://c.gif"].width is None  # quarantined
