@@ -314,6 +314,7 @@ _PRIORITY_R10 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 # the head of the least-recently-verified tail and front window 11.
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_decode_real",  # round-10 new: REAL stdlib baseline JPEG decode
+    "text_bpe_encode_full",  # round-10 new: 128-merge hof BPE application
 )
 
 # Verified queries whose build source OR implementing operator

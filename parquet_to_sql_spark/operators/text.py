@@ -770,6 +770,59 @@ def bpe_apply_merge_table(
     return seq
 
 
+_BPE_RS = "\x1e"  # record separator between a merge's left and right
+
+
+def bpe_pack_merge(left: Column, right: Column) -> Column:
+    """Pack one merge's sides into the single-string representation
+    bpe_apply_merges_hof consumes: 'left<rs>right' (chr(30); cannot
+    occur in symbols drawn from ^[a-z]+$ words)."""
+    return F.concat(left, F.lit(_BPE_RS), right)
+
+
+def bpe_apply_merges_hof(seq: Column, merge_table: Column) -> Column:
+    """Apply a FULL-VOCABULARY BPE merge table to an encoded sequence
+    (from bpe_word_to_sequence) — the production-depth variant of
+    bpe_apply_merge_table (VERDICT r09 #5).
+
+    ``merge_table`` is an array<string> column of packed merges
+    (bpe_pack_merge, priority order).  Application is ONE
+    higher-order ``aggregate`` whose lambda runs the same
+    boundary-anchored replace as the chain operator — so the merge
+    table is DATA (a broadcast array from a trained table, a literal,
+    or a column), not codegen: expression depth is O(1) regardless of
+    table size, which removes BPE_MAX_MERGES' chain-depth constraint
+    (that bound exists because each chained replace adds a plan node;
+    here 100 or 50k merges build the identical 1-node plan).  Row
+    cost is O(n_merges * encoded_len) either way — linear in both, as
+    a tokenizer pass must be.
+
+    Greedy-equivalence contract (property-tested): for any VALID
+    merge table — each side is an original character or the result of
+    an earlier merge, which is what training produces — applying
+    merges in rank order, each exhaustively left-to-right, equals the
+    classic lowest-rank-first loop (Sennrich et al. 2016 reference
+    implementation), because rank-k symbols can only assemble after
+    all their constituent merges (< k) have fired."""
+    us = F.lit(_BPE_US)
+    rs = _BPE_RS
+    return F.aggregate(
+        merge_table,
+        seq.cast("string"),
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(
+                us, F.substring_index(m, rs, 1), us,
+                us, F.substring_index(m, rs, -1), us,
+            ),
+            F.concat(
+                us, F.substring_index(m, rs, 1),
+                F.substring_index(m, rs, -1), us,
+            ),
+        ),
+    )
+
+
 def bpe_train_merges(
     vocab: DataFrame, n_iters: int, word_col: str = "word", wc_col: str = "wc"
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:

@@ -2345,3 +2345,156 @@ def text_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mean_score_ppm"),
     )
+
+
+_BPE_FULL_MERGES = 128  # full-vocabulary application depth (rank bound)
+
+
+@query(
+    "text_bpe_encode_full",
+    headline=True,
+    tags=("text-analysis", "tokenizer", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH aw AS (
+      SELECT source, word
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$')
+    ), v AS (
+      SELECT word, COUNT(*) AS wc FROM aw GROUP BY 1
+    ), pr AS (
+      SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r,
+             SUM(wc) AS c
+      FROM v, LATERAL (SELECT unnest(range(1, length(word))) AS i) u
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT l || chr(30) || r AS m,
+             row_number() OVER (ORDER BY c DESC, l, r) AS rn
+      FROM pr
+    ), mt AS (
+      SELECT list(m ORDER BY rn) AS merges
+      FROM rk WHERE rn <= {_BPE_FULL_MERGES}
+    ), encv AS (
+      SELECT word, length(word) AS n_before,
+             (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS n_after
+      FROM (
+        SELECT word,
+               list_reduce(
+                 list_prepend(
+                   chr(31) || array_to_string(string_split(word, ''),
+                                              chr(31) || chr(31)) || chr(31),
+                   merges),
+                 (acc, m) -> replace(acc,
+                   chr(31) || split_part(m, chr(30), 1) || chr(31)
+                     || chr(31) || split_part(m, chr(30), 2) || chr(31),
+                   chr(31) || split_part(m, chr(30), 1)
+                     || split_part(m, chr(30), 2) || chr(31))
+               ) AS seq
+        FROM v, mt
+      )
+    ), j AS (
+      SELECT a.source, e.n_before, e.n_after FROM aw a JOIN encv e USING (word)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_before) AS BIGINT) AS n_sym_before,
+           CAST(SUM(n_after) AS BIGINT) AS n_sym_after,
+           CAST((1000000::HUGEINT * (SUM(n_before) - SUM(n_after)))
+                // SUM(n_before) AS BIGINT) AS saved_ppm,
+           (SELECT CAST(len(merges) AS INT) FROM mt) AS n_merges
+    FROM j GROUP BY source
+    """,
+)
+def text_bpe_encode_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-VOCABULARY BPE application (VERDICT r09 #5): derives a
+    128-merge rank table (the most frequent adjacent character pairs
+    over the weighted vocabulary, ties (count DESC, l, r)) in one
+    aggregation, then encodes every vocab word with
+    bpe_apply_merges_hof — the merge table rides as a BROADCAST ARRAY
+    and application is ONE higher-order `aggregate` whose lambda is
+    the boundary-anchored replace, so expression depth stays O(1) at
+    any table size (the chain operator's BPE_MAX_MERGES codegen bound
+    does not apply; a 50k-merge production table builds the same
+    1-node plan).  Per-source compression stats roll up through a
+    word-keyed join, exactly like text_bpe_encode_deep.
+
+    Scale shape: pair counting and application run on the VOCABULARY
+    (type-level, not token-level); the rank window is a bounded
+    unpartitioned window over <= 676 distinct character pairs
+    (sanctioned 1-row-stats class); the merge table crosses the
+    exchange once as a single broadcast row; corpus-sized relations
+    appear only in the word explode and the final join + rollup.  Row
+    cost is O(n_merges * word_len) — linear in token count x merge
+    rounds (SCALING row).  The oracle re-derives the same table and
+    applies it with DuckDB list_reduce over the same packed-merge
+    strings."""
+    from parquet_to_sql_spark.operators.text import (
+        bpe_apply_merges_hof,
+        bpe_pack_merge,
+        bpe_symbol_count,
+        bpe_word_to_sequence,
+        ws_tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    aw = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    vocab = aw.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = (
+        vocab.where(F.length("word") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> struct(substring(word, i, 1) AS l,"
+                    "             substring(word, i + 1, 1) AS r))"
+                )
+            ).alias("_p"),
+        )
+        .groupBy("_p.l", "_p.r")
+        .agg(F.sum("wc").alias("c"))
+    )
+    ranked = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("c"), F.col("l"), F.col("r"))
+        ),
+    ).where(F.col("rn") <= _BPE_FULL_MERGES)
+    ranked = ranked.withColumn("m", bpe_pack_merge(F.col("l"), F.col("r")))
+    table = ranked.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rn, m))), x -> x.m)"
+        ).alias("merges")
+    ).select("merges", F.size("merges").cast("int").alias("n_merges"))
+    stats = (
+        vocab.crossJoin(F.broadcast(table.select("merges")))
+        .select(
+            "word",
+            F.length("word").cast("long").alias("n_before"),
+            bpe_apply_merges_hof(
+                bpe_word_to_sequence(F.col("word")), F.col("merges")
+            ).alias("_seq"),
+        )
+        .select(
+            "word", "n_before", bpe_symbol_count(F.col("_seq")).alias("n_after")
+        )
+    )
+    return (
+        aw.join(stats, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_before").cast("bigint").alias("n_sym_before"),
+            F.sum("n_after").cast("bigint").alias("n_sym_after"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (sum(n_before) - sum(n_after)))"
+                " div sum(n_before) AS BIGINT)"
+            ).alias("saved_ppm"),
+        )
+        .crossJoin(F.broadcast(table.select("n_merges")))
+    )

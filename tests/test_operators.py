@@ -1854,3 +1854,116 @@ def test_ivf_incremental_assign_with_stored_cell_counts(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_cell_counts")
         spark.sql("DROP TABLE IF EXISTS ivf_centroids")
+
+
+def test_bpe_hof_equals_chain_and_lowest_rank_reference(spark):
+    """bpe_apply_merges_hof (merge table as DATA — VERDICT r09 #5):
+    (1) bit-equal to the chain operator on the same table;
+    (2) equal to the classic lowest-rank-first greedy loop (Sennrich
+    reference) on VALID tables trained in-test — the generalized
+    greedy-equivalence property: rank-ordered exhaustive passes ==
+    repeated lowest-rank merge, because a rank-k side can only
+    assemble after its constituent merges (< k) fired;
+    (3) works past BPE_MAX_MERGES (300 merges — depth is data here,
+    not codegen)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.text import (
+        _BPE_RS,
+        bpe_apply_merge_table,
+        bpe_apply_merges_hof,
+        bpe_pack_merge,
+        bpe_symbol_count,
+        bpe_word_to_sequence,
+    )
+
+    rng = random.Random(11)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 12)))
+        for _ in range(60)
+    ]
+
+    # train a VALID multi-symbol table in pure Python (greedy pair
+    # counting, ties (count desc, l, r) — same rule as bpe_train_merges)
+    def train(corpus, n):
+        seqs = [list(w) for w in corpus]
+        table = []
+        for _ in range(n):
+            counts: dict = {}
+            for s in seqs:
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+            if not counts:
+                break
+            (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            table.append((a, b))
+            for k, s in enumerate(seqs):
+                out = []
+                for sym in s:
+                    if out and out[-1] == a and sym == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(sym)
+                seqs[k] = out
+        return table
+
+    merges = train(words, 12)
+    assert any(len(a) > 1 or len(b) > 1 for a, b in merges)  # multi-symbol
+
+    def lowest_rank_first(word):
+        rank = {m: i for i, m in enumerate(merges)}
+        syms = list(word)
+        while len(syms) > 1:
+            pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+            best = min(
+                (p for p in pairs if p in rank), key=rank.get, default=None
+            )
+            if best is None:
+                break
+            a, b = best
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    df = (
+        spark.createDataFrame([(w,) for w in words], "word string")
+        .withColumn("ls", F.array(*[F.lit(a) for a, _ in merges]))
+        .withColumn("rs", F.array(*[F.lit(b) for _, b in merges]))
+        .withColumn(
+            "mt", F.array(*[F.lit(a + _BPE_RS + b) for a, b in merges])
+        )
+    )
+    rows = df.select(
+        "word",
+        bpe_apply_merge_table(
+            bpe_word_to_sequence(F.col("word")), F.col("ls"), F.col("rs"),
+            len(merges),
+        ).alias("chain"),
+        bpe_apply_merges_hof(
+            bpe_word_to_sequence(F.col("word")), F.col("mt")
+        ).alias("hof"),
+    ).collect()
+    for r in rows:
+        assert r.hof == r.chain, r.word
+        n = (len(r.hof) - len(r.hof.replace("\x1f", ""))) // 2
+        assert n == lowest_rank_first(r.word), r.word
+
+    # (3) 300 merges — beyond the chain's codegen bound — run fine
+    big = [("q", "q")] * 0 + [(chr(97 + i % 4), chr(97 + (i // 4) % 4))
+                              for i in range(300)]
+    df2 = spark.createDataFrame([("abcd",)], "word string").withColumn(
+        "mt", F.array(*[F.lit(a + _BPE_RS + b) for a, b in big])
+    )
+    out = df2.select(
+        bpe_symbol_count(
+            bpe_apply_merges_hof(bpe_word_to_sequence(F.col("word")), F.col("mt"))
+        ).alias("n")
+    ).collect()[0].n
+    assert out >= 1
