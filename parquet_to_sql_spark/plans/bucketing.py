@@ -122,3 +122,58 @@ def shuffle_exchange_count(df: DataFrame) -> int:
 
     plan = formatted_plan(df)
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
+
+
+def persist_state_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int = 16,
+    marker: str = "",
+) -> DataFrame:
+    """Persist an incremental-state relation (line ledger, MinHash
+    band index, IVF quantizer/counts — VERDICT r09 #6) as a managed
+    parquet table BUCKETED on ``keys`` and return the RELOADED
+    DataFrame (``spark.table``), so probes read the stored layout,
+    not the in-session lineage.
+
+    Idempotent per ``marker`` (same table-property recipe as
+    materialize_bucketed): a recurring pipeline calls this every run
+    and only pays the write when the state generation changes.  Why
+    bucketed: every probe of these relations is an equi-join on
+    ``keys`` — with the stored side pre-partitioned, only the (much
+    smaller) arriving slice shuffles, and the base corpus is never
+    re-read or re-shuffled.  State ADVANCES by appending delta rows
+    (``spark.table(t).unionByName(delta)`` re-persisted, or
+    insertInto for true appends); the two-batch equivalence tests pin
+    that appending equals a from-scratch rebuild."""
+    if spark.catalog.tableExists(table):
+        try:
+            props = dict(
+                spark.sql(f"SHOW TBLPROPERTIES {table}")
+                .rdd.map(lambda r: (r[0], r[1]))
+                .collect()
+            )
+        except Exception:
+            props = {}
+        if marker and props.get("spark_graft.state_marker") == marker:
+            return spark.table(table)
+        spark.sql(f"DROP TABLE {table}")
+    else:
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        local = warehouse.removeprefix("file:")
+        if local.startswith("/"):
+            shutil.rmtree(f"{local}/{table}", ignore_errors=True)
+    writer = df.write.bucketBy(buckets, keys[0], *keys[1:]).sortBy(
+        keys[0], *keys[1:]
+    )
+    writer.saveAsTable(table)
+    if marker:
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            "('spark_graft.state_marker' = '" + marker.replace("'", "''") + "')"
+        )
+    return spark.table(table)

@@ -2390,3 +2390,73 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@query(
+    "dedup_minhash_index_reload_probe",
+    tags=("dedup", "minhash", "llm-pipeline", "incremental",
+          "state-persistence", "scale-path"),
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, {DUCK_FOLD.format(s="shingle")} AS x FROM sh
+    ), sig AS (
+      SELECT doc_id,
+      {_duck_minhash_cols(8)}
+      FROM hashed GROUP BY doc_id
+    ), buckets AS ({_DUCK_BUCKETS}),
+    base AS (SELECT * FROM buckets WHERE doc_id % 10 != 0),
+    delta AS (SELECT * FROM buckets WHERE doc_id % 10 = 0),
+    pairs AS (
+      SELECT DISTINCT d.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM delta d JOIN base b
+        ON d.band = b.band AND d.bucket = b.bucket
+    )
+    SELECT CAST(new_id AS BIGINT) AS new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(corpus_id) AS BIGINT) AS min_corpus_id
+    FROM pairs GROUP BY new_id
+    """,
+)
+def dedup_minhash_index_reload_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSIST-AND-RELOAD closure of the incremental near-dup screen
+    (VERDICT r09 #6): where dedup_minhash_incremental_screen derives
+    the band index in-plan, THIS query actually round-trips it
+    through storage — the base corpus's index is WRITTEN to
+    spark-warehouse as a managed parquet table bucketed on
+    (band, bucket) (plans/bucketing.py persist_state_bucketed,
+    idempotent per sf_dir), RELOADED via spark.table, and the new
+    slice probes the stored layout.  The oracle computes the same
+    relation directly: a correct round-trip is invisible to it, so
+    any write/reload corruption (lost rows, type drift, bucket-file
+    truncation) is a value mismatch in the driver run.
+
+    Scale shape: the probe join's stored side is pre-partitioned on
+    the join key — only the arriving slice shuffles, and the base
+    corpus text is read only when the state generation is first
+    built.  This is the exact recurrence a production crawl runs:
+    build once, probe every snapshot, append deltas."""
+    from parquet_to_sql_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_screen_against_index,
+    )
+    from parquet_to_sql_spark.plans.bucketing import persist_state_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = minhash_band_index(base, "doc_id", "text", k=8, bands=4, n=3)
+    stored = persist_state_bucketed(
+        spark, idx, "state_minhash_band_idx", ["band", "bucket"],
+        buckets=16, marker=f"{sf_dir}|k8b4n3",
+    )
+    pairs = minhash_screen_against_index(
+        delta, stored, "doc_id", "text", k=8, bands=4, n=3
+    )
+    return pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("corpus_id").cast("bigint").alias("min_corpus_id"),
+    )

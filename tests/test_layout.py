@@ -120,3 +120,115 @@ def test_file_sink_rejects_path_traversal(spark, tmp_path):
         sink.write(df, "../evil")
     with pytest.raises(ValueError, match="Unsafe table name"):
         sink.write(df, "a/b")
+
+
+# --- incremental-state persist/reload round-trips (VERDICT r09 #6) ---
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_ledger_persist_reload_roundtrip(spark):
+    """The line ledger written as a bucketed managed table and
+    RELOADED must dedup a second batch identically to the in-session
+    ledger, and the stored side's scan must be bucketed."""
+    from parquet_to_sql_spark.operators.dedup import (
+        dedup_lines_against_ledger,
+        line_ledger,
+    )
+    from parquet_to_sql_spark.plans.bucketing import (
+        formatted_plan,
+        persist_state_bucketed,
+    )
+
+    b1 = _docs(spark, [(1, "alpha\nbeta\ngamma"), (2, "beta\ndelta")])
+    b2 = _docs(
+        spark, [(10, "alpha\nepsilon\nbeta"), (11, "epsilon\nzeta\n\nzeta")]
+    )
+    led = line_ledger(b1)
+    stored = persist_state_bucketed(
+        spark, led, "state_test_line_ledger", ["line_h"], buckets=4,
+        marker="t1",
+    )
+    v_mem, d_mem = dedup_lines_against_ledger(b2, led)
+    v_st, d_st = dedup_lines_against_ledger(b2, stored)
+    key = lambda r: (r.doc_id, r.pos)
+    assert sorted(map(tuple, v_mem.collect())) == sorted(
+        map(tuple, v_st.collect())
+    )
+    assert sorted(r.line_h for r in d_mem.collect()) == sorted(
+        r.line_h for r in d_st.collect()
+    )
+    assert "Bucketed: true" in formatted_plan(v_st)
+    # idempotent: same marker skips the rewrite and still reads back
+    again = persist_state_bucketed(
+        spark, led, "state_test_line_ledger", ["line_h"], buckets=4,
+        marker="t1",
+    )
+    assert again.count() == led.count()
+
+
+def test_minhash_band_index_persist_reload_roundtrip(spark):
+    """Screening against the RELOADED bucketed band index equals
+    screening against the in-session index."""
+    from parquet_to_sql_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_screen_against_index,
+    )
+    from parquet_to_sql_spark.plans.bucketing import persist_state_bucketed
+
+    base = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "entirely unrelated content with no overlap at all here"),
+        ],
+    )
+    idx = minhash_band_index(base, "doc_id", "text", k=8, bands=4, n=3)
+    stored = persist_state_bucketed(
+        spark, idx, "state_test_band_idx", ["band", "bucket"], buckets=4,
+        marker="t1",
+    )
+    mem = minhash_screen_against_index(new, idx, "doc_id", "text", 8, 4, 3)
+    st = minhash_screen_against_index(new, stored, "doc_id", "text", 8, 4, 3)
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, st.collect()))
+
+
+def test_ivf_quantizer_persist_reload_roundtrip(spark):
+    """Assignment against the RELOADED stored quantizer equals
+    assignment against the in-session centroids — the vector leg of
+    the state trio."""
+    import random
+
+    from parquet_to_sql_spark.operators.simsearch import ivf_assign
+    from parquet_to_sql_spark.plans.bucketing import persist_state_bucketed
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cent = emb.filter(F.col("vec_id") < 4)
+    stored = persist_state_bucketed(
+        spark, cent, "state_test_ivf_quantizer", ["vec_id"], buckets=2,
+        marker="t1",
+    )
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    mem = ivf_assign(delta, "vec_id", "embedding", cent).select(
+        "vec_id", "centroid_id"
+    )
+    st = ivf_assign(delta, "vec_id", "embedding", stored).select(
+        "vec_id", "centroid_id"
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, st.collect()))
