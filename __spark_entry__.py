@@ -316,6 +316,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_decode_real",  # round-10 new: REAL stdlib baseline JPEG decode
     "text_bpe_encode_full",  # round-10 new: 128-merge hof BPE application
     "dedup_minhash_index_reload_probe",  # round-10 new: stored-index round-trip probe
+    "text_kneser_ney_trigram",  # round-10 new: interpolated trigram KN, exact ints
 )
 
 # Verified queries whose build source OR implementing operator

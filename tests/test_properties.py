@@ -1343,3 +1343,119 @@ def test_kneser_ney_scores_match_sequential_reference(spark):
     assert any(nx == 0 and b == 0 for (_, nx, b, _) in want.values())
     assert any(b > 0 for (_, _, b, _) in want.values()), "no KN backoff hit"
     assert any(nx > 0 for (_, nx, _, _) in want.values()), "no unseen-context hit"
+
+
+def test_kneser_ney_trigram_matches_fraction_reference(spark):
+    """text_kneser_ney_trigram against a fractions.Fraction
+    sequential reference of interpolated trigram KN (d = 3/4 at both
+    levels, continuation counts below the top) over a split-vocabulary
+    corpus that exercises all FOUR branches: seen trigram, middle-
+    model backoff (unseen trigram under a seen context), unseen
+    trigram context with a seen middle word, and unseen middle word."""
+    import os
+    import random
+    import tempfile
+    from collections import Counter
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    rng = random.Random(77)
+    shared = [f"w{i}" for i in range(6)]
+    odd_only = [f"odd{i}" for i in range(3)]
+    docs = []
+    for d in range(18):
+        n = rng.randrange(0, 14)
+        pool = shared if d % 2 == 0 else shared + odd_only
+        docs.append((d, [rng.choice(pool) for _ in range(n)]))
+
+    c3: Counter = Counter()
+    for d, toks in docs:
+        if d % 2 != 0:
+            continue
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            c3[(a, b, c)] += 1
+    c2ctx: Counter = Counter()
+    n3: Counter = Counter()
+    m2: Counter = Counter()
+    for (a, b, c), k in c3.items():
+        c2ctx[(a, b)] += k
+        n3[(a, b)] += 1
+        m2[(b, c)] += 1
+    mctx: Counter = Counter()
+    mn_set: dict = {}
+    for (a, b, c) in c3:
+        mctx[b] += 1
+        mn_set.setdefault(b, set()).add(c)
+    mn = {b: len(s) for b, s in mn_set.items()}
+    nc: Counter = Counter()
+    for (b, c) in m2:
+        nc[c] += 1
+    T = len(m2)
+    d_disc = Fraction(3, 4)
+
+    def p1(c):
+        return Fraction(nc.get(c, 0), T)
+
+    def p2(b, c):
+        if b not in mctx:
+            return p1(c)
+        seen = Fraction(max(m2.get((b, c), 0) - d_disc, 0))
+        return seen / mctx[b] + d_disc * mn[b] / mctx[b] * p1(c)
+
+    def p3(a, b, c):
+        if (a, b) not in c2ctx:
+            return p2(b, c)
+        seen = Fraction(max(c3.get((a, b, c), 0) - d_disc, 0))
+        return (
+            seen / c2ctx[(a, b)]
+            + d_disc * n3[(a, b)] / c2ctx[(a, b)] * p2(b, c)
+        )
+
+    want = {}
+    branch_totals = [0, 0, 0, 0]
+    for d, toks in docs:
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        if not tris:
+            continue
+        scores, bs = [], [0, 0, 0, 0]
+        for a, b, c in tris:
+            scores.append(int(1_000_000 * p3(a, b, c)))  # floor
+            if (a, b) in c2ctx and (a, b, c) in c3:
+                bs[0] += 1
+            elif (a, b) in c2ctx:
+                bs[1] += 1
+            elif b in mctx:
+                bs[2] += 1
+            else:
+                bs[3] += 1
+        for i in range(4):
+            branch_totals[i] += bs[i]
+        want[d] = (len(tris), *bs, sum(scores) // len(tris))
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [" ".join(t) for _, t in docs],
+            "lang": "en",
+            "source": "src0",
+            "n_chars": [len(" ".join(t)) for _, t in docs],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "documents.parquet")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+        q = all_queries()["text_kneser_ney_trigram"]
+        got = {
+            r.doc_id: (
+                r.n_trigrams, r.n_full, r.n_mid_backed,
+                r.n_ctx_backed, r.n_unigram, r.mean_score_ppm,
+            )
+            for r in q.build(spark, tmp).collect()
+        }
+    assert got == want
+    assert all(t > 0 for t in branch_totals), (
+        f"corpus must exercise all four branches: {branch_totals}"
+    )
