@@ -113,6 +113,44 @@ def multimodal_png_decode_throughput(spark, sf_dir):
     )
 
 
+def multimodal_jpeg_decode_throughput(spark, sf_dir):
+    """JPEG twin of the PNG decode probe: encodes + decodes 256 fixed
+    96x96 grayscale baseline JPEGs (~2.3 MB of pixels; entropy decode
+    is the JPEG-side ceiling the way unfiltering is PNG's).  Fixed
+    work independent of sf."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_img, w, h = 256, 96, 96
+
+    def enc_dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            ok = 0
+            px_bytes = 0
+            for i in pdf["id"]:
+                i = int(i)
+                base = np.arange(w * h, dtype=np.uint32)
+                px = ((base // 64 * 11 + i * 31) % 256).astype(np.uint8).tobytes()
+                payload = jpeg_encode(w, h, px, 1, quant=8)
+                _, _, _, out = jpeg_decode(payload)
+                ok += len(out) == len(px)
+                px_bytes += len(out)
+            yield pd.DataFrame({"ok": [ok], "px_bytes": [px_bytes]})
+
+    import pyspark.sql.functions as F
+
+    return (
+        spark.range(0, n_img, 1, 32)
+        .mapInPandas(enc_dec, schema="ok long, px_bytes long")
+        .agg(F.sum("ok").alias("n_ok"), F.sum("px_bytes").alias("px_bytes"))
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -127,6 +165,7 @@ def main() -> int:
     headline = {n: q.build for n, q in sorted(all_queries().items()) if q.headline}
     headline["import_render_lineitem"] = import_render_lineitem
     headline["multimodal_png_decode_throughput"] = multimodal_png_decode_throughput
+    headline["multimodal_jpeg_decode_throughput"] = multimodal_jpeg_decode_throughput
 
     # Layout twins: identical logical query over raw parquet vs tables
     # bucketed on the join key. Bucket materialization is load-time

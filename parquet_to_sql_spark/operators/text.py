@@ -948,3 +948,67 @@ def hash_feature_scores(
             (F.sum("w") >= 0).alias("keep"),
         )
     )
+
+
+def perceptron_train_batch(
+    feats: DataFrame,
+    labels: DataFrame,
+    buckets: int = CLS_BUCKETS,
+    epochs: int = 3,
+) -> tuple[list[int], int, list[tuple[int, int]]]:
+    """TRAIN the hashing-trick linear classifier IN-ENGINE with the
+    batch perceptron — the counterpart of hash_feature_scores'
+    inference (whose surrogate weights a real pipeline would replace
+    with exactly this output).  Integer-exact by construction: the
+    batch variant sums the updates of ALL misclassified documents per
+    epoch (w += sum y*x, b += sum y), so the result is independent of
+    row order/partitioning — unlike the classic online perceptron,
+    which is sequential and therefore not a distributed-friendly (or
+    oracle-checkable) definition.  Margin-0 documents count as
+    misclassified (epoch 1 from w=0 updates on the whole corpus).
+
+    ``feats``: (doc_id, bkt, cnt) integer features;
+    ``labels``: (doc_id, y) with y in {+1, -1}.
+    Returns (weights, bias, [(epoch, n_misclassified_before_update)]).
+
+    Scale shape: each epoch is ONE distributed pass — the weight
+    vector rides into the expression as a bucket-indexed literal
+    array (model size = bucket count, driver-bounded the same way the
+    in-query k-means collects its centroids), the per-doc margin is a
+    map-side-combined doc rollup, and the update is a bucket rollup of
+    the misclassified slice (<= buckets rows collected per epoch).
+    Epochs are driver-sequenced Spark jobs, exactly like
+    bpe_train_merges."""
+    feats = feats.localCheckpoint()
+    labels = labels.localCheckpoint()
+    w = [0] * buckets
+    b = 0
+    history: list[tuple[int, int]] = []
+    for epoch in range(1, epochs + 1):
+        warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        dots = (
+            feats.withColumn("_w", F.element_at(warr, (F.col("bkt") + 1).cast("int")))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("_w")).alias("_dot"))
+        )
+        margins = labels.join(dots, "doc_id", "left").select(
+            "doc_id",
+            "y",
+            (F.coalesce(F.col("_dot"), F.lit(0)) + F.lit(int(b))).alias("_s"),
+        )
+        mis = margins.filter(F.col("y") * F.col("_s") <= 0).select("doc_id", "y")
+        delta_rows = (
+            mis.join(feats, "doc_id")
+            .groupBy("bkt")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
+            .collect()
+        )
+        db_row = mis.agg(
+            F.coalesce(F.sum("y"), F.lit(0)).alias("db"),
+            F.count(F.lit(1)).alias("n_mis"),
+        ).collect()[0]
+        for r in delta_rows:
+            w[int(r.bkt)] += int(r.dw)
+        b += int(db_row.db)
+        history.append((epoch, int(db_row.n_mis)))
+    return w, b, history

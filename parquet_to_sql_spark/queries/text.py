@@ -2702,3 +2702,161 @@ def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mean_score_ppm"),
     )
+
+
+_PTRON_EPOCHS = 3
+
+
+def _duck_perceptron_oracle() -> str:
+    """Unrolled batch-perceptron training (the _duck_bpe_train_ctes
+    recipe): epoch 1 updates on every doc (margin 0 from w=0), each
+    later epoch joins the previous weight relation, takes the
+    misclassified slice, and folds its deltas in via UNION ALL."""
+    parts = [f"""
+    tok AS (
+      SELECT doc_id, unnest({DUCK_WORDS}) AS tok FROM documents
+    ), feats AS (
+      SELECT doc_id, ({DUCK_FOLD.format(s="tok")}) % {_CLS_BUCKETS} AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    ), lab AS (
+      SELECT doc_id, source,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      FROM documents
+    ), w1 AS (
+      SELECT f.bkt, CAST(SUM(l.y * f.cnt) AS BIGINT) AS w
+      FROM feats f JOIN lab l USING (doc_id) GROUP BY 1
+    ), b1 AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS b FROM lab
+    )"""]
+    for e in range(2, _PTRON_EPOCHS + 1):
+        p = e - 1
+        parts.append(f""",
+    dot{e} AS (
+      SELECT l.doc_id, l.y,
+             COALESCE(SUM(f.cnt * w{p}.w), 0) + (SELECT b FROM b{p}) AS s
+      FROM lab l
+      LEFT JOIN feats f USING (doc_id)
+      LEFT JOIN w{p} ON f.bkt = w{p}.bkt
+      GROUP BY 1, 2
+    ), mis{e} AS (
+      SELECT doc_id, y FROM dot{e} WHERE y * s <= 0
+    ), w{e} AS (
+      SELECT bkt, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT bkt, w FROM w{p}
+        UNION ALL
+        SELECT f.bkt, m.y * f.cnt
+        FROM mis{e} m JOIN feats f USING (doc_id)
+      ) GROUP BY 1
+    ), b{e} AS (
+      SELECT (SELECT b FROM b{p}) + COALESCE(CAST(SUM(y) AS BIGINT), 0) AS b
+      FROM mis{e}
+    )""")
+    n = _PTRON_EPOCHS
+    return f"""
+    WITH {''.join(parts)},
+    finaldot AS (
+      SELECT l.doc_id, l.source, l.y,
+             COALESCE(SUM(f.cnt * w{n}.w), 0) + (SELECT b FROM b{n}) AS s
+      FROM lab l
+      LEFT JOIN feats f USING (doc_id)
+      LEFT JOIN w{n} ON f.bkt = w{n}.bkt
+      GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN y = 1 AND s >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = -1 AND s >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 1 AND s < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN y = -1 AND s < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST((1000000::HUGEINT
+                 * SUM(CASE WHEN (y = 1) = (s >= 0) THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM finaldot GROUP BY source
+    """
+
+
+@query(
+    "text_perceptron_quality_train",
+    tags=("text-analysis", "quality-filter", "llm-pipeline", "training",
+          "scale-path"),
+    oracle=_duck_perceptron_oracle(),
+)
+def text_perceptron_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING in-engine — closes the loop that
+    text_hash_feature_classify's surrogate weights left open: a batch
+    perceptron (updates summed over ALL misclassified docs per epoch,
+    so the result is partitioning-independent and integer-exact —
+    the online variant is sequential by definition and has no honest
+    distributed spelling) learns to predict lang='en' from hashed
+    bag-of-words features (fold hash mod 256, the classifier family's
+    bucket convention), then the LEARNED model is evaluated
+    distributed: per-source confusion counts and accuracy.  The
+    oracle re-derives the entire training trajectory (3 unrolled
+    epochs of margin -> misclassified slice -> delta fold) plus the
+    evaluation, so a wrong epoch-2 update is a value mismatch.
+
+    Scale shape: per epoch ONE distributed pass — weights ride as a
+    256-literal array (k-means-centroid-class bounded collect per
+    epoch), margins are a map-side-combined doc rollup, the update
+    aggregates only the misclassified slice; evaluation is one more
+    pass.  Margin-0 docs count as misclassified (the w=0 first epoch
+    updates on the whole corpus)."""
+    from parquet_to_sql_spark.functions.hashing import char_fold_hash
+    from parquet_to_sql_spark.operators.text import (
+        CLS_BUCKETS,
+        perceptron_train_batch,
+        ws_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    )
+    feats = tok.select(
+        "doc_id", (char_fold_hash(F.col("tok")) % CLS_BUCKETS).alias("bkt")
+    ).groupBy("doc_id", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    labels = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+    )
+    w, b, _hist = perceptron_train_batch(
+        feats, labels.select("doc_id", "y"), CLS_BUCKETS, _PTRON_EPOCHS
+    )
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    dots = (
+        feats.withColumn("_w", F.element_at(warr, (F.col("bkt") + 1).cast("int")))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("_w")).alias("_dot"))
+    )
+    scored = labels.join(dots, "doc_id", "left").select(
+        "source",
+        "y",
+        (F.coalesce(F.col("_dot"), F.lit(0)) + F.lit(int(b))).alias("s"),
+    )
+    pred_pos = F.col("s") >= 0
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias(
+            "n_pos"
+        ),
+        F.sum(F.when((F.col("y") == 1) & pred_pos, 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("y") == -1) & pred_pos, 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & ~pred_pos, 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when((F.col("y") == -1) & ~pred_pos, 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CASE WHEN (y = 1) = (s >= 0) THEN 1 ELSE 0 END))"
+            " div count(1) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )

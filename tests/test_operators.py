@@ -1967,3 +1967,61 @@ def test_bpe_hof_equals_chain_and_lowest_rank_reference(spark):
         ).alias("n")
     ).collect()[0].n
     assert out >= 1
+
+
+def test_perceptron_train_batch_matches_python_reference(spark):
+    """perceptron_train_batch against a dict-based sequential
+    reference of the batch update rule (sum of y*x over misclassified
+    docs per epoch, margin 0 counts as misclassified), including the
+    partitioning-independence claim (same result at 1 and 7
+    partitions)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.text import perceptron_train_batch
+
+    rng = random.Random(5)
+    buckets, epochs, n_docs = 8, 4, 30
+    rows = []
+    labels = []
+    for d in range(n_docs):
+        y = 1 if d % 3 else -1
+        labels.append((d, y))
+        for b in range(buckets):
+            # positive docs lean on even buckets, negatives on odd
+            lean = (b % 2 == 0) == (y == 1)
+            c = rng.randrange(0, 4) + (2 if lean else 0)
+            if c:
+                rows.append((d, b, c))
+
+    def ref():
+        w = [0] * buckets
+        bias = 0
+        hist = []
+        feats_by_doc: dict = {}
+        for d, b, c in rows:
+            feats_by_doc.setdefault(d, []).append((b, c))
+        for epoch in range(1, epochs + 1):
+            mis = []
+            for d, y in labels:
+                dot = sum(c * w[b] for b, c in feats_by_doc.get(d, []))
+                if y * (dot + bias) <= 0:
+                    mis.append((d, y))
+            for d, y in mis:
+                for b, c in feats_by_doc.get(d, []):
+                    w[b] += y * c
+                bias += y
+            hist.append((epoch, len(mis)))
+        return w, bias, hist
+
+    want_w, want_b, want_h = ref()
+    for parts in (1, 7):
+        feats = spark.createDataFrame(
+            rows, "doc_id long, bkt long, cnt long"
+        ).repartition(parts)
+        lab = spark.createDataFrame(labels, "doc_id long, y int")
+        got_w, got_b, got_h = perceptron_train_batch(
+            feats, lab, buckets, epochs
+        )
+        assert (got_w, got_b, got_h) == (want_w, want_b, want_h), parts
