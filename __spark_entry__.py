@@ -318,6 +318,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "dedup_minhash_index_reload_probe",  # round-10 new: stored-index round-trip probe
     "text_kneser_ney_trigram",  # round-10 new: interpolated trigram KN, exact ints
     "text_perceptron_quality_train",  # round-10 new: in-engine batch-perceptron training
+    "pipeline_dsir_importance",  # round-10 new: hashed-feature importance selection
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1854,3 +1854,133 @@ def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bin"),
         )
     )
+
+
+_DSIR_BUCKETS = 256
+
+
+@query(
+    "pipeline_dsir_importance",
+    tags=("pipeline", "data-selection", "llm-pipeline", "scale-path"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({DUCK_WORDS}) AS tok FROM documents
+    ), b AS (
+      SELECT doc_id,
+             ({DUCK_FOLD.format(s="tok")}) % {_DSIR_BUCKETS} AS bkt
+      FROM tok
+    ), tgt AS (
+      SELECT b.bkt, CAST(COUNT(*) AS BIGINT) AS t
+      FROM b JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY 1
+    ), src AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY 1
+    ), tots AS (
+      SELECT (SELECT SUM(t) FROM tgt) AS tt, (SELECT SUM(s) FROM src) AS st
+    ), ratio AS (
+      SELECT s.bkt,
+             CAST((1000000::HUGEINT * COALESCE(g.t, 0) * x.st)
+                  // (s.s * x.tt) AS BIGINT) AS r_ppm
+      FROM src s LEFT JOIN tgt g USING (bkt) CROSS JOIN tots x
+    ), doc AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(r.r_ppm) AS BIGINT) AS score
+      FROM b JOIN ratio r USING (bkt)
+      GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c.score)::HUGEINT // SUM(c.n_tok) AS BIGINT)
+             AS mean_token_ppm,
+           CAST(SUM(CASE WHEN c.score >= 1000000 * c.n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST((1000000::HUGEINT
+                 * SUM(CASE WHEN c.score >= 1000000 * c.n_tok
+                            THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS sel_ppm
+    FROM doc c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped DATA SELECTION via hashed n-gram importance
+    weights (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — public record): score every document by
+    how much more likely its hashed-feature profile is under a TARGET
+    distribution (here the lang='en' slice — any curated seed corpus
+    slots in) than under the raw SOURCE distribution, then select
+    docs whose average per-token ratio favors the target.
+
+    Integer-exact spelling: per-bucket importance ratio r_ppm =
+    floor(1e6 * t_b * S / (s_b * T)) (target/source probability ratio
+    in ppm); per-doc score = sum of its tokens' r_ppm — the
+    integer-exact analogue of DSIR's log-likelihood-ratio sum (same
+    ranking intent, no floats, so the oracle is value-exact); a doc
+    is SELECTED when its mean per-token ratio >= 1.0 (score >= 1e6 *
+    n_tok).  Output per source: doc count, mean per-token ratio,
+    selected count and selected fraction — the mixture report a
+    curation pipeline feeds its sampler.
+
+    Scale shape: both distributions live at BUCKET granularity (256
+    rows each), built by map-side-combined aggregates and joined back
+    to the token stream as a BROADCAST ratio table — the corpus never
+    shuffles by token; corpus-sized exchanges are the doc rollup and
+    the doc->source join."""
+    from parquet_to_sql_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id", (char_fold_hash(F.col("tok")) % _DSIR_BUCKETS).alias("bkt")
+    )
+    lang = docs.select("doc_id", "lang", "source")
+    tgt = (
+        b.join(lang.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    src = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("s"))
+    tots = src.agg(F.sum("s").alias("st")).crossJoin(
+        F.broadcast(tgt.agg(F.sum("t").alias("tt")))
+    )
+    ratio = (
+        src.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bkt",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * COALESCE(t, 0) * st)"
+                " div (s * tt) AS BIGINT)"
+            ).alias("r_ppm"),
+        )
+    )
+    doc = (
+        b.join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("r_ppm").alias("score"),
+        )
+    )
+    sel = F.col("score") >= F.lit(1_000_000) * F.col("n_tok")
+    return (
+        doc.join(lang.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(CAST(sum(score) AS DECIMAL(38,0)) div sum(n_tok)"
+                " AS BIGINT)"
+            ).alias("mean_token_ppm"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias(
+                "n_selected"
+            ),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * sum(CASE WHEN score >= 1000000 * n_tok THEN 1 ELSE 0 END))"
+                " div count(1) AS BIGINT)"
+            ).alias("sel_ppm"),
+        )
+    )
