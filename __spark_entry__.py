@@ -319,6 +319,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_kneser_ney_trigram",  # round-10 new: interpolated trigram KN, exact ints
     "text_perceptron_quality_train",  # round-10 new: in-engine batch-perceptron training
     "pipeline_dsir_importance",  # round-10 new: hashed-feature importance selection
+    "source_warc_records",  # round-10 new: stdlib WARC crawl-container ingestion
 )
 
 # Verified queries whose build source OR implementing operator

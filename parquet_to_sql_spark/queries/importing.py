@@ -183,3 +183,104 @@ def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.sha2(F.hex(F.col("content")), 256).alias("content_sha256"),
     )
+
+
+@query(
+    "source_warc_records",
+    tags=("source", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             50 + doc_id % 64 AS blen
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(3 AS BIGINT) AS n_records,
+           (doc_id % 3 = 0) AS gzipped,
+           CAST(blen AS BIGINT) AS response_len,
+           CAST(list_sum(list_transform(range(blen),
+                i -> (doc_id * 7 + i * 3) % 256)) AS BIGINT) AS body_sum,
+           'metadata,request,response' AS types_sorted
+    FROM d
+    """,
+)
+def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion — the container format web crawls actually ship
+    in (Common Crawl publishes nothing else): each document id becomes
+    a deterministic THREE-record WARC payload (response with
+    arithmetic body bytes (doc_id*7 + i*3) % 256, request, empty
+    metadata), every third doc in the real gzip-MEMBER-per-record
+    wire form, and the pure-stdlib parser (operators/warc.py — ISO
+    28500 framing: version line, headers, Content-Length block, CRLF
+    CRLF terminator, gzip member walk) reads the records back inside
+    mapInPandas.  The oracle regenerates record count, response
+    length and the body byte-sum arithmetically WITHOUT parsing, so a
+    framing bug (header split, length off-by-one, member boundary,
+    missing-terminator acceptance) is a value mismatch in the driver
+    run.  Malformed payloads raise typed WarcFormatError —
+    quarantine, never a guess (tests cover truncation, bad version,
+    corrupt/truncated gzip).
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — identical plumbing to a real ingest where the synthesis
+    step is a binaryFile scan of .warc.gz shards (each shard one
+    input split; records stream per-partition through Arrow
+    workers)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def build_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.warc import (
+            warc_gzip_members,
+            warc_records,
+            warc_write_record,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blen = 50 + did % 64
+                body = bytes((did * 7 + i * 3) % 256 for i in range(blen))
+                recs = [
+                    warc_write_record(
+                        "response", f"http://ex.com/{did}", body, f"r{did}-0"
+                    ),
+                    warc_write_record(
+                        "request", f"http://ex.com/{did}", b"GET /", f"r{did}-1"
+                    ),
+                    warc_write_record(
+                        "metadata", f"http://ex.com/{did}", b"", f"r{did}-2"
+                    ),
+                ]
+                gz = did % 3 == 0
+                payload = warc_gzip_members(recs) if gz else b"".join(recs)
+                parsed = warc_records(payload)
+                resp = [r for r in parsed if r["warc_type"] == "response"]
+                rows.append(
+                    (
+                        did,
+                        len(parsed),
+                        gz,
+                        len(resp[0]["content"]),
+                        sum(resp[0]["content"]),
+                        ",".join(sorted(r["warc_type"] for r in parsed)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "gzipped", "response_len",
+                    "body_sum", "types_sorted",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        build_parse,
+        schema=(
+            "doc_id long, n_records long, gzipped boolean, "
+            "response_len long, body_sum long, types_sorted string"
+        ),
+    )

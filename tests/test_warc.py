@@ -1,0 +1,73 @@
+"""WARC reader/writer (operators/warc.py): framing round-trips in
+both wire forms, header fidelity, and typed quarantine for every
+malformed-framing class."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_to_sql_spark.operators.warc import (
+    WarcFormatError,
+    warc_gzip_members,
+    warc_records,
+    warc_write_record,
+)
+
+
+def _recs(n: int, seed: int = 0) -> list[bytes]:
+    return [
+        warc_write_record(
+            ["response", "request", "metadata"][i % 3],
+            f"http://ex.com/{seed}/{i}",
+            bytes((seed + i * 7 + j) % 256 for j in range(i * 13 % 40)),
+            f"id-{seed}-{i}",
+        )
+        for i in range(n)
+    ]
+
+
+@settings(max_examples=20, deadline=None)
+@given(n=st.integers(1, 8), seed=st.integers(0, 1000))
+def test_roundtrip_both_wire_forms(n, seed):
+    recs = _recs(n, seed)
+    plain = warc_records(b"".join(recs))
+    gz = warc_records(warc_gzip_members(recs))
+    assert plain == gz
+    assert len(plain) == n
+    for i, r in enumerate(plain):
+        assert r["uri"] == f"http://ex.com/{seed}/{i}"
+        assert r["record_id"] == f"<urn:uuid:id-{seed}-{i}>"
+        assert len(r["content"]) == i * 13 % 40
+
+
+def test_content_may_contain_crlf_and_warc_magic():
+    """Content-Length framing means the block can contain anything —
+    including CRLF CRLF and 'WARC/' — without splitting the record."""
+    evil = b"WARC/1.0\r\n\r\nnot a real record\r\n\r\n"
+    rec = warc_write_record("resource", "http://e/x", evil, "e1")
+    out = warc_records(rec)
+    assert len(out) == 1 and out[0]["content"] == evil
+
+
+def test_quarantine_errors_are_typed():
+    recs = _recs(2, 5)
+    plain = b"".join(recs)
+    gz = warc_gzip_members(recs)
+    cases = [
+        (b"", "empty"),
+        (b"HTTP/1.1 200 OK\r\n\r\n", "bad version line"),
+        (plain[:-6], "terminator|truncated"),
+        (plain[: len(recs[0]) + 30], "unterminated|truncated"),
+        (gz[:-4], "gzip"),
+        (b"\x1f\x8b" + b"junkjunk", "gzip"),
+        (plain.replace(b"WARC/1.0", b"WARC/0.9", 1), "unsupported version"),
+        (
+            plain.replace(b"Content-Length: ", b"Content-Foo: ", 2),
+            "missing Content-Length",
+        ),
+    ]
+    for bad, why in cases:
+        with pytest.raises(WarcFormatError, match=why):
+            warc_records(bad)
