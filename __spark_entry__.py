@@ -320,6 +320,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "text_perceptron_quality_train",  # round-10 new: in-engine batch-perceptron training
     "pipeline_dsir_importance",  # round-10 new: hashed-feature importance selection
     "source_warc_records",  # round-10 new: stdlib WARC crawl-container ingestion
+    "pipeline_robots_screen",  # round-10 new: RFC 9309 robots.txt admission control
 )
 
 # Verified queries whose build source OR implementing operator

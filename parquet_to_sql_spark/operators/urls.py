@@ -390,3 +390,55 @@ def _is_tracking_param(name: Column) -> Column:
     for p in TRACKING_PARAMS:
         cond = cond | (name == p)
     return cond
+
+
+def robots_star_rules(robots_txt: Column) -> Column:
+    """Parse a robots.txt TEXT column into the `User-agent: *` group's
+    rules: array<struct<allow boolean, prefix string>> (RFC 9309
+    group selection — rules under other user-agent groups are
+    ignored; comments, blank lines, and empty Disallow values — the
+    spec's allow-all spelling — contribute nothing).
+
+    Row-local: ONE higher-order aggregate folds the lines with a
+    (in_star_group, rules) accumulator, entirely inside codegen — no
+    UDF, no explode, no shuffle; a million robots files parse as a
+    narrow projection.  Group state is needed because rule lines bind
+    to the nearest preceding User-agent line (per the RFC), which a
+    stateless filter cannot express."""
+    lines = F.split(robots_txt, "\n")
+    empty_rules = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<allow: BOOLEAN, prefix: STRING>>)"
+    )
+    init = F.struct(
+        F.lit(False).alias("in_star"), empty_rules.alias("rules")
+    )
+
+    def step(acc, raw):
+        line = F.trim(raw)
+        low = F.lower(line)
+        # value = text after the FIRST colon (rule paths may contain
+        # ':' themselves, e.g. a port in a full-URL prefix)
+        val = F.trim(
+            F.substring(
+                line, F.instr(line, ":") + F.lit(1), F.length(line)
+            )
+        )
+        is_ua = low.startswith("user-agent:")
+        is_allow = low.startswith("allow:")
+        is_dis = low.startswith("disallow:")
+        new_in_star = F.when(is_ua, val == "*").otherwise(acc.in_star)
+        add_rule = acc.in_star & (
+            (is_allow & (val != "")) | (is_dis & (val != ""))
+        )
+        new_rules = F.when(
+            add_rule,
+            F.array_append(
+                acc.rules,
+                F.struct(is_allow.alias("allow"), val.alias("prefix")),
+            ),
+        ).otherwise(acc.rules)
+        return F.struct(
+            new_in_star.alias("in_star"), new_rules.alias("rules")
+        )
+
+    return F.aggregate(lines, init, step, lambda acc: acc.rules)

@@ -1984,3 +1984,124 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sel_ppm"),
         )
     )
+
+
+@query(
+    "pipeline_robots_screen",
+    tags=("pipeline", "crawl-politeness", "llm-pipeline", "scale-path"),
+    oracle="""
+    WITH hosts AS (
+      SELECT DISTINCT doc_id % 23 AS h FROM documents
+    ), rules AS (
+      SELECT h, FALSE AS allow, '/p' || (h % 29) AS pfx FROM hosts
+      UNION ALL
+      SELECT h, TRUE, '/p' || (h % 29) || '/' || (h % 7)
+      FROM hosts WHERE h % 2 = 0
+      UNION ALL
+      SELECT h, FALSE, '/q' FROM hosts WHERE h % 3 = 0
+    ), nr AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n_rules FROM rules GROUP BY 1
+    ), urls AS (
+      SELECT doc_id, doc_id % 23 AS h,
+             '/p' || (doc_id % 29) || '/' || (doc_id % 7) AS path
+      FROM documents
+    ), m AS (
+      SELECT u.doc_id, r.allow, r.pfx,
+             row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY length(r.pfx) DESC, r.allow DESC, r.pfx
+             ) AS rk
+      FROM urls u JOIN rules r ON u.h = r.h
+      WHERE starts_with(u.path, r.pfx)
+    )
+    SELECT CAST(u.doc_id AS BIGINT) AS doc_id,
+           'h' || u.h || '.example.com' AS host,
+           u.path,
+           COALESCE(w.allow, TRUE) AS allowed,
+           w.pfx AS winning_prefix,
+           nr.n_rules
+    FROM urls u
+    LEFT JOIN (SELECT doc_id, allow, pfx FROM m WHERE rk = 1) w
+      USING (doc_id)
+    JOIN nr ON nr.h = u.h
+    """,
+)
+def pipeline_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBOTS.TXT screening per RFC 9309 — the admission control a
+    polite crawler runs before the frontier scheduler
+    (pipeline_crawl_frontier's companion): each host's robots.txt
+    TEXT is synthesized deterministically (a badbot group that must
+    be ignored, the `User-agent: *` group with a Disallow, an
+    even-host Allow carve-out under it, an h%3 extra Disallow, a
+    trailing EMPTY Disallow = the spec's allow-all spelling), then
+    actually PARSED with operators/urls.robots_star_rules — one
+    row-local higher-order fold, no UDF — and every URL is decided by
+    the RFC's longest-match rule (most-specific prefix wins, Allow
+    beats Disallow on ties, no match = allowed).  The oracle
+    regenerates the RULE SET arithmetically without parsing, so a
+    parser bug (group binding, empty-Disallow handling, value
+    trimming) is a value mismatch in the driver run.
+
+    Scale shape: the rules relation is host-bounded (tiny — it rides
+    a broadcast onto the URL stream); the only corpus-sized exchange
+    is the per-URL winner window, keyed by doc — in production the
+    decision is a broadcast-join + row-local argmax over each URL's
+    matching rules, exactly this plan."""
+    from parquet_to_sql_spark.operators.urls import robots_star_rules
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 23
+    urls = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.concat(
+            F.lit("/p"), (F.col("doc_id") % 29).cast("string"),
+            F.lit("/"), (F.col("doc_id") % 7).cast("string"),
+        ).alias("path"),
+    )
+    hn = F.col("h")
+    robots_txt = F.concat(
+        F.lit("# robots for host "), hn.cast("string"), F.lit("\n"),
+        F.lit("User-agent: badbot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /p"), (hn % 29).cast("string"), F.lit("\n"),
+        F.when(
+            hn % 2 == 0,
+            F.concat(
+                F.lit("Allow: /p"), (hn % 29).cast("string"),
+                F.lit("/"), (hn % 7).cast("string"), F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(hn % 3 == 0, F.lit("Disallow: /q\n")).otherwise(F.lit("")),
+        F.lit("Disallow:\n"),
+    )
+    hosts = urls.select("h").distinct().withColumn("robots_txt", robots_txt)
+    rules = hosts.select(
+        "h", F.explode(robots_star_rules(F.col("robots_txt"))).alias("r")
+    ).select("h", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("pfx"))
+    nr = rules.groupBy("h").agg(F.count(F.lit(1)).alias("n_rules"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("pfx").desc(), F.col("allow").desc(), "pfx"
+    )
+    winners = (
+        urls.join(F.broadcast(rules), "h")
+        .filter(F.col("path").startswith(F.col("pfx")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "allow", "pfx")
+    )
+    return (
+        urls.join(winners, "doc_id", "left")
+        .join(F.broadcast(nr), "h")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            "path",
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+            F.col("pfx").alias("winning_prefix"),
+            F.col("n_rules").cast("bigint").alias("n_rules"),
+        )
+    )

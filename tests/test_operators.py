@@ -2025,3 +2025,40 @@ def test_perceptron_train_batch_matches_python_reference(spark):
             feats, lab, buckets, epochs
         )
         assert (got_w, got_b, got_h) == (want_w, want_b, want_h), parts
+
+
+def test_robots_star_rules_group_binding(spark):
+    """RFC 9309 parsing: rules bind to the nearest preceding
+    User-agent line — other agents' groups are ignored, directive
+    names are case-insensitive, empty Disallow (allow-all) and
+    comments/blank lines contribute nothing, and values keep colons."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import robots_star_rules
+
+    txt = (
+        "# top comment\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+        "\n"
+        "USER-AGENT: *\n"
+        "DISALLOW: /a\n"
+        "allow: /a/b\n"
+        "Disallow:\n"
+        "disallow: /x:80/y\n"
+        "\n"
+        "User-agent: otherbot\n"
+        "Allow: /never-mine\n"
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+    rules = df.select(robots_star_rules(F.col("t")).alias("r")).collect()[0].r
+    assert [(r.allow, r.prefix) for r in rules] == [
+        (False, "/a"),
+        (True, "/a/b"),
+        (False, "/x:80/y"),
+    ]
+    # a file with no star group yields no rules (crawler default: allow)
+    df2 = spark.createDataFrame(
+        [("User-agent: badbot\nDisallow: /\n",)], "t string"
+    )
+    assert df2.select(robots_star_rules(F.col("t")).alias("r")).collect()[0].r == []
