@@ -321,6 +321,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_dsir_importance",  # round-10 new: hashed-feature importance selection
     "source_warc_records",  # round-10 new: stdlib WARC crawl-container ingestion
     "pipeline_robots_screen",  # round-10 new: RFC 9309 robots.txt admission control
+    "pipeline_html_extract",  # round-10 new: stdlib HTML visible-text extraction
 )
 
 # Verified queries whose build source OR implementing operator

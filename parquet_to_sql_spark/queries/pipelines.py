@@ -2105,3 +2105,100 @@ def pipeline_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rules").cast("bigint").alias("n_rules"),
         )
     )
+
+
+@query(
+    "pipeline_html_extract",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 4 AS nlinks,
+             1 + doc_id % 5 AS nparas,
+             list_sum(list_transform(range(1 + doc_id % 5),
+                      p -> 3 + (doc_id + p) % 4)) AS wsum
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'Doc ' || doc_id AS title,
+           CAST(nlinks AS BIGINT) AS n_links,
+           CAST(nlinks + wsum AS BIGINT) AS n_words,
+           CAST(3 * nlinks + 2 * wsum + nlinks + wsum - 1 AS BIGINT)
+             AS text_len,
+           CAST(6 + nlinks + nparas AS BIGINT) AS n_tags
+    FROM d
+    """,
+)
+def pipeline_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML visible-text extraction — the WARC -> documents step a
+    crawl pipeline runs before any text analysis: each document id
+    becomes deterministic HTML (a <title>, a <script> whose contents
+    MUST NOT leak into text, doc_id%4 nav links whose anchor text
+    counts as visible words, 1+doc_id%5 paragraphs with arithmetic
+    word counts), and the stdlib extractor (operators/html.py —
+    html.parser, entity decode, script/style/noscript exclusion,
+    canonical node-strip-join-by-one-space normalization) parses it
+    for real inside mapInPandas.  The oracle regenerates title, link
+    count, word count, exact text LENGTH, and tag count
+    arithmetically WITHOUT parsing — a leaked script body, broken
+    skip-span nesting, missed entity decode, or off-by-one in the
+    whitespace canon shows up as a value mismatch in the driver run.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — the real ingest swaps synthesis for the WARC response
+    blocks (source_warc_records) and this exact extractor."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def build_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.html import html_extract
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nlinks = did % 4
+                nparas = 1 + did % 5
+                nav = "".join(
+                    f'<a href="/l{k}">nav</a> ' for k in range(nlinks)
+                )
+                paras = "".join(
+                    "<p>" + " ".join(
+                        f"w{p}" for _ in range(3 + (did + p) % 4)
+                    ) + "</p>"
+                    for p in range(nparas)
+                )
+                html = (
+                    f"<html><head><title> Doc  {did} </title>"
+                    f'<script>var j = "z9 z9 z9";</script></head>'
+                    f"<body><nav>{nav}</nav>{paras}</body></html>"
+                )
+                out = html_extract(html)
+                words = out["text"].split(" ") if out["text"] else []
+                rows.append(
+                    (
+                        did,
+                        out["title"],
+                        len(out["links"]),
+                        len(words),
+                        len(out["text"]),
+                        out["n_tags"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "n_links", "n_words",
+                    "text_len", "n_tags",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        build_extract,
+        schema=(
+            "doc_id long, title string, n_links long, n_words long, "
+            "text_len long, n_tags long"
+        ),
+    )
