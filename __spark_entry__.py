@@ -322,6 +322,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "source_warc_records",  # round-10 new: stdlib WARC crawl-container ingestion
     "pipeline_robots_screen",  # round-10 new: RFC 9309 robots.txt admission control
     "pipeline_html_extract",  # round-10 new: stdlib HTML visible-text extraction
+    "pipeline_crawl_ingest_e2e",  # round-10 new: WARC -> HTML -> screen composed
 )
 
 # Verified queries whose build source OR implementing operator

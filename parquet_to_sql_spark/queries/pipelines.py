@@ -2202,3 +2202,121 @@ def pipeline_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_len long, n_tags long"
         ),
     )
+
+
+@query(
+    "pipeline_crawl_ingest_e2e",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
+          "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 4 AS nlinks,
+             1 + doc_id % 5 AS nparas,
+             list_sum(list_transform(range(1 + doc_id % 5),
+                      p -> 3 + (doc_id + p) % 4)) AS wsum
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'http://ex.com/' || doc_id AS url,
+           (doc_id % 3 = 0) AS gzipped,
+           'Doc ' || doc_id AS title,
+           CAST(nlinks + wsum AS BIGINT) AS n_words,
+           CAST(nlinks AS BIGINT) AS n_links,
+           (nlinks + wsum >= 8) AS keep
+    FROM d
+    """,
+)
+def pipeline_crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl ingest — the two round-10 real decoders
+    COMPOSED the way a production pipeline actually runs them: a WARC
+    payload (every third doc in the gzip-member wire form) whose
+    response block is real HTML, parsed with operators/warc.py, the
+    response extracted with operators/html.py, and a word-count
+    admission screen applied — one mapInPandas stage from crawl bytes
+    to a keep/drop verdict.  Both codec fixtures are the same
+    deterministic constructions their standalone gate queries use, so
+    the oracle composes the two arithmetic formulas without parsing
+    anything: a bug in EITHER codec, or in the seam between them
+    (response selection, byte->text decode), is a value mismatch.
+
+    Scale shape: narrow map, no shuffle, no collect — at 100 TB this
+    stage is the per-shard Arrow worker pass over .warc.gz splits,
+    followed by the (separate, already-shipped) dedup/screen
+    exchanges."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.html import html_extract
+        from parquet_to_sql_spark.operators.warc import (
+            warc_gzip_members,
+            warc_records,
+            warc_write_record,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nlinks = did % 4
+                nparas = 1 + did % 5
+                nav = "".join(
+                    f'<a href="/l{k}">nav</a> ' for k in range(nlinks)
+                )
+                paras = "".join(
+                    "<p>" + " ".join(
+                        f"w{p}" for _ in range(3 + (did + p) % 4)
+                    ) + "</p>"
+                    for p in range(nparas)
+                )
+                html = (
+                    f"<html><head><title> Doc  {did} </title>"
+                    f'<script>var j = "z9 z9 z9";</script></head>'
+                    f"<body><nav>{nav}</nav>{paras}</body></html>"
+                )
+                url = f"http://ex.com/{did}"
+                recs = [
+                    warc_write_record(
+                        "request", url, b"GET /", f"q{did}"
+                    ),
+                    warc_write_record(
+                        "response", url, html.encode("utf-8"), f"r{did}"
+                    ),
+                ]
+                gz = did % 3 == 0
+                payload = warc_gzip_members(recs) if gz else b"".join(recs)
+                parsed = warc_records(payload)
+                resp = next(
+                    r for r in parsed if r["warc_type"] == "response"
+                )
+                out = html_extract(resp["content"])
+                words = out["text"].split(" ") if out["text"] else []
+                rows.append(
+                    (
+                        did,
+                        resp["uri"],
+                        gz,
+                        out["title"],
+                        len(words),
+                        len(out["links"]),
+                        len(words) >= 8,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "gzipped", "title",
+                    "n_words", "n_links", "keep",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        ingest,
+        schema=(
+            "doc_id long, url string, gzipped boolean, title string, "
+            "n_words long, n_links long, keep boolean"
+        ),
+    )
