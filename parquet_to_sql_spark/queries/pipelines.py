@@ -2243,80 +2243,11 @@ def pipeline_crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: narrow map, no shuffle, no collect — at 100 TB this
     stage is the per-shard Arrow worker pass over .warc.gz splits,
     followed by the (separate, already-shipped) dedup/screen
-    exchanges."""
-    from typing import Iterator
-
-    import pandas as pd
-
-    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from parquet_to_sql_spark.operators.html import html_extract
-        from parquet_to_sql_spark.operators.warc import (
-            warc_gzip_members,
-            warc_records,
-            warc_write_record,
-        )
-
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                nlinks = did % 4
-                nparas = 1 + did % 5
-                nav = "".join(
-                    f'<a href="/l{k}">nav</a> ' for k in range(nlinks)
-                )
-                paras = "".join(
-                    "<p>" + " ".join(
-                        f"w{p}" for _ in range(3 + (did + p) % 4)
-                    ) + "</p>"
-                    for p in range(nparas)
-                )
-                html = (
-                    f"<html><head><title> Doc  {did} </title>"
-                    f'<script>var j = "z9 z9 z9";</script></head>'
-                    f"<body><nav>{nav}</nav>{paras}</body></html>"
-                )
-                url = f"http://ex.com/{did}"
-                recs = [
-                    warc_write_record(
-                        "request", url, b"GET /", f"q{did}"
-                    ),
-                    warc_write_record(
-                        "response", url, html.encode("utf-8"), f"r{did}"
-                    ),
-                ]
-                gz = did % 3 == 0
-                payload = warc_gzip_members(recs) if gz else b"".join(recs)
-                parsed = warc_records(payload)
-                resp = next(
-                    r for r in parsed if r["warc_type"] == "response"
-                )
-                out = html_extract(resp["content"])
-                words = out["text"].split(" ") if out["text"] else []
-                rows.append(
-                    (
-                        did,
-                        resp["uri"],
-                        gz,
-                        out["title"],
-                        len(words),
-                        len(out["links"]),
-                        len(words) >= 8,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "url", "gzipped", "title",
-                    "n_words", "n_links", "keep",
-                ],
-            )
+    exchanges.  The whole stage lives in operators/crawl.py
+    (ingest_warc_docs) and is SHARED verbatim with the streaming
+    at-ingest twin (streaming.pipeline.crawl_ingest_stream) — the
+    equivalence test proves batch and stream outputs identical."""
+    from parquet_to_sql_spark.operators.crawl import ingest_warc_docs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, url string, gzipped boolean, title string, "
-            "n_words long, n_links long, keep boolean"
-        ),
-    )
+    return ingest_warc_docs(docs, min_words=8)

@@ -1091,3 +1091,17 @@ def frontier_schedule_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def crawl_ingest_stream(stream_docs: DataFrame, min_words: int = 8) -> DataFrame:
+    """Streaming crawl ingest-at-arrival: WARC parse -> HTML extract
+    -> word-count admission screen on arriving documents — literally
+    the operator the oracle-checked batch gate query
+    pipeline_crawl_ingest_e2e runs (operators/crawl.ingest_warc_docs),
+    so batch and stream verdicts are bit-identical.  Entirely
+    stateless (one Arrow-batched mapInPandas; no watermark, no state
+    store): the shape of a fetch pipeline that screens pages the
+    moment they land, before anything is persisted."""
+    from parquet_to_sql_spark.operators.crawl import ingest_warc_docs
+
+    return ingest_warc_docs(stream_docs, min_words=min_words)

@@ -1914,3 +1914,35 @@ def test_frontier_schedule_stream_carries_slots_across_runs(spark, tmp_path):
     assert set(r2) == {10, 11}
     assert r2[10].slot == 3 and r2[10].fetch_at_ms == 1000  # hA continues
     assert r2[11].slot == 1 and r2[11].fetch_at_ms == 0  # hC starts fresh
+
+
+def test_crawl_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming crawl ingest == the oracle-checked batch gate query
+    on the same doc ids: same shared operator, stateless, so the
+    verdict rows must be identical."""
+    from parquet_to_sql_spark.operators.crawl import ingest_warc_docs
+    from parquet_to_sql_spark.streaming.pipeline import (
+        crawl_ingest_stream,
+        documents_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30).localCheckpoint()
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+
+    want = sorted(
+        map(tuple, ingest_warc_docs(spark.read.parquet(d)).collect())
+    )
+    assert any(r[6] for r in want) and any(not r[6] for r in want), (
+        "fixture must produce both keep and drop verdicts"
+    )
+    run_to_memory(
+        crawl_ingest_stream(documents_stream(spark, d)),
+        "crawl_ingest_out",
+        output_mode="append",  # stateless screen: no aggregation
+    )
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM crawl_ingest_out").collect())
+    )
+    assert got == want
