@@ -323,6 +323,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_robots_screen",  # round-10 new: RFC 9309 robots.txt admission control
     "pipeline_html_extract",  # round-10 new: stdlib HTML visible-text extraction
     "pipeline_crawl_ingest_e2e",  # round-10 new: WARC -> HTML -> screen composed
+    "pipeline_sitemap_discovery",  # round-10 new: from_xml sitemaps x robots verdict
 )
 
 # Verified queries whose build source OR implementing operator

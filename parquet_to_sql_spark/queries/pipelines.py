@@ -2251,3 +2251,133 @@ def pipeline_crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return ingest_warc_docs(docs, min_words=8)
+
+
+@query(
+    "pipeline_sitemap_discovery",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "composition"),
+    oracle="""
+    WITH hosts AS (
+      SELECT DISTINCT doc_id % 23 AS h FROM documents
+    ), urls AS (
+      SELECT h, k,
+             '/p' || ((h + k) % 29) || '/' || (k % 7) AS path,
+             (5 + (h + k) % 5) * 100000 AS priority_ppm
+      FROM hosts, LATERAL unnest(range(2 + h % 4)) AS u(k)
+    ), rules AS (
+      SELECT h, FALSE AS allow, '/p' || (h % 29) AS pfx FROM hosts
+      UNION ALL
+      SELECT h, TRUE, '/p' || (h % 29) || '/' || (h % 7)
+      FROM hosts WHERE h % 2 = 0
+      UNION ALL
+      SELECT h, FALSE, '/q' FROM hosts WHERE h % 3 = 0
+    ), m AS (
+      SELECT u.h, u.k, r.allow,
+             row_number() OVER (
+               PARTITION BY u.h, u.k
+               ORDER BY length(r.pfx) DESC, r.allow DESC, r.pfx
+             ) AS rk
+      FROM urls u JOIN rules r ON u.h = r.h
+      WHERE starts_with(u.path, r.pfx)
+    )
+    SELECT 'h' || u.h || '.example.com' AS host,
+           'http://h' || u.h || '.example.com' || u.path AS loc,
+           CAST(u.priority_ppm AS BIGINT) AS priority_ppm,
+           COALESCE(w.allow, TRUE) AS allowed
+    FROM urls u
+    LEFT JOIN (SELECT h, k, allow FROM m WHERE rk = 1) w
+      ON w.h = u.h AND w.k = u.k
+    """,
+)
+def pipeline_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SITEMAP.XML URL discovery composed with the robots decision —
+    the other half of polite crawl admission (robots says what you
+    may fetch; sitemaps say what the host wants fetched): each host's
+    sitemap XML is synthesized deterministically and parsed with
+    Spark's JVM-side ``from_xml`` (NO Python in the parse path — the
+    deliberate contrast to the stdlib HOF robots parser beside it),
+    URLs explode with their priorities, and every discovered URL gets
+    the RFC 9309 longest-match verdict from the SAME parsed robots
+    rules operator the robots gate query pins.  The oracle
+    regenerates the URL set, priorities, and decisions arithmetically
+    without parsing either format — a from_xml schema mismatch,
+    entity slip, or rule-join bug is a value mismatch.
+
+    Scale shape: hosts (and their sitemap blobs) are a tiny relation;
+    rules and sitemap URL sets broadcast; the per-URL winner window is
+    keyed by (host, url) — at a billion discovered URLs this is the
+    same frontier-sharded exchange as the robots screen."""
+    from parquet_to_sql_spark.operators.urls import robots_star_rules
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 23).alias("h")).distinct()
+    hn = F.col("h")
+    url_frag = (
+        "transform(sequence(0, CAST(1 + h % 4 AS INT)), k -> concat("
+        "'<url><loc>http://h', h, '.example.com/p', (h + k) % 29,"
+        "'/', k % 7, '</loc><priority>0.', 5 + (h + k) % 5,"
+        "'</priority></url>'))"
+    )
+    sitemap_xml = F.concat(
+        F.lit("<urlset>"),
+        F.array_join(F.expr(url_frag), ""),
+        F.lit("</urlset>"),
+    )
+    robots_txt = F.concat(
+        F.lit("User-agent: badbot\nDisallow: /\n\nUser-agent: *\n"),
+        F.lit("Disallow: /p"), (hn % 29).cast("string"), F.lit("\n"),
+        F.when(
+            hn % 2 == 0,
+            F.concat(
+                F.lit("Allow: /p"), (hn % 29).cast("string"),
+                F.lit("/"), (hn % 7).cast("string"), F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(hn % 3 == 0, F.lit("Disallow: /q\n")).otherwise(F.lit("")),
+        F.lit("Disallow:\n"),
+    )
+    per_host = hosts.select(
+        "h", sitemap_xml.alias("xml"), robots_txt.alias("robots"),
+    )
+    schema = "STRUCT<url: ARRAY<STRUCT<loc: STRING, priority: STRING>>>"
+    urls = (
+        per_host.select(
+            "h", "robots", F.from_xml("xml", schema).alias("s")
+        )
+        .select("h", "robots", F.explode("s.url").alias("u"))
+        .select(
+            "h",
+            "robots",
+            F.col("u.loc").alias("loc"),
+            (
+                F.regexp_replace("u.priority", r"^0\.", "").cast("long")
+                * F.lit(100000)
+            ).alias("priority_ppm"),
+            F.expr("substring(u.loc, instr(u.loc, '.com') + 4)").alias("path"),
+        )
+    )
+    rules = per_host.select(
+        "h", F.explode(robots_star_rules(F.col("robots"))).alias("r")
+    ).select("h", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("pfx"))
+    w = Window.partitionBy("h", "loc").orderBy(
+        F.length("pfx").desc(), F.col("allow").desc(), "pfx"
+    )
+    winners = (
+        urls.join(F.broadcast(rules), "h")
+        .filter(F.col("path").startswith(F.col("pfx")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("h", "loc", "allow")
+    )
+    return (
+        urls.join(winners, ["h", "loc"], "left")
+        .select(
+            F.concat(
+                F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            "loc",
+            F.col("priority_ppm").cast("bigint").alias("priority_ppm"),
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        )
+    )
