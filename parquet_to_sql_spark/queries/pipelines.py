@@ -2381,3 +2381,112 @@ def pipeline_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
         )
     )
+
+
+@query(
+    "pipeline_pii_scrub",
+    tags=("pipeline", "privacy", "llm-pipeline", "scale-path"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS nfill,
+             doc_id % 3 AS nmail,
+             doc_id % 2 AS nip,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS nphone
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, nmail, nip, nphone,
+             array_to_string(list_transform(range(nfill),
+                             i -> 'lorem' || i), ' ') AS fill,
+             array_to_string(list_transform(range(nmail),
+                             k -> '<EMAIL>'), ' ') AS mails,
+             array_to_string(list_transform(range(nip),
+                             k -> '<IP>'), ' ') AS ips,
+             array_to_string(list_transform(range(nphone),
+                             k -> '<PHONE>'), ' ') AS phones
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(nmail AS BIGINT) AS n_emails,
+           CAST(nip AS BIGINT) AS n_ips,
+           CAST(nphone AS BIGINT) AS n_phones,
+           sha256(concat_ws(' ',
+             nullif(fill, ''), nullif(mails, ''),
+             nullif(ips, ''), nullif(phones, ''), 'tail42'))
+             AS scrubbed_sha
+    FROM parts
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII SCRUBBING — the privacy pass an LLM corpus pipeline runs
+    before anything ships: deterministic carrier text with PLANTED
+    emails / IPv4s / phone numbers is scrubbed by three JVM-side
+    regexp_replace passes (email -> <EMAIL>, dotted-quad -> <IP>,
+    +1-555-NNNN -> <PHONE>); the oracle constructs the expected
+    SCRUBBED STRING directly (it knows where the plants are) and
+    compares sha256 fingerprints of the full output — so an
+    over-matching regex (eating filler), an under-match (a surviving
+    email), or a placeholder typo is a value mismatch, not a count
+    that happens to agree.  Counts are reported from the ORIGINAL
+    text via regexp_count.
+
+    Scale shape: pure narrow projection — regex scrub is row-local
+    JVM codegen, zero Python, zero shuffle (the groupless scan is the
+    whole plan).  At 100 TB this is the cheapest pass in the
+    pipeline and the one you least want a silent regression in."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fill = F.array_join(
+        F.expr(
+            "transform(sequence(0, CAST(2 + doc_id % 5 AS INT)),"
+            " i -> concat('lorem', i))"
+        ),
+        " ",
+    )
+    mails = F.array_join(
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN array()"
+            " ELSE transform(sequence(1, CAST(doc_id % 3 AS INT)),"
+            " k -> concat('user', doc_id, '@ex', k, '.com')) END"
+        ),
+        " ",
+    )
+    ips = F.array_join(
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN array()"
+            " ELSE array(concat('10.', doc_id % 256, '.3.7')) END"
+        ),
+        " ",
+    )
+    phones = F.when(
+        did % 4 == 0,
+        F.concat(F.lit("+1-555-"), (F.lit(1000) + did % 9000).cast("string")),
+    ).otherwise(F.lit(""))
+    text = F.concat_ws(
+        " ",
+        F.nullif(fill, F.lit("")),
+        F.nullif(mails, F.lit("")),
+        F.nullif(ips, F.lit("")),
+        F.nullif(phones, F.lit("")),
+        F.lit("tail42"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    phone_re = r"\+1-555-\d{4}"
+    staged = docs.select("doc_id", text.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email_re, "<EMAIL>"),
+            ip_re,
+            "<IP>",
+        ),
+        phone_re,
+        "<PHONE>",
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(ip_re)).cast("bigint").alias("n_ips"),
+        F.regexp_count("t", F.lit(phone_re)).cast("bigint").alias("n_phones"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    )
