@@ -208,25 +208,33 @@ def test_multimodal_real_png_decode_end_to_end(spark):
 
 
 def test_multimodal_real_decode_rejects_and_routes_non_png(spark):
-    """Non-PNG payloads under fake=False: a clear raise by default
-    (the PngFormatError reason surfaces through Spark's executor
-    exception), or NULL-feature quarantine rows under
-    on_error='null' — one corrupt payload must not kill a 100 TB
-    stage unless the caller asked it to."""
+    """Unrecognized payloads under fake=False (the decoder sniffs PNG
+    and baseline JPEG since round 10): a clear raise by default (the
+    format-error reason surfaces through Spark's executor exception),
+    or NULL-feature quarantine rows under on_error='null' — one
+    corrupt payload must not kill a 100 TB stage unless the caller
+    asked it to.  A JPEG row proves the sniffer routes formats, not
+    just accepts PNG."""
+    from parquet_to_sql_spark.operators.jpeg import jpeg_encode
     from parquet_to_sql_spark.operators.png import png_encode
 
     good = png_encode(2, 2, bytes(range(12)), 3)
+    jp = jpeg_encode(8, 8, bytes([100] * 64), 1, quant=8)
     df = spark.createDataFrame(
-        [(1, bytearray(good)), (2, bytearray(b"GIF89a not a png"))],
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"GIF89a not a png")),
+            (3, bytearray(jp)),
+        ],
         "doc_id long, payload binary",
     )
     packed = pack_binary(
         df,
         data=F.col("payload"),
         uri=F.concat(F.lit("img://"), F.col("doc_id").cast("string")),
-        media_type="image/png",
+        media_type="image/mixed",
     )
-    with pytest.raises(Exception, match="not a PNG"):
+    with pytest.raises(Exception, match="unrecognized image payload"):
         decode_image_features(packed, fake=False).collect()
     routed = {
         r.uri: r
@@ -237,6 +245,7 @@ def test_multimodal_real_decode_rejects_and_routes_non_png(spark):
     assert routed["img://1"].width == 2
     assert routed["img://2"].width is None
     assert routed["img://2"].n_bytes == 16  # metadata survives quarantine
+    assert routed["img://3"].width == 8 and routed["img://3"].channels == 1
     with pytest.raises(ValueError, match="on_error"):
         decode_image_features(packed, fake=False, on_error="quarantine")
 
@@ -481,11 +490,11 @@ def test_mapinarrow_decode_matches_mapinpandas(spark):
     via_pandas = sorted(decode_image_features(packed).collect())
     via_arrow = sorted(decode_image_features_arrow(packed).collect())
     assert via_pandas == via_arrow
-    # fake=False is REAL since round 9 (stdlib PNG); on non-PNG bytes
-    # it raises the format error from inside the executor — the
-    # real-path twin equivalence is covered in
-    # test_multimodal_real_png_decode_end_to_end
-    with pytest.raises(Exception, match="not a PNG"):
+    # fake=False is REAL since round 9 (stdlib PNG; +JPEG sniffing in
+    # round 10); on unrecognized bytes it raises the format error
+    # from inside the executor — the real-path twin equivalence is
+    # covered in test_multimodal_real_png_decode_end_to_end
+    with pytest.raises(Exception, match="unrecognized image payload"):
         decode_image_features_arrow(packed, fake=False).collect()
 
 
