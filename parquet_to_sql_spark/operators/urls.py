@@ -442,3 +442,45 @@ def robots_star_rules(robots_txt: Column) -> Column:
         )
 
     return F.aggregate(lines, init, step, lambda acc: acc.rules)
+
+
+def robots_decide(path: Column, rules: Column) -> Column:
+    """Decide one URL against an ARRAY of robots rules
+    (array<struct<allow boolean, prefix string>>, the robots_star_rules
+    output collected per host): RFC 9309 longest-match — most-specific
+    matching prefix wins, Allow beats Disallow on equal length
+    (deterministic tie-break by prefix text), no matching rule =
+    allowed.
+
+    Row-local: one higher-order filter + one fold, no window, no
+    shuffle — the host's rule set rides a broadcast join and every
+    URL decides locally, which is also what makes the STREAMING
+    admission twin stateless.  Returns
+    struct<allowed boolean, winning_prefix string> (winning_prefix
+    NULL when no rule matched)."""
+    matching = F.filter(rules, lambda r: path.startswith(r.prefix))
+    no_rule = F.struct(
+        F.lit(None).cast("boolean").alias("allow"),
+        F.lit(None).cast("string").alias("prefix"),
+    )
+
+    def better(acc, r):
+        acc_len = F.coalesce(F.length(acc.prefix), F.lit(-1))
+        r_len = F.length(r.prefix)
+        take = (
+            (r_len > acc_len)
+            | ((r_len == acc_len) & r.allow & ~F.coalesce(acc.allow, F.lit(False)))
+            | (
+                (r_len == acc_len)
+                & (r.allow.eqNullSafe(acc.allow))
+                & (r.prefix < acc.prefix)
+            )
+        )
+        return F.when(take, F.struct(r.allow.alias("allow"),
+                                     r.prefix.alias("prefix"))).otherwise(acc)
+
+    winner = F.aggregate(matching, no_rule, better)
+    return F.struct(
+        F.coalesce(winner.allow, F.lit(True)).alias("allowed"),
+        winner.prefix.alias("winning_prefix"),
+    )

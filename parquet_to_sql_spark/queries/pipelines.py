@@ -2042,13 +2042,18 @@ def pipeline_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser bug (group binding, empty-Disallow handling, value
     trimming) is a value mismatch in the driver run.
 
-    Scale shape: the rules relation is host-bounded (tiny — it rides
-    a broadcast onto the URL stream); the only corpus-sized exchange
-    is the per-URL winner window, keyed by doc — in production the
-    decision is a broadcast-join + row-local argmax over each URL's
-    matching rules, exactly this plan."""
-    from parquet_to_sql_spark.operators.urls import robots_star_rules
-    from pyspark.sql import Window
+    Scale shape: the rules relation is host-bounded (tiny — each
+    host's parsed rule ARRAY rides a broadcast onto the URL stream)
+    and the decision is ROW-LOCAL (operators/urls.robots_decide: one
+    higher-order filter + fold — no winner window, no URL-keyed
+    shuffle at all; the r10 first cut used a per-URL window and was
+    rewritten).  Statelessness is also what makes the streaming
+    admission twin (streaming.pipeline.robots_screen_stream) the
+    same operator."""
+    from parquet_to_sql_spark.operators.urls import (
+        robots_decide,
+        robots_star_rules,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     h = F.col("doc_id") % 23
@@ -2076,33 +2081,21 @@ def pipeline_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hn % 3 == 0, F.lit("Disallow: /q\n")).otherwise(F.lit("")),
         F.lit("Disallow:\n"),
     )
-    hosts = urls.select("h").distinct().withColumn("robots_txt", robots_txt)
-    rules = hosts.select(
-        "h", F.explode(robots_star_rules(F.col("robots_txt"))).alias("r")
-    ).select("h", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("pfx"))
-    nr = rules.groupBy("h").agg(F.count(F.lit(1)).alias("n_rules"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.length("pfx").desc(), F.col("allow").desc(), "pfx"
+    hosts = urls.select("h").distinct().select(
+        "h", robots_star_rules(robots_txt).alias("rules")
     )
-    winners = (
-        urls.join(F.broadcast(rules), "h")
-        .filter(F.col("path").startswith(F.col("pfx")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "allow", "pfx")
-    )
+    decision = robots_decide(F.col("path"), F.col("rules"))
     return (
-        urls.join(winners, "doc_id", "left")
-        .join(F.broadcast(nr), "h")
+        urls.join(F.broadcast(hosts), "h")
         .select(
             "doc_id",
             F.concat(
                 F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
             ).alias("host"),
             "path",
-            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
-            F.col("pfx").alias("winning_prefix"),
-            F.col("n_rules").cast("bigint").alias("n_rules"),
+            decision.getField("allowed").alias("allowed"),
+            decision.getField("winning_prefix").alias("winning_prefix"),
+            F.size("rules").cast("bigint").alias("n_rules"),
         )
     )
 
@@ -2303,12 +2296,14 @@ def pipeline_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     without parsing either format — a from_xml schema mismatch,
     entity slip, or rule-join bug is a value mismatch.
 
-    Scale shape: hosts (and their sitemap blobs) are a tiny relation;
-    rules and sitemap URL sets broadcast; the per-URL winner window is
-    keyed by (host, url) — at a billion discovered URLs this is the
-    same frontier-sharded exchange as the robots screen."""
-    from parquet_to_sql_spark.operators.urls import robots_star_rules
-    from pyspark.sql import Window
+    Scale shape: hosts (and their sitemap blobs) are a tiny
+    relation; the robots decision is row-local (robots_decide, no
+    winner window) — at a billion discovered URLs the only exchange
+    is however the sitemap shards arrive."""
+    from parquet_to_sql_spark.operators.urls import (
+        robots_decide,
+        robots_star_rules,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     hosts = docs.select((F.col("doc_id") % 23).alias("h")).distinct()
@@ -2357,29 +2352,16 @@ def pipeline_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(u.loc, instr(u.loc, '.com') + 4)").alias("path"),
         )
     )
-    rules = per_host.select(
-        "h", F.explode(robots_star_rules(F.col("robots"))).alias("r")
-    ).select("h", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("pfx"))
-    w = Window.partitionBy("h", "loc").orderBy(
-        F.length("pfx").desc(), F.col("allow").desc(), "pfx"
+    decision = robots_decide(
+        F.col("path"), robots_star_rules(F.col("robots"))
     )
-    winners = (
-        urls.join(F.broadcast(rules), "h")
-        .filter(F.col("path").startswith(F.col("pfx")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("h", "loc", "allow")
-    )
-    return (
-        urls.join(winners, ["h", "loc"], "left")
-        .select(
-            F.concat(
-                F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
-            ).alias("host"),
-            "loc",
-            F.col("priority_ppm").cast("bigint").alias("priority_ppm"),
-            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
-        )
+    return urls.select(
+        F.concat(
+            F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        "loc",
+        F.col("priority_ppm").cast("bigint").alias("priority_ppm"),
+        decision.getField("allowed").alias("allowed"),
     )
 
 

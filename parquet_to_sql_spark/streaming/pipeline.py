@@ -1105,3 +1105,25 @@ def crawl_ingest_stream(stream_docs: DataFrame, min_words: int = 8) -> DataFrame
     from parquet_to_sql_spark.operators.crawl import ingest_warc_docs
 
     return ingest_warc_docs(stream_docs, min_words=min_words)
+
+
+def robots_screen_stream(stream_urls: DataFrame, host_rules: DataFrame) -> DataFrame:
+    """Streaming robots admission: arriving (host, path) URLs decided
+    against a STATIC per-host parsed-rules relation (robots_star_rules
+    output collected as an array per host) — stream-static broadcast
+    join + the row-local RFC 9309 longest-match fold
+    (operators/urls.robots_decide).  Entirely stateless: the same
+    operator the oracle-checked pipeline_robots_screen runs, so batch
+    and stream verdicts are bit-identical.  ``host_rules``:
+    (h, rules array<struct<allow, prefix>>)."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import robots_decide
+
+    decision = robots_decide(F.col("path"), F.col("rules"))
+    return stream_urls.join(F.broadcast(host_rules), "h").select(
+        "h",
+        "path",
+        decision.getField("allowed").alias("allowed"),
+        decision.getField("winning_prefix").alias("winning_prefix"),
+    )

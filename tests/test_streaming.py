@@ -1946,3 +1946,60 @@ def test_crawl_ingest_stream_matches_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM crawl_ingest_out").collect())
     )
     assert got == want
+
+
+def test_robots_screen_stream_matches_batch(spark, tmp_path):
+    """Streaming robots admission == the batch row-local decision on
+    the same URLs: same parsed rules array, same robots_decide fold,
+    stateless — verdicts must be identical."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import (
+        robots_decide,
+        robots_star_rules,
+    )
+    from parquet_to_sql_spark.streaming.pipeline import robots_screen_stream
+
+    txts = [
+        (0, "User-agent: *\nDisallow: /a\nAllow: /a/b\n"),
+        (1, "User-agent: *\nDisallow: /\n"),
+        (2, "User-agent: badbot\nDisallow: /\n"),
+    ]
+    host_rules = spark.createDataFrame(txts, "h long, txt string").select(
+        "h", robots_star_rules(F.col("txt")).alias("rules")
+    ).localCheckpoint()
+    urls = spark.createDataFrame(
+        [(h, p) for h in range(3) for p in ("/a/b/c", "/a/x", "/zzz")],
+        "h long, path string",
+    )
+    d = str(tmp_path / "urls_in")
+    os.makedirs(d)
+    urls.coalesce(1).write.mode("overwrite").parquet(d)
+
+    decision = robots_decide(F.col("path"), F.col("rules"))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(d)
+            .join(F.broadcast(host_rules), "h")
+            .select(
+                "h", "path",
+                decision.getField("allowed").alias("allowed"),
+                decision.getField("winning_prefix").alias("winning_prefix"),
+            )
+            .collect(),
+        )
+    )
+    assert any(not r[2] for r in want) and any(r[2] for r in want)
+    stream = (
+        spark.readStream.schema("h long, path string").parquet(d)
+    )
+    run_to_memory(
+        robots_screen_stream(stream, host_rules),
+        "robots_screen_out",
+        output_mode="append",
+    )
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM robots_screen_out").collect())
+    )
+    assert got == want
