@@ -325,6 +325,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_crawl_ingest_e2e",  # round-10 new: WARC -> HTML -> screen composed
     "pipeline_sitemap_discovery",  # round-10 new: from_xml sitemaps x robots verdict
     "pipeline_pii_scrub",  # round-10 new: regex PII redaction, sha-pinned output
+    "agg_mad_outliers",  # round-10 new: exact median/MAD robust outlier fences
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1249,3 +1249,132 @@ def agg_skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "price_c", "qty_c")
     )
+
+
+@query(
+    "agg_mad_outliers",
+    tags=("aggregation", "robust-stats", "quantiles", "scale-path"),
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             COUNT(*) AS w
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT grp, v, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS tot
+      FROM c
+    ), med AS (
+      SELECT grp, MIN(CASE WHEN cum*2 >= tot THEN v END) AS med,
+             MIN(tot) AS n
+      FROM s GROUP BY grp
+    ), d AS (
+      SELECT c.grp, abs(c.v - m.med) AS dev, SUM(c.w) AS w
+      FROM c JOIN med m ON c.grp = m.grp GROUP BY 1, 2
+    ), ds AS (
+      SELECT grp, dev, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY dev) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS tot
+      FROM d
+    ), mad AS (
+      SELECT grp, MIN(CASE WHEN cum*2 >= tot THEN dev END) AS mad
+      FROM ds GROUP BY grp
+    )
+    SELECT m.grp AS o_orderpriority,
+           CAST(m.n AS BIGINT) AS n_orders,
+           CAST(m.med AS BIGINT) AS median_cents,
+           CAST(a.mad AS BIGINT) AS mad_cents,
+           CAST(COALESCE(SUM(CASE WHEN d.dev > 3 * a.mad
+                                  THEN d.w END), 0) AS BIGINT)
+             AS n_outliers,
+           CAST((1000000::HUGEINT
+                 * COALESCE(SUM(CASE WHEN d.dev > 3 * a.mad
+                                     THEN d.w END), 0)) // m.n AS BIGINT)
+             AS outlier_ppm
+    FROM med m
+    JOIN mad a ON a.grp = m.grp
+    LEFT JOIN d ON d.grp = m.grp
+    GROUP BY m.grp, m.n, m.med, a.mad
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection in exact integers: per-group median /
+    MAD (median absolute deviation) and the count of rows beyond the
+    classic 3*MAD fence — the screen that survives the heavy-tailed
+    value distributions where mean/stddev fences drown (robust
+    statistics, public record; the winsorized-stats query's
+    quantile-fence sibling).  Both medians are EXACT percentile_disc
+    via the two-level count-histogram method: one map-side-combined
+    (group, value) count is the only corpus-sized exchange; the
+    deviation histogram derives from the FIRST histogram (never
+    re-scanning the table) by re-grouping it on |v - median| after a
+    group-granularity broadcast join of the medians; fences compare
+    exact integers (no halves, no floats anywhere).
+
+    Scale shape: corpus scanned ONCE; every later relation is
+    histogram- or group-sized; grouped_prefix_sum avoids per-group
+    single-task windows at any group cardinality."""
+    from parquet_to_sql_spark.operators.prefix import grouped_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    c = c.localCheckpoint()  # both phases + the fence reuse this histogram
+    s = grouped_prefix_sum(c, ["grp"], ["v"], "w", "cum")
+    tot = s.groupBy("grp").agg(F.max("cum").alias("tot"))
+    med = (
+        s.join(F.broadcast(tot), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("v"))
+            ).alias("med"),
+            F.min("tot").alias("n"),
+        )
+    )
+    d = (
+        c.join(F.broadcast(med.select("grp", "med")), "grp")
+        .groupBy("grp", F.abs(F.col("v") - F.col("med")).alias("dev"))
+        .agg(F.sum("w").alias("w"))
+    )
+    ds = grouped_prefix_sum(d, ["grp"], ["dev"], "w", "cum")
+    dtot = ds.groupBy("grp").agg(F.max("cum").alias("tot"))
+    mad = (
+        ds.join(F.broadcast(dtot), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("dev"))
+            ).alias("mad")
+        )
+    )
+    fenced = (
+        d.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("dev") > 3 * F.col("mad"), F.col("w"))
+                ),
+                F.lit(0),
+            ).alias("n_out")
+        )
+    )
+    return (
+        med.join(mad, "grp")
+        .join(fenced, "grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("med").cast("bigint").alias("median_cents"),
+            F.col("mad").cast("bigint").alias("mad_cents"),
+            F.col("n_out").cast("bigint").alias("n_outliers"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_out) div n"
+                " AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+    )
