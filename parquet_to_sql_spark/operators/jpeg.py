@@ -40,6 +40,7 @@ surface (SURVEY.md §2.C multimodal).
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -178,79 +179,127 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+        # fast path: 8-bit prefix lookup (covers the overwhelmingly
+        # common short codes in one dict-free index); cached by table
+        # content because the Annex K tables recur across every image
+        self.lut8 = _lut8(tuple(bits), tuple(huffval))
 
 
-class _BitReader:
-    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers,
-    and byte-aligns across RSTn boundaries."""
+@functools.lru_cache(maxsize=64)
+def _lut8(bits: tuple, huffval: tuple) -> list:
+    """256-entry (value, code_length) table for Huffman codes of
+    length <= 8: entry i resolves the code that is a prefix of the
+    8-bit string i, or (0, 0) when the code is longer than 8 bits
+    (the per-bit fallback walk handles those)."""
+    lut = [(0, 0)] * 256
+    code = 0
+    k = 0
+    for length in range(1, 9):
+        for _ in range(bits[length - 1]):
+            base = code << (8 - length)
+            for filler in range(1 << (8 - length)):
+                lut[base + filler] = (huffval[k], length)
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split the scan's entropy-coded data into RESTART segments,
+    un-stuffing 0xFF00 as it goes (one pass over the scan bytes,
+    instead of per-bit marker checks in the hot loop): returns
+    (segments, position_of_the_terminating_marker).  Validates RSTn
+    ordering (markers must cycle RST0..RST7)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n_rst = 0
+    n = len(data)
+    while True:
+        b = data.find(0xFF, i)
+        if b < 0:
+            raise JpegFormatError("entropy data ran out before EOI")
+        cur += data[i:b]
+        if b + 1 >= n:
+            raise JpegFormatError("dangling 0xFF at end of scan")
+        nxt = data[b + 1]
+        if nxt == 0x00:
+            cur += b"\xff"
+            i = b + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            if nxt != 0xD0 + (n_rst & 7):
+                raise JpegFormatError(
+                    f"restart marker out of order: expected "
+                    f"RST{n_rst & 7}, got 0xFF{nxt:02X}"
+                )
+            segs.append(bytes(cur))
+            cur = bytearray()
+            n_rst += 1
+            i = b + 2
+        else:
+            segs.append(bytes(cur))
+            return segs, b
+
+
+class _SegBits:
+    """Chunk-buffered bit reader over one pre-unstuffed restart
+    segment.  Up to 16 bits of trailing 1-fill are served past the
+    segment end (T.81 pad-bit semantics — the final EOB's code can
+    straddle the pad); needing more raises the truncation error."""
+
+    __slots__ = ("d", "i", "buf", "nbits", "slack")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.i = 0
         self.buf = 0
         self.nbits = 0
+        self.slack = 0
 
     def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
-            raise JpegFormatError("entropy data ran out before EOI")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is None:
-                raise JpegFormatError("dangling 0xFF at end of scan")
-            else:
-                # a real marker: T.81 says fill with 1-bits (the
-                # decoder only lands here on a truncated scan)
-                raise JpegFormatError(
-                    f"marker 0xFF{nxt:02X} inside entropy data"
-                )
+        if self.i < len(self.d):
+            self.buf = (self.buf << 8) | self.d[self.i]
+            self.i += 1
         else:
-            self.pos += 1
-        self.buf = (self.buf << 8) | b
+            if self.slack >= 16:
+                raise JpegFormatError("entropy data ran out before EOI")
+            self.buf = (self.buf << 8) | 0xFF
+            self.slack += 8
         self.nbits += 8
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
-
     def receive(self, n: int) -> int:
-        v = 0
         while self.nbits < n:
             self._fill()
-        if n:
-            self.nbits -= n
-            v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
         return v
 
     def decode(self, table: _HuffTable) -> int:
-        code = self.bit()
-        length = 1
+        while self.nbits < 8:
+            self._fill()
+        p = (self.buf >> (self.nbits - 8)) & 0xFF
+        v, ln = table.lut8[p]
+        if ln:
+            self.nbits -= ln
+            self.buf &= (1 << self.nbits) - 1
+            return v
+        # code longer than 8 bits: continue the canonical walk
+        code = p
+        self.nbits -= 8
+        self.buf &= (1 << self.nbits) - 1
+        length = 8
         while code > table.maxcode[length]:
             length += 1
             if length > 16:
-                raise JpegFormatError("invalid Huffman code (no match in 16 bits)")
-            code = (code << 1) | self.bit()
-        return table.huffval[table.valptr[length] + code - table.mincode[length]]
-
-    def align_and_expect_rst(self, m: int) -> None:
-        """Byte-align and consume the next RSTm marker."""
-        self.buf = 0
-        self.nbits = 0
-        d = self.data
-        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
-            raise JpegFormatError("expected RST marker at restart boundary")
-        got = d[self.pos + 1]
-        if got != 0xD0 + m:
-            raise JpegFormatError(
-                f"restart marker out of order: expected RST{m}, "
-                f"got 0xFF{got:02X}"
-            )
-        self.pos += 2
+                raise JpegFormatError(
+                    "invalid Huffman code (no match in 16 bits)"
+                )
+            code = (code << 1) | self.receive(1)
+        return table.huffval[
+            table.valptr[length] + code - table.mincode[length]
+        ]
 
 
 def _extend(v: int, t: int) -> int:
@@ -408,46 +457,61 @@ def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri):
             "bw": bw, "pred": 0,
         })
 
-    r = _BitReader(data, pos)
-    zz = _ZIGZAG
+    segs, new_pos = _entropy_segments(data, pos)
     n_mcu = mcux * mcuy
-    rst = 0
+    expected_segs = -(-n_mcu // ri) if ri else 1
+    if len(segs) != expected_segs:
+        raise JpegFormatError(
+            f"restart-segment count {len(segs)} != expected "
+            f"{expected_segs} (interval {ri}, {n_mcu} MCUs)"
+        )
+    # natural-order index for each zigzag position (plain ints beat
+    # per-coefficient numpy indexing in this Python hot loop)
+    zz = [int(x) for x in _ZIGZAG]
+    # stage coefficients in flat Python lists; one bulk numpy reshape
+    # per component at the end
+    for st in per:
+        st["flat"] = [0] * (st["coef"].shape[0] * 64)
+    r = _SegBits(segs[0])
+    seg_idx = 0
     for m in range(n_mcu):
         if ri and m and m % ri == 0:
-            r.align_and_expect_rst(rst)
-            rst = (rst + 1) & 7
+            seg_idx += 1
+            r = _SegBits(segs[seg_idx])
             for st in per:
                 st["pred"] = 0
         my, mx = divmod(m, mcux)
         for st in per:
             hs, vs, bw = st["hs"], st["vs"], st["bw"]
+            flat = st["flat"]
+            dc_tab, ac_tab = st["dc"], st["ac"]
             for by in range(vs):
                 for bx in range(hs):
-                    coef = np.zeros(64, dtype=np.int64)
-                    t = r.decode(st["dc"])
+                    base = ((my * vs + by) * bw + (mx * hs + bx)) * 64
+                    t = r.decode(dc_tab)
                     if t > 15:
                         raise JpegFormatError(f"bad DC category {t}")
                     st["pred"] += _extend(r.receive(t), t)
-                    coef[0] = st["pred"]
+                    flat[base] = st["pred"]
                     k = 1
                     while k < 64:
-                        rs = r.decode(st["ac"])
-                        rr, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if rr == 15:
+                        rs = r.decode(ac_tab)
+                        s_ = rs & 0xF
+                        if s_ == 0:
+                            if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
                             break  # EOB
-                        k += rr
+                        k += rs >> 4
                         if k > 63:
                             raise JpegFormatError("AC run past block end")
-                        coef[zz[k]] = _extend(r.receive(s), s)
+                        flat[base + zz[k]] = _extend(r.receive(s_), s_)
                         k += 1
-                    idx = (my * vs + by) * bw + (mx * hs + bx)
-                    st["coef"][idx] = coef.reshape(8, 8)
-
-    # consume any trailing fill bits; leave pos at the next marker
-    new_pos = r.pos
+    for st in per:
+        st["coef"] = np.asarray(st["flat"], dtype=np.int64).reshape(
+            -1, 8, 8
+        )
+        del st["flat"]
 
     planes = []
     for st in per:
