@@ -326,6 +326,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_sitemap_discovery",  # round-10 new: from_xml sitemaps x robots verdict
     "pipeline_pii_scrub",  # round-10 new: regex PII redaction, sha-pinned output
     "agg_mad_outliers",  # round-10 new: exact median/MAD robust outlier fences
+    "multimodal_exif_gps_strip",  # round-10 new: EXIF GPS detect + re-encode-free strip
 )
 
 # Verified queries whose build source OR implementing operator

@@ -969,3 +969,103 @@ def multimodal_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_px long, pixel_sum long, roundtrip_exact boolean"
         ),
     )
+
+
+@query(
+    "multimodal_exif_gps_strip",
+    tags=("multimodal", "privacy", "mapInPandas", "llm-pipeline",
+          "real-decoder"),
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'cam' || (doc_id % 5) AS make,
+           (doc_id % 3 = 0) AS has_gps,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           TRUE AS stripped_clean,
+           CAST(64 * ((doc_id * 29 + 40) % 256) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_exif_gps_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF GPS detection + strip — the binary-side privacy pass
+    (pipeline_pii_scrub's image sibling): each document id becomes a
+    real baseline JPEG carrying a spec-shaped Exif APP1 (orientation
+    1+id%8, out-of-line Make string, GPS sub-IFD on every third doc,
+    byte order alternating Intel/Motorola), operators/exif.py PARSES
+    the TIFF structure for real, and the strip removes every APP1
+    WITHOUT re-encoding — proven by decoding the stripped image and
+    reporting its exact pixel sum (flat blocks + quant 8 decode
+    mathematically exactly).  The oracle regenerates every field
+    arithmetically, so an IFD walk bug, endian slip, inline/offset
+    confusion, GPS-pointer miss, or a strip that damages the entropy
+    data is a value mismatch in the driver run.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — at crawl scale this is the same Arrow-batched per-asset
+    pass as the decoders beside it."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.exif import (
+            exif_build_app1,
+            exif_inject,
+            exif_parse,
+            exif_strip,
+        )
+        from parquet_to_sql_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = (did * 29 + 40) % 256
+                base = jpeg_encode(8, 8, bytes([v] * 64), 1, quant=8)
+                tagged = exif_inject(
+                    base,
+                    exif_build_app1(
+                        orientation=1 + did % 8,
+                        make=f"cam{did % 5}",
+                        with_gps=did % 3 == 0,
+                        little_endian=did % 2 == 0,
+                    ),
+                )
+                info = exif_parse(tagged)
+                stripped = exif_strip(tagged)
+                s_info = exif_parse(stripped)
+                _, _, _, out = jpeg_decode(stripped)
+                clean = (
+                    s_info["n_app1_segments"] == 0
+                    and not s_info["has_gps"]
+                )
+                total = int(np.frombuffer(out, np.uint8).sum(dtype=np.uint64))
+                rows.append(
+                    (
+                        did,
+                        info["orientation"],
+                        info["make"],
+                        info["has_gps"],
+                        info["byte_order"],
+                        clean,
+                        total,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orientation", "make", "has_gps",
+                    "byte_order", "stripped_clean", "pixel_sum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, orientation int, make string, has_gps boolean, "
+            "byte_order string, stripped_clean boolean, pixel_sum long"
+        ),
+    )

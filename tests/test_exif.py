@@ -1,0 +1,76 @@
+"""EXIF reader/strip (operators/exif.py): round-trips in both byte
+orders, inline vs out-of-line values, GPS detection, strip leaving
+image bytes decode-identical, and typed quarantine for malformed
+TIFF structures."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from parquet_to_sql_spark.operators.exif import (
+    ExifFormatError,
+    exif_build_app1,
+    exif_inject,
+    exif_parse,
+    exif_strip,
+)
+from parquet_to_sql_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+
+def _base():
+    return jpeg_encode(8, 8, bytes([77] * 64), 1, quant=8)
+
+
+@pytest.mark.parametrize("le", [True, False])
+@pytest.mark.parametrize("gps", [True, False])
+def test_roundtrip_orders_and_gps(le, gps):
+    t = exif_inject(
+        _base(),
+        exif_build_app1(orientation=5, make="acme cam", with_gps=gps,
+                        little_endian=le),
+    )
+    info = exif_parse(t)
+    assert info["has_exif"] and info["orientation"] == 5
+    assert info["make"] == "acme cam"
+    assert info["has_gps"] is gps
+    assert info["byte_order"] == ("II" if le else "MM")
+
+
+def test_inline_short_make():
+    t = exif_inject(_base(), exif_build_app1(orientation=1, make="abc"))
+    assert exif_parse(t)["make"] == "abc"
+
+
+def test_strip_removes_all_app1_and_preserves_image():
+    base = _base()
+    t = exif_inject(
+        exif_inject(base, exif_build_app1(orientation=3, with_gps=True)),
+        exif_build_app1(orientation=4),
+    )
+    assert exif_parse(t)["n_app1_segments"] == 2
+    s = exif_strip(t)
+    info = exif_parse(s)
+    assert info["n_app1_segments"] == 0 and not info["has_gps"]
+    assert jpeg_decode(s) == jpeg_decode(base)
+    assert exif_strip(base) == base  # no-op without APP1
+
+
+def test_plain_jpeg_has_no_exif():
+    info = exif_parse(_base())
+    assert not info["has_exif"] and info["orientation"] is None
+
+
+def test_quarantine_errors_are_typed():
+    base = _base()
+    good = exif_build_app1(orientation=2, make="abcdef", with_gps=True)
+    bad_order = good.replace(b"II", b"XX", 1)
+    with pytest.raises(ExifFormatError, match="byte order"):
+        exif_parse(exif_inject(base, bad_order))
+    i = good.index(b"II") + 2
+    bad_magic = good[:i] + struct.pack("<H", 43) + good[i + 2 :]
+    with pytest.raises(ExifFormatError, match="magic"):
+        exif_parse(exif_inject(base, bad_magic))
+    with pytest.raises(ExifFormatError, match="not a JPEG"):
+        exif_parse(b"nope")
