@@ -333,7 +333,14 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
 # changed after their last driver-green round but could not get a
 # slot this round (window full).  Each must pass sf0.1 oracle parity
 # while it waits; they front window 11 alongside _QUEUED_POST_WINDOW.
-_REVERIFY_QUEUED: tuple[str, ...] = ()
+_REVERIFY_QUEUED: tuple[str, ...] = (
+    # r10: operators/multimodal.py decode_image_features grew the
+    # PNG/JPEG sniffing real path + a widened quarantine catch; this
+    # is its driver-green consumer outside window 10 (its own gate is
+    # fake-path, but the function source changed).  Re-proven
+    # hash-exact in the full 322/322 fresh-session sim at r10 HEAD.
+    "multimodal_decode_features",
+)
 
 
 def _last_verified_round(max_round: int | None = None) -> dict[str, int]:
