@@ -327,6 +327,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_pii_scrub",  # round-10 new: regex PII redaction, sha-pinned output
     "agg_mad_outliers",  # round-10 new: exact median/MAD robust outlier fences
     "multimodal_exif_gps_strip",  # round-10 new: EXIF GPS detect + re-encode-free strip
+    "pipeline_delete_propagation",  # round-10 new: RTBF purge with exclusive ownership
 )
 
 # Verified queries whose build source OR implementing operator

@@ -2472,3 +2472,107 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t", F.lit(phone_re)).cast("bigint").alias("n_phones"),
         F.sha2(scrubbed, 256).alias("scrubbed_sha"),
     )
+
+
+@query(
+    "pipeline_delete_propagation",
+    tags=("pipeline", "governance", "privacy", "llm-pipeline",
+          "scale-path"),
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, text, (doc_id % 17 = 0) AS del
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, source, del, sha256(line) AS line_h
+      FROM (SELECT doc_id, source, del,
+                   unnest(string_split(text, chr(10))) AS line
+            FROM docs)
+      WHERE trim(line) <> ''
+    ), hstats AS (
+      SELECT line_h,
+             MAX(CASE WHEN NOT del THEN 1 ELSE 0 END) AS kept_any
+      FROM lines GROUP BY line_h
+    ), delh AS (
+      SELECT DISTINCT source, line_h FROM lines WHERE del
+    ), judged AS (
+      SELECT d.source, d.line_h, h.kept_any
+      FROM delh d JOIN hstats h USING (line_h)
+    )
+    SELECT s.source,
+           CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.del THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(COALESCE(j.nh, 0) AS BIGINT) AS n_hashes_deleted_docs,
+           CAST(COALESCE(j.np, 0) AS BIGINT) AS n_purgeable,
+           CAST(COALESCE(j.nr, 0) AS BIGINT) AS n_retained_shared,
+           CAST((1000000::HUGEINT * COALESCE(j.np, 0))
+                // GREATEST(COALESCE(j.nh, 0), 1) AS BIGINT) AS purge_ppm
+    FROM docs s
+    LEFT JOIN (
+      SELECT source, COUNT(*) AS nh,
+             SUM(CASE WHEN kept_any = 0 THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN kept_any = 1 THEN 1 ELSE 0 END) AS nr
+      FROM judged GROUP BY source
+    ) j USING (source)
+    GROUP BY s.source, j.nh, j.np, j.nr
+    """,
+)
+def pipeline_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN delete propagation — the governance pass
+    a corpus pipeline runs when deletion requests arrive: the delete
+    set (doc_id % 17 = 0 stands in for the request list) must purge
+    not just the documents but the DERIVED state, and the line ledger
+    has the subtle ownership rule this query pins: a line hash may be
+    purged only when EVERY document containing it is deleted
+    (exclusive ownership); hashes shared with kept documents must be
+    RETAINED (deleting them would corrupt dedup for surviving docs)
+    and are reported as residual-risk counts.  Output per source:
+    doc/delete counts, distinct hashes touched by deleted docs, how
+    many are purgeable vs retained-shared, and the purge ratio.
+
+    Scale shape: one corpus scan exploded to lines; ownership is a
+    map-side-combined MAX flag per distinct hash (distinct-line
+    cardinality exchange, not token volume); the judgment join is
+    hash-keyed; rollups are source-sized.  The same relation drives
+    the actual ledger delete (anti-join on purgeable hashes) — this
+    query is its audit report."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", (F.col("doc_id") % 17 == 0).alias("del")
+    )
+    lines = (
+        docs.select(
+            "doc_id", "source", "del",
+            F.explode(F.split("text", "\n")).alias("line"),
+        )
+        .filter(F.trim("line") != "")
+        .select(
+            "doc_id", "source", "del", F.sha2("line", 256).alias("line_h")
+        )
+    )
+    hstats = lines.groupBy("line_h").agg(
+        F.max(F.when(~F.col("del"), 1).otherwise(0)).alias("kept_any")
+    )
+    delh = lines.filter("del").select("source", "line_h").distinct()
+    judged = delh.join(hstats, "line_h").groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.when(F.col("kept_any") == 0, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("kept_any") == 1, 1).otherwise(0)).alias("nr"),
+    )
+    per_src = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("del"), 1).otherwise(0)).alias("n_deleted"),
+    )
+    return per_src.join(judged, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_deleted").cast("bigint").alias("n_deleted"),
+        F.coalesce("nh", F.lit(0)).cast("bigint").alias(
+            "n_hashes_deleted_docs"
+        ),
+        F.coalesce("np", F.lit(0)).cast("bigint").alias("n_purgeable"),
+        F.coalesce("nr", F.lit(0)).cast("bigint").alias("n_retained_shared"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * COALESCE(np, 0))"
+            " div GREATEST(COALESCE(nh, 0), 1) AS BIGINT)"
+        ).alias("purge_ppm"),
+    )
