@@ -2071,3 +2071,38 @@ def test_robots_star_rules_group_binding(spark):
         [("User-agent: badbot\nDisallow: /\n",)], "t string"
     )
     assert df2.select(robots_star_rules(F.col("t")).alias("r")).collect()[0].r == []
+
+
+def test_ledger_purge_equals_rebuild_from_kept(spark):
+    """The delete-propagation invariant: purging the line ledger of
+    hashes EXCLUSIVELY owned by deleted docs (anti-join on the
+    purgeable set) yields exactly the ledger a from-scratch rebuild
+    over the kept documents produces — shared hashes survive, nothing
+    else does."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.dedup import line_ledger
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared\nonly-in-1\ncommon"),
+            (2, "shared\nonly-in-2"),
+            (17, "shared\nonly-in-17\ncommon"),  # deleted
+            (34, "only-in-34\nexclusive-pair"),  # deleted
+            (51, "exclusive-pair"),              # deleted
+        ],
+        "doc_id long, text string",
+    )
+    deleted = docs.filter(F.col("doc_id") % 17 == 0)
+    kept = docs.filter(F.col("doc_id") % 17 != 0)
+
+    full = line_ledger(docs)
+    kept_hashes = line_ledger(kept)
+    purgeable = line_ledger(deleted).join(kept_hashes, "line_h", "left_anti")
+    purged = full.join(purgeable, "line_h", "left_anti")
+
+    got = sorted(r.line_h for r in purged.collect())
+    want = sorted(r.line_h for r in kept_hashes.collect())
+    assert got == want
+    # and the purge actually removed something exclusive
+    assert purgeable.count() >= 3  # only-in-17, only-in-34, exclusive-pair
