@@ -328,6 +328,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "agg_mad_outliers",  # round-10 new: exact median/MAD robust outlier fences
     "multimodal_exif_gps_strip",  # round-10 new: EXIF GPS detect + re-encode-free strip
     "pipeline_delete_propagation",  # round-10 new: RTBF purge with exclusive ownership
+    "profile_benford_digits",  # round-10 new: Benford first-digit anomaly audit
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1378,3 +1378,82 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_ppm"),
         )
     )
+
+
+# floor(1e6 * log10(1 + 1/d)) for d = 1..9 — Benford's law expected
+# first-digit mass, precomputed as exact integer literals so neither
+# engine evaluates a float log (public-record constants)
+_BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991,
+                51152, 45757)
+
+
+@query(
+    "profile_benford_digits",
+    tags=("profiling", "data-quality", "aggregation"),
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ), o AS (
+      SELECT digit, COUNT(*) AS n FROM c GROUP BY digit
+    ), t AS (SELECT SUM(n) AS tot FROM o),
+    e(digit, benford_ppm) AS (
+      VALUES {", ".join(f"({d}, {p})" for d, p in enumerate(_BENFORD_PPM, 1))}
+    )
+    SELECT e.digit,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+           CAST((1000000::HUGEINT * COALESCE(o.n, 0)) // t.tot AS BIGINT)
+             AS obs_ppm,
+           CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST((1000000::HUGEINT * COALESCE(o.n, 0)) // t.tot
+                - e.benford_ppm AS BIGINT) AS dev_ppm
+    FROM e LEFT JOIN o USING (digit) CROSS JOIN t
+    """,
+)
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S LAW first-digit audit — the classic anomaly screen
+    for 'organic' numeric columns (fabricated or truncated data bends
+    the leading-digit curve): observed first-significant-digit
+    distribution of order totals vs the Benford expectation, both in
+    exact integer ppm.  The expected masses floor(1e6*log10(1+1/d))
+    are precomputed integer literals, so neither engine evaluates a
+    float log and the result hash-matches exactly.  The first digit
+    comes from the INTEGER cents rendering (integers format
+    identically across engines; the cents significand equals the
+    price significand).
+
+    Scale shape: one narrow scan, one 9-bucket map-side-combined
+    aggregate, a 9-row broadcast of the expectation table — the
+    cheapest audit in the profiling family at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+            1, 1,
+        ).cast("bigint").alias("digit")
+    )
+    o = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = o.agg(F.sum("n").alias("tot"))
+    e = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(_BENFORD_PPM, 1)],
+        "digit bigint, benford_ppm bigint",
+    )
+    return (
+        e.join(o, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * COALESCE(n, 0))"
+                " div tot AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.col("benford_ppm").cast("bigint").alias("benford_ppm"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * COALESCE(n, 0))"
+                " div tot - benford_ppm AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+    )

@@ -2365,6 +2365,38 @@ def pipeline_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+1-555-\d{4}"
+
+
+def pii_scrub_projection(df: DataFrame) -> DataFrame:
+    """The PII scrub as a pure projection over (doc_id, t): counts
+    from the original text, sha256 of the fully scrubbed string.
+    Shared verbatim by the batch gate query and the streaming
+    at-ingest twin (stateless, so the two are bit-identical)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).cast("bigint").alias(
+            "n_emails"
+        ),
+        F.regexp_count("t", F.lit(PII_IP_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count("t", F.lit(PII_PHONE_RE)).cast("bigint").alias(
+            "n_phones"
+        ),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    )
+
+
 @query(
     "pipeline_pii_scrub",
     tags=("pipeline", "privacy", "llm-pipeline", "scale-path"),
@@ -2452,26 +2484,7 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(phones, F.lit("")),
         F.lit("tail42"),
     )
-    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    ip_re = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-    phone_re = r"\+1-555-\d{4}"
-    staged = docs.select("doc_id", text.alias("t"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), email_re, "<EMAIL>"),
-            ip_re,
-            "<IP>",
-        ),
-        phone_re,
-        "<PHONE>",
-    )
-    return staged.select(
-        "doc_id",
-        F.regexp_count("t", F.lit(email_re)).cast("bigint").alias("n_emails"),
-        F.regexp_count("t", F.lit(ip_re)).cast("bigint").alias("n_ips"),
-        F.regexp_count("t", F.lit(phone_re)).cast("bigint").alias("n_phones"),
-        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
-    )
+    return pii_scrub_projection(docs.select("doc_id", text.alias("t")))
 
 
 @query(

@@ -1127,3 +1127,16 @@ def robots_screen_stream(stream_urls: DataFrame, host_rules: DataFrame) -> DataF
         decision.getField("allowed").alias("allowed"),
         decision.getField("winning_prefix").alias("winning_prefix"),
     )
+
+
+def pii_scrub_stream(stream_docs: DataFrame) -> DataFrame:
+    """Streaming PII scrub-at-ingest: the SAME pure projection the
+    oracle-checked batch gate query runs
+    (queries.pipelines.pii_scrub_projection — three JVM
+    regexp_replace passes, sha-pinned output), applied to arriving
+    documents.  Stateless, zero Python: the redaction pass belongs at
+    ingest, before any byte is persisted.  ``stream_docs`` must carry
+    (doc_id, t)."""
+    from parquet_to_sql_spark.queries.pipelines import pii_scrub_projection
+
+    return pii_scrub_projection(stream_docs)

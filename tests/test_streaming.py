@@ -2003,3 +2003,29 @@ def test_robots_screen_stream_matches_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM robots_screen_out").collect())
     )
     assert got == want
+
+
+def test_pii_scrub_stream_matches_batch(spark, tmp_path):
+    """Streaming PII scrub == the batch projection on the same rows
+    (same shared function, stateless)."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.queries.pipelines import pii_scrub_projection
+    from parquet_to_sql_spark.streaming.pipeline import pii_scrub_stream
+
+    rows = [
+        (1, "contact me at a.b@ex.com or 10.0.0.1 thanks"),
+        (2, "clean text no pii at all"),
+        (3, "call +1-555-1234 twice +1-555-9999 from 192.168.3.7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    d = str(tmp_path / "pii_in")
+    os.makedirs(d)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    want = sorted(map(tuple, pii_scrub_projection(spark.read.parquet(d)).collect()))
+    assert any(r[1] or r[2] or r[3] for r in want)  # pii present
+    stream = spark.readStream.schema("doc_id long, t string").parquet(d)
+    run_to_memory(pii_scrub_stream(stream), "pii_scrub_out", output_mode="append")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM pii_scrub_out").collect()))
+    assert got == want
