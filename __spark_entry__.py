@@ -15,29 +15,28 @@ alias layer is needed — ``queries()`` emits the 50-slot priority
 window first, then every remaining query in least-recently-verified
 order.  Exactly one registry entry per query.
 
-Window 10 composition (installed per VERDICT r09 "Next round" #1,
-the proven recipe, fifth round running; CORRECTNESS_r09 came back
+Window 11 composition (installed per VERDICT r10 "Next round" #2,
+the proven recipe, sixth round running; CORRECTNESS_r10 came back
 50/50 green and is folded into ``_DRIVER_VERIFIED`` below):
 
-  1. the 27 round-9-new queries — the only names with ZERO driver
-     evidence across CORRECTNESS_r01..r09 (``_NEVER_VERIFIED``,
+  1. the 16 round-10-new queries — the only names with ZERO driver
+     evidence across CORRECTNESS_r01..r10 (``_NEVER_VERIFIED``,
      the former ``_QUEUED_POST_WINDOW``; all locally oracle-exact
      at sf0.01 AND sf0.1, and judge-verified via verify_driver.py
-     in the r9 session);
-  2. three stale re-verifies (``_REVERIFY``, carried from r9's
-     ``_REVERIFY_QUEUED``): ``pipeline_domain_cap_screen`` and
-     ``pipeline_web_curation`` (urls.py registrable-domain path
-     changed in R9 after their r8 green rows) and
-     ``multimodal_frame_samples`` (sample_frames grew the real-AVI
-     branch; its r9 green row already post-dates the change, kept
-     per VERDICT r09 #1 for an unambiguous ledger);
-  3. 20 least-recently-verified spares (``_LRV_SPARES``) — the
-     oldest oracle-backed evidence in the ledger (r04 rows),
-     refreshed under the standing LRV-rotation policy.
+     in the r10 session, 17/17 OK);
+  2. one stale re-verify (``_REVERIFY``, carried from r10's
+     ``_REVERIFY_QUEUED``): ``multimodal_decode_features``, whose
+     decode_image_features operator grew the PNG/JPEG real-decode
+     sniffing path in R10 after its last driver-green row;
+  3. 33 least-recently-verified spares (``_LRV_SPARES``) — the
+     oldest oracle-backed evidence in the ledger (the r04 text_*
+     block plus the head of the r05 rows), refreshed under the
+     standing LRV-rotation policy.
 
-Green across the board => 309/309 registered queries carry driver
+Green across the board => 325/325 registered queries carry driver
 evidence with ZERO stale rows — including the driver's first
-hash-check of a REAL media decode (``multimodal_png_decode_real``).  Every window is pure LRV rotation,
+hash-checks of REAL JPEG decode and the WARC -> robots -> HTML
+crawl-ingest chain.  Every window is pure LRV rotation,
 front-loading any query whose implementing source changed since its
 last green row (``_REVERIFY`` declares those so the parity test can
 tell a deliberate re-check from a wasted slot) and any post-freeze
@@ -69,8 +68,8 @@ from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 # from rounds < _WINDOW_ROUND are frozen evidence (folded into
 # _DRIVER_VERIFIED); any artifact from round >= _WINDOW_ROUND is the
 # driver's post-session output for THIS window and is asserted
-# against _PRIORITY_R10 instead (tests/test_oracle_parity.py).
-_WINDOW_ROUND = 10
+# against _PRIORITY_R11 instead (tests/test_oracle_parity.py).
+_WINDOW_ROUND = 11
 
 # By-design rows-only gate queries (no DuckDB oracle is possible):
 # the two self-verifying sketch queries carry in-query error-bound
@@ -91,6 +90,24 @@ _ROWS_ONLY_BY_DESIGN = frozenset(
 # asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r10 window first-timers (CORRECTNESS_r10.json, 50/50
+        #     green, all hash-exact; the other 23 window-10 names were
+        #     LRV re-verifies of rows already listed in the r01-r09
+        #     blocks below) ---
+        "agg_skyline_pareto_front", "agg_winsorized_stats",
+        "dedup_incremental_lines_delta", "dedup_minhash_dedup_apply",
+        "dedup_minhash_incremental_screen", "dedup_minhash_production_audit",
+        "dedup_semdedup_clusters", "ev_funnel_unordered",
+        "ev_max_drawdown", "multimodal_avi_frames_real",
+        "multimodal_phash_real", "multimodal_png_decode_real",
+        "multimodal_resize_real", "multimodal_scene_cuts_real",
+        "multimodal_wav_decode_real", "pipeline_compaction_plan",
+        "pipeline_crawl_frontier", "pipeline_leakage_safe_split",
+        "pipeline_perplexity_buckets", "pipeline_score_quantile_normalize",
+        "pipeline_snapshot_diff", "simsearch_ivf_incremental_assign",
+        "simsearch_matryoshka_recall", "text_backoff_lm_scores",
+        "text_boilerplate_excision_apply", "text_boilerplate_screen",
+        "text_kneser_ney_scores",
         # --- r09 window first-timers (CORRECTNESS_r09.json, 50/50
         #     green, all hash-exact; the other 37 window-9 names were
         #     LRV re-verifies of rows already listed in the r01-r08
@@ -249,99 +266,73 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# The 27 names with zero driver evidence across CORRECTNESS_r01..r09
-# (all round-9 additions, the former _QUEUED_POST_WINDOW; each passes
+# The 16 names with zero driver evidence across CORRECTNESS_r01..r10
+# (all round-10 additions, the former _QUEUED_POST_WINDOW; each passes
 # the local oracle at sf0.01 AND sf0.1 — tests/test_oracle_parity.py —
-# and all 27 were hash-verified by the judge's own verify_driver.py
-# run in the r9 session, 30/30 OK).  Sorted by name (the parity
-# test's derivation order).  Slots 1-27.
+# and all 16 were hash-verified by the judge's own verify_driver.py
+# run in the r10 session, 17/17 OK).  Sorted by name (the parity
+# test's derivation order).  Slots 1-16.
 _NEVER_VERIFIED = (
-    "agg_skyline_pareto_front", "agg_winsorized_stats",
-    "dedup_incremental_lines_delta", "dedup_minhash_dedup_apply",
-    "dedup_minhash_incremental_screen", "dedup_minhash_production_audit",
-    "dedup_semdedup_clusters", "ev_funnel_unordered",
-    "ev_max_drawdown", "multimodal_avi_frames_real",
-    "multimodal_phash_real", "multimodal_png_decode_real",
-    "multimodal_resize_real", "multimodal_scene_cuts_real",
-    "multimodal_wav_decode_real", "pipeline_compaction_plan",
-    "pipeline_crawl_frontier", "pipeline_leakage_safe_split",
-    "pipeline_perplexity_buckets", "pipeline_score_quantile_normalize",
-    "pipeline_snapshot_diff", "simsearch_ivf_incremental_assign",
-    "simsearch_matryoshka_recall", "text_backoff_lm_scores",
-    "text_boilerplate_excision_apply", "text_boilerplate_screen",
-    "text_kneser_ney_scores",
+    "agg_mad_outliers", "dedup_minhash_index_reload_probe",
+    "multimodal_exif_gps_strip", "multimodal_jpeg_decode_real",
+    "pipeline_crawl_ingest_e2e", "pipeline_delete_propagation",
+    "pipeline_dsir_importance", "pipeline_html_extract",
+    "pipeline_pii_scrub", "pipeline_robots_screen",
+    "pipeline_sitemap_discovery", "profile_benford_digits",
+    "source_warc_records", "text_bpe_encode_full",
+    "text_kneser_ney_trigram", "text_perceptron_quality_train",
 )
 
-# Deliberate re-verification slots (carried from r9's
-# _REVERIFY_QUEUED, per VERDICT r09 "Next round" #1):
-# pipeline_domain_cap_screen / pipeline_web_curation consume
-# operators/urls.py with_registrable_domain, which grew an IPv6
-# passthrough + fail-loud PSL private-marker parse in R9 after their
-# r8 green rows; multimodal_frame_samples' sample_frames operator
-# grew the real-AVI branch in R9 (its r9 green row already
-# post-dates that change — kept for an unambiguous ledger).  All
-# three re-proven oracle-exact at sf0.1 locally while they waited.
-# Slots 28-30.
+# Deliberate re-verification slot (carried from r10's
+# _REVERIFY_QUEUED, per VERDICT r10 "Next round" #2):
+# multimodal_decode_features consumes operators/multimodal.py
+# decode_image_features, which grew the PNG/JPEG real-decode sniffing
+# path + a widened quarantine catch in R10 after its last driver-green
+# row (r4).  Re-proven hash-exact at sf0.1 locally and in the full
+# 322/322 fresh-session sim at r10 HEAD while it waited.  Slot 17.
 _REVERIFY: tuple[str, ...] = (
-    "pipeline_domain_cap_screen",
-    "pipeline_web_curation",
-    "multimodal_frame_samples",
+    "multimodal_decode_features",
 )
 
-# Least-recently-verified spares: the 20 oracle-backed names with the
-# oldest driver evidence (all r04 rows) not already in this window —
-# the head of the standing LRV ordering, re-derived and asserted by
-# the parity test.  Slots 31-50.
+# Least-recently-verified spares: the 33 oracle-backed names with the
+# oldest driver evidence (the r04 text_* block, then the head of the
+# r05 rows) not already in this window — the head of the standing LRV
+# ordering, re-derived and asserted by the parity test.  Slots 18-50.
 _LRV_SPARES = (
-    "pipeline_incremental_distinct_bitmap", "pipeline_merge_into_semantics",
-    "pipeline_mixture_sample", "pipeline_pack_sequences",
-    "pipeline_train_split_manifest", "profile_constraints",
-    "profile_orders_columns", "sample_bottom_k",
-    "sample_deterministic", "sample_stratified_hash",
-    "setop_intersect", "sql_engine_distribute_by",
-    "sql_engine_group_by_all", "sql_engine_nation_revenue",
-    "sql_engine_parameterized", "sql_engine_pipe_syntax",
-    "sql_engine_pivot_syntax", "sql_engine_recursive_reach",
-    "sql_engine_star_except", "sql_engine_window_qualify",
+    "text_bpe_pair_merges", "text_contamination_check",
+    "text_cooccurrence_pmi", "text_gopher_rules",
+    "text_keyword_search", "text_lang_confusion",
+    "text_lang_distribution", "text_pii_redaction",
+    "text_rarity_score", "text_repetition_ratios",
+    "text_source_divergence_l1", "text_top_terms_per_doc",
+    "text_vocab_coverage", "text_winnowing_fingerprints",
+    "text_word_counts_top20", "agg_argmax_per_group",
+    "agg_bitmap_distinct", "agg_group_ols_price_qty",
+    "agg_heavy_hitters_mg", "agg_listagg_within_group",
+    "dedup_containment_ngram", "dedup_segment_blocks",
+    "dedup_winnow_overlap", "embedding_gram_matrix",
+    "ev_bitmap_rollup_weekly_users", "ev_cohort_retention_matrix",
+    "ev_ewma_user_value", "ev_funnel_three_step",
+    "ev_gapfill_linear", "ev_hourly_anomaly_mad",
+    "ev_peak_concurrency", "ev_sliding_distinct_users",
+    "ev_time_weighted_avg",
 )
 
-# Round-10 window: 27 never-verified + 3 stale re-verifies + 20 LRV
+# Round-11 window: 16 never-verified + 1 stale re-verify + 33 LRV
 # spares, in the insertion order the driver will check them.  Green
-# across the board => 309/309 with driver evidence, zero stale rows.
-_PRIORITY_R10 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
+# across the board => 325/325 with driver evidence, zero stale rows.
+_PRIORITY_R11 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
-# the head of the least-recently-verified tail and front window 11.
+# the head of the least-recently-verified tail and front window 12.
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
-    "multimodal_jpeg_decode_real",  # round-10 new: REAL stdlib baseline JPEG decode
-    "text_bpe_encode_full",  # round-10 new: 128-merge hof BPE application
-    "dedup_minhash_index_reload_probe",  # round-10 new: stored-index round-trip probe
-    "text_kneser_ney_trigram",  # round-10 new: interpolated trigram KN, exact ints
-    "text_perceptron_quality_train",  # round-10 new: in-engine batch-perceptron training
-    "pipeline_dsir_importance",  # round-10 new: hashed-feature importance selection
-    "source_warc_records",  # round-10 new: stdlib WARC crawl-container ingestion
-    "pipeline_robots_screen",  # round-10 new: RFC 9309 robots.txt admission control
-    "pipeline_html_extract",  # round-10 new: stdlib HTML visible-text extraction
-    "pipeline_crawl_ingest_e2e",  # round-10 new: WARC -> HTML -> screen composed
-    "pipeline_sitemap_discovery",  # round-10 new: from_xml sitemaps x robots verdict
-    "pipeline_pii_scrub",  # round-10 new: regex PII redaction, sha-pinned output
-    "agg_mad_outliers",  # round-10 new: exact median/MAD robust outlier fences
-    "multimodal_exif_gps_strip",  # round-10 new: EXIF GPS detect + re-encode-free strip
-    "pipeline_delete_propagation",  # round-10 new: RTBF purge with exclusive ownership
-    "profile_benford_digits",  # round-10 new: Benford first-digit anomaly audit
 )
 
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a
 # slot this round (window full).  Each must pass sf0.1 oracle parity
-# while it waits; they front window 11 alongside _QUEUED_POST_WINDOW.
+# while it waits; they front window 12 alongside _QUEUED_POST_WINDOW.
 _REVERIFY_QUEUED: tuple[str, ...] = (
-    # r10: operators/multimodal.py decode_image_features grew the
-    # PNG/JPEG sniffing real path + a widened quarantine catch; this
-    # is its driver-green consumer outside window 10 (its own gate is
-    # fake-path, but the function source changed).  Re-proven
-    # hash-exact in the full 322/322 fresh-session sim at r10 HEAD.
-    "multimodal_decode_features",
 )
 
 
@@ -389,12 +380,12 @@ def _ordered_names() -> list[str]:
     fresh green rows — and future rounds build their priority batch by
     taking the head of this same ordering."""
     last = _last_verified_round()
-    in_window = set(_PRIORITY_R10)
+    in_window = set(_PRIORITY_R11)
     rest = sorted(
         (n for n in all_queries() if n not in in_window),
         key=lambda n: (last.get(n, 0), n),
     )
-    return list(_PRIORITY_R10) + rest
+    return list(_PRIORITY_R11) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:
