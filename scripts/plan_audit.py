@@ -47,12 +47,6 @@ _SANCTIONED_NL = {
     "ev_rfm_segments",
     "text_bm25_rational",
     "sample_weighted_pps",
-    "text_vocab_coverage",
-    "text_rarity_score",
-    "text_contamination_check",
-    "dedup_containment_ngram",
-    "pipeline_corpus_curation",
-    "sub_scalar_above_avg_price",
     "profile_constraints",
     "agg_sketch_rollup_union",
     "text_cooccurrence_pmi",
@@ -61,9 +55,18 @@ _SANCTIONED_NL = {
     "agg_equidepth_bins",  # 1-row total + 1-row edge attaches (r7)
     "profile_key_skew_report",  # 1-row totals attach onto the tiny count-of-counts (r8)
     "text_backoff_lm_scores",  # 1-row train-token total onto vocab table (r9)
-    "pipeline_perplexity_buckets",  # same 1-row attach, inherited via the LM compose (r9)
     "pipeline_score_quantile_normalize",  # 1-row corpus-total attach onto histogram rows (r9)
     "text_kneser_ney_scores",  # 1-row bigram-type total attach (the backoff-LM class, r9)
+    # r10 adjudications (VERDICT r10 "What's wrong" #1 — each NL is a
+    # crossJoin(F.broadcast(...)) of a 1-row total or a <=1024-row
+    # bucket/merge table against the corpus; committed to
+    # PLAN_BASELINE via --update but never allowlisted, which let the
+    # audit's nonzero exit slip — tests/test_plan_audit.py now pins
+    # the committed state so this class of drift fails the suite):
+    "pipeline_dsir_importance",  # 1-row raw/target totals attach (queries/pipelines.py crossJoin sites)
+    "profile_benford_digits",  # 1-row corpus-count attach onto the 9-digit table (queries/advanced_agg.py)
+    "text_bpe_encode_full",  # broadcast <=128-row merge-table attach (queries/text.py bpe hof)
+    "text_kneser_ney_trigram",  # 1-row bigram/trigram-type totals attach (queries/text.py KN block)
     # broadcast-tiny probe sides (query sets, centroids, codebooks,
     # PQ distance tables, band tables)
     "simsearch_cosine_topk",
@@ -76,7 +79,6 @@ _SANCTIONED_NL = {
     "simsearch_recall_audit",
     "simsearch_mrr_eval",  # same broadcast query-set probes as recall_audit
     "simsearch_rrf_fusion",
-    "simsearch_filtered_topk",
     "simsearch_matryoshka_recall",  # broadcast 5-query probe side (r9)
     "simsearch_hard_negatives",
     "dedup_embedding_cosine",

@@ -61,6 +61,46 @@ def test_committed_baseline_covers_every_gate_query():
         assert {"scans", "shuffles"} <= set(counts), name
 
 
+def test_committed_nl_cart_entries_are_sanctioned():
+    """VERDICT r10 'What's wrong' #1: four round-10 queries carried
+    NestedLoop joins committed into PLAN_BASELINE.json via --update
+    without ever being adjudicated into _SANCTIONED_NL — the audit
+    exited 1 at HEAD while the closing notes claimed green.  The gate's
+    FUNCTIONS were tested but never its committed STATE, which is how
+    the drift slipped.  This test pins the state: every baseline entry
+    with nl/cart > 0 must be allowlisted (pure JSON + import, no
+    Spark), and every allowlist entry must still earn its place (its
+    committed plan actually contains an NL — prunes go stale silently
+    otherwise).  Removing a needed sanction or --update'ing an
+    unadjudicated NL plan now fails the suite, not just the script."""
+    baseline = json.loads((REPO / "PLAN_BASELINE.json").read_text())
+    nl_names = {
+        n for n, c in baseline.items()
+        if c.get("nl", 0) > 0 or c.get("cart", 0) > 0
+    }
+    unsanctioned = sorted(nl_names - plan_audit._SANCTIONED_NL)
+    assert unsanctioned == [], (
+        f"PLAN_BASELINE entries with NestedLoop/Cartesian joins not in "
+        f"_SANCTIONED_NL: {unsanctioned} — adjudicate each crossJoin "
+        f"site (1-row/tiny broadcast attach?) and add it with a comment, "
+        f"or fix the plan"
+    )
+    stale = sorted(
+        n for n in plan_audit._SANCTIONED_NL
+        if n in baseline
+        and baseline[n].get("nl", 0) == 0
+        and baseline[n].get("cart", 0) == 0
+    )
+    assert stale == [], (
+        f"_SANCTIONED_NL entries whose committed plans are now NL-free: "
+        f"{stale} — prune them so the allowlist stays adjudicable"
+    )
+    # the allowlist may only name registered queries (typos would
+    # silently sanction nothing)
+    unknown = sorted(plan_audit._SANCTIONED_NL - set(baseline))
+    assert unknown == [], f"_SANCTIONED_NL names absent from baseline: {unknown}"
+
+
 def test_scaling_artifact_has_no_superlinear_queries():
     """SCALING.json (scripts/scale_sweep.py --write) is the empirical
     complement to the static plan gate: the committed snapshot must
