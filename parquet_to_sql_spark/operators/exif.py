@@ -113,17 +113,30 @@ def exif_inject(jpeg: bytes, app1: bytes) -> bytes:
 
 
 def _jpeg_segments(jpeg: bytes):
-    """Yield (marker, start, end) for each marker segment up to SOS;
-    the entropy-coded tail is not walked (strip never touches it)."""
+    """Yield (marker, start, end) for each LENGTH-BEARING marker
+    segment up to SOS; the entropy-coded tail is not walked (strip
+    never touches it).  Mirrors jpeg_decode's marker loop (ADVICE
+    r10): 0xFF fill bytes before a marker (T.81 B.1.1.2) are skipped,
+    and standalone markers (TEM 0x01, RST0-7) are passed over without
+    reading a length — treating them as length-bearing would misread
+    adjacent bytes as a segment length and mis-slice valid JPEGs."""
     if jpeg[:2] != b"\xff\xd8":
         raise ExifFormatError("not a JPEG (missing SOI)")
     pos = 2
-    while pos + 4 <= len(jpeg):
+    while pos + 2 <= len(jpeg):
         if jpeg[pos] != 0xFF:
             raise ExifFormatError(f"expected marker at byte {pos}")
+        if jpeg[pos + 1] == 0xFF:  # legal fill byte, not a marker
+            pos += 1
+            continue
         marker = jpeg[pos + 1]
         if marker == 0xD9 or marker == 0xDA:
             return
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone: no length field follows
+            continue
+        if pos + 4 > len(jpeg):
+            raise ExifFormatError("truncated marker segment")
         (seglen,) = struct.unpack(">H", jpeg[pos + 2 : pos + 4])
         yield marker, pos, pos + 2 + seglen
         pos += 2 + seglen

@@ -31,11 +31,11 @@ class HtmlFormatError(ValueError):
     reason for quarantine-bucket grouping."""
 
 
+# Only these tags open a skip span; void elements (br, img, ...) need
+# no special casing here because none of them are skip-content tags —
+# a void start tag can never open a span this extractor would need to
+# close (ADVICE r10: an unused _VOID set implied otherwise).
 _SKIP_CONTENT = {"script", "style", "noscript", "template"}
-_VOID = {
-    "area", "base", "br", "col", "embed", "hr", "img", "input",
-    "link", "meta", "source", "track", "wbr",
-}
 
 
 class _Extractor(HTMLParser):

@@ -330,6 +330,9 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at byte {pos}")
+        # 0xFF fill bytes may pad before any marker (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

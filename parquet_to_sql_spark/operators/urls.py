@@ -399,22 +399,46 @@ def robots_star_rules(robots_txt: Column) -> Column:
     ignored; comments, blank lines, and empty Disallow values — the
     spec's allow-all spelling — contribute nothing).
 
+    RFC 9309 semantics honored here (ADVICE r10):
+
+    - inline ``#`` comments are stripped before parsing (the RFC's
+      grammar allows a comment after any line's value);
+    - CONSECUTIVE ``User-agent`` lines form ONE group sharing the
+      rules that follow (``User-agent: *`` then ``User-agent:
+      googlebot`` then rules ⇒ the rules DO bind to ``*``); per the
+      grammar ``startgroupline *(startgroupline / emptyline)``, blank
+      and comment-only lines do not end a User-agent run, any rule or
+      other record line does;
+    - multiple ``*`` groups in one file combine (§2.2.1): the fold
+      keeps appending to one rule array;
+    - the stored ``prefix`` is the RAW match pattern — ``*``/``$``
+      wildcards are honored at DECIDE time (robots_decide translates
+      the pattern to an anchored regex per §2.2.3).
+
+    Out of scope (documented, not silently mis-matched):
+    percent-encoding normalization — patterns and paths are compared
+    in the encoding they arrive in, so ``/a%20b`` and ``/a b`` are
+    distinct prefixes.
+
     Row-local: ONE higher-order aggregate folds the lines with a
-    (in_star_group, rules) accumulator, entirely inside codegen — no
-    UDF, no explode, no shuffle; a million robots files parse as a
-    narrow projection.  Group state is needed because rule lines bind
-    to the nearest preceding User-agent line (per the RFC), which a
-    stateless filter cannot express."""
+    (in_star_group, prev_ua, rules) accumulator, entirely inside
+    codegen — no UDF, no explode, no shuffle; a million robots files
+    parse as a narrow projection.  Group state is needed because rule
+    lines bind to the nearest preceding User-agent run (per the RFC),
+    which a stateless filter cannot express."""
     lines = F.split(robots_txt, "\n")
     empty_rules = F.expr(
         "CAST(array() AS ARRAY<STRUCT<allow: BOOLEAN, prefix: STRING>>)"
     )
     init = F.struct(
-        F.lit(False).alias("in_star"), empty_rules.alias("rules")
+        F.lit(False).alias("in_star"),
+        F.lit(False).alias("prev_ua"),
+        empty_rules.alias("rules"),
     )
 
     def step(acc, raw):
-        line = F.trim(raw)
+        # strip an inline (or full-line) '#' comment, then trim
+        line = F.trim(F.substring_index(raw, "#", 1))
         low = F.lower(line)
         # value = text after the FIRST colon (rule paths may contain
         # ':' themselves, e.g. a port in a full-URL prefix)
@@ -423,10 +447,16 @@ def robots_star_rules(robots_txt: Column) -> Column:
                 line, F.instr(line, ":") + F.lit(1), F.length(line)
             )
         )
+        is_blank = line == ""
         is_ua = low.startswith("user-agent:")
         is_allow = low.startswith("allow:")
         is_dis = low.startswith("disallow:")
-        new_in_star = F.when(is_ua, val == "*").otherwise(acc.in_star)
+        # a UA line extends the current UA run (OR-ing the '*' match)
+        # when the previous effective line was also a UA line; else it
+        # starts a fresh group
+        new_in_star = F.when(
+            is_ua, (acc.prev_ua & acc.in_star) | (val == "*")
+        ).otherwise(acc.in_star)
         add_rule = acc.in_star & (
             (is_allow & (val != "")) | (is_dis & (val != ""))
         )
@@ -437,20 +467,56 @@ def robots_star_rules(robots_txt: Column) -> Column:
                 F.struct(is_allow.alias("allow"), val.alias("prefix")),
             ),
         ).otherwise(acc.rules)
+        # blank/comment-only lines preserve the UA-run (RFC grammar:
+        # startgroupline *(startgroupline / emptyline)); any other
+        # effective line ends it
+        new_prev_ua = F.when(is_blank, acc.prev_ua).otherwise(is_ua)
         return F.struct(
-            new_in_star.alias("in_star"), new_rules.alias("rules")
+            new_in_star.alias("in_star"),
+            new_prev_ua.alias("prev_ua"),
+            new_rules.alias("rules"),
         )
 
     return F.aggregate(lines, init, step, lambda acc: acc.rules)
+
+
+def _robots_rule_matches(path: Column, pattern: Column) -> Column:
+    """RFC 9309 §2.2.3 match of one URL path against one rule pattern:
+    ``*`` matches any character sequence, a trailing ``$`` anchors the
+    end; any other character is literal (a non-trailing ``$`` too, per
+    the common-crawler convention).  Wildcard-free patterns take the
+    literal startswith fast path — the regex translation only runs for
+    patterns that actually carry ``*``/``$``, all inside codegen."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, F.lit(1), F.length(pattern) - F.lit(1))
+    ).otherwise(pattern)
+    # escape every regex metacharacter EXCEPT '*' (our wildcard),
+    # then translate '*' -> '.*'
+    escaped = F.regexp_replace(body, r"([\\^$.|?+()\[\]{}])", "\\\\$1")
+    translated = F.regexp_replace(escaped, r"\*", ".*")
+    regex = F.concat(
+        F.lit("^"),
+        translated,
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    has_wild = pattern.contains("*") | anchored
+    return F.when(has_wild, F.regexp_like(path, regex)).otherwise(
+        path.startswith(pattern)
+    )
 
 
 def robots_decide(path: Column, rules: Column) -> Column:
     """Decide one URL against an ARRAY of robots rules
     (array<struct<allow boolean, prefix string>>, the robots_star_rules
     output collected per host): RFC 9309 longest-match — most-specific
-    matching prefix wins, Allow beats Disallow on equal length
-    (deterministic tie-break by prefix text), no matching rule =
-    allowed.
+    matching rule wins, where "most specific" is the longest PATTERN
+    text (§2.2.2, the convention Google's open-source matcher uses for
+    wildcard patterns too), Allow beats Disallow on equal length
+    (deterministic tie-break by pattern text), no matching rule =
+    allowed.  Patterns may carry ``*``/``$`` wildcards
+    (_robots_rule_matches translates them to an anchored regex;
+    wildcard-free patterns stay on the literal startswith fast path).
 
     Row-local: one higher-order filter + one fold, no window, no
     shuffle — the host's rule set rides a broadcast join and every
@@ -458,7 +524,7 @@ def robots_decide(path: Column, rules: Column) -> Column:
     admission twin stateless.  Returns
     struct<allowed boolean, winning_prefix string> (winning_prefix
     NULL when no rule matched)."""
-    matching = F.filter(rules, lambda r: path.startswith(r.prefix))
+    matching = F.filter(rules, lambda r: _robots_rule_matches(path, r.prefix))
     no_rule = F.struct(
         F.lit(None).cast("boolean").alias("allow"),
         F.lit(None).cast("string").alias("prefix"),

@@ -129,8 +129,22 @@ def warc_records(payload: bytes) -> list[dict]:
             raise WarcFormatError(
                 f"record {len(records)}: unsupported version {version!r}"
             )
-        fields: dict[str, str] = {}
+        # unfold continuation lines first (ISO 28500 grammar: a header
+        # value may wrap onto following lines that start with SP/HTAB;
+        # ADVICE r10 — rejecting them quarantined valid records)
+        unfolded: list[str] = []
         for line in lines[1:]:
+            if line[:1] in (" ", "\t"):
+                if not unfolded:
+                    raise WarcFormatError(
+                        f"record {len(records)}: continuation line "
+                        f"before any header field"
+                    )
+                unfolded[-1] += " " + line.strip()
+            else:
+                unfolded.append(line)
+        fields: dict[str, str] = {}
+        for line in unfolded:
             k, sep, v = line.partition(":")
             if not sep:
                 raise WarcFormatError(

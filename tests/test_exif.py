@@ -57,6 +57,25 @@ def test_strip_removes_all_app1_and_preserves_image():
     assert exif_strip(base) == base  # no-op without APP1
 
 
+def test_fill_bytes_and_standalone_markers_are_skipped():
+    """ADVICE r10: T.81 allows 0xFF fill bytes before any marker and
+    standalone markers (TEM 0x01) with NO length field — the segment
+    walker must pass over both instead of reading pixel-adjacent
+    bytes as a segment length.  Construct a JPEG with a fill byte and
+    a TEM between SOI and the APP1, and verify parse + strip both
+    still see the EXIF and produce a decode-identical image."""
+    base = _base()
+    app1 = exif_build_app1(orientation=6, with_gps=True)
+    # SOI + fill byte + TEM + APP1 + rest-of-jpeg
+    weird = base[:2] + b"\xff" + b"\xff\x01" + app1 + base[2:]
+    info = exif_parse(weird)
+    assert info["has_exif"] and info["has_gps"]
+    assert info["orientation"] == 6
+    stripped = exif_strip(weird)
+    assert exif_parse(stripped)["n_app1_segments"] == 0
+    assert jpeg_decode(stripped) == jpeg_decode(base)
+
+
 def test_plain_jpeg_has_no_exif():
     info = exif_parse(_base())
     assert not info["has_exif"] and info["orientation"] is None

@@ -2073,6 +2073,81 @@ def test_robots_star_rules_group_binding(spark):
     assert df2.select(robots_star_rules(F.col("t")).alias("r")).collect()[0].r == []
 
 
+def test_robots_multi_ua_group_and_inline_comments(spark):
+    """ADVICE r10 (urls.py): RFC 9309 grammar — CONSECUTIVE
+    User-agent lines form ONE group sharing the rules that follow
+    (so `*` then `googlebot` then rules ⇒ rules DO bind to `*`);
+    blank lines between UA lines keep the run alive; inline `#`
+    comments are stripped before parsing; multiple `*` groups in one
+    file combine (§2.2.1); a UA line AFTER rules starts a fresh
+    group."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import robots_star_rules
+
+    txt = (
+        "User-agent: *\n"
+        "\n"                       # blank inside a UA run: run survives
+        "User-agent: googlebot\n"  # consecutive UA -> same group
+        "Disallow: /shared  # applies to * too\n"
+        "\n"
+        "User-agent: googlebot\n"  # rules above ENDED the run: new group
+        "Disallow: /google-only\n"
+        "\n"
+        "User-agent: *   # star again: combines per 2.2.1\n"
+        "Allow: /late\n"
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+    rules = df.select(robots_star_rules(F.col("t")).alias("r")).collect()[0].r
+    assert [(r.allow, r.prefix) for r in rules] == [
+        (False, "/shared"),
+        (True, "/late"),
+    ]
+
+
+def test_robots_decide_wildcard_and_anchor_matching(spark):
+    """ADVICE r10 (urls.py medium): RFC 9309 §2.2.3 special
+    characters — `*` matches any character sequence, trailing `$`
+    anchors the end, regex metacharacters in patterns stay literal,
+    and longest-PATTERN-text still picks the winner."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import robots_decide
+
+    def decide(path, rule_tuples):
+        rules = F.array(*[
+            F.struct(F.lit(a).alias("allow"), F.lit(p).alias("prefix"))
+            for a, p in rule_tuples
+        ])
+        row = (
+            spark.range(1)
+            .select(robots_decide(F.lit(path), rules).alias("d"))
+            .collect()[0]
+            .d
+        )
+        return row.allowed, row.winning_prefix
+
+    # '*.php$' — matches any path ending in .php, nothing else
+    assert decide("/x/page.php", [(False, "/*.php$")]) == (False, "/*.php$")
+    assert decide("/x/page.php?a=1", [(False, "/*.php$")]) == (True, None)
+    # unanchored wildcard matches mid-path
+    assert decide("/a/tmp/file", [(False, "/a/*/file")]) == (False, "/a/*/file")
+    assert decide("/a/file", [(False, "/a/*/file")]) == (True, None)
+    # regex metachars in the pattern are LITERAL (the dot must not
+    # match 'X')
+    assert decide("/fileXphp", [(False, "/file.php")]) == (True, None)
+    assert decide("/file.php", [(False, "/file.php")]) == (False, "/file.php")
+    # longest pattern text wins: specific Allow under a wildcard ban
+    assert decide(
+        "/shop/cart.php",
+        [(False, "/*.php$"), (True, "/shop/cart.php")],
+    ) == (True, "/shop/cart.php")
+    # '$' only anchors at the END of the pattern; elsewhere literal
+    assert decide("/pa$th/x", [(False, "/pa$th")]) == (False, "/pa$th")
+    # wildcard-free fast path unchanged: plain prefix semantics
+    assert decide("/p1/sub", [(False, "/p1")]) == (False, "/p1")
+
+
 def test_ledger_purge_equals_rebuild_from_kept(spark):
     """The delete-propagation invariant: purging the line ledger of
     hashes EXCLUSIVELY owned by deleted docs (anti-join on the

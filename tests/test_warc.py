@@ -51,6 +51,37 @@ def test_content_may_contain_crlf_and_warc_magic():
     assert len(out) == 1 and out[0]["content"] == evil
 
 
+def test_folded_header_lines_unfold_per_iso28500():
+    """ADVICE r10: the ISO 28500 grammar permits a header VALUE to
+    wrap onto following lines that begin with SP/HTAB — the reader
+    must join them onto the preceding field, not quarantine the
+    record.  A continuation before any field is still malformed."""
+    body = b"hello"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Target-URI: http://example.com/a-very\r\n"
+        b"  -long-path/continued\r\n"
+        b"\tagain\r\n"
+        b"WARC-Record-ID: <urn:uuid:f1>\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    out = warc_records(rec)
+    assert len(out) == 1
+    assert out[0]["uri"] == "http://example.com/a-very -long-path/continued again"
+    assert out[0]["content"] == body
+    # a continuation line with no preceding field is a framing error
+    bad = (
+        b"WARC/1.0\r\n"
+        b"  orphan continuation\r\n"
+        b"Content-Length: 0\r\n"
+        b"\r\n\r\n\r\n"
+    )
+    with pytest.raises(WarcFormatError, match="continuation"):
+        warc_records(bad)
+
+
 def test_quarantine_errors_are_typed():
     recs = _recs(2, 5)
     plain = b"".join(recs)
