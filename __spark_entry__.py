@@ -326,6 +326,8 @@ _PRIORITY_R11 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 # Queries added AFTER this round's window was frozen.  They queue at
 # the head of the least-recently-verified tail and front window 12.
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
+    "pipeline_robots_wildcards",  # round-11 new: RFC 9309 '*'/'$' + multi-UA groups under the hash gate
+    "source_warc_files",  # round-11 new: file-level .warc.gz ingestion via binaryFile
 )
 
 # Verified queries whose build source OR implementing operator

@@ -284,3 +284,153 @@ def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "response_len long, body_sum long, types_sorted string"
         ),
     )
+
+
+@query(
+    "source_warc_files",
+    tags=("source", "crawl-ingest", "llm-pipeline", "real-decoder",
+          "scale-path"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 50 + doc_id % 64 AS blen FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(doc_id % 8 AS BIGINT) AS shard,
+           CAST(3 AS BIGINT) AS n_records,
+           CAST(blen AS BIGINT) AS response_len,
+           CAST(list_sum(list_transform(range(blen),
+                i -> (doc_id * 7 + i * 3) % 256)) AS BIGINT) AS body_sum,
+           'metadata,request,response' AS types_sorted
+    FROM d
+    """,
+)
+def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level WARC ingestion (VERDICT r10 "What's missing" #2):
+    real crawls arrive as ``.warc.gz`` FILES on disk, not as payload
+    columns — Common Crawl ships ~1 GB gzip-member shards.  This gate
+    composes the whole chain the way a production ingest would run
+    it: synthesize 8 deterministic ``shard-N.warc.gz`` files (one
+    gzip MEMBER per record, the CC wire form; each doc's 3 records —
+    response with arithmetic body, request, empty metadata — written
+    contiguously into the shard its ``doc_id % 8`` selects), read
+    them back with Spark's binaryFile source, and parse every member
+    with the same stdlib reader the payload-column gate pins
+    (operators/warc.py: gzip member walk + ISO 28500 framing) inside
+    ONE mapInPandas stage.  The oracle regenerates record count,
+    response length, and body byte-sum arithmetically from
+    `documents` WITHOUT parsing, so a member-boundary or framing bug
+    in the FILE path is a value mismatch in the driver run; a
+    dedicated test additionally asserts this output equals the
+    payload-column query row-for-row and that a corrupted member
+    quarantines with the typed error.
+
+    Fixture synthesis is idempotent and race-safe: files are written
+    once under a content-keyed temp dir (sf name + doc count +
+    format version) via mkdtemp + atomic rename; concurrent builders
+    lose the rename and reuse the winner's files.
+
+    Scale shape: binaryFile gives one task per shard file (a real
+    ingest points the SAME reader at thousands of CC shards for free
+    parallelism); parsing is a narrow Arrow map with per-FILE memory
+    (shards stream through executors, records grouped per doc inside
+    the member walk), no shuffle, no collect — the only driver-side
+    step is the bounded metadata count that sizes the fixture."""
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "documents").count()
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_warc_files")
+    dest = os.path.join(root, f"{sfname}-n{n}-v1")
+    if not os.path.isdir(dest):
+        from parquet_to_sql_spark.operators.warc import (
+            warc_gzip_members,
+            warc_write_record,
+        )
+
+        os.makedirs(root, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=root)
+        for s in range(8):
+            recs = []
+            for did in range(s, n, 8):
+                blen = 50 + did % 64
+                body = bytes((did * 7 + i * 3) % 256 for i in range(blen))
+                recs += [
+                    warc_write_record(
+                        "response", f"http://ex.com/{did}", body, f"r{did}-0"
+                    ),
+                    warc_write_record(
+                        "request", f"http://ex.com/{did}", b"GET /", f"r{did}-1"
+                    ),
+                    warc_write_record(
+                        "metadata", f"http://ex.com/{did}", b"", f"r{did}-2"
+                    ),
+                ]
+            with open(os.path.join(tmp, f"shard-{s}.warc.gz"), "wb") as f:
+                f.write(warc_gzip_members(recs))
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        from parquet_to_sql_spark.operators.warc import (
+            WarcFormatError,
+            warc_records,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.warc\.gz$", path)
+                if not m:
+                    raise WarcFormatError(f"unexpected shard file {path!r}")
+                shard = int(m.group(1))
+                per_doc: dict[int, list] = {}
+                for rec in warc_records(bytes(content)):
+                    um = re.fullmatch(r"http://ex\.com/(\d+)", rec["uri"])
+                    if not um:
+                        raise WarcFormatError(
+                            f"unexpected record uri {rec['uri']!r}"
+                        )
+                    per_doc.setdefault(int(um.group(1)), []).append(rec)
+                for did, recs in sorted(per_doc.items()):
+                    resp = [r for r in recs if r["warc_type"] == "response"]
+                    rows.append(
+                        (
+                            did,
+                            shard,
+                            len(recs),
+                            len(resp[0]["content"]),
+                            sum(resp[0]["content"]),
+                            ",".join(sorted(r["warc_type"] for r in recs)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "shard", "n_records", "response_len",
+                    "body_sum", "types_sorted",
+                ],
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(dest)
+    )
+    return files.select("path", "content").mapInPandas(
+        parse_files,
+        schema=(
+            "doc_id long, shard long, n_records long, "
+            "response_len long, body_sum long, types_sorted string"
+        ),
+    )

@@ -2101,6 +2101,119 @@ def pipeline_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_robots_wildcards",
+    tags=("pipeline", "crawl-politeness", "llm-pipeline", "scale-path"),
+    oracle="""
+    WITH hosts AS (
+      SELECT DISTINCT doc_id % 11 AS h FROM documents
+    ), rules AS (
+      SELECT h, FALSE AS allow, '/*.php$' AS pat, 1 AS kind FROM hosts
+      UNION ALL
+      SELECT h, TRUE, '/f' || (h % 13) || '.php', 2 FROM hosts
+      UNION ALL
+      SELECT h, FALSE, '/f*/dir', 3 FROM hosts
+      UNION ALL
+      SELECT h, TRUE, '/f*/di', 4 FROM hosts WHERE h % 2 = 0
+    ), nr AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n_rules FROM rules GROUP BY h
+    ), urls AS (
+      SELECT doc_id, doc_id % 11 AS h,
+             '/f' || (doc_id % 13) ||
+             CASE WHEN doc_id % 3 = 0 THEN '.php'
+                  WHEN doc_id % 3 = 1 THEN '.html'
+                  ELSE '/dir' END AS path
+      FROM documents
+    ), m AS (
+      SELECT u.doc_id, r.allow, r.pat,
+             row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY length(r.pat) DESC, r.allow DESC, r.pat
+             ) AS rk
+      FROM urls u JOIN rules r ON u.h = r.h
+      WHERE (r.kind = 1 AND u.path LIKE '/%.php')
+         OR (r.kind = 2 AND u.path = r.pat)
+         OR (r.kind = 3 AND u.path LIKE '/f%/dir%')
+         OR (r.kind = 4 AND u.path LIKE '/f%/di%')
+    )
+    SELECT CAST(u.doc_id AS BIGINT) AS doc_id,
+           'h' || u.h || '.example.com' AS host,
+           u.path,
+           COALESCE(w.allow, TRUE) AS allowed,
+           w.pat AS winning_prefix,
+           nr.n_rules
+    FROM urls u
+    LEFT JOIN (SELECT doc_id, allow, pat FROM m WHERE rk = 1) w
+      USING (doc_id)
+    JOIN nr ON nr.h = u.h
+    """,
+)
+def pipeline_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBOTS.TXT admission with the RFC 9309 SPECIAL characters —
+    the companion gate to pipeline_robots_screen (which stays
+    wildcard-free), pinning exactly the semantics ADVICE r10 flagged
+    as untested: ``*`` matches any character sequence, a trailing
+    ``$`` anchors the end (``Disallow: /*.php$`` actually blocks
+    ``.php`` URLs), CONSECUTIVE User-agent lines form one group (the
+    ``extrabot`` line must not drop the ``*`` group's rules), inline
+    ``#`` comments are stripped, and longest-PATTERN-text still picks
+    the winner with Allow beating Disallow on ties (the ``/fN.php``
+    carve-out vs ``/*.php$`` at equal length for one-digit N).  The
+    oracle reconstructs every match arithmetically with LIKE/equality
+    — a regex-translation bug (unescaped dot, lost anchor, wrong
+    winner ordering) is a value mismatch in the driver run.
+
+    Scale shape: identical to pipeline_robots_screen — the parsed
+    per-host rule arrays ride a broadcast onto the URL stream and
+    every decision is row-local (one higher-order filter + fold; the
+    regex path only runs for patterns that carry ``*``/``$``).  No
+    URL-keyed shuffle, no window over the corpus."""
+    from parquet_to_sql_spark.operators.urls import (
+        robots_decide,
+        robots_star_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 11
+    urls = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.concat(
+            F.lit("/f"), (F.col("doc_id") % 13).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".php"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(".html"))
+            .otherwise(F.lit("/dir")),
+        ).alias("path"),
+    )
+    hn = F.col("h")
+    robots_txt = F.concat(
+        F.lit("User-agent: *\n"),
+        F.lit("User-agent: extrabot  # consecutive UA: same group\n"),
+        F.lit("Disallow: /*.php$  # no dynamic pages\n"),
+        F.lit("Allow: /f"), (hn % 13).cast("string"), F.lit(".php\n"),
+        F.lit("Disallow: /f*/dir\n"),
+        F.when(hn % 2 == 0, F.lit("Allow: /f*/di\n")).otherwise(F.lit("")),
+        F.lit("\nUser-agent: otherbot\nDisallow: /\n"),
+    )
+    hosts = urls.select("h").distinct().select(
+        "h", robots_star_rules(robots_txt).alias("rules")
+    )
+    decision = robots_decide(F.col("path"), F.col("rules"))
+    return (
+        urls.join(F.broadcast(hosts), "h")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            "path",
+            decision.getField("allowed").alias("allowed"),
+            decision.getField("winning_prefix").alias("winning_prefix"),
+            F.size("rules").cast("bigint").alias("n_rules"),
+        )
+    )
+
+
+@query(
     "pipeline_html_extract",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
     oracle="""
