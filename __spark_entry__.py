@@ -328,6 +328,7 @@ _PRIORITY_R11 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_robots_wildcards",  # round-11 new: RFC 9309 '*'/'$' + multi-UA groups under the hash gate
     "source_warc_files",  # round-11 new: file-level .warc.gz ingestion via binaryFile
+    "pipeline_perplexity_trigram_buckets",  # round-11 new: CCNet screen on the trigram KN model
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1459,3 +1459,56 @@ def test_kneser_ney_trigram_matches_fraction_reference(spark):
     assert all(t > 0 for t in branch_totals), (
         f"corpus must exercise all four branches: {branch_totals}"
     )
+
+
+def test_trigram_perplexity_buckets_match_sequential_boundaries(spark):
+    """pipeline_perplexity_trigram_buckets' tercile boundaries and
+    bucket memberships against a pure-Python sequential reference
+    computed from the raw per-doc trigram scores (VERDICT r10 #6:
+    'equivalence of the bucket boundaries against a sequential
+    reference')."""
+    from collections import Counter
+
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    qs = all_queries()
+    per_doc = qs["text_kneser_ney_trigram"].build(spark, sf).select(
+        "doc_id", "mean_score_ppm", "n_trigrams"
+    ).collect()
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source").collect()
+    }
+    # sequential reference: per-source cumulative histogram terciles
+    by_source: dict[str, list] = {}
+    for r in per_doc:
+        by_source.setdefault(src[r.doc_id], []).append(r)
+    expected = Counter()
+    budgets = Counter()
+    for source, rows in by_source.items():
+        hist = Counter(r.mean_score_ppm for r in rows)
+        tot = sum(hist.values())
+        cum, b1, b2 = 0, None, None
+        for v in sorted(hist):
+            cum += hist[v]
+            if b1 is None and cum * 3 >= tot:
+                b1 = v
+            if b2 is None and cum * 3 >= 2 * tot:
+                b2 = v
+        for r in rows:
+            bucket = (
+                "head" if r.mean_score_ppm >= b2
+                else "middle" if r.mean_score_ppm >= b1
+                else "tail"
+            )
+            expected[(source, bucket)] += 1
+            budgets[(source, bucket)] += r.n_trigrams
+    got = qs["pipeline_perplexity_trigram_buckets"].build(spark, sf).collect()
+    assert {
+        (r.source, r.bucket): r.n_docs for r in got
+    } == dict(expected)
+    assert {
+        (r.source, r.bucket): r.sum_trigrams for r in got
+    } == dict(budgets)
