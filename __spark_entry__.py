@@ -329,6 +329,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_robots_wildcards",  # round-11 new: RFC 9309 '*'/'$' + multi-UA groups under the hash gate
     "source_warc_files",  # round-11 new: file-level .warc.gz ingestion via binaryFile
     "pipeline_perplexity_trigram_buckets",  # round-11 new: CCNet screen on the trigram KN model
+    "multimodal_jpeg_color_real",  # round-11 new: 4:2:0 color JPEG decode under the hash gate
 )
 
 # Verified queries whose build source OR implementing operator

@@ -620,9 +620,12 @@ def jpeg_encode(
     channels: int = 1,
     quant: int = 8,
     restart_interval: int = 0,
+    subsampling: str = "444",
+    pixels_are_ycbcr: bool = False,
 ) -> bytes:
-    """Encode 8-bit pixels as a baseline JPEG (grayscale or 4:4:4
-    YCbCr), standard Annex K Huffman tables, FLAT quantization table
+    """Encode 8-bit pixels as a baseline JPEG (grayscale, 4:4:4
+    YCbCr, or — with ``subsampling="420"`` — 4:2:0 YCbCr with 16x16
+    MCUs), standard Annex K Huffman tables, FLAT quantization table
     of value ``quant`` everywhere.
 
     ``quant=8`` makes per-8x8-block-CONSTANT content decode EXACTLY
@@ -631,6 +634,19 @@ def jpeg_encode(
     relies on; smaller/larger values trade fidelity like a normal
     quality knob.  ``restart_interval`` > 0 emits DRI + RSTn markers
     every that-many MCUs (exercises the decoder's restart path).
+
+    ``subsampling="420"`` (channels=3 only) downsamples both chroma
+    planes by 2x2 mean and interleaves 4 luma + 1 Cb + 1 Cr block per
+    MCU; dimensions must be multiples of 16 (the gate fixtures are —
+    generic edge MCUs are out of documented scope).  With
+    per-MCU-constant chroma the 2x2 mean is exact, so flat-block
+    arithmetic survives the subsample/upsample round trip.
+
+    ``pixels_are_ycbcr=True`` (channels=3 only) treats the input
+    planes as ALREADY YCbCr, skipping the float RGB->YCbCr forward
+    matrix — integer Y/Cb/Cr planes then hit the FDCT exactly, which
+    is what lets the color gate's oracle predict the decoder's
+    rounded RGB output without decoding.
     """
     if channels not in (1, 3):
         raise JpegFormatError(f"channels {channels} not supported (1/3)")
@@ -640,11 +656,24 @@ def jpeg_encode(
         )
     if not 1 <= quant <= 255:
         raise JpegFormatError(f"quant {quant} out of range 1..255")
+    if subsampling not in ("444", "420"):
+        raise JpegFormatError(f"subsampling {subsampling!r} not supported")
+    if subsampling == "420":
+        if channels != 3:
+            raise JpegFormatError("4:2:0 requires 3 channels")
+        if width % 16 or height % 16:
+            raise JpegFormatError(
+                "4:2:0 requires width and height to be multiples of 16"
+            )
+    if pixels_are_ycbcr and channels != 3:
+        raise JpegFormatError("pixels_are_ycbcr requires 3 channels")
 
     px = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width, channels
     ).astype(np.float64)
-    if channels == 3:
+    if channels == 3 and pixels_are_ycbcr:
+        planes = [px[..., 0], px[..., 1], px[..., 2]]
+    elif channels == 3:
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
@@ -654,41 +683,72 @@ def jpeg_encode(
     else:
         planes = [px[..., 0]]
 
-    bw, bh = -(-width // 8), -(-height // 8)
+    if subsampling == "420":
+        planes = [
+            planes[0],
+            planes[1].reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)),
+            planes[2].reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)),
+        ]
+
     qt = np.full((8, 8), float(quant))
     dc_l, ac_l = _HuffTable(*_K_DC_LUMA), _HuffTable(*_K_AC_LUMA)
     dc_c, ac_c = _HuffTable(*_K_DC_CHROMA), _HuffTable(*_K_AC_CHROMA)
 
     blocks_per_comp = []
+    grids = []  # per-component (blocks-wide, blocks-high)
     for plane in planes:
+        ph, pw = plane.shape
+        cbw, cbh = -(-pw // 8), -(-ph // 8)
         # edge-pad by replication to a whole number of blocks
         p = np.pad(
             plane,
-            ((0, bh * 8 - height), (0, bw * 8 - width)),
+            ((0, cbh * 8 - ph), (0, cbw * 8 - pw)),
             mode="edge",
         )
         blk = (
-            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            p.reshape(cbh, 8, cbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         )
         S = np.einsum("ux,nxy,vy->nuv", _DCT_M, blk - 128.0, _DCT_M,
                       optimize=True)
         q = np.round(S / qt).astype(np.int64)
         blocks_per_comp.append(q.reshape(-1, 64)[:, _ZIGZAG])
+        grids.append((cbw, cbh))
+
+    # MCU schedule: component/block-index pairs in scan order
+    if subsampling == "420":
+        lbw = grids[0][0]
+        cw = grids[1][0]
+        mcu_sched = [
+            [
+                (0, (2 * my) * lbw + 2 * mx),
+                (0, (2 * my) * lbw + 2 * mx + 1),
+                (0, (2 * my + 1) * lbw + 2 * mx),
+                (0, (2 * my + 1) * lbw + 2 * mx + 1),
+                (1, my * cw + mx),
+                (2, my * cw + mx),
+            ]
+            for my in range(height // 16)
+            for mx in range(width // 16)
+        ]
+    else:
+        bw0, bh0 = grids[0]
+        mcu_sched = [
+            [(c, m) for c in range(channels)] for m in range(bw0 * bh0)
+        ]
 
     wtr = _BitWriter()
     preds = [0] * channels
-    n_mcu = bw * bh
     rst = 0
-    for m in range(n_mcu):
+    for m, entries in enumerate(mcu_sched):
         if restart_interval and m and m % restart_interval == 0:
             wtr.flush()
             wtr.out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) & 7
             preds = [0] * channels
-        for c in range(channels):
+        for c, bi in entries:
             preds[c] = _encode_block(
                 wtr,
-                blocks_per_comp[c][m],
+                blocks_per_comp[c][bi],
                 preds[c],
                 dc_l if c == 0 else dc_c,
                 ac_l if c == 0 else ac_c,
@@ -707,7 +767,8 @@ def jpeg_encode(
         out += seg(0xDB, bytes([0x01]) + qt_zz.tobytes())  # DQT id 1
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
     for c in range(channels):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        samp = 0x22 if (subsampling == "420" and c == 0) else 0x11
+        sof += bytes([c + 1, samp, 0 if c == 0 else 1])
     out += seg(0xC0, sof)
 
     def dht(tc: int, th: int, spec) -> bytes:

@@ -972,6 +972,147 @@ def multimodal_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_color_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 2) AS width,
+             16 * (1 + doc_id % 3) AS height,
+             (2 * (1 + doc_id % 2)) * (2 * (1 + doc_id % 3)) AS nb,
+             CASE doc_id % 4 WHEN 0 THEN -18 WHEN 1 THEN -5
+                  WHEN 2 THEN 12 ELSE 21 END AS dcb,
+             CASE doc_id % 4 WHEN 0 THEN -20 WHEN 1 THEN -7
+                  WHEN 2 THEN 9 ELSE 24 END AS dcr
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             list_sum(list_transform(range(nb), i ->
+               CAST(ROUND((60 + (doc_id * 13 + 17 * i) % 120)
+                          + 1.402e0 * dcr) AS BIGINT)
+               + CAST(ROUND((60 + (doc_id * 13 + 17 * i) % 120)
+                            - 0.344136e0 * dcb - 0.714136e0 * dcr)
+                      AS BIGINT)
+               + CAST(ROUND((60 + (doc_id * 13 + 17 * i) % 120)
+                            + 1.772e0 * dcb) AS BIGINT)
+             )) AS bsum
+      FROM dims
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(width * height * 3 AS BIGINT) AS n_px,
+           CAST(64 * bsum AS BIGINT) AS pixel_sum,
+           TRUE AS roundtrip_exact
+    FROM px
+    """,
+)
+def multimodal_jpeg_color_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COLOR (3-component, 4:2:0-subsampled) JPEG decode under
+    the hash gate (VERDICT r10 "Next round" #5 — the grayscale gate
+    beside this one never exercised the chroma-upsampling or
+    color-convert branches).  Each document id becomes a YCbCr image
+    with per-8x8-block-CONSTANT luma (block i: 60 + (doc_id*13 +
+    17*i) % 120) and WHOLE-IMAGE-constant chroma offsets (dcb/dcr
+    from 4-entry tables keyed on doc_id%4), encoded 4:2:0 with the
+    stdlib encoder's new subsampling mode (2x2 chroma mean — exact on
+    constant chroma — 4 luma + Cb + Cr blocks per 16x16 MCU) and
+    decoded by the real decoder: entropy decode, dequant, IDCT,
+    REPLICATE UPSAMPLING of the half-resolution chroma planes, and
+    the float YCbCr->RGB matrix with round-and-clip.  Every fourth
+    doc adds restart_interval=2 (RSTn inside interleaved MCUs).
+
+    Exactness: flat blocks survive quant 8 exactly, so decoded
+    Y/Cb/Cr are the synthesized integers, and the final RGB is
+    round(Y + c*offset) with offsets chosen so no product lands on an
+    exact .5 (numpy rounds half-even, DuckDB half-away — equal
+    everywhere else) and no value clips.  The oracle regenerates
+    pixel_sum with the decoder's own conversion constants in the
+    decoder's own expression order — a wrong upsample factor, swapped
+    chroma table, or transposed matrix coefficient is a value
+    mismatch in the driver run.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — the grayscale gate's plumbing with the color branches
+    under test."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    _CB = (-18, -5, 12, 21)
+    _CR = (-20, -7, 9, 24)
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 * (1 + did % 2), 16 * (1 + did % 3)
+                bw, bh = w // 8, h // 8
+                dcb, dcr = _CB[did % 4], _CR[did % 4]
+                lum = np.zeros((h, w), dtype=np.uint8)
+                for i in range(bw * bh):
+                    by, bx = divmod(i, bw)
+                    lum[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        60 + (did * 13 + 17 * i) % 120
+                    )
+                ycbcr = np.stack(
+                    [
+                        lum,
+                        np.full((h, w), 128 + dcb, dtype=np.uint8),
+                        np.full((h, w), 128 + dcr, dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                payload = jpeg_encode(
+                    w, h, ycbcr.tobytes(), channels=3, quant=8,
+                    subsampling="420", pixels_are_ycbcr=True,
+                    restart_interval=2 if did % 4 == 0 else 0,
+                )
+                rw, rh, rc, out = jpeg_decode(payload)
+                got = np.frombuffer(out, np.uint8)
+                # decoder-formula reference for the roundtrip bit
+                yf = lum.astype(np.float64)
+                exp = np.stack(
+                    [
+                        yf + 1.402 * float(dcr),
+                        yf - 0.344136 * float(dcb) - 0.714136 * float(dcr),
+                        yf + 1.772 * float(dcb),
+                    ],
+                    axis=-1,
+                )
+                exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+                rows.append(
+                    (
+                        did, rw, rh, rc, len(out),
+                        int(got.sum(dtype=np.uint64)),
+                        bool(np.array_equal(got.reshape(h, w, 3), exp)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "n_px", "pixel_sum", "roundtrip_exact",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        encode_decode,
+        schema=(
+            "doc_id long, width int, height int, channels int, "
+            "n_px long, pixel_sum long, roundtrip_exact boolean"
+        ),
+    )
+
+
+@query(
     "multimodal_exif_gps_strip",
     tags=("multimodal", "privacy", "mapInPandas", "llm-pipeline",
           "real-decoder"),

@@ -187,6 +187,66 @@ def test_subsampled_420_flat_decode():
     assert tuple(got[0, 0]) == (r, g, b)
 
 
+def test_encoder_420_roundtrip_exact_and_restarts():
+    """VERDICT r10 #5: the ENCODER's new 4:2:0 mode — per-block
+    constant luma + per-MCU constant chroma must survive the 2x2
+    chroma mean, the interleaved 4Y+Cb+Cr MCU schedule, replicate
+    upsampling, and the color matrix bit-exactly; restart markers
+    inside interleaved MCUs must not shift anything."""
+    w, h = 32, 48
+    lum = np.zeros((h, w), dtype=np.uint8)
+    bw = w // 8
+    for i in range(bw * (h // 8)):
+        by, bx = divmod(i, bw)
+        lum[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 60 + (17 * i) % 120
+    # chroma constant per 16x16 MCU (the exactness envelope)
+    cb = np.zeros((h, w), dtype=np.uint8)
+    cr = np.zeros((h, w), dtype=np.uint8)
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            cb[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                110 + 9 * (my + mx)
+            )
+            cr[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                121 + 7 * (my * 2 + mx)
+            )
+    ycbcr = np.stack([lum, cb, cr], axis=-1)
+    outs = []
+    for ri in (0, 1, 3):
+        payload = jpeg_encode(
+            w, h, ycbcr.tobytes(), channels=3, quant=8,
+            subsampling="420", pixels_are_ycbcr=True, restart_interval=ri,
+        )
+        rw, rh, rc, out = jpeg_decode(payload)
+        assert (rw, rh, rc) == (w, h, 3)
+        outs.append(out)
+    assert outs[0] == outs[1] == outs[2]
+    got = np.frombuffer(outs[0], np.uint8).reshape(h, w, 3).astype(np.float64)
+    yf, cbf, crf = (p.astype(np.float64) for p in (lum, cb, cr))
+    exp = np.stack(
+        [
+            yf + 1.402 * (crf - 128.0),
+            yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0),
+            yf + 1.772 * (cbf - 128.0),
+        ],
+        axis=-1,
+    )
+    assert np.array_equal(got, np.clip(np.round(exp), 0, 255))
+
+
+def test_encoder_420_and_ycbcr_scope_errors_are_typed():
+    px3 = bytes(16 * 16 * 3)
+    with pytest.raises(JpegFormatError, match="3 channels"):
+        jpeg_encode(16, 16, bytes(16 * 16), channels=1, subsampling="420")
+    with pytest.raises(JpegFormatError, match="multiples of 16"):
+        jpeg_encode(8, 8, bytes(8 * 8 * 3), channels=3, subsampling="420")
+    with pytest.raises(JpegFormatError, match="not supported"):
+        jpeg_encode(16, 16, px3, channels=3, subsampling="422")
+    with pytest.raises(JpegFormatError, match="pixels_are_ycbcr"):
+        jpeg_encode(16, 16, bytes(16 * 16), channels=1,
+                    pixels_are_ycbcr=True)
+
+
 def test_quarantine_errors_are_typed():
     good = jpeg_encode(8, 8, bytes([100] * 64), 1, quant=8)
     cases = [
