@@ -182,7 +182,8 @@ class _HuffTable:
         # fast path: 8-bit prefix lookup (covers the overwhelmingly
         # common short codes in one dict-free index); cached by table
         # content because the Annex K tables recur across every image
-        self.lut8 = _lut8(tuple(bits), tuple(huffval))
+        self.key = (tuple(bits), tuple(huffval))
+        self.lut8 = _lut8(*self.key)
 
 
 @functools.lru_cache(maxsize=64)
@@ -203,6 +204,49 @@ def _lut8(bits: tuple, huffval: tuple) -> list:
             k += 1
         code <<= 1
     return lut
+
+
+@functools.lru_cache(maxsize=64)
+def _lut16(bits: tuple, huffval: tuple, is_dc: bool) -> list:
+    """65536-entry MULTI-SYMBOL table: entry p resolves the Huffman
+    code that is a prefix of the 16-bit string p TOGETHER with its
+    trailing magnitude bits, packed as one int
+
+        E = total_bits | (size << 5) | (run << 9)
+
+    where total_bits = code length + magnitude size (<= 31 fits 5
+    bits), size is the DC category / AC magnitude size, and run is
+    the AC zero-run (0 for DC).  E == 0 means fall back to the
+    canonical walk: code+magnitude straddles 16 bits, or a DC
+    category > 15 that the fallback must reject.  One list index
+    replaces a Huffman decode, a receive(), and an EXTEND per
+    coefficient — the decode hot loop's multi-symbol fast path
+    (VERDICT r10 "Next round" #3).  Cached by table content because
+    the Annex K tables recur across every image."""
+    lut = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            rs = huffval[k]
+            size = rs if is_dc else rs & 0xF
+            run = 0 if is_dc else rs >> 4
+            total = length + size
+            if size <= 15 and total <= 16:
+                e = total | (size << 5) | (run << 9)
+                base = code << (16 - length)
+                lut[base : base + (1 << (16 - length))] = [e] * (
+                    1 << (16 - length)
+                )
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+# bit-buffer masks up to the reader's high-water mark (fill keeps
+# nbits < 24; magnitude receives stay below 40)
+_BMASK = tuple((1 << n) - 1 for n in range(40))
 
 
 def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
@@ -468,52 +512,176 @@ def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri):
             f"restart-segment count {len(segs)} != expected "
             f"{expected_segs} (interval {ri}, {n_mcu} MCUs)"
         )
-    # natural-order index for each zigzag position (plain ints beat
-    # per-coefficient numpy indexing in this Python hot loop)
-    zz = [int(x) for x in _ZIGZAG]
-    # stage coefficients in flat Python lists; one bulk numpy reshape
-    # per component at the end
+    # stage coefficients in flat Python lists; one bulk numpy
+    # scatter back to natural order per component at the end
     for st in per:
         st["flat"] = [0] * (st["coef"].shape[0] * 64)
-    r = _SegBits(segs[0])
-    seg_idx = 0
-    for m in range(n_mcu):
-        if ri and m and m % ri == 0:
-            seg_idx += 1
-            r = _SegBits(segs[seg_idx])
+        st["dc16"] = _lut16(*st["dc"].key, True)
+        st["ac16"] = _lut16(*st["ac"].key, False)
+    # Multi-symbol hot loop: one 16-bit peek resolves (code, category/
+    # run-size, magnitude bits) through the cached _lut16 tables.  The
+    # peek itself is one index into a per-segment table of overlapping
+    # 24-bit byte windows (built in one vectorized numpy pass), so the
+    # only per-coefficient state is the BIT POSITION — no bit buffer,
+    # no refill loop, no masking bookkeeping.  Coefficients stage in
+    # ZIGZAG order (flat[base + k], no per-store permutation lookup);
+    # one vectorized scatter per component restores natural order
+    # below.  Each pre-unstuffed restart segment is padded with 8
+    # bytes of 1-fill (T.81 pad-bit semantics); the post-segment
+    # accounting rejects any decode that consumed more than 16 bits
+    # past the real data, matching the old reader's slack rule, and
+    # running off the pad entirely raises via IndexError below.
+    msk = _BMASK
+    try:
+        for seg_idx, seg in enumerate(segs):
+            d = seg + b"\xff\xff\xff\xff\xff\xff\xff\xff"
+            db = np.frombuffer(d, np.uint8).astype(np.int64)
+            a24 = ((db[:-2] << 16) | (db[1:-1] << 8) | db[2:]).tolist()
+            bp = 0  # bit position from segment start
             for st in per:
                 st["pred"] = 0
-        my, mx = divmod(m, mcux)
-        for st in per:
-            hs, vs, bw = st["hs"], st["vs"], st["bw"]
-            flat = st["flat"]
-            dc_tab, ac_tab = st["dc"], st["ac"]
-            for by in range(vs):
-                for bx in range(hs):
-                    base = ((my * vs + by) * bw + (mx * hs + bx)) * 64
-                    t = r.decode(dc_tab)
-                    if t > 15:
-                        raise JpegFormatError(f"bad DC category {t}")
-                    st["pred"] += _extend(r.receive(t), t)
-                    flat[base] = st["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = r.decode(ac_tab)
-                        s_ = rs & 0xF
-                        if s_ == 0:
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += rs >> 4
-                        if k > 63:
-                            raise JpegFormatError("AC run past block end")
-                        flat[base + zz[k]] = _extend(r.receive(s_), s_)
-                        k += 1
+            m_lo = seg_idx * ri if ri else 0
+            m_hi = min(m_lo + ri, n_mcu) if ri else n_mcu
+            for m in range(m_lo, m_hi):
+                my, mx = divmod(m, mcux)
+                for st in per:
+                    hs, vs, bw = st["hs"], st["vs"], st["bw"]
+                    flat = st["flat"]
+                    dc16, ac16 = st["dc16"], st["ac16"]
+                    pred = st["pred"]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            base = (
+                                (my * vs + by) * bw + (mx * hs + bx)
+                            ) * 64
+                            # ---- DC: one peek resolves code+magnitude
+                            p = (
+                                a24[bp >> 3] >> (8 - (bp & 7))
+                            ) & 0xFFFF
+                            e = dc16[p]
+                            if e:
+                                adv = e & 31
+                                bp += adv
+                                t = e >> 5
+                                if t:
+                                    mag = (p >> (16 - adv)) & msk[t]
+                                    pred += (
+                                        mag
+                                        if mag >> (t - 1)
+                                        else mag - msk[t]
+                                    )
+                            else:
+                                # straddles 16 bits (or invalid): walk
+                                tab = st["dc"]
+                                mc = tab.maxcode
+                                ln = 1
+                                while p >> (16 - ln) > mc[ln]:
+                                    ln += 1
+                                    if ln > 16:
+                                        raise JpegFormatError(
+                                            "invalid Huffman code "
+                                            "(no match in 16 bits)"
+                                        )
+                                code = p >> (16 - ln)
+                                t = tab.huffval[
+                                    tab.valptr[ln] + code - tab.mincode[ln]
+                                ]
+                                bp += ln
+                                if t > 15:
+                                    raise JpegFormatError(
+                                        f"bad DC category {t}"
+                                    )
+                                if t:
+                                    p2 = (
+                                        a24[bp >> 3] >> (8 - (bp & 7))
+                                    ) & 0xFFFF
+                                    mag = p2 >> (16 - t)
+                                    bp += t
+                                    pred += (
+                                        mag
+                                        if mag >> (t - 1)
+                                        else mag - msk[t]
+                                    )
+                            flat[base] = pred
+                            # ---- AC
+                            k = 1
+                            while k < 64:
+                                p = (
+                                    a24[bp >> 3] >> (8 - (bp & 7))
+                                ) & 0xFFFF
+                                e = ac16[p]
+                                if e:
+                                    adv = e & 31
+                                    bp += adv
+                                    sz = (e >> 5) & 15
+                                    if sz:
+                                        k += e >> 9
+                                        if k > 63:
+                                            raise JpegFormatError(
+                                                "AC run past block end"
+                                            )
+                                        mag = (p >> (16 - adv)) & msk[sz]
+                                        flat[base + k] = (
+                                            mag
+                                            if mag >> (sz - 1)
+                                            else mag - msk[sz]
+                                        )
+                                        k += 1
+                                    elif e >> 9:  # ZRL
+                                        k += 16
+                                    else:  # EOB
+                                        break
+                                else:
+                                    tab = st["ac"]
+                                    mc = tab.maxcode
+                                    ln = 1
+                                    while p >> (16 - ln) > mc[ln]:
+                                        ln += 1
+                                        if ln > 16:
+                                            raise JpegFormatError(
+                                                "invalid Huffman code "
+                                                "(no match in 16 bits)"
+                                            )
+                                    code = p >> (16 - ln)
+                                    rs = tab.huffval[
+                                        tab.valptr[ln]
+                                        + code
+                                        - tab.mincode[ln]
+                                    ]
+                                    bp += ln
+                                    sz = rs & 0xF
+                                    if sz == 0:
+                                        if rs == 0xF0:  # ZRL
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += rs >> 4
+                                    if k > 63:
+                                        raise JpegFormatError(
+                                            "AC run past block end"
+                                        )
+                                    p2 = (
+                                        a24[bp >> 3] >> (8 - (bp & 7))
+                                    ) & 0xFFFF
+                                    mag = p2 >> (16 - sz)
+                                    bp += sz
+                                    flat[base + k] = (
+                                        mag
+                                        if mag >> (sz - 1)
+                                        else mag - msk[sz]
+                                    )
+                                    k += 1
+                    st["pred"] = pred
+            if bp > 8 * len(seg) + 16:
+                raise JpegFormatError("entropy data ran out before EOI")
+    except IndexError:
+        raise JpegFormatError("entropy data ran out before EOI") from None
     for st in per:
-        st["coef"] = np.asarray(st["flat"], dtype=np.int64).reshape(
-            -1, 8, 8
-        )
+        # staged in zigzag order: one vectorized scatter to natural
+        zzc = np.asarray(st["flat"], dtype=np.int64).reshape(-1, 64)
+        nat = np.empty_like(zzc)
+        nat[:, _ZIGZAG] = zzc
+        st["coef"] = nat.reshape(-1, 8, 8)
         del st["flat"]
 
     planes = []
