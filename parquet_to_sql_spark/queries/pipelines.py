@@ -2314,6 +2314,7 @@ def pipeline_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_crawl_ingest_e2e",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
           "composition"),
+    headline=True,
     oracle="""
     WITH d AS (
       SELECT doc_id,
@@ -2513,6 +2514,7 @@ def pii_scrub_projection(df: DataFrame) -> DataFrame:
 @query(
     "pipeline_pii_scrub",
     tags=("pipeline", "privacy", "llm-pipeline", "scale-path"),
+    headline=True,
     oracle="""
     WITH d AS (
       SELECT doc_id,
