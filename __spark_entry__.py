@@ -330,6 +330,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "source_warc_files",  # round-11 new: file-level .warc.gz ingestion via binaryFile
     "pipeline_perplexity_trigram_buckets",  # round-11 new: CCNet screen on the trigram KN model
     "multimodal_jpeg_color_real",  # round-11 new: 4:2:0 color JPEG decode under the hash gate
+    "source_http_responses",  # round-11 new: raw HTTP/1.1 response parse (chunked + CL framing)
+    "pipeline_crawl_ingest_files",  # round-11 new: .warc.gz files -> WARC -> HTTP -> HTML -> screen
 )
 
 # Verified queries whose build source OR implementing operator

@@ -24,6 +24,26 @@ INGEST_SCHEMA = (
 )
 
 
+def synth_doc_html(did: int) -> str:
+    """Deterministic HTML for a doc id — the construction
+    pipeline_html_extract pins (a title, a script whose contents must
+    NOT leak into text, did%4 nav links, 1 + did%5 paragraphs of
+    arithmetic word counts).  Shared by the payload-column ingest
+    below and the FILE-level chain (pipeline_crawl_ingest_files)."""
+    nlinks = did % 4
+    nparas = 1 + did % 5
+    nav = "".join(f'<a href="/l{k}">nav</a> ' for k in range(nlinks))
+    paras = "".join(
+        "<p>" + " ".join(f"w{p}" for _ in range(3 + (did + p) % 4)) + "</p>"
+        for p in range(nparas)
+    )
+    return (
+        f"<html><head><title> Doc  {did} </title>"
+        f'<script>var j = "z9 z9 z9";</script></head>'
+        f"<body><nav>{nav}</nav>{paras}</body></html>"
+    )
+
+
 def synth_crawl_payload(did: int) -> tuple[bytes, bool]:
     """Deterministic (warc_payload, gzipped) for a doc id: a request
     record plus a response record whose block is the same HTML
@@ -34,18 +54,7 @@ def synth_crawl_payload(did: int) -> tuple[bytes, bool]:
         warc_write_record,
     )
 
-    nlinks = did % 4
-    nparas = 1 + did % 5
-    nav = "".join(f'<a href="/l{k}">nav</a> ' for k in range(nlinks))
-    paras = "".join(
-        "<p>" + " ".join(f"w{p}" for _ in range(3 + (did + p) % 4)) + "</p>"
-        for p in range(nparas)
-    )
-    html = (
-        f"<html><head><title> Doc  {did} </title>"
-        f'<script>var j = "z9 z9 z9";</script></head>'
-        f"<body><nav>{nav}</nav>{paras}</body></html>"
-    )
+    html = synth_doc_html(did)
     url = f"http://ex.com/{did}"
     recs = [
         warc_write_record("request", url, b"GET /", f"q{did}"),

@@ -1,0 +1,207 @@
+"""Stdlib HTTP/1.x response parsing for crawl ingestion.
+
+Real crawls store the RAW HTTP response inside each WARC response
+record — status line, header fields, CRLF CRLF, body — not bare
+HTML (Common Crawl's response WARCs are exactly this wire form).
+This module parses it with the same contract as the WARC / HTML /
+JPEG parsers beside it: pure stdlib, deterministic, and a TYPED
+:class:`HttpFormatError` naming the reason on every framing
+violation so a pipeline quarantines instead of guessing.
+
+Scope (documented, asserted): HTTP/1.0 and HTTP/1.1 status lines
+(RFC 9112 §4), case-insensitive header fields with obs-fold
+continuation-line unfolding (§5.2), duplicate field-lines combined
+with ", " (RFC 9110 §5.2), chunked transfer-coding decode with
+chunk extensions and trailer fields (§7.1), Content-Length body
+framing (exact — short raises truncation, trailing garbage raises),
+close-delimited bodies when neither framing header is present, and
+media-type + charset extraction from Content-Type.  Out of scope:
+compress/deflate/gzip CONTENT codings (the body is returned as the
+transfer layer delivered it — content decoding is the caller's
+policy layer), interim 1xx responses, and HTTP/2+ (never appears
+inside WARC response records).
+
+Reference parity note: the reference repo (ParquetImporter.php) has
+no crawl handling; this module is mandated LLM-pipeline extension
+surface (SURVEY.md §2.C pipeline composition).
+"""
+
+from __future__ import annotations
+
+_CRLF = b"\r\n"
+
+
+class HttpFormatError(ValueError):
+    """Malformed HTTP response framing; the message names the reason
+    for quarantine-bucket grouping."""
+
+
+def _parse_headers(lines: list[bytes], what: str) -> tuple[dict, int]:
+    """Unfold + parse header field lines -> ({lower-name: value},
+    field-line count).  Duplicate names combine with ', ' in arrival
+    order (RFC 9110 §5.2 list semantics)."""
+    unfolded: list[bytes] = []
+    for line in lines:
+        if line[:1] in (b" ", b"\t"):
+            if not unfolded:
+                raise HttpFormatError(
+                    f"{what}: continuation line before any header field"
+                )
+            unfolded[-1] += b" " + line.strip()
+        else:
+            unfolded.append(line)
+    fields: dict[str, str] = {}
+    for line in unfolded:
+        name, sep, value = line.partition(b":")
+        if not sep or not name.strip():
+            raise HttpFormatError(f"{what}: malformed header line {line!r}")
+        key = name.strip().decode("latin-1").lower()
+        val = value.strip().decode("latin-1")
+        fields[key] = f"{fields[key]}, {val}" if key in fields else val
+    return fields, len(unfolded)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode the chunked transfer coding (RFC 9112 §7.1): hex size
+    lines (chunk extensions after ';' ignored), exact chunk bytes,
+    CRLF after each chunk, last-chunk size 0, then optional trailer
+    field lines terminated by an empty line."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise HttpFormatError("chunked body: missing chunk-size line")
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise HttpFormatError(
+                f"chunked body: bad chunk size {size_token!r}"
+            )
+        pos = eol + 2
+        if size == 0:
+            break
+        if pos + size + 2 > n:
+            raise HttpFormatError("chunked body: truncated chunk")
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] != _CRLF:
+            raise HttpFormatError("chunked body: missing CRLF after chunk")
+        pos += 2
+    # trailer section: zero or more field lines, then an empty line
+    while True:
+        if body[pos : pos + 2] == _CRLF:
+            pos += 2
+            break
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise HttpFormatError("chunked body: unterminated trailer")
+        pos = eol + 2
+    if pos != n:
+        raise HttpFormatError("chunked body: trailing bytes after trailer")
+    return bytes(out)
+
+
+def http_parse_response(raw: bytes) -> dict:
+    """Parse one raw HTTP response message.
+
+    Returns ``{"version", "status", "reason", "headers", "n_headers",
+    "content_type", "charset", "chunked", "body"}`` — headers is a
+    dict with lower-cased names, content_type the lower-cased media
+    type (parameters stripped) or None, charset the lower-cased
+    charset parameter or None."""
+    head_end = raw.find(_CRLF + _CRLF)
+    if head_end < 0:
+        raise HttpFormatError("no CRLF CRLF header terminator")
+    head = raw[:head_end]
+    body = raw[head_end + 4 :]
+    lines = head.split(_CRLF)
+    status_line = lines[0]
+    parts = status_line.split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/1."):
+        raise HttpFormatError(f"bad status line {status_line!r}")
+    version = parts[0].decode("latin-1")
+    if not (len(parts[1]) == 3 and parts[1].isdigit()):
+        raise HttpFormatError(f"bad status code {parts[1]!r}")
+    status = int(parts[1])
+    reason = parts[2].decode("latin-1") if len(parts) > 2 else ""
+    headers, n_headers = _parse_headers(lines[1:], "response")
+
+    te = headers.get("transfer-encoding", "")
+    chunked = te.split(",")[-1].strip().lower() == "chunked" if te else False
+    if chunked:
+        body = _dechunk(body)
+    elif "content-length" in headers:
+        try:
+            clen = int(headers["content-length"].split(",")[0].strip())
+        except ValueError:
+            raise HttpFormatError(
+                f"bad Content-Length {headers['content-length']!r}"
+            )
+        if clen < 0:
+            raise HttpFormatError("negative Content-Length")
+        if len(body) < clen:
+            raise HttpFormatError(
+                f"truncated body ({len(body)} < Content-Length {clen})"
+            )
+        if len(body) > clen:
+            raise HttpFormatError(
+                f"trailing bytes after Content-Length body "
+                f"({len(body)} > {clen})"
+            )
+        body = body[:clen]
+    # else: close-delimited — the rest of the record IS the body
+
+    content_type = None
+    charset = None
+    if "content-type" in headers:
+        ct = headers["content-type"]
+        content_type = ct.split(";", 1)[0].strip().lower()
+        for param in ct.split(";")[1:]:
+            name, sep, value = param.partition("=")
+            if sep and name.strip().lower() == "charset":
+                charset = value.strip().strip('"').lower()
+    return {
+        "version": version,
+        "status": status,
+        "reason": reason,
+        "headers": headers,
+        "n_headers": n_headers,
+        "content_type": content_type,
+        "charset": charset,
+        "chunked": chunked,
+        "body": body,
+    }
+
+
+def http_write_response(
+    status: int,
+    reason: str,
+    headers: list[tuple[str, str]],
+    body: bytes,
+    chunked: bool = False,
+    chunk_size: int = 7,
+) -> bytes:
+    """Serialize a response in the wire form http_parse_response
+    reads — the fixture synthesizer for gate queries and tests.
+    ``chunked=True`` emits the chunked transfer coding (chunk
+    extension on the first chunk, one trailer field) instead of
+    Content-Length, exercising the full de-chunk path."""
+    out = bytearray(f"HTTP/1.1 {status} {reason}".encode("latin-1") + _CRLF)
+    for name, value in headers:
+        out += f"{name}: {value}".encode("latin-1") + _CRLF
+    if chunked:
+        out += b"Transfer-Encoding: chunked" + _CRLF + _CRLF
+        first = True
+        for i in range(0, len(body), chunk_size):
+            chunk = body[i : i + chunk_size]
+            ext = b";x=1" if first else b""
+            out += f"{len(chunk):x}".encode() + ext + _CRLF + chunk + _CRLF
+            first = False
+        out += b"0" + _CRLF + b"X-Trailer: end" + _CRLF + _CRLF
+    else:
+        out += f"Content-Length: {len(body)}".encode() + _CRLF + _CRLF
+        out += body
+    return bytes(out)

@@ -434,3 +434,102 @@ def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "response_len long, body_sum long, types_sorted string"
         ),
     )
+
+
+@query(
+    "source_http_responses",
+    tags=("source", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN doc_id % 7 = 5 THEN 301
+                     WHEN doc_id % 7 = 6 THEN 404
+                     ELSE 200 END AS INT) AS status,
+           CAST(4 AS BIGINT) AS n_headers,
+           'text/html' AS content_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'utf-8'
+                ELSE 'iso-8859-1' END AS charset,
+           (doc_id % 3 = 0) AS chunked,
+           CAST(40 + doc_id % 50 AS BIGINT) AS body_len,
+           CAST(list_sum(list_transform(range(40 + doc_id % 50),
+                i -> 32 + (doc_id * 5 + 11 * i) % 95)) AS BIGINT)
+             AS body_sum
+    FROM documents
+    """,
+)
+def source_http_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW HTTP/1.1 response parsing — the wire form WARC response
+    records actually carry (Common Crawl stores the full status line
+    + headers + body, never bare HTML): each document id becomes a
+    deterministic response (status 200/301/404 by doc_id%7, Server /
+    Content-Type-with-charset / X-Req headers, printable-ASCII body
+    of 40 + doc_id%50 arithmetic bytes), every third doc in the
+    CHUNKED transfer coding (7-byte chunks, a chunk extension on the
+    first chunk, one trailer field) and the rest Content-Length
+    framed, then parsed back by the stdlib parser (operators/http.py:
+    status line, case-insensitive headers with obs-fold unfolding,
+    de-chunking, media-type + charset extraction).  The oracle
+    regenerates status, header count, charset, and the body byte-sum
+    arithmetically WITHOUT parsing — a de-chunk bug, header-fold
+    slip, or charset mis-extraction is a value mismatch in the
+    driver run.  Malformed framing raises typed HttpFormatError
+    (tests cover every quarantine class).
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — the plumbing under which a real corpus arrives via the
+    file-level WARC chain (pipeline_crawl_ingest_files composes
+    exactly that)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def build_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.http import (
+            http_parse_response,
+            http_write_response,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                status, reason = (
+                    (301, "Moved Permanently") if did % 7 == 5
+                    else (404, "Not Found") if did % 7 == 6
+                    else (200, "OK")
+                )
+                cs = "utf-8" if did % 2 == 0 else "iso-8859-1"
+                blen = 40 + did % 50
+                body = bytes(32 + (did * 5 + 11 * i) % 95 for i in range(blen))
+                raw = http_write_response(
+                    status, reason,
+                    [
+                        ("Server", f"srv{did % 3}"),
+                        ("Content-Type", f"text/html; charset={cs}"),
+                        ("X-Req", f"r{did % 11}"),
+                    ],
+                    body, chunked=did % 3 == 0,
+                )
+                out = http_parse_response(raw)
+                rows.append(
+                    (
+                        did, out["status"], out["n_headers"],
+                        out["content_type"], out["charset"], out["chunked"],
+                        len(out["body"]), sum(out["body"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "status", "n_headers", "content_type",
+                    "charset", "chunked", "body_len", "body_sum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        build_parse,
+        schema=(
+            "doc_id long, status int, n_headers long, content_type string, "
+            "charset string, chunked boolean, body_len long, body_sum long"
+        ),
+    )

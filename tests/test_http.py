@@ -1,0 +1,119 @@
+"""HTTP/1.x response parser (operators/http.py): wire round-trips in
+both framings, header semantics (case, folding, duplicates), charset
+extraction, and typed quarantine for every malformed-framing class."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_to_sql_spark.operators.http import (
+    HttpFormatError,
+    http_parse_response,
+    http_write_response,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    blen=st.integers(0, 200),
+    seed=st.integers(0, 1000),
+    chunked=st.booleans(),
+    chunk_size=st.integers(1, 40),
+)
+def test_roundtrip_both_framings(blen, seed, chunked, chunk_size):
+    body = bytes((seed + 3 * i) % 256 for i in range(blen))
+    raw = http_write_response(
+        200, "OK",
+        [("Content-Type", "text/html; charset=UTF-8"), ("Server", "s")],
+        body, chunked=chunked, chunk_size=chunk_size,
+    )
+    out = http_parse_response(raw)
+    assert out["status"] == 200 and out["reason"] == "OK"
+    assert out["body"] == body
+    assert out["chunked"] is chunked
+    assert out["content_type"] == "text/html"
+    assert out["charset"] == "utf-8"
+
+
+def test_header_semantics_fold_case_duplicates():
+    raw = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"LOCATION: http://a/\r\n"
+        b"X-Long: first part\r\n"
+        b"  continued here\r\n"
+        b"\tand again\r\n"
+        b"Via: a\r\n"
+        b"via: b\r\n"
+        b"Content-Length: 0\r\n"
+        b"\r\n"
+    )
+    out = http_parse_response(raw)
+    assert out["status"] == 301
+    assert out["reason"] == "Moved Permanently"
+    assert out["headers"]["location"] == "http://a/"
+    assert out["headers"]["x-long"] == "first part continued here and again"
+    assert out["headers"]["via"] == "a, b"  # RFC 9110 list combining
+    assert out["n_headers"] == 5
+    assert out["body"] == b""
+
+
+def test_close_delimited_body_and_quoted_charset():
+    raw = (
+        b"HTTP/1.0 200 OK\r\n"
+        b'Content-Type: Text/HTML; charset="ISO-8859-1"\r\n'
+        b"\r\n"
+        b"tail bytes are the body"
+    )
+    out = http_parse_response(raw)
+    assert out["version"] == "HTTP/1.0"
+    assert out["body"] == b"tail bytes are the body"
+    assert out["content_type"] == "text/html"
+    assert out["charset"] == "iso-8859-1"
+    assert out["chunked"] is False
+
+
+def test_chunked_extensions_and_trailers_decode():
+    raw = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"\r\n"
+        b"4;name=val\r\nWiki\r\n"
+        b"5\r\npedia\r\n"
+        b"0\r\n"
+        b"X-Checksum: abc\r\n"
+        b"\r\n"
+    )
+    assert http_parse_response(raw)["body"] == b"Wikipedia"
+
+
+def test_quarantine_errors_are_typed():
+    ok_body = b"abcdef"
+    base = http_write_response(200, "OK", [("A", "b")], ok_body)
+    chunked = http_write_response(200, "OK", [], ok_body, chunked=True,
+                                  chunk_size=4)
+    cases = [
+        (b"", "no CRLF CRLF"),
+        (b"ICY 200 OK\r\n\r\n", "bad status line"),
+        (b"HTTP/1.1 20 OK\r\n\r\n", "bad status code"),
+        (b"HTTP/1.1 200 OK\r\nNoColonHere\r\n\r\n", "malformed header"),
+        (b"HTTP/1.1 200 OK\r\n  orphan\r\n\r\n", "continuation line"),
+        (b"HTTP/1.1 200 OK\r\nContent-Length: x\r\n\r\n",
+         "bad Content-Length"),
+        (b"HTTP/1.1 200 OK\r\nContent-Length: 10\r\n\r\nshort",
+         "truncated body"),
+        (b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nlonger",
+         "trailing bytes"),
+        (base.replace(b"Content-Length: 6", b"Content-Length: -1"),
+         "negative Content-Length"),
+        (chunked.replace(b"4;x=1", b"g"), "bad chunk size"),
+        (chunked[:-12], "truncated|unterminated|missing"),
+        (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+         b"2\r\nabX\r\n0\r\n\r\n", "missing CRLF after chunk"),
+        (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+         b"1\r\na\r\n0\r\n\r\nextra", "trailing bytes after trailer"),
+    ]
+    for bad, why in cases:
+        with pytest.raises(HttpFormatError, match=why):
+            http_parse_response(bad)
