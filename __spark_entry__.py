@@ -332,6 +332,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_color_real",  # round-11 new: 4:2:0 color JPEG decode under the hash gate
     "source_http_responses",  # round-11 new: raw HTTP/1.1 response parse (chunked + CL framing)
     "pipeline_crawl_ingest_files",  # round-11 new: .warc.gz files -> WARC -> HTTP -> HTML -> screen
+    "pipeline_robots_directives",  # round-11 new: Sitemap records + star-group Crawl-delay
 )
 
 # Verified queries whose build source OR implementing operator

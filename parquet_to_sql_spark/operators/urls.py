@@ -550,3 +550,81 @@ def robots_decide(path: Column, rules: Column) -> Column:
         F.coalesce(winner.allow, F.lit(True)).alias("allowed"),
         winner.prefix.alias("winning_prefix"),
     )
+
+
+def robots_sitemaps(robots_txt: Column) -> Column:
+    """Harvest ``Sitemap:`` record values from a robots.txt TEXT
+    column -> array<string> in file order.  Per RFC 9309 §2.3 these
+    are HOST-WIDE records that live outside any User-agent group, so
+    no group state is needed — a stateless filter+transform over the
+    lines (inline ``#`` comments stripped first, value = text after
+    the FIRST colon, which is the directive separator; the URL's own
+    ``https:`` colon survives because the directive name contains
+    none).  Row-local, pure codegen — no UDF, no shuffle."""
+
+    def effective(raw):
+        return F.trim(F.substring_index(raw, "#", 1))
+
+    lines = F.split(robots_txt, "\n")
+    sm = F.filter(
+        lines, lambda raw: F.lower(effective(raw)).startswith("sitemap:")
+    )
+    return F.transform(
+        sm,
+        lambda raw: F.trim(
+            F.substring(
+                effective(raw),
+                F.instr(effective(raw), ":") + F.lit(1),
+                F.length(effective(raw)),
+            )
+        ),
+    )
+
+
+def robots_crawl_delay_ms(robots_txt: Column) -> Column:
+    """The ``*`` group's ``Crawl-delay`` as EXACT integer
+    milliseconds (bigint; NULL when the star group declares none).
+    Crawl-delay is a de-facto extension (not in RFC 9309) that major
+    crawlers honor; values may be fractional seconds ("0.5"), so the
+    value parses as DECIMAL(10,3) seconds and scales to ms exactly —
+    no float anywhere.  Group binding reuses the robots_star_rules
+    fold semantics (consecutive UA lines share a group, blank and
+    comment lines keep a UA run alive, later star groups override —
+    LAST star-group declaration wins); other agents' groups are
+    ignored.  Unparseable values yield NULL (try_cast), never a
+    guess.  Row-local higher-order fold, no UDF, no shuffle."""
+    lines = F.split(robots_txt, "\n")
+    init = F.struct(
+        F.lit(False).alias("in_star"),
+        F.lit(False).alias("prev_ua"),
+        F.lit(None).cast("bigint").alias("ms"),
+    )
+
+    def step(acc, raw):
+        line = F.trim(F.substring_index(raw, "#", 1))
+        low = F.lower(line)
+        val = F.trim(
+            F.substring(
+                line, F.instr(line, ":") + F.lit(1), F.length(line)
+            )
+        )
+        is_blank = line == ""
+        is_ua = low.startswith("user-agent:")
+        is_delay = low.startswith("crawl-delay:")
+        new_in_star = F.when(
+            is_ua, (acc.prev_ua & acc.in_star) | (val == "*")
+        ).otherwise(acc.in_star)
+        parsed = (
+            val.try_cast("decimal(10,3)") * 1000
+        ).cast("bigint")
+        new_ms = F.when(
+            acc.in_star & is_delay & parsed.isNotNull(), parsed
+        ).otherwise(acc.ms)
+        new_prev_ua = F.when(is_blank, acc.prev_ua).otherwise(is_ua)
+        return F.struct(
+            new_in_star.alias("in_star"),
+            new_prev_ua.alias("prev_ua"),
+            new_ms.alias("ms"),
+        )
+
+    return F.aggregate(lines, init, step, lambda acc: acc.ms)

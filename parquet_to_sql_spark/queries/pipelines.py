@@ -2872,3 +2872,82 @@ def pipeline_crawl_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep boolean"
         ),
     )
+
+
+@query(
+    "pipeline_robots_directives",
+    tags=("pipeline", "crawl-politeness", "llm-pipeline"),
+    oracle="""
+    WITH hosts AS (
+      SELECT DISTINCT doc_id % 17 AS h FROM documents
+    )
+    SELECT 'h' || h || '.example.com' AS host,
+           CAST(CASE WHEN h % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_sitemaps,
+           CASE WHEN h % 2 = 0 THEN
+             'https://h' || h || '.example.com/s' || (h % 3) || '.xml,' ||
+             'https://h' || h || '.example.com/extra.xml'
+           ELSE
+             'https://h' || h || '.example.com/s' || (h % 3) || '.xml'
+           END AS sitemaps,
+           CAST(CASE WHEN h % 2 = 0 THEN (h % 5) * 1000
+                ELSE (h % 4 + 1) * 100 END AS BIGINT) AS crawl_delay_ms
+    FROM hosts
+    """,
+)
+def pipeline_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots.txt records a polite crawler consumes BESIDES the
+    allow/disallow rules: host-wide ``Sitemap:`` URLs (RFC 9309 §2.3
+    — discovery starts there, and they sit outside any group, one
+    even placed after another agent's group here) and the de-facto
+    ``Crawl-delay`` for the ``*`` group (fractional seconds parsed as
+    exact DECIMAL -> integer milliseconds; a ``fastbot`` group
+    declares a DIFFERENT delay that must be ignored, and an inline
+    comment rides the delay line).  Even hosts declare integer
+    seconds and two sitemaps; odd hosts fractional ("0.N") and one.
+    The oracle regenerates both arithmetically — a group-binding
+    slip, first-colon-vs-URL-colon bug, or float rounding in the
+    delay scale is a value mismatch in the driver run.
+
+    Scale shape: one DISTINCT over the host key then row-local HOF
+    parses on the (tiny) host relation — the output feeds the
+    frontier scheduler (pipeline_crawl_frontier) as a broadcast
+    politeness table; the corpus never moves."""
+    from parquet_to_sql_spark.operators.urls import (
+        robots_crawl_delay_ms,
+        robots_sitemaps,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hn = F.col("h")
+    host = F.concat(F.lit("https://h"), hn.cast("string"),
+                    F.lit(".example.com"))
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\n"),
+        F.lit("Crawl-delay: "),
+        F.when(
+            hn % 2 == 0, (hn % 5).cast("string")
+        ).otherwise(F.concat(F.lit("0."), (hn % 4 + 1).cast("string"))),
+        F.lit("  # politeness\n"),
+        F.lit("Sitemap: "), host, F.lit("/s"), (hn % 3).cast("string"),
+        F.lit(".xml\n"),
+        F.lit("\nUser-agent: fastbot\nCrawl-delay: 9\n"),
+        F.when(
+            hn % 2 == 0,
+            F.concat(F.lit("Sitemap: "), host, F.lit("/extra.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    hosts = (
+        docs.select((F.col("doc_id") % 17).alias("h"))
+        .distinct()
+        .select("h", robots_txt.alias("txt"))
+    )
+    return hosts.select(
+        F.concat(
+            F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.size(robots_sitemaps(F.col("txt"))).cast("bigint")
+        .alias("n_sitemaps"),
+        F.array_join(robots_sitemaps(F.col("txt")), ",").alias("sitemaps"),
+        robots_crawl_delay_ms(F.col("txt")).alias("crawl_delay_ms"),
+    )

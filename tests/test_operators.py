@@ -2148,6 +2148,51 @@ def test_robots_decide_wildcard_and_anchor_matching(spark):
     assert decide("/p1/sub", [(False, "/p1")]) == (False, "/p1")
 
 
+def test_robots_sitemaps_and_crawl_delay(spark):
+    """Sitemap records are HOST-WIDE (harvested from inside other
+    agents' groups too, file order kept, URL colons survive the
+    first-colon split, inline comments stripped); Crawl-delay binds
+    to the `*` group only, parses fractional seconds exactly to ms,
+    later star declarations override, unparseable values never
+    clobber a good one, and a file with no star delay yields NULL."""
+    import pyspark.sql.functions as F
+
+    from parquet_to_sql_spark.operators.urls import (
+        robots_crawl_delay_ms,
+        robots_sitemaps,
+    )
+
+    txt = (
+        "Sitemap: https://h/top.xml\n"
+        "User-agent: *\n"
+        "Crawl-delay: 0.25  # a quarter second\n"
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: fastbot\n"
+        "Crawl-delay: 9\n"
+        "Sitemap: https://h/mid.xml  # still host-wide\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: bogus\n"
+        "Crawl-delay: 2\n"
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+    row = df.select(
+        robots_sitemaps(F.col("t")).alias("sm"),
+        robots_crawl_delay_ms(F.col("t")).alias("ms"),
+    ).collect()[0]
+    assert row.sm == ["https://h/top.xml", "https://h/mid.xml"]
+    assert row.ms == 2000  # last VALID star declaration wins
+    df2 = spark.createDataFrame(
+        [("User-agent: a\nCrawl-delay: 3\n",)], "t string"
+    )
+    row2 = df2.select(
+        robots_sitemaps(F.col("t")).alias("sm"),
+        robots_crawl_delay_ms(F.col("t")).alias("ms"),
+    ).collect()[0]
+    assert row2.sm == [] and row2.ms is None
+
+
 def test_ledger_purge_equals_rebuild_from_kept(spark):
     """The delete-propagation invariant: purging the line ledger of
     hashes EXCLUSIVELY owned by deleted docs (anti-join on the
