@@ -106,3 +106,79 @@ def ingest_warc_docs(df: DataFrame, min_words: int = 8) -> DataFrame:
             )
 
     return df.select("doc_id").mapInPandas(ingest, schema=INGEST_SCHEMA)
+
+
+FILES_INGEST_SCHEMA = (
+    "doc_id long, shard long, status int, charset string, "
+    "chunked boolean, title string, n_words long, n_links long, "
+    "keep boolean"
+)
+
+
+def ingest_warc_shard_files(files: DataFrame, min_words: int = 8) -> DataFrame:
+    """Parse binaryFile rows of ``shard-N.warc.gz`` files through the
+    FULL crawl front half — gzip member walk + ISO 28500 WARC framing
+    (operators/warc.py), raw HTTP/1.1 response parse with chunked /
+    Content-Length framing and charset extraction (operators/http.py),
+    HTML visible-text extraction (operators/html.py), and the
+    status + word-count admission screen — in ONE Arrow-batched
+    mapInPandas stage.  Shared verbatim by the batch gate query
+    (pipeline_crawl_ingest_files) and the streaming file-source twin
+    (streaming.pipeline.crawl_files_stream): stateless, so batch and
+    stream outputs are bit-identical on the same shard files.
+
+    ``files`` must carry binaryFile's (path, content) columns; every
+    record URI must be the fixture's ``http://ex.com/<doc_id>`` form
+    (anything else is a typed WarcFormatError — quarantine, never a
+    guess)."""
+    import pandas as pd
+
+    def ingest_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        from parquet_to_sql_spark.operators.html import html_extract
+        from parquet_to_sql_spark.operators.http import http_parse_response
+        from parquet_to_sql_spark.operators.warc import (
+            WarcFormatError,
+            warc_records,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.warc\.gz$", path)
+                if not m:
+                    raise WarcFormatError(f"unexpected shard file {path!r}")
+                shard = int(m.group(1))
+                for rec in warc_records(bytes(content)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    um = re.fullmatch(r"http://ex\.com/(\d+)", rec["uri"])
+                    if not um:
+                        raise WarcFormatError(
+                            f"unexpected record uri {rec['uri']!r}"
+                        )
+                    did = int(um.group(1))
+                    resp = http_parse_response(rec["content"])
+                    text = resp["body"].decode(resp["charset"] or "utf-8")
+                    out = html_extract(text)
+                    words = out["text"].split(" ") if out["text"] else []
+                    rows.append(
+                        (
+                            did, shard, resp["status"], resp["charset"],
+                            resp["chunked"], out["title"], len(words),
+                            len(out["links"]),
+                            resp["status"] == 200 and len(words) >= min_words,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "shard", "status", "charset", "chunked",
+                    "title", "n_words", "n_links", "keep",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        ingest_files, schema=FILES_INGEST_SCHEMA
+    )

@@ -2809,69 +2809,14 @@ def pipeline_crawl_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
 
-    from typing import Iterator
-
-    import pandas as pd
-
-    def ingest_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
-
-        from parquet_to_sql_spark.operators.html import html_extract
-        from parquet_to_sql_spark.operators.http import http_parse_response
-        from parquet_to_sql_spark.operators.warc import (
-            WarcFormatError,
-            warc_records,
-        )
-
-        for pdf in batches:
-            rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                m = re.search(r"shard-(\d+)\.warc\.gz$", path)
-                if not m:
-                    raise WarcFormatError(f"unexpected shard file {path!r}")
-                shard = int(m.group(1))
-                for rec in warc_records(bytes(content)):
-                    if rec["warc_type"] != "response":
-                        continue
-                    um = re.fullmatch(r"http://ex\.com/(\d+)", rec["uri"])
-                    if not um:
-                        raise WarcFormatError(
-                            f"unexpected record uri {rec['uri']!r}"
-                        )
-                    did = int(um.group(1))
-                    resp = http_parse_response(rec["content"])
-                    text = resp["body"].decode(resp["charset"] or "utf-8")
-                    out = html_extract(text)
-                    words = out["text"].split(" ") if out["text"] else []
-                    rows.append(
-                        (
-                            did, shard, resp["status"], resp["charset"],
-                            resp["chunked"], out["title"], len(words),
-                            len(out["links"]),
-                            resp["status"] == 200 and len(words) >= 8,
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "shard", "status", "charset", "chunked",
-                    "title", "n_words", "n_links", "keep",
-                ],
-            )
+    from parquet_to_sql_spark.operators.crawl import ingest_warc_shard_files
 
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc.gz")
         .load(dest)
     )
-    return files.select("path", "content").mapInPandas(
-        ingest_files,
-        schema=(
-            "doc_id long, shard long, status int, charset string, "
-            "chunked boolean, title string, n_words long, n_links long, "
-            "keep boolean"
-        ),
-    )
+    return ingest_warc_shard_files(files, min_words=8)
 
 
 @query(

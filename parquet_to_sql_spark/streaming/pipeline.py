@@ -1140,3 +1140,29 @@ def pii_scrub_stream(stream_docs: DataFrame) -> DataFrame:
     from parquet_to_sql_spark.queries.pipelines import pii_scrub_projection
 
     return pii_scrub_projection(stream_docs)
+
+
+def crawl_files_stream(spark: SparkSession, shard_dir: str) -> DataFrame:
+    """STREAMING file-level crawl ingest: Structured Streaming's
+    binaryFile FILE SOURCE watches a ``.warc.gz`` shard directory and
+    every newly-landed shard flows through the SAME shared parse
+    chain the oracle-checked batch gate query runs
+    (operators/crawl.ingest_warc_shard_files: WARC members -> raw
+    HTTP/1.1 -> HTML -> screen) — stateless, so batch and stream
+    outputs are bit-identical per shard, and the file-source
+    checkpoint gives exactly-once per FILE across restarts (the
+    incremental test proves a second availableNow run emits only the
+    newly-arrived shard).  This is the production ingest shape:
+    point it at the directory your fetchers write shards into."""
+    from parquet_to_sql_spark.operators.crawl import ingest_warc_shard_files
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(shard_dir)
+    )
+    return ingest_warc_shard_files(files)

@@ -2029,3 +2029,85 @@ def test_pii_scrub_stream_matches_batch(spark, tmp_path):
     run_to_memory(pii_scrub_stream(stream), "pii_scrub_out", output_mode="append")
     got = sorted(map(tuple, spark.sql("SELECT * FROM pii_scrub_out").collect()))
     assert got == want
+
+
+def _write_crawl_shard(dirpath: str, shard: int, doc_ids: list[int]) -> None:
+    from parquet_to_sql_spark.operators.crawl import synth_doc_html
+    from parquet_to_sql_spark.operators.http import http_write_response
+    from parquet_to_sql_spark.operators.warc import (
+        warc_gzip_members,
+        warc_write_record,
+    )
+
+    recs = []
+    for did in doc_ids:
+        status, reason = (
+            (301, "Moved Permanently") if did % 7 == 5
+            else (404, "Not Found") if did % 7 == 6
+            else (200, "OK")
+        )
+        cs = "utf-8" if did % 2 == 0 else "iso-8859-1"
+        msg = http_write_response(
+            status, reason,
+            [("Content-Type", f"text/html; charset={cs}")],
+            synth_doc_html(did).encode(cs), chunked=did % 3 == 0,
+        )
+        url = f"http://ex.com/{did}"
+        recs += [
+            warc_write_record("request", url, b"GET /", f"q{did}"),
+            warc_write_record("response", url, msg, f"r{did}"),
+        ]
+    with open(os.path.join(dirpath, f"shard-{shard}.warc.gz"), "wb") as f:
+        f.write(warc_gzip_members(recs))
+
+
+def test_crawl_files_stream_matches_batch_and_is_incremental(spark, tmp_path):
+    """The FILE-level streaming twin: (1) a binaryFile file-source
+    stream over a .warc.gz shard dir produces bit-identical rows to
+    the shared batch operator on the same files; (2) with a
+    checkpoint, a second availableNow run after a NEW shard lands
+    emits ONLY that shard's rows — exactly-once per file across
+    runs, the production tail -f ingest shape."""
+    from parquet_to_sql_spark.operators.crawl import ingest_warc_shard_files
+    from parquet_to_sql_spark.streaming.pipeline import crawl_files_stream
+
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    _write_crawl_shard(shard_dir, 0, [0, 5, 6, 9, 12])
+    _write_crawl_shard(shard_dir, 1, [1, 2, 35, 48])
+
+    batch_files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(shard_dir)
+    )
+    want = sorted(map(tuple, ingest_warc_shard_files(batch_files).collect()))
+    assert any(r[8] for r in want) and any(not r[8] for r in want), (
+        "fixture must produce both keep and drop verdicts"
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            crawl_files_stream(spark, shard_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got1 == want
+    # a new shard lands; the checkpoint must replay NOTHING
+    _write_crawl_shard(shard_dir, 2, [7, 14, 21])
+    run()
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    new_rows = [t for t in got2 if t not in got1]
+    assert sorted(t[0] for t in new_rows) == [7, 14, 21]
+    assert len(got2) == len(got1) + 3  # no duplicates from shard 0/1
