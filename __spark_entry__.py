@@ -333,6 +333,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "source_http_responses",  # round-11 new: raw HTTP/1.1 response parse (chunked + CL framing)
     "pipeline_crawl_ingest_files",  # round-11 new: .warc.gz files -> WARC -> HTTP -> HTML -> screen
     "pipeline_robots_directives",  # round-11 new: Sitemap records + star-group Crawl-delay
+    "pipeline_charset_sniff",  # round-11 new: WHATWG-tier encoding detection (BOM/header/meta/default)
 )
 
 # Verified queries whose build source OR implementing operator

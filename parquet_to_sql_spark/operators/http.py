@@ -205,3 +205,53 @@ def http_write_response(
         out += f"Content-Length: {len(body)}".encode() + _CRLF + _CRLF
         out += body
     return bytes(out)
+
+
+_META_CHARSET = None  # compiled lazily below
+
+
+def sniff_charset(
+    header_charset: str | None, body: bytes
+) -> tuple[str, str, int]:
+    """Detect a document's character encoding the way browsers and
+    crawl pipelines do (a documented simplification of the WHATWG
+    encoding sniffing algorithm) -> ``(charset, source, bom_len)``
+    where source names the winning evidence tier and bom_len is the
+    byte-order-mark prefix to strip before decoding:
+
+    1. ``bom`` — a UTF-8 / UTF-16LE / UTF-16BE byte-order mark wins
+       over everything (WHATWG: the BOM is authoritative);
+    2. ``header`` — the transport-declared charset
+       (Content-Type's parameter, as http_parse_response extracts);
+    3. ``meta`` — an ASCII-case-insensitive ``<meta charset=...>`` or
+       ``<meta http-equiv=Content-Type content="...charset=...">``
+       within the first 1024 bytes (the WHATWG prescan window);
+    4. ``default`` — utf-8 (this pipeline's documented default for
+       undeclared web text; WHATWG's locale-dependent windows-1252
+       legacy default is a browser-compat concern, not a corpus one).
+
+    Charsets are reported lower-case; no decoding is attempted here
+    (the caller owns decode policy and its quarantine)."""
+    global _META_CHARSET
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8", "bom", 3
+    if body[:2] == b"\xff\xfe":
+        return "utf-16-le", "bom", 2
+    if body[:2] == b"\xfe\xff":
+        return "utf-16-be", "bom", 2
+    if header_charset:
+        return header_charset.lower(), "header", 0
+    if _META_CHARSET is None:
+        import re
+
+        _META_CHARSET = re.compile(
+            r"""<meta\s+(?:[^>]*?\s)?charset\s*=\s*["']?\s*([a-zA-Z0-9._-]+)"""
+            r"""|<meta\s+[^>]*?http-equiv\s*=\s*["']?content-type["']?"""
+            r"""[^>]*?charset\s*=\s*["']?\s*([a-zA-Z0-9._-]+)""",
+            re.IGNORECASE,
+        )
+    head = body[:1024].decode("latin-1", "replace")
+    m = _META_CHARSET.search(head)
+    if m:
+        return (m.group(1) or m.group(2)).lower(), "meta", 0
+    return "utf-8", "default", 0

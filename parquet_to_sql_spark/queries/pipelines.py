@@ -2896,3 +2896,96 @@ def pipeline_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(robots_sitemaps(F.col("txt")), ",").alias("sitemaps"),
         robots_crawl_delay_ms(F.col("txt")).alias("crawl_delay_ms"),
     )
+
+
+@query(
+    "pipeline_charset_sniff",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'utf-16-le'
+                WHEN 1 THEN 'iso-8859-1'
+                WHEN 2 THEN 'windows-1252'
+                ELSE 'utf-8' END AS charset,
+           CASE doc_id % 4 WHEN 0 THEN 'bom'
+                WHEN 1 THEN 'header'
+                WHEN 2 THEN 'meta'
+                ELSE 'default' END AS source,
+           CAST(3 * (3 + doc_id % 5) - 1
+                + CASE doc_id % 4 WHEN 1 THEN 22
+                       WHEN 2 THEN 29 ELSE 0 END AS BIGINT)
+             AS text_len
+    FROM documents
+    """,
+)
+def pipeline_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING DETECTION at ingest — the decision a crawl pipeline
+    makes before it can treat bytes as text, pinned across all four
+    WHATWG-style evidence tiers (operators/http.sniff_charset): each
+    document id picks a scenario by doc_id%4 — (0) a UTF-16LE BOM
+    that must OVERRIDE a conflicting utf-8 transport header, the body
+    genuinely UTF-16-encoded so a wrong pick garbles the decode; (1)
+    a transport-declared iso-8859-1 beating a conflicting meta tag;
+    (2) no transport charset, ``<meta charset=windows-1252>`` inside
+    the 1024-byte prescan window; (3) nothing declared anywhere ->
+    the documented utf-8 default.  The text decodes with the DETECTED
+    charset (BOM stripped first) and its character length is
+    reported, so a tier-precedence slip or BOM-strip bug shifts
+    text_len or charset and mismatches the arithmetic oracle in the
+    driver run.
+
+    Scale shape: narrow Arrow map over one pruned column, no
+    shuffle, no collect — the sibling stage to the file-level chain
+    (whose utf-8/iso-8859-1 split only covers the header tier)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def build_sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.http import (
+            http_parse_response,
+            http_write_response,
+            sniff_charset,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                text = " ".join(f"w{k}" for k in range(3 + did % 5))
+                scenario = did % 4
+                if scenario == 0:
+                    body = b"\xff\xfe" + text.encode("utf-16-le")
+                    ct = "text/html; charset=utf-8"  # BOM must win
+                elif scenario == 1:
+                    body = (
+                        '<meta charset="utf-8">' + text
+                    ).encode("iso-8859-1")
+                    ct = "text/html; charset=ISO-8859-1"
+                elif scenario == 2:
+                    body = (
+                        '<meta charset="windows-1252">' + text
+                    ).encode("cp1252")
+                    ct = "text/html"
+                else:
+                    body = text.encode("utf-8")
+                    ct = "text/html"
+                raw = http_write_response(
+                    200, "OK", [("Content-Type", ct)], body,
+                    chunked=did % 3 == 0,
+                )
+                resp = http_parse_response(raw)
+                cs, source, bom_len = sniff_charset(
+                    resp["charset"], resp["body"]
+                )
+                decoded = resp["body"][bom_len:].decode(cs)
+                rows.append((did, cs, source, len(decoded)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "charset", "source", "text_len"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        build_sniff,
+        schema="doc_id long, charset string, source string, text_len long",
+    )

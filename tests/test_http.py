@@ -117,3 +117,28 @@ def test_quarantine_errors_are_typed():
     for bad, why in cases:
         with pytest.raises(HttpFormatError, match=why):
             http_parse_response(bad)
+
+
+def test_sniff_charset_precedence_and_bom_strip():
+    from parquet_to_sql_spark.operators.http import sniff_charset
+
+    # BOM beats a conflicting header AND meta
+    body16 = b"\xff\xfe" + "hi".encode("utf-16-le")
+    assert sniff_charset("utf-8", body16) == ("utf-16-le", "bom", 2)
+    assert sniff_charset(None, b"\xef\xbb\xbfx") == ("utf-8", "bom", 3)
+    assert sniff_charset(None, b"\xfe\xffx") == ("utf-16-be", "bom", 2)
+    # header beats meta
+    meta = b'<html><meta charset="UTF-8"><body>'
+    assert sniff_charset("ISO-8859-1", meta) == ("iso-8859-1", "header", 0)
+    # meta variants, ASCII-case-insensitive, inside the 1024-byte window
+    assert sniff_charset(None, meta) == ("utf-8", "meta", 0)
+    httpequiv = (
+        b"<META HTTP-EQUIV='Content-Type' "
+        b"CONTENT='text/html; charset=Windows-1252'>"
+    )
+    assert sniff_charset(None, httpequiv) == ("windows-1252", "meta", 0)
+    # meta OUTSIDE the 1024-byte prescan window is ignored
+    far = b" " * 1024 + b'<meta charset="koi8-r">'
+    assert sniff_charset(None, far) == ("utf-8", "default", 0)
+    # nothing declared -> documented utf-8 default
+    assert sniff_charset(None, b"<html>plain") == ("utf-8", "default", 0)
