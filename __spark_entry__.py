@@ -334,6 +334,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_crawl_ingest_files",  # round-11 new: .warc.gz files -> WARC -> HTTP -> HTML -> screen
     "pipeline_robots_directives",  # round-11 new: Sitemap records + star-group Crawl-delay
     "pipeline_charset_sniff",  # round-11 new: WHATWG-tier encoding detection (BOM/header/meta/default)
+    "source_http_content_coding",  # round-11 new: gzip/deflate content codings over chunked framing
+    "pipeline_outlink_graph",  # round-11 new: href resolution -> host-level web-graph edges
 )
 
 # Verified queries whose build source OR implementing operator

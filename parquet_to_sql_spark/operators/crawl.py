@@ -182,3 +182,23 @@ def ingest_warc_shard_files(files: DataFrame, min_words: int = 8) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         ingest_files, schema=FILES_INGEST_SCHEMA
     )
+
+
+def resolve_outlinks(base_url: str, hrefs: list[str]) -> list[str]:
+    """Resolve a page's raw hrefs into the absolute URLs a crawl
+    frontier can fetch: RFC 3986 reference resolution (stdlib
+    urljoin — relative paths, root-relative, protocol-relative all
+    covered), fragments stripped (a frontier fetches documents, not
+    anchors; a fragment-only href resolves to the page itself), and
+    only http/https schemes kept (mailto:, javascript:, data: and
+    friends are dropped).  Document order and duplicates preserved —
+    dedup/politeness is the frontier's policy layer, not the
+    resolver's."""
+    from urllib.parse import urldefrag, urljoin, urlsplit
+
+    out = []
+    for href in hrefs:
+        absolute, _ = urldefrag(urljoin(base_url, href.strip()))
+        if urlsplit(absolute).scheme.lower() in ("http", "https"):
+            out.append(absolute)
+    return out

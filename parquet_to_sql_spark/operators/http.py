@@ -255,3 +255,57 @@ def sniff_charset(
     if m:
         return (m.group(1) or m.group(2)).lower(), "meta", 0
     return "utf-8", "default", 0
+
+
+def http_decode_content(headers: dict, body: bytes) -> tuple[bytes, str]:
+    """Apply the Content-Encoding CONTENT coding(s) (RFC 9110 §8.4.1)
+    to a framed body -> ``(decoded_body, label)`` where label is the
+    normalized coding list that was applied (``identity`` when none).
+    Codings apply right-to-left per the RFC's list semantics.
+
+    Supported: ``gzip``/``x-gzip`` (single member, strict trailer —
+    trailing bytes after the member raise), ``deflate`` both as the
+    RFC's zlib-wrapped form and the bare-DEFLATE form widespread
+    misconfigured servers emit (tried second, the standard tolerance),
+    ``identity``.  ``br``/``zstd``/``compress`` and anything unknown
+    raise typed :class:`HttpFormatError` — a pipeline quarantines
+    those, it never ships garbled bytes to text extraction."""
+    import zlib
+
+    ce = headers.get("content-encoding", "")
+    codings = [c.strip().lower() for c in ce.split(",") if c.strip()]
+    if not codings:
+        return body, "identity"
+    for coding in reversed(codings):
+        if coding == "identity":
+            continue
+        if coding in ("gzip", "x-gzip"):
+            d = zlib.decompressobj(16 + 15)
+            try:
+                out = d.decompress(body)
+            except zlib.error as exc:
+                raise HttpFormatError(f"bad gzip content coding: {exc}")
+            if not d.eof:
+                raise HttpFormatError("truncated gzip content coding")
+            if d.unused_data:
+                raise HttpFormatError(
+                    "trailing bytes after gzip content coding"
+                )
+            body = out
+        elif coding == "deflate":
+            for wbits in (15, -15):  # zlib-wrapped, then raw (tolerance)
+                d = zlib.decompressobj(wbits)
+                try:
+                    out = d.decompress(body)
+                except zlib.error:
+                    continue
+                if d.eof and not d.unused_data:
+                    body = out
+                    break
+            else:
+                raise HttpFormatError("bad deflate content coding")
+        else:
+            raise HttpFormatError(
+                f"unsupported content coding {coding!r} (quarantine)"
+            )
+    return body, ",".join(codings)

@@ -533,3 +533,102 @@ def source_http_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
             "charset string, chunked boolean, body_len long, body_sum long"
         ),
     )
+
+
+@query(
+    "source_http_content_coding",
+    tags=("source", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'gzip'
+                WHEN 1 THEN 'deflate'
+                WHEN 2 THEN 'deflate'
+                ELSE 'identity' END AS coding,
+           (doc_id % 3 = 0) AS chunked,
+           CAST(60 + doc_id % 40 AS BIGINT) AS body_len,
+           CAST(list_sum(list_transform(range(60 + doc_id % 40),
+                i -> (doc_id * 3 + 7 * i) % 251)) AS BIGINT) AS body_sum
+    FROM documents
+    """,
+)
+def source_http_content_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP CONTENT-ENCODING decode under the hash gate — the layer
+    between transfer framing and text: real crawl responses arrive
+    gzip- or deflate-compressed, and both codings STACK with the
+    chunked transfer coding (chunked frames the COMPRESSED bytes;
+    RFC 9110 §8.4 vs RFC 9112 §7.1 — a pipeline that conflates the
+    two layers garbles every chunked+gzip page).  Each document id
+    builds an arithmetic byte body, applies a coding by doc_id%4
+    (gzip / zlib-wrapped deflate / BARE deflate — the misconfigured-
+    server form the tolerance path exists for / identity), frames it
+    (every third doc chunked), and the stdlib chain parses BOTH
+    layers back (operators/http.py: http_parse_response then
+    http_decode_content).  The oracle regenerates the DECODED length
+    and byte-sum arithmetically — a layer-order bug, a partial
+    inflate, or a wrong-wbits fallback is a value mismatch in the
+    driver run.  br/zstd/compress quarantine with typed errors
+    (unit-tested).
+
+    Scale shape: narrow Arrow map over one pruned column, no
+    shuffle, no collect."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def build_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        from parquet_to_sql_spark.operators.http import (
+            http_decode_content,
+            http_parse_response,
+            http_write_response,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blen = 60 + did % 40
+                body = bytes((did * 3 + 7 * i) % 251 for i in range(blen))
+                scenario = did % 4
+                headers = [("Server", "s")]
+                if scenario == 0:
+                    wire = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+                    payload = wire.compress(body) + wire.flush()
+                    headers.append(("Content-Encoding", "gzip"))
+                elif scenario == 1:
+                    payload = zlib.compress(body, 6)
+                    headers.append(("Content-Encoding", "deflate"))
+                elif scenario == 2:
+                    wire = zlib.compressobj(6, zlib.DEFLATED, -15)
+                    payload = wire.compress(body) + wire.flush()
+                    headers.append(("Content-Encoding", "deflate"))
+                else:
+                    payload = body
+                raw = http_write_response(
+                    200, "OK", headers, payload, chunked=did % 3 == 0
+                )
+                resp = http_parse_response(raw)
+                decoded, label = http_decode_content(
+                    resp["headers"], resp["body"]
+                )
+                rows.append(
+                    (
+                        did, label, resp["chunked"],
+                        len(decoded), sum(decoded),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "coding", "chunked", "body_len",
+                         "body_sum"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        build_parse,
+        schema=(
+            "doc_id long, coding string, chunked boolean, "
+            "body_len long, body_sum long"
+        ),
+    )

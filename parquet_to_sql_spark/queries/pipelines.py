@@ -2989,3 +2989,118 @@ def pipeline_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_sniff,
         schema="doc_id long, charset string, source string, text_len long",
     )
+
+
+@query(
+    "pipeline_outlink_graph",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 23 AS h,
+             doc_id % 3 AS nrel,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS proto,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS mailto,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS frag
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(nrel + 2 + proto + mailto + frag AS BIGINT) AS n_links_raw,
+           CAST(nrel + 2 + proto + frag AS BIGINT) AS n_resolved,
+           CAST(nrel + 1 + frag AS BIGINT) AS n_internal,
+           CAST(1 + proto AS BIGINT) AS n_external,
+           array_to_string(list_sort(
+             CASE WHEN proto = 1 THEN
+               ['h' || ((h + 1) % 23) || '.example.com',
+                'h' || ((h + 2) % 23) || '.example.com']
+             ELSE ['h' || ((h + 1) % 23) || '.example.com'] END
+           ), ',') AS ext_hosts
+    FROM d
+    """,
+)
+def pipeline_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTLINK EXTRACTION + RESOLUTION — the step that turns parsed
+    pages into the WEB GRAPH the frontier and PageRank consume: each
+    document id becomes HTML whose anchors cover every href shape a
+    real page throws at a resolver (doc_id%3 root-relative links, one
+    directory-relative path, one absolute cross-host URL, a
+    protocol-relative ``//host/..`` on even ids, a ``mailto:`` on
+    %4==0 that must be DROPPED, a fragment-only ``#top`` on %5==0
+    that must resolve to the page itself), the links come out of the
+    SAME html_extract the html gate pins, and
+    operators/crawl.resolve_outlinks applies RFC 3986 resolution +
+    fragment strip + scheme filter.  Per doc: raw vs resolved counts,
+    internal/external split by host, and the sorted distinct external
+    host set — the adjacency a host-level graph builds from.  The
+    oracle regenerates all of it arithmetically; a urljoin semantics
+    slip (directory vs root relative), a kept mailto, or a fragment
+    double-count is a value mismatch in the driver run.
+
+    Scale shape: narrow Arrow map, no shuffle, no collect — edge-list
+    OUTPUT feeds the already-shipped graph queries
+    (dedup_graph_pagerank, dedup_cc_star) whose exchanges are their
+    own gates' business."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def build_resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urlsplit
+
+        from parquet_to_sql_spark.operators.crawl import resolve_outlinks
+        from parquet_to_sql_spark.operators.html import html_extract
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h = did % 23
+                base = f"http://h{h}.example.com/a/p{did}.html"
+                hrefs = [f"/l{k}" for k in range(did % 3)]
+                hrefs.append(f"r{did % 5}.html")
+                hrefs.append(
+                    f"http://h{(h + 1) % 23}.example.com/x{did % 7}"
+                )
+                if did % 2 == 0:
+                    hrefs.append(f"//h{(h + 2) % 23}.example.com/y")
+                if did % 4 == 0:
+                    hrefs.append("mailto:a@b.example")
+                if did % 5 == 0:
+                    hrefs.append("#top")
+                html = (
+                    "<html><body>"
+                    + "".join(f'<a href="{u}">t</a>' for u in hrefs)
+                    + "</body></html>"
+                )
+                links = html_extract(html)["links"]
+                resolved = resolve_outlinks(base, links)
+                base_host = urlsplit(base).netloc
+                internal = [
+                    u for u in resolved if urlsplit(u).netloc == base_host
+                ]
+                external = [
+                    u for u in resolved if urlsplit(u).netloc != base_host
+                ]
+                ext_hosts = sorted({urlsplit(u).netloc for u in external})
+                rows.append(
+                    (
+                        did, len(links), len(resolved),
+                        len(internal), len(external),
+                        ",".join(ext_hosts),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_links_raw", "n_resolved",
+                    "n_internal", "n_external", "ext_hosts",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        build_resolve,
+        schema=(
+            "doc_id long, n_links_raw long, n_resolved long, "
+            "n_internal long, n_external long, ext_hosts string"
+        ),
+    )

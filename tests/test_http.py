@@ -142,3 +142,44 @@ def test_sniff_charset_precedence_and_bom_strip():
     assert sniff_charset(None, far) == ("utf-8", "default", 0)
     # nothing declared -> documented utf-8 default
     assert sniff_charset(None, b"<html>plain") == ("utf-8", "default", 0)
+
+
+def test_content_codings_decode_and_quarantine():
+    import zlib
+
+    from parquet_to_sql_spark.operators.http import http_decode_content
+
+    body = bytes(range(200)) * 3
+    gz = zlib.compress(body, 6)
+    # zlib.compress is the zlib-wrapped (RFC-correct deflate) form
+    assert http_decode_content({"content-encoding": "deflate"}, gz) == (
+        body, "deflate",
+    )
+    raw = zlib.compressobj(6, zlib.DEFLATED, -15)
+    rawb = raw.compress(body) + raw.flush()
+    assert http_decode_content({"content-encoding": "deflate"}, rawb) == (
+        body, "deflate",
+    )
+    gzo = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+    gzb = gzo.compress(body) + gzo.flush()
+    for label in ("gzip", "X-Gzip", " gzip "):
+        assert http_decode_content(
+            {"content-encoding": label}, gzb
+        )[0] == body
+    # right-to-left list semantics: 'identity, gzip' = gzip applied
+    assert http_decode_content(
+        {"content-encoding": "identity, gzip"}, gzb
+    )[0] == body
+    assert http_decode_content({}, body) == (body, "identity")
+    import pytest as _pytest
+
+    from parquet_to_sql_spark.operators.http import HttpFormatError
+
+    with _pytest.raises(HttpFormatError, match="unsupported content coding"):
+        http_decode_content({"content-encoding": "br"}, body)
+    with _pytest.raises(HttpFormatError, match="truncated gzip"):
+        http_decode_content({"content-encoding": "gzip"}, gzb[:-5])
+    with _pytest.raises(HttpFormatError, match="trailing bytes"):
+        http_decode_content({"content-encoding": "gzip"}, gzb + b"xx")
+    with _pytest.raises(HttpFormatError, match="bad deflate"):
+        http_decode_content({"content-encoding": "deflate"}, b"\x00garbage")

@@ -2226,3 +2226,27 @@ def test_ledger_purge_equals_rebuild_from_kept(spark):
     assert got == want
     # and the purge actually removed something exclusive
     assert purgeable.count() >= 3  # only-in-17, only-in-34, exclusive-pair
+
+
+def test_resolve_outlinks_rfc3986_semantics():
+    """urljoin-based resolution: directory-relative vs root-relative,
+    protocol-relative inherits the base scheme, fragments strip (a
+    fragment-only href IS the page), non-http(s) schemes drop, order
+    and duplicates preserved."""
+    from parquet_to_sql_spark.operators.crawl import resolve_outlinks
+
+    base = "https://a.example.com/dir/page.html"
+    got = resolve_outlinks(base, [
+        "/root", "sib.html", "../up.html", "//b.example.com/x",
+        "http://c.example.com/y#frag", "#top", "mailto:x@y",
+        "javascript:void(0)", "data:text/plain,hi", "sib.html",
+    ])
+    assert got == [
+        "https://a.example.com/root",
+        "https://a.example.com/dir/sib.html",
+        "https://a.example.com/up.html",
+        "https://b.example.com/x",          # inherits https
+        "http://c.example.com/y",           # fragment stripped
+        "https://a.example.com/dir/page.html",  # '#top' -> the page
+        "https://a.example.com/dir/sib.html",   # duplicate preserved
+    ]
