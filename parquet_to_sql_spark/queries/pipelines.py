@@ -2710,6 +2710,7 @@ def pipeline_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_crawl_ingest_files",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
           "composition", "scale-path"),
+    headline=True,
     oracle="""
     WITH d AS (
       SELECT doc_id,

@@ -1964,12 +1964,14 @@ def test_robots_screen_stream_matches_batch(spark, tmp_path):
         (0, "User-agent: *\nDisallow: /a\nAllow: /a/b\n"),
         (1, "User-agent: *\nDisallow: /\n"),
         (2, "User-agent: badbot\nDisallow: /\n"),
+        # r11: RFC 9309 special characters ride the same stream path
+        (3, "User-agent: *\nDisallow: /*/c$\nAllow: /a/x\n"),
     ]
     host_rules = spark.createDataFrame(txts, "h long, txt string").select(
         "h", robots_star_rules(F.col("txt")).alias("rules")
     ).localCheckpoint()
     urls = spark.createDataFrame(
-        [(h, p) for h in range(3) for p in ("/a/b/c", "/a/x", "/zzz")],
+        [(h, p) for h in range(4) for p in ("/a/b/c", "/a/x", "/zzz")],
         "h long, path string",
     )
     d = str(tmp_path / "urls_in")
