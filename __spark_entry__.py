@@ -336,6 +336,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_charset_sniff",  # round-11 new: WHATWG-tier encoding detection (BOM/header/meta/default)
     "source_http_content_coding",  # round-11 new: gzip/deflate content codings over chunked framing
     "pipeline_outlink_graph",  # round-11 new: href resolution -> host-level web-graph edges
+    "pipeline_frontier_politeness",  # round-11 new: PARSED Crawl-delay drives frontier spacing
 )
 
 # Verified queries whose build source OR implementing operator

@@ -3105,3 +3105,94 @@ def pipeline_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_internal long, n_external long, ext_hosts string"
         ),
     )
+
+
+@query(
+    "pipeline_frontier_politeness",
+    tags=("pipeline", "crawl-politeness", "llm-pipeline", "composition"),
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, doc_id % 17 AS h FROM documents
+    ), d AS (
+      SELECT h,
+             CASE WHEN h % 3 = 0 THEN 1000
+                  WHEN h % 2 = 0 THEN GREATEST((h % 5) * 1000, 100)
+                  ELSE (h % 4 + 1) * 100 END AS ms
+      FROM (SELECT DISTINCT h FROM f)
+    ), sched AS (
+      SELECT doc_id, f.h, ms,
+             ROW_NUMBER() OVER (PARTITION BY f.h ORDER BY doc_id) AS slot
+      FROM f JOIN d ON d.h = f.h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'h' || h || '.example.com' AS host,
+           CAST(ms AS BIGINT) AS crawl_delay_ms,
+           CAST(slot AS BIGINT) AS slot,
+           CAST((slot - 1) * ms AS BIGINT) AS fetch_at_ms
+    FROM sched
+    """,
+)
+def pipeline_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier scheduling driven by the PARSED Crawl-delay — the
+    composition that closes the politeness loop: each host's
+    robots.txt text is actually parsed (operators/urls.
+    robots_crawl_delay_ms — the HOF fold, not an arithmetic stand-in
+    like pipeline_crawl_frontier's fixed delay classes), hosts that
+    declare NO delay (every h%3==0 host omits the line) fall back to
+    the documented 1000 ms default, declared delays floor at 100 ms
+    (a crawler never hammers a host that declared ``Crawl-delay: 0``),
+    and every queued URL gets its per-host FIFO slot and fetch time
+    spaced by that EFFECTIVE delay.  The oracle regenerates the
+    parsed values arithmetically — a fold bug, a missing NULL
+    default, or a lost floor shifts every fetch_at_ms and mismatches
+    in the driver run.
+
+    Scale shape: the robots parse runs on the TINY distinct-host
+    relation which then broadcasts onto the corpus; ONE shuffle on
+    the host key for the per-host window — identical exchange budget
+    to the fixed-delay frontier gate."""
+    from pyspark.sql import Window
+
+    from parquet_to_sql_spark.operators.urls import robots_crawl_delay_ms
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("doc_id", (F.col("doc_id") % 17).alias("h"))
+    hn = F.col("h")
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\n"),
+        F.when(hn % 3 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("Crawl-delay: "),
+                F.when(
+                    hn % 2 == 0, (hn % 5).cast("string")
+                ).otherwise(
+                    F.concat(F.lit("0."), (hn % 4 + 1).cast("string"))
+                ),
+                F.lit("\n"),
+            )
+        ),
+    )
+    hosts = (
+        f.select("h").distinct()
+        .select("h", robots_crawl_delay_ms(robots_txt).alias("parsed_ms"))
+        .select(
+            "h",
+            F.when(F.col("parsed_ms").isNull(), F.lit(1000))
+            .otherwise(F.greatest(F.col("parsed_ms"), F.lit(100)))
+            .alias("ms"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        f.join(F.broadcast(hosts), "h")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.col("ms").cast("bigint").alias("crawl_delay_ms"),
+            F.row_number().over(w).cast("bigint").alias("slot"),
+            ((F.row_number().over(w) - 1) * F.col("ms"))
+            .cast("bigint").alias("fetch_at_ms"),
+        )
+    )
