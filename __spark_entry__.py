@@ -337,6 +337,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "source_http_content_coding",  # round-11 new: gzip/deflate content codings over chunked framing
     "pipeline_outlink_graph",  # round-11 new: href resolution -> host-level web-graph edges
     "pipeline_frontier_politeness",  # round-11 new: PARSED Crawl-delay drives frontier spacing
+    "pipeline_redirect_chase",  # round-11 new: bounded-round 301 chase with loop detection
 )
 
 # Verified queries whose build source OR implementing operator

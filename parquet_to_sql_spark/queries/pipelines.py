@@ -3196,3 +3196,161 @@ def pipeline_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("fetch_at_ms"),
         )
     )
+
+
+def _duck_redirect_sql() -> str:
+    """Hop-unrolled DuckDB oracle for pipeline_redirect_chase: the
+    redirect function R is pure arithmetic, so each of the 4 hops is
+    one projected CASE; loop detection compares the next target
+    against every previously visited node (chains are <= 4 so the
+    visited set is explicit columns, no arrays needed)."""
+
+    def R(x: str) -> str:
+        return f"""CASE
+          WHEN {x} % 31 = 7 THEN ({x} + 1) % nn
+          WHEN {x} % 31 = 8 THEN ({x} - 1 + nn) % nn
+          WHEN {x} % 37 BETWEEN 11 AND 15 THEN ({x} + 1) % nn
+          WHEN {x} % 5 IN (1, 2) THEN ({x} + 1) % nn
+          ELSE NULL END"""
+
+    sql = """
+    WITH nrel AS (SELECT COUNT(*) AS nn FROM documents),
+    s0 AS (
+      SELECT doc_id AS start, doc_id AS cur, 0 AS hops,
+             CAST(NULL AS VARCHAR) AS outcome, nn
+      FROM documents, nrel
+    )"""
+    prev = "s0"
+    for i in range(1, 5):
+        visited = " OR ".join(f"t = c{j}" for j in range(i - 1)) or "FALSE"
+        cols = ", ".join(f"c{j}" for j in range(i - 1))
+        carry = (cols + ", ") if cols else ""
+        sql += f""",
+    h{i} AS (
+      SELECT start, cur, hops, outcome, nn, {carry}cur AS c{i - 1},
+             CASE WHEN outcome IS NOT NULL THEN NULL
+                  ELSE {R("cur")} END AS t
+      FROM {prev}
+    ),
+    s{i} AS (
+      SELECT start,
+             CASE WHEN outcome IS NOT NULL THEN cur
+                  WHEN t IS NULL THEN cur
+                  WHEN {visited.replace('c' + str(i - 1), 'cur') if False else visited} THEN cur
+                  ELSE t END AS cur,
+             CASE WHEN outcome IS NOT NULL OR t IS NULL
+                       OR ({visited}) THEN hops
+                  ELSE hops + 1 END AS hops,
+             CASE WHEN outcome IS NOT NULL THEN outcome
+                  WHEN t IS NULL THEN 'ok'
+                  WHEN {visited} OR t = cur THEN 'loop'
+                  ELSE NULL END AS outcome,
+             nn, {carry}c{i - 1}
+      FROM h{i}
+    )"""
+        prev = f"s{i}"
+    sql += f""",
+    fin AS (
+      SELECT start, cur, hops,
+             COALESCE(outcome,
+               CASE WHEN ({R("cur")}) IS NULL
+                    THEN 'ok' ELSE 'too_many' END) AS outcome
+      FROM s4
+    )
+    SELECT CAST(start AS BIGINT) AS doc_id,
+           CAST(hops AS BIGINT) AS n_hops,
+           outcome,
+           CASE WHEN outcome = 'ok' THEN CAST(cur AS BIGINT) END AS final_doc
+    FROM fin
+    """
+    return sql
+
+
+@query(
+    "pipeline_redirect_chase",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "composition"),
+    oracle=_duck_redirect_sql(),
+)
+def pipeline_redirect_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-ROUND REDIRECT CHASING with loop detection — what a
+    crawler does with 301 Location chains before a URL may enter the
+    corpus: the redirect EDGES are data (a (src, target) relation
+    synthesized by deterministic rules: %31==7/8 form ping-pong LOOP
+    pairs, %37 in 11..15 form 5-long chains that exhaust the hop
+    budget, %5 in {1,2} form short chains onto final pages; targets
+    wrap modulo the corpus size), and the chase is FOUR iterations of
+    a left equi-join carrying (cur, hops, visited-array, outcome) —
+    the bounded-round label-propagation discipline every closure in
+    this repo uses, never a recursive blow-up.  A next-hop landing in
+    the visited set is 'loop'; surviving all four hops still
+    redirecting is 'too_many'; anything else lands 'ok' with its
+    final doc.  The oracle unrolls the same four hops arithmetically
+    (explicit visited columns) — a hop-order slip, a lost visited
+    entry, or an off-by-one hop count is a value mismatch in the
+    driver run.
+
+    Scale shape: 4 (+1 classification) shuffle joins on the URL key,
+    each corpus-sized but NARROW (5 small columns + a <=5-element
+    array); rounds are a constant, outcome freezing keeps finished
+    rows from re-joining work, and real redirect graphs resolve in
+    <=3 hops for the overwhelming majority — the same budget argument
+    as the CC closure queries."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+
+    def R(x):
+        return (
+            F.when(x % 31 == 7, (x + 1) % n)
+            .when(x % 31 == 8, (x - 1 + n) % n)
+            .when((x % 37 >= 11) & (x % 37 <= 15), (x + 1) % n)
+            .when((x % 5).isin(1, 2), (x + 1) % n)
+        )
+
+    redirects = docs.select(
+        F.col("doc_id").alias("src"), R(F.col("doc_id")).alias("tgt")
+    ).filter(F.col("tgt").isNotNull())
+
+    state = docs.select(
+        F.col("doc_id").alias("start"),
+        F.col("doc_id").alias("cur"),
+        F.lit(0).alias("hops"),
+        F.array(F.col("doc_id")).alias("visited"),
+        F.lit(None).cast("string").alias("outcome"),
+    )
+    for _ in range(4):
+        j = state.join(redirects, state.cur == redirects.src, "left")
+        frozen = F.col("outcome").isNotNull()
+        final = F.col("tgt").isNull()
+        looped = F.array_contains(F.col("visited"), F.col("tgt"))
+        state = j.select(
+            "start",
+            F.when(frozen | final | looped, F.col("cur"))
+            .otherwise(F.col("tgt")).alias("cur"),
+            F.when(frozen | final | looped, F.col("hops"))
+            .otherwise(F.col("hops") + 1).alias("hops"),
+            F.when(frozen | final | looped, F.col("visited"))
+            .otherwise(F.array_append("visited", F.col("tgt")))
+            .alias("visited"),
+            F.when(frozen, F.col("outcome"))
+            .when(final, F.lit("ok"))
+            .when(looped, F.lit("loop"))
+            .alias("outcome"),
+        )
+    # classification pass: still-unresolved rows either sit on a
+    # final page ('ok') or are mid-chain after 4 hops ('too_many')
+    j = state.join(redirects, state.cur == redirects.src, "left")
+    resolved = j.select(
+        "start", "cur", "hops",
+        F.coalesce(
+            F.col("outcome"),
+            F.when(F.col("tgt").isNull(), F.lit("ok"))
+            .otherwise(F.lit("too_many")),
+        ).alias("outcome"),
+    )
+    return resolved.select(
+        F.col("start").cast("bigint").alias("doc_id"),
+        F.col("hops").cast("bigint").alias("n_hops"),
+        "outcome",
+        F.when(F.col("outcome") == "ok", F.col("cur"))
+        .cast("bigint").alias("final_doc"),
+    )
