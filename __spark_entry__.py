@@ -338,6 +338,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_outlink_graph",  # round-11 new: href resolution -> host-level web-graph edges
     "pipeline_frontier_politeness",  # round-11 new: PARSED Crawl-delay drives frontier spacing
     "pipeline_redirect_chase",  # round-11 new: bounded-round 301 chase with loop detection
+    "pipeline_mime_routing",  # round-11 new: Content-Type dispatch incl. SOF-only JPEG dims probe
 )
 
 # Verified queries whose build source OR implementing operator

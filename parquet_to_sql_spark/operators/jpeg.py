@@ -956,3 +956,44 @@ def jpeg_encode(
     out += wtr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
+    """Parse ``(width, height, channels)`` from the SOF0/SOF1 frame
+    header WITHOUT touching the entropy-coded data — the metadata
+    probe a routing/manifest stage runs on millions of images where a
+    full decode would be absurd (same marker-walk discipline as
+    jpeg_decode: 0xFF fill bytes skipped, standalone markers passed
+    over, unsupported SOF variants and malformed framing raise typed
+    JpegFormatError for quarantine)."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at byte {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise JpegFormatError("truncated marker segment")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise JpegFormatError(f"truncated 0xFF{marker:02X} segment")
+        if marker in _UNSUPPORTED_SOF:
+            raise JpegFormatError(
+                f"{_UNSUPPORTED_SOF[marker]} not supported; quarantine"
+            )
+        if marker in (0xC0, 0xC1):
+            if len(seg) < 6:
+                raise JpegFormatError("truncated SOF header")
+            h, w = struct.unpack(">HH", seg[1:5])
+            return w, h, seg[5]
+        pos += seglen
+    raise JpegFormatError("no SOF frame header before scan/EOI")

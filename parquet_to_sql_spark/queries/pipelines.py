@@ -3354,3 +3354,141 @@ def pipeline_redirect_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("outcome") == "ok", F.col("cur"))
         .cast("bigint").alias("final_doc"),
     )
+
+
+@query(
+    "pipeline_mime_routing",
+    tags=("pipeline", "crawl-ingest", "multimodal", "llm-pipeline",
+          "real-decoder", "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 4 AS sc,
+             doc_id % 4 AS scenario,
+             2 + doc_id % 3 AS tw,
+             doc_id % 4 AS nlinks_mod
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             doc_id % 4 AS nlinks,
+             list_sum(list_transform(range(1 + doc_id % 5),
+                      p -> 3 + (doc_id + p) % 4)) AS wsum
+      FROM documents
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CASE d.sc WHEN 0 THEN 'image' WHEN 1 THEN 'html'
+                WHEN 2 THEN 'binary' ELSE 'text' END AS route,
+           CASE d.sc WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'text/html'
+                WHEN 2 THEN 'application/octet-stream'
+                ELSE 'text/plain' END AS content_type,
+           CASE WHEN d.sc = 0 THEN CAST(8 AS INT) END AS width,
+           CASE WHEN d.sc = 0 THEN CAST(8 AS INT) END AS height,
+           CASE WHEN d.sc = 1
+                THEN CAST(h.nlinks + h.wsum AS BIGINT) END AS n_words,
+           CASE WHEN d.sc = 2 THEN CAST(16 + d.doc_id % 16 AS BIGINT)
+                WHEN d.sc = 3 THEN CAST(3 * d.tw - 1 AS BIGINT)
+           END AS n_bytes
+    FROM d JOIN h ON h.doc_id = d.doc_id
+    """,
+)
+def pipeline_mime_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME-TYPE ROUTING — the dispatch a multimodal crawl pipeline
+    runs on every fetched response: the parsed Content-Type sends
+    each payload down its own lane — ``image/jpeg`` to the REAL
+    metadata probe (operators/jpeg.jpeg_dimensions: SOF dims with NO
+    entropy decode — the body is an actual encoded JPEG),
+    ``text/html`` to visible-text extraction, ``text/plain`` to raw
+    text accounting, and everything else (octet-stream here) to the
+    opaque-binary lane that records size only.  Each lane fills only
+    its own columns, so a routing slip (html bytes hitting the image
+    probe, a decoded-vs-declared mismatch) is a typed error or a
+    value mismatch — never a silent wrong lane.  The oracle
+    regenerates the per-lane fields arithmetically; the JPEG dims
+    come from the probe while the oracle knows them by construction.
+
+    Scale shape: narrow Arrow map over one pruned column, no
+    shuffle, no collect — and the image lane's cost is the few-byte
+    SOF walk, not a decode (the point of the probe at 100 TB of
+    crawl images)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def build_route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.crawl import synth_doc_html
+        from parquet_to_sql_spark.operators.html import html_extract
+        from parquet_to_sql_spark.operators.http import (
+            http_parse_response,
+            http_write_response,
+        )
+        from parquet_to_sql_spark.operators.jpeg import (
+            jpeg_dimensions,
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sc = did % 4
+                if sc == 0:
+                    body = jpeg_encode(
+                        8, 8, bytes([(did * 37) % 256] * 64), 1, quant=8
+                    )
+                    ct = "image/jpeg"
+                elif sc == 1:
+                    body = synth_doc_html(did).encode("utf-8")
+                    ct = "text/html; charset=utf-8"
+                elif sc == 2:
+                    body = bytes(
+                        (did * 9 + 5 * i) % 256
+                        for i in range(16 + did % 16)
+                    )
+                    ct = "application/octet-stream"
+                else:
+                    body = " ".join(
+                        f"w{k}" for k in range(2 + did % 3)
+                    ).encode("utf-8")
+                    ct = "text/plain; charset=utf-8"
+                raw = http_write_response(
+                    200, "OK", [("Content-Type", ct)], body,
+                    chunked=did % 3 == 0,
+                )
+                resp = http_parse_response(raw)
+                mime = resp["content_type"]
+                width = height = n_words = n_bytes = None
+                if mime == "image/jpeg":
+                    route = "image"
+                    width, height, _ = jpeg_dimensions(resp["body"])
+                elif mime == "text/html":
+                    route = "html"
+                    out = html_extract(
+                        resp["body"].decode(resp["charset"] or "utf-8")
+                    )
+                    words = out["text"].split(" ") if out["text"] else []
+                    n_words = len(words)
+                elif mime == "text/plain":
+                    route = "text"
+                    n_bytes = len(resp["body"])
+                else:
+                    route = "binary"
+                    n_bytes = len(resp["body"])
+                rows.append(
+                    (did, route, mime, width, height, n_words, n_bytes)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "route", "content_type", "width", "height",
+                    "n_words", "n_bytes",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        build_route,
+        schema=(
+            "doc_id long, route string, content_type string, width int, "
+            "height int, n_words long, n_bytes long"
+        ),
+    )

@@ -21,6 +21,7 @@ from parquet_to_sql_spark.operators.jpeg import (
     _K_DC_CHROMA,
     _K_DC_LUMA,
     jpeg_decode,
+    jpeg_dimensions,
     jpeg_encode,
 )
 
@@ -298,3 +299,22 @@ def test_decode_image_features_sniffs_jpeg(spark):
     assert abs(rows["img://a.jpg"].mean_luma - exp_luma) < 1e-12
     assert rows["img://b.png"].width == 4
     assert rows["img://c.gif"].width is None  # quarantined
+
+
+def test_jpeg_dimensions_probe_without_decode():
+    """The metadata probe reads SOF dims only — identical answers to
+    the full decode, works past fill/standalone markers, and raises
+    typed errors on progressive input and missing SOF."""
+    for w, h, ch in ((8, 8, 1), (24, 16, 1), (16, 16, 3)):
+        px = bytes([100] * (w * h * ch))
+        payload = jpeg_encode(w, h, px, channels=ch, quant=8)
+        assert jpeg_dimensions(payload) == (w, h, ch)
+        assert jpeg_decode(payload)[:3] == (w, h, ch)
+    base = jpeg_encode(8, 8, bytes([50] * 64), 1, quant=8)
+    weird = base[:2] + b"\xff" + b"\xff\x01" + base[2:]
+    assert jpeg_dimensions(weird) == (8, 8, 1)
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(JpegFormatError, match="progressive"):
+        jpeg_dimensions(prog)
+    with pytest.raises(JpegFormatError, match="no SOF"):
+        jpeg_dimensions(b"\xff\xd8\xff\xd9")
