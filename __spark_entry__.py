@@ -81,7 +81,11 @@ _WINDOW_ROUND = 11
 # oracle; this list does not).
 _ROWS_ONLY_BY_DESIGN = frozenset(
     {"agg_approx_sketches", "agg_sketch_rollup_union",
-     "source_binaryfile_manifest"}
+     "source_binaryfile_manifest",
+     # parquet_metadata() takes constant paths only, same class as
+     # read_blob (r11); its value-exact mirror lives in
+     # tests/test_importer.py with the path inlined at 2 SFs
+     "source_parquet_footer_stats"}
 )
 
 # Canonical names with >=1 CORRECTNESS_r01..r07 row (hash-green, or
@@ -339,6 +343,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_frontier_politeness",  # round-11 new: PARSED Crawl-delay drives frontier spacing
     "pipeline_redirect_chase",  # round-11 new: bounded-round 301 chase with loop detection
     "pipeline_mime_routing",  # round-11 new: Content-Type dispatch incl. SOF-only JPEG dims probe
+    "source_parquet_footer_stats",  # round-11 new: distributed footer-stats manifest (rows-only by design)
 )
 
 # Verified queries whose build source OR implementing operator

@@ -632,3 +632,94 @@ def source_http_content_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "body_len long, body_sum long"
         ),
     )
+
+
+_FOOTER_TABLES = (
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+)
+
+
+@query(
+    "source_parquet_footer_stats",
+    tags=("source", "import", "scale-path"),
+    # rows-only BY NECESSITY (the source_binaryfile_manifest class):
+    # DuckDB's parquet_metadata() takes only CONSTANT paths, and
+    # oracle SQL is a fixed string run against whatever sf the
+    # checker registers — a hardcoded path would silently pin one sf.
+    # The VALUE-exact check lives in tests/test_importer.py, which
+    # runs the parquet_metadata mirror at sf0.01 AND sf0.1 with the
+    # path inlined.
+    oracle=None,
+)
+def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET FOOTER STATISTICS as a first-class relation — the
+    metadata that makes 100 TB prunable: per (table, row group) the
+    row count, byte size, and the key column's min/max exactly as
+    the footer records them (what Spark's own scan uses for row-group
+    skipping, surfaced for manifest/compaction planning the way
+    pipeline_compaction_plan consumes sizes).  Footers are read WHERE
+    THE FILES LIVE: the file list parallelizes over executors and
+    each task opens only its file's footer via pyarrow (never the
+    data pages) — on a million-file lake this is the only affordable
+    way to build a stats manifest, and it is exactly how this query
+    scales (fixture corpora are single-file per table, so locally it
+    is 5 tiny tasks).
+
+    Value-exactness lives in a dedicated test against DuckDB's
+    parquet_metadata() with the path inlined (rows-only here: that
+    function accepts constant paths only — the blob-manifest
+    rationale, documented in the decorator)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    paths = [
+        (t, key, f"{sf_dir}/{t}.parquet") for t, key in _FOOTER_TABLES
+    ]
+    files = spark.createDataFrame(
+        paths, "tbl string, key_col string, path string"
+    ).repartition(len(paths))
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for tbl, key_col, path in zip(
+                pdf["tbl"], pdf["key_col"], pdf["path"]
+            ):
+                md = pq.ParquetFile(path).metadata
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    kmin = kmax = None
+                    for ci in range(rg.num_columns):
+                        col = rg.column(ci)
+                        if col.path_in_schema == key_col:
+                            st = col.statistics
+                            if st is not None and st.has_min_max:
+                                kmin, kmax = int(st.min), int(st.max)
+                    rows.append(
+                        (
+                            tbl, rg_i, rg.num_rows, rg.total_byte_size,
+                            key_col, kmin, kmax,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tbl", "rg", "n_rows", "n_bytes", "key_col",
+                    "key_min", "key_max",
+                ],
+            )
+
+    return files.mapInPandas(
+        read_footers,
+        schema=(
+            "tbl string, rg int, n_rows long, n_bytes long, "
+            "key_col string, key_min long, key_max long"
+        ),
+    )

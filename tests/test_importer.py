@@ -701,3 +701,34 @@ def test_binaryfile_manifest_matches_duckdb_read_blob(spark):
             )
         )
         assert got == want and len(got) == 10
+
+
+def test_parquet_footer_stats_match_duckdb_parquet_metadata(spark):
+    """source_parquet_footer_stats' VALUE-exact mirror (the gate row
+    is rows-only because DuckDB's parquet_metadata() takes only
+    constant paths): per (table, row group), row counts and the key
+    column's min/max must equal DuckDB's read of the same footers —
+    at sf0.01 AND sf0.1 with the paths inlined."""
+    import duckdb
+
+    from parquet_to_sql_spark.queries.importing import (
+        _FOOTER_TABLES,
+        source_parquet_footer_stats,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        got = {
+            (r.tbl, r.rg): (r.n_rows, r.key_min, r.key_max)
+            for r in source_parquet_footer_stats(spark, sf_dir).collect()
+        }
+        con = duckdb.connect()
+        want = {}
+        for tbl, key in _FOOTER_TABLES:
+            for rg, n, mn, mx in con.execute(
+                f"SELECT row_group_id, row_group_num_rows,"
+                f" stats_min, stats_max"
+                f" FROM parquet_metadata('{sf_dir}/{tbl}.parquet')"
+                f" WHERE path_in_schema = '{key}'"
+            ).fetchall():
+                want[(tbl, rg)] = (n, int(mn), int(mx))
+        assert got == want and len(got) >= len(_FOOTER_TABLES)
