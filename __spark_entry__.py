@@ -344,6 +344,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_redirect_chase",  # round-11 new: bounded-round 301 chase with loop detection
     "pipeline_mime_routing",  # round-11 new: Content-Type dispatch incl. SOF-only JPEG dims probe
     "source_parquet_footer_stats",  # round-11 new: distributed footer-stats manifest (rows-only by design)
+    "profile_chisq_drift",  # round-11 new: exact-integer chi-squared snapshot-drift audit
 )
 
 # Verified queries whose build source OR implementing operator

@@ -1457,3 +1457,96 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
     )
+
+
+@query(
+    "profile_chisq_drift",
+    tags=("profile", "llm-pipeline", "quality-filter", "scale-path"),
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) % 8 AS bucket,
+             doc_id % 2 AS snap
+      FROM documents
+    ), c AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM w GROUP BY bucket
+    ), t AS (
+      SELECT CAST(SUM(n_a) + COUNT(*) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) AS BIGINT) AS tot_b
+      FROM c
+    ), terms AS (
+      SELECT c.bucket, c.n_a, c.n_b,
+             CAST((1000000000::HUGEINT
+                   * (c.n_b * t.tot_a - (c.n_a + 1) * t.tot_b)
+                   * (c.n_b * t.tot_a - (c.n_a + 1) * t.tot_b))
+                  // ((c.n_a + 1)::HUGEINT * t.tot_a * t.tot_b)
+                  AS BIGINT) AS term_ppb
+      FROM c, t
+    )
+    SELECT bucket, n_a, n_b, term_ppb,
+           CAST(SUM(term_ppb) OVER () AS BIGINT) AS chi2_ppb
+    FROM terms
+    """,
+)
+def profile_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT AUDIT between two corpus snapshots as an
+    EXACT-integer chi-squared statistic — the screen a training
+    pipeline runs before accepting a refreshed crawl (did the
+    word-count profile shift?): documents split into snapshots by
+    doc_id parity, bucket on word-count % 8, and each bucket
+    contributes (observed_B - expected_B)^2 / expected_B where
+    expected scales snapshot A's ADD-ONE-smoothed distribution to
+    B's total (smoothing keeps B-only buckets finite — the standard
+    chi-square-with-prior discipline).  Every term is ONE exact
+    integer division on the common denominator (n_a+1)*tot_a*tot_b
+    scaled to ppb (DECIMAL(38,0) div == HUGEINT //), so the statistic
+    is value-exact cross-engine — no floats, the same discipline as
+    every LM score in this repo.  chi2_ppb repeats the full-table sum
+    on each row (unpartitioned window over <= 8 BUCKET rows, not
+    corpus rows).
+
+    Scale shape: ONE map-side-combined groupBy(bucket) over the
+    corpus, a 1-row totals attach broadcast onto <= 8 bucket rows,
+    and the bounded window — drift screening at 100 TB costs one
+    aggregate."""
+    from parquet_to_sql_spark.operators.text import ws_tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        (F.size(ws_tokens(F.col("text"))) % 8).alias("bucket"),
+        (F.col("doc_id") % 2).alias("snap"),
+    )
+    c = w.groupBy("bucket").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+    )
+    t = c.agg(
+        (F.sum("n_a") + F.count(F.lit(1))).cast("bigint").alias("tot_a"),
+        F.sum("n_b").cast("bigint").alias("tot_b"),
+    )
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "bucket", "n_a", "n_b",
+        F.expr(
+            "CAST((CAST(1000000000 AS DECIMAL(38,0))"
+            " * (n_b * tot_a - (n_a + 1) * tot_b)"
+            " * (n_b * tot_a - (n_a + 1) * tot_b))"
+            " div (CAST(n_a + 1 AS DECIMAL(38,0)) * tot_a * tot_b)"
+            " AS BIGINT)"
+        ).alias("term_ppb"),
+    )
+    return terms.select(
+        "bucket", "n_a", "n_b", "term_ppb",
+        F.sum("term_ppb").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("chi2_ppb"),
+    )

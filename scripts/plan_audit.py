@@ -67,6 +67,7 @@ _SANCTIONED_NL = {
     "profile_benford_digits",  # 1-row corpus-count attach onto the 9-digit table (queries/advanced_agg.py)
     "text_bpe_encode_full",  # broadcast <=128-row merge-table attach (queries/text.py bpe hof)
     "text_kneser_ney_trigram",  # 1-row bigram/trigram-type totals attach (queries/text.py KN block)
+    "profile_chisq_drift",  # 1-row smoothed-totals attach onto <=8 bucket rows (queries/advanced_agg.py, r11)
     # broadcast-tiny probe sides (query sets, centroids, codebooks,
     # PQ distance tables, band tables)
     "simsearch_cosine_topk",
