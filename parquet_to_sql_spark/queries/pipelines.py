@@ -3492,3 +3492,95 @@ def pipeline_mime_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height int, n_words long, n_bytes long"
         ),
     )
+
+
+@query(
+    "pipeline_robots_fetch_policy",
+    tags=("pipeline", "crawl-politeness", "llm-pipeline"),
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, doc_id % 19 AS h,
+             '/p' || (doc_id % 13) AS path
+      FROM documents
+    ), hosts AS (
+      SELECT DISTINCT h,
+             CASE WHEN h % 5 = 3 THEN 404
+                  WHEN h % 5 = 4 THEN 503
+                  ELSE 200 END AS robots_status
+      FROM urls
+    ), m AS (
+      SELECT u.doc_id, h.robots_status,
+             starts_with(u.path, '/p' || (u.h % 13)) AS hits_rule
+      FROM urls u JOIN hosts h USING (h)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(robots_status AS INT) AS robots_status,
+           CASE WHEN robots_status = 404 THEN 'allow_all'
+                WHEN robots_status = 503 THEN 'disallow_all'
+                ELSE 'parsed' END AS policy,
+           CASE WHEN robots_status = 404 THEN TRUE
+                WHEN robots_status = 503 THEN FALSE
+                ELSE NOT hits_rule END AS allowed
+    FROM m
+    """,
+)
+def pipeline_robots_fetch_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a crawler does when robots.txt ITSELF fails to fetch —
+    the RFC 9309 §2.3.1 status-code semantics the parse-only gates
+    can't express: an UNAVAILABLE robots.txt (4xx) means crawling is
+    allowed (the file is treated as absent), an UNRELIABLE one
+    (5xx / unreachable) means the crawler MUST assume complete
+    disallow, and only a 200 reaches the parser (whose Disallow rule
+    then decides per URL via the same RFC longest-match operator the
+    robots gates pin).  Hosts draw their fetch status by h%5
+    (404 / 503 / 200), URLs hit or miss the parsed rule by
+    construction, and the oracle regenerates status, policy tier,
+    and every verdict arithmetically — a tier mixed up (treating
+    5xx like 4xx is the classic crawler bug that hammers outaged
+    sites) is a value mismatch in the driver run.
+
+    Scale shape: per-host status + parsed rules ride a broadcast
+    onto the URL stream; the decision is row-local — identical
+    exchange budget to pipeline_robots_screen."""
+    from parquet_to_sql_spark.operators.urls import (
+        robots_decide,
+        robots_star_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 19).alias("h"),
+        F.concat(F.lit("/p"), (F.col("doc_id") % 13).cast("string"))
+        .alias("path"),
+    )
+    hn = F.col("h")
+    status = (
+        F.when(hn % 5 == 3, F.lit(404))
+        .when(hn % 5 == 4, F.lit(503))
+        .otherwise(F.lit(200))
+    )
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /p"),
+        (hn % 13).cast("string"), F.lit("\n"),
+    )
+    hosts = urls.select("h").distinct().select(
+        "h",
+        status.alias("robots_status"),
+        F.when(status == 200, robots_star_rules(robots_txt)).alias("rules"),
+    )
+    decision = robots_decide(F.col("path"), F.col("rules"))
+    st = F.col("robots_status")
+    return (
+        urls.join(F.broadcast(hosts), "h")
+        .select(
+            "doc_id",
+            st.cast("int").alias("robots_status"),
+            F.when(st == 404, F.lit("allow_all"))
+            .when(st == 503, F.lit("disallow_all"))
+            .otherwise(F.lit("parsed")).alias("policy"),
+            F.when(st == 404, F.lit(True))
+            .when(st == 503, F.lit(False))
+            .otherwise(decision.getField("allowed")).alias("allowed"),
+        )
+    )
