@@ -346,6 +346,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "source_parquet_footer_stats",  # round-11 new: distributed footer-stats manifest (rows-only by design)
     "profile_chisq_drift",  # round-11 new: exact-integer chi-squared snapshot-drift audit
     "pipeline_robots_fetch_policy",  # round-11 new: RFC 9309 4xx-allow / 5xx-disallow status tiers
+    "text_unicode_normalize",  # round-11 new: NFC/NFKC canonicalization screening
 )
 
 # Verified queries whose build source OR implementing operator

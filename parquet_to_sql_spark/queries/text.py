@@ -2966,3 +2966,88 @@ def text_perceptron_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame
             " div count(1) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+@query(
+    "text_unicode_normalize",
+    tags=("text-analysis", "llm-pipeline", "quality-filter"),
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(7 + doc_id % 3 AS BIGINT) AS len_raw,
+           CAST(6 + doc_id % 3 AS BIGINT) AS len_nfc,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END
+                + doc_id % 3 AS BIGINT) AS len_nfkc,
+           TRUE AS changed_nfc,
+           (doc_id % 2 = 0) AS nfkc_differs_from_nfc,
+           CASE WHEN doc_id % 2 = 0 THEN 'compat' ELSE 'canonical' END
+             AS widest_change
+    FROM documents
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE NORMALIZATION screening — the canonicalization a
+    corpus pipeline runs before ANY dedup or tokenization (the same
+    visible text arrives from the web in decomposed, precomposed,
+    ligated, and fullwidth spellings; unnormalized corpora leak
+    near-duplicates past every exact screen): each document id
+    becomes a string with a known normalization profile — a
+    combining-acute 'e' + U+0301 that NFC must compose to one
+    codepoint, plus (even ids) a COMPATIBILITY character — the
+    U+FB01 'fi' ligature — that NFC must PRESERVE and NFKC must
+    expand to two codepoints, plus doc_id%3 ASCII padding chars —
+    and stdlib unicodedata.normalize produces the NFC/NFKC forms
+    inside one Arrow stage.  Codepoint lengths and difference flags
+    are fully determined by construction, so the oracle is pure
+    arithmetic: a normalizer that skips composition, applies
+    compatibility folding under NFC, or double-applies either is a
+    value mismatch in the driver run.
+
+    Scale shape: narrow Arrow map over one pruned column, no
+    shuffle, no collect — normalization is embarrassingly parallel
+    and this is its plumbing; Python is legitimate here because
+    Spark has no built-in Unicode normalizer."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def build_norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pad = "x" * (did % 3)
+                raw = "caf" + "e" + "́"  # 5 cp, NFC -> 4 cp
+                if did % 2 == 0:
+                    raw += "ﬁ"  # fi ligature: NFC keeps, NFKC -> 'fi'
+                else:
+                    raw += "y"
+                raw += "z" + pad  # total 7 + did%3 codepoints
+                nfc = unicodedata.normalize("NFC", raw)
+                nfkc = unicodedata.normalize("NFKC", raw)
+                rows.append(
+                    (
+                        did, len(raw), len(nfc), len(nfkc),
+                        nfc != raw, nfkc != nfc,
+                        "compat" if nfkc != nfc else "canonical",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "len_raw", "len_nfc", "len_nfkc",
+                    "changed_nfc", "nfkc_differs_from_nfc",
+                    "widest_change",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        build_norm,
+        schema=(
+            "doc_id long, len_raw long, len_nfc long, len_nfkc long, "
+            "changed_nfc boolean, nfkc_differs_from_nfc boolean, "
+            "widest_change string"
+        ),
+    )
