@@ -130,8 +130,23 @@ def http_parse_response(raw: bytes) -> dict:
     headers, n_headers = _parse_headers(lines[1:], "response")
 
     te = headers.get("transfer-encoding", "")
-    chunked = te.split(",")[-1].strip().lower() == "chunked" if te else False
-    if chunked:
+    codings = [c.strip().lower() for c in te.split(",") if c.strip()]
+    chunked = bool(codings) and codings[-1] == "chunked"
+    if codings:
+        # RFC 9112 §6.1: chunked must be the FINAL transfer coding,
+        # and any additional transfer coding (gzip TE, etc.) would
+        # leave transfer-layer bytes in the body — quarantine both
+        # rather than silently hand compressed framing downstream
+        # (Content-ENCODING is the separate, supported layer).
+        if not chunked:
+            raise HttpFormatError(
+                f"transfer coding list {te!r} does not end in chunked"
+            )
+        extra = [c for c in codings[:-1] if c != "identity"]
+        if extra:
+            raise HttpFormatError(
+                f"unsupported transfer coding(s) {extra} before chunked"
+            )
         body = _dechunk(body)
     elif "content-length" in headers:
         try:

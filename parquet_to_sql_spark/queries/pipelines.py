@@ -3236,7 +3236,7 @@ def _duck_redirect_sql() -> str:
       SELECT start,
              CASE WHEN outcome IS NOT NULL THEN cur
                   WHEN t IS NULL THEN cur
-                  WHEN {visited.replace('c' + str(i - 1), 'cur') if False else visited} THEN cur
+                  WHEN {visited} THEN cur
                   ELSE t END AS cur,
              CASE WHEN outcome IS NOT NULL OR t IS NULL
                        OR ({visited}) THEN hops

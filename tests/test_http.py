@@ -183,3 +183,26 @@ def test_content_codings_decode_and_quarantine():
         http_decode_content({"content-encoding": "gzip"}, gzb + b"xx")
     with _pytest.raises(HttpFormatError, match="bad deflate"):
         http_decode_content({"content-encoding": "deflate"}, b"\x00garbage")
+
+
+def test_transfer_coding_list_semantics():
+    """RFC 9112 §6.1: chunked must be the FINAL transfer coding; a
+    gzip TRANSFER coding (distinct from Content-Encoding) is out of
+    scope and must quarantine, never pass compressed framing bytes
+    downstream as the body."""
+    ok = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Transfer-Encoding: identity, chunked\r\n"
+        b"\r\n"
+        b"2\r\nab\r\n0\r\n\r\n"
+    )
+    assert http_parse_response(ok)["body"] == b"ab"
+    with pytest.raises(HttpFormatError, match="does not end in chunked"):
+        http_parse_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nxx"
+        )
+    with pytest.raises(HttpFormatError, match="unsupported transfer"):
+        http_parse_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+            b"2\r\nab\r\n0\r\n\r\n"
+        )
