@@ -15,28 +15,27 @@ alias layer is needed — ``queries()`` emits the 50-slot priority
 window first, then every remaining query in least-recently-verified
 order.  Exactly one registry entry per query.
 
-Window 11 composition (installed per VERDICT r10 "Next round" #2,
-the proven recipe, sixth round running; CORRECTNESS_r10 came back
+Window 12 composition (installed per VERDICT r11 "Next round" #1,
+the proven recipe, seventh round running; CORRECTNESS_r11 came back
 50/50 green and is folded into ``_DRIVER_VERIFIED`` below):
 
-  1. the 16 round-10-new queries — the only names with ZERO driver
-     evidence across CORRECTNESS_r01..r10 (``_NEVER_VERIFIED``,
+  1. the 17 round-11-new queries — the only names with ZERO driver
+     evidence across CORRECTNESS_r01..r11 (``_NEVER_VERIFIED``,
      the former ``_QUEUED_POST_WINDOW``; all locally oracle-exact
      at sf0.01 AND sf0.1, and judge-verified via verify_driver.py
-     in the r10 session, 17/17 OK);
-  2. one stale re-verify (``_REVERIFY``, carried from r10's
-     ``_REVERIFY_QUEUED``): ``multimodal_decode_features``, whose
-     decode_image_features operator grew the PNG/JPEG real-decode
-     sniffing path in R10 after its last driver-green row;
+     in the r11 session, 17/17 hash-match, rc 0);
+  2. no stale re-verify this round (``_REVERIFY`` empty —
+     r11's ``_REVERIFY_QUEUED`` was empty and no driver-green
+     query's source changed before the freeze);
   3. 33 least-recently-verified spares (``_LRV_SPARES``) — the
-     oldest oracle-backed evidence in the ledger (the r04 text_*
-     block plus the head of the r05 rows), refreshed under the
-     standing LRV-rotation policy.
+     oldest oracle-backed evidence in the ledger (the r05
+     fn_*/join_*/simsearch_* block plus the head of the r06 rows),
+     refreshed under the standing LRV-rotation policy.
 
-Green across the board => 325/325 registered queries carry driver
-evidence with ZERO stale rows — including the driver's first
-hash-checks of REAL JPEG decode and the WARC -> robots -> HTML
-crawl-ingest chain.  Every window is pure LRV rotation,
+Green across the board => 342/342 registered queries carry driver
+evidence with ZERO stale rows — the first round where EVERY
+registered query has a hard driver row.  Every window is pure LRV
+rotation,
 front-loading any query whose implementing source changed since its
 last green row (``_REVERIFY`` declares those so the parity test can
 tell a deliberate re-check from a wasted slot) and any post-freeze
@@ -68,8 +67,8 @@ from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 # from rounds < _WINDOW_ROUND are frozen evidence (folded into
 # _DRIVER_VERIFIED); any artifact from round >= _WINDOW_ROUND is the
 # driver's post-session output for THIS window and is asserted
-# against _PRIORITY_R11 instead (tests/test_oracle_parity.py).
-_WINDOW_ROUND = 11
+# against _PRIORITY_R12 instead (tests/test_oracle_parity.py).
+_WINDOW_ROUND = 12
 
 # By-design rows-only gate queries (no DuckDB oracle is possible):
 # the two self-verifying sketch queries carry in-query error-bound
@@ -94,6 +93,18 @@ _ROWS_ONLY_BY_DESIGN = frozenset(
 # asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r11 window first-timers (CORRECTNESS_r11.json, 50/50
+        #     green, all hash-exact; the other 34 window-11 names
+        #     were LRV re-verifies of rows already listed in the
+        #     r01-r10 blocks below) ---
+        "agg_mad_outliers", "dedup_minhash_index_reload_probe",
+        "multimodal_exif_gps_strip", "multimodal_jpeg_decode_real",
+        "pipeline_crawl_ingest_e2e", "pipeline_delete_propagation",
+        "pipeline_dsir_importance", "pipeline_html_extract",
+        "pipeline_pii_scrub", "pipeline_robots_screen",
+        "pipeline_sitemap_discovery", "profile_benford_digits",
+        "source_warc_records", "text_bpe_encode_full",
+        "text_kneser_ney_trigram", "text_perceptron_quality_train",
         # --- r10 window first-timers (CORRECTNESS_r10.json, 50/50
         #     green, all hash-exact; the other 23 window-10 names were
         #     LRV re-verifies of rows already listed in the r01-r09
@@ -270,83 +281,59 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# The 16 names with zero driver evidence across CORRECTNESS_r01..r10
-# (all round-10 additions, the former _QUEUED_POST_WINDOW; each passes
+# The 17 names with zero driver evidence across CORRECTNESS_r01..r11
+# (all round-11 additions, the former _QUEUED_POST_WINDOW; each passes
 # the local oracle at sf0.01 AND sf0.1 — tests/test_oracle_parity.py —
-# and all 16 were hash-verified by the judge's own verify_driver.py
-# run in the r10 session, 17/17 OK).  Sorted by name (the parity
-# test's derivation order).  Slots 1-16.
+# and all 17 were hash-verified by the judge's own verify_driver.py
+# run in the r11 session, 17/17 hash-match, MISMATCHES [], rc 0).
+# Sorted by name (the parity test's derivation order).  Slots 1-17.
 _NEVER_VERIFIED = (
-    "agg_mad_outliers", "dedup_minhash_index_reload_probe",
-    "multimodal_exif_gps_strip", "multimodal_jpeg_decode_real",
-    "pipeline_crawl_ingest_e2e", "pipeline_delete_propagation",
-    "pipeline_dsir_importance", "pipeline_html_extract",
-    "pipeline_pii_scrub", "pipeline_robots_screen",
-    "pipeline_sitemap_discovery", "profile_benford_digits",
-    "source_warc_records", "text_bpe_encode_full",
-    "text_kneser_ney_trigram", "text_perceptron_quality_train",
+    "multimodal_jpeg_color_real", "pipeline_charset_sniff",
+    "pipeline_crawl_ingest_files", "pipeline_frontier_politeness",
+    "pipeline_mime_routing", "pipeline_outlink_graph",
+    "pipeline_perplexity_trigram_buckets", "pipeline_redirect_chase",
+    "pipeline_robots_directives", "pipeline_robots_fetch_policy",
+    "pipeline_robots_wildcards", "profile_chisq_drift",
+    "source_http_content_coding", "source_http_responses",
+    "source_parquet_footer_stats", "source_warc_files",
+    "text_unicode_normalize",
 )
 
-# Deliberate re-verification slot (carried from r10's
-# _REVERIFY_QUEUED, per VERDICT r10 "Next round" #2):
-# multimodal_decode_features consumes operators/multimodal.py
-# decode_image_features, which grew the PNG/JPEG real-decode sniffing
-# path + a widened quarantine catch in R10 after its last driver-green
-# row (r4).  Re-proven hash-exact at sf0.1 locally and in the full
-# 322/322 fresh-session sim at r10 HEAD while it waited.  Slot 17.
-_REVERIFY: tuple[str, ...] = (
-    "multimodal_decode_features",
-)
+# No stale re-verify this round: r11's _REVERIFY_QUEUED was empty and
+# no driver-green query's decorator/build source changed before this
+# window froze (test_changed_queries_have_a_reverify_plan enforces).
+_REVERIFY: tuple[str, ...] = ()
 
 # Least-recently-verified spares: the 33 oracle-backed names with the
-# oldest driver evidence (the r04 text_* block, then the head of the
-# r05 rows) not already in this window — the head of the standing LRV
-# ordering, re-derived and asserted by the parity test.  Slots 18-50.
+# oldest driver evidence (the r05 fn_*/join_*/simsearch_* block, then
+# the head of the r06 rows) not already in this window — the head of
+# the standing LRV ordering, re-derived and asserted by the parity
+# test.  Slots 18-50.
 _LRV_SPARES = (
-    "text_bpe_pair_merges", "text_contamination_check",
-    "text_cooccurrence_pmi", "text_gopher_rules",
-    "text_keyword_search", "text_lang_confusion",
-    "text_lang_distribution", "text_pii_redaction",
-    "text_rarity_score", "text_repetition_ratios",
-    "text_source_divergence_l1", "text_top_terms_per_doc",
-    "text_vocab_coverage", "text_winnowing_fingerprints",
-    "text_word_counts_top20", "agg_argmax_per_group",
-    "agg_bitmap_distinct", "agg_group_ols_price_qty",
-    "agg_heavy_hitters_mg", "agg_listagg_within_group",
-    "dedup_containment_ngram", "dedup_segment_blocks",
-    "dedup_winnow_overlap", "embedding_gram_matrix",
-    "ev_bitmap_rollup_weekly_users", "ev_cohort_retention_matrix",
-    "ev_ewma_user_value", "ev_funnel_three_step",
-    "ev_gapfill_linear", "ev_hourly_anomaly_mad",
-    "ev_peak_concurrency", "ev_sliding_distinct_users",
-    "ev_time_weighted_avg",
+    "ev_value_log2_histogram", "fn_bitwise", "fn_collated_match",
+    "fn_edit_distance", "fn_higher_order_arrays",
+    "fn_inline_generators", "fn_interval_arithmetic",
+    "fn_try_arithmetic", "fn_url_parse", "fn_variant_json",
+    "fn_xml_roundtrip", "fn_zorder_key", "join_asof_forward",
+    "join_lateral_top_order", "join_null_safe", "join_range_binned",
+    "join_semi", "join_skew_salted", "q1_pricing_summary",
+    "simsearch_filtered_topk", "simsearch_knn_classify",
+    "simsearch_recall_audit", "simsearch_rrf_fusion",
+    "sub_relational_division", "text_bm25_rational",
+    "udf_arrow_grouped_stats", "window_pareto_abc",
+    "window_running_distinct", "window_running_median",
+    "agg_grouping_id", "dedup_embedding_cosine",
+    "dedup_embedding_ivf_blocked", "dedup_embedding_lsh_verified",
 )
 
-# Round-11 window: 16 never-verified + 1 stale re-verify + 33 LRV
-# spares, in the insertion order the driver will check them.  Green
-# across the board => 325/325 with driver evidence, zero stale rows.
-_PRIORITY_R11 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
+# Round-12 window: 17 never-verified + 33 LRV spares, in the
+# insertion order the driver will check them.  Green across the board
+# => 342/342 with driver evidence, zero stale rows — full coverage.
+_PRIORITY_R12 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
-# the head of the least-recently-verified tail and front window 12.
+# the head of the least-recently-verified tail and front window 13.
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
-    "pipeline_robots_wildcards",  # round-11 new: RFC 9309 '*'/'$' + multi-UA groups under the hash gate
-    "source_warc_files",  # round-11 new: file-level .warc.gz ingestion via binaryFile
-    "pipeline_perplexity_trigram_buckets",  # round-11 new: CCNet screen on the trigram KN model
-    "multimodal_jpeg_color_real",  # round-11 new: 4:2:0 color JPEG decode under the hash gate
-    "source_http_responses",  # round-11 new: raw HTTP/1.1 response parse (chunked + CL framing)
-    "pipeline_crawl_ingest_files",  # round-11 new: .warc.gz files -> WARC -> HTTP -> HTML -> screen
-    "pipeline_robots_directives",  # round-11 new: Sitemap records + star-group Crawl-delay
-    "pipeline_charset_sniff",  # round-11 new: WHATWG-tier encoding detection (BOM/header/meta/default)
-    "source_http_content_coding",  # round-11 new: gzip/deflate content codings over chunked framing
-    "pipeline_outlink_graph",  # round-11 new: href resolution -> host-level web-graph edges
-    "pipeline_frontier_politeness",  # round-11 new: PARSED Crawl-delay drives frontier spacing
-    "pipeline_redirect_chase",  # round-11 new: bounded-round 301 chase with loop detection
-    "pipeline_mime_routing",  # round-11 new: Content-Type dispatch incl. SOF-only JPEG dims probe
-    "source_parquet_footer_stats",  # round-11 new: distributed footer-stats manifest (rows-only by design)
-    "profile_chisq_drift",  # round-11 new: exact-integer chi-squared snapshot-drift audit
-    "pipeline_robots_fetch_policy",  # round-11 new: RFC 9309 4xx-allow / 5xx-disallow status tiers
-    "text_unicode_normalize",  # round-11 new: NFC/NFKC canonicalization screening
 )
 
 # Verified queries whose build source OR implementing operator
@@ -401,12 +388,12 @@ def _ordered_names() -> list[str]:
     fresh green rows — and future rounds build their priority batch by
     taking the head of this same ordering."""
     last = _last_verified_round()
-    in_window = set(_PRIORITY_R11)
+    in_window = set(_PRIORITY_R12)
     rest = sorted(
         (n for n in all_queries() if n not in in_window),
         key=lambda n: (last.get(n, 0), n),
     )
-    return list(_PRIORITY_R11) + rest
+    return list(_PRIORITY_R12) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:
