@@ -341,6 +341,13 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
 # slot this round (window full).  Each must pass sf0.1 oracle parity
 # while it waits; they front window 12 alongside _QUEUED_POST_WINDOW.
 _REVERIFY_QUEUED: tuple[str, ...] = (
+    # Both consume operators/jpeg.py jpeg_decode, whose _lut16 grew
+    # the ADVICE-r11 undefined-AC-symbol consistency fix after their
+    # r11 green rows (valid streams decode identically — the fix
+    # only touches malformed-symbol handling — but the operator
+    # changed, so the evidence is re-taken on principle).
+    "multimodal_jpeg_decode_real",
+    "multimodal_exif_gps_strip",
 )
 
 

@@ -30,6 +30,23 @@ from __future__ import annotations
 
 _CRLF = b"\r\n"
 
+# RFC grammars for framing tokens (ADVICE r11): int() alone accepts
+# Python literal laxities the RFCs reject — a leading '+', a '0x'
+# prefix under base 16 (int('0x1f', 16) == 31), '_' digit separators.
+# Framing strictness must match the documented contract exactly, so
+# tokens are validated against the RFC productions before conversion:
+# chunk-size = 1*HEXDIG (RFC 9112 §7.1), Content-Length = 1*DIGIT
+# (RFC 9110 §8.6).
+_HEXDIG = frozenset(b"0123456789abcdefABCDEF")
+_DIGIT = frozenset(b"0123456789")
+
+
+def _int_token(token: bytes | str, alphabet: frozenset, base: int) -> int:
+    raw = token.encode("latin-1") if isinstance(token, str) else token
+    if not raw or any(b not in alphabet for b in raw):
+        raise ValueError(f"token {raw!r} violates the RFC grammar")
+    return int(raw, base)
+
 
 class HttpFormatError(ValueError):
     """Malformed HTTP response framing; the message names the reason
@@ -75,7 +92,7 @@ def _dechunk(body: bytes) -> bytes:
             raise HttpFormatError("chunked body: missing chunk-size line")
         size_token = body[pos:eol].split(b";", 1)[0].strip()
         try:
-            size = int(size_token, 16)
+            size = _int_token(size_token, _HEXDIG, 16)
         except ValueError:
             raise HttpFormatError(
                 f"chunked body: bad chunk size {size_token!r}"
@@ -149,14 +166,25 @@ def http_parse_response(raw: bytes) -> dict:
             )
         body = _dechunk(body)
     elif "content-length" in headers:
+        # Duplicate Content-Length field lines were combined with ","
+        # by _parse_headers; RFC 9110 §8.6 says differing values make
+        # the message invalid — quarantine on disagreement, never
+        # accept whichever value the body happens to match (ADVICE
+        # r11).  Each value must also be 1*DIGIT exactly.
+        cl_values = [
+            v.strip() for v in headers["content-length"].split(",")
+        ]
+        if len(set(cl_values)) > 1:
+            raise HttpFormatError(
+                f"conflicting Content-Length values "
+                f"{headers['content-length']!r}"
+            )
         try:
-            clen = int(headers["content-length"].split(",")[0].strip())
+            clen = _int_token(cl_values[0], _DIGIT, 10)
         except ValueError:
             raise HttpFormatError(
                 f"bad Content-Length {headers['content-length']!r}"
             )
-        if clen < 0:
-            raise HttpFormatError("negative Content-Length")
         if len(body) < clen:
             raise HttpFormatError(
                 f"truncated body ({len(body)} < Content-Length {clen})"

@@ -231,6 +231,16 @@ def _lut16(bits: tuple, huffval: tuple, is_dc: bool) -> list:
             rs = huffval[k]
             size = rs if is_dc else rs & 0xF
             run = 0 if is_dc else rs >> 4
+            # AC size-0 symbols: only 0x00 (EOB, run 0) and 0xF0
+            # (ZRL, run 15) are defined by T.81; rs = 0x10..0xE0 are
+            # undefined, and the canonical fallback walk treats them
+            # as EOB (sz == 0, rs != 0xF0 -> break).  Encode them
+            # with run 0 here too so the SAME malformed stream
+            # decodes identically whichever path resolves the code
+            # (ADVICE r11: the fast path's "size 0, run > 0 -> ZRL"
+            # shortcut diverged from the fallback on these symbols).
+            if not is_dc and size == 0 and rs != 0xF0:
+                run = 0
             total = length + size
             if size <= 15 and total <= 16:
                 e = total | (size << 5) | (run << 9)

@@ -325,9 +325,11 @@ def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantines with the typed error.
 
     Fixture synthesis is idempotent and race-safe: files are written
-    once under a content-keyed temp dir (sf name + doc count +
-    format version) via mkdtemp + atomic rename; concurrent builders
-    lose the rename and reuse the winner's files.
+    once under a content-keyed temp dir (sf name + doc count + a
+    hash of the synthesis recipe's source, fixtures.fixture_cache_dir
+    — ADVICE r11: a hardcoded version token went stale silently) via
+    mkdtemp + atomic rename; concurrent builders lose the rename and
+    reuse the winner's files.
 
     Scale shape: binaryFile gives one task per shard file (a real
     ingest points the SAME reader at thousands of CC shards for free
@@ -338,16 +340,18 @@ def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    n = load_table(spark, sf_dir, "documents").count()
-    sfname = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_warc_files")
-    dest = os.path.join(root, f"{sfname}-n{n}-v1")
-    if not os.path.isdir(dest):
-        from parquet_to_sql_spark.operators.warc import (
-            warc_gzip_members,
-            warc_write_record,
-        )
+    from parquet_to_sql_spark.operators.warc import (
+        warc_gzip_members,
+        warc_write_record,
+    )
+    from parquet_to_sql_spark.queries.fixtures import fixture_cache_dir
 
+    n = load_table(spark, sf_dir, "documents").count()
+    root, dest = fixture_cache_dir(
+        "spark_graft_warc_files", sf_dir, n,
+        source_warc_files, warc_write_record, warc_gzip_members,
+    )
+    if not os.path.isdir(dest):
         os.makedirs(root, exist_ok=True)
         tmp = tempfile.mkdtemp(dir=root)
         for s in range(8):

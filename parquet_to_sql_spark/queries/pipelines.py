@@ -2767,18 +2767,21 @@ def pipeline_crawl_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    n = load_table(spark, sf_dir, "documents").count()
-    sfname = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_crawl_files")
-    dest = os.path.join(root, f"{sfname}-n{n}-v1")
-    if not os.path.isdir(dest):
-        from parquet_to_sql_spark.operators.crawl import synth_doc_html
-        from parquet_to_sql_spark.operators.http import http_write_response
-        from parquet_to_sql_spark.operators.warc import (
-            warc_gzip_members,
-            warc_write_record,
-        )
+    from parquet_to_sql_spark.operators.crawl import synth_doc_html
+    from parquet_to_sql_spark.operators.http import http_write_response
+    from parquet_to_sql_spark.operators.warc import (
+        warc_gzip_members,
+        warc_write_record,
+    )
+    from parquet_to_sql_spark.queries.fixtures import fixture_cache_dir
 
+    n = load_table(spark, sf_dir, "documents").count()
+    root, dest = fixture_cache_dir(
+        "spark_graft_crawl_files", sf_dir, n,
+        pipeline_crawl_ingest_files, synth_doc_html,
+        http_write_response, warc_write_record, warc_gzip_members,
+    )
+    if not os.path.isdir(dest):
         os.makedirs(root, exist_ok=True)
         tmp = tempfile.mkdtemp(dir=root)
         for s in range(8):

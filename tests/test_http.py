@@ -106,7 +106,8 @@ def test_quarantine_errors_are_typed():
         (b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nlonger",
          "trailing bytes"),
         (base.replace(b"Content-Length: 6", b"Content-Length: -1"),
-         "negative Content-Length"),
+         "bad Content-Length"),  # '-' violates 1*DIGIT (was a special
+        # negative check before the r11 ADVICE grammar tightening)
         (chunked.replace(b"4;x=1", b"g"), "bad chunk size"),
         (chunked[:-12], "truncated|unterminated|missing"),
         (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
@@ -117,6 +118,58 @@ def test_quarantine_errors_are_typed():
     for bad, why in cases:
         with pytest.raises(HttpFormatError, match=why):
             http_parse_response(bad)
+
+
+def test_framing_token_grammar_is_rfc_strict():
+    """ADVICE r11: int() accepts a leading '+', a '0x' prefix under
+    base 16, and '_' digit separators — all outside the RFC
+    productions (chunk-size = 1*HEXDIG, Content-Length = 1*DIGIT).
+    Each laxity must quarantine, not parse."""
+    def cl(value: bytes) -> bytes:
+        return (b"HTTP/1.1 200 OK\r\nContent-Length: " + value
+                + b"\r\n\r\n" + b"x" * 31)
+
+    for bad in (b"+31", b"3_1", b"0x1f", b" "):
+        with pytest.raises(HttpFormatError, match="bad Content-Length"):
+            http_parse_response(cl(bad))
+    # the exact-match body guard still applies to the valid form
+    assert http_parse_response(cl(b"31"))["body"] == b"x" * 31
+
+    def chunk(size_token: bytes) -> bytes:
+        return (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                + size_token + b"\r\n" + b"y" * 31 + b"\r\n0\r\n\r\n")
+
+    # int('0x1f', 16) == 31 and int('1_f', 16) == 31: both would
+    # frame this body "correctly" — the grammar must still reject
+    for bad in (b"0x1f", b"1_f", b"+1f", b""):
+        with pytest.raises(HttpFormatError, match="bad chunk size"):
+            http_parse_response(chunk(bad))
+    assert http_parse_response(chunk(b"1f"))["body"] == b"y" * 31
+    assert http_parse_response(chunk(b"1F"))["body"] == b"y" * 31
+
+
+def test_duplicate_content_length_must_agree():
+    """ADVICE r11 / RFC 9110 §8.6: duplicate Content-Length field
+    lines with differing values make the message invalid — quarantine
+    even when the body happens to match the first value.  Identical
+    duplicates (the RFC's explicitly tolerated case) still parse."""
+    conflicting = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Length: 4\r\n"
+        b"Content-Length: 7\r\n"
+        b"\r\n"
+        b"body"  # matches the FIRST value — must still quarantine
+    )
+    with pytest.raises(HttpFormatError, match="conflicting Content-Length"):
+        http_parse_response(conflicting)
+    agreeing = conflicting.replace(b"Content-Length: 7", b"Content-Length: 4")
+    assert http_parse_response(agreeing)["body"] == b"body"
+    # combined-on-one-line form (already list-valued on arrival)
+    single = (
+        b"HTTP/1.1 200 OK\r\nContent-Length: 4, 5\r\n\r\nbody"
+    )
+    with pytest.raises(HttpFormatError, match="conflicting Content-Length"):
+        http_parse_response(single)
 
 
 def test_sniff_charset_precedence_and_bom_strip():

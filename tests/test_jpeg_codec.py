@@ -266,6 +266,34 @@ def test_quarantine_errors_are_typed():
         jpeg_decode(bad12)
 
 
+def test_lut16_undefined_ac_symbols_match_fallback_eob():
+    """ADVICE r11: AC symbols with size 0 and run 1..14 (rs =
+    0x10..0xE0) are undefined in T.81; the canonical fallback walk
+    treats them as EOB, so the multi-symbol LUT must encode them
+    identically (run 0) — not as runnable ZRL-alikes — or the same
+    malformed stream decodes differently depending on whether its
+    code+magnitude straddles 16 bits."""
+    from parquet_to_sql_spark.operators.jpeg import _lut16
+
+    # 4 codes of length 2 (00,01,10,11): EOB, undefined 0x30, ZRL,
+    # and an ordinary run-1/size-2 symbol as a control
+    bits = (0, 4) + (0,) * 14
+    huffval = (0x00, 0x30, 0xF0, 0x12)
+    lut = _lut16(bits, huffval, False)
+
+    def entry(prefix2: int) -> int:
+        return lut[prefix2 << 14]
+
+    eob, undef, zrl, run1sz2 = (entry(p) for p in range(4))
+    assert eob == 2  # total_bits 2, size 0, run 0
+    assert zrl >> 9 == 15 and (zrl >> 5) & 15 == 0  # true ZRL
+    assert run1sz2 >> 9 == 1 and (run1sz2 >> 5) & 15 == 2
+    # the undefined symbol must carry run 0 (EOB behavior), exactly
+    # like the fallback's sz==0 / rs!=0xF0 branch
+    assert undef >> 9 == 0 and (undef >> 5) & 15 == 0
+    assert undef & 31 == 2
+
+
 def test_decode_image_features_sniffs_jpeg(spark):
     """decode_image_features(fake=False) now sniffs the payload:
     PNG signature -> png codec, JPEG SOI -> jpeg codec, anything else

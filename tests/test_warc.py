@@ -127,6 +127,50 @@ def test_file_level_ingestion_equals_payload_column_path(spark):
     assert len(file_rows) == 500
 
 
+def test_fixture_cache_key_tracks_recipe_source():
+    """ADVICE r11: the shard-fixture cache key must change when the
+    synthesis code changes — a hardcoded version token silently
+    reuses stale /tmp files after a recipe edit.  The key is now a
+    hash of the recipe functions' SOURCE: same functions -> same dir,
+    any function body change -> different dir; doc count and sf name
+    still key independently."""
+    from parquet_to_sql_spark.queries.fixtures import fixture_cache_dir
+
+    def recipe_a():
+        return 1
+
+    def recipe_b():
+        return 2
+
+    root, d1 = fixture_cache_dir("k", "/root/testdata/sf0.01", 500, recipe_a)
+    _, d1_again = fixture_cache_dir(
+        "k", "/root/testdata/sf0.01", 500, recipe_a
+    )
+    _, d2 = fixture_cache_dir("k", "/root/testdata/sf0.01", 500, recipe_b)
+    _, d3 = fixture_cache_dir("k", "/root/testdata/sf0.01", 501, recipe_a)
+    _, d4 = fixture_cache_dir("k", "/root/testdata/sf0.1", 500, recipe_a)
+    assert d1 == d1_again
+    assert len({d1, d2, d3, d4}) == 4
+    assert all(p.startswith(root + "/") for p in (d1, d2, d3, d4))
+    assert "sf0.01-n500-" in d1
+
+    # the two production fixtures key off their real recipe functions
+    # (the query build fn + every byte-shaping writer it calls)
+    from parquet_to_sql_spark.operators.warc import (
+        warc_gzip_members,
+        warc_write_record,
+    )
+    from parquet_to_sql_spark.queries.importing import source_warc_files
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    _ = all_queries()  # ensure registration side effects ran
+    _, dest = fixture_cache_dir(
+        "spark_graft_warc_files", "/root/testdata/sf0.01", 500,
+        source_warc_files, warc_write_record, warc_gzip_members,
+    )
+    assert "/spark_graft_warc_files/sf0.01-n500-" in dest
+
+
 def test_file_level_ingestion_quarantines_corrupt_member(spark, tmp_path):
     """A shard whose gzip member is truncated mid-stream must surface
     the TYPED WarcFormatError through the Spark job — quarantine,
