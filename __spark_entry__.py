@@ -334,6 +334,8 @@ _PRIORITY_R12 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 # Queries added AFTER this round's window was frozen.  They queue at
 # the head of the least-recently-verified tail and front window 13.
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
+    "multimodal_jpeg_progressive_real",  # round-12 new: SOF2 spectral selection + successive approximation under the hash gate
+    "pipeline_redirect_files_chase",  # round-12 new: parsed Location headers drive the bounded-round chase
 )
 
 # Verified queries whose build source OR implementing operator

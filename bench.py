@@ -151,6 +151,52 @@ def multimodal_jpeg_decode_throughput(spark, sf_dir):
     )
 
 
+def multimodal_jpeg_progressive_decode_throughput(spark, sf_dir):
+    """Progressive (SOF2) twin of the JPEG decode probe: encodes +
+    decodes 256 fixed 96x96 grayscale PROGRESSIVE JPEGs with the
+    default spectral-selection + successive-approximation script (6
+    scans for grayscale).  The progressive path decodes each scan
+    through the canonical per-bit reader — inherently several passes
+    over the coefficients versus baseline's single multi-symbol LUT
+    pass — so this row pins its own honest (lower) MB/s rather than
+    letting it hide behind the baseline row.  Fixed work independent
+    of sf."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_img, w, h = 256, 96, 96
+
+    def enc_dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.jpeg import (
+            jpeg_decode,
+            jpeg_encode_progressive,
+        )
+
+        for pdf in batches:
+            ok = 0
+            px_bytes = 0
+            for i in pdf["id"]:
+                i = int(i)
+                base = np.arange(w * h, dtype=np.uint32)
+                px = ((base // 64 * 11 + i * 31) % 256).astype(np.uint8).tobytes()
+                payload = jpeg_encode_progressive(w, h, px, 1, quant=8)
+                _, _, _, out = jpeg_decode(payload)
+                ok += len(out) == len(px)
+                px_bytes += len(out)
+            yield pd.DataFrame({"ok": [ok], "px_bytes": [px_bytes]})
+
+    import pyspark.sql.functions as F
+
+    return (
+        spark.range(0, n_img, 1, 32)
+        .mapInPandas(enc_dec, schema="ok long, px_bytes long")
+        .agg(F.sum("ok").alias("n_ok"), F.sum("px_bytes").alias("px_bytes"))
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -166,6 +212,9 @@ def main() -> int:
     headline["import_render_lineitem"] = import_render_lineitem
     headline["multimodal_png_decode_throughput"] = multimodal_png_decode_throughput
     headline["multimodal_jpeg_decode_throughput"] = multimodal_jpeg_decode_throughput
+    headline["multimodal_jpeg_progressive_decode_throughput"] = (
+        multimodal_jpeg_progressive_decode_throughput
+    )
 
     # Layout twins: identical logical query over raw parquet vs tables
     # bucketed on the join key. Bucket materialization is load-time

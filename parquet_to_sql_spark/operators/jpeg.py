@@ -10,12 +10,16 @@ container (PIL/libjpeg re-verified absent every round); numpy +
 stdlib `struct` are the only dependencies, exactly like the PNG/AVI
 codecs beside it.
 
-Scope (documented, asserted): baseline (SOF0) and extended
-sequential (SOF1) Huffman scans, 8-bit samples, 1 component
-(grayscale) or 3 components (JFIF YCbCr) with sampling factors 1-2
-(4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn).  Everything
-else raises :class:`JpegFormatError` naming the reason — progressive
-(SOF2), arithmetic coding (SOF9-11), lossless/hierarchical, 12-bit
+Scope (documented, asserted): baseline (SOF0), extended sequential
+(SOF1), and — since round 12 — PROGRESSIVE (SOF2) Huffman scans with
+both spectral selection and successive approximation (T.81 Annex G:
+DC first/refine, AC first/refine with EOB-run coding, interleaved DC
+scans, non-interleaved AC scans over each component's own block
+grid, restart intervals inside every scan kind); 8-bit samples, 1
+component (grayscale) or 3 components (JFIF YCbCr) with sampling
+factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn).
+Everything else raises :class:`JpegFormatError` naming the reason —
+arithmetic coding (SOF9-11), lossless/hierarchical, 12-bit
 precision, 4-component CMYK — so a training pipeline routes those to
 a quarantine bucket rather than guessing (same contract as the PNG
 and AVI codecs).
@@ -134,7 +138,6 @@ _K_AC_CHROMA = (
 )
 
 _UNSUPPORTED_SOF = {
-    0xC2: "progressive DCT (SOF2)",
     0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -146,6 +149,21 @@ _UNSUPPORTED_SOF = {
     0xCE: "differential arithmetic progressive (SOF14)",
     0xCF: "differential arithmetic lossless (SOF15)",
 }
+
+
+# AC table for PROGRESSIVE encoding: progressive AC scans need the
+# EOBn symbols (run<<4 with run 1..14 — end-of-band runs spanning up
+# to 2^14 blocks) that the Annex K BASELINE tables simply do not
+# contain.  Rather than grow a frequency-optimizing table builder,
+# use the trivially valid canonical table that assigns EVERY symbol
+# (run 0..15 x size 0..10 = 176 symbols: all EOBn, ZRL, and every
+# run/size pair an 8-bit-sample scan can produce) an 8-bit code —
+# 176 <= 256 leaves Kraft slack, the decoder's 8-bit LUT resolves
+# every code in one index, and fixture compactness is irrelevant.
+_P_AC_ALL8 = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
 
 
 class _HuffTable:
@@ -369,7 +387,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     ``pixels`` is row-major 8-bit RGB (3 components) or grayscale
     (1 component), ``width * height * channels`` bytes.  Raises
     :class:`JpegFormatError` on malformed input and on every variant
-    outside the documented baseline scope.
+    outside the documented scope (baseline, extended sequential, and
+    progressive Huffman frames).
     """
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegFormatError("not a JPEG (missing SOI)")
@@ -380,6 +399,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     frame = None  # (w, h, [(cid, hsamp, vsamp, tq)])
     restart_interval = 0
     out = None
+    progressive = False
+    prog = None  # progressive coefficient state, built at first SOS
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -434,7 +455,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + n
                 t = _HuffTable(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = t
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2 (prog.)
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise JpegFormatError(
@@ -464,10 +486,18 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegFormatError("SOS before SOF")
             w, h, comps = frame
             ns = seg[0]
+            if progressive:
+                if prog is None:
+                    prog = _ProgressiveState(frame)
+                pos = _decode_progressive_scan(
+                    data, pos, seg, prog, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
+                continue
             if ns != len(comps):
                 raise JpegFormatError(
-                    "partial/multi-scan not supported (baseline single "
-                    "scan only) — quarantine"
+                    "partial/multi-scan not supported in a sequential "
+                    "frame (baseline single scan only) — quarantine"
                 )
             sel = {}
             for c in range(ns):
@@ -481,6 +511,10 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             out = out[0]
         # APPn / COM / others: skipped (length already consumed)
 
+    if progressive:
+        if prog is None:
+            raise JpegFormatError("no scan decoded (missing SOS)")
+        out = prog.reconstruct(qtables)
     if out is None:
         raise JpegFormatError("no scan decoded (missing SOS)")
     w, h, comps = frame
@@ -694,6 +728,14 @@ def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri):
         st["coef"] = nat.reshape(-1, 8, 8)
         del st["flat"]
 
+    return _reconstruct(per, w, h, hmax, vmax), new_pos
+
+
+def _reconstruct(per, w, h, hmax, vmax) -> bytes:
+    """Dequantize + inverse-DCT every component's coefficient array
+    (natural order, (n_blocks, 8, 8) on the MCU-padded grid),
+    replicate-upsample subsampled planes, and color-convert — the
+    shared back half of the baseline and progressive decode paths."""
     planes = []
     for st in per:
         deq = st["coef"] * st["q"]  # (n, 8, 8) * (8, 8) broadcast
@@ -716,7 +758,7 @@ def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri):
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
-        return planes[0].tobytes(), new_pos
+        return planes[0].tobytes()
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0
@@ -728,10 +770,269 @@ def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri):
         ],
         axis=-1,
     )
-    return (
-        np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes(),
-        new_pos,
-    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for a progressive (SOF2) frame: one
+    zigzag-order flat int list per component on the MCU-padded block
+    grid, updated scan by scan (T.81 Annex G), scattered to natural
+    order and reconstructed once at EOI.
+
+    Non-interleaved scans address only the component's USED blocks —
+    ceil(comp_width/8) x ceil(comp_height/8) per T.81 A.2.2, which is
+    NARROWER than the MCU-padded grid when a 4:2:0 luma plane has an
+    odd MCU-row remainder — so each component carries both widths and
+    ``block_base`` maps a scan block index onto the padded array."""
+
+    def __init__(self, frame):
+        w, h, comps = frame
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.comps: dict[int, dict] = {}
+        self.order: list[int] = []
+        for cid, hs, vs, tq in comps:
+            bw, bh = self.mcux * hs, self.mcuy * vs
+            cw, ch = -(-w * hs // self.hmax), -(-h * vs // self.vmax)
+            self.comps[cid] = {
+                "hs": hs, "vs": vs, "tq": tq, "bw": bw, "bh": bh,
+                "ubw": -(-cw // 8), "ubh": -(-ch // 8),
+                "flat": [0] * (bw * bh * 64),
+                "dc_seen": False,
+            }
+            self.order.append(cid)
+
+    def reconstruct(self, qtables) -> bytes:
+        w, h, _ = self.frame
+        per = []
+        for cid in self.order:
+            st = self.comps[cid]
+            if st["tq"] not in qtables:
+                raise JpegFormatError(f"missing quant table {st['tq']}")
+            zzc = np.asarray(st["flat"], dtype=np.int64).reshape(-1, 64)
+            nat = np.empty_like(zzc)
+            nat[:, _ZIGZAG] = zzc
+            per.append({
+                "coef": nat.reshape(-1, 8, 8), "q": qtables[st["tq"]],
+                "bw": st["bw"], "hs": st["hs"], "vs": st["vs"],
+            })
+        return _reconstruct(per, w, h, self.hmax, self.vmax)
+
+
+def _decode_progressive_scan(data, pos, seg, prog, dc_tabs, ac_tabs, ri):
+    """Decode one progressive scan (T.81 G.2): DC first/refine over
+    interleaved MCUs or a single component's blocks, AC first/refine
+    over exactly one component's blocks with EOB-run coding.  Updates
+    ``prog`` in place; returns the position of the terminating
+    marker."""
+    ns = seg[0]
+    if len(seg) < 4 + 2 * ns:
+        raise JpegFormatError("truncated SOS header")
+    scomps = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        if cs not in prog.comps:
+            raise JpegFormatError(f"scan component {cs} not in frame")
+        scomps.append((cs, tt >> 4, tt & 0xF))
+    ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    is_dc = ss == 0
+    if is_dc:
+        if se != 0:
+            raise JpegFormatError(
+                f"progressive scan with Ss=0 must have Se=0 (got {se})"
+            )
+    else:
+        if not (1 <= ss <= se <= 63):
+            raise JpegFormatError(f"bad spectral band {ss}..{se}")
+        if ns != 1:
+            raise JpegFormatError(
+                "progressive AC scans must be non-interleaved (ns=1)"
+            )
+    if al > 13 or (ah and ah != al + 1):
+        raise JpegFormatError(
+            f"bad successive approximation Ah={ah} Al={al}"
+        )
+    refine = ah != 0
+
+    # resolve tables up front (DC refinement needs none)
+    for cs, td, ta in scomps:
+        st = prog.comps[cs]
+        if is_dc:
+            if not refine:
+                if td not in dc_tabs:
+                    raise JpegFormatError(f"missing Huffman table (DC {td})")
+                st["dct"] = dc_tabs[td]
+            if refine and not st["dc_seen"]:
+                raise JpegFormatError("DC refinement before DC first scan")
+            if not refine:
+                st["dc_seen"] = True
+        else:
+            if not st["dc_seen"]:
+                raise JpegFormatError("AC scan before the DC first scan")
+            if ta not in ac_tabs:
+                raise JpegFormatError(f"missing Huffman table (AC {ta})")
+            st["act"] = ac_tabs[ta]
+
+    interleaved = is_dc and ns > 1
+    if interleaved:
+        n_units = prog.mcux * prog.mcuy
+    else:
+        st0 = prog.comps[scomps[0][0]]
+        n_units = st0["ubw"] * st0["ubh"]
+
+    segs, new_pos = _entropy_segments(data, pos)
+    expected = -(-n_units // ri) if ri else 1
+    if len(segs) != expected:
+        raise JpegFormatError(
+            f"restart-segment count {len(segs)} != expected {expected} "
+            f"(interval {ri}, {n_units} units)"
+        )
+
+    u = 0
+    for sdata in segs:
+        bits = _SegBits(sdata)
+        preds = dict.fromkeys((sc[0] for sc in scomps), 0)
+        eobrun = 0
+        u_hi = min(u + ri, n_units) if ri else n_units
+        while u < u_hi:
+            if interleaved:
+                my, mx = divmod(u, prog.mcux)
+                for cs, _, _ in scomps:
+                    st = prog.comps[cs]
+                    hs, vs, bw = st["hs"], st["vs"], st["bw"]
+                    flat = st["flat"]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            base = (
+                                (my * vs + by) * bw + (mx * hs + bx)
+                            ) * 64
+                            if refine:
+                                if bits.receive(1):
+                                    flat[base] |= 1 << al
+                            else:
+                                preds[cs] = _dc_first(
+                                    bits, st["dct"], flat, base,
+                                    preds[cs], al,
+                                )
+            else:
+                cs = scomps[0][0]
+                st = prog.comps[cs]
+                by, bx = divmod(u, st["ubw"])
+                base = (by * st["bw"] + bx) * 64
+                flat = st["flat"]
+                if is_dc:
+                    if refine:
+                        if bits.receive(1):
+                            flat[base] |= 1 << al
+                    else:
+                        preds[cs] = _dc_first(
+                            bits, st["dct"], flat, base, preds[cs], al
+                        )
+                elif refine:
+                    eobrun = _ac_refine(
+                        bits, st["act"], flat, base, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_first(
+                        bits, st["act"], flat, base, ss, se, al, eobrun
+                    )
+            u += 1
+    return new_pos
+
+
+def _dc_first(bits, dc_tab, flat, base, pred, al) -> int:
+    """One block of a first DC scan (G.2.1): baseline DIFF decode in
+    the point-transformed domain; the stored coefficient is the
+    accumulated predictor scaled back up by 2^Al."""
+    t = bits.decode(dc_tab)
+    if t > 15:
+        raise JpegFormatError(f"bad DC category {t}")
+    pred += _extend(bits.receive(t), t) if t else 0
+    flat[base] = pred << al
+    return pred
+
+def _ac_first(bits, ac_tab, flat, base, ss, se, al, eobrun) -> int:
+    """One block of a first AC scan (G.2.2): run/size coding within
+    the band with EOBn end-of-band runs; magnitudes are scaled by
+    2^Al (the AC point transform divides magnitude, not value)."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.decode(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.receive(r)
+            break
+        k += r
+        if k > se:
+            raise JpegFormatError("AC run past band end")
+        flat[base + k] = _extend(bits.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(bits, ac_tab, flat, base, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (G.2.3 / figure G.7): each
+    already-nonzero coefficient passed over consumes one correction
+    bit; newly significant coefficients arrive as run/1 symbols with
+    a sign bit; EOBn runs carry the correction bits of every block
+    they cover.  Bitwise ops on the (possibly negative) stored
+    values follow two's complement exactly as the spec's integer
+    arithmetic does."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.decode(ac_tab)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.receive(r)
+                    break
+                # r == 15: skip over 16 zero-HISTORY coefficients
+            else:
+                if s != 1:
+                    raise JpegFormatError(
+                        "AC refinement magnitude size != 1"
+                    )
+                newval = p1 if bits.receive(1) else -p1
+            while k <= se:
+                c = flat[base + k]
+                if c:
+                    if bits.receive(1) and not (c & p1):
+                        flat[base + k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise JpegFormatError("AC refinement run past band end")
+                flat[base + k] = newval
+            k += 1
+    if eobrun:
+        while k <= se:
+            c = flat[base + k]
+            if c:
+                if bits.receive(1) and not (c & p1):
+                    flat[base + k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 class _BitWriter:
@@ -791,41 +1092,14 @@ def _encode_block(wtr, coef_zz, pred, dc_tab, ac_tab):
     return int(coef_zz[0])
 
 
-def jpeg_encode(
-    width: int,
-    height: int,
-    pixels: bytes,
-    channels: int = 1,
-    quant: int = 8,
-    restart_interval: int = 0,
-    subsampling: str = "444",
-    pixels_are_ycbcr: bool = False,
-) -> bytes:
-    """Encode 8-bit pixels as a baseline JPEG (grayscale, 4:4:4
-    YCbCr, or — with ``subsampling="420"`` — 4:2:0 YCbCr with 16x16
-    MCUs), standard Annex K Huffman tables, FLAT quantization table
-    of value ``quant`` everywhere.
-
-    ``quant=8`` makes per-8x8-block-CONSTANT content decode EXACTLY
-    (the DC coefficient of a flat block is 8*(v-128), an exact
-    multiple of 8), which is what the gate query's arithmetic oracle
-    relies on; smaller/larger values trade fidelity like a normal
-    quality knob.  ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that-many MCUs (exercises the decoder's restart path).
-
-    ``subsampling="420"`` (channels=3 only) downsamples both chroma
-    planes by 2x2 mean and interleaves 4 luma + 1 Cb + 1 Cr block per
-    MCU; dimensions must be multiples of 16 (the gate fixtures are —
-    generic edge MCUs are out of documented scope).  With
-    per-MCU-constant chroma the 2x2 mean is exact, so flat-block
-    arithmetic survives the subsample/upsample round trip.
-
-    ``pixels_are_ycbcr=True`` (channels=3 only) treats the input
-    planes as ALREADY YCbCr, skipping the float RGB->YCbCr forward
-    matrix — integer Y/Cb/Cr planes then hit the FDCT exactly, which
-    is what lets the color gate's oracle predict the decoder's
-    rounded RGB output without decoding.
-    """
+def _quantized_components(
+    width, height, pixels, channels, quant, subsampling, pixels_are_ycbcr
+):
+    """Shared encoder front half (validation, color transform, 4:2:0
+    mean-subsample, edge-pad, FDCT, flat quantization): returns
+    ``(blocks_per_comp, grids)`` where blocks_per_comp[c] is the
+    (n_blocks, 64) zigzag-order quantized coefficients and grids[c]
+    the component's (blocks-wide, blocks-high)."""
     if channels not in (1, 3):
         raise JpegFormatError(f"channels {channels} not supported (1/3)")
     if len(pixels) != width * height * channels:
@@ -869,9 +1143,6 @@ def jpeg_encode(
         ]
 
     qt = np.full((8, 8), float(quant))
-    dc_l, ac_l = _HuffTable(*_K_DC_LUMA), _HuffTable(*_K_AC_LUMA)
-    dc_c, ac_c = _HuffTable(*_K_DC_CHROMA), _HuffTable(*_K_AC_CHROMA)
-
     blocks_per_comp = []
     grids = []  # per-component (blocks-wide, blocks-high)
     for plane in planes:
@@ -891,12 +1162,17 @@ def jpeg_encode(
         q = np.round(S / qt).astype(np.int64)
         blocks_per_comp.append(q.reshape(-1, 64)[:, _ZIGZAG])
         grids.append((cbw, cbh))
+    return blocks_per_comp, grids
 
-    # MCU schedule: component/block-index pairs in scan order
+
+def _mcu_schedule(channels, grids, subsampling, width, height):
+    """Component/block-index pairs per MCU in scan order (4 luma +
+    1 Cb + 1 Cr per 16x16 MCU under 4:2:0; one block per component
+    otherwise)."""
     if subsampling == "420":
         lbw = grids[0][0]
         cw = grids[1][0]
-        mcu_sched = [
+        return [
             [
                 (0, (2 * my) * lbw + 2 * mx),
                 (0, (2 * my) * lbw + 2 * mx + 1),
@@ -908,11 +1184,52 @@ def jpeg_encode(
             for my in range(height // 16)
             for mx in range(width // 16)
         ]
-    else:
-        bw0, bh0 = grids[0]
-        mcu_sched = [
-            [(c, m) for c in range(channels)] for m in range(bw0 * bh0)
-        ]
+    bw0, bh0 = grids[0]
+    return [[(c, m) for c in range(channels)] for m in range(bw0 * bh0)]
+
+
+def jpeg_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 8,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    pixels_are_ycbcr: bool = False,
+) -> bytes:
+    """Encode 8-bit pixels as a baseline JPEG (grayscale, 4:4:4
+    YCbCr, or — with ``subsampling="420"`` — 4:2:0 YCbCr with 16x16
+    MCUs), standard Annex K Huffman tables, FLAT quantization table
+    of value ``quant`` everywhere.
+
+    ``quant=8`` makes per-8x8-block-CONSTANT content decode EXACTLY
+    (the DC coefficient of a flat block is 8*(v-128), an exact
+    multiple of 8), which is what the gate query's arithmetic oracle
+    relies on; smaller/larger values trade fidelity like a normal
+    quality knob.  ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that-many MCUs (exercises the decoder's restart path).
+
+    ``subsampling="420"`` (channels=3 only) downsamples both chroma
+    planes by 2x2 mean and interleaves 4 luma + 1 Cb + 1 Cr block per
+    MCU; dimensions must be multiples of 16 (the gate fixtures are —
+    generic edge MCUs are out of documented scope).  With
+    per-MCU-constant chroma the 2x2 mean is exact, so flat-block
+    arithmetic survives the subsample/upsample round trip.
+
+    ``pixels_are_ycbcr=True`` (channels=3 only) treats the input
+    planes as ALREADY YCbCr, skipping the float RGB->YCbCr forward
+    matrix — integer Y/Cb/Cr planes then hit the FDCT exactly, which
+    is what lets the color gate's oracle predict the decoder's
+    rounded RGB output without decoding.
+    """
+    blocks_per_comp, grids = _quantized_components(
+        width, height, pixels, channels, quant, subsampling,
+        pixels_are_ycbcr,
+    )
+    dc_l, ac_l = _HuffTable(*_K_DC_LUMA), _HuffTable(*_K_AC_LUMA)
+    dc_c, ac_c = _HuffTable(*_K_DC_CHROMA), _HuffTable(*_K_AC_CHROMA)
+    mcu_sched = _mcu_schedule(channels, grids, subsampling, width, height)
 
     wtr = _BitWriter()
     preds = [0] * channels
@@ -968,6 +1285,286 @@ def jpeg_encode(
     return bytes(out)
 
 
+def jpeg_encode_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 8,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    pixels_are_ycbcr: bool = False,
+    scans: list | None = None,
+) -> bytes:
+    """Encode 8-bit pixels as a PROGRESSIVE (SOF2) JPEG over the same
+    front half as :func:`jpeg_encode` (identical quantized
+    coefficients — a progressive stream of the same image decodes to
+    EXACTLY the same pixels as the baseline stream, which is the
+    codec suite's cross-path identity check).
+
+    ``scans`` is the scan script, a list of ``(comp_indices, Ss, Se,
+    Ah, Al)`` tuples; the default exercises every Annex G scan kind:
+    interleaved DC first at Al=1, per-component spectral-selection AC
+    first scans (1-5 then 6-63) at Al=2, AC refinement 2->1 and 1->0,
+    and a DC refinement.  Constraints (documented scope): DC scans
+    cover ALL components, AC scans exactly one; refinement scans must
+    step Al down by exactly 1 from a previously-sent band.  AC scans
+    use a fixed all-8-bit-code table (``_P_AC_ALL8``) because the
+    Annex K baseline tables lack the EOBn symbols progressive coding
+    needs.  ``restart_interval`` > 0 emits DRI + RSTn inside every
+    scan (units = MCUs for DC scans, blocks for AC scans), resetting
+    DC predictors and flushing EOB runs at each boundary."""
+    blocks_per_comp, grids = _quantized_components(
+        width, height, pixels, channels, quant, subsampling,
+        pixels_are_ycbcr,
+    )
+    dc_tabs = [
+        _HuffTable(*(_K_DC_LUMA if c == 0 else _K_DC_CHROMA))
+        for c in range(channels)
+    ]
+    ac_tab = _HuffTable(*_P_AC_ALL8)
+    mcu_sched = _mcu_schedule(channels, grids, subsampling, width, height)
+
+    if scans is None:
+        all_c = tuple(range(channels))
+        scans = [(all_c, 0, 0, 0, 1)]
+        for lo, hi in ((1, 5), (6, 63)):
+            scans += [((c,), lo, hi, 0, 2) for c in range(channels)]
+        scans += [((c,), 1, 63, 2, 1) for c in range(channels)]
+        scans += [(all_c, 0, 0, 1, 0)]
+        scans += [((c,), 1, 63, 1, 0) for c in range(channels)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt_zz = np.full(64, quant, dtype=np.uint8)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + qt_zz.tobytes())
+    if channels == 3:
+        out += seg(0xDB, bytes([0x01]) + qt_zz.tobytes())
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for c in range(channels):
+        samp = 0x22 if (subsampling == "420" and c == 0) else 0x11
+        sof += bytes([c + 1, samp, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _K_DC_LUMA)
+    if channels == 3:
+        out += dht(0, 1, _K_DC_CHROMA)
+    out += dht(1, 0, _P_AC_ALL8)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comp_idx, ss, se, ah, al in scans:
+        if ss == 0:
+            if tuple(comp_idx) != tuple(range(channels)):
+                raise JpegFormatError(
+                    "progressive encoder: DC scans must cover all "
+                    "components"
+                )
+        elif len(comp_idx) != 1:
+            raise JpegFormatError(
+                "progressive encoder: AC scans take exactly one component"
+            )
+        sos = bytes([len(comp_idx)])
+        for c in comp_idx:
+            td = 0 if c == 0 else 1
+            sos += bytes([c + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        if ss == 0 and ah == 0:
+            ent = _encode_dc_first(
+                blocks_per_comp, mcu_sched, dc_tabs, al, restart_interval
+            )
+        elif ss == 0:
+            ent = _encode_dc_refine(
+                blocks_per_comp, mcu_sched, al, restart_interval
+            )
+        elif ah == 0:
+            ent = _encode_ac_first(
+                blocks_per_comp[comp_idx[0]], ac_tab, ss, se, al,
+                restart_interval,
+            )
+        else:
+            ent = _encode_ac_refine(
+                blocks_per_comp[comp_idx[0]], ac_tab, ss, se, al,
+                restart_interval,
+            )
+        out += ent
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _rst(wtr: _BitWriter, n: int) -> int:
+    """Flush the bit buffer and append the next cyclic RSTn marker."""
+    wtr.flush()
+    wtr.out += bytes([0xFF, 0xD0 + (n & 7)])
+    return n + 1
+
+
+def _encode_dc_first(blocks_per_comp, mcu_sched, dc_tabs, al, ri) -> bytes:
+    wtr = _BitWriter()
+    preds = [0] * len(blocks_per_comp)
+    rst = 0
+    for m, entries in enumerate(mcu_sched):
+        if ri and m and m % ri == 0:
+            rst = _rst(wtr, rst)
+            preds = [0] * len(blocks_per_comp)
+        for c, bi in entries:
+            v = int(blocks_per_comp[c][bi][0]) >> al  # arithmetic shift
+            diff = v - preds[c]
+            preds[c] = v
+            t = 0 if diff == 0 else abs(diff).bit_length()
+            code, ln = dc_tabs[c].enc[t]
+            wtr.put(code, ln)
+            if t:
+                wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    return bytes(wtr.out)
+
+
+def _encode_dc_refine(blocks_per_comp, mcu_sched, al, ri) -> bytes:
+    wtr = _BitWriter()
+    rst = 0
+    for m, entries in enumerate(mcu_sched):
+        if ri and m and m % ri == 0:
+            rst = _rst(wtr, rst)
+        for c, bi in entries:
+            wtr.put((int(blocks_per_comp[c][bi][0]) >> al) & 1, 1)
+    wtr.flush()
+    return bytes(wtr.out)
+
+
+def _encode_ac_first(blocks, ac_tab, ss, se, al, ri) -> bytes:
+    wtr = _BitWriter()
+    eobrun = 0
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_tab.enc[r << 4]
+            wtr.put(code, ln)
+            if r:
+                wtr.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for bi in range(blocks.shape[0]):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            rst = _rst(wtr, rst)
+        zz = blocks[bi]
+        # AC point transform: sign * (magnitude >> Al)
+        tv = {}
+        last_nz = ss - 1
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (abs(v) >> al)
+            tv[k] = t if v >= 0 else -t
+            if t:
+                last_nz = k
+        if last_nz < ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for k in range(ss, last_nz + 1):
+            v = tv[k]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_tab.enc[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+            s = abs(v).bit_length()
+            code, ln = ac_tab.enc[(r << 4) | s]
+            wtr.put(code, ln)
+            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if last_nz < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    wtr.flush()
+    return bytes(wtr.out)
+
+
+def _encode_ac_refine(blocks, ac_tab, ss, se, al, ri) -> bytes:
+    """Figure G.7 correction coding: BE bits ride with the pending
+    EOB run, BR bits with the current block's next emitted symbol."""
+    wtr = _BitWriter()
+    eobrun = 0
+    be_bits: list[int] = []
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_tab.enc[r << 4]
+            wtr.put(code, ln)
+            if r:
+                wtr.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in be_bits:
+            wtr.put(b, 1)
+        be_bits.clear()
+
+    for bi in range(blocks.shape[0]):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            rst = _rst(wtr, rst)
+        zz = blocks[bi]
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_pos = ss - 1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_pos = ss + i
+        br_bits: list[int] = []
+        r = 0
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_pos:
+                flush_eob()
+                code, ln = ac_tab.enc[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+                for b in br_bits:
+                    wtr.put(b, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_tab.enc[(r << 4) | 1]
+            wtr.put(code, ln)
+            wtr.put(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br_bits:
+                wtr.put(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    wtr.flush()
+    return bytes(wtr.out)
+
+
 def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
     """Parse ``(width, height, channels)`` from the SOF0/SOF1 frame
     header WITHOUT touching the entropy-coded data — the metadata
@@ -1000,7 +1597,7 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
             raise JpegFormatError(
                 f"{_UNSUPPORTED_SOF[marker]} not supported; quarantine"
             )
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             if len(seg) < 6:
                 raise JpegFormatError("truncated SOF header")
             h, w = struct.unpack(">HH", seg[1:5])

@@ -344,9 +344,12 @@ def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_gzip_members,
         warc_write_record,
     )
-    from parquet_to_sql_spark.queries.fixtures import fixture_cache_dir
+    from parquet_to_sql_spark.queries.fixtures import (
+        corpus_count,
+        fixture_cache_dir,
+    )
 
-    n = load_table(spark, sf_dir, "documents").count()
+    n = corpus_count(spark, sf_dir)
     root, dest = fixture_cache_dir(
         "spark_graft_warc_files", sf_dir, n,
         source_warc_files, warc_write_record, warc_gzip_members,

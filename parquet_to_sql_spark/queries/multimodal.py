@@ -1113,6 +1113,130 @@ def multimodal_jpeg_color_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_progressive_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 3) AS width,
+             8 * (1 + doc_id % 2) AS height,
+             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(width * height AS BIGINT) AS n_px,
+           CAST(64 * list_sum(list_transform(range(nb),
+                i -> (doc_id * 41 + 13 * i) % 256)) AS BIGINT) AS pixel_sum,
+           TRUE AS roundtrip_exact,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 6 END AS INT) AS n_scans
+    FROM dims
+    """,
+)
+def multimodal_jpeg_progressive_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode under the hash gate (VERDICT
+    r11 "Next round" #2 — progressive is the biggest real-web
+    quarantine bucket the baseline-only decoder left, a large share
+    of crawled JPEGs).  Each document id becomes a per-8x8-block-
+    CONSTANT grayscale pattern (block i: (doc_id*41 + 13*i) % 256;
+    width 8*(1+id%3), height 8*(1+id%2)), is encoded as an actual
+    multi-scan progressive JPEG (operators/jpeg.py
+    jpeg_encode_progressive — T.81 Annex G spectral selection +
+    successive approximation), and decoded by the real decoder's new
+    progressive path: per-scan coefficient accumulation across DC
+    first/refine and AC first/refine scans with EOB-run coding, then
+    one dequant + IDCT at EOI.  The scan script VARIES by doc so one
+    driver run exercises every Annex G scan kind: doc_id%5==0 uses a
+    spectral-selection-only script (5 scans, Ah=Al=0 — the EOBRUN +
+    band-split path), even ids the default successive-approximation
+    script (6 scans for grayscale: DC Al=1, AC 1-5 and 6-63 at Al=2,
+    AC refine 2->1, DC refine, AC refine 1->0), odd ids a 6-scan
+    Al=1 script with split 1-31/32-63 refinement bands; every fourth
+    doc adds
+    restart_interval=2 (RSTn INSIDE progressive scans, resetting DC
+    predictors and EOB runs).  Flat blocks make reconstruction
+    mathematically exact (the DC coefficient is the only nonzero and
+    successive approximation reassembles it bit-for-bit), so the
+    oracle regenerates pixel_sum arithmetically WITHOUT decoding —
+    a wrong refinement bit order, EOB-run count, point-transform
+    shift, or restart reset is a value mismatch in the driver run.
+    ``n_scans`` pins the script actually emitted (parsed back from
+    the payload's SOS markers, not echoed from the branch).
+
+    Scale shape: narrow map over one pruned column (doc_id), no
+    shuffle, no collect; CPU-bound per-asset work in Arrow-batched
+    Python workers — the plumbing a real corpus runs where synthesis
+    is a binaryFile scan."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.jpeg import (
+            jpeg_decode,
+            jpeg_encode_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 3, 1 + did % 2
+                w, h = 8 * bw, 8 * bh
+                img = np.zeros((h, w), dtype=np.uint8)
+                for i in range(bw * bh):
+                    by, bx = divmod(i, bw)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        did * 41 + 13 * i
+                    ) % 256
+                px = img.tobytes()
+                if did % 5 == 0:
+                    scans = [((0,), 0, 0, 0, 0), ((0,), 1, 5, 0, 0),
+                             ((0,), 6, 20, 0, 0), ((0,), 21, 62, 0, 0),
+                             ((0,), 63, 63, 0, 0)]
+                elif did % 2 == 0:
+                    scans = None  # default successive-approximation script
+                else:
+                    scans = [((0,), 0, 0, 0, 1), ((0,), 1, 31, 0, 1),
+                             ((0,), 32, 63, 0, 1), ((0,), 0, 0, 1, 0),
+                             ((0,), 1, 31, 1, 0), ((0,), 32, 63, 1, 0)]
+                payload = jpeg_encode_progressive(
+                    w, h, px, channels=1, quant=8,
+                    restart_interval=2 if did % 4 == 0 else 0,
+                    scans=scans,
+                )
+                n_scans = payload.count(b"\xff\xda")
+                rw, rh, rc, out = jpeg_decode(payload)
+                total = int(np.frombuffer(out, np.uint8).sum(dtype=np.uint64))
+                rows.append(
+                    (did, rw, rh, rc, len(out), total, out == px, n_scans)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "n_px", "pixel_sum", "roundtrip_exact", "n_scans",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        encode_decode,
+        schema=(
+            "doc_id long, width int, height int, channels int, "
+            "n_px long, pixel_sum long, roundtrip_exact boolean, "
+            "n_scans int"
+        ),
+    )
+
+
+@query(
     "multimodal_exif_gps_strip",
     tags=("multimodal", "privacy", "mapInPandas", "llm-pipeline",
           "real-decoder"),

@@ -2706,6 +2706,102 @@ def pipeline_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redirect_target(did: int, n: int) -> int:
+    """Deterministic Location target for the shared crawl-files
+    fixture's 301 responses (did % 7 == 5 only; did % 35 is then in
+    {5, 12, 19, 26, 33}).  The rules form +7 ladders of consecutive
+    301 docs with three personalities so every chase outcome occurs:
+    ping-pong loops (r=12 blocks with b=1 point back), 4-long cycles
+    (r=26 blocks with b=2 point back to the ladder head), ladder
+    exits onto non-redirecting docs (r=33 -> +2, never ≡5 mod 7),
+    and ladders long enough to exhaust the 4-hop budget.  Mirrored
+    verbatim by _files_redirect_case in the DuckDB oracle — the
+    Spark side never sees these formulas, it PARSES the Location
+    headers back out of the fixture bytes."""
+    r, b = did % 35, (did // 35) % 4
+    if r == 12 and b == 1:
+        t = did - 7
+    elif r == 26 and b == 2:
+        t = did - 21
+    elif r == 33:
+        t = did + 2
+    else:
+        t = did + 7
+    return t % n
+
+
+def _crawl_files_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize (once, content-keyed) the shared ``.warc.gz`` shard
+    files both crawl-files gates read: 8 shards, each doc
+    contributing a request record plus a response record whose block
+    is a full HTTP message (status 200/301/404 by doc_id%7, charset
+    utf-8/iso-8859-1 by doc_id%2, every third doc chunked, body =
+    the html-gate HTML).  301 responses carry a REAL ``Location``
+    header (target from _redirect_target) whose FORM varies by
+    doc_id%3 — absolute, root-relative, protocol-relative — so the
+    chase gate's parse side exercises RFC 3986 reference resolution,
+    not just string matching.  Returns the fixture directory."""
+    import os
+    import tempfile
+
+    from parquet_to_sql_spark.operators.crawl import synth_doc_html
+    from parquet_to_sql_spark.operators.http import http_write_response
+    from parquet_to_sql_spark.operators.warc import (
+        warc_gzip_members,
+        warc_write_record,
+    )
+    from parquet_to_sql_spark.queries.fixtures import (
+        corpus_count,
+        fixture_cache_dir,
+    )
+
+    n = corpus_count(spark, sf_dir)
+    root, dest = fixture_cache_dir(
+        "spark_graft_crawl_files", sf_dir, n,
+        _crawl_files_fixture, _redirect_target, synth_doc_html,
+        http_write_response, warc_write_record, warc_gzip_members,
+    )
+    if not os.path.isdir(dest):
+        os.makedirs(root, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=root)
+        for s in range(8):
+            recs = []
+            for did in range(s, n, 8):
+                status, reason = (
+                    (301, "Moved Permanently") if did % 7 == 5
+                    else (404, "Not Found") if did % 7 == 6
+                    else (200, "OK")
+                )
+                cs = "utf-8" if did % 2 == 0 else "iso-8859-1"
+                body = synth_doc_html(did).encode(cs)
+                headers = [("Content-Type", f"text/html; charset={cs}")]
+                if status == 301:
+                    t = _redirect_target(did, n)
+                    loc = (
+                        f"http://ex.com/{t}" if did % 3 == 0
+                        else f"/{t}" if did % 3 == 1
+                        else f"//ex.com/{t}"
+                    )
+                    headers.append(("Location", loc))
+                msg = http_write_response(
+                    status, reason, headers, body, chunked=did % 3 == 0,
+                )
+                url = f"http://ex.com/{did}"
+                recs += [
+                    warc_write_record("request", url, b"GET /", f"q{did}"),
+                    warc_write_record("response", url, msg, f"r{did}"),
+                ]
+            with open(os.path.join(tmp, f"shard-{s}.warc.gz"), "wb") as f:
+                f.write(warc_gzip_members(recs))
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    return dest
+
+
 @query(
     "pipeline_crawl_ingest_files",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
@@ -2748,12 +2844,14 @@ def pipeline_crawl_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop verdict; four real parsers in sequence, each of which
     also stands alone under its own hash gate.
 
-    Fixtures: 8 deterministic shard files (content-keyed temp dir,
-    mkdtemp + atomic rename — the source_warc_files recipe) where
-    each doc contributes a request record plus a response record
-    whose block is a full HTTP message: status 200/301/404 by
-    doc_id%7, charset utf-8/iso-8859-1 by doc_id%2, every third doc
-    CHUNKED (extension + trailer), body = the html-gate HTML.  The
+    Fixtures: the shared _crawl_files_fixture shards (content-keyed
+    temp dir, mkdtemp + atomic rename; 301 responses additionally
+    carry real Location headers consumed by the
+    pipeline_redirect_files_chase gate beside this one): each doc
+    contributes a request record plus a response record whose block
+    is a full HTTP message — status 200/301/404 by doc_id%7, charset
+    utf-8/iso-8859-1 by doc_id%2, every third doc CHUNKED (extension
+    + trailer), body = the html-gate HTML.  The
     oracle composes the four arithmetic formulas WITHOUT parsing
     anything, so a bug in ANY layer — or in any seam (response
     selection, de-chunk before HTML, charset-aware decode) — is a
@@ -2764,57 +2862,9 @@ def pipeline_crawl_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain is a narrow Arrow map with per-file memory, no shuffle, no
     collect — the downstream dedup/screen exchanges are the separate,
     already-shipped queries."""
-    import os
-    import tempfile
-
-    from parquet_to_sql_spark.operators.crawl import synth_doc_html
-    from parquet_to_sql_spark.operators.http import http_write_response
-    from parquet_to_sql_spark.operators.warc import (
-        warc_gzip_members,
-        warc_write_record,
-    )
-    from parquet_to_sql_spark.queries.fixtures import fixture_cache_dir
-
-    n = load_table(spark, sf_dir, "documents").count()
-    root, dest = fixture_cache_dir(
-        "spark_graft_crawl_files", sf_dir, n,
-        pipeline_crawl_ingest_files, synth_doc_html,
-        http_write_response, warc_write_record, warc_gzip_members,
-    )
-    if not os.path.isdir(dest):
-        os.makedirs(root, exist_ok=True)
-        tmp = tempfile.mkdtemp(dir=root)
-        for s in range(8):
-            recs = []
-            for did in range(s, n, 8):
-                status, reason = (
-                    (301, "Moved Permanently") if did % 7 == 5
-                    else (404, "Not Found") if did % 7 == 6
-                    else (200, "OK")
-                )
-                cs = "utf-8" if did % 2 == 0 else "iso-8859-1"
-                body = synth_doc_html(did).encode(cs)
-                msg = http_write_response(
-                    status, reason,
-                    [("Content-Type", f"text/html; charset={cs}")],
-                    body, chunked=did % 3 == 0,
-                )
-                url = f"http://ex.com/{did}"
-                recs += [
-                    warc_write_record("request", url, b"GET /", f"q{did}"),
-                    warc_write_record("response", url, msg, f"r{did}"),
-                ]
-            with open(os.path.join(tmp, f"shard-{s}.warc.gz"), "wb") as f:
-                f.write(warc_gzip_members(recs))
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
-
     from parquet_to_sql_spark.operators.crawl import ingest_warc_shard_files
 
+    dest = _crawl_files_fixture(spark, sf_dir)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc.gz")
@@ -3201,21 +3251,35 @@ def pipeline_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_redirect_sql() -> str:
-    """Hop-unrolled DuckDB oracle for pipeline_redirect_chase: the
-    redirect function R is pure arithmetic, so each of the 4 hops is
-    one projected CASE; loop detection compares the next target
-    against every previously visited node (chains are <= 4 so the
-    visited set is explicit columns, no arrays needed)."""
-
-    def R(x: str) -> str:
-        return f"""CASE
+def _synthetic_redirect_case(x: str) -> str:
+    """The pipeline_redirect_chase edge rule as a SQL CASE."""
+    return f"""CASE
           WHEN {x} % 31 = 7 THEN ({x} + 1) % nn
           WHEN {x} % 31 = 8 THEN ({x} - 1 + nn) % nn
           WHEN {x} % 37 BETWEEN 11 AND 15 THEN ({x} + 1) % nn
           WHEN {x} % 5 IN (1, 2) THEN ({x} + 1) % nn
           ELSE NULL END"""
 
+
+def _files_redirect_case(x: str) -> str:
+    """_redirect_target mirrored as a SQL CASE: NULL unless the doc
+    is a fixture 301 source (doc % 7 == 5)."""
+    return f"""CASE
+          WHEN {x} % 7 <> 5 THEN NULL
+          WHEN {x} % 35 = 12 AND ({x} // 35) % 4 = 1
+               THEN ({x} - 7 + nn) % nn
+          WHEN {x} % 35 = 26 AND ({x} // 35) % 4 = 2
+               THEN ({x} - 21 + nn) % nn
+          WHEN {x} % 35 = 33 THEN ({x} + 2) % nn
+          ELSE ({x} + 7) % nn END"""
+
+
+def _duck_redirect_sql(R=_synthetic_redirect_case) -> str:
+    """Hop-unrolled DuckDB oracle for the redirect-chase gates: the
+    redirect function R is pure arithmetic, so each of the 4 hops is
+    one projected CASE; loop detection compares the next target
+    against every previously visited node (chains are <= 4 so the
+    visited set is explicit columns, no arrays needed)."""
     sql = """
     WITH nrel AS (SELECT COUNT(*) AS nn FROM documents),
     s0 AS (
@@ -3272,6 +3336,7 @@ def _duck_redirect_sql() -> str:
 @query(
     "pipeline_redirect_chase",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "composition"),
+    headline=True,
     oracle=_duck_redirect_sql(),
 )
 def pipeline_redirect_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3298,8 +3363,10 @@ def pipeline_redirect_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows from re-joining work, and real redirect graphs resolve in
     <=3 hops for the overwhelming majority — the same budget argument
     as the CC closure queries."""
+    from parquet_to_sql_spark.queries.fixtures import corpus_count
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
+    n = corpus_count(spark, sf_dir)
 
     def R(x):
         return (
@@ -3312,7 +3379,15 @@ def pipeline_redirect_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
     redirects = docs.select(
         F.col("doc_id").alias("src"), R(F.col("doc_id")).alias("tgt")
     ).filter(F.col("tgt").isNotNull())
+    return _chase_redirects(docs, redirects)
 
+
+def _chase_redirects(docs: DataFrame, redirects: DataFrame) -> DataFrame:
+    """The bounded-round chase engine shared by the synthetic-edge
+    and parsed-Location gates: four iterations of a left equi-join
+    carrying (cur, hops, visited-array, outcome) with outcome
+    freezing, then one classification join (still-redirecting rows
+    after the budget are 'too_many')."""
     state = docs.select(
         F.col("doc_id").alias("start"),
         F.col("doc_id").alias("cur"),
@@ -3360,9 +3435,104 @@ def pipeline_redirect_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_redirect_files_chase",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
+          "composition", "scale-path"),
+    headline=True,
+    oracle=_duck_redirect_sql(_files_redirect_case),
+)
+def pipeline_redirect_files_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REDIRECT SEAM CLOSED (VERDICT r11 "Next round" #3): the
+    r11 chase ran on synthesized arithmetic edges while the crawl
+    file gate merely counted its 301s — here the edges come from the
+    WIRE: binaryFile scan of the shared ``.warc.gz`` shards
+    (_crawl_files_fixture) -> WARC framing -> raw HTTP parse -> the
+    ``Location`` header of every 301 response -> RFC 3986 reference
+    resolution against the record URI (operators/crawl
+    .resolve_outlinks; the fixture rotates absolute, root-relative,
+    and protocol-relative forms by doc_id%3) -> a (src, tgt) edge
+    relation -> the SAME bounded-round chase engine
+    (_chase_redirects) the synthetic gate uses.  The oracle unrolls
+    _redirect_target arithmetically (_files_redirect_case), so a
+    header-parse slip, a relative-URL resolution bug, a lost
+    visited entry, or an off-by-one hop budget is a value mismatch
+    in the driver run; ok/loop/too_many all occur by construction
+    (_redirect_target's ladder personalities).
+
+    Scale shape: edge extraction is a narrow Arrow map with one task
+    per shard file and ONLY the 301 rows surviving (~1/7 of docs —
+    the edge relation a real crawl materializes); the chase is 4+1
+    corpus-sized but NARROW shuffle joins with outcome freezing —
+    the bounded-round label-propagation discipline, never a
+    recursive blow-up."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    dest = _crawl_files_fixture(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(dest)
+    )
+
+    def parse_edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        from parquet_to_sql_spark.operators.crawl import resolve_outlinks
+        from parquet_to_sql_spark.operators.http import http_parse_response
+        from parquet_to_sql_spark.operators.warc import (
+            WarcFormatError,
+            warc_records,
+        )
+
+        uri_re = re.compile(r"http://ex\.com/(\d+)")
+        for pdf in batches:
+            srcs: list[int] = []
+            tgts: list[int] = []
+            for content in pdf["content"]:
+                for rec in warc_records(bytes(content)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    resp = http_parse_response(rec["content"])
+                    if resp["status"] != 301:
+                        continue
+                    loc = resp["headers"].get("location")
+                    if loc is None:
+                        raise WarcFormatError(
+                            f"301 without Location at {rec['uri']!r}"
+                        )
+                    resolved = resolve_outlinks(rec["uri"], [loc])
+                    tm = (
+                        uri_re.fullmatch(resolved[0]) if resolved else None
+                    )
+                    sm = uri_re.fullmatch(rec["uri"])
+                    if not tm or not sm:
+                        raise WarcFormatError(
+                            f"unresolvable redirect {loc!r} at "
+                            f"{rec['uri']!r}"
+                        )
+                    srcs.append(int(sm.group(1)))
+                    tgts.append(int(tm.group(1)))
+            yield pd.DataFrame(
+                {
+                    "src": pd.Series(srcs, dtype="int64"),
+                    "tgt": pd.Series(tgts, dtype="int64"),
+                }
+            )
+
+    redirects = files.select("content").mapInPandas(
+        parse_edges, schema="src long, tgt long"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _chase_redirects(docs, redirects)
+
+
+@query(
     "pipeline_mime_routing",
     tags=("pipeline", "crawl-ingest", "multimodal", "llm-pipeline",
           "real-decoder", "composition"),
+    headline=True,
     oracle="""
     WITH d AS (
       SELECT doc_id,

@@ -252,7 +252,12 @@ def test_quarantine_errors_are_typed():
     good = jpeg_encode(8, 8, bytes([100] * 64), 1, quant=8)
     cases = [
         (b"nope", "not a JPEG"),
-        (good.replace(b"\xff\xc0", b"\xff\xc2", 1), "progressive"),
+        # SOF2 is SUPPORTED since r12 — but a baseline stream
+        # relabeled progressive carries a full-band Ss=0/Se=63 scan
+        # header, which Annex G forbids (DC scans must have Se=0):
+        # still a typed quarantine, now for the precise reason
+        (good.replace(b"\xff\xc0", b"\xff\xc2", 1),
+         "Ss=0 must have Se=0"),
         (good.replace(b"\xff\xc0", b"\xff\xc9", 1), "arithmetic"),
         (good[: len(good) // 2], "ran out|truncated|expected marker"),
     ]
@@ -264,6 +269,135 @@ def test_quarantine_errors_are_typed():
     bad12 = good[:i] + bytes([12]) + good[i + 1 :]
     with pytest.raises(JpegFormatError, match="12-bit"):
         jpeg_decode(bad12)
+
+
+def _pattern(w: int, h: int, ch: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub,ri",
+    [
+        (8, 8, 1, "444", 0),
+        (24, 16, 1, "444", 2),
+        (16, 16, 3, "444", 0),
+        (16, 16, 3, "420", 0),
+        (32, 16, 3, "420", 3),
+        (40, 24, 3, "444", 5),
+    ],
+)
+def test_progressive_decode_equals_baseline(w, h, ch, sub, ri):
+    """Cross-path identity: a progressive (SOF2) stream of the same
+    image carries the same quantized coefficients as the baseline
+    stream, so the decoder must reconstruct BIT-IDENTICAL pixels —
+    any slip in DC/AC first/refine decode, EOB-run accounting, or
+    per-scan restart handling breaks the equality."""
+    from parquet_to_sql_spark.operators.jpeg import jpeg_encode_progressive
+
+    px = _pattern(w, h, ch, seed=w * 31 + h * 7 + ch)
+    base = jpeg_decode(jpeg_encode(w, h, px, channels=ch, quant=8,
+                                   subsampling=sub))
+    prog = jpeg_decode(jpeg_encode_progressive(
+        w, h, px, channels=ch, quant=8, subsampling=sub,
+        restart_interval=ri,
+    ))
+    assert prog == base
+
+
+def test_progressive_scan_scripts_and_eob_runs():
+    """Alternate scan scripts (spectral-selection-only; deep Al=3
+    successive approximation) and EOB-run shapes (flat 64-block run;
+    sparse image forcing EOBn > 1 with interleaved correction bits)
+    all reconstruct identically to baseline."""
+    from parquet_to_sql_spark.operators.jpeg import jpeg_encode_progressive
+
+    w, h = 24, 16
+    px = _pattern(w, h, 3, seed=3)
+    spectral = [((0, 1, 2), 0, 0, 0, 0),
+                ((0,), 1, 9, 0, 0), ((1,), 1, 63, 0, 0),
+                ((2,), 1, 63, 0, 0), ((0,), 10, 63, 0, 0)]
+    assert jpeg_decode(
+        jpeg_encode_progressive(w, h, px, channels=3, quant=8,
+                                scans=spectral)
+    ) == jpeg_decode(jpeg_encode(w, h, px, channels=3, quant=8))
+
+    px1 = _pattern(w, h, 1, seed=4)
+    deep = [((0,), 0, 0, 0, 3), ((0,), 1, 63, 0, 3),
+            ((0,), 1, 63, 3, 2), ((0,), 0, 0, 3, 2),
+            ((0,), 1, 63, 2, 1), ((0,), 0, 0, 2, 1),
+            ((0,), 1, 63, 1, 0), ((0,), 0, 0, 1, 0)]
+    assert jpeg_decode(
+        jpeg_encode_progressive(w, h, px1, channels=1, quant=8, scans=deep)
+    ) == jpeg_decode(jpeg_encode(w, h, px1, channels=1, quant=8))
+
+    flat = bytes([77]) * (64 * 64)
+    assert jpeg_decode(
+        jpeg_encode_progressive(64, 64, flat, channels=1, quant=8)
+    )[3] == flat
+
+    img = np.full((64, 64), 128, np.uint8)
+    img[17, 33] = 255
+    img[50, 9] = 0
+    assert jpeg_decode(
+        jpeg_encode_progressive(64, 64, img.tobytes(), channels=1, quant=8)
+    ) == jpeg_decode(jpeg_encode(64, 64, img.tobytes(), channels=1, quant=8))
+
+
+def test_progressive_hand_derived_fixture_decodes_exactly():
+    """Fixed-byte SOF2 stream derived by hand (decoder checked
+    independently of the encoder): flat 8x8 gray value 100, quant 8
+    -> DC coefficient -28; scan 1 sends the Al=1 point transform
+    (-14: category 4 = Annex K code '101', magnitude '0001'), scan 2
+    refines with the low bit (0).  Every pixel must come back 100."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    sof = b"\xff\xc2" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    bits, vals = _K_DC_LUMA
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals)) + bytes(
+        [0x00] + bits + vals
+    )
+    sos1 = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0x01])
+    # '101' (cat 4) + '0001' (mag of -14) + 1-pad = 1010 0011
+    scan1 = bytes([0xA3])
+    sos2 = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0x10])
+    # correction bit 0 (-28 & 1) + 1-pad = 0111 1111
+    scan2 = bytes([0x7F])
+    data = (b"\xff\xd8" + dqt + sof + dht + sos1 + scan1 + sos2 + scan2
+            + b"\xff\xd9")
+    w, h, c, out = jpeg_decode(data)
+    assert (w, h, c) == (8, 8, 1)
+    assert out == bytes([100] * 64)
+
+
+def test_progressive_quarantine_errors_are_typed():
+    """Malformed/unsupported progressive structure quarantines with
+    the precise reason: AC scan before its DC first scan, bad
+    successive-approximation step, and the encoder's own scope
+    checks (multi-component AC scan, partial DC scan)."""
+    from parquet_to_sql_spark.operators.jpeg import jpeg_encode_progressive
+
+    px = bytes([100] * 64)
+    with pytest.raises(JpegFormatError, match="AC scan before"):
+        jpeg_decode(jpeg_encode_progressive(
+            8, 8, px, channels=1, quant=8, scans=[((0,), 1, 63, 0, 0)]
+        ))
+    with pytest.raises(JpegFormatError, match="successive approximation"):
+        jpeg_decode(jpeg_encode_progressive(
+            8, 8, px, channels=1, quant=8,
+            scans=[((0,), 0, 0, 0, 0), ((0,), 1, 63, 2, 0)],
+        ))
+    with pytest.raises(JpegFormatError, match="exactly one component"):
+        jpeg_encode_progressive(
+            16, 16, bytes([100] * (16 * 16 * 3)), channels=3, quant=8,
+            scans=[((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)],
+        )
+    with pytest.raises(JpegFormatError, match="all\\s+components"):
+        jpeg_encode_progressive(
+            16, 16, bytes([100] * (16 * 16 * 3)), channels=3, quant=8,
+            scans=[((0,), 0, 0, 0, 0)],
+        )
 
 
 def test_lut16_undefined_ac_symbols_match_fallback_eob():
@@ -331,8 +465,9 @@ def test_decode_image_features_sniffs_jpeg(spark):
 
 def test_jpeg_dimensions_probe_without_decode():
     """The metadata probe reads SOF dims only — identical answers to
-    the full decode, works past fill/standalone markers, and raises
-    typed errors on progressive input and missing SOF."""
+    the full decode, works past fill/standalone markers, reads SOF2
+    progressive headers (supported since r12), and raises typed
+    errors on arithmetic frames and missing SOF."""
     for w, h, ch in ((8, 8, 1), (24, 16, 1), (16, 16, 3)):
         px = bytes([100] * (w * h * ch))
         payload = jpeg_encode(w, h, px, channels=ch, quant=8)
@@ -341,8 +476,12 @@ def test_jpeg_dimensions_probe_without_decode():
     base = jpeg_encode(8, 8, bytes([50] * 64), 1, quant=8)
     weird = base[:2] + b"\xff" + b"\xff\x01" + base[2:]
     assert jpeg_dimensions(weird) == (8, 8, 1)
-    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(JpegFormatError, match="progressive"):
-        jpeg_dimensions(prog)
+    from parquet_to_sql_spark.operators.jpeg import jpeg_encode_progressive
+
+    prog = jpeg_encode_progressive(8, 8, bytes([50] * 64), 1, quant=8)
+    assert jpeg_dimensions(prog) == (8, 8, 1)
+    arith = base.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(JpegFormatError, match="arithmetic"):
+        jpeg_dimensions(arith)
     with pytest.raises(JpegFormatError, match="no SOF"):
         jpeg_dimensions(b"\xff\xd8\xff\xd9")

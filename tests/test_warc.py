@@ -127,6 +127,95 @@ def test_file_level_ingestion_equals_payload_column_path(spark):
     assert len(file_rows) == 500
 
 
+def test_redirect_files_chase_parses_all_location_forms(spark):
+    """The shared crawl fixture rotates Location forms by doc_id%3
+    (absolute, root-relative, protocol-relative); the chase gate's
+    edge extraction must resolve ALL of them to the same arithmetic
+    targets — and a 301 record whose Location header is missing must
+    quarantine with the typed WARC error, not emit a guessed edge."""
+    import pandas as pd
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from parquet_to_sql_spark.queries.pipelines import (
+        _crawl_files_fixture,
+        _redirect_target,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    dest = _crawl_files_fixture(spark, sf)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(dest)
+    )
+
+    # re-extract edges exactly the gate does, then compare against
+    # the fixture formula for every Location form class
+    from parquet_to_sql_spark.queries.registry import all_queries
+
+    q = all_queries()["pipeline_redirect_files_chase"]
+    # the gate output is hash-checked elsewhere; here check the raw
+    # edge layer: parse via the same operators inline
+    from parquet_to_sql_spark.operators.http import http_parse_response
+    from parquet_to_sql_spark.operators.warc import warc_records
+
+    n = 500
+    seen = {}
+    for row in files.select("content").collect():
+        for rec in warc_records(bytes(row.content)):
+            if rec["warc_type"] != "response":
+                continue
+            resp = http_parse_response(rec["content"])
+            if resp["status"] != 301:
+                continue
+            did = int(rec["uri"].rsplit("/", 1)[1])
+            seen[did] = resp["headers"]["location"]
+    assert seen, "fixture must contain 301 responses"
+    forms = {did % 3 for did in seen}
+    assert forms == {0, 1, 2}, "all three Location forms must occur"
+    for did, loc in seen.items():
+        t = _redirect_target(did, n)
+        assert str(t) == loc.rsplit("/", 1)[1], (did, loc, t)
+
+    # missing Location quarantines through the Spark job
+    from parquet_to_sql_spark.operators.http import http_write_response
+    from parquet_to_sql_spark.operators.warc import (
+        warc_gzip_members,
+        warc_write_record,
+    )
+    import tempfile
+    import os
+
+    bad_dir = tempfile.mkdtemp(prefix="bad_redirect_")
+    msg = http_write_response(301, "Moved Permanently", [], b"x")
+    with open(os.path.join(bad_dir, "shard-0.warc.gz"), "wb") as f:
+        f.write(warc_gzip_members(
+            [warc_write_record("response", "http://ex.com/5", msg, "r5")]
+        ))
+    bad_files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(bad_dir)
+    )
+    import parquet_to_sql_spark.queries.pipelines as P
+
+    # drive just the edge-extraction stage over the bad shard by
+    # rebuilding the gate against a patched fixture dir
+    def build_bad():
+        import pyspark.sql.functions as F  # noqa: F401
+
+        orig = P._crawl_files_fixture
+        P._crawl_files_fixture = lambda s, d: bad_dir
+        try:
+            return q.build(spark, sf).collect()
+        finally:
+            P._crawl_files_fixture = orig
+
+    with pytest.raises(Py4JJavaError, match="301 without Location"):
+        build_bad()
+
+
 def test_fixture_cache_key_tracks_recipe_source():
     """ADVICE r11: the shard-fixture cache key must change when the
     synthesis code changes — a hardcoded version token silently
