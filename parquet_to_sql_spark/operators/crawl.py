@@ -44,6 +44,44 @@ def synth_doc_html(did: int) -> str:
     )
 
 
+def synth_chrome_page(did: int) -> str:
+    """Deterministic FULL-CHROME page for a doc id — the construction
+    pipeline_main_content_extract pins: a header, a nav of 2+did%3
+    one-word links, an aside (every fourth doc), 1+did%5 article
+    paragraphs with arithmetic word counts (paragraph 0 of even docs
+    embeds one inline link — low link density, must stay main), a
+    related-posts row (all links — majority-linked boilerplate), a
+    two-word call-to-action with a link (short-link boilerplate),
+    and a footer with links.  Every boilerplate family the
+    html_main_content rules classify occurs on every page."""
+    k = 2 + did % 3
+    nav = " ".join(f'<a href="/n{j}">nav{j}</a>' for j in range(k))
+    aside = (
+        '<aside>sponsored offer <a href="/deal">deal</a> today</aside>'
+        if did % 4 == 0 else ""
+    )
+    paras = []
+    for p in range(1 + did % 5):
+        words = " ".join(f"w{p}" for _ in range(3 + (did + p) % 4))
+        if p == 0 and did % 2 == 0:
+            words += ' <a href="/m">more</a>'
+        paras.append(f"<p>{words}</p>")
+    related = (
+        '<div><a href="/r1">rel1</a> <a href="/r2">rel2</a> '
+        '<a href="/r3">rel3</a></div>'
+    )
+    promo = '<p><a href="/sub">Subscribe</a> now</p>'
+    footer = (
+        '<footer>Copyright ex com <a href="/t">terms</a> '
+        '<a href="/p">privacy</a></footer>'
+    )
+    return (
+        f"<html><head><title>Doc {did}</title></head><body>"
+        f"<header>Site Header</header><nav>{nav}</nav>{aside}"
+        f"{''.join(paras)}{related}{promo}{footer}</body></html>"
+    )
+
+
 def synth_crawl_payload(did: int) -> tuple[bytes, bool]:
     """Deterministic (warc_payload, gzipped) for a doc id: a request
     record plus a response record whose block is the same HTML

@@ -2214,6 +2214,108 @@ def pipeline_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_main_content_extract",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS k,
+             1 + doc_id % 5 AS np,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS aside,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS xtra
+      FROM documents
+    ), w AS (
+      SELECT doc_id, k, np, aside, xtra,
+             list_sum(list_transform(range(np),
+                      p -> 3 + (doc_id + p) % 4)) AS wsum,
+             array_to_string(list_transform(range(np), p ->
+               array_to_string(list_transform(range(3 + (doc_id + p) % 4),
+                               i -> 'w' || p), ' ')
+               || CASE WHEN p = 0 AND doc_id % 2 = 0
+                       THEN ' more' ELSE '' END
+             ), ' ') AS mtext
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'Doc ' || doc_id AS title,
+           CAST(np + 5 + aside AS BIGINT) AS n_blocks,
+           CAST(np AS BIGINT) AS n_main_blocks,
+           CAST(3 + aside AS BIGINT) AS n_chrome_blocks,
+           CAST(2 AS BIGINT) AS n_link_boiler_blocks,
+           CAST(wsum + xtra AS BIGINT) AS main_words,
+           CAST(12 + k + 4 * aside AS BIGINT) AS boiler_words,
+           mtext AS main_text
+    FROM w
+    """,
+)
+def pipeline_main_content_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAIN-CONTENT extraction (VERDICT r11 "Next round" #6) — what
+    production LLM pipelines run instead of all-visible-text:
+    boilerplate stripped by block-level text/link-density scoring
+    (the trafilatura/boilerpipe heuristic family as three
+    deterministic rules — operators/html.html_main_content).  Each
+    document id becomes a FULL-CHROME page (synth_chrome_page:
+    header, nav of 2+id%3 links, an aside every fourth doc, 1+id%5
+    article paragraphs — paragraph 0 of even docs embeds one inline
+    link that must SURVIVE as main content — a majority-linked
+    related-posts row, a two-word linked call-to-action, a footer
+    with links), and the extractor segments, scores, and keeps only
+    the article prose.  The oracle regenerates every block count,
+    the main/boiler word split, and the EXACT main text string
+    arithmetically — a block-boundary slip, a chrome flag leaking
+    across a flush, a link-density off-by-one, or a dropped inline
+    link word is a value mismatch in the driver run.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — the real ingest swaps synthesis for fetched HTML and
+    this exact extractor (the gate beside pipeline_html_extract,
+    which pins the ALL-text step this one supersedes for training
+    corpora)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.crawl import synth_chrome_page
+        from parquet_to_sql_spark.operators.html import html_main_content
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                out = html_main_content(synth_chrome_page(did))
+                rows.append(
+                    (
+                        did, out["title"], out["n_blocks"],
+                        out["n_main_blocks"], out["n_chrome_blocks"],
+                        out["n_link_boiler_blocks"], out["main_words"],
+                        out["boiler_words"], out["main_text"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "n_blocks", "n_main_blocks",
+                    "n_chrome_blocks", "n_link_boiler_blocks",
+                    "main_words", "boiler_words", "main_text",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, title string, n_blocks long, "
+            "n_main_blocks long, n_chrome_blocks long, "
+            "n_link_boiler_blocks long, main_words long, "
+            "boiler_words long, main_text string"
+        ),
+    )
+
+
+@query(
     "pipeline_html_extract",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
     oracle="""

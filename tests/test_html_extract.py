@@ -48,3 +48,62 @@ def test_broken_markup_is_tolerated_not_fatal():
 def test_non_utf8_quarantines():
     with pytest.raises(HtmlFormatError, match="not UTF-8"):
         html_extract(b"\xff\xfe\x00broken")
+
+
+def test_main_content_block_rules():
+    """html_main_content's three boilerplate rules, each in
+    isolation: chrome containers, majority-linked blocks, short
+    linked fragments — and prose with a MINORITY inline link must
+    survive as main content with the link word kept."""
+    from parquet_to_sql_spark.operators.html import html_main_content
+
+    out = html_main_content(
+        "<html><head><title>T</title></head><body>"
+        "<header>Site Header</header>"
+        '<nav><a href="/a">one</a> <a href="/b">two</a></nav>'
+        '<p>alpha beta gamma <a href="/m">more</a></p>'
+        '<div><a href="/r">rel</a> <a href="/s">sel</a> x</div>'
+        '<p><a href="/go">Go</a> now</p>'
+        "<footer>c 2020 <a href=/t>terms</a></footer>"
+        "</body></html>"
+    )
+    assert out["title"] == "T"
+    assert out["main_text"] == "alpha beta gamma more"
+    assert out["main_words"] == 4
+    assert out["n_blocks"] == 6
+    assert out["n_main_blocks"] == 1
+    assert out["n_chrome_blocks"] == 3  # header, nav, footer
+    assert out["n_link_boiler_blocks"] == 2  # rel-row + "Go now"
+    assert out["boiler_words"] == 2 + 2 + 3 + 2 + 3
+
+
+def test_main_content_density_boundary_and_nesting():
+    """2*linked == words is NOT majority-linked (stays main); text
+    nested inside chrome via inner block tags is still chrome; body
+    text outside any block flushes as its own block; scripts never
+    leak."""
+    from parquet_to_sql_spark.operators.html import html_main_content
+
+    # exactly half linked: 2*2 > 4 is false -> main
+    out = html_main_content('<p><a href=x>a b</a> c d</p>')
+    assert out["n_main_blocks"] == 1 and out["main_words"] == 4
+
+    out = html_main_content(
+        "<nav><ul><li>x1</li><li>x2</li></ul></nav><p>keep this prose</p>"
+    )
+    assert out["main_text"] == "keep this prose"
+    assert out["n_chrome_blocks"] == 2  # each li flushed under nav
+
+    out = html_main_content(
+        "<body>stray words here<p>real paragraph text</p>"
+        "<script>var x='leak leak';</script></body>"
+    )
+    assert out["main_text"] == "stray words here real paragraph text"
+    assert out["n_blocks"] == 2
+
+    # bytes contract mirrors html_extract
+    import pytest
+    from parquet_to_sql_spark.operators.html import HtmlFormatError
+
+    with pytest.raises(HtmlFormatError, match="not UTF-8"):
+        html_main_content(b"\xff\xfe<nope>")
