@@ -1313,17 +1313,55 @@ def jpeg_encode_progressive(
     Annex K baseline tables lack the EOBn symbols progressive coding
     needs.  ``restart_interval`` > 0 emits DRI + RSTn inside every
     scan (units = MCUs for DC scans, blocks for AC scans), resetting
-    DC predictors and flushing EOB runs at each boundary."""
+    DC predictors and flushing EOB runs at each boundary.
+
+    Unlike the baseline encoder, 4:2:0 here accepts ANY dimensions
+    that are multiples of 8: the image is edge-replicated to whole
+    16x16 MCUs for the interleaved DC scan (what real encoders do),
+    while the SOF carries the TRUE dimensions and the
+    NON-INTERLEAVED AC scans cover only each component's USED block
+    grid (ceil(comp_size/8) per T.81 A.2.2) — which is NARROWER
+    than the MCU-padded grid whenever a dimension is an odd
+    multiple of 8, the exact block-addressing seam most real-web
+    progressive 4:2:0 images exercise in the decoder."""
+    enc_w, enc_h, enc_px = width, height, pixels
+    if subsampling == "420" and channels == 3 and (
+        width % 16 or height % 16
+    ):
+        if width % 8 or height % 8:
+            raise JpegFormatError(
+                "progressive 4:2:0 requires multiples of 8"
+            )
+        enc_w, enc_h = -(-width // 16) * 16, -(-height // 16) * 16
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width, channels
+        )
+        arr = np.pad(
+            arr,
+            ((0, enc_h - height), (0, enc_w - width), (0, 0)),
+            mode="edge",
+        )
+        enc_px = arr.tobytes()
     blocks_per_comp, grids = _quantized_components(
-        width, height, pixels, channels, quant, subsampling,
+        enc_w, enc_h, enc_px, channels, quant, subsampling,
         pixels_are_ycbcr,
     )
+    # per-component USED block grid from the TRUE dims (what the
+    # non-interleaved AC scans iterate) vs the padded grid width
+    # (how block indices address blocks_per_comp rows)
+    used: list[tuple[int, int, int]] = []  # (ubw, ubh, padded_gw)
+    for c in range(channels):
+        if subsampling == "420" and c > 0:
+            cw, ch = -(-width // 2), -(-height // 2)
+        else:
+            cw, ch = width, height
+        used.append((-(-cw // 8), -(-ch // 8), grids[c][0]))
     dc_tabs = [
         _HuffTable(*(_K_DC_LUMA if c == 0 else _K_DC_CHROMA))
         for c in range(channels)
     ]
     ac_tab = _HuffTable(*_P_AC_ALL8)
-    mcu_sched = _mcu_schedule(channels, grids, subsampling, width, height)
+    mcu_sched = _mcu_schedule(channels, grids, subsampling, enc_w, enc_h)
 
     if scans is None:
         all_c = tuple(range(channels))
@@ -1384,14 +1422,15 @@ def jpeg_encode_progressive(
             ent = _encode_dc_refine(
                 blocks_per_comp, mcu_sched, al, restart_interval
             )
-        elif ah == 0:
-            ent = _encode_ac_first(
-                blocks_per_comp[comp_idx[0]], ac_tab, ss, se, al,
-                restart_interval,
-            )
         else:
-            ent = _encode_ac_refine(
-                blocks_per_comp[comp_idx[0]], ac_tab, ss, se, al,
+            c = comp_idx[0]
+            ubw, ubh, gw = used[c]
+            order = [
+                by * gw + bx for by in range(ubh) for bx in range(ubw)
+            ]
+            enc = _encode_ac_first if ah == 0 else _encode_ac_refine
+            ent = enc(
+                blocks_per_comp[c], order, ac_tab, ss, se, al,
                 restart_interval,
             )
         out += ent
@@ -1439,7 +1478,7 @@ def _encode_dc_refine(blocks_per_comp, mcu_sched, al, ri) -> bytes:
     return bytes(wtr.out)
 
 
-def _encode_ac_first(blocks, ac_tab, ss, se, al, ri) -> bytes:
+def _encode_ac_first(blocks, order, ac_tab, ss, se, al, ri) -> bytes:
     wtr = _BitWriter()
     eobrun = 0
     rst = 0
@@ -1454,8 +1493,8 @@ def _encode_ac_first(blocks, ac_tab, ss, se, al, ri) -> bytes:
                 wtr.put(eobrun - (1 << r), r)
             eobrun = 0
 
-    for bi in range(blocks.shape[0]):
-        if ri and bi and bi % ri == 0:
+    for u, bi in enumerate(order):
+        if ri and u and u % ri == 0:
             flush_eob()
             rst = _rst(wtr, rst)
         zz = blocks[bi]
@@ -1498,7 +1537,7 @@ def _encode_ac_first(blocks, ac_tab, ss, se, al, ri) -> bytes:
     return bytes(wtr.out)
 
 
-def _encode_ac_refine(blocks, ac_tab, ss, se, al, ri) -> bytes:
+def _encode_ac_refine(blocks, order, ac_tab, ss, se, al, ri) -> bytes:
     """Figure G.7 correction coding: BE bits ride with the pending
     EOB run, BR bits with the current block's next emitted symbol."""
     wtr = _BitWriter()
@@ -1519,8 +1558,8 @@ def _encode_ac_refine(blocks, ac_tab, ss, se, al, ri) -> bytes:
             wtr.put(b, 1)
         be_bits.clear()
 
-    for bi in range(blocks.shape[0]):
-        if ri and bi and bi % ri == 0:
+    for u, bi in enumerate(order):
+        if ri and u and u % ri == 0:
             flush_eob()
             rst = _rst(wtr, rst)
         zz = blocks[bi]

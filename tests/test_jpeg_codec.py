@@ -344,6 +344,36 @@ def test_progressive_scan_scripts_and_eob_runs():
     ) == jpeg_decode(jpeg_encode(64, 64, img.tobytes(), channels=1, quant=8))
 
 
+@pytest.mark.parametrize("w,h,ri", [(24, 32, 0), (24, 16, 2), (56, 40, 3)])
+def test_progressive_420_odd_mcu_dims(w, h, ri):
+    """4:2:0 progressive at dimensions that are odd multiples of 8:
+    the luma USED block grid (ceil(w/8)) is NARROWER than the
+    MCU-padded grid the interleaved DC scan covers, so the
+    non-interleaved AC scans must remap block indices across grid
+    widths — the block-addressing seam most real-web progressive
+    4:2:0 images hit.  Reference: baseline encode of the SAME image
+    edge-padded to whole MCUs, decoded and cropped (identical
+    quantized coefficients for every block inside the crop)."""
+    from parquet_to_sql_spark.operators.jpeg import jpeg_encode_progressive
+
+    px = _pattern(w, h, 3, seed=w + h)
+    prog = jpeg_decode(jpeg_encode_progressive(
+        w, h, px, channels=3, quant=8, subsampling="420",
+        restart_interval=ri,
+    ))
+    assert prog[:3] == (w, h, 3)
+    w16, h16 = -(-w // 16) * 16, -(-h // 16) * 16
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    pad = np.pad(arr, ((0, h16 - h), (0, w16 - w), (0, 0)), mode="edge")
+    base = jpeg_decode(jpeg_encode(
+        w16, h16, pad.tobytes(), channels=3, quant=8, subsampling="420",
+    ))
+    ref = np.frombuffer(base[3], np.uint8).reshape(h16, w16, 3)[:h, :w]
+    assert np.array_equal(
+        np.frombuffer(prog[3], np.uint8).reshape(h, w, 3), ref
+    )
+
+
 def test_progressive_hand_derived_fixture_decodes_exactly():
     """Fixed-byte SOF2 stream derived by hand (decoder checked
     independently of the encoder): flat 8x8 gray value 100, quant 8
