@@ -337,6 +337,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_progressive_real",  # round-12 new: SOF2 spectral selection + successive approximation under the hash gate
     "pipeline_redirect_files_chase",  # round-12 new: parsed Location headers drive the bounded-round chase
     "pipeline_main_content_extract",  # round-12 new: block-scored boilerplate stripping (text/link density)
+    "pipeline_wet_generation",  # round-12 new: WET conversion records with byte-exact writer framing under the hash gate
 )
 
 # Verified queries whose build source OR implementing operator

@@ -3537,6 +3537,140 @@ def _chase_redirects(docs: DataFrame, redirects: DataFrame) -> DataFrame:
 
 
 @query(
+    "pipeline_wet_generation",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
+          "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 4 AS nlinks,
+             list_sum(list_transform(range(1 + doc_id % 5),
+                      p -> 3 + (doc_id + p) % 4)) AS wsum
+      FROM documents
+    ), t AS (
+      SELECT doc_id, nlinks,
+             3 * nlinks + 2 * wsum + nlinks + wsum - 1 AS tlen
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN doc_id % 7 = 5 THEN 301
+                WHEN doc_id % 7 = 6 THEN 404 ELSE 200 END AS INT)
+             AS status,
+           'text/html' AS content_type,
+           CAST(2 + CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_headers,
+           CAST(nlinks AS BIGINT) AS n_links,
+           CAST(tlen AS BIGINT) AS wet_text_len,
+           CAST(183 + 3 * length(CAST(doc_id AS VARCHAR))
+                + length(CAST(tlen AS VARCHAR)) + tlen AS BIGINT)
+             AS wet_record_len,
+           TRUE AS wet_roundtrip
+    FROM t
+    """,
+)
+def pipeline_wet_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET/WAT DERIVATIVE GENERATION — the Common Crawl products a
+    corpus pipeline actually consumes: from the shared ``.warc.gz``
+    response shards, WRITE a real WET ``conversion`` record per page
+    (extracted visible text as the block, ``WARC-Refers-To`` linking
+    the source response — ISO 28500 framing via warc_write_record)
+    and surface the WAT-grade metadata (status, media type, header
+    count, outlink count) beside it.  Each written record is
+    immediately RE-PARSED with the strict reader and field-compared
+    (``wet_roundtrip``), and — the novel pin — the oracle computes
+    the EXACT serialized record length arithmetically (version line
+    + six fixed headers whose variable parts are the doc-id digit
+    count and the Content-Length digit count + CRLF framing + text),
+    so the WRITER's byte-level framing sits under the driver hash
+    gate, not just under reader-roundtrip unit tests: one byte of
+    drift in any header literal, separator, or terminator is a value
+    mismatch on every row.
+
+    Scale shape: one task per shard file, narrow Arrow map (parse ->
+    extract -> write -> reparse entirely executor-side), no shuffle,
+    no collect — exactly how WET generation runs over Common Crawl:
+    a per-record map over response shards producing conversion
+    shards."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    dest = _crawl_files_fixture(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(dest)
+    )
+
+    def wet(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        from parquet_to_sql_spark.operators.html import html_extract
+        from parquet_to_sql_spark.operators.http import http_parse_response
+        from parquet_to_sql_spark.operators.warc import (
+            WarcFormatError,
+            warc_records,
+            warc_write_record,
+        )
+
+        uri_re = re.compile(r"http://ex\.com/(\d+)")
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in warc_records(bytes(content)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    m = uri_re.fullmatch(rec["uri"])
+                    if not m:
+                        raise WarcFormatError(
+                            f"unexpected record uri {rec['uri']!r}"
+                        )
+                    did = int(m.group(1))
+                    resp = http_parse_response(rec["content"])
+                    text = resp["body"].decode(resp["charset"] or "utf-8")
+                    out = html_extract(text)
+                    wet_bytes = out["text"].encode("utf-8")
+                    record = warc_write_record(
+                        "conversion", rec["uri"], wet_bytes, f"w{did}",
+                        extra_headers={
+                            "WARC-Refers-To": f"<urn:uuid:r{did}>"
+                        },
+                    )
+                    back = warc_records(record)
+                    ok = (
+                        len(back) == 1
+                        and back[0]["warc_type"] == "conversion"
+                        and back[0]["uri"] == rec["uri"]
+                        and back[0]["content"] == wet_bytes
+                        and back[0]["record_id"] == f"<urn:uuid:w{did}>"
+                    )
+                    rows.append(
+                        (
+                            did, resp["status"], resp["content_type"],
+                            resp["n_headers"], len(out["links"]),
+                            len(wet_bytes), len(record), ok,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "status", "content_type", "n_headers",
+                    "n_links", "wet_text_len", "wet_record_len",
+                    "wet_roundtrip",
+                ],
+            )
+
+    return files.select("content").mapInPandas(
+        wet,
+        schema=(
+            "doc_id long, status int, content_type string, "
+            "n_headers long, n_links long, wet_text_len long, "
+            "wet_record_len long, wet_roundtrip boolean"
+        ),
+    )
+
+
+@query(
     "pipeline_redirect_files_chase",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
           "composition", "scale-path"),
