@@ -338,6 +338,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_redirect_files_chase",  # round-12 new: parsed Location headers drive the bounded-round chase
     "pipeline_main_content_extract",  # round-12 new: block-scored boilerplate stripping (text/link density)
     "pipeline_wet_generation",  # round-12 new: WET conversion records with byte-exact writer framing under the hash gate
+    "pipeline_conditional_fetch",  # round-12 new: RFC 9110 ETag/304 revalidation with byte accounting
 )
 
 # Verified queries whose build source OR implementing operator

@@ -3537,6 +3537,137 @@ def _chase_redirects(docs: DataFrame, redirects: DataFrame) -> DataFrame:
 
 
 @query(
+    "pipeline_conditional_fetch",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
+          "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 9 <> 7 AS cached,
+             doc_id % 5 = 0 AS is304,
+             doc_id % 3 = 0 AS changed,
+             10 + doc_id % 7 AS len1,
+             12 + doc_id % 5 AS len2
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN is304 THEN 304 ELSE 200 END AS INT) AS status,
+           CASE
+             WHEN is304 AND cached THEN 'reused'
+             WHEN is304 THEN 'refetch'
+             WHEN NOT cached THEN 'new'
+             WHEN changed THEN 'updated'
+             ELSE 'unchanged_full' END AS outcome,
+           '"e' || doc_id ||
+             CASE WHEN NOT is304 AND changed THEN '-2"' ELSE '-1"' END
+             AS etag,
+           CAST(CASE WHEN is304 THEN 0
+                WHEN changed THEN len2 ELSE len1 END AS BIGINT)
+             AS bytes_transferred,
+           CAST(CASE WHEN is304 AND cached THEN len1 ELSE 0 END AS BIGINT)
+             AS bytes_saved
+    FROM d
+    """,
+)
+def pipeline_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL REFETCH / 304 REVALIDATION (RFC 9110 §13) — the
+    recrawl loop that keeps a 100 TB corpus fresh without
+    re-downloading it: every URL is revalidated with If-None-Match,
+    and the server answers ``304 Not Modified`` (EMPTY body — the
+    Content-Length: 0 framing parsed for real here) or a full
+    ``200``.  Each doc's wire response is synthesized and parsed
+    with the real HTTP parser inside one Arrow map (status, ETag
+    header, exact body), then joined against the cached-corpus
+    relation and classified ENTIRELY in JVM expressions: 'reused'
+    (304 with a cache entry; the transfer saved is the cached
+    length), 'refetch' (304 WITHOUT a cache entry — the protocol
+    anomaly a crawler must answer with an unconditional refetch),
+    'new' (200, nothing cached), 'updated' (200, body differs from
+    cache), 'unchanged_full' (200 with a byte-identical body — the
+    wasted-transfer class conditional requests exist to eliminate).
+    The oracle regenerates outcome, ETag, and byte accounting from
+    the modular rules; a body-comparison slip or an empty-body
+    framing bug is a value mismatch in the driver run.
+
+    Scale shape: narrow Arrow map over one pruned column for the
+    parse, ONE equality join onto the cache relation (broadcast at
+    fixture scale, shuffle-on-key at corpus scale), classification
+    in whole-stage codegen — no Python in the compare path."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.http import (
+            http_parse_response,
+            http_write_response,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 5 == 0:
+                    raw = http_write_response(
+                        304, "Not Modified",
+                        [("ETag", f'"e{did}-1"')], b"",
+                    )
+                else:
+                    changed = did % 3 == 0
+                    body = (
+                        b"C" * (12 + did % 5) if changed
+                        else b"B" * (10 + did % 7)
+                    )
+                    raw = http_write_response(
+                        200, "OK",
+                        [("ETag", f'"e{did}-{2 if changed else 1}"')],
+                        body,
+                    )
+                resp = http_parse_response(raw)
+                rows.append(
+                    (
+                        did, resp["status"],
+                        resp["headers"].get("etag"),
+                        resp["body"].decode("ascii"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "etag", "body"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    responses = docs.mapInPandas(
+        fetch, schema="doc_id long, status int, etag string, body string"
+    )
+    cache = docs.filter(F.col("doc_id") % 9 != 7).select(
+        "doc_id",
+        F.expr("repeat('B', CAST(10 + doc_id % 7 AS INT))")
+        .alias("cached_body"),
+    )
+    j = responses.join(cache, "doc_id", "left")
+    cached = F.col("cached_body").isNotNull()
+    is304 = F.col("status") == 304
+    same = F.col("body") == F.col("cached_body")
+    return j.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("status").cast("int").alias("status"),
+        F.when(is304 & cached, F.lit("reused"))
+        .when(is304, F.lit("refetch"))
+        .when(~cached, F.lit("new"))
+        .when(~same, F.lit("updated"))
+        .otherwise(F.lit("unchanged_full"))
+        .alias("outcome"),
+        F.col("etag"),
+        F.when(is304, F.lit(0))
+        .otherwise(F.length("body"))
+        .cast("bigint").alias("bytes_transferred"),
+        F.when(is304 & cached, F.length("cached_body"))
+        .otherwise(F.lit(0))
+        .cast("bigint").alias("bytes_saved"),
+    )
+
+
+@query(
     "pipeline_wet_generation",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
           "composition"),
