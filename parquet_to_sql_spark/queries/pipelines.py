@@ -3537,6 +3537,117 @@ def _chase_redirects(docs: DataFrame, redirects: DataFrame) -> DataFrame:
 
 
 @query(
+    "pipeline_crawl_main_content_files",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
+          "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 4 AS nlinks,
+             1 + doc_id % 5 AS nparas,
+             list_sum(list_transform(range(1 + doc_id % 5),
+                      p -> 3 + (doc_id + p) % 4)) AS wsum,
+             CASE WHEN doc_id % 7 = 5 THEN 301
+                  WHEN doc_id % 7 = 6 THEN 404
+                  ELSE 200 END AS status
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(status AS INT) AS status,
+           CAST(nparas + CASE WHEN nlinks > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_blocks,
+           CAST(nparas AS BIGINT) AS n_main_blocks,
+           CAST(wsum AS BIGINT) AS main_words,
+           CAST(nlinks AS BIGINT) AS boiler_words,
+           (status = 200 AND wsum >= 8) AS keep
+    FROM d
+    """,
+)
+def pipeline_crawl_main_content_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE CRAWL FRONT HALF ENDING IN MAIN-CONTENT EXTRACTION — the
+    files-to-verdict chain a TRAINING-corpus ingest actually runs
+    (pipeline_crawl_ingest_files' sibling with the all-text step
+    swapped for the boilerplate-stripping extractor): ``.warc.gz``
+    shards (binaryFile) -> WARC framing -> raw HTTP parse (chunked +
+    Content-Length) -> charset-aware decode -> html_main_content
+    block scoring (the synthesized pages' <nav> anchor text lands in
+    the chrome bucket; the article paragraphs survive) -> an
+    admission screen on MAIN words, not total words — the screen
+    that stops nav-heavy pages from buying their way into the corpus
+    with link text.  The oracle regenerates block counts and the
+    main/boiler word split from the synthesis formulas; a chrome
+    flag leaking across blocks or linked words counted as prose is a
+    value mismatch in the driver run.
+
+    Scale shape: one task per shard, five parsers in ONE Arrow map,
+    no shuffle, no collect."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    dest = _crawl_files_fixture(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(dest)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        from parquet_to_sql_spark.operators.html import html_main_content
+        from parquet_to_sql_spark.operators.http import http_parse_response
+        from parquet_to_sql_spark.operators.warc import (
+            WarcFormatError,
+            warc_records,
+        )
+
+        uri_re = re.compile(r"http://ex\.com/(\d+)")
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in warc_records(bytes(content)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    m = uri_re.fullmatch(rec["uri"])
+                    if not m:
+                        raise WarcFormatError(
+                            f"unexpected record uri {rec['uri']!r}"
+                        )
+                    did = int(m.group(1))
+                    resp = http_parse_response(rec["content"])
+                    text = resp["body"].decode(resp["charset"] or "utf-8")
+                    out = html_main_content(text)
+                    rows.append(
+                        (
+                            did, resp["status"], out["n_blocks"],
+                            out["n_main_blocks"], out["main_words"],
+                            out["boiler_words"],
+                            resp["status"] == 200
+                            and out["main_words"] >= 8,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "status", "n_blocks", "n_main_blocks",
+                    "main_words", "boiler_words", "keep",
+                ],
+            )
+
+    return files.select("content").mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, status int, n_blocks long, "
+            "n_main_blocks long, main_words long, boiler_words long, "
+            "keep boolean"
+        ),
+    )
+
+
+@query(
     "pipeline_conditional_fetch",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
           "composition"),
