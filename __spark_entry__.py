@@ -340,6 +340,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_wet_generation",  # round-12 new: WET conversion records with byte-exact writer framing under the hash gate
     "pipeline_conditional_fetch",  # round-12 new: RFC 9110 ETag/304 revalidation with byte accounting
     "pipeline_crawl_main_content_files",  # round-12 new: files chain ending in main-content screening
+    "pipeline_cache_freshness",  # round-12 new: RFC 9111 freshness lifetime from strict IMF-fixdate headers
 )
 
 # Verified queries whose build source OR implementing operator

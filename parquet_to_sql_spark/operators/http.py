@@ -250,6 +250,99 @@ def http_write_response(
     return bytes(out)
 
 
+_IMF_DAYS = ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+_IMF_MONTHS = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+_IMF_RE = None  # compiled lazily
+
+
+def parse_imf_fixdate(s: str) -> int:
+    """Strict RFC 9110 §5.6.7 IMF-fixdate parse -> Unix epoch
+    seconds.  The preferred format EXACTLY: ``Tue, 15 Nov 1994
+    08:12:31 GMT`` — fixed-width fields, single spaces, 'GMT'
+    literal.  The obsolete RFC 850 and asctime() forms, lax
+    whitespace, non-GMT zones, out-of-range calendar fields, and a
+    day-name that CONTRADICTS the date all raise typed
+    :class:`HttpFormatError` (quarantine-on-ambiguity — a recrawl
+    scheduler acting on a misparsed date refetches the wrong
+    decade)."""
+    global _IMF_RE
+    if _IMF_RE is None:
+        import re
+
+        _IMF_RE = re.compile(
+            r"(Mon|Tue|Wed|Thu|Fri|Sat|Sun), "
+            r"(\d{2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) "
+            r"(\d{4}) (\d{2}):(\d{2}):(\d{2}) GMT"
+        )
+    m = _IMF_RE.fullmatch(s)
+    if not m:
+        raise HttpFormatError(f"not an IMF-fixdate: {s!r}")
+    dow, day, mon, year, hh, mi, ss = m.groups()
+    import calendar
+    import datetime
+
+    day_i, year_i = int(day), int(year)
+    mon_i = _IMF_MONTHS.index(mon) + 1
+    hh_i, mi_i, ss_i = int(hh), int(mi), int(ss)
+    if not (hh_i <= 23 and mi_i <= 59 and ss_i <= 59):
+        raise HttpFormatError(f"time of day out of range: {s!r}")
+    try:
+        d = datetime.date(year_i, mon_i, day_i)
+    except ValueError:
+        raise HttpFormatError(f"no such calendar date: {s!r}")
+    if _IMF_DAYS[d.weekday()] != dow:
+        raise HttpFormatError(
+            f"day-name {dow} contradicts the date "
+            f"({_IMF_DAYS[d.weekday()]}): {s!r}"
+        )
+    return calendar.timegm((year_i, mon_i, day_i, hh_i, mi_i, ss_i))
+
+
+def format_imf_fixdate(epoch: int) -> str:
+    """Inverse of :func:`parse_imf_fixdate`: Unix epoch seconds ->
+    the RFC 9110 preferred IMF-fixdate string (always GMT)."""
+    import datetime
+
+    d = datetime.datetime.fromtimestamp(epoch, datetime.timezone.utc)
+    return (
+        f"{_IMF_DAYS[d.weekday()]}, {d.day:02d} "
+        f"{_IMF_MONTHS[d.month - 1]} {d.year:04d} "
+        f"{d.hour:02d}:{d.minute:02d}:{d.second:02d} GMT"
+    )
+
+
+def cache_freshness_s(headers: dict, date_epoch: int) -> tuple[int, str]:
+    """RFC 9111 §4.2.1-4.2.2 freshness lifetime in seconds ->
+    ``(lifetime, source)``: ``Cache-Control: max-age`` wins (token
+    validated against 1*DIGIT), else ``Expires - Date``, else the
+    §4.2.2 heuristic — 10% of (Date - Last-Modified), integer floor
+    — else 0 with source 'none'.  Negative Expires deltas clamp to 0
+    (already stale), matching the RFC's 'in the past means expired'
+    rule."""
+    cc = headers.get("cache-control", "")
+    for directive in cc.split(","):
+        name, sep, value = directive.strip().partition("=")
+        if name.strip().lower() == "max-age" and sep:
+            try:
+                return _int_token(value.strip(), _DIGIT, 10), "max-age"
+            except ValueError:
+                raise HttpFormatError(f"bad max-age {value!r}")
+    if "expires" in headers:
+        exp = parse_imf_fixdate(headers["expires"])
+        return max(exp - date_epoch, 0), "expires"
+    if "last-modified" in headers:
+        lm = parse_imf_fixdate(headers["last-modified"])
+        if lm > date_epoch:
+            raise HttpFormatError(
+                "Last-Modified after Date (clock skew) — quarantine"
+            )
+        return (date_epoch - lm) // 10, "heuristic"
+    return 0, "none"
+
+
 _META_CHARSET = None  # compiled lazily below
 
 

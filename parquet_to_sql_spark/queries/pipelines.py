@@ -3537,6 +3537,125 @@ def _chase_redirects(docs: DataFrame, redirects: DataFrame) -> DataFrame:
 
 
 @query(
+    "pipeline_cache_freshness",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             1700000000 + doc_id * 3600 AS de,
+             (1 + doc_id % 97) * 86400 AS age,
+             doc_id % 4 AS kind
+      FROM documents
+    ), f AS (
+      SELECT doc_id, de, kind,
+             CASE kind
+               WHEN 0 THEN 5 + (doc_id % 1000) * 2
+               WHEN 1 THEN CASE WHEN doc_id % 11 = 0 THEN 0
+                           ELSE 100 + doc_id % 700 END
+               WHEN 2 THEN age // 10
+               ELSE 0 END AS fresh_s,
+             CASE kind WHEN 0 THEN 'max-age' WHEN 1 THEN 'expires'
+                  WHEN 2 THEN 'heuristic' ELSE 'none' END AS source
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(de AS BIGINT) AS date_epoch,
+           CAST(fresh_s AS BIGINT) AS freshness_s,
+           source,
+           CAST(de + fresh_s AS BIGINT) AS stale_at,
+           fresh_s > 500 AS fresh_after_500s
+    FROM f
+    """,
+)
+def pipeline_cache_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE FRESHNESS / RECRAWL SCHEDULING (RFC 9111 §4.2) — how a
+    crawler decides WHEN each URL is worth refetching: every doc's
+    wire response carries a strict IMF-fixdate ``Date`` header plus,
+    by doc_id%4, a ``Cache-Control: max-age`` (which must WIN over
+    the Expires and Last-Modified also present), an ``Expires``
+    (past-dated every 11th doc — the clamp-to-stale rule), a
+    ``Last-Modified`` only (the §4.2.2 heuristic: 10% of Date minus
+    Last-Modified, integer floor), or none of them (0, 'none').
+    Dates are FORMATTED by format_imf_fixdate executor-side and
+    PARSED BACK by the strict parser (operators/http
+    .parse_imf_fixdate: exact field widths, GMT literal, and a
+    day-name that must agree with the calendar date), so a
+    formatting or parsing slip of even one field is a value mismatch
+    against the oracle's pure-epoch arithmetic — the oracle never
+    touches a date string.
+
+    Scale shape: narrow Arrow map over one pruned column, no
+    shuffle, no collect; freshness feeds the frontier the same way
+    pipeline_frontier_politeness consumes parsed Crawl-delay."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.http import (
+            cache_freshness_s,
+            format_imf_fixdate,
+            http_parse_response,
+            http_write_response,
+            parse_imf_fixdate,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                de = 1700000000 + did * 3600
+                age = (1 + did % 97) * 86400
+                headers = [("Date", format_imf_fixdate(de))]
+                kind = did % 4
+                if kind == 0:
+                    headers += [
+                        ("Cache-Control",
+                         f"public, max-age={5 + (did % 1000) * 2}"),
+                        ("Expires", format_imf_fixdate(de + 99999)),
+                        ("Last-Modified", format_imf_fixdate(de - age)),
+                    ]
+                elif kind == 1:
+                    delta = -50 if did % 11 == 0 else 100 + did % 700
+                    headers += [
+                        ("Expires", format_imf_fixdate(de + delta)),
+                        ("Last-Modified", format_imf_fixdate(de - age)),
+                    ]
+                elif kind == 2:
+                    headers += [
+                        ("Last-Modified", format_imf_fixdate(de - age)),
+                    ]
+                raw = http_write_response(200, "OK", headers, b"x")
+                resp = http_parse_response(raw)
+                date_epoch = parse_imf_fixdate(resp["headers"]["date"])
+                fresh, source = cache_freshness_s(
+                    resp["headers"], date_epoch
+                )
+                rows.append(
+                    (
+                        did, date_epoch, fresh, source,
+                        date_epoch + fresh, fresh > 500,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "date_epoch", "freshness_s", "source",
+                    "stale_at", "fresh_after_500s",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        probe,
+        schema=(
+            "doc_id long, date_epoch long, freshness_s long, "
+            "source string, stale_at long, fresh_after_500s boolean"
+        ),
+    )
+
+
+@query(
     "pipeline_crawl_main_content_files",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder",
           "composition"),

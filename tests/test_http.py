@@ -259,3 +259,72 @@ def test_transfer_coding_list_semantics():
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
             b"2\r\nab\r\n0\r\n\r\n"
         )
+
+
+def test_imf_fixdate_roundtrip_and_strictness():
+    """RFC 9110 §5.6.7: the preferred IMF-fixdate form round-trips
+    epoch-exactly; obsolete forms, lax spacing, non-GMT zones,
+    impossible dates, and day-names contradicting the date all
+    quarantine."""
+    from parquet_to_sql_spark.operators.http import (
+        format_imf_fixdate,
+        parse_imf_fixdate,
+    )
+
+    assert parse_imf_fixdate("Tue, 15 Nov 1994 08:12:31 GMT") == 784887151
+    assert format_imf_fixdate(784887151) == "Tue, 15 Nov 1994 08:12:31 GMT"
+    for epoch in (0, 1700000000, 784887151, 2**31 - 1, 951782400):
+        assert parse_imf_fixdate(format_imf_fixdate(epoch)) == epoch
+
+    bad = [
+        "Tuesday, 15-Nov-94 08:12:31 GMT",     # RFC 850 form
+        "Tue Nov 15 08:12:31 1994",            # asctime form
+        "Tue, 15 Nov 1994 08:12:31 UT",        # non-GMT zone
+        "Tue,  15 Nov 1994 08:12:31 GMT",      # double space
+        "Tue, 15 Nov 1994 08:12:61 GMT",       # bad seconds
+        "Wed, 31 Feb 1994 08:12:31 GMT",       # impossible date
+        "tue, 15 Nov 1994 08:12:31 GMT",       # case matters
+    ]
+    for s in bad:
+        with pytest.raises(HttpFormatError, match="IMF-fixdate|range|date"):
+            parse_imf_fixdate(s)
+    # correct format, WRONG weekday (15 Nov 1994 was a Tuesday)
+    with pytest.raises(HttpFormatError, match="contradicts"):
+        parse_imf_fixdate("Mon, 15 Nov 1994 08:12:31 GMT")
+
+
+def test_cache_freshness_precedence_and_heuristic():
+    """RFC 9111: max-age beats Expires beats the 10% heuristic;
+    past Expires clamps to 0; max-age value follows the 1*DIGIT
+    grammar; Last-Modified after Date quarantines."""
+    from parquet_to_sql_spark.operators.http import (
+        cache_freshness_s,
+        format_imf_fixdate,
+    )
+
+    d0 = 1700000000
+    date_s = format_imf_fixdate(d0)
+    lm_s = format_imf_fixdate(d0 - 86400 * 20)  # age 20 days
+    exp_s = format_imf_fixdate(d0 + 777)
+
+    assert cache_freshness_s(
+        {"cache-control": "public, max-age=300", "expires": exp_s,
+         "last-modified": lm_s}, d0,
+    ) == (300, "max-age")
+    assert cache_freshness_s(
+        {"expires": exp_s, "last-modified": lm_s}, d0
+    ) == (777, "expires")
+    assert cache_freshness_s({"last-modified": lm_s}, d0) == (
+        86400 * 2, "heuristic",
+    )
+    assert cache_freshness_s({}, d0) == (0, "none")
+    # past Expires -> already stale, clamp to 0
+    assert cache_freshness_s(
+        {"expires": format_imf_fixdate(d0 - 5)}, d0
+    ) == (0, "expires")
+    with pytest.raises(HttpFormatError, match="bad max-age"):
+        cache_freshness_s({"cache-control": "max-age=+30"}, d0)
+    with pytest.raises(HttpFormatError, match="clock skew"):
+        cache_freshness_s(
+            {"last-modified": format_imf_fixdate(d0 + 10)}, d0
+        )
