@@ -341,6 +341,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_conditional_fetch",  # round-12 new: RFC 9110 ETag/304 revalidation with byte accounting
     "pipeline_crawl_main_content_files",  # round-12 new: files chain ending in main-content screening
     "pipeline_cache_freshness",  # round-12 new: RFC 9111 freshness lifetime from strict IMF-fixdate headers
+    "pipeline_retry_after",  # round-12 new: RFC 9110 Retry-After backoff (delta-seconds + HTTP-date forms)
+    "pipeline_noindex_screen",  # round-12 new: robots meta + X-Robots-Tag union screening
 )
 
 # Verified queries whose build source OR implementing operator

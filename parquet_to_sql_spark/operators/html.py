@@ -223,6 +223,49 @@ def html_main_content(payload: bytes | str) -> dict:
     }
 
 
+class _RobotsMetaParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.contents: list[str] = []
+
+    def _collect(self, tag, attrs):
+        if tag != "meta":
+            return
+        d = {k.lower(): (v or "") for k, v in attrs}
+        if d.get("name", "").strip().lower() == "robots":
+            self.contents.append(d.get("content", ""))
+
+    handle_starttag = _collect
+    handle_startendtag = _collect
+
+
+def html_robots_meta(payload: bytes | str) -> dict:
+    """Parse ``<meta name=robots content=...>`` directives (the
+    in-document half of the robots exclusion protocol's indexing
+    rules; the HTTP half is the X-Robots-Tag header) ->
+    ``{"noindex": bool, "nofollow": bool}``.  Directive tokens are
+    comma-separated, ASCII-case-insensitive, whitespace-tolerant;
+    ``none`` means both; MULTIPLE robots meta tags union
+    restrictively (the most restrictive combination wins, the
+    documented cross-source rule).  Tolerant of malformed HTML like
+    the extractors beside it; non-UTF-8 bytes raise
+    :class:`HtmlFormatError`."""
+    if isinstance(payload, bytes):
+        try:
+            payload = payload.decode("utf-8", "strict")
+        except UnicodeDecodeError as exc:
+            raise HtmlFormatError(f"payload is not UTF-8: {exc}")
+    p = _RobotsMetaParser()
+    p.feed(payload)
+    p.close()
+    noindex = nofollow = False
+    for content in p.contents:
+        toks = {t.strip().lower() for t in content.split(",")}
+        noindex |= bool(toks & {"noindex", "none"})
+        nofollow |= bool(toks & {"nofollow", "none"})
+    return {"noindex": noindex, "nofollow": nofollow}
+
+
 def html_extract(payload: bytes | str) -> dict:
     """Extract ``{"title", "text", "links", "n_tags"}`` from an HTML
     payload.  ``text`` is the canonical visible-text normalization

@@ -343,6 +343,23 @@ def cache_freshness_s(headers: dict, date_epoch: int) -> tuple[int, str]:
     return 0, "none"
 
 
+def parse_retry_after(value: str, date_epoch: int) -> int:
+    """RFC 9110 §10.2.3 ``Retry-After`` -> the absolute epoch second
+    of the next permitted attempt.  The field is either
+    delta-seconds (1*DIGIT, relative to the response ``Date``) or an
+    HTTP-date (strict IMF-fixdate); anything else — including the
+    int() laxities the 1*DIGIT grammar rejects — raises typed
+    :class:`HttpFormatError`.  A past HTTP-date clamps to
+    ``date_epoch`` (retry immediately), mirroring the freshness
+    clamp."""
+    v = value.strip()
+    try:
+        return date_epoch + _int_token(v, _DIGIT, 10)
+    except ValueError:
+        pass
+    return max(parse_imf_fixdate(v), date_epoch)
+
+
 _META_CHARSET = None  # compiled lazily below
 
 

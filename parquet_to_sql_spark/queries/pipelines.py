@@ -3537,6 +3537,231 @@ def _chase_redirects(docs: DataFrame, redirects: DataFrame) -> DataFrame:
 
 
 @query(
+    "pipeline_retry_after",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             1690000000 + doc_id * 60 AS de,
+             doc_id % 3 AS k
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CASE k WHEN 0 THEN 429 WHEN 1 THEN 503 ELSE 200 END
+                AS INT) AS status,
+           k < 2 AS retryable,
+           CAST(CASE WHEN k = 2 THEN 0
+                WHEN doc_id % 2 = 0 THEN 30 + doc_id % 600
+                ELSE 120 + doc_id % 300 END AS BIGINT) AS delay_s,
+           CAST(de + CASE WHEN k = 2 THEN 0
+                WHEN doc_id % 2 = 0 THEN 30 + doc_id % 600
+                ELSE 120 + doc_id % 300 END AS BIGINT)
+             AS next_attempt_epoch
+    FROM d
+    """,
+)
+def pipeline_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRY-AFTER BACKOFF (RFC 9110 §10.2.3) — what a polite
+    crawler does with 429 Too Many Requests / 503 Service
+    Unavailable: each doc's wire response carries a ``Retry-After``
+    in ONE of the field's two legal forms — delta-seconds (even
+    ids; 1*DIGIT-validated relative offset) or a strict IMF-fixdate
+    HTTP-date (odd ids) — plus the ``Date`` header the delta is
+    relative to.  The real parsers recover the absolute
+    next-attempt epoch (operators/http.parse_retry_after over
+    parse_imf_fixdate), and the oracle regenerates it purely
+    arithmetically, so a form-dispatch slip, a date-field misparse,
+    or an off-by-the-Date-header error is a value mismatch in the
+    driver run.  200 responses carry no Retry-After (delay 0, not
+    retryable).
+
+    Scale shape: narrow Arrow map over one pruned column, no
+    shuffle, no collect; next_attempt_epoch feeds the frontier's
+    per-host spacing exactly like parsed Crawl-delay does."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.http import (
+            format_imf_fixdate,
+            http_parse_response,
+            http_write_response,
+            parse_imf_fixdate,
+            parse_retry_after,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                de = 1690000000 + did * 60
+                headers = [("Date", format_imf_fixdate(de))]
+                k = did % 3
+                status, reason = (
+                    (429, "Too Many Requests") if k == 0
+                    else (503, "Service Unavailable") if k == 1
+                    else (200, "OK")
+                )
+                if k < 2:
+                    if did % 2 == 0:
+                        ra = str(30 + did % 600)
+                    else:
+                        ra = format_imf_fixdate(de + 120 + did % 300)
+                    headers.append(("Retry-After", ra))
+                raw = http_write_response(status, reason, headers, b"x")
+                resp = http_parse_response(raw)
+                date_epoch = parse_imf_fixdate(resp["headers"]["date"])
+                if "retry-after" in resp["headers"]:
+                    nxt = parse_retry_after(
+                        resp["headers"]["retry-after"], date_epoch
+                    )
+                else:
+                    nxt = date_epoch
+                rows.append(
+                    (
+                        did, resp["status"], resp["status"] in (429, 503),
+                        nxt - date_epoch, nxt,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "status", "retryable", "delay_s",
+                    "next_attempt_epoch",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        probe,
+        schema=(
+            "doc_id long, status int, retryable boolean, "
+            "delay_s long, next_attempt_epoch long"
+        ),
+    )
+
+
+@query(
+    "pipeline_noindex_screen",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 5 AS m,
+             doc_id % 7 AS h,
+             doc_id % 4 AS nlinks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, nlinks,
+             (m IN (1, 3, 4)) OR (h = 1) AS noindex,
+             (m IN (2, 3, 4)) OR (h = 2) AS nofollow
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           noindex, nofollow,
+           NOT noindex AS indexable,
+           CAST(CASE WHEN nofollow THEN 0 ELSE nlinks END AS BIGINT)
+             AS outlinks_kept
+    FROM f
+    """,
+)
+def pipeline_noindex_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBOTS INDEXING DIRECTIVES — the in-band half of the robots
+    exclusion protocol that robots.txt cannot express: per doc, the
+    page carries a ``<meta name=robots>`` tag (by doc_id%5: none /
+    noindex / nofollow / both / the ``none`` shorthand meaning both)
+    AND the response may carry an ``X-Robots-Tag`` header (by
+    doc_id%7), with the documented most-restrictive-wins union
+    across the two channels.  Both are parsed for REAL — the meta
+    tag by operators/html.html_robots_meta (case-insensitive,
+    multi-tag, comma-token grammar), the header out of a full wire
+    response — and the verdict (indexable; outlinks kept vs dropped
+    under nofollow) is what an admission pipeline enforces before a
+    page or its edges enter the corpus/web-graph.  The oracle
+    regenerates the union arithmetically; a channel ignored, a
+    token-case slip, or a 'none'-shorthand miss is a value mismatch
+    in the driver run.
+
+    Scale shape: narrow Arrow map over one pruned column, no
+    shuffle, no collect."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.html import (
+            html_extract,
+            html_robots_meta,
+        )
+        from parquet_to_sql_spark.operators.http import (
+            http_parse_response,
+            http_write_response,
+        )
+
+        metas = {
+            1: '<meta name="ROBOTS" content="NoIndex">',
+            2: '<meta name=robots content="nofollow ">',
+            3: '<meta name="robots" content="noindex, nofollow">',
+            4: '<meta name="robots" content=" none ">',
+        }
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nlinks = did % 4
+                links = "".join(
+                    f'<a href="/o{j}">out</a> ' for j in range(nlinks)
+                )
+                html = (
+                    f"<html><head><title>T</title>"
+                    f"{metas.get(did % 5, '')}</head>"
+                    f"<body><p>{links}stub prose here</p></body></html>"
+                )
+                headers = [("Content-Type", "text/html")]
+                if did % 7 == 1:
+                    headers.append(("X-Robots-Tag", "noindex"))
+                elif did % 7 == 2:
+                    headers.append(("X-Robots-Tag", "NOFOLLOW"))
+                raw = http_write_response(
+                    200, "OK", headers, html.encode("utf-8")
+                )
+                resp = http_parse_response(raw)
+                meta = html_robots_meta(resp["body"])
+                header_toks = {
+                    t.strip().lower()
+                    for t in resp["headers"].get(
+                        "x-robots-tag", ""
+                    ).split(",")
+                }
+                noindex = meta["noindex"] or bool(
+                    header_toks & {"noindex", "none"}
+                )
+                nofollow = meta["nofollow"] or bool(
+                    header_toks & {"nofollow", "none"}
+                )
+                out = html_extract(resp["body"])
+                kept = 0 if nofollow else len(out["links"])
+                rows.append((did, noindex, nofollow, not noindex, kept))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "noindex", "nofollow", "indexable",
+                    "outlinks_kept",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        screen,
+        schema=(
+            "doc_id long, noindex boolean, nofollow boolean, "
+            "indexable boolean, outlinks_kept long"
+        ),
+    )
+
+
+@query(
     "pipeline_cache_freshness",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
     oracle="""

@@ -107,3 +107,29 @@ def test_main_content_density_boundary_and_nesting():
 
     with pytest.raises(HtmlFormatError, match="not UTF-8"):
         html_main_content(b"\xff\xfe<nope>")
+
+
+def test_robots_meta_grammar_and_union():
+    """<meta name=robots>: case-insensitive names/tokens, the 'none'
+    shorthand, whitespace tolerance, multi-tag restrictive union,
+    and non-robots meta tags ignored."""
+    from parquet_to_sql_spark.operators.html import html_robots_meta
+
+    assert html_robots_meta("<meta name=ROBOTS content='NoIndex'>") == {
+        "noindex": True, "nofollow": False,
+    }
+    assert html_robots_meta('<meta name="robots" content=" none ">') == {
+        "noindex": True, "nofollow": True,
+    }
+    assert html_robots_meta(
+        '<meta name="robots" content="nofollow">'
+        '<meta name="robots" content="noindex">'
+    ) == {"noindex": True, "nofollow": True}
+    assert html_robots_meta(
+        '<meta name="description" content="noindex">'
+        '<meta charset="utf-8"><p>x</p>'
+    ) == {"noindex": False, "nofollow": False}
+    # self-closing spelling and unrelated directives
+    assert html_robots_meta(
+        '<meta name="robots" content="max-snippet:50, NOFOLLOW"/>'
+    ) == {"noindex": False, "nofollow": True}

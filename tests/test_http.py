@@ -328,3 +328,22 @@ def test_cache_freshness_precedence_and_heuristic():
         cache_freshness_s(
             {"last-modified": format_imf_fixdate(d0 + 10)}, d0
         )
+
+
+def test_retry_after_both_forms_and_strictness():
+    """RFC 9110 §10.2.3: delta-seconds (1*DIGIT, relative to Date)
+    vs HTTP-date (strict IMF-fixdate); past dates clamp to Date;
+    grammar laxities quarantine."""
+    from parquet_to_sql_spark.operators.http import (
+        format_imf_fixdate,
+        parse_retry_after,
+    )
+
+    d0 = 1690000000
+    assert parse_retry_after("120", d0) == d0 + 120
+    assert parse_retry_after(" 0 ", d0) == d0
+    assert parse_retry_after(format_imf_fixdate(d0 + 333), d0) == d0 + 333
+    assert parse_retry_after(format_imf_fixdate(d0 - 50), d0) == d0
+    for bad in ("+120", "1_0", "0x10", "tomorrow", ""):
+        with pytest.raises(HttpFormatError):
+            parse_retry_after(bad, d0)
