@@ -219,3 +219,49 @@ def exif_strip(jpeg: bytes) -> bytes:
         pos = end
     out += jpeg[pos:]
     return bytes(out)
+
+
+def exif_apply_orientation(pixels, width, height, channels, orientation):
+    """Apply a parsed Exif orientation (tag 0x0112, values 1-8) to
+    decoded pixels so the image displays upright — the normalization
+    a training pipeline runs right after decode (models should not
+    have to learn that a camera was held sideways).  ``pixels`` is
+    the row-major decoded buffer; returns ``(upright_bytes, out_w,
+    out_h)`` with dimensions swapped for the four transposed
+    orientations (5-8).  Values outside 1-8 raise
+    :class:`ExifFormatError` (quarantine — guessing a rotation
+    corrupts every downstream crop/phash).
+
+    Semantics per the Exif 2.3 table, as numpy views (zero-copy
+    until the final contiguous serialization): 2 mirror, 3 rotate
+    180, 4 flip vertical, 5 transpose, 6 rotate 90 CW, 7 transverse,
+    8 rotate 90 CCW."""
+    import numpy as np
+
+    if not 1 <= int(orientation) <= 8:
+        raise ExifFormatError(f"orientation {orientation} outside 1..8")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    o = int(orientation)
+    if o == 2:
+        out = img[:, ::-1]
+    elif o == 3:
+        out = img[::-1, ::-1]
+    elif o == 4:
+        out = img[::-1, :]
+    elif o == 5:
+        out = img.swapaxes(0, 1)
+    elif o == 6:
+        out = img.swapaxes(0, 1)[:, ::-1]
+    elif o == 7:
+        out = img.swapaxes(0, 1)[::-1, ::-1]
+    elif o == 8:
+        out = img.swapaxes(0, 1)[::-1, :]
+    else:
+        out = img
+    return (
+        np.ascontiguousarray(out).tobytes(),
+        out.shape[1],
+        out.shape[0],
+    )

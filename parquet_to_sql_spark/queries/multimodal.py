@@ -1237,6 +1237,140 @@ def multimodal_jpeg_progressive_real(
 
 
 @query(
+    "multimodal_exif_orientation_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             1 + doc_id % 8 AS o,
+             1 + doc_id % 3 AS bw,
+             1 + doc_id % 2 AS bh
+      FROM documents
+    ), c AS (
+      SELECT doc_id, o, bw, bh,
+             (doc_id * 43) % 256 AS c1,
+             (doc_id * 43 + 17 * (bw - 1)) % 256 AS c2,
+             (doc_id * 43 + 17 * ((bh - 1) * bw)) % 256 AS c3,
+             (doc_id * 43 + 17 * (bw * bh - 1)) % 256 AS c4,
+             list_sum(list_transform(range(bw * bh),
+                      i -> (doc_id * 43 + 17 * i) % 256)) AS bsum
+      FROM dims
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(o AS INT) AS orientation,
+           CAST(CASE WHEN o >= 5 THEN 8 * bh ELSE 8 * bw END AS INT)
+             AS out_w,
+           CAST(CASE WHEN o >= 5 THEN 8 * bw ELSE 8 * bh END AS INT)
+             AS out_h,
+           CAST(CASE o WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c4
+                WHEN 4 THEN c3 WHEN 5 THEN c1 WHEN 6 THEN c3
+                WHEN 7 THEN c4 ELSE c2 END AS BIGINT) AS top_left,
+           CAST(CASE o WHEN 1 THEN c2 WHEN 2 THEN c1 WHEN 3 THEN c3
+                WHEN 4 THEN c4 WHEN 5 THEN c3 WHEN 6 THEN c1
+                WHEN 7 THEN c2 ELSE c4 END AS BIGINT) AS top_right,
+           CAST(CASE o WHEN 1 THEN c3 WHEN 2 THEN c4 WHEN 3 THEN c2
+                WHEN 4 THEN c1 WHEN 5 THEN c2 WHEN 6 THEN c4
+                WHEN 7 THEN c3 ELSE c1 END AS BIGINT) AS bottom_left,
+           CAST(CASE o WHEN 1 THEN c4 WHEN 2 THEN c3 WHEN 3 THEN c1
+                WHEN 4 THEN c2 WHEN 5 THEN c4 WHEN 6 THEN c2
+                WHEN 7 THEN c1 ELSE c3 END AS BIGINT) AS bottom_right,
+           CAST(64 * bsum AS BIGINT) AS pixel_sum
+    FROM c
+    """,
+)
+def multimodal_exif_orientation_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXIF ORIENTATION NORMALIZATION — decode, read the orientation
+    tag, and ROTATE THE PIXELS upright (the step right after decode
+    in any image-training pipeline; phash/crops downstream must
+    never see sideways images): each doc id becomes a
+    per-8x8-block-CONSTANT grayscale JPEG (block i: (id*43+17*i) %
+    256) tagged with a real Exif APP1 carrying orientation 1+id%8,
+    the real parser reads the tag back out of the TIFF structure,
+    the real decoder reconstructs the pixels exactly, and
+    operators/exif.exif_apply_orientation applies the Exif 2.3
+    transform table as numpy views.  The oracle knows what every
+    CORNER of the upright image must be (the block-value corner
+    permutation per orientation, dims swapped for 5-8) plus the
+    rotation-invariant pixel sum — a transposed axis, a flipped
+    flip, or an orientation misread is a value mismatch in the
+    driver run on the corner columns while the sum pins the decode.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect; the transform is O(pixels) numpy views with one
+    contiguous copy."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.exif import (
+            exif_apply_orientation,
+            exif_build_app1,
+            exif_inject,
+            exif_parse,
+        )
+        from parquet_to_sql_spark.operators.jpeg import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 3, 1 + did % 2
+                w, h = 8 * bw, 8 * bh
+                img = np.zeros((h, w), dtype=np.uint8)
+                for i in range(bw * bh):
+                    by, bx = divmod(i, bw)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        did * 43 + 17 * i
+                    ) % 256
+                tagged = exif_inject(
+                    jpeg_encode(w, h, img.tobytes(), 1, quant=8),
+                    exif_build_app1(
+                        orientation=1 + did % 8,
+                        make="cam",
+                        little_endian=did % 2 == 0,
+                    ),
+                )
+                o = exif_parse(tagged)["orientation"]
+                dw, dh, _, px = jpeg_decode(tagged)
+                up, ow, oh = exif_apply_orientation(px, dw, dh, 1, o)
+                arr = np.frombuffer(up, np.uint8).reshape(oh, ow)
+                rows.append(
+                    (
+                        did, o, ow, oh,
+                        int(arr[0, 0]), int(arr[0, -1]),
+                        int(arr[-1, 0]), int(arr[-1, -1]),
+                        int(arr.sum(dtype=np.uint64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orientation", "out_w", "out_h",
+                    "top_left", "top_right", "bottom_left",
+                    "bottom_right", "pixel_sum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, orientation int, out_w int, out_h int, "
+            "top_left long, top_right long, bottom_left long, "
+            "bottom_right long, pixel_sum long"
+        ),
+    )
+
+
+@query(
     "multimodal_exif_gps_strip",
     tags=("multimodal", "privacy", "mapInPandas", "llm-pipeline",
           "real-decoder"),

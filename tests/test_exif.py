@@ -93,3 +93,43 @@ def test_quarantine_errors_are_typed():
         exif_parse(exif_inject(base, bad_magic))
     with pytest.raises(ExifFormatError, match="not a JPEG"):
         exif_parse(b"nope")
+
+
+def test_apply_orientation_all_eight_and_quarantine():
+    """Exif 2.3 orientation transforms on an asymmetric 2x3 image:
+    every output checked cell-exact against the hand-derived
+    expectation; dims swap for 5-8; out-of-range values quarantine."""
+    import numpy as np
+    import pytest
+
+    from parquet_to_sql_spark.operators.exif import (
+        ExifFormatError,
+        exif_apply_orientation,
+    )
+
+    img = np.arange(6, dtype=np.uint8).reshape(2, 3)  # [[0 1 2],[3 4 5]]
+    px = img.tobytes()
+    expect = {
+        1: [[0, 1, 2], [3, 4, 5]],
+        2: [[2, 1, 0], [5, 4, 3]],
+        3: [[5, 4, 3], [2, 1, 0]],
+        4: [[3, 4, 5], [0, 1, 2]],
+        5: [[0, 3], [1, 4], [2, 5]],
+        6: [[3, 0], [4, 1], [5, 2]],          # 90 CW
+        7: [[5, 2], [4, 1], [3, 0]],
+        8: [[2, 5], [1, 4], [0, 3]],          # 90 CCW
+    }
+    for o, exp in expect.items():
+        out, ow, oh = exif_apply_orientation(px, 3, 2, 1, o)
+        got = np.frombuffer(out, np.uint8).reshape(oh, ow)
+        assert got.tolist() == exp, o
+        assert (ow, oh) == ((2, 3) if o >= 5 else (3, 2))
+    # 3-channel: channels ride along untouched
+    rgb = np.stack([img, img + 10, img + 20], axis=-1).astype(np.uint8)
+    out, ow, oh = exif_apply_orientation(rgb.tobytes(), 3, 2, 3, 6)
+    got = np.frombuffer(out, np.uint8).reshape(oh, ow, 3)
+    assert got[:, :, 0].tolist() == expect[6]
+    assert (got[:, :, 1] - got[:, :, 0] == 10).all()
+    for bad in (0, 9, -1):
+        with pytest.raises(ExifFormatError, match="outside 1..8"):
+            exif_apply_orientation(px, 3, 2, 1, bad)
