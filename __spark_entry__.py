@@ -344,6 +344,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_retry_after",  # round-12 new: RFC 9110 Retry-After backoff (delta-seconds + HTTP-date forms)
     "pipeline_noindex_screen",  # round-12 new: robots meta + X-Robots-Tag union screening
     "multimodal_exif_orientation_real",  # round-12 new: Exif 2.3 orientation applied to decoded pixels, corner-pinned
+    "pipeline_recrawl_schedule",  # round-12 new: staleness-ordered per-host fetch slots (freshness x politeness)
 )
 
 # Verified queries whose build source OR implementing operator

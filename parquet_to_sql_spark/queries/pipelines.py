@@ -3537,6 +3537,110 @@ def _chase_redirects(docs: DataFrame, redirects: DataFrame) -> DataFrame:
 
 
 @query(
+    "pipeline_recrawl_schedule",
+    tags=("pipeline", "crawl-ingest", "llm-pipeline", "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 17 AS h,
+             1700000000 + doc_id * 3600 AS de,
+             (1 + doc_id % 97) * 86400 AS age,
+             doc_id % 4 AS kind
+      FROM documents
+    ), f AS (
+      SELECT doc_id, h, de,
+             de + CASE kind
+               WHEN 0 THEN 5 + (doc_id % 1000) * 2
+               WHEN 1 THEN CASE WHEN doc_id % 11 = 0 THEN 0
+                           ELSE 100 + doc_id % 700 END
+               WHEN 2 THEN age // 10
+               ELSE 0 END AS stale_at
+      FROM d
+    ), s AS (
+      SELECT doc_id, h, stale_at,
+             ROW_NUMBER() OVER w AS slot,
+             MIN(stale_at) OVER (PARTITION BY h) AS h_open
+      FROM f
+      WINDOW w AS (PARTITION BY h ORDER BY stale_at, doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'h' || h || '.example.com' AS host,
+           CAST(stale_at AS BIGINT) AS stale_at,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(GREATEST(stale_at, h_open + (slot - 1) * (5 + h))
+                AS BIGINT) AS earliest_fetch,
+           GREATEST(stale_at, h_open + (slot - 1) * (5 + h)) > stale_at
+             AS politeness_bound
+    FROM s
+    """,
+)
+def pipeline_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECRAWL SCHEDULING — the composition that turns this round's
+    freshness layer into a frontier plan: every URL becomes stale at
+    the RFC 9111 lifetime expiry (the pipeline_cache_freshness
+    formulas), URLs are queued PER HOST in staleness order, and each
+    host's queue is spaced by its politeness delay (5+h seconds
+    here; the parsed-Crawl-delay relation in production —
+    pipeline_frontier_politeness's contract).  ``earliest_fetch`` is
+    the LOWER-BOUND schedule greatest(own staleness, host queue
+    opening + slot * delay) — the documented conservative variant
+    (an exact max-plus scan over arbitrary staleness gaps is a
+    sequential recurrence; the lower bound is what a dispatcher
+    enforces as admission, and ``politeness_bound`` marks the rows
+    where the HOST, not freshness, is the constraint).  Entirely
+    JVM expressions: one hash shuffle on the host key, one window
+    pass — no Python anywhere.
+
+    Scale shape: shuffle on host (the natural crawl partitioning;
+    skew = one hot host, handled the same way the frontier gates
+    document), window per host partition, no collect."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 17).alias("h"),
+        (F.lit(1700000000) + F.col("doc_id") * 3600).alias("de"),
+        ((1 + F.col("doc_id") % 97) * 86400).alias("age"),
+        (F.col("doc_id") % 4).alias("kind"),
+    )
+    f = d.select(
+        "doc_id", "h",
+        (
+            F.col("de")
+            + F.when(F.col("kind") == 0, 5 + (F.col("doc_id") % 1000) * 2)
+            .when(
+                F.col("kind") == 1,
+                F.when(F.col("doc_id") % 11 == 0, 0)
+                .otherwise(100 + F.col("doc_id") % 700),
+            )
+            .when(F.col("kind") == 2, F.floor(F.col("age") / 10))
+            .otherwise(0)
+        ).alias("stale_at"),
+    )
+    w = Window.partitionBy("h").orderBy("stale_at", "doc_id")
+    s = f.select(
+        "doc_id", "h", "stale_at",
+        F.row_number().over(w).alias("slot"),
+        F.min("stale_at").over(Window.partitionBy("h")).alias("h_open"),
+    )
+    fetch = F.greatest(
+        F.col("stale_at"),
+        F.col("h_open") + (F.col("slot") - 1) * (F.lit(5) + F.col("h")),
+    )
+    return s.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(
+            F.lit("h"), F.col("h").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.col("stale_at").cast("bigint").alias("stale_at"),
+        F.col("slot").cast("bigint").alias("slot"),
+        fetch.cast("bigint").alias("earliest_fetch"),
+        (fetch > F.col("stale_at")).alias("politeness_bound"),
+    )
+
+
+@query(
     "pipeline_retry_after",
     tags=("pipeline", "crawl-ingest", "llm-pipeline", "real-decoder"),
     oracle="""
