@@ -1108,7 +1108,7 @@ def _quantized_components(
         )
     if not 1 <= quant <= 255:
         raise JpegFormatError(f"quant {quant} out of range 1..255")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise JpegFormatError(f"subsampling {subsampling!r} not supported")
     if subsampling == "420":
         if channels != 3:
@@ -1116,6 +1116,13 @@ def _quantized_components(
         if width % 16 or height % 16:
             raise JpegFormatError(
                 "4:2:0 requires width and height to be multiples of 16"
+            )
+    if subsampling == "422":
+        if channels != 3:
+            raise JpegFormatError("4:2:2 requires 3 channels")
+        if width % 16 or height % 8:
+            raise JpegFormatError(
+                "4:2:2 requires width % 16 == 0 and height % 8 == 0"
             )
     if pixels_are_ycbcr and channels != 3:
         raise JpegFormatError("pixels_are_ycbcr requires 3 channels")
@@ -1140,6 +1147,12 @@ def _quantized_components(
             planes[0],
             planes[1].reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)),
             planes[2].reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)),
+        ]
+    elif subsampling == "422":
+        planes = [
+            planes[0],
+            planes[1].reshape(height, width // 2, 2).mean(axis=2),
+            planes[2].reshape(height, width // 2, 2).mean(axis=2),
         ]
 
     qt = np.full((8, 8), float(quant))
@@ -1167,8 +1180,21 @@ def _quantized_components(
 
 def _mcu_schedule(channels, grids, subsampling, width, height):
     """Component/block-index pairs per MCU in scan order (4 luma +
-    1 Cb + 1 Cr per 16x16 MCU under 4:2:0; one block per component
-    otherwise)."""
+    1 Cb + 1 Cr per 16x16 MCU under 4:2:0; 2 luma + 1 Cb + 1 Cr per
+    16x8 MCU under 4:2:2; one block per component otherwise)."""
+    if subsampling == "422":
+        lbw = grids[0][0]
+        cw = grids[1][0]
+        return [
+            [
+                (0, my * lbw + 2 * mx),
+                (0, my * lbw + 2 * mx + 1),
+                (1, my * cw + mx),
+                (2, my * cw + mx),
+            ]
+            for my in range(height // 8)
+            for mx in range(width // 16)
+        ]
     if subsampling == "420":
         lbw = grids[0][0]
         cw = grids[1][0]
@@ -1216,6 +1242,10 @@ def jpeg_encode(
     generic edge MCUs are out of documented scope).  With
     per-MCU-constant chroma the 2x2 mean is exact, so flat-block
     arithmetic survives the subsample/upsample round trip.
+    ``subsampling="422"`` downsamples chroma HORIZONTALLY only (1x2
+    mean; 2 luma + 1 Cb + 1 Cr per 16x8 MCU; width % 16 == 0,
+    height % 8 == 0) — the digital-camera default that exercises the
+    decoder's asymmetric hs=2/vs=1 sampling path.
 
     ``pixels_are_ycbcr=True`` (channels=3 only) treats the input
     planes as ALREADY YCbCr, skipping the float RGB->YCbCr forward
@@ -1262,7 +1292,8 @@ def jpeg_encode(
         out += seg(0xDB, bytes([0x01]) + qt_zz.tobytes())  # DQT id 1
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
     for c in range(channels):
-        samp = 0x22 if (subsampling == "420" and c == 0) else 0x11
+        samp = (0x22 if subsampling == "420"
+                else 0x21 if subsampling == "422" else 0x11) if c == 0 else 0x11
         sof += bytes([c + 1, samp, 0 if c == 0 else 1])
     out += seg(0xC0, sof)
 
@@ -1353,6 +1384,8 @@ def jpeg_encode_progressive(
     for c in range(channels):
         if subsampling == "420" and c > 0:
             cw, ch = -(-width // 2), -(-height // 2)
+        elif subsampling == "422" and c > 0:
+            cw, ch = -(-width // 2), height
         else:
             cw, ch = width, height
         used.append((-(-cw // 8), -(-ch // 8), grids[c][0]))
@@ -1382,7 +1415,8 @@ def jpeg_encode_progressive(
         out += seg(0xDB, bytes([0x01]) + qt_zz.tobytes())
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
     for c in range(channels):
-        samp = 0x22 if (subsampling == "420" and c == 0) else 0x11
+        samp = (0x22 if subsampling == "420"
+                else 0x21 if subsampling == "422" else 0x11) if c == 0 else 0x11
         sof += bytes([c + 1, samp, 0 if c == 0 else 1])
     out += seg(0xC2, sof)
 

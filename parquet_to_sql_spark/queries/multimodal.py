@@ -1237,6 +1237,135 @@ def multimodal_jpeg_progressive_real(
 
 
 @query(
+    "multimodal_jpeg_422_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 3) AS width,
+             8 * (1 + doc_id % 4) AS height,
+             (2 * (1 + doc_id % 3)) * (1 + doc_id % 4) AS nb,
+             CASE doc_id % 4 WHEN 0 THEN -17 WHEN 1 THEN -6
+                  WHEN 2 THEN 11 ELSE 22 END AS dcb,
+             CASE doc_id % 4 WHEN 0 THEN -21 WHEN 1 THEN -8
+                  WHEN 2 THEN 10 ELSE 23 END AS dcr
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             list_sum(list_transform(range(nb), i ->
+               CAST(ROUND((60 + (doc_id * 19 + 23 * i) % 120)
+                          + 1.402e0 * dcr) AS BIGINT)
+               + CAST(ROUND((60 + (doc_id * 19 + 23 * i) % 120)
+                            - 0.344136e0 * dcb - 0.714136e0 * dcr)
+                      AS BIGINT)
+               + CAST(ROUND((60 + (doc_id * 19 + 23 * i) % 120)
+                            + 1.772e0 * dcb) AS BIGINT)
+             )) AS bsum
+      FROM dims
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(width * height * 3 AS BIGINT) AS n_px,
+           CAST(64 * bsum AS BIGINT) AS pixel_sum,
+           TRUE AS roundtrip_exact
+    FROM px
+    """,
+)
+def multimodal_jpeg_422_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:2 COLOR JPEG decode under the hash gate — the
+    digital-camera default subsampling and the one sampling shape
+    the 4:4:4 and 4:2:0 gates never reach: ASYMMETRIC hs=2/vs=1
+    factors, 16x8 MCUs (2 luma + 1 Cb + 1 Cr), horizontal-only
+    chroma mean on the encode side and horizontal-only replicate
+    upsampling on the decode side.  Same exactness construction as
+    the 4:2:0 gate: per-8x8-block-CONSTANT luma (block i:
+    60 + (id*19 + 23*i) % 120), whole-image-constant chroma offsets
+    (4-entry tables on id%4, products off the .5 boundary), quant 8,
+    YCbCr input planes — so the decoded RGB is round(Y + c*offset)
+    and the oracle regenerates pixel_sum with the decoder's own
+    constants in the decoder's own expression order.  Every fourth
+    doc adds restart_interval=2 (RSTn inside 4:2:2 MCUs).
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    _CB = (-17, -6, 11, 22)
+    _CR = (-21, -8, 10, 23)
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 * (1 + did % 3), 8 * (1 + did % 4)
+                bw, bh = w // 8, h // 8
+                dcb, dcr = _CB[did % 4], _CR[did % 4]
+                lum = np.zeros((h, w), dtype=np.uint8)
+                for i in range(bw * bh):
+                    by, bx = divmod(i, bw)
+                    lum[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        60 + (did * 19 + 23 * i) % 120
+                    )
+                ycbcr = np.stack(
+                    [
+                        lum,
+                        np.full((h, w), 128 + dcb, dtype=np.uint8),
+                        np.full((h, w), 128 + dcr, dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                payload = jpeg_encode(
+                    w, h, ycbcr.tobytes(), channels=3, quant=8,
+                    subsampling="422", pixels_are_ycbcr=True,
+                    restart_interval=2 if did % 4 == 0 else 0,
+                )
+                rw, rh, rc, out = jpeg_decode(payload)
+                got = np.frombuffer(out, np.uint8)
+                yf = lum.astype(np.float64)
+                exp = np.stack(
+                    [
+                        yf + 1.402 * float(dcr),
+                        yf - 0.344136 * float(dcb) - 0.714136 * float(dcr),
+                        yf + 1.772 * float(dcb),
+                    ],
+                    axis=-1,
+                )
+                exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+                rows.append(
+                    (
+                        did, rw, rh, rc, len(out),
+                        int(got.sum(dtype=np.uint64)),
+                        bool(np.array_equal(got.reshape(h, w, 3), exp)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "n_px", "pixel_sum", "roundtrip_exact",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        encode_decode,
+        schema=(
+            "doc_id long, width int, height int, channels int, "
+            "n_px long, pixel_sum long, roundtrip_exact boolean"
+        ),
+    )
+
+
+@query(
     "multimodal_exif_orientation_real",
     tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
     oracle="""

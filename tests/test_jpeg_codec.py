@@ -241,8 +241,13 @@ def test_encoder_420_and_ycbcr_scope_errors_are_typed():
         jpeg_encode(16, 16, bytes(16 * 16), channels=1, subsampling="420")
     with pytest.raises(JpegFormatError, match="multiples of 16"):
         jpeg_encode(8, 8, bytes(8 * 8 * 3), channels=3, subsampling="420")
-    with pytest.raises(JpegFormatError, match="not supported"):
+    # 4:2:2 is SUPPORTED since r12 — a 16x16 all-zero image encodes
+    # and decodes exactly (flat content survives subsampling)
+    assert jpeg_decode(
         jpeg_encode(16, 16, px3, channels=3, subsampling="422")
+    )[3] == bytes(16 * 16 * 3)
+    with pytest.raises(JpegFormatError, match="not supported"):
+        jpeg_encode(16, 16, px3, channels=3, subsampling="411")
     with pytest.raises(JpegFormatError, match="pixels_are_ycbcr"):
         jpeg_encode(16, 16, bytes(16 * 16), channels=1,
                     pixels_are_ycbcr=True)
@@ -342,6 +347,52 @@ def test_progressive_scan_scripts_and_eob_runs():
     assert jpeg_decode(
         jpeg_encode_progressive(64, 64, img.tobytes(), channels=1, quant=8)
     ) == jpeg_decode(jpeg_encode(64, 64, img.tobytes(), channels=1, quant=8))
+
+
+def test_422_subsampled_decode_and_progressive_identity():
+    """4:2:2 (hs=2, vs=1 — the asymmetric sampling path no other
+    fixture reaches): flat per-block luma + whole-image-constant
+    chroma decode EXACTLY through the 1x2 chroma mean and
+    horizontal-only replicate upsample; progressive 4:2:2 decodes
+    bit-identical to baseline 4:2:2 of the same image."""
+    from parquet_to_sql_spark.operators.jpeg import jpeg_encode_progressive
+
+    for w, h, ri in ((16, 8, 0), (32, 24, 0), (48, 16, 2)):
+        bw, bh = w // 8, h // 8
+        lum = np.zeros((h, w), np.uint8)
+        for i in range(bw * bh):
+            by, bx = divmod(i, bw)
+            lum[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                60 + (13 * i) % 120
+            )
+        ycc = np.stack(
+            [lum, np.full((h, w), 110, np.uint8),
+             np.full((h, w), 140, np.uint8)], -1,
+        )
+        p = jpeg_encode(w, h, ycc.tobytes(), 3, quant=8,
+                        subsampling="422", pixels_are_ycbcr=True,
+                        restart_interval=ri)
+        rw, rh, rc, out = jpeg_decode(p)
+        assert (rw, rh, rc) == (w, h, 3)
+        got = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(float)
+        yf = lum.astype(float)
+        dcb, dcr = 110 - 128.0, 140 - 128.0
+        exp = np.clip(np.round(np.stack(
+            [yf + 1.402 * dcr,
+             yf - 0.344136 * dcb - 0.714136 * dcr,
+             yf + 1.772 * dcb], -1,
+        )), 0, 255)
+        assert np.array_equal(got, exp), (w, h, ri)
+
+    for w, h, ri in ((16, 8, 0), (48, 16, 3)):
+        px = _pattern(w, h, 3, seed=w + 2 * h)
+        assert jpeg_decode(jpeg_encode_progressive(
+            w, h, px, 3, quant=8, subsampling="422", restart_interval=ri,
+        )) == jpeg_decode(jpeg_encode(w, h, px, 3, quant=8,
+                                      subsampling="422"))
+
+    with pytest.raises(JpegFormatError, match="4:2:2 requires"):
+        jpeg_encode(24, 8, bytes(24 * 8 * 3), 3, subsampling="422")
 
 
 @pytest.mark.parametrize("w,h,ri", [(24, 32, 0), (24, 16, 2), (56, 40, 3)])
