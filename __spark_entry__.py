@@ -346,6 +346,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_exif_orientation_real",  # round-12 new: Exif 2.3 orientation applied to decoded pixels, corner-pinned
     "pipeline_recrawl_schedule",  # round-12 new: staleness-ordered per-host fetch slots (freshness x politeness)
     "multimodal_jpeg_422_real",  # round-12 new: asymmetric 4:2:2 sampling (hs=2/vs=1) under the hash gate
+    "multimodal_jpeg_cmyk_real",  # round-12 new: 4-component Adobe CMYK/YCCK (APP14) decode to display RGB
 )
 
 # Verified queries whose build source OR implementing operator

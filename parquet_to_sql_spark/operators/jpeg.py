@@ -17,12 +17,16 @@ DC first/refine, AC first/refine with EOB-run coding, interleaved DC
 scans, non-interleaved AC scans over each component's own block
 grid, restart intervals inside every scan kind); 8-bit samples, 1
 component (grayscale) or 3 components (JFIF YCbCr) with sampling
-factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn).
-Everything else raises :class:`JpegFormatError` naming the reason —
-arithmetic coding (SOF9-11), lossless/hierarchical, 12-bit
-precision, 4-component CMYK — so a training pipeline routes those to
-a quarantine bucket rather than guessing (same contract as the PNG
-and AVI codecs).
+factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn),
+and — since round 12 — 4-component Adobe CMYK/YCCK frames (APP14
+transform flag 0 or 2, values stored inverted per the Adobe
+convention, converted to display RGB on the way out; a 4-component
+frame WITHOUT the APP14 flag quarantines rather than guessing the
+channel meaning).  Everything else raises :class:`JpegFormatError`
+naming the reason — arithmetic coding (SOF9-11),
+lossless/hierarchical, 12-bit precision — so a training pipeline
+routes those to a quarantine bucket rather than guessing (same
+contract as the PNG and AVI codecs).
 
 Determinism contract: the decoder's IDCT is float64 with one
 canonical rounding (numpy round-half-even) and 0..255 clipping; for
@@ -401,6 +405,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     out = None
     progressive = False
     prog = None  # progressive coefficient state, built at first SOS
+    adobe_transform = None  # APP14 color-transform flag (CMYK/YCCK)
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -462,10 +467,10 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegFormatError(
                     f"{prec}-bit precision not supported (8 only) — quarantine"
                 )
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise JpegFormatError(
-                    f"{nc}-component image not supported (grayscale/YCbCr "
-                    "only; CMYK quarantines)"
+                    f"{nc}-component image not supported "
+                    "(grayscale/YCbCr/Adobe CMYK)"
                 )
             if w == 0 or h == 0:
                 raise JpegFormatError("zero-dimension image")
@@ -481,10 +486,21 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             frame = (w, h, comps)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]  # APP14: 0 CMYK/RGB, 1 YCC, 2 YCCK
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegFormatError("SOS before SOF")
             w, h, comps = frame
+            if len(comps) == 4:
+                # Adobe is the only 4-component JPEG convention in
+                # the wild; without the APP14 transform flag the
+                # channel meaning is a guess — quarantine instead
+                if adobe_transform not in (0, 2):
+                    raise JpegFormatError(
+                        "4-component image without an Adobe APP14 "
+                        "CMYK/YCCK transform flag — quarantine"
+                    )
             ns = seg[0]
             if progressive:
                 if prog is None:
@@ -505,7 +521,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 sel[cs] = (tt >> 4, tt & 0xF)
             out = _decode_scan(
                 data, pos, frame, sel, qtables, dc_tabs, ac_tabs,
-                restart_interval,
+                restart_interval, adobe_transform,
             )
             pos = out[1]
             out = out[0]
@@ -514,14 +530,18 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if progressive:
         if prog is None:
             raise JpegFormatError("no scan decoded (missing SOS)")
-        out = prog.reconstruct(qtables)
+        out = prog.reconstruct(qtables, adobe_transform)
     if out is None:
         raise JpegFormatError("no scan decoded (missing SOS)")
     w, h, comps = frame
-    return w, h, len(comps), out
+    # 4-component Adobe CMYK/YCCK converts to display RGB on the way
+    # out — the pixel buffer is 3 channels regardless of the frame's
+    # component count
+    return w, h, min(len(comps), 3), out
 
 
-def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri):
+def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri,
+                 adobe_transform=None):
     """Entropy-decode the single interleaved scan, inverse-DCT every
     block (numpy, batched per component), upsample and color-convert.
     Returns (pixels, new_pos)."""
@@ -728,14 +748,20 @@ def _decode_scan(data, pos, frame, sel, qtables, dc_tabs, ac_tabs, ri):
         st["coef"] = nat.reshape(-1, 8, 8)
         del st["flat"]
 
-    return _reconstruct(per, w, h, hmax, vmax), new_pos
+    return _reconstruct(per, w, h, hmax, vmax, adobe_transform), new_pos
 
 
-def _reconstruct(per, w, h, hmax, vmax) -> bytes:
+def _reconstruct(per, w, h, hmax, vmax, adobe_transform=None) -> bytes:
     """Dequantize + inverse-DCT every component's coefficient array
     (natural order, (n_blocks, 8, 8) on the MCU-padded grid),
     replicate-upsample subsampled planes, and color-convert — the
-    shared back half of the baseline and progressive decode paths."""
+    shared back half of the baseline and progressive decode paths.
+    Four components follow the Adobe convention (the only one in
+    the wild): values stored INVERTED, ``adobe_transform`` 2 means
+    YCCK (channels 0-2 through the YCbCr matrix first); display RGB
+    is then ``round(Cinv * Kinv / 255)`` per channel — never an
+    exact .5 (2*c*k is even, 255 odd), so the rounding is
+    engine-agnostic."""
     planes = []
     for st in per:
         deq = st["coef"] * st["q"]  # (n, 8, 8) * (8, 8) broadcast
@@ -759,6 +785,24 @@ def _reconstruct(per, w, h, hmax, vmax) -> bytes:
 
     if len(planes) == 1:
         return planes[0].tobytes()
+    if len(planes) == 4:
+        if adobe_transform == 2:  # YCCK: 0-2 through the YCC matrix
+            y = planes[0].astype(np.float64)
+            cb = planes[1].astype(np.float64) - 128.0
+            cr = planes[2].astype(np.float64) - 128.0
+            cmy = np.clip(np.round(np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )), 0, 255)
+        else:  # transform 0: channels ARE inverted CMY directly
+            cmy = np.stack(planes[:3], axis=-1).astype(np.float64)
+        kinv = planes[3].astype(np.float64)[..., None]
+        rgb = np.round(cmy * kinv / 255.0)
+        return np.clip(rgb, 0, 255).astype(np.uint8).tobytes()
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0
@@ -805,7 +849,7 @@ class _ProgressiveState:
             }
             self.order.append(cid)
 
-    def reconstruct(self, qtables) -> bytes:
+    def reconstruct(self, qtables, adobe_transform=None) -> bytes:
         w, h, _ = self.frame
         per = []
         for cid in self.order:
@@ -819,7 +863,8 @@ class _ProgressiveState:
                 "coef": nat.reshape(-1, 8, 8), "q": qtables[st["tq"]],
                 "bw": st["bw"], "hs": st["hs"], "vs": st["vs"],
             })
-        return _reconstruct(per, w, h, self.hmax, self.vmax)
+        return _reconstruct(per, w, h, self.hmax, self.vmax,
+                            adobe_transform)
 
 
 def _decode_progressive_scan(data, pos, seg, prog, dc_tabs, ac_tabs, ri):
@@ -1100,8 +1145,10 @@ def _quantized_components(
     ``(blocks_per_comp, grids)`` where blocks_per_comp[c] is the
     (n_blocks, 64) zigzag-order quantized coefficients and grids[c]
     the component's (blocks-wide, blocks-high)."""
-    if channels not in (1, 3):
-        raise JpegFormatError(f"channels {channels} not supported (1/3)")
+    if channels not in (1, 3, 4):
+        raise JpegFormatError(f"channels {channels} not supported (1/3/4)")
+    if channels == 4 and subsampling != "444":
+        raise JpegFormatError("4-component encode supports 4:4:4 only")
     if len(pixels) != width * height * channels:
         raise JpegFormatError(
             f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
@@ -1130,7 +1177,11 @@ def _quantized_components(
     px = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width, channels
     ).astype(np.float64)
-    if channels == 3 and pixels_are_ycbcr:
+    if channels == 4:
+        # Adobe CMYK/YCCK planes pass through untransformed — the
+        # caller supplies the (inverted) component values directly
+        planes = [px[..., i] for i in range(4)]
+    elif channels == 3 and pixels_are_ycbcr:
         planes = [px[..., 0], px[..., 1], px[..., 2]]
     elif channels == 3:
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
@@ -1223,6 +1274,7 @@ def jpeg_encode(
     restart_interval: int = 0,
     subsampling: str = "444",
     pixels_are_ycbcr: bool = False,
+    adobe_transform: int | None = None,
 ) -> bytes:
     """Encode 8-bit pixels as a baseline JPEG (grayscale, 4:4:4
     YCbCr, or — with ``subsampling="420"`` — 4:2:0 YCbCr with 16x16
@@ -1275,8 +1327,8 @@ def jpeg_encode(
                 wtr,
                 blocks_per_comp[c][bi],
                 preds[c],
-                dc_l if c == 0 else dc_c,
-                ac_l if c == 0 else ac_c,
+                dc_l if (c == 0 or channels == 4) else dc_c,
+                ac_l if (c == 0 or channels == 4) else ac_c,
             )
     wtr.flush()
 
@@ -1287,6 +1339,17 @@ def jpeg_encode(
     zz_inv[_ZIGZAG] = np.arange(64)
     qt_zz = np.full(64, quant, dtype=np.uint8)  # flat: zigzag == natural
     out = bytearray(b"\xff\xd8")  # SOI
+    if channels == 4:
+        if adobe_transform not in (0, 2):
+            raise JpegFormatError(
+                "4-component encode requires adobe_transform 0 (CMYK) "
+                "or 2 (YCCK)"
+            )
+        out += seg(
+            0xEE,
+            b"Adobe" + struct.pack(">HHH", 100, 0, 0)
+            + bytes([adobe_transform]),
+        )
     out += seg(0xDB, bytes([0x00]) + qt_zz.tobytes())  # DQT id 0
     if channels == 3:
         out += seg(0xDB, bytes([0x01]) + qt_zz.tobytes())  # DQT id 1
@@ -1294,7 +1357,7 @@ def jpeg_encode(
     for c in range(channels):
         samp = (0x22 if subsampling == "420"
                 else 0x21 if subsampling == "422" else 0x11) if c == 0 else 0x11
-        sof += bytes([c + 1, samp, 0 if c == 0 else 1])
+        sof += bytes([c + 1, samp, 0 if (c == 0 or channels == 4) else 1])
     out += seg(0xC0, sof)
 
     def dht(tc: int, th: int, spec) -> bytes:
@@ -1308,7 +1371,7 @@ def jpeg_encode(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([channels])
     for c in range(channels):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        sos += bytes([c + 1, 0x00 if (c == 0 or channels == 4) else 0x11])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += wtr.out
@@ -1326,6 +1389,7 @@ def jpeg_encode_progressive(
     subsampling: str = "444",
     pixels_are_ycbcr: bool = False,
     scans: list | None = None,
+    adobe_transform: int | None = None,
 ) -> bytes:
     """Encode 8-bit pixels as a PROGRESSIVE (SOF2) JPEG over the same
     front half as :func:`jpeg_encode` (identical quantized
@@ -1390,7 +1454,9 @@ def jpeg_encode_progressive(
             cw, ch = width, height
         used.append((-(-cw // 8), -(-ch // 8), grids[c][0]))
     dc_tabs = [
-        _HuffTable(*(_K_DC_LUMA if c == 0 else _K_DC_CHROMA))
+        _HuffTable(
+            *(_K_DC_LUMA if (c == 0 or channels == 4) else _K_DC_CHROMA)
+        )
         for c in range(channels)
     ]
     ac_tab = _HuffTable(*_P_AC_ALL8)
@@ -1410,6 +1476,17 @@ def jpeg_encode_progressive(
 
     qt_zz = np.full(64, quant, dtype=np.uint8)
     out = bytearray(b"\xff\xd8")
+    if channels == 4:
+        if adobe_transform not in (0, 2):
+            raise JpegFormatError(
+                "4-component encode requires adobe_transform 0 (CMYK) "
+                "or 2 (YCCK)"
+            )
+        out += seg(
+            0xEE,
+            b"Adobe" + struct.pack(">HHH", 100, 0, 0)
+            + bytes([adobe_transform]),
+        )
     out += seg(0xDB, bytes([0x00]) + qt_zz.tobytes())
     if channels == 3:
         out += seg(0xDB, bytes([0x01]) + qt_zz.tobytes())
@@ -1417,7 +1494,7 @@ def jpeg_encode_progressive(
     for c in range(channels):
         samp = (0x22 if subsampling == "420"
                 else 0x21 if subsampling == "422" else 0x11) if c == 0 else 0x11
-        sof += bytes([c + 1, samp, 0 if c == 0 else 1])
+        sof += bytes([c + 1, samp, 0 if (c == 0 or channels == 4) else 1])
     out += seg(0xC2, sof)
 
     def dht(tc: int, th: int, spec) -> bytes:
@@ -1444,7 +1521,7 @@ def jpeg_encode_progressive(
             )
         sos = bytes([len(comp_idx)])
         for c in comp_idx:
-            td = 0 if c == 0 else 1
+            td = 0 if (c == 0 or channels == 4) else 1
             sos += bytes([c + 1, (td << 4) | 0])
         sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos)

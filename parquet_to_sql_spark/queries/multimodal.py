@@ -1237,6 +1237,166 @@ def multimodal_jpeg_progressive_real(
 
 
 @query(
+    "multimodal_jpeg_cmyk_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 3) AS width,
+             8 * (1 + doc_id % 2) AS height,
+             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb,
+             CASE doc_id % 4 WHEN 0 THEN 255 WHEN 1 THEN 204
+                  WHEN 2 THEN 153 ELSE 102 END AS kv,
+             CASE doc_id % 4 WHEN 0 THEN -18 WHEN 1 THEN -5
+                  WHEN 2 THEN 12 ELSE 21 END AS dcb,
+             CASE doc_id % 4 WHEN 0 THEN -20 WHEN 1 THEN -7
+                  WHEN 2 THEN 9 ELSE 24 END AS dcr
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height, kv,
+             CASE WHEN doc_id % 2 = 0 THEN
+               list_sum(list_transform(range(nb), i ->
+                 CAST(ROUND(((doc_id * 47 + 29 * i) % 256) * kv / 255.0)
+                      AS BIGINT)
+               + CAST(ROUND(((doc_id * 53 + 31 * i) % 256) * kv / 255.0)
+                      AS BIGINT)
+               + CAST(ROUND(((doc_id * 59 + 37 * i) % 256) * kv / 255.0)
+                      AS BIGINT)))
+             ELSE
+               list_sum(list_transform(range(nb), i ->
+                 CAST(ROUND(CAST(ROUND((60 + (doc_id * 19 + 23 * i) % 120)
+                            + 1.402e0 * dcr) AS BIGINT)
+                            * kv / 255.0) AS BIGINT)
+               + CAST(ROUND(CAST(ROUND((60 + (doc_id * 19 + 23 * i) % 120)
+                            - 0.344136e0 * dcb - 0.714136e0 * dcr)
+                            AS BIGINT) * kv / 255.0) AS BIGINT)
+               + CAST(ROUND(CAST(ROUND((60 + (doc_id * 19 + 23 * i) % 120)
+                            + 1.772e0 * dcb) AS BIGINT)
+                            * kv / 255.0) AS BIGINT)))
+             END AS bsum
+      FROM dims
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS INT)
+             AS transform,
+           CAST(width * height * 3 AS BIGINT) AS n_px,
+           CAST(64 * bsum AS BIGINT) AS pixel_sum,
+           TRUE AS roundtrip_exact
+    FROM px
+    """,
+)
+def multimodal_jpeg_cmyk_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-COMPONENT ADOBE CMYK/YCCK JPEG decode under the hash gate —
+    the print-workflow JPEGs that leak onto the web in volume and
+    were this decoder's last big systematic quarantine bucket (the
+    remaining refusals — arithmetic coding, 12-bit, lossless — are
+    genuinely rare): even ids encode DIRECT inverted CMYK (APP14
+    transform 0; per-block-constant C/M/Y patterns, whole-image K
+    from a 4-entry table), odd ids encode YCCK (transform 2; luma
+    blocks + constant chroma offsets through the YCbCr matrix
+    FIRST, then the K multiply — both rounding stages pinned).
+    Display RGB = round(Cinv * Kinv / 255), which is never an exact
+    .5 (2*c*k is even, 255 odd), so the oracle regenerates
+    pixel_sum with the decoder's own expression order and the
+    result is engine-agnostic; the chroma offset tables are the
+    color gate's validated off-boundary constants.  Every fourth
+    doc adds restart_interval=2.  A wrong transform dispatch,
+    un-inverted channel, missed APP14, or K-multiply slip is a
+    value mismatch in the driver run.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    _KV = (255, 204, 153, 102)
+    _CB = (-18, -5, 12, 21)
+    _CR = (-20, -7, 9, 24)
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 3, 1 + did % 2
+                w, h = 8 * bw, 8 * bh
+                kv = _KV[did % 4]
+                k_p = np.full((h, w), kv, dtype=np.uint8)
+                if did % 2 == 0:
+                    tf = 0
+                    chans = []
+                    for mul, off in ((47, 29), (53, 31), (59, 37)):
+                        p = np.zeros((h, w), dtype=np.uint8)
+                        for i in range(bw * bh):
+                            by, bx = divmod(i, bw)
+                            p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                did * mul + off * i
+                            ) % 256
+                        chans.append(p)
+                    src = np.stack(chans + [k_p], axis=-1)
+                    cmy_exp = np.stack(chans, -1).astype(np.float64)
+                else:
+                    tf = 2
+                    dcb, dcr = _CB[did % 4], _CR[did % 4]
+                    lum = np.zeros((h, w), dtype=np.uint8)
+                    for i in range(bw * bh):
+                        by, bx = divmod(i, bw)
+                        lum[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            60 + (did * 19 + 23 * i) % 120
+                        )
+                    src = np.stack(
+                        [lum, np.full((h, w), 128 + dcb, np.uint8),
+                         np.full((h, w), 128 + dcr, np.uint8), k_p], -1,
+                    )
+                    yf = lum.astype(np.float64)
+                    cmy_exp = np.clip(np.round(np.stack(
+                        [yf + 1.402 * dcr,
+                         yf - 0.344136 * dcb - 0.714136 * dcr,
+                         yf + 1.772 * dcb], -1,
+                    )), 0, 255)
+                payload = jpeg_encode(
+                    w, h, src.tobytes(), channels=4, quant=8,
+                    adobe_transform=tf,
+                    restart_interval=2 if did % 4 == 0 else 0,
+                )
+                rw, rh, rc, out = jpeg_decode(payload)
+                got = np.frombuffer(out, np.uint8)
+                exp = np.round(cmy_exp * kv / 255.0).astype(np.uint8)
+                rows.append(
+                    (
+                        did, rw, rh, rc, tf, len(out),
+                        int(got.sum(dtype=np.uint64)),
+                        bool(np.array_equal(got.reshape(h, w, 3), exp)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "transform",
+                    "n_px", "pixel_sum", "roundtrip_exact",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        encode_decode,
+        schema=(
+            "doc_id long, width int, height int, channels int, "
+            "transform int, n_px long, pixel_sum long, "
+            "roundtrip_exact boolean"
+        ),
+    )
+
+
+@query(
     "multimodal_jpeg_422_real",
     tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
     oracle="""

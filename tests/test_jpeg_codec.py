@@ -349,6 +349,92 @@ def test_progressive_scan_scripts_and_eob_runs():
     ) == jpeg_decode(jpeg_encode(64, 64, img.tobytes(), channels=1, quant=8))
 
 
+def test_cmyk_ycck_decode_exact_and_quarantine():
+    """4-component Adobe JPEG (the only 4-component convention on
+    the web): transform 0 (direct inverted CMYK) and transform 2
+    (YCCK) both decode to display RGB = round(Cinv*Kinv/255)
+    exactly on flat-block content (never an exact .5 — 2*c*k is
+    even); the dims probe reports 4 source components while decode
+    returns a 3-channel RGB buffer; a 4-component frame WITHOUT the
+    APP14 flag quarantines; restarts and progressive scans work."""
+    from parquet_to_sql_spark.operators.jpeg import (
+        jpeg_dimensions,
+        jpeg_encode_progressive,
+    )
+
+    w, h = 24, 16
+    bw, bh = w // 8, h // 8
+    c_p = np.zeros((h, w), np.uint8)
+    m_p = np.zeros((h, w), np.uint8)
+    y_p = np.zeros((h, w), np.uint8)
+    for i in range(bw * bh):
+        by, bx = divmod(i, bw)
+        c_p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (40 + 29 * i) % 256
+        m_p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (90 + 31 * i) % 256
+        y_p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (160 + 37 * i) % 256
+    kv = 204
+    px4 = np.stack([c_p, m_p, y_p, np.full((h, w), kv, np.uint8)], -1)
+    pay = jpeg_encode(w, h, px4.tobytes(), channels=4, quant=8,
+                      adobe_transform=0)
+    rw, rh, rc, out = jpeg_decode(pay)
+    assert (rw, rh, rc) == (w, h, 3)
+    assert jpeg_dimensions(pay) == (w, h, 4)
+    exp = np.round(px4[:, :, :3].astype(np.float64) * kv / 255.0)
+    assert np.array_equal(
+        np.frombuffer(out, np.uint8).reshape(h, w, 3),
+        exp.astype(np.uint8),
+    )
+
+    # YCCK: luma blocks + constant chroma offsets through the YCC
+    # matrix first, then the K multiply — both stages pinned
+    dcb, dcr = -12, 15
+    ycck = np.stack(
+        [c_p, np.full((h, w), 128 + dcb, np.uint8),
+         np.full((h, w), 128 + dcr, np.uint8),
+         np.full((h, w), kv, np.uint8)], -1,
+    )
+    pay2 = jpeg_encode(w, h, ycck.tobytes(), channels=4, quant=8,
+                       adobe_transform=2)
+    yf = c_p.astype(np.float64)
+    cmy = np.clip(np.round(np.stack(
+        [yf + 1.402 * dcr, yf - 0.344136 * dcb - 0.714136 * dcr,
+         yf + 1.772 * dcb], -1,
+    )), 0, 255)
+    assert np.array_equal(
+        np.frombuffer(jpeg_decode(pay2)[3], np.uint8).reshape(h, w, 3),
+        np.round(cmy * kv / 255.0).astype(np.uint8),
+    )
+
+    # APP14 stripped -> typed quarantine (channel meaning unknown)
+    import struct as _s
+
+    i = pay.find(b"\xff\xee")
+    ln = _s.unpack(">H", pay[i + 2 : i + 4])[0]
+    with pytest.raises(JpegFormatError, match="Adobe APP14"):
+        jpeg_decode(pay[:i] + pay[i + 2 + ln :])
+
+    # restarts + progressive identity, both transforms
+    assert jpeg_decode(jpeg_encode(
+        w, h, px4.tobytes(), channels=4, quant=8, adobe_transform=0,
+        restart_interval=2,
+    ))[3] == out
+    rng = np.random.RandomState(9)
+    for tf in (0, 2):
+        rnd = rng.randint(0, 256, size=w * h * 4, dtype=np.uint8).tobytes()
+        assert jpeg_decode(jpeg_encode_progressive(
+            w, h, rnd, channels=4, quant=8, adobe_transform=tf,
+            restart_interval=3,
+        )) == jpeg_decode(jpeg_encode(
+            w, h, rnd, channels=4, quant=8, adobe_transform=tf,
+        ))
+    # scope errors
+    with pytest.raises(JpegFormatError, match="adobe_transform"):
+        jpeg_encode(w, h, px4.tobytes(), channels=4, quant=8)
+    with pytest.raises(JpegFormatError, match="4:4:4 only"):
+        jpeg_encode(16, 16, bytes(16 * 16 * 4), channels=4,
+                    subsampling="420", adobe_transform=0)
+
+
 def test_422_subsampled_decode_and_progressive_identity():
     """4:2:2 (hs=2, vs=1 — the asymmetric sampling path no other
     fixture reaches): flat per-block luma + whole-image-constant
