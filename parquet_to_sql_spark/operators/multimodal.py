@@ -78,14 +78,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 def _real_decode(payload: bytes) -> tuple[int, int, int, float]:
     """REAL image decode (pure stdlib+numpy codecs): sniffs the
     payload — PNG signature -> operators/png.py, JPEG SOI ->
-    operators/jpeg.py (baseline sequential, round 10) — and returns
-    width, height, channels, and mean_luma = mean of all
+    operators/jpeg.py (baseline sequential, round 10; progressive/
+    4:2:2/CMYK since round 12), GIF87a/GIF89a -> operators/gif.py
+    (round 13: LZW + palettes + interlace, first frame) — and
+    returns width, height, channels, and mean_luma = mean of all
     reconstructed 8-bit samples / 255.0, the brightness screen a
     vision-data pipeline runs first.  Raises PngFormatError /
-    JpegFormatError for unsupported variants and anything else
-    (quarantine, not a guess)."""
+    JpegFormatError / GifFormatError for unsupported variants and
+    anything else (quarantine, not a guess)."""
     import numpy as np
 
+    from parquet_to_sql_spark.operators.gif import gif_decode
     from parquet_to_sql_spark.operators.jpeg import jpeg_decode
     from parquet_to_sql_spark.operators.png import PngFormatError, png_decode
 
@@ -95,9 +98,11 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, float]:
         w, h, c, pixels = jpeg_decode(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, c, pixels = png_decode(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, c, pixels = gif_decode(payload)
     else:
         raise PngFormatError(
-            "unrecognized image payload (PNG and baseline JPEG decode; "
+            "unrecognized image payload (PNG, JPEG and GIF decode; "
             "everything else quarantines)"
         )
     if not pixels:
@@ -122,6 +127,7 @@ def decode_image_features(
     value-exact checkable in SQL (the driver-green gate query)."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    from parquet_to_sql_spark.operators.gif import GifFormatError
     from parquet_to_sql_spark.operators.jpeg import JpegFormatError
     from parquet_to_sql_spark.operators.png import PngFormatError
 
@@ -135,7 +141,7 @@ def decode_image_features(
                 try:
                     w, h, c, luma = decode_one(payload)
                     rows.append((uri, len(payload), w, h, c, luma))
-                except (PngFormatError, JpegFormatError):
+                except (PngFormatError, JpegFormatError, GifFormatError):
                     if on_error == "raise":
                         raise
                     rows.append((uri, len(payload), None, None, None, None))

@@ -652,3 +652,35 @@ def test_jpeg_dimensions_probe_without_decode():
         jpeg_dimensions(arith)
     with pytest.raises(JpegFormatError, match="no SOF"):
         jpeg_dimensions(b"\xff\xd8\xff\xd9")
+
+
+def test_adobe_rgb_3component_quarantines():
+    """ADVICE r12: a 3-component frame carrying Adobe APP14
+    transform 0 declares its samples are RGB, but the decoder's
+    3-component path applies the YCbCr matrix — silently wrong
+    colors.  The ambiguity contract is quarantine: transform 0 on a
+    3-component frame raises typed JpegFormatError (baseline AND
+    progressive scans), while transform 1 (YCC — what the matrix
+    actually assumes) decodes bit-identically to the same stream
+    without the marker."""
+    import struct as _s
+
+    from parquet_to_sql_spark.operators.jpeg import jpeg_encode_progressive
+
+    def with_app14(pay: bytes, transform: int) -> bytes:
+        seg = b"Adobe" + b"\x00\x64" + b"\x00\x00" + b"\x00\x00" + bytes(
+            [transform]
+        )
+        return (
+            pay[:2] + b"\xff\xee" + _s.pack(">H", len(seg) + 2) + seg
+            + pay[2:]
+        )
+
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+    for enc in (jpeg_encode, jpeg_encode_progressive):
+        pay = enc(16, 16, px, channels=3, quant=8)
+        with pytest.raises(JpegFormatError, match="transform 0"):
+            jpeg_decode(with_app14(pay, 0))
+        # transform 1 = YCC, exactly the assumed colorspace: harmless
+        assert jpeg_decode(with_app14(pay, 1)) == jpeg_decode(pay)

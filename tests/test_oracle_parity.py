@@ -111,7 +111,7 @@ def test_rotation_window_insertion_order():
     assert len(names) == len(QUERIES)
 
     window = names[:50]
-    assert list(e._PRIORITY_R12) == window
+    assert list(e._PRIORITY_R13) == window
 
     # _DRIVER_VERIFIED matches the recorded PRE-window artifacts
     # (re-derived here so the frozen set can't silently drift from the
