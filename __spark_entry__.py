@@ -373,6 +373,7 @@ _PRIORITY_R13 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 # the head of the least-recently-verified tail and front window 14.
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_gif_decode_real",  # round-13 new: stdlib GIF89a LZW+palette+interlace codec under the hash gate
+    "pipeline_recrawl_files",  # round-13 new: wire-composed recrawl — warc files -> RFC 9111 freshness -> per-host schedule
 )
 
 # Verified queries whose build source OR implementing operator
