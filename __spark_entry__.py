@@ -374,6 +374,7 @@ _PRIORITY_R13 = _NEVER_VERIFIED + _REVERIFY + _LRV_SPARES
 _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_gif_decode_real",  # round-13 new: stdlib GIF89a LZW+palette+interlace codec under the hash gate
     "pipeline_recrawl_files",  # round-13 new: wire-composed recrawl — warc files -> RFC 9111 freshness -> per-host schedule
+    "multimodal_gif_frames_real",  # round-13 new: animated-GIF frame walk (GCE delays, per-frame LZW) under the hash gate
 )
 
 # Verified queries whose build source OR implementing operator

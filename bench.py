@@ -197,6 +197,53 @@ def multimodal_jpeg_progressive_decode_throughput(spark, sf_dir):
     )
 
 
+def multimodal_gif_decode_throughput(spark, sf_dir):
+    """GIF twin of the decode probes (round 13): encodes + decodes
+    256 fixed 128x128 256-color GIFs (~12.5 MB of decoded RGB
+    pixels; LZW decompression is the GIF-side per-byte ceiling the
+    way entropy decode is JPEG's).  Content is blocky-plus-noise so
+    the LZW table exercises realistic growth/clear cycles rather
+    than degenerate runs.  Fixed work independent of sf: this row
+    tracks MB/s of the codec, not data scale."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_img, w, h = 256, 128, 128
+
+    def enc_dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.gif import gif_decode, gif_encode
+
+        for pdf in batches:
+            ok = 0
+            px_bytes = 0
+            for i in pdf["id"]:
+                i = int(i)
+                pal = [
+                    bytes(((k * 7 + i) % 256, (k * 11) % 256, k))
+                    for k in range(256)
+                ]
+                base = np.arange(w * h, dtype=np.uint32)
+                idx = (
+                    (base // 16 * 7 + (base * 131 + i * 31) % 8) % 256
+                ).astype(np.uint8).tobytes()
+                payload = gif_encode(w, h, idx, pal)
+                _, _, _, out = gif_decode(payload)
+                ok += len(out) == w * h * 3
+                px_bytes += len(out)
+            yield pd.DataFrame({"ok": [ok], "px_bytes": [px_bytes]})
+
+    import pyspark.sql.functions as F
+
+    return (
+        spark.range(0, n_img, 1, 32)
+        .mapInPandas(enc_dec, schema="ok long, px_bytes long")
+        .agg(F.sum("ok").alias("n_ok"), F.sum("px_bytes").alias("px_bytes"))
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -212,6 +259,7 @@ def main() -> int:
     headline["import_render_lineitem"] = import_render_lineitem
     headline["multimodal_png_decode_throughput"] = multimodal_png_decode_throughput
     headline["multimodal_jpeg_decode_throughput"] = multimodal_jpeg_decode_throughput
+    headline["multimodal_gif_decode_throughput"] = multimodal_gif_decode_throughput
     headline["multimodal_jpeg_progressive_decode_throughput"] = (
         multimodal_jpeg_progressive_decode_throughput
     )

@@ -173,13 +173,27 @@ def _color_table(data: bytes, pos: int, packed: int) -> tuple[list[bytes], int]:
     return [data[pos + 3 * i : pos + 3 * i + 3] for i in range(size)], end
 
 
-def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the first frame of a GIF to (width, height, 3,
-    rgb_bytes) on the logical-screen canvas.  Width/height are the
-    LOGICAL SCREEN dims; the frame rectangle is composited at its
-    (left, top) offset and everything else — including transparent
-    pixels — renders as the background color (GCT[background index],
-    or black without a GCT)."""
+def gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[dict]]:
+    """Walk EVERY frame of a (possibly animated) GIF and return
+    ``(width, height, frames)`` where each frame dict carries the
+    fully COMPOSITED logical-screen canvas after that frame renders
+    — what a frame-sampling pipeline feeds downstream — plus its
+    timing/control metadata:
+
+    ``{"rgb": bytes(sw*sh*3), "delay_cs": int, "disposal": int,
+       "rect": (left, top, fw, fh), "interlaced": bool,
+       "local_palette": bool}``
+
+    Full GIF89a animation semantics: per-frame Graphic Control
+    (delay, disposal, transparency — each applying to exactly one
+    image), disposal methods 0/1 (leave), 2 (restore the frame's
+    rect to background) and 3 (restore to the pre-frame canvas),
+    transparency compositing OVER the prior canvas state, local
+    palettes overriding the global one per frame, and interlace per
+    frame.  ``max_frames`` caps the walk (a sampler rarely needs
+    every frame of a long animation); None decodes all."""
     if len(data) < 13 or data[:6] not in _SIGNATURES:
         raise GifFormatError("not a GIF (missing GIF87a/GIF89a signature)")
     sw, sh = struct.unpack("<HH", data[6:10])
@@ -189,7 +203,18 @@ def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
     pos = 13
     gct, pos = _color_table(data, pos, packed)
     bg = gct[bg_index] if gct and bg_index < len(gct) else b"\x00\x00\x00"
+
+    import numpy as np
+
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:, :] = np.frombuffer(bg, np.uint8)
+    frames: list[dict] = []
     transparent: int | None = None
+    delay_cs = 0
+    disposal = 0
+    prev_disposal = 0
+    prev_rect: tuple[int, int, int, int] | None = None
+    prev_snapshot: np.ndarray | None = None
     n = len(data)
     while pos < n:
         block = data[pos]
@@ -203,14 +228,15 @@ def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
             pos += 1
             if label == 0xF9:  # Graphic Control (applies to next image)
                 body, pos = _read_subblocks(data, pos)
-                if len(body) >= 4 and body[0] & 0x01:
-                    transparent = body[3]
+                if len(body) >= 4:
+                    disposal = (body[0] >> 2) & 0x7
+                    (delay_cs,) = struct.unpack("<H", body[1:3])
+                    transparent = body[3] if body[0] & 0x01 else None
             else:  # comment / plain text / application: skip
                 pos = _skip_subblocks(data, pos)
             continue
         if block != 0x2C:
             raise GifFormatError(f"unknown block introducer 0x{block:02X}")
-        # image descriptor — the first frame; decode and stop
         if pos + 9 > n:
             raise GifFormatError("truncated image descriptor")
         left, top, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
@@ -231,7 +257,18 @@ def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
         idx = _lzw_decode(payload, mcs, fw * fh)
         if ipacked & 0x40:
             idx = _deinterlace(idx, fw, fh)
-        import numpy as np
+
+        # dispose of the PREVIOUS frame before drawing this one
+        if frames and prev_rect is not None:
+            pl, pt, pw, ph = prev_rect
+            if prev_disposal == 2:  # restore rect to background
+                canvas[pt : pt + ph, pl : pl + pw] = np.frombuffer(
+                    bg, np.uint8
+                )
+            elif prev_disposal == 3 and prev_snapshot is not None:
+                canvas = prev_snapshot.copy()
+        if disposal == 3:
+            prev_snapshot = canvas.copy()
 
         npal = len(palette)
         pal = np.frombuffer(b"".join(palette), np.uint8).reshape(npal, 3)
@@ -244,12 +281,37 @@ def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise GifFormatError(
                 f"pixel index outside {npal}-entry palette"
             )
-        canvas = np.empty((sh, sw, 3), np.uint8)
-        canvas[:, :] = np.frombuffer(bg, np.uint8)
         region = canvas[top : top + fh, left : left + fw]
         region[opaque] = pal[frame[opaque]]
-        return sw, sh, 3, canvas.tobytes()
-    raise GifFormatError("no image descriptor before trailer/EOF")
+        frames.append(
+            {
+                "rgb": canvas.tobytes(),
+                "delay_cs": delay_cs,
+                "disposal": disposal,
+                "rect": (left, top, fw, fh),
+                "interlaced": bool(ipacked & 0x40),
+                "local_palette": bool(lct),
+            }
+        )
+        prev_disposal, prev_rect = disposal, (left, top, fw, fh)
+        transparent, delay_cs, disposal = None, 0, 0  # GCE is one-shot
+        if max_frames is not None and len(frames) >= max_frames:
+            return sw, sh, frames
+    if not frames:
+        raise GifFormatError("no image descriptor before trailer/EOF")
+    return sw, sh, frames
+
+
+def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the first frame of a GIF to (width, height, 3,
+    rgb_bytes) on the logical-screen canvas.  Width/height are the
+    LOGICAL SCREEN dims; the frame rectangle is composited at its
+    (left, top) offset and everything else — including transparent
+    pixels — renders as the background color (GCT[background index],
+    or black without a GCT).  The single-frame view of
+    ``gif_frames`` (one shared walk, max_frames=1)."""
+    sw, sh, frames = gif_frames(data, max_frames=1)
+    return sw, sh, 3, frames[0]["rgb"]
 
 
 def gif_dimensions(data: bytes) -> tuple[int, int, int]:
@@ -316,6 +378,70 @@ def _lzw_encode(idx: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _palette_block(
+    palette: list[bytes] | list[tuple[int, int, int]],
+) -> tuple[int, bytes]:
+    """(bits, table_bytes) for a palette padded to the next power of
+    two; bits is also the LZW minimum code size (GIF floor of 2)."""
+    npal = len(palette)
+    if not 2 <= npal <= 256:
+        raise GifFormatError(f"palette size {npal} out of range 2..256")
+    bits = max(2, (npal - 1).bit_length())
+    table = bytearray()
+    for entry in palette:
+        r, g, b = entry if not isinstance(entry, bytes) else tuple(entry)
+        table += bytes((r, g, b))
+    table += b"\x00\x00\x00" * ((1 << bits) - npal)
+    return bits, bytes(table)
+
+
+def _image_block(
+    fw: int,
+    fh: int,
+    indices: bytes,
+    bits: int,
+    left: int = 0,
+    top: int = 0,
+    interlace: bool = False,
+    lct: bytes | None = None,
+    lct_bits: int = 0,
+) -> bytes:
+    """Image descriptor + optional local color table + LZW data
+    sub-blocks for one frame."""
+    ipacked = (0x40 if interlace else 0) | (
+        0x80 | (lct_bits - 1) if lct is not None else 0
+    )
+    out = bytearray(
+        b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + bytes([ipacked])
+    )
+    if lct is not None:
+        out += lct
+    if interlace:
+        rows = bytearray()
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for row in range(start, fh, step):
+                rows += indices[row * fw : (row + 1) * fw]
+        indices = bytes(rows)
+    out.append(bits)
+    comp = _lzw_encode(indices, bits)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _gce_block(
+    disposal: int, delay_cs: int, transparent: int | None
+) -> bytes:
+    """Graphic Control Extension (applies to the next image only)."""
+    flags = ((disposal & 0x7) << 2) | (0x01 if transparent is not None else 0)
+    return bytes((0x21, 0xF9, 4, flags)) + struct.pack(
+        "<H", delay_cs
+    ) + bytes((transparent or 0, 0))
+
+
 def gif_encode(
     w: int,
     h: int,
@@ -332,37 +458,84 @@ def gif_encode(
     Graphic Control Extension marking that index."""
     if len(indices) != w * h:
         raise GifFormatError(f"need {w * h} indices, got {len(indices)}")
-    npal = len(palette)
-    if not 2 <= npal <= 256:
-        raise GifFormatError(f"palette size {npal} out of range 2..256")
-    if max(indices) >= npal:
+    if max(indices) >= len(palette):
         raise GifFormatError("pixel index outside palette")
-    bits = max(2, (npal - 1).bit_length())  # GIF min code size >= 2
-    size = 1 << bits
-    table = bytearray()
-    for entry in palette:
-        r, g, b = entry if not isinstance(entry, bytes) else tuple(entry)
-        table += bytes((r, g, b))
-    table += b"\x00\x00\x00" * (size - npal)
+    bits, table = _palette_block(palette)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes((0x80 | (bits - 1), background, 0))
     out += table
     if transparent is not None:
-        out += bytes((0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0))
-    ipacked = 0x40 if interlace else 0
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
-    if interlace:
-        rows = bytearray()
-        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-            for row in range(start, h, step):
-                rows += indices[row * w : (row + 1) * w]
-        indices = bytes(rows)
-    out.append(bits)
-    comp = _lzw_encode(indices, bits)
-    for i in range(0, len(comp), 255):
-        chunk = comp[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+        out += _gce_block(0, 0, transparent)
+    out += _image_block(w, h, indices, bits, interlace=interlace)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_encode_animation(
+    w: int,
+    h: int,
+    frames: list[dict],
+    global_palette: list[bytes] | None = None,
+    background: int = 0,
+    loop: int | None = 0,
+) -> bytes:
+    """Write a multi-frame GIF89a animation.  Each frame dict:
+
+    ``{"indices": bytes(fw*fh), "palette": [...] | None (use
+    global), "left": 0, "top": 0, "fw": w, "fh": h, "delay_cs": 0,
+    "disposal": 0, "transparent": None, "interlace": False}``
+
+    ``loop`` writes the NETSCAPE2.0 application extension (0 =
+    forever, None = omit).  Every frame gets its own Graphic
+    Control Extension (one-shot per the spec), so per-frame delay/
+    disposal/transparency round-trip through ``gif_frames``."""
+    if not frames:
+        raise GifFormatError("animation needs at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    gbits = 0
+    if global_palette is not None:
+        gbits, gtable = _palette_block(global_palette)
+        out += bytes((0x80 | (gbits - 1), background, 0))
+        out += gtable
+    else:
+        out += bytes((0, background, 0))
+    if loop is not None:
+        out += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + struct.pack("<H", loop) + b"\x00"
+        )
+    for f in frames:
+        fw, fh = f.get("fw", w), f.get("fh", h)
+        left, top = f.get("left", 0), f.get("top", 0)
+        indices = f["indices"]
+        if len(indices) != fw * fh:
+            raise GifFormatError(
+                f"frame needs {fw * fh} indices, got {len(indices)}"
+            )
+        pal = f.get("palette")
+        if pal is not None:
+            bits, table = _palette_block(pal)
+            npal = len(pal)
+            lct, lct_bits = table, bits
+        elif global_palette is not None:
+            bits, npal = gbits, len(global_palette)
+            lct, lct_bits = None, 0
+        else:
+            raise GifFormatError(
+                "frame has no palette and no global palette exists"
+            )
+        if max(indices) >= npal:
+            raise GifFormatError("pixel index outside palette")
+        out += _gce_block(
+            f.get("disposal", 0), f.get("delay_cs", 0),
+            f.get("transparent"),
+        )
+        out += _image_block(
+            fw, fh, indices, bits, left=left, top=top,
+            interlace=f.get("interlace", False),
+            lct=lct, lct_bits=lct_bits,
+        )
+    out += b"\x3b"
     return bytes(out)

@@ -1855,3 +1855,128 @@ def multimodal_gif_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_exact boolean"
         ),
     )
+
+
+@query(
+    "multimodal_gif_frames_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 9 AS w,
+             3 + doc_id % 6 AS h,
+             2 + doc_id % 7 AS nc,
+             1 + doc_id % 4 AS nf
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, nc, nf, UNNEST(range(nf)) AS fr
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(fr AS INT) AS frame_no,
+           CAST(nf AS INT) AS n_frames,
+           CAST(2 + (doc_id + fr) % 9 AS INT) AS delay_cs,
+           (doc_id + fr) % 2 = 1 AS interlaced,
+           CAST(list_sum(list_transform(range(w * h),
+                i -> ((doc_id * 5
+                       + ((doc_id + fr * 13 + i * 7) % nc) * 37) % 256)
+                   + ((doc_id * 3
+                       + ((doc_id + fr * 13 + i * 7) % nc) * 59) % 256)
+                   + ((doc_id * 7
+                       + ((doc_id + fr * 13 + i * 7) % nc) * 83) % 256)
+                )) AS BIGINT) AS pixel_sum,
+           TRUE AS roundtrip_exact
+    FROM f
+    """,
+)
+def multimodal_gif_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ANIMATED-GIF FRAME EXTRACTION inside mapInPandas — the
+    video-ish sampling stage for the web's most common short
+    animation format: each document id becomes a deterministic
+    multi-frame GIF89a (1 + id%4 full-canvas frames, global palette
+    entry k = ((id*5+k*37)%256, (id*3+k*59)%256, (id*7+k*83)%256),
+    frame f raster idx[i] = (id + f*13 + i*7) % ncolors, per-frame
+    delay 2+(id+f)%9 centiseconds in a one-shot Graphic Control
+    Extension, interlace on alternating frames, NETSCAPE loop
+    header), written by the animation encoder (operators/gif
+    .gif_encode_animation), then walked back by the REAL frame
+    decoder (gif_frames: per-frame LZW + GCE metadata + disposal
+    compositing).  One output ROW PER FRAME; the oracle regenerates
+    the palette-mapped per-frame pixel relation and delay metadata
+    arithmetically WITHOUT decoding, so a GCE one-shot slip, a frame
+    ordering bug, a delay byte-order swap, or an interlace pass
+    error is a value mismatch.  Disposal-2/3 and transparency
+    compositing are pinned in the codec unit suite
+    (tests/test_gif_codec.py) — full-canvas frames keep the oracle
+    arithmetic while the walk still exercises the shared path.
+
+    Scale shape: narrow map over a single pruned column fanning out
+    ~2.5 rows per doc, no shuffle, no collect — identical plumbing
+    to the AVI frame-sampling gate (multimodal_avi_frames_real)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def frames_out(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.gif import (
+            gif_encode_animation,
+            gif_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 9, 3 + did % 6
+                nc, nf = 2 + did % 7, 1 + did % 4
+                palette = [
+                    bytes((
+                        (did * 5 + k * 37) % 256,
+                        (did * 3 + k * 59) % 256,
+                        (did * 7 + k * 83) % 256,
+                    ))
+                    for k in range(nc)
+                ]
+                spec = [
+                    {
+                        "indices": bytes(
+                            (did + f * 13 + i * 7) % nc
+                            for i in range(w * h)
+                        ),
+                        "delay_cs": 2 + (did + f) % 9,
+                        "interlace": (did + f) % 2 == 1,
+                    }
+                    for f in range(nf)
+                ]
+                payload = gif_encode_animation(
+                    w, h, spec, global_palette=palette, loop=0
+                )
+                sw, sh, decoded = gif_frames(payload)
+                for f, fr in enumerate(decoded):
+                    expected = b"".join(
+                        palette[k] for k in spec[f]["indices"]
+                    )
+                    rows.append(
+                        (
+                            did, f, len(decoded), fr["delay_cs"],
+                            fr["interlaced"], sum(fr["rgb"]),
+                            (sw, sh) == (w, h)
+                            and fr["rgb"] == expected,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "delay_cs",
+                    "interlaced", "pixel_sum", "roundtrip_exact",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        frames_out,
+        schema=(
+            "doc_id long, frame_no int, n_frames int, delay_cs int, "
+            "interlaced boolean, pixel_sum long, roundtrip_exact boolean"
+        ),
+    )

@@ -202,3 +202,117 @@ def test_quarantine_errors_are_typed():
         gif_encode(1, 1, b"\x00", [b"\x00\x00\x00"] * 257)
     with pytest.raises(GifFormatError, match="outside palette"):
         gif_encode(2, 1, bytes([0, 5]), pal)
+
+
+def test_animation_frames_walk_with_delays_and_palettes():
+    """gif_frames returns every frame composited on the logical
+    screen with its own delay/disposal metadata; local palettes
+    apply per frame; max_frames caps the walk."""
+    from parquet_to_sql_spark.operators.gif import (
+        gif_encode_animation,
+        gif_frames,
+    )
+
+    palA = [b"\x01\x01\x01", b"\x02\x02\x02"]
+    palB = [b"\x09\x09\x09", b"\x0c\x0c\x0c"]
+    frames = [
+        {"indices": bytes([0, 1, 1, 0]), "palette": palA, "delay_cs": 10},
+        {"indices": bytes([1, 1, 0, 0]), "palette": palB, "delay_cs": 25,
+         "interlace": True},
+    ]
+    payload = gif_encode_animation(2, 2, frames)
+    sw, sh, out = gif_frames(payload)
+    assert (sw, sh) == (2, 2) and len(out) == 2
+    assert out[0]["rgb"] == b"\x01\x01\x01\x02\x02\x02\x02\x02\x02\x01\x01\x01"
+    assert out[1]["rgb"] == b"\x0c\x0c\x0c\x0c\x0c\x0c\x09\x09\x09\x09\x09\x09"
+    assert [f["delay_cs"] for f in out] == [10, 25]
+    assert [f["interlaced"] for f in out] == [False, True]
+    assert [f["local_palette"] for f in out] == [True, True]
+    _, _, capped = gif_frames(payload, max_frames=1)
+    assert len(capped) == 1 and capped[0]["rgb"] == out[0]["rgb"]
+
+
+def test_animation_transparency_composites_over_previous():
+    """A transparent pixel in frame 2 shows frame 1's pixel (not the
+    background) — the compositing rule that makes partial-update
+    animations work."""
+    from parquet_to_sql_spark.operators.gif import (
+        gif_encode_animation,
+        gif_frames,
+    )
+
+    pal = [b"\x11\x11\x11", b"\x22\x22\x22", b"\x33\x33\x33"]
+    frames = [
+        {"indices": bytes([0, 1, 1, 0])},
+        {"indices": bytes([2, 2, 2, 2]), "transparent": 2},  # all clear
+        {"indices": bytes([2, 0, 2, 0]), "transparent": 2},
+    ]
+    payload = gif_encode_animation(2, 2, frames, global_palette=pal)
+    _, _, out = gif_frames(payload)
+    f1 = b"\x11\x11\x11\x22\x22\x22\x22\x22\x22\x11\x11\x11"
+    assert out[0]["rgb"] == f1
+    assert out[1]["rgb"] == f1  # fully transparent frame: unchanged
+    assert out[2]["rgb"] == (
+        b"\x11\x11\x11" + b"\x11\x11\x11" + b"\x22\x22\x22" + b"\x11\x11\x11"
+    )
+
+
+def test_animation_disposal_background_and_previous():
+    """Disposal 2 restores the frame's RECT to the background color
+    before the next frame; disposal 3 restores the pre-frame canvas."""
+    import struct as _s
+
+    from parquet_to_sql_spark.operators.gif import (
+        gif_encode_animation,
+        gif_frames,
+    )
+
+    pal = [b"\xaa\xaa\xaa", b"\xbb\xbb\xbb", b"\xcc\xcc\xcc"]
+    bg = b"\xaa\xaa\xaa"  # background index 0
+    # frame 1 paints the whole 2x2 canvas 1; frame 2 paints the
+    # top-left single pixel 2 with disposal 2 (restore rect to bg);
+    # frame 3 is fully transparent so it shows the disposed canvas
+    frames = [
+        {"indices": bytes([1, 1, 1, 1])},
+        {"indices": bytes([2]), "fw": 1, "fh": 1, "disposal": 2},
+        {"indices": bytes([2, 2, 2, 2]), "transparent": 2},
+    ]
+    payload = gif_encode_animation(2, 2, frames, global_palette=pal,
+                                   background=0)
+    _, _, out = gif_frames(payload)
+    full1 = b"\xbb\xbb\xbb" * 4
+    assert out[0]["rgb"] == full1
+    assert out[1]["rgb"] == b"\xcc\xcc\xcc" + b"\xbb\xbb\xbb" * 3
+    assert out[2]["rgb"] == bg + b"\xbb\xbb\xbb" * 3  # rect restored to bg
+
+    # disposal 3: restore to previous
+    frames3 = [
+        {"indices": bytes([1, 1, 1, 1])},
+        {"indices": bytes([2, 2, 2, 2]), "disposal": 3},
+        {"indices": bytes([0]), "fw": 1, "fh": 1, "transparent": 0},
+    ]
+    payload3 = gif_encode_animation(2, 2, frames3, global_palette=pal)
+    _, _, out3 = gif_frames(payload3)
+    assert out3[1]["rgb"] == b"\xcc\xcc\xcc" * 4
+    assert out3[2]["rgb"] == full1  # frame 2's paint fully undone
+
+
+def test_animation_netscape_loop_roundtrip():
+    """The NETSCAPE2.0 loop extension is written and skipped cleanly;
+    gif_decode still returns only the first frame."""
+    from parquet_to_sql_spark.operators.gif import (
+        gif_decode,
+        gif_encode_animation,
+        gif_frames,
+    )
+
+    pal = [b"\x01\x02\x03", b"\x04\x05\x06"]
+    frames = [
+        {"indices": bytes([0, 1])},
+        {"indices": bytes([1, 0])},
+    ]
+    payload = gif_encode_animation(2, 1, frames, global_palette=pal, loop=3)
+    assert b"NETSCAPE2.0" in payload
+    _, _, out = gif_frames(payload)
+    assert len(out) == 2
+    assert gif_decode(payload)[3] == out[0]["rgb"]
