@@ -100,10 +100,16 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, float]:
         w, h, c, pixels = png_decode(payload)
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, c, pixels = gif_decode(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless VP8L decodes (round 13); lossy VP8 raises the
+        # documented typed quarantine from inside webp_decode
+        from parquet_to_sql_spark.operators.vp8l import webp_decode
+
+        w, h, c, pixels = webp_decode(payload)
     else:
         raise PngFormatError(
-            "unrecognized image payload (PNG, JPEG and GIF decode; "
-            "everything else quarantines)"
+            "unrecognized image payload (PNG, JPEG, GIF and lossless "
+            "WebP decode; everything else quarantines)"
         )
     if not pixels:
         return w, h, c, 0.0
@@ -130,6 +136,7 @@ def decode_image_features(
     from parquet_to_sql_spark.operators.gif import GifFormatError
     from parquet_to_sql_spark.operators.jpeg import JpegFormatError
     from parquet_to_sql_spark.operators.png import PngFormatError
+    from parquet_to_sql_spark.operators.webp import WebpFormatError
 
     decode_one = _fake_decode if fake else _real_decode
 
@@ -141,7 +148,10 @@ def decode_image_features(
                 try:
                     w, h, c, luma = decode_one(payload)
                     rows.append((uri, len(payload), w, h, c, luma))
-                except (PngFormatError, JpegFormatError, GifFormatError):
+                except (
+                    PngFormatError, JpegFormatError, GifFormatError,
+                    WebpFormatError,
+                ):
                     if on_error == "raise":
                         raise
                     rows.append((uri, len(payload), None, None, None, None))

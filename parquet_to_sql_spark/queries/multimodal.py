@@ -1980,3 +1980,137 @@ def multimodal_gif_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interlaced boolean, pixel_sum long, roundtrip_exact boolean"
         ),
     )
+
+
+@query(
+    "multimodal_webp_lossless_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 10 AS w,
+             4 + doc_id % 6 AS h,
+             doc_id % 5 AS sc,
+             2 + doc_id % 20 AS nc
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(4 AS INT) AS channels,
+           CAST(w * h * 4 AS BIGINT) AS n_px,
+           CASE sc WHEN 0 THEN 'none' WHEN 1 THEN 'subtract_green'
+                WHEN 2 THEN 'predictor' WHEN 3 THEN 'color'
+                ELSE 'palette' END AS transform,
+           CAST(CASE WHEN sc = 4
+             THEN list_sum(list_transform(range(w * h), i ->
+                  ((doc_id * 3 + ((doc_id + i * 7) % nc) * 11) % 256)
+                + ((doc_id * 5 + ((doc_id + i * 7) % nc) * 17) % 256)
+                + ((doc_id * 7 + ((doc_id + i * 7) % nc) * 23) % 256)
+                + 255))
+             ELSE list_sum(list_transform(range(w * h * 4),
+                  j -> (doc_id * 29 + j * 31) % 256))
+           END AS BIGINT) AS pixel_sum,
+           TRUE AS roundtrip_exact
+    FROM d
+    """,
+)
+def multimodal_webp_lossless_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VP8L (lossless WebP) decoding inside mapInPandas — round
+    13's flagship codec (the progressive-JPEG slot of this round):
+    each document id becomes deterministic RGBA content, is encoded
+    to an actual VP8L bitstream by the spec-mirror encoder
+    (operators/vp8l.py — real length-limited prefix codes over real
+    histograms, LZ77 runs, canonical code-length coding), wrapped in
+    a RIFF container, and decoded back by the REAL decoder (bit
+    reader -> prefix codes -> LZ77/color-cache -> inverse
+    transforms).  The exercised path CYCLES BY doc_id%5: plain
+    literals + a 6-bit color cache, SUBTRACT_GREEN, the PREDICTOR
+    transform (2-pixel blocks cycling all 14 modes), the COLOR
+    transform (signed 3.5 fixed-point deltas), and COLOR_INDEXING
+    with sub-byte pixel bundling (palette sizes 2..21 hit the 1-, 2-
+    and 4-bit bundle widths).  The oracle regenerates the source
+    pixel relation arithmetically WITHOUT decoding, so a canonical-
+    code slip, a wrong predictor edge rule, a truncation-direction
+    error in the fixed-point deltas, or a bundling offset bug is a
+    value mismatch on the driver run.  Hand-packed bitstream
+    fixtures (tests/test_vp8l_codec.py) independently pin the
+    decoder against the RFC 9649 layout so encoder+decoder can't
+    self-certify a shared misreading.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect; CPU-bound per-asset work exactly where a real vision
+    pipeline puts it.  A real corpus swaps synthesis for binaryFile
+    payloads; the decode path is byte-identical.
+
+    Reference parity note: the reference repo has no media handling
+    (SURVEY.md §2.C — mandated extension surface, not parity)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.vp8l import (
+            vp8l_encode,
+            webp_decode,
+            webp_wrap_vp8l,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 10, 4 + did % 6
+                sc, nc = did % 5, 2 + did % 20
+                if sc == 4:
+                    pal = [
+                        (
+                            (did * 3 + k * 11) % 256,
+                            (did * 5 + k * 17) % 256,
+                            (did * 7 + k * 23) % 256,
+                            255,
+                        )
+                        for k in range(nc)
+                    ]
+                    rgba = b"".join(
+                        bytes(pal[(did + i * 7) % nc])
+                        for i in range(w * h)
+                    )
+                    kw = {"transforms": ("palette",)}
+                    label = "palette"
+                else:
+                    rgba = bytes(
+                        (did * 29 + j * 31) % 256 for j in range(w * h * 4)
+                    )
+                    kw, label = {
+                        0: ({"cache_bits": 6}, "none"),
+                        1: ({"transforms": ("subtract_green",)},
+                            "subtract_green"),
+                        2: ({"transforms": ("predictor",),
+                             "predictor_bits": 2}, "predictor"),
+                        3: ({"transforms": ("color",), "color_bits": 2},
+                            "color"),
+                    }[sc]
+                container = webp_wrap_vp8l(vp8l_encode(w, h, rgba, **kw))
+                rw, rh, rc, out = webp_decode(container)
+                rows.append(
+                    (did, rw, rh, rc, len(out), sum(out), label,
+                     out == rgba)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "n_px",
+                    "pixel_sum", "transform", "roundtrip_exact",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        encode_decode,
+        schema=(
+            "doc_id long, width int, height int, channels int, "
+            "n_px long, pixel_sum long, transform string, "
+            "roundtrip_exact boolean"
+        ),
+    )
