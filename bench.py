@@ -244,6 +244,54 @@ def multimodal_gif_decode_throughput(spark, sf_dir):
     )
 
 
+def multimodal_webp_lossless_decode_throughput(spark, sf_dir):
+    """VP8L twin of the decode probes (round 13): encodes + decodes
+    128 fixed 64x64 RGBA lossless WebPs (~2.1 MB of pixels) through
+    the full container path.  VP8L reads up to four prefix symbols
+    per pixel (green/red/blue/alpha), so its per-pixel cost is
+    inherently above the single-symbol codecs — this row pins its
+    own honest MB/s (root-table prefix decode, buffered bit reader)
+    rather than hiding it behind the other rows.  Fixed work
+    independent of sf."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_img, w, h = 128, 64, 64
+
+    def enc_dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from parquet_to_sql_spark.operators.vp8l import (
+            vp8l_encode,
+            webp_decode,
+            webp_wrap_vp8l,
+        )
+
+        for pdf in batches:
+            ok = 0
+            px_bytes = 0
+            for i in pdf["id"]:
+                i = int(i)
+                base = np.arange(w * h * 4, dtype=np.uint32)
+                px = ((base * 13 + i * 31) % 256).astype(np.uint8).tobytes()
+                payload = webp_wrap_vp8l(
+                    vp8l_encode(w, h, px, transforms=("subtract_green",))
+                )
+                _, _, _, out = webp_decode(payload)
+                ok += out == px
+                px_bytes += len(out)
+            yield pd.DataFrame({"ok": [ok], "px_bytes": [px_bytes]})
+
+    import pyspark.sql.functions as F
+
+    return (
+        spark.range(0, n_img, 1, 32)
+        .mapInPandas(enc_dec, schema="ok long, px_bytes long")
+        .agg(F.sum("ok").alias("n_ok"), F.sum("px_bytes").alias("px_bytes"))
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -260,6 +308,9 @@ def main() -> int:
     headline["multimodal_png_decode_throughput"] = multimodal_png_decode_throughput
     headline["multimodal_jpeg_decode_throughput"] = multimodal_jpeg_decode_throughput
     headline["multimodal_gif_decode_throughput"] = multimodal_gif_decode_throughput
+    headline["multimodal_webp_lossless_decode_throughput"] = (
+        multimodal_webp_lossless_decode_throughput
+    )
     headline["multimodal_jpeg_progressive_decode_throughput"] = (
         multimodal_jpeg_progressive_decode_throughput
     )

@@ -42,32 +42,64 @@ from parquet_to_sql_spark.operators.webp import WebpFormatError
 
 
 class _Bits:
-    __slots__ = ("data", "pos", "n")
+    """Buffered LSB-first reader: bytes refill a small accumulator so
+    per-bit cost is O(1) without big-int shifting."""
+
+    __slots__ = ("data", "byte_pos", "acc", "nbits", "total")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0  # bit position
-        self.n = len(data) * 8
+        self.byte_pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.total = len(data)
+
+    def _fill(self, need: int) -> None:
+        acc, nbits, bp = self.acc, self.nbits, self.byte_pos
+        d, total = self.data, self.total
+        while nbits < need:
+            if bp >= total:
+                raise WebpFormatError("truncated VP8L bitstream")
+            acc |= d[bp] << nbits
+            nbits += 8
+            bp += 1
+        self.acc, self.nbits, self.byte_pos = acc, nbits, bp
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
             return 0
-        if self.pos + nbits > self.n:
-            raise WebpFormatError("truncated VP8L bitstream")
-        v = 0
-        p = self.pos
-        d = self.data
-        for i in range(nbits):
-            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
-        self.pos = p + nbits
+        if self.nbits < nbits:
+            self._fill(nbits)
+        v = self.acc & ((1 << nbits) - 1)
+        self.acc >>= nbits
+        self.nbits -= nbits
         return v
 
     def read_bit(self) -> int:
-        p = self.pos
-        if p >= self.n:
+        if self.nbits < 1:
+            self._fill(1)
+        v = self.acc & 1
+        self.acc >>= 1
+        self.nbits -= 1
+        return v
+
+    def peek(self, nbits: int) -> int:
+        """Up to ``nbits`` of lookahead, zero-padded past the end
+        (prefix decoding may peek beyond the final code)."""
+        acc, nb, bp = self.acc, self.nbits, self.byte_pos
+        d, total = self.data, self.total
+        while nb < nbits and bp < total:
+            acc |= d[bp] << nb
+            nb += 8
+            bp += 1
+        self.acc, self.nbits, self.byte_pos = acc, nb, bp
+        return acc & ((1 << nbits) - 1)
+
+    def skip(self, nbits: int) -> None:
+        if self.nbits < nbits:
             raise WebpFormatError("truncated VP8L bitstream")
-        self.pos = p + 1
-        return (self.data[p >> 3] >> (p & 7)) & 1
+        self.acc >>= nbits
+        self.nbits -= nbits
 
 
 class _BitW:
@@ -128,15 +160,20 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _Code:
-    """A decodable prefix code: either a zero-bit single symbol or a
-    (length, code) -> symbol map read bit by bit, MSB-first."""
+    """A decodable prefix code: a zero-bit single symbol, a
+    (length, code) -> symbol map read bit by bit (MSB-first), or —
+    for codes worth the build cost — a root lookup table keyed on
+    peeked stream bits (codes longer than the root fall back to the
+    bit-by-bit path)."""
 
-    __slots__ = ("single", "table", "max_len")
+    __slots__ = ("single", "table", "max_len", "lut", "root")
 
     def __init__(self, lengths: list[int]):
         used = [s for s, ln in enumerate(lengths) if ln > 0]
         if not used:
             raise WebpFormatError("prefix code with no symbols")
+        self.lut = None
+        self.root = 0
         if len(used) == 1:
             self.single = used[0]
             self.table = None
@@ -149,10 +186,27 @@ class _Code:
                 f"{kraft:.6f})"
             )
         self.single = None
+        canonical = _canonical_codes(lengths)
         self.table = {}
-        for sym, (code, ln) in _canonical_codes(lengths).items():
+        for sym, (code, ln) in canonical.items():
             self.table[(ln, code)] = sym
         self.max_len = max(ln for ln in lengths if ln)
+        if len(used) > 16:
+            # root table over the next `root` stream bits; the first
+            # stream bit of a code is its MSB, so LUT keys are the
+            # bit-reversed code padded with every filler
+            root = min(self.max_len, 10)
+            lut: list[tuple[int, int] | None] = [None] * (1 << root)
+            for sym, (code, ln) in canonical.items():
+                if ln > root:
+                    continue
+                rev = 0
+                for i in range(ln):
+                    rev |= ((code >> i) & 1) << (ln - 1 - i)
+                for idx in range(rev, 1 << root, 1 << ln):
+                    lut[idx] = (sym, ln)
+            self.lut = lut
+            self.root = root
 
     @classmethod
     def single_symbol(cls, sym: int) -> "_Code":
@@ -160,6 +214,8 @@ class _Code:
         c.single = sym
         c.table = None
         c.max_len = 0
+        c.lut = None
+        c.root = 0
         return c
 
     @classmethod
@@ -168,11 +224,18 @@ class _Code:
         c.single = None
         c.table = {(1, 0): s0, (1, 1): s1}
         c.max_len = 1
+        c.lut = None
+        c.root = 0
         return c
 
     def read(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
+        if self.lut is not None:
+            e = self.lut[br.peek(self.root)]
+            if e is not None:
+                br.skip(e[1])
+                return e[0]
         code = 0
         ln = 0
         table = self.table

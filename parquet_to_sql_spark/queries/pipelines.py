@@ -3619,15 +3619,21 @@ def pipeline_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staleness_schedule(f)
 
 
-def _staleness_schedule(f: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+def _staleness_schedule(
+    f: DataFrame,
+    extra: tuple[str, ...] = (),
+    delay: str | None = None,
+) -> DataFrame:
     """The shared recrawl-schedule engine (round 12's gate, reused by
     the round-13 wire composition): input (doc_id, h, stale_at) ->
     per-host staleness-ordered fetch slots with the lower-bound
     admission semantics documented on pipeline_recrawl_schedule.
     ``extra`` columns of the input are carried through unchanged
     (the wire gate passes freshness_s/source so the parse layer
-    sits under the same hash).  One hash shuffle on the host key +
-    one window pass, all JVM expressions."""
+    sits under the same hash); ``delay`` names a per-row politeness
+    column (seconds; must also appear in ``extra``) — default is
+    the synthetic 5+h of the r12 gate.  One hash shuffle on the
+    host key + one window pass, all JVM expressions."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("h").orderBy("stale_at", "doc_id")
@@ -3638,9 +3644,12 @@ def _staleness_schedule(f: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         .over(Window.partitionBy("h")).alias("h_open"),
         *extra,
     )
+    delay_expr = (
+        F.col(delay) if delay is not None else F.lit(5) + F.col("h")
+    )
     fetch = F.greatest(
         F.col("stale_at"),
-        F.col("h_open") + (F.col("slot") - 1) * (F.lit(5) + F.col("h")),
+        F.col("h_open") + (F.col("slot") - 1) * delay_expr,
     )
     return s.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -3665,7 +3674,10 @@ def _recrawl_files_fixture(spark: SparkSession, sf_dir: str) -> str:
     Last-Modified it must beat), ``Expires`` (past-dated every 11th
     doc), ``Last-Modified`` only (the RFC 9111 §4.2.2 heuristic), or
     none (exactly the pipeline_cache_freshness recipe, now ON THE
-    WIRE).  A separate fixture from _crawl_files_fixture by design:
+    WIRE) — plus ONE ``/robots.txt`` response per host whose body
+    declares ``Crawl-delay: 1 + h%9`` in the ``*`` group, so the
+    schedule's politeness spacing is parsed off the wire too.
+    A separate fixture from _crawl_files_fixture by design:
     growing the shared shards' headers would shift the byte-exact
     n_headers/record-length pins of five driver-gated consumers
     (pipeline_wet_generation et al.) mid-window."""
@@ -3696,6 +3708,21 @@ def _recrawl_files_fixture(spark: SparkSession, sf_dir: str) -> str:
         tmp = tempfile.mkdtemp(dir=root)
         for s in range(8):
             recs = []
+            for host in range(s, min(17, n), 8):
+                robots = (
+                    f"User-agent: *\nCrawl-delay: {1 + host % 9}\n"
+                ).encode("ascii")
+                msg = http_write_response(
+                    200, "OK",
+                    [("Content-Type", "text/plain")], robots,
+                )
+                recs.append(
+                    warc_write_record(
+                        "response",
+                        f"http://h{host}.example.com/robots.txt",
+                        msg, f"rb{host}",
+                    )
+                )
             for did in range(s, n, 8):
                 de = 1700000000 + did * 3600
                 age = (1 + did % 97) * 86400
@@ -3768,12 +3795,13 @@ def _recrawl_files_fixture(spark: SparkSession, sf_dir: str) -> str:
            'h' || h || '.example.com' AS host,
            CAST(stale_at AS BIGINT) AS stale_at,
            CAST(slot AS BIGINT) AS slot,
-           CAST(GREATEST(stale_at, h_open + (slot - 1) * (5 + h))
+           CAST(GREATEST(stale_at, h_open + (slot - 1) * (1 + h % 9))
                 AS BIGINT) AS earliest_fetch,
-           GREATEST(stale_at, h_open + (slot - 1) * (5 + h)) > stale_at
-             AS politeness_bound,
+           GREATEST(stale_at, h_open + (slot - 1) * (1 + h % 9))
+             > stale_at AS politeness_bound,
            CAST(fresh_s AS BIGINT) AS freshness_s,
-           source
+           source,
+           CAST(1 + h % 9 AS BIGINT) AS crawl_delay
     FROM s
     """,
 )
@@ -3787,19 +3815,28 @@ def pipeline_recrawl_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Last-Modified heuristic, past-dated Expires clamps to 0) ->
     per-URL staleness epoch -> THE SAME per-host schedule engine as
     pipeline_recrawl_schedule (_staleness_schedule: staleness-
-    ordered slots, politeness spacing 5+h, lower-bound admission).
-    The oracle unrolls BOTH layers purely arithmetically — epoch
-    formulas through slot arithmetic — so a date-field misparse, a
-    freshness-precedence slip, OR a schedule off-by-one is a value
-    mismatch on the driver run; freshness_s/source ride through the
-    schedule so the parse layer sits under the same hash.
+    ordered slots, lower-bound admission) — with the politeness
+    spacing ALSO parsed off the wire: each host's ``/robots.txt``
+    response rides the same shards, its body goes through the
+    JVM-side RFC-fold parser (operators/urls
+    .robots_crawl_delay_ms — whole-stage codegen, not Python) and
+    the parsed Crawl-delay drives the slot spacing.  The oracle
+    unrolls ALL THREE layers purely arithmetically — epoch formulas
+    through freshness precedence through slot-times-delay — so a
+    date-field misparse, a freshness-precedence slip, a robots
+    group-binding bug, OR a schedule off-by-one is a value mismatch
+    on the driver run; freshness_s/source/crawl_delay ride through
+    the schedule so every parse layer sits under the same hash.
 
     Scale shape: the corpus never re-shuffles — the only wide data
-    is the (doc_id, h, stale_at) relation leaving the Arrow map,
-    then ONE hash shuffle on the host key + one window pass (the
-    natural crawl partitioning).  At 100 TB the binaryFile scan is
-    one task per shard and the schedule state per host is a row
-    counter, not a buffer."""
+    is the (doc_id, h, stale_at) relation leaving the Arrow map
+    (two narrow passes over the same shard scan split doc rows from
+    robots rows), the per-host delay relation is 17 rows and
+    BROADCASTS into the staleness stream, then ONE hash shuffle on
+    the host key + one window pass (the natural crawl
+    partitioning).  At 100 TB the binaryFile scan is one task per
+    shard and the schedule state per host is a row counter, not a
+    buffer."""
     from typing import Iterator
 
     import pandas as pd
@@ -3824,20 +3861,32 @@ def pipeline_recrawl_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             warc_records,
         )
 
-        uri_re = re.compile(r"http://h(\d+)\.example\.com/(\d+)")
+        doc_re = re.compile(r"http://h(\d+)\.example\.com/(\d+)")
+        robots_re = re.compile(r"http://h(\d+)\.example\.com/robots\.txt")
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
                 for rec in warc_records(bytes(content)):
                     if rec["warc_type"] != "response":
                         continue
-                    m = uri_re.fullmatch(rec["uri"])
+                    resp = http_parse_response(rec["content"])
+                    rm = robots_re.fullmatch(rec["uri"])
+                    if rm:
+                        # robots body hands off to the JVM-side
+                        # RFC-fold parser downstream — no Python
+                        # parse here
+                        rows.append(
+                            ("robots", None, int(rm.group(1)), None,
+                             None, None,
+                             resp["body"].decode("ascii"))
+                        )
+                        continue
+                    m = doc_re.fullmatch(rec["uri"])
                     if not m:
                         raise WarcFormatError(
                             f"unexpected record uri {rec['uri']!r}"
                         )
                     h, did = int(m.group(1)), int(m.group(2))
-                    resp = http_parse_response(rec["content"])
                     date_epoch = parse_imf_fixdate(
                         resp["headers"]["date"]
                     )
@@ -3845,22 +3894,41 @@ def pipeline_recrawl_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                         resp["headers"], date_epoch
                     )
                     rows.append(
-                        (did, h, date_epoch + fresh, fresh, source)
+                        ("doc", did, h, date_epoch + fresh, fresh,
+                         source, None)
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "h", "stale_at", "freshness_s",
-                         "source"],
+                columns=["kind", "doc_id", "h", "stale_at",
+                         "freshness_s", "source", "robots_txt"],
             )
 
-    staleness = files.select("content").mapInPandas(
+    parsed = files.select("content").mapInPandas(
         parse,
         schema=(
-            "doc_id long, h int, stale_at long, freshness_s long, "
-            "source string"
+            "kind string, doc_id long, h int, stale_at long, "
+            "freshness_s long, source string, robots_txt string"
         ),
     )
-    return _staleness_schedule(staleness, extra=("freshness_s", "source"))
+    from parquet_to_sql_spark.operators.urls import robots_crawl_delay_ms
+
+    delays = (
+        parsed.filter(F.col("kind") == "robots")
+        .select(
+            "h",
+            (robots_crawl_delay_ms(F.col("robots_txt")) / F.lit(1000))
+            .cast("bigint").alias("crawl_delay"),
+        )
+    )
+    staleness = parsed.filter(F.col("kind") == "doc").select(
+        "doc_id", "h", "stale_at", "freshness_s", "source"
+    )
+    joined = staleness.join(F.broadcast(delays), "h")
+    return _staleness_schedule(
+        joined,
+        extra=("freshness_s", "source", "crawl_delay"),
+        delay="crawl_delay",
+    )
 
 
 @query(
