@@ -376,6 +376,8 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "pipeline_recrawl_files",  # round-13 new: wire-composed recrawl — warc files -> RFC 9111 freshness -> per-host schedule
     "multimodal_gif_frames_real",  # round-13 new: animated-GIF frame walk (GCE delays, per-frame LZW) under the hash gate
     "multimodal_webp_lossless_real",  # round-13 new: full VP8L decode (prefix codes, LZ77, cache, all 4 transforms) under the hash gate
+    "multimodal_bmp_decode_real",  # round-13 new: BMP 24/32/pal8 decode, both row orders, under the hash gate
+    "multimodal_container_probe_real",  # round-13 new: BMP/TIFF-LE/TIFF-BE dims + MP3 frame-walk probes under the hash gate
 )
 
 # Verified queries whose build source OR implementing operator

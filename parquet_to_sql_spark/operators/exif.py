@@ -265,3 +265,79 @@ def exif_apply_orientation(pixels, width, height, channels, orientation):
         out.shape[1],
         out.shape[0],
     )
+
+
+def tiff_dimensions(data: bytes) -> tuple[int, int, int]:
+    """(width, height, samples-per-pixel) from a RAW TIFF's IFD0 —
+    the ``jpeg_dimensions`` routing-probe pattern for the next
+    archive format over (TIFF scans/datasets); no strip data is
+    touched.  Reuses the same IFD walk discipline as exif_parse
+    (Exif IS a TIFF IFD embedded in JPEG APP1).  Tags: ImageWidth
+    256 / ImageLength 257 (SHORT or LONG), SamplesPerPixel 277
+    (default 1 per the TIFF 6.0 spec).  Raises ExifFormatError for
+    malformed headers or when either dimension tag is absent."""
+    if len(data) < 8:
+        raise ExifFormatError("truncated TIFF header")
+    order = data[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ExifFormatError(f"bad TIFF byte order {order!r}")
+    (magic,) = struct.unpack_from(e + "H", data, 2)
+    if magic != 42:
+        raise ExifFormatError(f"bad TIFF magic {magic}")
+    (ifd0,) = struct.unpack_from(e + "I", data, 4)
+    if ifd0 + 2 > len(data):
+        raise ExifFormatError("IFD0 offset past file end")
+    (n,) = struct.unpack_from(e + "H", data, ifd0)
+    width = height = None
+    spp = 1
+    for i in range(n):
+        base = ifd0 + 2 + 12 * i
+        if base + 12 > len(data):
+            raise ExifFormatError(f"IFD0 entry {i} truncated")
+        tag, typ, count = struct.unpack_from(e + "HHI", data, base)
+        if tag in (256, 257, 277):
+            if typ == 3:
+                (val,) = struct.unpack_from(e + "H", data, base + 8)
+            elif typ == 4:
+                (val,) = struct.unpack_from(e + "I", data, base + 8)
+            else:
+                raise ExifFormatError(
+                    f"tag {tag} has non-integer type {typ}"
+                )
+            if tag == 256:
+                width = val
+            elif tag == 257:
+                height = val
+            else:
+                spp = val
+    if width is None or height is None:
+        raise ExifFormatError("TIFF lacks ImageWidth/ImageLength tags")
+    if width == 0 or height == 0:
+        raise ExifFormatError("zero-dimension TIFF")
+    return width, height, spp
+
+
+def tiff_build_header(
+    width: int, height: int, spp: int = 3, big_endian: bool = False
+) -> bytes:
+    """Minimal single-IFD TIFF header block for probe fixtures:
+    ImageWidth/ImageLength (LONG) + SamplesPerPixel (SHORT), no
+    strip data (the probe never reads any)."""
+    e = ">" if big_endian else "<"
+    entries = [
+        (256, 4, 1, struct.pack(e + "I", width)),
+        (257, 4, 1, struct.pack(e + "I", height)),
+        (277, 3, 1, struct.pack(e + "H", spp) + b"\x00\x00"),
+    ]
+    out = bytearray((b"MM" if big_endian else b"II"))
+    out += struct.pack(e + "H", 42)
+    out += struct.pack(e + "I", 8)  # IFD0 right after the header
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack(e + "HHI", tag, typ, count) + value
+    out += struct.pack(e + "I", 0)  # no next IFD
+    return bytes(out)

@@ -2114,3 +2114,253 @@ def multimodal_webp_lossless_real(spark: SparkSession, sf_dir: str) -> DataFrame
             "roundtrip_exact boolean"
         ),
     )
+
+
+@query(
+    "multimodal_bmp_decode_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             3 + doc_id % 11 AS w,
+             2 + doc_id % 7 AS h,
+             doc_id % 3 AS k,
+             2 + doc_id % 30 AS nc
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE k WHEN 1 THEN 4 ELSE 3 END AS INT) AS channels,
+           CASE k WHEN 0 THEN 'bgr24' WHEN 1 THEN 'bgra32'
+                ELSE 'pal8' END AS kind,
+           doc_id % 2 = 1 AS top_down,
+           CAST(CASE k
+             WHEN 2 THEN list_sum(list_transform(range(w * h), i ->
+                  ((doc_id * 5 + ((doc_id + i * 3) % nc) * 7) % 256)
+                + ((doc_id * 3 + ((doc_id + i * 3) % nc) * 13) % 256)
+                + ((doc_id * 11 + ((doc_id + i * 3) % nc) * 17) % 256)))
+             ELSE list_sum(list_transform(
+                  range(w * h * CASE k WHEN 1 THEN 4 ELSE 3 END),
+                  j -> (doc_id * 19 + j * 23) % 256))
+           END AS BIGINT) AS pixel_sum,
+           TRUE AS roundtrip_exact
+    FROM d
+    """,
+)
+def multimodal_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decoding inside mapInPandas — the fifth real image
+    codec under the hash gate (PNG r08, JPEG r10, GIF/VP8L r13):
+    each document id becomes deterministic content written to an
+    actual BMP by the stdlib encoder and reconstructed by the REAL
+    decoder (operators/bmp.py), cycling the three supported pixel
+    layouts by doc_id%3 — 24-bit BGR, 32-bit BGRA, and 8-bit
+    paletted (palette sizes 2..31) — with bottom-up vs top-down
+    (negative height) row storage alternating by parity, so the row
+    flip, BGR swizzle, 4-byte row padding, and palette lookup are
+    all value-pinned.  The oracle regenerates the pixel relation
+    arithmetically WITHOUT decoding.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — identical plumbing to the other codec gates."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.bmp import bmp_decode, bmp_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 11, 2 + did % 7
+                k, nc = did % 3, 2 + did % 30
+                td = did % 2 == 1
+                if k == 2:
+                    pal = [
+                        bytes((
+                            (did * 5 + c * 7) % 256,
+                            (did * 3 + c * 13) % 256,
+                            (did * 11 + c * 17) % 256,
+                        ))
+                        for c in range(nc)
+                    ]
+                    idx = bytes(
+                        (did + i * 3) % nc for i in range(w * h)
+                    )
+                    payload = bmp_encode(
+                        w, h, idx, palette=pal, top_down=td
+                    )
+                    expected = b"".join(pal[i] for i in idx)
+                    kind, ch = "pal8", 3
+                else:
+                    ch = 4 if k == 1 else 3
+                    expected = bytes(
+                        (did * 19 + j * 23) % 256
+                        for j in range(w * h * ch)
+                    )
+                    payload = bmp_encode(
+                        w, h, expected, channels=ch, top_down=td
+                    )
+                    kind = "bgra32" if k == 1 else "bgr24"
+                rw, rh, rc, out = bmp_decode(payload)
+                rows.append(
+                    (did, rw, rh, rc, kind, td, sum(out),
+                     out == expected)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "kind",
+                    "top_down", "pixel_sum", "roundtrip_exact",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        encode_decode,
+        schema=(
+            "doc_id long, width int, height int, channels int, "
+            "kind string, top_down boolean, pixel_sum long, "
+            "roundtrip_exact boolean"
+        ),
+    )
+
+
+@query(
+    "multimodal_container_probe_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 4 AS k FROM documents
+    ), m AS (
+      SELECT doc_id, k,
+             CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END AS ver,
+             1 + doc_id % 14 AS bidx,
+             doc_id % 3 AS ridx,
+             1 + doc_id % 9 AS nf
+      FROM d WHERE k = 3
+    ), mp AS (
+      SELECT doc_id,
+             list_extract(CASE ver WHEN 3 THEN [44100, 48000, 32000]
+                  WHEN 2 THEN [22050, 24000, 16000]
+                  ELSE [11025, 12000, 8000] END, ridx + 1) AS rate,
+             list_extract(CASE WHEN ver = 3
+                  THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                  ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+                  END, bidx) AS kbps,
+             CASE WHEN ver = 3 THEN 1152 ELSE 576 END AS spf,
+             nf, CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ach
+      FROM m
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CASE d.k WHEN 0 THEN 'bmp' WHEN 1 THEN 'tiff-le'
+                WHEN 2 THEN 'tiff-be' ELSE 'mp3' END AS kind,
+           CASE d.k WHEN 0 THEN CAST(3 + d.doc_id % 40 AS INT)
+                WHEN 3 THEN NULL
+                ELSE CAST(1 + d.doc_id % 5000 AS INT) END AS width,
+           CASE d.k WHEN 0 THEN CAST(2 + d.doc_id % 25 AS INT)
+                WHEN 3 THEN NULL
+                ELSE CAST(1 + d.doc_id % 3000 AS INT) END AS height,
+           CASE d.k WHEN 0 THEN CAST(CASE WHEN d.doc_id % 2 = 1
+                                          THEN 4 ELSE 3 END AS INT)
+                WHEN 3 THEN CAST(mp.ach AS INT)
+                ELSE CAST(1 + d.doc_id % 4 AS INT) END AS channels,
+           CASE WHEN d.k = 3 THEN CAST(mp.rate AS INT) END AS sample_rate,
+           CASE WHEN d.k = 3 THEN CAST(mp.kbps AS INT) END AS bitrate_kbps,
+           CASE WHEN d.k = 3
+                THEN CAST(mp.nf * mp.spf * 1000 // mp.rate AS BIGINT)
+           END AS duration_ms
+    FROM d LEFT JOIN mp ON mp.doc_id = d.doc_id
+    """,
+)
+def multimodal_container_probe_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE METADATA-PROBE ROUTER, widened (round 13): BMP header
+    dims, raw-TIFF IFD0 dims in BOTH byte orders (the
+    jpeg_dimensions pattern applied to the next archive format
+    over, reusing the Exif IFD walk), and the MPEG-audio Layer III
+    frame-header walk (version/bitrate/sample-rate tables, padding
+    arithmetic, exact integer duration) — all on REAL encoded
+    payloads, none touching pixel/audio data.  The oracle
+    regenerates every probed field from the synthesis arithmetic,
+    including the MP3 table lookups, so a table transposition, a
+    byte-order slip, or a frame-length off-by-one is a value
+    mismatch on the driver run.
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect — header-walk cost per asset, the 100 TB routing
+    path."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.bmp import (
+            bmp_dimensions,
+            bmp_encode,
+        )
+        from parquet_to_sql_spark.operators.exif import (
+            tiff_build_header,
+            tiff_dimensions,
+        )
+        from parquet_to_sql_spark.operators.mp3 import mp3_build, mp3_probe
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 4
+                rate = kbps = dur = None
+                if k == 0:
+                    w, h = 3 + did % 40, 2 + did % 25
+                    ch = 4 if did % 2 == 1 else 3
+                    payload = bmp_encode(
+                        w, h, bytes(w * h * ch), channels=ch
+                    )
+                    w, h, ch = bmp_dimensions(payload)
+                    kind = "bmp"
+                elif k in (1, 2):
+                    w, h = 1 + did % 5000, 1 + did % 3000
+                    spp = 1 + did % 4
+                    payload = tiff_build_header(
+                        w, h, spp, big_endian=k == 2
+                    )
+                    w, h, ch = tiff_dimensions(payload)
+                    kind = "tiff-le" if k == 1 else "tiff-be"
+                else:
+                    ver = (3, 2, 0)[did % 3]
+                    payload = mp3_build(
+                        1 + did % 9, version=ver,
+                        bitrate_index=1 + did % 14,
+                        rate_index=did % 3,
+                        mono=did % 2 == 1,
+                        pad_pattern=lambda i, d=did: (d + i) % 2,
+                        id3v2_bytes=did % 50,
+                    )
+                    p = mp3_probe(payload)
+                    w = h = None
+                    ch = p["channels"]
+                    rate, kbps = p["sample_rate"], p["bitrate_kbps"]
+                    dur = p["duration_ms"]
+                    kind = "mp3"
+                rows.append((did, kind, w, h, ch, rate, kbps, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "width", "height", "channels",
+                    "sample_rate", "bitrate_kbps", "duration_ms",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        probe,
+        schema=(
+            "doc_id long, kind string, width int, height int, "
+            "channels int, sample_rate int, bitrate_kbps int, "
+            "duration_ms long"
+        ),
+    )
