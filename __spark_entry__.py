@@ -378,6 +378,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_webp_lossless_real",  # round-13 new: full VP8L decode (prefix codes, LZ77, cache, all 4 transforms) under the hash gate
     "multimodal_bmp_decode_real",  # round-13 new: BMP 24/32/pal8 decode, both row orders, under the hash gate
     "multimodal_container_probe_real",  # round-13 new: BMP/TIFF-LE/TIFF-BE dims + MP3 frame-walk probes under the hash gate
+    "multimodal_mp4_probe_real",  # round-13 new: ISO-BMFF box walk (mvhd v0/v1, largesize, trak/hdlr binding) under the hash gate
 )
 
 # Verified queries whose build source OR implementing operator

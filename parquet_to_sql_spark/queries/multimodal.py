@@ -2364,3 +2364,102 @@ def multimodal_container_probe_real(
             "duration_ms long"
         ),
     )
+
+
+@query(
+    "multimodal_mp4_probe_real",
+    tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             1000 * (1 + doc_id % 4) AS ts,
+             (doc_id * 977) % 100000 AS dur,
+             16 + doc_id % 1280 AS vw,
+             9 + doc_id % 720 AS vh,
+             doc_id % 2 = 1 AS with_audio
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                ELSE 'avc1' END AS brand,
+           CAST(ts AS INT) AS timescale,
+           CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN with_audio THEN 2 ELSE 1 END AS INT)
+             AS n_tracks,
+           CAST(vw AS INT) AS width,
+           CAST(vh AS INT) AS height,
+           TRUE AS has_video,
+           with_audio AS has_audio
+    FROM d
+    """,
+)
+def multimodal_mp4_probe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO-BMFF BOX-WALK PROBE — the video-container lane
+    (round 13, beside the real AVI codec): each document id becomes
+    a minimal valid ISO-BMFF file (ftyp brand cycling isom/mp42/
+    avc1, mvhd version 0 or 1 by doc_id%5, ``largesize`` 64-bit box
+    framing every 7th doc, one video track with 16.16 fixed-point
+    tkhd dims, an audio track for odd ids) written by the fixture
+    builder, then probed by the REAL box walk (operators/mp4
+    .mp4_probe: nested moov/trak/mdia descent, per-trak hdlr
+    binding, exact integer duration from timescale arithmetic).
+    The oracle regenerates every probed field from the synthesis
+    arithmetic, so a box-size slip, a version-layout offset error,
+    or a fixed-point shift bug is a value mismatch on the driver
+    run — with NO sample data ever touched (the 100 TB routing
+    path for video).
+
+    Scale shape: narrow map over one pruned column, no shuffle, no
+    collect."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_to_sql_spark.operators.mp4 import mp4_build, mp4_probe
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ts = 1000 * (1 + did % 4)
+                dur = (did * 977) % 100000
+                tracks = [{
+                    "kind": "vide",
+                    "width": 16 + did % 1280,
+                    "height": 9 + did % 720,
+                }]
+                if did % 2 == 1:
+                    tracks.append({"kind": "soun"})
+                payload = mp4_build(
+                    ts, dur, tracks,
+                    brand=("isom", "mp42", "avc1")[did % 3],
+                    mvhd_v1=did % 5 == 0,
+                    largesize_moov=did % 7 == 0,
+                )
+                p = mp4_probe(payload)
+                rows.append(
+                    (
+                        did, p["brand"], p["timescale"],
+                        p["duration_ms"], p["n_tracks"], p["width"],
+                        p["height"], p["has_video"], p["has_audio"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "timescale", "duration_ms",
+                    "n_tracks", "width", "height", "has_video",
+                    "has_audio",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        probe,
+        schema=(
+            "doc_id long, brand string, timescale int, "
+            "duration_ms long, n_tracks int, width int, height int, "
+            "has_video boolean, has_audio boolean"
+        ),
+    )

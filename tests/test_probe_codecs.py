@@ -134,3 +134,41 @@ def test_mp3_probe_quarantines():
         mp3_probe(bytes(f))
     with pytest.raises(Mp3FormatError, match="frames found"):
         mp3_probe(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+
+
+def test_mp4_probe_box_walk():
+    """ISO-BMFF box walk: both mvhd versions, largesize framing,
+    video-dims binding through trak/mdia, multi-track flags."""
+    from parquet_to_sql_spark.operators.mp4 import (
+        Mp4FormatError,
+        mp4_build,
+        mp4_probe,
+    )
+
+    d = mp4_build(
+        1000, 5500,
+        [{"kind": "vide", "width": 640, "height": 360},
+         {"kind": "soun"}],
+    )
+    assert mp4_probe(d) == {
+        "brand": "isom", "timescale": 1000, "duration_ms": 5500,
+        "n_tracks": 2, "width": 640, "height": 360,
+        "has_video": True, "has_audio": True,
+    }
+    d2 = mp4_build(
+        90000, 123456789, [{"kind": "soun"}], brand="mp42",
+        mvhd_v1=True, largesize_moov=True,
+    )
+    p2 = mp4_probe(d2)
+    assert p2["duration_ms"] == 123456789 * 1000 // 90000
+    assert p2["brand"] == "mp42" and p2["width"] is None
+    assert p2["has_audio"] and not p2["has_video"]
+    with pytest.raises(Mp4FormatError, match="truncated"):
+        mp4_probe(d[:20])
+    with pytest.raises(Mp4FormatError, match="out of range"):
+        mp4_probe(d[:-5])
+    with pytest.raises(Mp4FormatError, match="timescale"):
+        mp4_probe(mp4_build(0, 5, [{"kind": "vide", "width": 1,
+                                    "height": 1}]))
+    with pytest.raises(Mp4FormatError, match="no moov"):
+        mp4_probe(d[: d.index(b"moov") - 4])
