@@ -208,23 +208,36 @@ def test_multimodal_real_png_decode_end_to_end(spark):
 
 
 def test_multimodal_real_decode_rejects_and_routes_non_png(spark):
-    """Unrecognized payloads under fake=False (the decoder sniffs PNG
-    and baseline JPEG since round 10): a clear raise by default (the
-    format-error reason surfaces through Spark's executor exception),
-    or NULL-feature quarantine rows under on_error='null' — one
-    corrupt payload must not kill a 100 TB stage unless the caller
-    asked it to.  A JPEG row proves the sniffer routes formats, not
-    just accepts PNG."""
+    """Unrecognized payloads under fake=False (the decoder sniffs
+    PNG, JPEG, GIF and lossless WebP since round 13): a clear raise
+    by default (the format-error reason surfaces through Spark's
+    executor exception), or NULL-feature quarantine rows under
+    on_error='null' — one corrupt payload must not kill a 100 TB
+    stage unless the caller asked it to.  JPEG/GIF/WebP rows prove
+    the sniffer routes formats, not just accepts PNG; a MALFORMED
+    GIF (valid signature, garbage body) quarantines through its
+    typed error the same way."""
+    from parquet_to_sql_spark.operators.gif import gif_encode
     from parquet_to_sql_spark.operators.jpeg import jpeg_encode
     from parquet_to_sql_spark.operators.png import png_encode
+    from parquet_to_sql_spark.operators.vp8l import (
+        vp8l_encode,
+        webp_wrap_vp8l,
+    )
 
     good = png_encode(2, 2, bytes(range(12)), 3)
     jp = jpeg_encode(8, 8, bytes([100] * 64), 1, quant=8)
+    gf = gif_encode(3, 2, bytes([0, 1, 1, 0, 1, 0]),
+                    [b"\x10\x20\x30", b"\x40\x50\x60"])
+    wp = webp_wrap_vp8l(vp8l_encode(2, 3, bytes(range(24))))
     df = spark.createDataFrame(
         [
             (1, bytearray(good)),
-            (2, bytearray(b"GIF89a not a png")),
+            (2, bytearray(b"\x00\x01 not any image format")),
             (3, bytearray(jp)),
+            (4, bytearray(gf)),
+            (5, bytearray(wp)),
+            (6, bytearray(b"GIF89a garbage body")),
         ],
         "doc_id long, payload binary",
     )
@@ -244,8 +257,11 @@ def test_multimodal_real_decode_rejects_and_routes_non_png(spark):
     }
     assert routed["img://1"].width == 2
     assert routed["img://2"].width is None
-    assert routed["img://2"].n_bytes == 16  # metadata survives quarantine
+    assert routed["img://2"].n_bytes == 23  # metadata survives quarantine
     assert routed["img://3"].width == 8 and routed["img://3"].channels == 1
+    assert routed["img://4"].width == 3 and routed["img://4"].channels == 3
+    assert routed["img://5"].width == 2 and routed["img://5"].channels == 4
+    assert routed["img://6"].width is None  # typed GIF quarantine
     with pytest.raises(ValueError, match="on_error"):
         decode_image_features(packed, fake=False, on_error="quarantine")
 
