@@ -379,6 +379,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_bmp_decode_real",  # round-13 new: BMP 24/32/pal8 decode, both row orders, under the hash gate
     "multimodal_container_probe_real",  # round-13 new: BMP/TIFF-LE/TIFF-BE dims + MP3 frame-walk probes under the hash gate
     "multimodal_mp4_probe_real",  # round-13 new: ISO-BMFF box walk (mvhd v0/v1, largesize, trak/hdlr binding) under the hash gate
+    "source_webdataset_tar",  # round-13 new: WebDataset tar shards — hand-parsed ustar walk + key pairing + real PNG decode
 )
 
 # Verified queries whose build source OR implementing operator

@@ -730,3 +730,156 @@ def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_col string, key_min long, key_max long"
         ),
     )
+
+
+@query(
+    "source_webdataset_tar",
+    tags=("source", "files", "multimodal", "llm-pipeline",
+          "real-decoder", "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             3 + doc_id % 6 AS nw,
+             4 + doc_id % 13 AS w,
+             4 + doc_id % 7 AS h
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(2 AS INT) AS n_members,
+           CAST(3 * nw - 1 AS BIGINT) AS txt_bytes,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(list_sum(list_transform(range(w * h * 3),
+                i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT)
+             AS pixel_sum,
+           TRUE AS pair_complete
+    FROM d
+    """,
+)
+def source_webdataset_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET-STYLE TAR SHARD INGESTION (round 13) — the
+    de-facto shipping format for multimodal training data: ``.tar``
+    shards whose members pair ``<key>.txt`` / ``<key>.png`` per
+    sample, read exactly like the crawl shards — binaryFile scan
+    (one task per shard), a hand-parsed ustar member walk
+    (operators/tar.py: octal fields, checksum validation, 512-byte
+    framing, name+prefix join), in-shard key grouping, then the
+    REAL PNG decoder on the image half and byte/word accounting on
+    the text half, all inside ONE Arrow map.  The oracle
+    regenerates member counts, text sizes, and the decoded pixel
+    relation arithmetically WITHOUT touching tar or PNG, so a
+    header-offset slip, a checksum bug, a padding error, or a
+    pairing bug is a value mismatch in the driver run.  The tar
+    writer/reader pair is additionally cross-validated against the
+    stdlib ``tarfile`` module in BOTH directions
+    (tests/test_tar_source.py) — independent framing evidence.
+
+    Fixture synthesis is idempotent and race-safe (content-keyed
+    fixtures.fixture_cache_dir + mkdtemp/rename, the established
+    protocol).
+
+    Scale shape: one task per shard, per-shard memory, no shuffle,
+    no collect — a real ingest points the same reader at thousands
+    of WebDataset shards; samples of one key sit contiguously in
+    one shard by the format's own convention, so pairing never
+    crosses task boundaries."""
+    import os
+    import tempfile
+
+    from parquet_to_sql_spark.operators.tar import tar_build
+    from parquet_to_sql_spark.queries.fixtures import (
+        corpus_count,
+        fixture_cache_dir,
+    )
+
+    n = corpus_count(spark, sf_dir)
+    root, dest = fixture_cache_dir(
+        "spark_graft_webdataset_tar", sf_dir, n,
+        source_webdataset_tar, tar_build,
+    )
+    if not os.path.isdir(dest):
+        from parquet_to_sql_spark.operators.png import png_encode
+
+        os.makedirs(root, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=root)
+        for s in range(8):
+            members = []
+            for did in range(s, n, 8):
+                nw = 3 + did % 6
+                txt = " ".join(f"w{k}" for k in range(nw))
+                w, h = 4 + did % 13, 4 + did % 7
+                px = bytes(
+                    (did * 31 + i * 7) % 256 for i in range(w * h * 3)
+                )
+                members += [
+                    (f"{did:08d}.txt", txt.encode("ascii")),
+                    (f"{did:08d}.png", png_encode(w, h, px, 3)),
+                ]
+            with open(os.path.join(tmp, f"shard-{s}.tar"), "wb") as f:
+                f.write(tar_build(members))
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(dest)
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from parquet_to_sql_spark.operators.png import png_decode
+        from parquet_to_sql_spark.operators.tar import tar_members
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                samples: dict[str, dict] = {}
+                for m in tar_members(bytes(content)):
+                    if m["typeflag"] != "0":
+                        continue
+                    key, _, ext = m["name"].partition(".")
+                    samples.setdefault(key, {})[ext] = m["content"]
+                for key, parts in samples.items():
+                    did = int(key)
+                    txt = parts.get("txt")
+                    png = parts.get("png")
+                    complete = txt is not None and png is not None
+                    width = height = channels = None
+                    pixel_sum = None
+                    if png is not None:
+                        width, height, channels, out = png_decode(png)
+                        pixel_sum = sum(out)
+                    rows.append(
+                        (
+                            did, len(parts),
+                            len(txt) if txt is not None else None,
+                            len(txt.decode("ascii").split(" "))
+                            if txt is not None else None,
+                            width, height, channels, pixel_sum,
+                            complete,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_members", "txt_bytes", "n_words",
+                    "width", "height", "channels", "pixel_sum",
+                    "pair_complete",
+                ],
+            )
+
+    return files.select("content").mapInPandas(
+        walk,
+        schema=(
+            "doc_id long, n_members int, txt_bytes long, n_words long, "
+            "width int, height int, channels int, pixel_sum long, "
+            "pair_complete boolean"
+        ),
+    )
