@@ -380,6 +380,7 @@ _QUEUED_POST_WINDOW: tuple[str, ...] = (
     "multimodal_container_probe_real",  # round-13 new: BMP/TIFF-LE/TIFF-BE dims + MP3 frame-walk probes under the hash gate
     "multimodal_mp4_probe_real",  # round-13 new: ISO-BMFF box walk (mvhd v0/v1, largesize, trak/hdlr binding) under the hash gate
     "source_webdataset_tar",  # round-13 new: WebDataset tar shards — hand-parsed ustar walk + key pairing + real PNG decode
+    "source_zip_documents",  # round-13 new: ZIP shards — EOCD/central-directory walk, STORE+DEFLATE, CRC-verified extraction
 )
 
 # Verified queries whose build source OR implementing operator

@@ -883,3 +883,119 @@ def source_webdataset_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_complete boolean"
         ),
     )
+
+
+@query(
+    "source_zip_documents",
+    tags=("source", "files", "llm-pipeline", "real-decoder",
+          "composition"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 7 AS nw FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'store'
+                ELSE 'deflate' END AS method,
+           CAST(3 * nw - 1 AS BIGINT) AS size,
+           CAST(nw * 119 + 48 * nw + nw * (nw - 1) // 2
+                + 32 * (nw - 1) AS BIGINT) AS content_sum,
+           TRUE AS crc_ok
+    FROM d
+    """,
+)
+def source_zip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP ARCHIVE INGESTION (round 13) — the sibling of the
+    WebDataset tar gate for the other archive format dataset drops
+    ship in: 8 ``.zip`` shards (one ``<doc_id>.txt`` member per
+    doc, STORE for even ids and DEFLATE for odd — both real
+    compression paths), read via binaryFile and walked by the
+    hand-parsed reader (operators/zip.py: EOCD backward scan,
+    central-directory entry walk, local-header validation, raw
+    DEFLATE inflate, CRC-32 + size verification on every
+    extraction).  The oracle regenerates the member size and the
+    exact content byte-sum arithmetically, and crc_ok pins that
+    every extraction passed its CRC — so an offset slip, a header
+    mixup (CD vs local name/extra lengths), or an inflate window
+    bug is a value mismatch in the driver run.  The reader/writer
+    pair is additionally cross-validated against the stdlib
+    ``zipfile`` module in BOTH directions
+    (tests/test_zip_source.py).
+
+    Scale shape: one task per archive, per-archive memory, no
+    shuffle, no collect — the same ingest shape as the tar/warc
+    shard gates."""
+    import os
+    import tempfile
+
+    from parquet_to_sql_spark.operators.zip import zip_build
+    from parquet_to_sql_spark.queries.fixtures import (
+        corpus_count,
+        fixture_cache_dir,
+    )
+
+    n = corpus_count(spark, sf_dir)
+    root, dest = fixture_cache_dir(
+        "spark_graft_zip_documents", sf_dir, n,
+        source_zip_documents, zip_build,
+    )
+    if not os.path.isdir(dest):
+        os.makedirs(root, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=root)
+        for s in range(8):
+            members = []
+            for did in range(s, n, 8):
+                nw = 2 + did % 7
+                txt = " ".join(f"w{k}" for k in range(nw))
+                members.append(
+                    (
+                        f"{did:08d}.txt", txt.encode("ascii"),
+                        "store" if did % 2 == 0 else "deflate",
+                    )
+                )
+            with open(os.path.join(tmp, f"shard-{s}.zip"), "wb") as f:
+                f.write(zip_build(members))
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(dest)
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from parquet_to_sql_spark.operators.zip import (
+            zip_entries,
+            zip_extract,
+        )
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                data = bytes(content)
+                for e in zip_entries(data):
+                    out = zip_extract(data, e)  # CRC-verified
+                    rows.append(
+                        (
+                            int(e["name"].split(".")[0]), e["method"],
+                            e["size"], sum(out), True,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "method", "size", "content_sum",
+                         "crc_ok"],
+            )
+
+    return files.select("content").mapInPandas(
+        walk,
+        schema=(
+            "doc_id long, method string, size long, content_sum long, "
+            "crc_ok boolean"
+        ),
+    )
