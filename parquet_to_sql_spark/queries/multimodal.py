@@ -2233,7 +2233,7 @@ def multimodal_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "llm-pipeline", "real-decoder"),
     oracle="""
     WITH d AS (
-      SELECT doc_id, doc_id % 4 AS k FROM documents
+      SELECT doc_id, doc_id % 5 AS k FROM documents
     ), m AS (
       SELECT doc_id, k,
              CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END AS ver,
@@ -2256,16 +2256,20 @@ def multimodal_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
            CASE d.k WHEN 0 THEN 'bmp' WHEN 1 THEN 'tiff-le'
-                WHEN 2 THEN 'tiff-be' ELSE 'mp3' END AS kind,
+                WHEN 2 THEN 'tiff-be' WHEN 3 THEN 'mp3'
+                ELSE 'svg' END AS kind,
            CASE d.k WHEN 0 THEN CAST(3 + d.doc_id % 40 AS INT)
                 WHEN 3 THEN NULL
+                WHEN 4 THEN CAST(1 + d.doc_id % 1920 AS INT)
                 ELSE CAST(1 + d.doc_id % 5000 AS INT) END AS width,
            CASE d.k WHEN 0 THEN CAST(2 + d.doc_id % 25 AS INT)
                 WHEN 3 THEN NULL
+                WHEN 4 THEN CAST(1 + d.doc_id % 1080 AS INT)
                 ELSE CAST(1 + d.doc_id % 3000 AS INT) END AS height,
            CASE d.k WHEN 0 THEN CAST(CASE WHEN d.doc_id % 2 = 1
                                           THEN 4 ELSE 3 END AS INT)
                 WHEN 3 THEN CAST(mp.ach AS INT)
+                WHEN 4 THEN NULL
                 ELSE CAST(1 + d.doc_id % 4 AS INT) END AS channels,
            CASE WHEN d.k = 3 THEN CAST(mp.rate AS INT) END AS sample_rate,
            CASE WHEN d.k = 3 THEN CAST(mp.kbps AS INT) END AS bitrate_kbps,
@@ -2283,8 +2287,11 @@ def multimodal_container_probe_real(
     jpeg_dimensions pattern applied to the next archive format
     over, reusing the Exif IFD walk), and the MPEG-audio Layer III
     frame-header walk (version/bitrate/sample-rate tables, padding
-    arithmetic, exact integer duration) — all on REAL encoded
-    payloads, none touching pixel/audio data.  The oracle
+    arithmetic, exact integer duration) — plus the TEXT image
+    format: SVG intrinsic size from the root tag's width/height
+    (bare and px-suffixed forms) with the viewBox fallback
+    (operators/svg.py) — all on REAL encoded payloads, none
+    touching pixel/audio data.  The oracle
     regenerates every probed field from the synthesis arithmetic,
     including the MP3 table lookups, so a table transposition, a
     byte-order slip, or a frame-length off-by-one is a value
@@ -2307,12 +2314,13 @@ def multimodal_container_probe_real(
             tiff_dimensions,
         )
         from parquet_to_sql_spark.operators.mp3 import mp3_build, mp3_probe
+        from parquet_to_sql_spark.operators.svg import svg_dimensions
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                k = did % 4
+                k = did % 5
                 rate = kbps = dur = None
                 if k == 0:
                     w, h = 3 + did % 40, 2 + did % 25
@@ -2330,6 +2338,27 @@ def multimodal_container_probe_real(
                     )
                     w, h, ch = tiff_dimensions(payload)
                     kind = "tiff-le" if k == 1 else "tiff-be"
+                elif k == 4:
+                    w, h = 1 + did % 1920, 1 + did % 1080
+                    form = did % 3
+                    if form == 0:
+                        body = (
+                            f'<svg xmlns="http://www.w3.org/2000/svg" '
+                            f'width="{w}" height="{h}"></svg>'
+                        )
+                    elif form == 1:
+                        body = (
+                            f'<?xml version="1.0"?><!-- probe -->'
+                            f"<svg height='{h}px' width='{w}px'/>"
+                        )
+                    else:
+                        body = (
+                            f'<svg viewBox="0 0 {w} {h}">'
+                            f"<rect/></svg>"
+                        )
+                    w, h = svg_dimensions(body.encode("utf-8"))
+                    ch = None
+                    kind = "svg"
                 else:
                     ver = (3, 2, 0)[did % 3]
                     payload = mp3_build(

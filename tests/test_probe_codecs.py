@@ -172,3 +172,30 @@ def test_mp4_probe_box_walk():
                                     "height": 1}]))
     with pytest.raises(Mp4FormatError, match="no moov"):
         mp4_probe(d[: d.index(b"moov") - 4])
+
+
+def test_svg_dimensions_probe():
+    """Root-tag width/height (bare + px), viewBox fallback for
+    missing/relative sides, prolog skipping, typed quarantines."""
+    from parquet_to_sql_spark.operators.svg import (
+        SvgFormatError,
+        svg_dimensions,
+    )
+
+    assert svg_dimensions(b'<svg width="640" height="480"/>') == (640, 480)
+    assert svg_dimensions(
+        b'<?xml version="1.0"?>\n<!-- c --><!DOCTYPE svg>\n'
+        b"<svg  height='9px' width=\"7px\" ></svg>"
+    ) == (7, 9)
+    assert svg_dimensions(b'<svg viewBox="0 0 120.0 80"></svg>') == (120, 80)
+    assert svg_dimensions(
+        b'<svg width="100%" height="50" viewBox="0,0,300,200"/>'
+    ) == (300, 50)
+    with pytest.raises(SvgFormatError, match="root"):
+        svg_dimensions(b"<div>no svg</div>")
+    with pytest.raises(SvgFormatError, match="intrinsic"):
+        svg_dimensions(b'<svg width="100%"></svg>')
+    with pytest.raises(SvgFormatError, match="non-positive"):
+        svg_dimensions(b'<svg width="0" height="5"/>')
+    with pytest.raises(SvgFormatError, match="bad viewBox"):
+        svg_dimensions(b'<svg viewBox="0 0 x y"/>')
