@@ -133,19 +133,17 @@ def hashed_shingle_arrays(
     the pair key), so no global .distinct() shuffle — the only effect
     of a 31-bit collision is two shingles merging, and the DuckDB
     oracle composes hashes identically.  Documents with no shingles
-    (< n words) yield an empty array."""
-    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+    (< n words) yield an empty array.
 
-    return (
-        rebalance_for_compute(df.select(id_col, text_col))
-        .select(
-            F.col(id_col).alias("doc"),
-            word_hashes(ws_tokens(F.col(text_col))).alias("_hw"),
-        )
-        .select(
-            "doc",
-            F.array_distinct(shingle_hashes_from(F.col("_hw"), n)).alias("shs"),
-        )
+    Optimization r13: the per-word char fold + window combination now
+    run in the vectorized Arrow kernel (hashkernel.hashedfold_kgram_
+    hashes — value-exact twin, pinned by tests/test_hashkernel.py);
+    the distinct stays a JVM array_distinct over the small long
+    array, preserving first-occurrence order exactly."""
+    from parquet_to_sql_spark.operators.hashkernel import hashedfold_kgram_hashes
+
+    return hashedfold_kgram_hashes(df, id_col, text_col, n).select(
+        F.col(id_col).alias("doc"), F.array_distinct("shs").alias("shs")
     )
 
 
@@ -518,15 +516,59 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document: for each (a,b),
     min over shingles of (a*fold(shingle)+b) mod (2^31-1). Documents
-    with no shingles (< n words) are dropped."""
-    sh = shingle_sets(df, id_col, text_col, n).withColumn(
-        "x", char_fold_hash(F.col("shingle"))
+    with no shingles (< n words) are dropped.
+
+    The shingle hashes come from the vectorized Arrow kernel
+    (hashkernel.stringfold_kgram_hashes — value-exact twin of
+    char_fold_hash over the shingle strings; optimization r13: the
+    interpreted HOF fold was ~54 s of executor runtime at k=128 on
+    sf0.1, the kernel is ~100x cheaper per byte).  POSITIONAL
+    (non-distinct) shingles feed the explode: MIN over the multiset
+    equals MIN over the distinct set, so signatures are unchanged."""
+    from parquet_to_sql_spark.operators.hashkernel import stringfold_kgram_hashes
+
+    sh = stringfold_kgram_hashes(df, id_col, text_col, n).select(
+        F.col(id_col).alias("doc"), F.explode("shs").alias("x")
     )
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(FOLD_MOD)).alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_constants(k))
     ]
     return sh.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
+
+
+def _band_slices(
+    sig: DataFrame, id_col: str, k: int, bands: int, keep_sig: bool = False
+) -> DataFrame:
+    """(doc, band, bucket) banding slices of a minhash signature
+    relation — ONE pass: explode of a row-local array of
+    (band, bucket) structs.  Replaces the former ``bands``-way
+    unionByName of per-band selects (optimization r13): identical
+    rows, but the plan carries one leg over the signature relation
+    instead of ``bands``, which at k=128/bands=16 cut driver-side
+    analysis time and 16 duplicate scan legs from every banding
+    consumer.  ``keep_sig`` additionally carries the m0..m{k-1}
+    signature columns (minhash_lsh_pairs' re-scoring needs them)."""
+    rows = k // bands
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{bi * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    extra = [F.col(f"m{i}") for i in range(k)] if keep_sig else []
+    return sig.select(
+        F.col(id_col).alias("doc"), F.explode(slices).alias("_s"), *extra
+    ).select("doc", F.col("_s.band").alias("band"), F.col("_s.bucket").alias("bucket"), *extra)
 
 
 def minhash_lsh_pairs(
@@ -549,24 +591,11 @@ def minhash_lsh_pairs(
         # bucket -> O(n^2) join); bands not dividing k would silently
         # drop trailing minhashes from candidate generation
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
-    rows = k // bands
-    # referenced by `bands` slices x 2 join sides — materialize the
-    # signature relation once (same contract as banded_hamming_pairs)
+    # referenced by 2 join sides — materialize the signature relation
+    # once (same contract as banded_hamming_pairs); band slices come
+    # from the one-pass struct-array explode (_band_slices)
     sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
-    buckets = []
-    for bi in range(bands):
-        cols = [F.col(f"m{bi * rows + r}") for r in range(rows)]
-        buckets.append(
-            sig.select(
-                F.col(id_col).alias("doc"),
-                F.lit(bi).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
-                *[F.col(f"m{i}") for i in range(k)],
-            )
-        )
-    exploded = buckets[0]
-    for b in buckets[1:]:
-        exploded = exploded.unionByName(b)
+    exploded = _band_slices(sig, id_col, k, bands, keep_sig=True)
     left = exploded.select(
         F.col("doc").alias("doc1"), "band", "bucket",
         *[F.col(f"m{i}").alias(f"l{i}") for i in range(k)],
@@ -1232,20 +1261,17 @@ def hashed_positional_kgrams(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     """(doc, pos, h): the 31-bit fold hash of every positional k-word
-    window (1-based pos), via the staged per-word hash column —
-    per-character work once per word, not once per gram (same
-    discipline as hashed_shingle_arrays, without the distinct)."""
-    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+    window (1-based pos), via the vectorized Arrow kernel
+    (hashkernel.hashedfold_kgram_hashes — value-exact twin of the
+    staged word-hash + window-fold HOF formulation; optimization
+    r13)."""
+    from parquet_to_sql_spark.operators.hashkernel import hashedfold_kgram_hashes
 
     return (
-        rebalance_for_compute(df.select(id_col, text_col))
+        hashedfold_kgram_hashes(df, id_col, text_col, k)
         .select(
             F.col(id_col).alias("doc"),
-            word_hashes(ws_tokens(F.col(text_col))).alias("_hw"),
-        )
-        .select(
-            "doc",
-            F.posexplode(shingle_hashes_from(F.col("_hw"), k)).alias("_i", "h"),
+            F.posexplode("shs").alias("_i", "h"),
         )
         .select("doc", (F.col("_i") + F.lit(1)).alias("pos"), "h")
     )
@@ -1682,23 +1708,8 @@ def minhash_lsh_candidates(
     all-pairs); skewed buckets split by AQE."""
     if bands <= 0 or k % bands:
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
-    rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
-    slices = []
-    for bi in range(bands):
-        cols = [F.col(f"m{bi * rows + r}") for r in range(rows)]
-        slices.append(
-            sig.select(
-                F.col(id_col).alias("doc"),
-                F.lit(bi).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias(
-                    "bucket"
-                ),
-            )
-        )
-    exploded = slices[0]
-    for s in slices[1:]:
-        exploded = exploded.unionByName(s)
+    exploded = _band_slices(sig, id_col, k, bands)
     left = exploded.select(F.col("doc").alias("doc1"), "band", "bucket")
     right = exploded.select(F.col("doc").alias("doc2"), "band", "bucket")
     return (
@@ -1731,24 +1742,8 @@ def minhash_band_index(
     output is bands x doc-count rows of three narrow columns."""
     if bands <= 0 or k % bands:
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
-    rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
-    slices = []
-    for bi in range(bands):
-        cols = [F.col(f"m{bi * rows + r}") for r in range(rows)]
-        slices.append(
-            sig.select(
-                F.col(id_col).alias("doc"),
-                F.lit(bi).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias(
-                    "bucket"
-                ),
-            )
-        )
-    out = slices[0]
-    for s in slices[1:]:
-        out = out.unionByName(s)
-    return out
+    return _band_slices(sig, id_col, k, bands)
 
 
 def minhash_screen_against_index(

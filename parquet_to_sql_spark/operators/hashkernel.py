@@ -1,0 +1,276 @@
+"""Vectorized Arrow twins of the char-fold hashing pipeline.
+
+The engine's cross-engine string hash (functions.hashing.char_fold_hash
+— a 31-ary polynomial fold over Unicode codepoints mod 2^31-1) and its
+derived relations (token hashes, shingle hashes, simhash sketches) were
+originally built as JVM higher-order-function expression trees
+(transform/aggregate lambdas).  HOF lambdas are evaluated interpreted
+(they are not whole-stage-codegen'd), and profiling the optimization
+round's stage metrics showed the fold dominating every hashed-dedup
+headline query: the k=128 minhash signature stage alone burned ~54 s of
+executor runtime at sf0.1 on a ~1.5 MB corpus.
+
+These kernels compute the IDENTICAL values inside ``mapInArrow``:
+Arrow batches in, NumPy vectorized fold (one pass per character
+position, so ~max-word-length vector ops per batch), Arrow batches
+out (guide §4.2 — hand whole batches to vectorized native code;
+§4.5 — setup once per task; §4.1 — pass only the needed columns).
+No shuffle, no scan, no cardinality change: plan shape is a single
+MapInArrow node where a Project used to be.
+
+Value-exactness contracts (each pinned by tests/test_hashkernel.py
+over the full sf0.1 corpus AND adversarial edge strings):
+
+  * tokenization == ``F.split(F.trim(text), r"\\s+")``: trim strips
+    U+0020 only; the split regex is JAVA ``\\s`` = [ \\t\\n\\x0B\\f\\r]
+    (NOT Python's unicode-aware \\s); leading/trailing empty tokens are
+    kept exactly as Java limit=-1 split does (Python re.split matches
+    this); NULL text yields a NULL array.
+  * word hash == ``char_fold_hash(word)``: fold over CODEPOINTS
+    (Python str iteration == Spark split('')+ascii on all non-degenerate
+    text, surrogate pairs included); empty word hashes to 0.
+  * string-fold n-gram hash == ``char_fold_hash(w_i || ' ' || ... )``
+    WITHOUT materializing the shingle string, via the linearity of the
+    fold: h(s || t) = (h(s) * 31^len(t) + h(t)) mod M, so each shingle
+    combines staged per-word hashes and 31^len powers — the per-char
+    work happens once per word instead of once per shingle occurrence.
+  * hashed-fold n-gram == ``shingle_hashes_from(word_hashes(...))``:
+    the window fold h = (h*31 + hw_i) mod M over word hashes.
+  * simhash == ``simhash_from_hashes(transform(tokens, char_fold_hash))``:
+    per-bit majority (strictly more ones than zeros) over token hashes.
+
+Every kernel rebalances its narrow (id, text) input first
+(operators.text.rebalance_for_compute) so few-row-group fixtures use
+every core — the same discipline as the JVM formulations they replace.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+FOLD_MOD = 2_147_483_647  # 2^31 - 1 (functions.hashing.FOLD_MOD)
+
+# Java \s — explicitly NOT Python \s (which also matches U+00A0 etc.)
+_JAVA_WS = re.compile("[ \t\n\x0b\x0c\r]+")
+
+
+def _tokenize(texts) -> list[list[str] | None]:
+    """ws_tokens twin: trim(U+0020 only) then Java-\\s+ split with
+    limit=-1 semantics (leading/trailing empties kept; '' -> [''])."""
+    out: list[list[str] | None] = []
+    split = _JAVA_WS.split
+    for t in texts:
+        out.append(None if t is None else split(t.strip(" ")))
+    return out
+
+
+def _fold_flat(words: list[str]):
+    """char_fold_hash of every word, vectorized: one int64 hash array
+    and one int64 codepoint-length array, aligned with ``words``."""
+    import numpy as np
+
+    n = len(words)
+    lens = np.fromiter(map(len, words), np.int64, n) if n else np.zeros(0, np.int64)
+    if n == 0 or int(lens.sum()) == 0:
+        return np.zeros(n, np.int64), lens
+    cp = np.frombuffer("".join(words).encode("utf-32-le"), np.uint32).astype(np.int64)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    acc = np.zeros(n, np.int64)
+    for p in range(int(lens.max())):
+        m = lens > p
+        # acc < 2^31 and cp < 2^31 -> acc*31 + cp < 2^36: int64-safe
+        acc[m] = (acc[m] * 31 + cp[starts[m] + p]) % FOLD_MOD
+    return acc, lens
+
+
+def _doc_layout(toks: list[list[str] | None]):
+    """Flatten per-doc token lists: (flat word list, per-doc word
+    counts with 0 for NULL docs, null mask)."""
+    import numpy as np
+
+    flat: list[str] = []
+    counts = np.zeros(len(toks), np.int64)
+    nulls = np.zeros(len(toks), bool)
+    for i, tk in enumerate(toks):
+        if tk is None:
+            nulls[i] = True
+        else:
+            counts[i] = len(tk)
+            flat.extend(tk)
+    return flat, counts, nulls
+
+
+def _list_array(values, counts, nulls):
+    """Arrow list<int64> column from flat values + per-doc counts,
+    with NULL entries where ``nulls`` is set."""
+    import numpy as np
+    import pyarrow as pa
+
+    offs = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    off32 = pa.array(offs.astype("int32"))
+    vals = pa.array(values, pa.int64())
+    if nulls.any():
+        # a NULL doc contributed 0 values, so its slice is empty and
+        # the offsets stay monotonic; the mask marks it NULL
+        return pa.ListArray.from_arrays(off32, vals, mask=pa.array(nulls))
+    return pa.ListArray.from_arrays(off32, vals)
+
+
+def _window_starts(counts, n: int):
+    """Flat start index (into the flat word arrays) of every length-n
+    window of every doc, plus per-doc window counts."""
+    import numpy as np
+
+    wc = np.maximum(counts - (n - 1), 0)
+    total = int(wc.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), wc
+    doc_starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=doc_starts[1:])
+    w_offs = np.zeros(len(wc), np.int64)
+    np.cumsum(wc[:-1], out=w_offs[1:])
+    idx = np.arange(total, dtype=np.int64)
+    return np.repeat(doc_starts - w_offs, wc) + idx, wc
+
+
+def _mapper(df: DataFrame, id_col: str, text_col: str, out_field: str,
+            batch_fn, out_type: str = "array<bigint>") -> DataFrame:
+    """Common harness: rebalance the narrow input, run ``batch_fn``
+    (texts -> (flat values, counts, nulls) or scalar columns) in
+    mapInArrow, return (id, out_field)."""
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    src = rebalance_for_compute(df.select(id_col, text_col))
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for rb in batches:
+            ids = rb.column(0)
+            texts = rb.column(1).to_pylist()
+            yield pa.record_batch([ids, batch_fn(texts)], names=[id_col, out_field])
+
+    return src.mapInArrow(run, f"{id_col} {id_type}, {out_field} {out_type}")
+
+
+def stringfold_kgram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shs array<long>) — the POSITIONAL (non-distinct) string-fold
+    n-gram shingle hashes: value-exact twin of
+    ``transform(positional_shingles(ws_tokens(text), n), char_fold_hash)``.
+
+    Consumers needing set semantics for a MIN (minhash) can use this
+    directly — min over the multiset equals min over the distinct set;
+    consumers needing the distinct ARRAY apply F.array_distinct on top
+    (identical first-occurrence order to the JVM formulation, because
+    hash equality == string equality is not assumed anywhere downstream
+    of a distinct-by-VALUE on the hashes themselves)."""
+
+    def batch(texts):
+        import numpy as np
+
+        flat, counts, nulls = _doc_layout(_tokenize(texts))
+        # positional_shingles' when(size>=n)/otherwise([]) guard maps
+        # NULL text to an EMPTY array (size(NULL) = -1), not NULL
+        nulls[:] = False
+        hw, lens = _fold_flat(flat)
+        # 31^len mod M per word, for the concat rule h(s||t) = h(s)*31^len(t)+h(t)
+        starts, wc = _window_starts(counts, n)
+        if len(starts) == 0:
+            return _list_array(np.zeros(0, np.int64), wc, nulls)
+        maxlen = int(lens.max()) if len(lens) else 0
+        pow31 = np.ones(maxlen + 1, np.int64)
+        for i in range(1, maxlen + 1):
+            pow31[i] = (pow31[i - 1] * 31) % FOLD_MOD
+        h = hw[starts]
+        for off in range(1, n):
+            h = (h * 31 + 32) % FOLD_MOD  # the joining space (codepoint 32)
+            idx = starts + off
+            # h < 2^31, pow31 < 2^31 -> product < 2^62: int64-safe
+            h = (h * pow31[lens[idx]] + hw[idx]) % FOLD_MOD
+        return _list_array(h, wc, nulls)
+
+    return _mapper(df, id_col, text_col, "shs", batch)
+
+
+def hashedfold_kgram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shs array<long>) — the HASHED-window positional n-gram
+    hashes: value-exact twin of
+    ``shingle_hashes_from(word_hashes(ws_tokens(text)), n)`` (the
+    no-space window fold over per-word hashes)."""
+
+    def batch(texts):
+        import numpy as np
+
+        flat, counts, nulls = _doc_layout(_tokenize(texts))
+        # shingle_hashes_from's when(size>=n)/otherwise([]) guard maps
+        # NULL text to an EMPTY array (size(NULL) = -1), not NULL
+        nulls[:] = False
+        hw, _ = _fold_flat(flat)
+        starts, wc = _window_starts(counts, n)
+        if len(starts) == 0:
+            return _list_array(np.zeros(0, np.int64), wc, nulls)
+        h = hw[starts]
+        for off in range(1, n):
+            h = (h * 31 + hw[starts + off]) % FOLD_MOD
+        return _list_array(h, wc, nulls)
+
+    return _mapper(df, id_col, text_col, "shs", batch)
+
+
+def word_hash_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, hw array<long>) — value-exact twin of the staged
+    ``word_hashes(ws_tokens(text))`` column."""
+
+    def batch(texts):
+        toks = _tokenize(texts)
+        flat, counts, nulls = _doc_layout(toks)
+        hw, _ = _fold_flat(flat)
+        return _list_array(hw, counts, nulls)
+
+    return _mapper(df, id_col, text_col, "hw", batch)
+
+
+def simhash_arrow(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(id, simhash long) — value-exact twin of
+    operators.text.simhash_sketch: per-bit strict majority of the low
+    ``bits`` bits over the token-hash multiset, token-less (NULL-text)
+    docs dropped (ws_tokens never yields an empty array for non-null
+    text — blank text tokenizes to [''], hash 0 — so the only dropped
+    rows are NULL texts, same as the JVM formulation's size>0 filter)."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31 (token hash is 31-bit)")
+
+    from pyspark.sql import functions as F
+
+    def batch(texts):
+        import numpy as np
+        import pyarrow as pa
+
+        toks = _tokenize(texts)
+        flat, counts, nulls = _doc_layout(toks)
+        hw, _ = _fold_flat(flat)
+        doc_id_per_tok = np.repeat(np.arange(len(counts)), counts)
+        sim = np.zeros(len(counts), np.int64)
+        for b in range(bits):
+            ones = np.zeros(len(counts), np.int64)
+            np.add.at(ones, doc_id_per_tok, (hw >> b) & 1)
+            sim |= ((ones * 2 > counts).astype(np.int64)) << b
+        return pa.array(
+            [None if nulls[i] else int(sim[i]) for i in range(len(counts))],
+            pa.int64(),
+        )
+
+    out = _mapper(df, id_col, text_col, "simhash", batch, out_type="bigint")
+    return out.filter(F.col("simhash").isNotNull())
