@@ -527,9 +527,20 @@ def minhash_signatures(
     equals MIN over the distinct set, so signatures are unchanged."""
     from parquet_to_sql_spark.operators.hashkernel import stringfold_kgram_hashes
 
-    sh = stringfold_kgram_hashes(df, id_col, text_col, n).select(
-        F.col(id_col).alias("doc"), F.explode("shs").alias("x")
+    return minhash_signatures_from_hashes(
+        stringfold_kgram_hashes(df, id_col, text_col, n), id_col, k
     )
+
+
+def minhash_signatures_from_hashes(
+    hashes: DataFrame, id_col: str, k: int = 8
+) -> DataFrame:
+    """minhash_signatures over a PRECOMPUTED (id, shs array<long>)
+    shingle-hash relation — for callers that already hold the hashes
+    (e.g. the production audit's one-pass mutant kernel) and must not
+    pay a second tokenize+fold.  Same contract: docs with empty shs
+    vanish (explode of an empty array yields no rows)."""
+    sh = hashes.select(F.col(id_col).alias("doc"), F.explode("shs").alias("x"))
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(FOLD_MOD)).alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_constants(k))
@@ -1709,7 +1720,56 @@ def minhash_lsh_candidates(
     if bands <= 0 or k % bands:
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
     sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
+    return _candidates_from_sig(sig, id_col, k, bands)
+
+
+def _candidates_from_sig(
+    sig: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Membership-only banding join over a MATERIALIZED signature
+    relation (the tail of minhash_lsh_candidates)."""
     exploded = _band_slices(sig, id_col, k, bands)
+    left = exploded.select(F.col("doc").alias("doc1"), "band", "bucket")
+    right = exploded.select(F.col("doc").alias("doc2"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates_from_sig_arrays(
+    sig: DataFrame, id_col: str, sig_col: str, k: int, bands: int
+) -> DataFrame:
+    """minhash_lsh_candidates over a PRECOMPUTED signature relation
+    shaped (id, sig array<long> of length k) — for callers whose
+    signatures come out of an Arrow kernel as one array column (the
+    production audit).  The banding slices come from ONE F.expr
+    string (a single py4j round trip — the Column-by-Column
+    formulation of the same expression cost ~0.9 s of driver time at
+    k=128/bands=16) building the identical
+    concat_ws('_', cast(sig[i] as string)...) bucket keys as
+    _band_slices builds from m{i} columns.  No checkpoint: the input
+    is expected to be cheap to recompute (a projection of an already
+    materialized relation); the two join legs are identical subplans,
+    which exchange reuse collapses at run time."""
+    if bands <= 0 or k % bands:
+        raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
+    rows = k // bands
+    slices = ", ".join(
+        "named_struct('band', {bi}, 'bucket', concat_ws('_', {parts}))".format(
+            bi=bi,
+            parts=", ".join(
+                f"cast({sig_col}[{bi * rows + r}] as string)"
+                for r in range(rows)
+            ),
+        )
+        for bi in range(bands)
+    )
+    exploded = sig.select(
+        F.col(id_col).alias("doc"), F.explode(F.expr(f"array({slices})")).alias("_s")
+    ).select("doc", "_s.band", "_s.bucket")
     left = exploded.select(F.col("doc").alias("doc1"), "band", "bucket")
     right = exploded.select(F.col("doc").alias("doc2"), "band", "bucket")
     return (

@@ -159,6 +159,30 @@ def _mapper(df: DataFrame, id_col: str, text_col: str, out_field: str,
     return src.mapInArrow(run, f"{id_col} {id_type}, {out_field} {out_type}")
 
 
+def _stringfold_flat(flat, counts, n: int):
+    """Flat string-fold n-gram window hashes over a flattened word
+    layout: returns (flat window-hash array, per-doc window counts).
+    The concat rule h(s||t) = (h(s)*31^len(t) + h(t)) mod M combines
+    staged per-word hashes — per-character work once per word."""
+    import numpy as np
+
+    hw, lens = _fold_flat(flat)
+    starts, wc = _window_starts(counts, n)
+    if len(starts) == 0:
+        return np.zeros(0, np.int64), wc
+    maxlen = int(lens.max()) if len(lens) else 0
+    pow31 = np.ones(maxlen + 1, np.int64)
+    for i in range(1, maxlen + 1):
+        pow31[i] = (pow31[i - 1] * 31) % FOLD_MOD
+    h = hw[starts]
+    for off in range(1, n):
+        h = (h * 31 + 32) % FOLD_MOD  # the joining space (codepoint 32)
+        idx = starts + off
+        # h < 2^31, pow31 < 2^31 -> product < 2^62: int64-safe
+        h = (h * pow31[lens[idx]] + hw[idx]) % FOLD_MOD
+    return h, wc
+
+
 def stringfold_kgram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -174,27 +198,11 @@ def stringfold_kgram_hashes(
     of a distinct-by-VALUE on the hashes themselves)."""
 
     def batch(texts):
-        import numpy as np
-
         flat, counts, nulls = _doc_layout(_tokenize(texts))
         # positional_shingles' when(size>=n)/otherwise([]) guard maps
         # NULL text to an EMPTY array (size(NULL) = -1), not NULL
         nulls[:] = False
-        hw, lens = _fold_flat(flat)
-        # 31^len mod M per word, for the concat rule h(s||t) = h(s)*31^len(t)+h(t)
-        starts, wc = _window_starts(counts, n)
-        if len(starts) == 0:
-            return _list_array(np.zeros(0, np.int64), wc, nulls)
-        maxlen = int(lens.max()) if len(lens) else 0
-        pow31 = np.ones(maxlen + 1, np.int64)
-        for i in range(1, maxlen + 1):
-            pow31[i] = (pow31[i - 1] * 31) % FOLD_MOD
-        h = hw[starts]
-        for off in range(1, n):
-            h = (h * 31 + 32) % FOLD_MOD  # the joining space (codepoint 32)
-            idx = starts + off
-            # h < 2^31, pow31 < 2^31 -> product < 2^62: int64-safe
-            h = (h * pow31[lens[idx]] + hw[idx]) % FOLD_MOD
+        h, wc = _stringfold_flat(flat, counts, n)
         return _list_array(h, wc, nulls)
 
     return _mapper(df, id_col, text_col, "shs", batch)
@@ -274,3 +282,152 @@ def simhash_arrow(
 
     out = _mapper(df, id_col, text_col, "simhash", batch, out_type="bigint")
     return out.filter(F.col("simhash").isNotNull())
+
+
+def _minhash_from_windows(h, wc, pairs):
+    """(n_docs, k) int64 minhash signature matrix from flat window
+    hashes ``h`` and per-doc window counts ``wc``: per doc,
+    min over windows of (a*x + b) mod M for each (a, b).  Rows with
+    wc == 0 are left zero — the caller masks them (the JVM groupBy
+    formulation simply has no row for such docs).  a < 4000 and
+    x < 2^31 so a*x + b < 2^43: int64-safe (same bound as the JVM)."""
+    import numpy as np
+
+    nd = len(wc)
+    k = len(pairs)
+    sig = np.zeros((nd, k), np.int64)
+    nz = wc > 0
+    if not nz.any():
+        return sig, nz
+    offs = np.zeros(nd, np.int64)
+    np.cumsum(wc[:-1], out=offs[1:])
+    # reduceat over the starts of NONZERO docs only: zero-width docs
+    # contribute no elements, so consecutive nonzero starts delimit
+    # exactly each doc's window span
+    starts_nz = offs[nz]
+    for i, (a, b) in enumerate(pairs):
+        v = (h * a + b) % FOLD_MOD
+        sig[nz, i] = np.minimum.reduceat(v, starts_nz)
+    return sig, nz
+
+
+def audit_mutant_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    marker: str = "zqz",
+    k: int | None = None,
+) -> DataFrame:
+    """ONE Arrow pass computing everything the production-parameter
+    minhash audit (dedup_minhash_production_audit) needs per document:
+
+      (id,
+       shs_o array<long>,  -- positional string-fold n-gram hashes of text
+       shs_m array<long>,  -- same for the MUTANT text
+       common long,        -- |distinct-shingles(text) ∩ distinct-shingles(mutant)|
+       n1 long, n2 long)   -- the two distinct-shingle set sizes
+
+    The mutant rule is the audit's: every token at 1-based position i
+    with i % p == 0 replaced by ``marker``, p = 3 * 2^(id % 5); the
+    mutant token list is JOINED with single spaces and RE-TOKENIZED
+    (exactly ws_tokens(array_join(...))), so degenerate whitespace in
+    the source reproduces the JVM formulation bit-for-bit.
+
+    Value-exact twins (pinned by tests/test_hashkernel.py):
+      shs_o == transform(positional_shingles(ws_tokens(text), n), char_fold_hash)
+      shs_m == same over array_join(mutant_tokens, ' ')
+      common/n1/n2 == size(array_intersect/…) over word_shingles of both
+    NULL text behaves like the JVM chain under ANSI (all sizes NULL →
+    the audit's size>0 filter drops the doc): here it yields empty
+    arrays and zero counts, which the same filter drops.
+
+    With ``k`` set, additionally emits the k-permutation MinHash
+    signatures of both sides as length-k arrays
+    (sig_o/sig_m array<long> — min over shingle-hash windows of
+    (a*x+b) mod M for the same minhash_constants(k) pairs; EMPTY
+    array when the doc has no shingles, mirroring the row the JVM
+    explode+groupBy formulation never produces), so the audit's
+    banding join consumes signatures straight from the one kernel
+    pass: no explode, no 128-aggregate groupBy, no second eager
+    localCheckpoint.
+
+    Replaces (optimization r13): the interpreted per-token mutant
+    transform evaluated TWICE, two interpreted word_shingles passes,
+    one join (originals×mutants becomes same-row columns) and two of
+    three eager localCheckpoints in the audit query."""
+    from parquet_to_sql_spark.functions.hashing import minhash_constants
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    pairs = minhash_constants(k) if k else None
+    src = rebalance_for_compute(df.select(id_col, text_col))
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            ids_arr = rb.column(0)
+            ids = ids_arr.to_pylist()
+            texts = rb.column(1).to_pylist()
+            toks = _tokenize(texts)
+            mtoks: list[list[str]] = []
+            common = np.zeros(len(ids), np.int64)
+            n1 = np.zeros(len(ids), np.int64)
+            n2 = np.zeros(len(ids), np.int64)
+            for j, (did, tk) in enumerate(zip(ids, toks)):
+                if tk is None:
+                    mtoks.append([])
+                    continue
+                p = 3 << (int(did) % 5)
+                mt = [
+                    marker if (i + 1) % p == 0 else w for i, w in enumerate(tk)
+                ]
+                # exactly ws_tokens(array_join(mt, ' ')): join then re-split
+                mt = _JAVA_WS.split(" ".join(mt).strip(" "))
+                mtoks.append(mt)
+                so = {
+                    " ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)
+                }
+                sm = {
+                    " ".join(mt[i : i + n]) for i in range(len(mt) - n + 1)
+                }
+                common[j] = len(so & sm)
+                n1[j] = len(so)
+                n2[j] = len(sm)
+            otoks = [tk if tk is not None else [] for tk in toks]
+            no_nulls = np.zeros(len(ids), bool)
+            flat_o, counts_o, _ = _doc_layout(otoks)
+            flat_m, counts_m, _ = _doc_layout(mtoks)
+            h_o, wc_o = _stringfold_flat(flat_o, counts_o, n)
+            h_m, wc_m = _stringfold_flat(flat_m, counts_m, n)
+            cols = [
+                ids_arr,
+                _list_array(h_o, wc_o, no_nulls),
+                _list_array(h_m, wc_m, no_nulls),
+                pa.array(common),
+                pa.array(n1),
+                pa.array(n2),
+            ]
+            names = [id_col, "shs_o", "shs_m", "common", "n1", "n2"]
+            if pairs is not None:
+                for h, wc, nm in ((h_o, wc_o, "sig_o"), (h_m, wc_m, "sig_m")):
+                    sig, nz = _minhash_from_windows(h, wc, pairs)
+                    cols.append(
+                        _list_array(
+                            sig[nz].ravel(),
+                            np.where(nz, len(pairs), 0),
+                            no_nulls,
+                        )
+                    )
+                    names.append(nm)
+            yield pa.record_batch(cols, names=names)
+
+    schema = (
+        f"{id_col} {id_type}, shs_o array<bigint>, shs_m array<bigint>, "
+        "common bigint, n1 bigint, n2 bigint"
+    )
+    if pairs is not None:
+        schema += ", sig_o array<bigint>, sig_m array<bigint>"
+    return src.mapInArrow(run, schema)

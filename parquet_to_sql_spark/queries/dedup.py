@@ -1959,71 +1959,53 @@ def dedup_minhash_production_audit(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: signature build is explode + ONE groupBy with 128
     MIN aggregates (map-side combined); candidates via bucket-key
     equality join, never all-pairs; the exact-Jaccard side touches
-    only the n planted pairs, not the candidate set."""
-    from parquet_to_sql_spark.functions.hashing import word_shingles
-    from parquet_to_sql_spark.operators.text import rebalance_for_compute, ws_tokens
+    only the n planted pairs, not the candidate set.
 
-    # every branch below does expression-heavy per-row array work
-    # (tokenize + shingle + intersect); spread the narrow input across
-    # cores first or the single-row-group fixture runs it in ONE task
-    docs = rebalance_for_compute(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    Optimization r13: mutant generation, shingle hashing, the k=128
+    MinHash signatures of BOTH sides and the exact-Jaccard set stats
+    all happen in ONE Arrow kernel pass over the corpus
+    (hashkernel.audit_mutant_stats — value-exact twin of the former
+    interpreted tokenize→mutate→rejoin→retokenize→shingle HOF chain
+    plus the explode + 128-MIN-aggregate groupBy, which together
+    burned ~60 s of executor runtime across three eager checkpoints
+    at sf0.1 and evaluated the mutant transform twice).  The planted
+    originals×mutants join is gone outright — original and mutant
+    stats are same-row columns — and the three localCheckpoints
+    collapse to ONE (the kernel output; the banding join's two legs
+    are cheap projections of it that exchange reuse collapses)."""
+    from parquet_to_sql_spark.operators.dedup import (
+        minhash_lsh_candidates_from_sig_arrays,
     )
-    base = docs.select(
+    from parquet_to_sql_spark.operators.hashkernel import audit_mutant_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one kernel pass; checkpointed because three branches consume it
+    # (two signature legs + planted) and untruncated lineage would
+    # re-run the kernel per consumer.  Doc-count-sized narrow rows.
+    stats = audit_mutant_stats(
+        docs, "doc_id", "text", n=3, k=_PROD_K
+    ).localCheckpoint()
+    # empty sig == doc with no shingles == the row the JVM explode+
+    # groupBy formulation never produced: drop before banding
+    sig = (
+        stats.filter(F.size("sig_o") > 0)
+        .select("doc_id", F.col("sig_o").alias("sig"))
+        .unionByName(
+            stats.filter(F.size("sig_m") > 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.col("sig_m").alias("sig"),
+            )
+        )
+    )
+    cands = minhash_lsh_candidates_from_sig_arrays(
+        sig, "doc_id", "sig", k=_PROD_K, bands=_PROD_BANDS
+    )
+    planted = stats.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
         "doc_id",
-        "text",
-        ws_tokens(F.col("text")).alias("_w"),
-        # SQL shiftleft: the Python API's numBits is a plain int only
-        F.expr("3 * shiftleft(1, CAST(doc_id % 5 AS INT))").alias("_p"),
-    )
-    mut = base.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_w")),
-                lambda i: F.when(i % F.col("_p") == 0, F.lit("zqz")).otherwise(
-                    F.element_at(F.col("_w"), i)
-                ),
-            ),
-            " ",
-        ).alias("text"),
-    )
-    corpus = docs.unionByName(mut)
-    from parquet_to_sql_spark.operators.dedup import minhash_lsh_candidates
-
-    cands = minhash_lsh_candidates(
-        corpus, "doc_id", "text", k=_PROD_K, bands=_PROD_BANDS, n=3
-    )
-    # materialize the per-doc shingle arrays BEFORE the join:
-    # without the barrier Catalyst collapses the whole
-    # tokenize->mutate->retokenize->shingle chain through the join and
-    # the nested-lambda expression tree falls off the codegen path
-    # (interpreted eval per reference: measured 50s vs 6s at sf0.01);
-    # the checkpointed relations are doc-count-sized, arrays of ~50
-    # shingles each
-    sets_o = docs.select(
-        "doc_id", word_shingles(ws_tokens(F.col("text")), 3).alias("sh_o")
-    ).localCheckpoint()
-    sets_m = mut.select(
-        (F.col("doc_id") - 1000000).alias("doc_id"),
-        word_shingles(ws_tokens(F.col("text")), 3).alias("sh_m"),
-    ).localCheckpoint()
-    planted = (
-        sets_o.join(sets_m, "doc_id")
-        .filter((F.size("sh_o") > 0) & (F.size("sh_m") > 0))
-        .select(
-            "doc_id",
-            F.size(F.array_intersect("sh_o", "sh_m")).cast("long").alias("common"),
-            F.size("sh_o").cast("long").alias("n1"),
-            F.size("sh_m").cast("long").alias("n2"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * common)"
-                " div (n1 + n2 - common) AS BIGINT)"
-            ).alias("jacc_ppm"),
-        )
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * common)"
+            " div (n1 + n2 - common) AS BIGINT)"
+        ).alias("jacc_ppm"),
     )
     rec = planted.join(
         cands,

@@ -90,6 +90,101 @@ def test_hashedfold_kgrams_exact(spark, source, n):
 
 
 @pytest.mark.parametrize("source", ["edges", "corpus"])
+def test_audit_mutant_stats_exact(spark, source):
+    """audit_mutant_stats == the JVM formulation the production audit
+    used before r13: interpreted mutant transform + array_join +
+    re-tokenize + word_shingles/array_intersect + string-fold hashes,
+    column by column."""
+    from parquet_to_sql_spark.functions.hashing import word_shingles
+    from parquet_to_sql_spark.operators.hashkernel import audit_mutant_stats
+
+    df = _edge_df(spark) if source == "edges" else _docs(spark)
+    base = df.select(
+        "doc_id",
+        "text",
+        ws_tokens(F.col("text")).alias("_w"),
+        F.expr("3 * shiftleft(1, CAST(doc_id % 5 AS INT))").alias("_p"),
+    )
+    mut_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w")),
+            lambda i: F.when(i % F.col("_p") == 0, F.lit("zqz")).otherwise(
+                F.element_at(F.col("_w"), i)
+            ),
+        ),
+        " ",
+    )
+    want = (
+        base.select("doc_id", "text", mut_text.alias("_mt"))
+        .select(
+            "doc_id",
+            F.transform(
+                positional_shingles(ws_tokens(F.col("text")), 3),
+                char_fold_hash,
+            ).alias("shs_o"),
+            F.transform(
+                positional_shingles(ws_tokens(F.col("_mt")), 3),
+                char_fold_hash,
+            ).alias("shs_m"),
+            word_shingles(ws_tokens(F.col("text")), 3).alias("_sho"),
+            word_shingles(ws_tokens(F.col("_mt")), 3).alias("_shm"),
+        )
+        .select(
+            "doc_id",
+            "shs_o",
+            "shs_m",
+            F.size(F.array_intersect("_sho", "_shm"))
+            .cast("long")
+            .alias("common"),
+            F.size("_sho").cast("long").alias("n1"),
+            F.size("_shm").cast("long").alias("n2"),
+        )
+    )
+    _assert_same(audit_mutant_stats(df, "doc_id", "text", n=3), want)
+
+
+@pytest.mark.parametrize("source", ["edges", "corpus"])
+def test_audit_mutant_signatures_exact(spark, source):
+    """audit_mutant_stats(k=…) signature arrays == the JVM
+    minhash_signatures over the original and mutant corpora (the
+    audit's pre-r13 formulation), including the docs-without-shingles
+    drop (empty sig array <=> absent groupBy row)."""
+    from parquet_to_sql_spark.operators.dedup import minhash_signatures
+    from parquet_to_sql_spark.operators.hashkernel import audit_mutant_stats
+
+    k = 16
+    df = _edge_df(spark) if source == "edges" else _docs(spark)
+    got = audit_mutant_stats(df, "doc_id", "text", n=3, k=k)
+    base = df.select(
+        "doc_id",
+        "text",
+        ws_tokens(F.col("text")).alias("_w"),
+        F.expr("3 * shiftleft(1, CAST(doc_id % 5 AS INT))").alias("_p"),
+    )
+    mut = base.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w")),
+                lambda i: F.when(i % F.col("_p") == 0, F.lit("zqz")).otherwise(
+                    F.element_at(F.col("_w"), i)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    for side, src in (("sig_o", df), ("sig_m", mut)):
+        want = {
+            r["doc_id"]: [r[f"m{i}"] for i in range(k)]
+            for r in minhash_signatures(src, "doc_id", "text", k=k, n=3).collect()
+        }
+        for r in got.select("doc_id", side).collect():
+            assert list(r[side]) == want.get(r["doc_id"], []), (
+                f"{side} mismatch at doc {r['doc_id']}"
+            )
+
+
+@pytest.mark.parametrize("source", ["edges", "corpus"])
 @pytest.mark.parametrize("bits", [16, 24])
 def test_simhash_exact(spark, source, bits):
     from parquet_to_sql_spark.operators.text import simhash_sketch
