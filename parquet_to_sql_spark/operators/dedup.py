@@ -915,31 +915,31 @@ def triangle_counts(
     public record).
 
     Every edge is oriented from its lower-(degree, id) endpoint to the
-    higher one; wedges are generated only at each edge's minimum-rank
-    vertex and closed with one more equi-join.  The orientation bounds
-    out-degrees by O(sqrt(m)) on any graph, so wedge volume is
-    O(m^{3/2}) instead of sum(deg^2) — the difference between "dies on
-    the first celebrity node" and "runs at 100 TB".  Three shuffles
-    total (degree agg, wedge join on src, closing join on the dst
-    pair); all joins are equi-joins AQE can skew-split.
+    higher one; the orientation bounds out-degrees by O(sqrt(m)) on
+    any graph, so total intersection work is O(m^{3/2}) instead of
+    sum(deg^2) — the difference between "dies on the first celebrity
+    node" and "runs at 100 TB".  Triangles are read off a row-local
+    array_intersect of the two endpoints' out-neighbor lists (the
+    edge-iterator form of the same algorithm; r13 — this replaced a
+    materialized wedge self-join, see the inline note).
 
     Returns (doc_id, n_triangles) for vertices in >= 1 triangle; each
     triangle contributes once to each of its three vertices.
 
-    The edge list, degree table, and oriented relation are each
-    referenced 2-3 times downstream; without lineage truncation the
-    optimizer would re-derive the (potentially expensive) upstream
-    candidate-generation pipeline once per reference — measured 12
-    redundant replays on the simhash-edge input.  localCheckpoint
-    materializes each exactly once (on a cluster, swap for
-    reliable-storage checkpoint or persist(DISK_ONLY)).
+    The edge list and the oriented relation are referenced 2-3 times
+    downstream; without lineage truncation the optimizer would
+    re-derive the (potentially expensive) upstream candidate
+    pipeline once per reference — measured 12 redundant replays on
+    the simhash-edge input.  localCheckpoint materializes each
+    exactly once (on a cluster, swap for reliable-storage checkpoint
+    or persist(DISK_ONLY)).
     """
     e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
     if not assume_unique:
         e = e.distinct()
     e = e.localCheckpoint()
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("u").alias("_du"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("u").alias("_dv"), F.col("deg").alias("deg_v"))
     ranked = e.join(du, e["u"] == du["_du"]).join(dv, e["v"] == dv["_dv"])
@@ -947,26 +947,35 @@ def triangle_counts(
     o = ranked.select(
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(
-            lower, F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i"))
-        )
-        .otherwise(F.struct(F.col("deg_u").alias("d"), F.col("u").alias("i")))
-        .alias("rdst"),
     ).localCheckpoint()
-    # Pin the wedge join's parallelism: AQE coalesces post-shuffle
-    # partitions by INPUT size, but this self-join EXPANDS O(m^1.5) —
-    # on a small-input/huge-output join AQE would coalesce to 1-2
-    # tasks and serialize the expansion.  An explicit-N repartition on
-    # the join key is respected by AQE, and both sides sharing one
-    # co-partitioned parent lets the join skip further exchanges.
-    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    op = o.repartition(n_parts, "src")
-    o1 = op.select(F.col("src").alias("s"), F.col("dst").alias("d1"), F.col("rdst").alias("r1"))
-    o2 = op.select(F.col("src").alias("s"), F.col("dst").alias("d2"), F.col("rdst").alias("r2"))
-    wedges = o1.join(o2, "s").filter(F.col("r1") < F.col("r2"))
-    closing = o.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
-    tri = wedges.join(closing, ["d1", "d2"]).select("s", "d1", "d2")
-    verts = tri.select(F.explode(F.array("s", "d1", "d2")).alias("doc_id"))
+    # Optimization r13: the wedge SELF-JOIN (materialize all
+    # O(m^1.5) wedges, then close them with a second join — 54M
+    # shuffled wedge rows and ~22 s of join CPU on the sf0.1 simhash
+    # graph) is replaced by the adjacency-intersection edge iterator:
+    # collect each vertex's out-neighbors once, attach both endpoint
+    # lists to every oriented edge, and read the closing vertices off
+    # a row-local array_intersect.  Same orientation, so the SAME
+    # O(sqrt(m)) out-degree bound caps every list and the total
+    # intersection work is the same O(m^1.5) comparisons — but they
+    # run inside one codegen'd projection instead of materializing
+    # and shuffling the wedge relation.  Triangle set is identical:
+    # each triangle (a<b<c by rank) is found exactly once, on edge
+    # (a,b) with c in N+(a) ∩ N+(b).  The degree and adjacency
+    # relations are vertex-count-sized with bounded rows; their
+    # attach joins are plain equi-joins AQE converts to broadcast
+    # when the runtime size fits (it does at bench scale) and keeps
+    # as shuffles when it does not (the 100 TB case).
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    a1 = adj.select(F.col("src").alias("_a1"), F.col("nbrs").alias("n1"))
+    a2 = adj.select(F.col("src").alias("_a2"), F.col("nbrs").alias("n2"))
+    tri = (
+        o.join(a1, o["src"] == a1["_a1"])
+        .join(a2, o["dst"] == a2["_a2"])
+        .select(
+            "src", "dst", F.explode(F.array_intersect("n1", "n2")).alias("w")
+        )
+    )
+    verts = tri.select(F.explode(F.array("src", "dst", "w")).alias("doc_id"))
     return verts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 

@@ -171,7 +171,25 @@ def simhash_sketch(
     bits=24, bit-identical output.  Token-less documents are dropped
     (the explode+groupBy contract all call sites and oracles were
     built against).
-    """
+
+    Optimization r13: delegates to the vectorized Arrow kernel
+    (hashkernel.simhash_arrow — value-exact twin pinned by
+    tests/test_hashkernel.py against the JVM formulation, kept below
+    as simhash_sketch_jvm).  The only rows either formulation drops
+    are NULL texts: non-null text always tokenizes to >= 1 token
+    (blank text -> [''], hash 0), so size(_h) > 0 == text IS NOT
+    NULL."""
+    from parquet_to_sql_spark.operators.hashkernel import simhash_arrow
+
+    return simhash_arrow(df, id_col, text_col, bits=bits)
+
+
+def simhash_sketch_jvm(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """The JVM higher-order-function simhash formulation (the
+    pre-r13 simhash_sketch body): the reference implementation the
+    Arrow kernel is equivalence-tested against."""
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in 1..31 (token hash is 31-bit)")
     return (

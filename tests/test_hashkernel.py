@@ -187,10 +187,12 @@ def test_audit_mutant_signatures_exact(spark, source):
 @pytest.mark.parametrize("source", ["edges", "corpus"])
 @pytest.mark.parametrize("bits", [16, 24])
 def test_simhash_exact(spark, source, bits):
-    from parquet_to_sql_spark.operators.text import simhash_sketch
+    # simhash_sketch now DELEGATES to simhash_arrow; the pin is
+    # against the retained JVM formulation (simhash_sketch_jvm)
+    from parquet_to_sql_spark.operators.text import simhash_sketch_jvm
 
     df = _edge_df(spark) if source == "edges" else _docs(spark)
     _assert_same(
         simhash_arrow(df, "doc_id", "text", bits=bits),
-        simhash_sketch(df, "doc_id", "text", bits=bits),
+        simhash_sketch_jvm(df, "doc_id", "text", bits=bits),
     )
