@@ -381,9 +381,15 @@ def connected_components(
     )
     # reused every round: materialize once (caller's session; released below)
     edges = edges.cache()
+    # LAZY checkpoints (optimization r13): the convergence-sum collect
+    # each round is the action that materializes the round's labels,
+    # so the eager-checkpoint job + sum job collapse into ONE job per
+    # round (lineage is truncated identically — the returned frame
+    # wraps the checkpoint-marked RDD either way).  At 3-5 rounds per
+    # closure that halves the serialized driver barriers.
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         msgs = edges.join(labels, edges["e_src"] == labels["node"]).select(
@@ -393,7 +399,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
@@ -484,7 +490,10 @@ def connected_components_star(
                 smins.select(F.col("hi"), F.col("m").alias("lo"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the first convergence anti-join below is the
+            # materializing action (r13 — one fewer job per round,
+            # lineage truncated identically)
+            .localCheckpoint(eager=False)
         )
         # converged when the full round changed nothing (set equality;
         # both sides are distinct, so one anti-join each way suffices —
@@ -1007,7 +1016,10 @@ def pagerank_int(
         e = e.distinct()
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    rel = und.join(deg, "u").localCheckpoint()  # (u, v, d) — built once
+    # lazy (r13): rel materializes inside the first iteration's job
+    # and is reused from the checkpoint by later ones — same
+    # truncation, no standalone materialization job
+    rel = und.join(deg, "u").localCheckpoint(eager=False)  # (u, v, d) — built once
     scores = deg.select(F.col("u").alias("node"), F.lit(scale).cast("long").alias("score"))
     base = (scale * 15) // 100
     for _ in range(iterations):
@@ -1017,7 +1029,7 @@ def pagerank_int(
         scores = (
             contrib.groupBy("node")
             .agg(F.expr(f"{base} + (85 * sum(c)) div 100").alias("score"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return scores.select("node", F.col("score").cast("long").alias("pr_scaled"))
 
@@ -1176,9 +1188,13 @@ def kcore_peel(
     e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
     if not assume_unique:
         e = e.distinct()
+    # lazy checkpoints throughout (r13): no action runs between
+    # rounds, so eager ones only added one serialized job per round;
+    # lazy marks truncate lineage identically and materialize inside
+    # the consumer's single job DAG.
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("u")
@@ -1186,7 +1202,7 @@ def kcore_peel(
             und.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return und.groupBy("u").agg(F.count(F.lit(1)).alias("residual_degree")).select(
         F.col("u").alias("doc_id"), "residual_degree"
