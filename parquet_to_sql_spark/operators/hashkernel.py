@@ -311,6 +311,144 @@ def _minhash_from_windows(h, wc, pairs):
     return sig, nz
 
 
+def _winnow_selected(h, wc, w: int):
+    """Winnowing selection over a flat window-hash layout: for each
+    doc (``wc`` window hashes in ``h``), slide a window of ``w``
+    consecutive hashes (ONE window over all of them when wc < w) and
+    select each window's minimum, RIGHTMOST position on ties, then
+    drop duplicate selections (selections are non-decreasing, so
+    consecutive-dedup == distinct).  Returns (flat 0-based positions,
+    flat fingerprints, per-doc selection counts)."""
+    import numpy as np
+
+    nd = len(wc)
+    out_counts = np.zeros(nd, np.int64)
+    if len(h) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), out_counts
+    # combined key: min h, rightmost pos on ties -> single int64 min.
+    # S > max windows per doc; h < 2^31 so h*S stays < 2^63 for any
+    # realistic doc (S up to 2^32 would still fit h < 2^31).
+    S = 1 << int(np.max(wc)).bit_length()
+    doc_start = np.zeros(nd, np.int64)
+    np.cumsum(wc[:-1], out=doc_start[1:])
+    pos_in_doc = np.arange(len(h), dtype=np.int64) - np.repeat(doc_start, wc)
+    c = h * S + (S - 1 - pos_in_doc)
+    # regular docs (wc >= w): all length-w windows
+    starts, mw_reg = _window_starts(wc, w)
+    if len(starts):
+        cmin_reg = c[starts]
+        for off in range(1, w):
+            np.minimum(cmin_reg, c[starts + off], out=cmin_reg)
+    else:
+        cmin_reg = np.zeros(0, np.int64)
+    # short docs (1 <= wc < w): one window over the whole doc
+    short = (wc >= 1) & (wc < w)
+    if short.any():
+        cmin_short = np.minimum.reduceat(c, doc_start[short])
+    # number of winnow windows per doc
+    mw = np.where(short, 1, mw_reg)
+    # interleave: windows are laid out doc by doc; regular docs take
+    # their mw_reg mins, short docs their single min
+    total_w = int(mw.sum())
+    cmin = np.zeros(total_w, np.int64)
+    w_off = np.zeros(nd, np.int64)
+    np.cumsum(mw[:-1], out=w_off[1:])
+    if len(starts):
+        reg = ~short & (wc >= 1)
+        reg_idx_mask = np.repeat(reg, mw)
+        cmin[reg_idx_mask] = cmin_reg
+    if short.any():
+        cmin[w_off[short]] = cmin_short
+    sel_pos = S - 1 - (cmin & (S - 1))
+    fp = cmin >> int(np.log2(S))
+    # dedup consecutive selections within each doc
+    first_of_doc = np.zeros(total_w, bool)
+    first_of_doc[w_off[mw > 0]] = True
+    keep = first_of_doc.copy()
+    keep[1:] |= sel_pos[1:] != sel_pos[:-1]
+    keep[0] = total_w > 0
+    # rows crossing doc boundaries must not suppress: first_of_doc
+    # already forces True there
+    keep |= first_of_doc
+    doc_of_window = np.repeat(np.arange(nd), mw)
+    np.add.at(out_counts, doc_of_window[keep], 1)
+    return sel_pos[keep], fp[keep], out_counts
+
+
+def winnow_kgram_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(id, pos int, fp long) — value-exact twin of
+    operators.text.winnow_fingerprints (winnowing over string-fold
+    positional k-gram hashes; pos is the 1-BASED selected shingle
+    position).  Docs with no shingles emit nothing."""
+
+    def run_rows(ids_arr, texts):
+        import numpy as np
+        import pyarrow as pa
+
+        toks = _tokenize(texts)
+        otoks = [tk if tk is not None else [] for tk in toks]
+        flat, counts, _ = _doc_layout(otoks)
+        h, wc = _stringfold_flat(flat, counts, k)
+        sel, fp, cnt = _winnow_selected(h, wc, w)
+        idx = np.repeat(np.arange(len(cnt)), cnt)
+        return (
+            ids_arr.take(pa.array(idx)),
+            pa.array((sel + 1).astype(np.int32), pa.int32()),
+            pa.array(fp, pa.int64()),
+        )
+
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    src = rebalance_for_compute(df.select(id_col, text_col))
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for rb in batches:
+            ids, pos, fp = run_rows(rb.column(0), rb.column(1).to_pylist())
+            yield pa.record_batch([ids, pos, fp], names=[id_col, "pos", "fp"])
+
+    return src.mapInArrow(run, f"{id_col} {id_type}, pos int, fp bigint")
+
+
+def winnow_kgram_fp_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(id, fps array<long>) — value-exact twin of
+    operators.text.winnow_fingerprint_sets: DISTINCT selected
+    fingerprint VALUES in first-occurrence order; empty array for
+    docs with no shingles (including NULL text)."""
+
+    def batch(texts):
+        import numpy as np
+
+        toks = _tokenize(texts)
+        otoks = [tk if tk is not None else [] for tk in toks]
+        flat, counts, nulls = _doc_layout(otoks)
+        nulls[:] = False
+        h, wc = _stringfold_flat(flat, counts, k)
+        sel, fp, cnt = _winnow_selected(h, wc, w)
+        # per-doc first-occurrence dedup of fp VALUES
+        vals: list[int] = []
+        out_counts = np.zeros(len(cnt), np.int64)
+        off = 0
+        for d, c in enumerate(cnt):
+            if c:
+                seen: dict = {}
+                for x in fp[off : off + c]:
+                    if x not in seen:
+                        seen[x] = None
+                vals.extend(seen)
+                out_counts[d] = len(seen)
+                off += c
+        return _list_array(np.array(vals, np.int64), out_counts, nulls)
+
+    return _mapper(df, id_col, text_col, "fps", batch)
+
+
 def audit_mutant_stats(
     df: DataFrame,
     id_col: str,

@@ -300,6 +300,24 @@ def winnow_fingerprints(
     one expression instead of materializing an exploded (doc, pos,
     hash) relation and paying a doc-partitioned window shuffle.
     """
+    # Optimization r13: delegates to the vectorized Arrow kernel
+    # (hashkernel.winnow_kgram_fingerprints — value-exact twin pinned
+    # by tests/test_hashkernel.py against the JVM formulation kept
+    # below as winnow_fingerprints_jvm; the interpreted O(w^2)
+    # slice/aggregate HOF chain was ~12 s of executor CPU at sf0.1).
+    from parquet_to_sql_spark.operators.hashkernel import (
+        winnow_kgram_fingerprints,
+    )
+
+    return winnow_kgram_fingerprints(df, id_col, text_col, k=k, w=w)
+
+
+def winnow_fingerprints_jvm(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """The JVM higher-order-function winnowing formulation (the
+    pre-r13 winnow_fingerprints body): the reference implementation
+    the Arrow kernel is equivalence-tested against."""
     staged = _winnow_staged(df, id_col, text_col, k)
     poss = _winnow_poss(F.col("_hs"), w)
     return (
@@ -318,6 +336,17 @@ def winnow_fingerprint_sets(
     """Per-document DISTINCT winnowing fingerprint sets as one array
     column (doc, fps) — still entirely row-local (zero shuffles); the
     pre-explode input shape the set-overlap pair machinery wants."""
+    # r13: Arrow-kernel twin (see winnow_fingerprints); JVM original
+    # kept below for the equivalence pin.
+    from parquet_to_sql_spark.operators.hashkernel import winnow_kgram_fp_sets
+
+    return winnow_kgram_fp_sets(df, id_col, text_col, k=k, w=w)
+
+
+def winnow_fingerprint_sets_jvm(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Pre-r13 JVM formulation of winnow_fingerprint_sets (pin)."""
     staged = _winnow_staged(df, id_col, text_col, k)
     hs = F.col("_hs")
     fps = F.array_distinct(

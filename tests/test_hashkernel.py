@@ -185,6 +185,39 @@ def test_audit_mutant_signatures_exact(spark, source):
 
 
 @pytest.mark.parametrize("source", ["edges", "corpus"])
+@pytest.mark.parametrize("kw", [(3, 4), (2, 5), (3, 1)])
+def test_winnow_fingerprints_exact(spark, source, kw):
+    """winnow_kgram_fingerprints == the JVM winnowing formulation
+    (winnow_fingerprints_jvm), row-multiset equality on (id,pos,fp)."""
+    from parquet_to_sql_spark.operators.hashkernel import (
+        winnow_kgram_fingerprints,
+    )
+    from parquet_to_sql_spark.operators.text import winnow_fingerprints_jvm
+
+    k, w = kw
+    df = _edge_df(spark) if source == "edges" else _docs(spark)
+    got = sorted(
+        map(tuple, winnow_kgram_fingerprints(df, "doc_id", "text", k, w).collect())
+    )
+    want = sorted(
+        map(tuple, winnow_fingerprints_jvm(df, "doc_id", "text", k, w).collect())
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("source", ["edges", "corpus"])
+def test_winnow_fp_sets_exact(spark, source):
+    from parquet_to_sql_spark.operators.hashkernel import winnow_kgram_fp_sets
+    from parquet_to_sql_spark.operators.text import winnow_fingerprint_sets_jvm
+
+    df = _edge_df(spark) if source == "edges" else _docs(spark)
+    _assert_same(
+        winnow_kgram_fp_sets(df, "doc_id", "text", 3, 4),
+        winnow_fingerprint_sets_jvm(df, "doc_id", "text", 3, 4),
+    )
+
+
+@pytest.mark.parametrize("source", ["edges", "corpus"])
 @pytest.mark.parametrize("bits", [16, 24])
 def test_simhash_exact(spark, source, bits):
     # simhash_sketch now DELEGATES to simhash_arrow; the pin is
