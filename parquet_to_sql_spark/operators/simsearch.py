@@ -401,10 +401,79 @@ def pq_encode(
     bound that makes billion-vector ANN serviceable).
 
     ``codes`` is a (code_id, vector) relation; it is TINY by
-    construction, so encoding is ONE broadcast cross join + ONE
-    groupBy with PQ_SUBS min(struct(dist, code)) aggregates — the
-    arg-min runs map-side, no per-subspace shuffle.  Returns
-    (id, c0..c{PQ_SUBS-1})."""
+    construction.  Returns (id, c0..c{PQ_SUBS-1}).
+
+    Optimization r13: the arg-min runs as a vectorized Arrow kernel
+    — the former broadcast-cross-join + PQ_SUBS min(struct) groupBy
+    evaluated the interpreted l2sq fold |codes| x PQ_SUBS times per
+    vector (~7 s of executor CPU at sf0.1).  The kernel accumulates
+    the squared-difference fold SEQUENTIALLY over dims in double
+    (identical operation order and rounding to the JVM left fold,
+    so distances — and therefore arg-mins with the same
+    lower-code-id tie-break — are bit-exact; pinned against the
+    retained JVM formulation, pq_encode_jvm, by
+    tests/test_hashkernel.py).  The codebook is collected to the
+    driver (bounded by construction: a codebook is a few KB) and
+    shipped inside the closure."""
+    import numpy as np
+
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    rows = sorted(
+        codes.select(
+            F.col(codes.columns[0]).alias("_code_id"),
+            F.col(codes.columns[1]).alias("_cv"),
+        ).collect(),
+        key=lambda r: r["_code_id"],
+    )
+    code_ids = [int(r["_code_id"]) for r in rows]
+    cv = np.array([list(r["_cv"]) for r in rows], dtype=np.float64)
+
+    v = rebalance_for_compute(df.select(id_col, vec_col))
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            ids = rb.column(0)
+            vecs = np.array(rb.column(1).to_pylist(), dtype=np.float64)
+            n = len(vecs)
+            out_codes = []
+            for s in range(PQ_SUBS):
+                lo = s * PQ_SUBDIM
+                best_d = None
+                best_c = None
+                # ascending code id + strict < == min(struct(d, c))
+                for ci, code_id in enumerate(code_ids):
+                    acc = np.zeros(n, np.float64)
+                    for j in range(PQ_SUBDIM):
+                        diff = vecs[:, lo + j] - cv[ci, lo + j]
+                        acc = acc + diff * diff
+                    if best_d is None:
+                        best_d = acc
+                        best_c = np.full(n, code_id, np.int64)
+                    else:
+                        better = acc < best_d
+                        best_d = np.where(better, acc, best_d)
+                        best_c = np.where(better, code_id, best_c)
+                out_codes.append(pa.array(best_c, pa.int64()))
+            yield pa.record_batch([ids, *out_codes],
+                                  names=[id_col, *[f"c{s}" for s in range(PQ_SUBS)]])
+
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"c{s} bigint" for s in range(PQ_SUBS)
+    )
+    return v.mapInArrow(run, schema)
+
+
+def pq_encode_jvm(
+    df: DataFrame, id_col: str, vec_col: str, codes: DataFrame
+) -> DataFrame:
+    """The pre-r13 JVM formulation of pq_encode (broadcast cross join
+    + min(struct) aggregates): the reference the Arrow kernel is
+    equivalence-tested against."""
     from parquet_to_sql_spark.operators.text import rebalance_for_compute
 
     v = rebalance_for_compute(df.select(id_col, vec_col))

@@ -217,6 +217,27 @@ def test_winnow_fp_sets_exact(spark, source):
     )
 
 
+def test_pq_encode_exact(spark):
+    """The Arrow pq_encode kernel == the JVM cross-join/min(struct)
+    formulation over the full embeddings fixture (including the
+    bit-exact sequential double fold and lower-code-id tie-break)."""
+    from parquet_to_sql_spark.operators.simsearch import (
+        pq_encode,
+        pq_encode_jvm,
+    )
+    import pyspark.sql.functions as SF
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    codes = emb.filter(
+        (SF.col("vec_id") >= 100) & (SF.col("vec_id") < 116)
+    ).select("vec_id", "embedding")
+    _assert_same(
+        pq_encode(emb, "vec_id", "embedding", codes),
+        pq_encode_jvm(emb, "vec_id", "embedding", codes),
+        keys=("vec_id",),
+    )
+
+
 @pytest.mark.parametrize("source", ["edges", "corpus"])
 @pytest.mark.parametrize("bits", [16, 24])
 def test_simhash_exact(spark, source, bits):
