@@ -399,6 +399,19 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     # at sf0.01 AND sf0.1 but its r12 driver row predates the
     # rewrite.
     "pipeline_mime_routing",
+    # Rewritten in the r13 OPTIMIZATION round: mutant generation,
+    # shingle hashing, k=128 signatures and exact-Jaccard stats all
+    # moved into one Arrow kernel pass (hashkernel.audit_mutant_stats)
+    # and the banding join consumes signature arrays — value-exact by
+    # construction (kernel equivalence suite) and re-proven this
+    # round: driver-sim verify rc 0 at sf0.01 AND sf0.1, recall
+    # S-curve property test green.  Queued so the next driver window
+    # re-takes hard evidence post-rewrite.  (The other queries whose
+    # IMPLEMENTING OPERATORS changed this round — the minhash/
+    # shingle/simhash/winnow/closure/pq consumers — kept their build
+    # sources unchanged and were all driver-sim re-verified rc 0 in
+    # the optimization session; see OPTIMIZATION_r13.md.)
+    "dedup_minhash_production_audit",
 )
 
 
