@@ -65,7 +65,17 @@ def prefix_sum(
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-    staged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    # LAZY checkpoint (r13): the totals .collect() right below is the
+    # materializing action and covers every partition, so the pinned
+    # boundaries are already frozen before the second consumer (the
+    # windowed pass) is even constructed — sequential driver code,
+    # no consumer race.  (grouped_prefix_sum has NO interposing
+    # action, so its checkpoint stays EAGER — two consumer stages in
+    # one job could otherwise race the non-deterministic range
+    # exchange.)  Same truncation, one fewer serialized job.
+    staged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
 
     # per-partition totals -> driver prefix-sum -> offset per pid.
     # Bounded: one row per partition, O(n_parts) driver memory.
