@@ -226,7 +226,13 @@ def _array_overlap_counts(
             .agg(F.count(F.lit(1)).alias("n_sh"))
         )
         # docs sorted ascending -> pairing each element with its tail
-        # slice yields exactly the doc1 < doc2 pairs, no n^2 buffer
+        # slice yields exactly the doc1 < doc2 pairs, no n^2 buffer.
+        # (r13 note: an Arrow-kernel pair generator with batch-local
+        # pre-aggregation was built, pinned value-exact and A/B'd —
+        # it measured SLOWER (0.86 vs 0.60 s on the 27k sf0.1
+        # postings) because the lists are Zipf-small and the Python
+        # boundary overhead exceeds the JVM tail-slice copies, so the
+        # JVM formulation stays.)
         common = (
             postings.select(
                 F.posexplode("docs").alias("i", "doc1"), F.col("docs")
