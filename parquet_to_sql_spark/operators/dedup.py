@@ -700,6 +700,7 @@ def banded_hamming_pairs(
     sketch_col: str,
     bits: int,
     radius: int,
+    same_value_cap: int = 4096,
 ) -> DataFrame:
     """Hamming-radius pairs over ANY precomputed integer sketch
     column: `radius + 1` disjoint bit bands (pigeonhole: two sketches
@@ -728,10 +729,32 @@ def banded_hamming_pairs(
     pair (the group key filter mirrors the old equi-join's
     NULL-dropping).  ``sig`` is referenced exactly ONCE (the groupBy),
     so callers no longer need to checkpoint it for this function.
+
+    Skew guard (optimization r14, guide §2.5 — ADVICE r13): the
+    row-local |group|² same-value expansion is capped at
+    ``same_value_cap`` docs per sketch value.  A degenerate corpus
+    (millions of IDENTICAL sketches — one mega near-dup cluster)
+    would otherwise materialize g² structs in ONE row of ONE task
+    (2 GiB array limit, executor OOM).  Groups above the cap emit
+    their pairs through a SALTED distributed self-join instead: each
+    doc gets a deterministic salt pmod(xxhash64(doc), S); one side
+    keys on its own salt, the other replicates across all S salts, so
+    each task holds ~g²/S of the expansion and every emitted row is
+    still a true output edge (identical pair set — pinned by the
+    mega-cluster test in tests/test_operators.py).  Below the cap the
+    salted legs are EMPTY relations (filters on opposite sides of the
+    same threshold), so the fixture-scale plan pays two no-op
+    exchanges and nothing else.  The per-value ``_docs`` array that
+    feeds the banding join stays LINEAR in group size (the quadratic
+    blow-up was the struct expansion), hitting the 2 GiB array bound
+    only past ~2·10⁸ docs on a single sketch value — document corpora
+    are orders of magnitude below it.
     """
     bands = radius + 1
     if bits % bands:
         raise ValueError("bits must be divisible by radius + 1")
+    if same_value_cap < 2:
+        raise ValueError("same_value_cap must be >= 2")
     width = bits // bands
     mask = (1 << width) - 1
     groups = (
@@ -740,8 +763,10 @@ def banded_hamming_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_docs"))
         .localCheckpoint(eager=False)
     )
-    same = (
-        groups.filter(F.size("_docs") >= 2)
+    same_small = (
+        groups.filter(
+            (F.size("_docs") >= 2) & (F.size("_docs") <= same_value_cap)
+        )
         .select(
             F.explode(
                 F.expr(
@@ -757,6 +782,34 @@ def banded_hamming_pairs(
             F.lit(0).cast("int").alias("hamming"),
         )
     )
+    # over-cap groups: salted distributed expansion.  S is bounded by
+    # the cap so the replication (g·S rows) never exceeds the pair
+    # output (g²/2 rows, since g > cap >= 2S); docs spread over salts
+    # by a deterministic hash, so a retried task reproduces its rows
+    # (guide §2.5 — no rand() keys).
+    n_salt = min(
+        int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        max(1, same_value_cap // 2),
+    )
+    big = groups.filter(F.size("_docs") > same_value_cap)
+    d1 = big.select("_v", F.explode("_docs").alias("_a")).withColumn(
+        "_s", F.pmod(F.xxhash64("_a"), F.lit(n_salt)).cast("int")
+    )
+    d2 = big.select("_v", F.explode("_docs").alias("_b")).select(
+        "_v",
+        "_b",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_s"),
+    )
+    same_big = (
+        d1.join(d2, ["_v", "_s"])
+        .filter(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("doc1"),
+            F.col("_b").alias("doc2"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    same = same_small.unionByName(same_big)
     slices = [
         groups.select(
             "_v",
@@ -1820,17 +1873,28 @@ def minhash_lsh_candidates_from_sig_arrays(
     """minhash_lsh_candidates over a PRECOMPUTED signature relation
     shaped (id, sig array<long> of length k) — for callers whose
     signatures come out of an Arrow kernel as one array column (the
-    production audit).  The banding slices come from ONE F.expr
-    string (a single py4j round trip — the Column-by-Column
-    formulation of the same expression cost ~0.9 s of driver time at
-    k=128/bands=16) building the identical
+    production audit, minhash_dedup_apply).  The banding slices come
+    from ONE F.expr string (a single py4j round trip — the
+    Column-by-Column formulation of the same expression cost ~0.9 s
+    of driver time at k=128/bands=16) building the identical
     concat_ws('_', cast(sig[i] as string)...) bucket keys as
     _band_slices builds from m{i} columns.  No checkpoint: the input
     is expected to be cheap to recompute (a projection of an already
     materialized relation); the two join legs are identical subplans,
-    which exchange reuse collapses at run time."""
+    which exchange reuse collapses at run time.
+
+    The length contract is enforced HERE (ADVICE r13): only rows whose
+    sig array has exactly k entries build buckets.  Out-of-range
+    ``sig[i]`` yields NULL and concat_ws silently SKIPS NULLs, so a
+    short or empty signature array (the kernels emit empty arrays for
+    shingle-less docs) would otherwise land every such doc in one ''
+    bucket per band and pairwise-join quadratically with wrong
+    candidates.  The JVM explode+groupBy formulation never produces
+    such rows, so the filter is a no-op for well-formed input and the
+    guard exactly where the buckets are built."""
     if bands <= 0 or k % bands:
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
+    sig = sig.filter(F.size(F.col(sig_col)) == k)
     rows = k // bands
     slices = ", ".join(
         "named_struct('band', {bi}, 'bucket', concat_ws('_', {parts}))".format(
@@ -1934,15 +1998,31 @@ def minhash_dedup_apply(
     Scale shape: candidates via the membership-only banding join
     (signatures never cross the exchange); verification scores
     candidate pairs row-locally against the per-doc DISTINCT hashed
-    shingle arrays (localCheckpointed — referenced by both pair
-    sides; no explode, no per-shingle shuffle); closure via hash-min
-    label propagation (one join + one groupBy-min per round).  The
-    LSH estimate is never trusted for the drop decision — exactly
-    the production discipline."""
+    shingle arrays (no explode, no per-shingle shuffle); closure via
+    hash-min label propagation (one join + one groupBy-min per
+    round).  The LSH estimate is never trusted for the drop decision
+    — exactly the production discipline.
+
+    Optimization r14: the signature relation and the verify-side
+    shingle arrays come out of ONE Arrow kernel pass
+    (hashkernel.sig_and_shingle_arrays — the corpus was previously
+    scanned, tokenized and checkpointed TWICE, once per hash family,
+    and the signatures additionally paid an explode + k-aggregate
+    groupBy exchange).  One eager localCheckpoint materializes both
+    relations for the banding join's two legs and the verify join's
+    two sides; the signature minima are computed in-kernel
+    (value-exact twin, pinned by tests/test_hashkernel.py), so the
+    whole candidate stage is exchange-free until the banding join
+    itself."""
     from pyspark.sql import Window
 
-    cand = minhash_lsh_candidates(df, id_col, text_col, k=k, bands=bands, n=n)
-    arrays = hashed_shingle_arrays(df, id_col, text_col, n=n).localCheckpoint()
+    from parquet_to_sql_spark.operators.hashkernel import sig_and_shingle_arrays
+
+    kern = sig_and_shingle_arrays(df, id_col, text_col, n=n, k=k).localCheckpoint()
+    cand = minhash_lsh_candidates_from_sig_arrays(kern, id_col, "sig", k, bands)
+    arrays = kern.select(
+        F.col(id_col).alias("doc"), F.array_distinct("shs").alias("shs")
+    )
     a1 = arrays.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
     a2 = arrays.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
     common = F.size(F.array_intersect(F.col("shs1"), F.col("shs2")))

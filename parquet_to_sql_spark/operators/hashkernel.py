@@ -159,17 +159,15 @@ def _mapper(df: DataFrame, id_col: str, text_col: str, out_field: str,
     return src.mapInArrow(run, f"{id_col} {id_type}, {out_field} {out_type}")
 
 
-def _stringfold_flat(flat, counts, n: int):
-    """Flat string-fold n-gram window hashes over a flattened word
-    layout: returns (flat window-hash array, per-doc window counts).
-    The concat rule h(s||t) = (h(s)*31^len(t) + h(t)) mod M combines
-    staged per-word hashes — per-character work once per word."""
+def _stringfold_windows(hw, lens, starts, n: int):
+    """String-fold hash of every length-n window given staged per-word
+    hashes/codepoint-lengths and flat window start indices.  The concat
+    rule h(s||t) = (h(s)*31^len(t) + h(t)) mod M combines staged
+    per-word hashes — per-character work once per word."""
     import numpy as np
 
-    hw, lens = _fold_flat(flat)
-    starts, wc = _window_starts(counts, n)
     if len(starts) == 0:
-        return np.zeros(0, np.int64), wc
+        return np.zeros(0, np.int64)
     maxlen = int(lens.max()) if len(lens) else 0
     pow31 = np.ones(maxlen + 1, np.int64)
     for i in range(1, maxlen + 1):
@@ -180,7 +178,28 @@ def _stringfold_flat(flat, counts, n: int):
         idx = starts + off
         # h < 2^31, pow31 < 2^31 -> product < 2^62: int64-safe
         h = (h * pow31[lens[idx]] + hw[idx]) % FOLD_MOD
-    return h, wc
+    return h
+
+
+def _hashedfold_windows(hw, starts, n: int):
+    """Hashed-window fold h = (h*31 + hw_i) mod M of every length-n
+    window given staged per-word hashes and flat window starts."""
+    import numpy as np
+
+    if len(starts) == 0:
+        return np.zeros(0, np.int64)
+    h = hw[starts]
+    for off in range(1, n):
+        h = (h * 31 + hw[starts + off]) % FOLD_MOD
+    return h
+
+
+def _stringfold_flat(flat, counts, n: int):
+    """Flat string-fold n-gram window hashes over a flattened word
+    layout: returns (flat window-hash array, per-doc window counts)."""
+    hw, lens = _fold_flat(flat)
+    starts, wc = _window_starts(counts, n)
+    return _stringfold_windows(hw, lens, starts, n), wc
 
 
 def stringfold_kgram_hashes(
@@ -217,22 +236,69 @@ def hashedfold_kgram_hashes(
     no-space window fold over per-word hashes)."""
 
     def batch(texts):
-        import numpy as np
-
         flat, counts, nulls = _doc_layout(_tokenize(texts))
         # shingle_hashes_from's when(size>=n)/otherwise([]) guard maps
         # NULL text to an EMPTY array (size(NULL) = -1), not NULL
         nulls[:] = False
         hw, _ = _fold_flat(flat)
         starts, wc = _window_starts(counts, n)
-        if len(starts) == 0:
-            return _list_array(np.zeros(0, np.int64), wc, nulls)
-        h = hw[starts]
-        for off in range(1, n):
-            h = (h * 31 + hw[starts + off]) % FOLD_MOD
-        return _list_array(h, wc, nulls)
+        return _list_array(_hashedfold_windows(hw, starts, n), wc, nulls)
 
     return _mapper(df, id_col, text_col, "shs", batch)
+
+
+def sig_and_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+) -> DataFrame:
+    """(id, sig array<bigint>, shs array<bigint>) in ONE Arrow pass —
+    the two hash relations minhash_dedup_apply needs per document
+    (optimization r14; they were two separate kernel materializations
+    over the same tokenization):
+
+      sig = the k-permutation MinHash signature over the STRING-FOLD
+            positional n-gram hashes — value-exact twin of
+            minhash_signatures' m0..m{k-1} columns, as one length-k
+            array; EMPTY array when the doc has no shingles (the row
+            the JVM explode+groupBy formulation never produces —
+            consumers must filter size == k, which
+            minhash_lsh_candidates_from_sig_arrays enforces).
+      shs = the HASHED-window positional n-gram hashes
+            (hashedfold_kgram_hashes twin); the exact-verify stage
+            applies array_distinct on top.
+
+    One tokenize + one per-word char fold feed both hash families, so
+    the corpus is scanned and tokenized ONCE for signature generation
+    and verification instead of twice."""
+    from parquet_to_sql_spark.functions.hashing import minhash_constants
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    pairs = minhash_constants(k)
+    src = rebalance_for_compute(df.select(id_col, text_col))
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            ids_arr = rb.column(0)
+            texts = rb.column(1).to_pylist()
+            flat, counts, nulls = _doc_layout(_tokenize(texts))
+            nulls[:] = False  # NULL text -> empty arrays, like both twins
+            hw, lens = _fold_flat(flat)
+            starts, wc = _window_starts(counts, n)
+            h_sf = _stringfold_windows(hw, lens, starts, n)
+            sig, nz = _minhash_from_windows(h_sf, wc, pairs)
+            cols = [
+                ids_arr,
+                _list_array(sig[nz].ravel(), np.where(nz, k, 0), nulls),
+                _list_array(_hashedfold_windows(hw, starts, n), wc, nulls),
+            ]
+            yield pa.record_batch(cols, names=[id_col, "sig", "shs"])
+
+    return src.mapInArrow(
+        run, f"{id_col} {id_type}, sig array<bigint>, shs array<bigint>"
+    )
 
 
 def word_hash_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

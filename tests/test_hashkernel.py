@@ -90,6 +90,43 @@ def test_hashedfold_kgrams_exact(spark, source, n):
 
 
 @pytest.mark.parametrize("source", ["edges", "corpus"])
+def test_sig_and_shingle_arrays_exact(spark, source):
+    """The one-pass dual kernel (optimization r14, minhash_dedup_apply):
+    its ``sig`` arrays == minhash_signatures' m0..m{k-1} columns for
+    every doc the JVM formulation produces (docs with no shingles emit
+    an EMPTY sig array instead of no row — the banding helper's
+    size == k filter drops them identically), and its ``shs`` arrays ==
+    hashedfold_kgram_hashes, order included."""
+    from parquet_to_sql_spark.operators.dedup import minhash_signatures
+    from parquet_to_sql_spark.operators.hashkernel import sig_and_shingle_arrays
+
+    k, n = 8, 3
+    df = _edge_df(spark) if source == "edges" else _docs(spark)
+    got = sig_and_shingle_arrays(df, "doc_id", "text", n=n, k=k)
+
+    # shs == the hashedfold twin, every row (empty arrays included)
+    _assert_same(
+        got.select("doc_id", "shs"),
+        df.select(
+            "doc_id",
+            shingle_hashes_from(
+                word_hashes(ws_tokens(F.col("text"))), n
+            ).alias("shs"),
+        ),
+    )
+    # sig == the JVM explode+groupBy signatures, as arrays; the JVM
+    # side has no row for shingle-less docs, the kernel an empty array
+    want_sig = minhash_signatures(df, "doc_id", "text", k=k, n=n).select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+    _assert_same(got.filter(F.size("sig") == k).select("doc_id", "sig"), want_sig)
+    # every other row is an empty (never NULL, never short) sig array
+    assert (
+        got.filter(F.size("sig") != k).filter(F.size("sig") != 0).count() == 0
+    )
+
+
+@pytest.mark.parametrize("source", ["edges", "corpus"])
 def test_audit_mutant_stats_exact(spark, source):
     """audit_mutant_stats == the JVM formulation the production audit
     used before r13: interpreted mutant transform + array_join +
