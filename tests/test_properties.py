@@ -467,6 +467,42 @@ def test_banded_hamming_pairs_matches_bruteforce(spark):
         assert got == want and len(got) > 0, (bits, radius)
 
 
+def test_banded_hamming_mega_cluster_salted_path(spark):
+    """Skew guard (optimization r14, ADVICE r13): a sketch value shared
+    by MORE than ``same_value_cap`` docs must expand through the salted
+    distributed self-join, not the row-local g² struct array — and the
+    pair set must be IDENTICAL either way.  Builds one 300-doc
+    mega-cluster (all docs share sketch value 0b101010...) plus a few
+    normal near-dup values, runs the operator with a cap of 50 (salted
+    path engaged for the mega value) and a cap far above the corpus
+    (row-local path only), and requires byte-identical output."""
+    import random
+
+    from parquet_to_sql_spark.operators.dedup import banded_hamming_pairs
+
+    rng = random.Random(14)
+    hot = 0b1010_1010_1010_1010_1010_1010
+    rows = [(i, hot) for i in range(300)]  # the degenerate cluster
+    rows += [(1000 + i, rng.getrandbits(24)) for i in range(40)]
+    rows.append((2000, hot ^ 1))  # within radius of the hot value
+    sig = spark.createDataFrame(rows, "doc_id long, sk long").localCheckpoint()
+
+    def run(cap):
+        return sorted(
+            (r.doc1, r.doc2, r.hamming)
+            for r in banded_hamming_pairs(
+                sig, "doc_id", "sk", bits=24, radius=1, same_value_cap=cap
+            ).collect()
+        )
+
+    salted = run(50)  # 300 > 50: mega value takes the salted legs
+    rowlocal = run(10**6)  # everything row-local (the r13 shape)
+    assert salted == rowlocal
+    # sanity: the mega cluster really is in the output (300*299/2
+    # same-value pairs plus its radius-1 neighbor edges)
+    assert len(salted) >= 300 * 299 // 2
+
+
 def test_sum_charge_hi_lo_split_exact_and_cross_engine(spark):
     """ADVICE r04: SUM(CHARGE_CENTS) (scale 1e6, <= ~1e11/row) would
     hit the int64 ceiling near SF ~60 where DuckDB silently promotes
