@@ -412,6 +412,16 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     # sources unchanged and were all driver-sim re-verified rc 0 in
     # the optimization session; see OPTIMIZATION_r13.md.)
     "dedup_minhash_production_audit",
+    # Rewritten in the r14 OPTIMIZATION round (build-source changes
+    # only — each re-proven by sf0.1 oracle parity + driver-sim rc 0
+    # in the r14 session; see OPTIMIZATION_r14.md):
+    #  - pipeline_crawl_ingest_e2e: conditional rebalance before the
+    #    Arrow decode stage (single-task fixture parallelism).
+    #  - ev_rfm_segments: the per-user aggregate's localCheckpoint
+    #    went lazy (grouped_prefix_sum's eager checkpoint is the
+    #    materializing action — one fewer serialized job per rep).
+    "pipeline_crawl_ingest_e2e",
+    "ev_rfm_segments",
 )
 
 

@@ -176,12 +176,18 @@ def sequence_gaps(df: DataFrame, key: str) -> DataFrame:
     """
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # LAZY checkpoint (r14, same audit as prefix_sum's d60b316): the
+    # bounds .collect() below is the materializing action and runs
+    # before the window consumer's job exists — sequential driver
+    # code, so the non-deterministic range boundaries are frozen
+    # before anything else can observe them.  Same truncation, one
+    # fewer serialized job per query.
     ranged = (
         df.select(F.col(key).cast("long").alias("_k"))
         .where(F.col("_k").isNotNull())
         .repartitionByRange(n_parts, F.col("_k"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("_pid").orderBy("_k")
     inner = (

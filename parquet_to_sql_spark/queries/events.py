@@ -1123,14 +1123,18 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized ONCE: the relation feeds the stacked bounds
     # pipeline (eagerly executed by the prefix scan's checkpoint)
     # plus the scoring pass (r6 review; same pattern as
-    # mmr_rerank_int's pool)
+    # mmr_rerank_int's pool).  LAZY (r14): grouped_prefix_sum's own
+    # EAGER checkpoint is the first action and materializes this
+    # relation inside its job; the scoring pass then reads the cached
+    # copy — deterministic aggregate values either way, one fewer
+    # serialized job per rep.
     users = ev.groupBy("user_id").agg(
         F.max(F.unix_timestamp("ts")).cast("long").alias("r"),
         F.count(F.lit(1)).cast("long").alias("f"),
         F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
         .cast("long")
         .alias("m"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # one prefix scan for all three metrics: stack to (metric, v),
     # count per distinct value, grouped running sum, then the

@@ -2455,10 +2455,20 @@ def pipeline_crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges.  The whole stage lives in operators/crawl.py
     (ingest_warc_docs) and is SHARED verbatim with the streaming
     at-ingest twin (streaming.pipeline.crawl_ingest_stream) — the
-    equivalence test proves batch and stream outputs identical."""
-    from parquet_to_sql_spark.operators.crawl import ingest_warc_docs
+    equivalence test proves batch and stream outputs identical.
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    Optimization r14: the narrow doc_id projection is rebalanced
+    before the Arrow stage (operators.text.rebalance_for_compute —
+    conditional, skipped when the scan is already wide), the same
+    discipline as every hash kernel: the single-row-group fixture
+    otherwise runs the whole WARC+HTML decode in ONE task.  Batch-side
+    only — the streaming twin keeps the shared operator untouched."""
+    from parquet_to_sql_spark.operators.crawl import ingest_warc_docs
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    docs = rebalance_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return ingest_warc_docs(docs, min_words=8)
 
 
@@ -4925,7 +4935,14 @@ def pipeline_mime_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    # r14: rebalance the narrow projection before the Python stage
+    # (conditional — no-op on already-wide scans); the single-row-group
+    # fixture otherwise routes every payload in ONE task.
+    docs = rebalance_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         build_route,
         schema=(
