@@ -391,6 +391,25 @@ def l2sq_sub_expr(a: Column | str, b: Column | str, s: int) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def l2sq_sub_sql(a: str, b: str, s: int) -> str:
+    """l2sq_sub_expr as ONE SQL fragment (optimization r14): the
+    Column formulation costs ~30 py4j round trips per subspace (two
+    slices + two HOF lambdas), ~250 per 8-subspace distance table —
+    measured as the dominant share of pq_adc_topk's per-rep
+    construction time.  Semantically identical expression (0.0D seed
+    keeps the fold in DOUBLE exactly like F.lit(0.0); same left fold,
+    same cast order), one py4j call for the whole array when the
+    caller joins the fragments."""
+    lo = s * PQ_SUBDIM + 1
+    return (
+        f"aggregate(zip_with(slice({a}, {lo}, {PQ_SUBDIM}), "
+        f"slice({b}, {lo}, {PQ_SUBDIM}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def pq_encode(
     df: DataFrame, id_col: str, vec_col: str, codes: DataFrame
 ) -> DataFrame:
@@ -585,16 +604,16 @@ def ivfpq_adc_topk(
         )
     )
     # 3. encode: arg-min code per subspace, centroid carried through
+    # arg-min aggregates as expr strings (r14, same construction-cost
+    # fix as pq_adc_topk — identical min(struct) expressions)
     enc = (
         res.crossJoin(codes)
         .groupBy(id_col, "centroid_id")
         .agg(
             *[
-                F.min(
-                    F.struct(
-                        l2sq_sub_expr("_rvec", "_cv", s).alias("d"),
-                        F.col("_code_id").alias("c"),
-                    )
+                F.expr(
+                    f"min(struct({l2sq_sub_sql('_rvec', '_cv', s)} AS d, "
+                    "_code_id AS c))"
                 ).alias(f"_k{s}")
                 for s in range(PQ_SUBS)
             ]
@@ -625,8 +644,10 @@ def ivfpq_adc_topk(
         "query_id",
         F.col("centroid_id").alias("_dt_cent"),
         "_code_id",
-        F.array(
-            *[l2sq_sub_expr("_rq", "_cv", s) for s in range(PQ_SUBS)]
+        F.expr(
+            "array({})".format(
+                ", ".join(l2sq_sub_sql("_rq", "_cv", s) for s in range(PQ_SUBS))
+            )
         ).alias("_ds"),
     )
     # 5. ADC scoring as ONE broadcast join + row-local map lookups:
@@ -650,19 +671,14 @@ def ivfpq_adc_topk(
         ).alias("_dmap")
     )
     cur = enc.crossJoin(F.broadcast(dmap))
-    approx = None
-    for s in range(PQ_SUBS):
-        term = F.element_at(
-            F.element_at(
-                F.col("_dmap"),
-                F.struct(
-                    F.col("centroid_id").alias("ct"),
-                    F.col(f"c{s}").alias("cd"),
-                ),
-            ),
-            s + 1,
+    # same left-associative fixed-order sum as the former Column chain
+    approx = F.expr(
+        " + ".join(
+            "element_at(element_at(_dmap, "
+            f"struct(centroid_id AS ct, c{s} AS cd)), {s + 1})"
+            for s in range(PQ_SUBS)
         )
-        approx = term if approx is None else approx + term
+    )
     scored = (
         cur.select(
             F.col("query_id"),
@@ -715,6 +731,14 @@ def pq_adc_topk(
     qid_c, cid_c = f"q_{id_col}", id_col
     enc = pq_encode(df, id_col, vec_col, codes)
     q = queries.select(F.col(id_col).alias(qid_c), F.col(vec_col).alias("_qv"))
+    # distance-table array and ADC sum built as SINGLE expr strings
+    # (optimization r14): the Column-by-Column construction (8
+    # slice/zip_with/aggregate trees + 16 nested element_ats) was
+    # ~60-70% of this query's per-rep driver construction time —
+    # identical expressions, two py4j calls instead of ~300.
+    ds_sql = "array({})".format(
+        ", ".join(l2sq_sub_sql("_qv", "_cv", s) for s in range(PQ_SUBS))
+    )
     dt = q.crossJoin(
         F.broadcast(
             codes.select(
@@ -722,13 +746,7 @@ def pq_adc_topk(
                 F.col(codes.columns[1]).alias("_cv"),
             )
         )
-    ).select(
-        F.col(qid_c),
-        F.col("_code_id"),
-        F.array(
-            *[l2sq_sub_expr("_qv", "_cv", s) for s in range(PQ_SUBS)]
-        ).alias("_ds"),
-    )
+    ).select(F.col(qid_c), F.col("_code_id"), F.expr(ds_sql).alias("_ds"))
     # one map per query: code_id -> [d0..d{S-1}] (distinct keys, so
     # collect_list order is irrelevant to the map's content)
     dmap = dt.groupBy(qid_c).agg(
@@ -737,12 +755,13 @@ def pq_adc_topk(
         ).alias("_dmap")
     )
     cur = enc.crossJoin(F.broadcast(dmap))
-    approx = None
-    for s in range(PQ_SUBS):
-        term = F.element_at(
-            F.element_at(F.col("_dmap"), F.col(f"c{s}")), s + 1
+    # same left-associative fixed-order sum as the former Column chain
+    approx = F.expr(
+        " + ".join(
+            f"element_at(element_at(_dmap, c{s}), {s + 1})"
+            for s in range(PQ_SUBS)
         )
-        approx = term if approx is None else approx + term
+    )
     scored = cur.select(
         F.col(qid_c).alias("query_id"),
         F.col(cid_c).alias("neighbor_id"),
