@@ -619,7 +619,11 @@ def minhash_lsh_pairs(
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
     # referenced by 2 join sides — materialize the signature relation
     # once (same contract as banded_hamming_pairs); band slices come
-    # from the one-pass struct-array explode (_band_slices)
+    # from the one-pass struct-array explode (_band_slices).
+    # EAGER is deliberate (r14 A/B): a lazy mark lets the two join
+    # legs' map stages recompute the signature pipeline concurrently
+    # (median 1.63 s lazy vs 1.57 eager in a one-session interleave) —
+    # the barrier is cheaper than the duplicate kernel work.
     sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
     exploded = _band_slices(sig, id_col, k, bands, keep_sig=True)
     left = exploded.select(
@@ -1950,7 +1954,13 @@ def minhash_band_index(
     output is bands x doc-count rows of three narrow columns."""
     if bands <= 0 or k % bands:
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
-    sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint()
+    # lazy (r14): _band_slices is the ONLY consumer, so the first
+    # action materializes the truncated lineage in its own job — no
+    # concurrent-recompute risk (contrast minhash_lsh_pairs, whose
+    # 2-leg join keeps its checkpoint EAGER), one fewer serialized job
+    sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint(
+        eager=False
+    )
     return _band_slices(sig, id_col, k, bands)
 
 
