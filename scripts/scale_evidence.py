@@ -43,7 +43,7 @@ QUERIES = (
     "dedup_repeated_spans",
 )
 
-SHARDS = 10
+SHARDS = 10  # overridden by --shards
 SRC = "/root/testdata/sf0.1/documents.parquet"
 SCRATCH = "/tmp/spark_graft_sf1_equiv"
 
@@ -98,7 +98,7 @@ def run_at(cpus: int, reps: int) -> dict:
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -133,12 +133,17 @@ def run_at(cpus: int, reps: int) -> dict:
 
 
 def main() -> int:
+    global SHARDS, QUERIES
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="SCALE_EVIDENCE_r14.json")
+    ap.add_argument("--shards", type=int, default=10)
+    ap.add_argument("--queries", nargs="*", default=list(QUERIES))
     args = ap.parse_args()
+    SHARDS = args.shards
+    QUERIES = tuple(args.queries)
 
-    print("building 10x corpus ...")
+    print(f"building {SHARDS}x corpus ...")
     build_corpus()
     loadavg = [round(x, 2) for x in os.getloadavg()]
     res = {}
@@ -151,13 +156,13 @@ def main() -> int:
     }
     artifact = {
         "what": (
-            "5 heaviest dedup headline queries on the deterministic "
-            f"10x ({SHARDS} vocabulary-disjoint shards) expansion of the "
+            "heavy dedup headline queries on the deterministic "
+            f"{SHARDS}x ({SHARDS} vocabulary-disjoint shards) expansion of the "
             "sf0.1 documents corpus, 8 vs 32 cores, noop sink, "
             f"{args.reps}-rep medians after warmup"
         ),
         "corpus": {
-            "docs": SHARDS * 5000,
+            "docs": SHARDS * 5000, "shards": SHARDS,
             "construction": "scripts/scale_evidence.py build_corpus (pure function of /root/testdata/sf0.1/documents.parquet)",
         },
         "loadavg_start": loadavg,
