@@ -419,7 +419,11 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     #    Arrow decode stage (single-task fixture parallelism).
     #  - ev_rfm_segments: the per-user aggregate's localCheckpoint
     #    went lazy (grouped_prefix_sum's eager checkpoint is the
-    #    materializing action — one fewer serialized job per rep).
+    #    materializing action — one fewer serialized job per rep),
+    #    and the boundary/pivot/scoring expressions are now built as
+    #    SQL expr strings (construction-only: physical plan identical
+    #    modulo expr ids, output asserted row-identical in-session —
+    #    plans/r14/AB_rfm_expr.json).
     "pipeline_crawl_ingest_e2e",
     "ev_rfm_segments",
 )

@@ -1146,17 +1146,20 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = grouped_prefix_sum(counts, ["metric"], ["v"], "cnt", "cum")
     totals = cum.groupBy("metric").agg(F.max("cum").alias("n"))
+    # Boundary/pivot/scoring expressions are built as SQL strings —
+    # ONE py4j round trip per column instead of one per Column-API
+    # node (r14, VERDICT item 2: the proven expr-string construction
+    # from pq_adc; ~140 fewer driver round trips per rep, expressions
+    # identical to the former F.when chains).
     per_metric = (
         cum.join(F.broadcast(totals), "metric")  # 3-row attach
         .groupBy("metric")
         .agg(
             *[
-                F.min(
-                    F.when(
-                        F.col("cum") * 100 >= F.lit(q) * F.col("n"),
-                        F.col("v"),
-                    )
-                ).alias(f"b{q}")
+                F.expr(
+                    f"min(CASE WHEN cum * 100 >= {q} * n THEN v END)"
+                    f" AS b{q}"
+                )
                 for q in (20, 40, 60, 80)
             ]
         )
@@ -1165,26 +1168,27 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring pass consumes (r20..m80)
     b = per_metric.agg(
         *[
-            F.min(F.when(F.col("metric") == m, F.col(f"b{q}"))).alias(f"{m}{q}")
+            F.expr(
+                f"min(CASE WHEN metric = '{m}' THEN b{q} END) AS {m}{q}"
+            )
             for m in ("r", "f", "m")
             for q in (20, 40, 60, 80)
         ]
     )
 
-    def score(metric: str) -> F.Column:
-        s = F.lit(1)
-        for q in (20, 40, 60, 80):
-            s = s + F.when(
-                F.col(metric) > F.col(f"{metric}{q}"), 1
-            ).otherwise(0)
-        return s.alias(f"{metric}_score")
+    def score(metric: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {metric} > {metric}{q} THEN 1 ELSE 0 END)"
+            for q in (20, 40, 60, 80)
+        )
+        return f"1 + {terms} AS {metric}_score"
 
-    scored = users.crossJoin(F.broadcast(b)).select(
+    scored = users.crossJoin(F.broadcast(b)).selectExpr(
         score("r"), score("f"), score("m"), "m"
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("m").cast("long").alias("m_cents"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_users"),
+        F.expr("CAST(sum(m) AS BIGINT) AS m_cents"),
     )
 
 
