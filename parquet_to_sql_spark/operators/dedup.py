@@ -1084,9 +1084,34 @@ def triangle_counts(
     adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     a1 = adj.select(F.col("src").alias("_a1"), F.col("nbrs").alias("n1"))
     a2 = adj.select(F.col("src").alias("_a2"), F.col("nbrs").alias("n2"))
+    # Optimization r14 (guide §2.3 — partition for COMPUTE, not bytes):
+    # the closing join's shuffles carry few BYTES (two longs + one
+    # bounded list per row) but feed the operator's heaviest compute —
+    # the per-row array_intersect over O(sqrt(m)) lists plus the
+    # triangle explode.  AQE's byte-based coalescing therefore
+    # serialized the whole intersect stage into 1-2 tasks (measured
+    # 0.85 s single-task CPU at sf0.1 vs ~13 ms of bytes).  The two
+    # hash exchange the join REQUIRES anyway on its probe side is made
+    # user-specified (repartition by the join key, width = the
+    # session's shuffle parallelism — the same scale knob every other
+    # exchange uses), which exempts it from coalescing: identical
+    # exchange count, identical shuffled bytes, intersect width
+    # pinned.  One side suffices — a sort-merge join keeps both sides
+    # co-partitioned, so AQE cannot shrink the build side either.
+    # Trade-off, documented: a user-specified exchange is also exempt
+    # from AQE skew-join splitting; per-row work stays bounded by the
+    # O(sqrt(m)) orientation cap, and rows-per-dst-key by in-degree,
+    # so a single hot partition degrades gracefully rather than
+    # quadratically (the wedge relation this replaced had the same
+    # key distribution WITH quadratic row growth).
+    try:
+        n_part = int(o.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = o.sparkSession.sparkContext.defaultParallelism
     tri = (
         o.join(a1, o["src"] == a1["_a1"])
-        .join(a2, o["dst"] == a2["_a2"])
+        .repartition(n_part, "dst")
+        .join(a2, F.col("dst") == a2["_a2"])
         .select(
             "src", "dst", F.explode(F.array_intersect("n1", "n2")).alias("w")
         )
