@@ -426,6 +426,13 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     #    plans/r14/AB_rfm_expr.json).
     "pipeline_crawl_ingest_e2e",
     "ev_rfm_segments",
+    #  - text_bpe_encode: conditional rebalance of the narrow
+    #    (doc_id, text) input before the word explode, so the corpus
+    #    encode stage no longer inherits the fixture's single-row-
+    #    group scan width (plan: +2 runtime-reused round-robin
+    #    exchanges, re-baselined; output asserted row-identical
+    #    in-session — plans/r14/AB_bpe_rebalance.json).
+    "text_bpe_encode",
 )
 
 

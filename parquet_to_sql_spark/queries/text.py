@@ -1248,7 +1248,17 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is ONE broadcast row (sanctioned 1-row attach), and the
     application pass shuffles only the doc-keyed rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    aw = docs.select(
+    # Optimization r14 (guide §2.3): the encode branch applies the
+    # 5-replace merge chain + symbol count to EVERY corpus word in the
+    # stage that inherits the scan's parallelism — a single row group
+    # at fixture scale, so the whole 0.9 s encode ran in ONE task.
+    # One conditional round-robin shuffle of the narrow (doc_id, text)
+    # input spreads it (skipped when the scan is already wide, so a
+    # 100 TB scan pays nothing); results are identical — every
+    # downstream aggregate is an order-independent count/sum.
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    aw = rebalance_for_compute(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("word")
     ).filter(F.col("word").rlike("^[a-z]+$"))
     vocab = aw.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
