@@ -433,6 +433,18 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     #    exchanges, re-baselined; output asserted row-identical
     #    in-session — plans/r14/AB_bpe_rebalance.json).
     "text_bpe_encode",
+    #  - dedup_segment_blocks: same conditional rebalance (the per-
+    #    segment fold hash ran single-task at fixture scan width);
+    #    +1 exchange re-baselined, output asserted row-identical
+    #    in-session — plans/r14/AB_rebalance_rows.json.  (The same
+    #    A/B REJECTED the rebalance on text_bigram_lm_scores /
+    #    text_backoff_lm_scores — reverted, notes inline; their net
+    #    diff is comments only, but the staleness detector counts any
+    #    source-span change, so both are queued and were driver-sim
+    #    re-verified green in the r14 session.)
+    "dedup_segment_blocks",
+    "text_bigram_lm_scores",
+    "text_backoff_lm_scores",
 )
 
 

@@ -840,7 +840,16 @@ def dedup_segment_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_to_sql_spark.functions.hashing import char_fold_hash
 
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("ws"))
+    # r14: the per-segment fold hash is the query's heaviest compute
+    # and ran at the fixture scan's single-row-group width (0.48 s in
+    # ONE task) — conditional rebalance, same rationale and A/B
+    # discipline as text_bpe_encode (no-op on a wide 100 TB scan;
+    # all downstream aggregates order-independent).
+    from parquet_to_sql_spark.operators.text import rebalance_for_compute
+
+    w = rebalance_for_compute(docs.select("doc_id", "text")).select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("ws")
+    )
     segs = w.select(
         "doc_id",
         F.explode(
@@ -1622,6 +1631,15 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-joined, never broadcast (real vocabularies outgrow any
     broadcast threshold)."""
     docs = load_table(spark, sf_dir, "documents")
+    # (r14 note — measured and REJECTED: rebalancing the narrow
+    # corpus input before the bigram explode, the fix that won on
+    # text_bpe_encode/dedup_segment_blocks, made THIS row 19% SLOWER
+    # (interleaved A/B, plans/r14/AB_rebalance_rows.json): the
+    # vocabulary-sized pair groupBy then runs its map-side combine on
+    # 32 partitions instead of 1, emitting up to 32 partials per key —
+    # the inflated combine exchange costs more than the serialized
+    # explode saved.  Don't retry on map-side-combined high-
+    # cardinality aggregates.)
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_t"))
     big = toks.select(
         "doc_id",
@@ -1735,6 +1753,10 @@ def text_backoff_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (real vocabularies outgrow any broadcast threshold; same
     documented call as text_bigram_lm_scores)."""
     docs = load_table(spark, sf_dir, "documents")
+    # (r14 note — measured and REJECTED: the narrow-input rebalance
+    # was 65% SLOWER here; same inflated-map-side-combine mechanism
+    # as text_bigram_lm_scores, see the note there and
+    # plans/r14/AB_rebalance_rows.json.)
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_t"))
     big = toks.select(
         "doc_id",
