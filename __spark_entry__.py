@@ -445,6 +445,11 @@ _REVERIFY_QUEUED: tuple[str, ...] = (
     "dedup_segment_blocks",
     "text_bigram_lm_scores",
     "text_backoff_lm_scores",
+    #  - ev_peak_concurrency: REJECTED width-pin experiment (38%
+    #    slower, plans/r14/AB_peak_width.json) — net diff is the
+    #    inline rejection note only; driver-sim re-verified green in
+    #    the r14 session.
+    "ev_peak_concurrency",
 )
 
 

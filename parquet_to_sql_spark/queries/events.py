@@ -350,6 +350,14 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
+    # (r14 note — measured and REJECTED: pinning the two window
+    # exchanges' width with user-specified repartitions — the
+    # triangle_counts fix — made THIS row 38% SLOWER (interleaved
+    # A/B, plans/r14/AB_peak_width.json): AQE's ~2-task coalescing
+    # is right here because each window stage holds only ~0.5 s of
+    # TOTAL compute, and 32-way sort/schedule overhead exceeds the
+    # parallelism gain.  The pin pays off only when a coalesced
+    # stage carries ~a second or more of serial compute.)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 30 * 60 * 1_000_000
     is_new = F.when(
