@@ -24,6 +24,13 @@ NAMES = (
     "simsearch_ivfpq_adc_topk",
     "dedup_minhash_incremental_screen",
     "dedup_minhash_lsh",
+    # session 3 (the *_before dumps for these two were generated
+    # from the pre-change formulations inline, not from this script —
+    # see the AB scripts; the _after dumps match this tree.
+    # dedup_graph_triangles, listed above, was also re-touched in
+    # session 3 and its _after dump regenerated):
+    "text_bpe_encode",
+    "dedup_segment_blocks",
 )
 
 
