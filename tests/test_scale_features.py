@@ -710,6 +710,19 @@ def test_triangle_counts_plan_is_truncated_and_equi_join_only(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     n_nodes = len(re.findall(r"\(\d+\) ", plan))
     assert n_nodes < 60, f"lineage not truncated: {n_nodes} nodes"
+    # r14 width pin: the closing join's probe-side exchange must stay
+    # USER-specified (REPARTITION_BY_NUM on dst) so AQE's byte-based
+    # coalescing cannot serialize the array_intersect stage — and it
+    # must not have added an exchange (the pin replaces the
+    # ENSURE_REQUIREMENTS exchange the join needed anyway).
+    assert re.search(r"hashpartitioning\(dst#\d+L?, \d+\), REPARTITION_BY_NUM", plan), (
+        "triangle intersect width pin missing: the dst exchange is no "
+        "longer user-specified (AQE may re-serialize the stage)"
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 5, (
+        "triangle exchange count changed; the width pin must not add "
+        "or remove shuffles"
+    )
 
 
 def test_mad_anomaly_scans_events_once(spark):
